@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loader for the driver-generated parquet data
+  * (TESTDATA.md). Registers every table as a temp view so queries can be
+  * expressed either through the DataFrame API or `spark.sql`, exactly as
+  * the reference exposes its surface through `ctx.sql(...)`
+  * (reference: wasmedge_factory/examples/wasaffi.rs:25,27).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Last registered dir per session, to skip redundant re-registration. */
+  private val registered = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  def register(spark: SparkSession, dir: String): Unit = {
+    if (registered.get(spark) != dir) {
+      names.foreach { n =>
+        spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
+      }
+      registered.put(spark, dir)
+    }
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
