@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.{FunctionModule, ModuleRegistry, ScalarBatchFunction}
+
+/** Distinct module for the lifecycle test — must not share a cache key with
+  * the 'builtin' module used elsewhere in the suite. */
+class LifecycleTestModule extends FunctionModule {
+  override def functions: Map[String, ScalarBatchFunction] = Map(
+    "pow" -> { args =>
+      (args(0), args(1)) match {
+        case (a: java.lang.Double, b: java.lang.Double) =>
+          java.lang.Double.valueOf(math.pow(a, b))
+        case _ => null
+      }
+    })
+}
+
+/** Reference-parity golden tests — mirrors the e2e tests in
+  * wasmedge_factory/src/lib.rs:174-375 and the README golden output
+  * (README.md:99-108): SQL in, exact table out, exact error strings,
+  * module-cache lifecycle.
+  */
+class EngineDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val engine = Engine.local(4)
+
+  override def beforeAll(): Unit = {
+    val spark = engine.spark
+    import spark.implicits._
+    // the reference's only table: 4 rows of DOUBLE a, b (lib.rs:179-183)
+    engine.registerTable("t",
+      Seq((2.0, 2.0), (3.0, 3.0), (4.0, 4.0), (5.0, 5.1)).toDF("a", "b"))
+  }
+
+  override def afterAll(): Unit = engine.spark.stop()
+
+  test("create function + invoke matches the reference golden output") {
+    engine.sql(
+      "CREATE FUNCTION f1(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS 'builtin!pow'")
+    val rows = engine.sql("select a, b, f1(a,b) as f from t order by a").collect()
+    // golden: lib.rs:199-210 / README.md:99-108
+    assert(rows === Array(
+      Row(2.0, 2.0, 4.0),
+      Row(3.0, 3.0, 27.0),
+      Row(4.0, 4.0, 256.0),
+      Row(5.0, 5.1, 3670.684197150057)))
+    engine.sql("DROP FUNCTION f1")
+  }
+
+  test("scalar literal arguments (lib.rs:298-306, 333-342)") {
+    engine.sql(
+      "CREATE FUNCTION fs(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS 'builtin!pow'")
+    assert(engine.sql("select fs(2.0, 2.0) as v").collect() === Array(Row(4.0)))
+    assert(engine.sql("select fs(1.0, 1.0) as v").collect() === Array(Row(1.0)))
+    engine.sql("DROP FUNCTION fs")
+  }
+
+  test("null-in → null-out (wasm_function/src/lib.rs:43-46)") {
+    engine.sql(
+      "CREATE FUNCTION fn_null(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS 'builtin!pow'")
+    val rows = engine.sql(
+      "select fn_null(cast(null as double), 2.0) as v").collect()
+    assert(rows === Array(Row(null)))
+    engine.sql("DROP FUNCTION fn_null")
+  }
+
+  test("guest error surfaces as [Wasm Invocation] (lib.rs:215-238)") {
+    engine.sql(
+      "CREATE FUNCTION f_err() RETURNS DOUBLE LANGUAGE WASM AS 'builtin!f_return_error'")
+    val e = intercept[Exception] { engine.sql("select f_err() as v from t").collect() }
+    assert(exceptionChain(e).exists(
+      _.getMessage.contains("[Wasm Invocation] wasm function returned error")))
+    engine.sql("DROP FUNCTION f_err")
+  }
+
+  test("guest engine error string (lib.rs:240-263)") {
+    engine.sql(
+      "CREATE FUNCTION f_err2() RETURNS DOUBLE LANGUAGE WASM AS 'builtin!f_return_arrow_error'")
+    val e = intercept[Exception] { engine.sql("select f_err2() as v from t").collect() }
+    assert(exceptionChain(e).exists(
+      _.getMessage.contains("[Wasm Invocation] Divide by zero error")))
+    engine.sql("DROP FUNCTION f_err2")
+  }
+
+  test("trap surfaces as [Wasm Invocation Panic] (lib.rs:265-308)") {
+    engine.sql(
+      "CREATE FUNCTION f_p() RETURNS DOUBLE LANGUAGE WASM AS 'builtin!f_panic'")
+    val e = intercept[Exception] { engine.sql("select f_p() as v from t").collect() }
+    assert(exceptionChain(e).exists(
+      _.getMessage.contains("[Wasm Invocation Panic] unreachable")))
+    engine.sql("DROP FUNCTION f_p")
+  }
+
+  test("bad locator '!method' rejected (lib.rs:102-109,172)") {
+    val e = intercept[Exception] {
+      engine.sql(
+        "CREATE FUNCTION fbad(DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS '!pow'")
+    }
+    assert(exceptionChain(e).exists(
+      _.getMessage.contains("should be 'module!method'")))
+  }
+
+  test("module cache lifecycle: shared module, drop to zero (lib.rs:310-375)") {
+    // a module path not used by any other test, so the delta is exact
+    val m = "graft.LifecycleTestModule"
+    val before = ModuleRegistry.cachedModuleCount
+    engine.sql(
+      s"CREATE FUNCTION lf1(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE JVM AS '$m!pow'")
+    engine.sql(
+      s"CREATE FUNCTION lf2(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE JVM AS '$m!pow'")
+    assert(ModuleRegistry.cachedModuleCount === before + 1) // one VM, two fns
+    engine.sql("DROP FUNCTION lf1")
+    assert(ModuleRegistry.cachedModuleCount === before + 1)
+    engine.sql("DROP FUNCTION lf2")
+    assert(ModuleRegistry.cachedModuleCount === before) // evicted at zero refs
+  }
+
+  test("JVM class module loading (the FunctionFactory SPI is pluggable)") {
+    engine.sql(
+      "CREATE FUNCTION jf(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE JVM AS 'graft.functions.BuiltinModule!pow'")
+    assert(engine.sql("select jf(3.0, 2.0) as v").collect() === Array(Row(9.0)))
+    engine.sql("DROP FUNCTION jf")
+  }
+
+  test("non-engine SQL falls through to Spark's parser untouched") {
+    assert(engine.sql("select 1 + 1 as v").collect() === Array(Row(2)))
+  }
+
+  private def exceptionChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+}
