@@ -18,13 +18,22 @@ object Tables {
 
   def register(spark: SparkSession, dir: String): Unit = {
     if (registered.get(spark) != dir) {
-      names.foreach { n =>
-        spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
-      }
+      names.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
       registered.put(spark, dir)
     }
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
+      // rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and rebuild a
+      // microsecond timestamp (same truncation DuckDB applies), keeping
+      // the column order/name identical to the source table.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 }

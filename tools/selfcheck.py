@@ -22,7 +22,10 @@ def norm(df):
     df = df[sorted(df.columns)].reset_index(drop=True)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            v = pd.to_datetime(df[c])
+            if getattr(v.dt, "tz", None) is not None:
+                v = v.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = v.astype("datetime64[us]")
         elif df[c].dtype == object:
             pass
         elif str(df[c].dtype).startswith(("int", "uint", "Int")):
