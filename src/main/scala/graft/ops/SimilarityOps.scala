@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design:
+  *  - [[cosine]] is a pure codegen'd expression (zip_with + aggregate
+  *    left-fold in double), no UDF.
+  *  - [[bruteForceTopK]] broadcasts the (small) query set and streams
+  *    the big vector table once — the exact-search baseline; one
+  *    shuffle for the per-query top-k (TakeOrdered-style window).
+  *  - [[partitionedTopK]] is the IVF-style scale path: vectors are
+  *    pre-bucketed by a coarse partition key (centroid/cluster id);
+  *    each query probes only its bucket, so the join is an equi-join
+  *    (shuffle by bucket) instead of a full scan per query.
+  *
+  * Similarities are rounded to 6 decimals before ranking so ordering is
+  * reproducible across engines (ties broken by vector id).
+  */
+object SimilarityOps {
+
+  /** Cosine similarity of two same-length double arrays, computed as a
+    * sequential left-fold (deterministic IEEE order both engines).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Exact top-k neighbours for each query vector (brute force).
+    * `vectors`/`queries`: (idCol, vecCol) frames; vecCol is
+    * `array<float>` or `array<double>`.
+    */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
+                     id: String, vec: String, k: Int): DataFrame = {
+    val v = vectors.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("v"))
+    val q = queries.select(col(id).as("query_id"), col(vec).cast("array<double>").as("qv"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** IVF-style partitioned top-k: both sides carry a coarse bucket
+    * column (cluster/centroid id); each query only scans its bucket.
+    */
+  def partitionedTopK(vectors: DataFrame, queries: DataFrame,
+                      id: String, vec: String, bucket: String, k: Int): DataFrame = {
+    val v = vectors.select(col(id).as("vec_id"), col(bucket).as("vb"),
+      col(vec).cast("array<double>").as("v"))
+    val q = queries.select(col(id).as("query_id"), col(bucket).as("qb"),
+      col(vec).cast("array<double>").as("qv"))
+    val scored = v.join(broadcast(q),
+        col("vb") === col("qb") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, blocked
+    * by a coarse bucket (never all-pairs): pairs are only formed inside
+    * a bucket, the IVF analog for dedup.
+    */
+  def nearDupPairs(vectors: DataFrame, id: String, vec: String,
+                   bucket: String, minSim: Double): DataFrame = {
+    val v = vectors.select(col(id).as("did"), col(bucket).as("bk"),
+      col(vec).cast("array<double>").as("v"))
+    v.as("x").join(v.as("y"),
+        col("x.bk") === col("y.bk") && col("x.did") < col("y.did"))
+      .select(col("x.did").as("a"), col("y.did").as("b"),
+        round(cosine(col("x.v"), col("y.v")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID and
+  * document fingerprinting.
+  *
+  * All operators are pure Catalyst `Column` expressions — they run
+  * inside whole-stage codegen, shuffle nothing by themselves, and
+  * scale linearly with the scan. Each has an exact SQL mirror (used by
+  * the DuckDB oracle in `graft.queries.Pipeline`), so results are
+  * engine-reproducible.
+  */
+object TextOps {
+
+  /** Whitespace tokenization, lowercased. Mirror:
+    * `string_split_regex(lower(text), '\s+')`.
+    */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+    * other non-space chars each count as one token — a cheap, stable
+    * proxy for subword-tokenizer cost used to budget training data.
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** Ratio of non [a-z0-9 space] chars (over lowercased text): the
+    * char count remaining after stripping [a-z0-9 ], over total length.
+    */
+  def punctRatio(text: Column): Column =
+    (length(regexp_replace(lower(text), "[a-z0-9 ]", "")).cast("double")
+      / length(text)).cast("double")
+
+  /** English-stopword token ratio. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    (size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+      / size(toks)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: length credit + cleanliness +
+    * stopword-signal, the standard cheap pre-filter before expensive
+    * model-based scoring. Deterministic; mirrored in SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = size(tokens(text)).cast("double")
+    round(
+      lit(0.4) * least(lit(1.0), toks / 50.0) +
+        lit(0.3) * (lit(1.0) - punctRatio(text)) +
+        lit(0.3) * least(lit(1.0), stopwordRatio(text) * 5.0),
+      6)
+  }
+
+  /** Language profiles for the n-gram/stopword language-ID heuristic. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "fr" -> Seq("le", "la", "et"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "los", "de"))
+
+  /** Stopword-profile language ID: count profile hits per language,
+    * pick the max (ties broken in profile order), `und` if no hits.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words)))
+    }
+    val m = greatest(scores.map(_._2): _*)
+    // reverse fold → earliest profile's WHEN lands outermost → wins ties
+    val chain = scores.reverse.foldLeft(lit("und")) {
+      case (acc, (lang, s)) => when(s === m, lang).otherwise(acc)
+    }
+    when(m === 0, lit("und")).otherwise(chain)
+  }
+
+  /** Normalized full-content hash: whitespace runs collapsed, lowercased,
+    * trimmed — the exact-dedup key.
+    */
+  def contentHash(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Word n-gram shingles (n consecutive tokens joined by one space).
+    * Empty array when the document has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Rolling-hash document fingerprint: (min, max) portable hash over
+    * 3-gram shingles plus the normalized content hash. Near-identical
+    * docs share min/max with high probability; exact dups share all 3.
+    */
+  def fingerprint(text: Column): Column = {
+    val sh = shingles(text, 3)
+    struct(
+      contentHash(text).as("content"),
+      array_min(transform(sh, s => Portable.h60(s))).as("min_h"),
+      array_max(transform(sh, s => Portable.h60(s))).as("max_h"))
+  }
+}

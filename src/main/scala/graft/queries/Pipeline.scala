@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, Portable, SimilarityOps, TextOps}
+
+/** Training-data pipeline operators as oracle-checked queries over the
+  * `documents` / `embeddings` / `events` fixtures: text analysis
+  * (token counting, quality scoring, language ID, fingerprinting),
+  * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash),
+  * similarity search (brute-force and IVF-partitioned cosine top-k,
+  * embedding near-dup), and event-stream shaping (tumbling windows,
+  * sessionization).
+  *
+  * Every oracle is the *same formula* in DuckDB SQL over the portable
+  * md5-derived hash (graft.ops.Portable), so the check is exact.
+  */
+object Pipeline {
+
+  /** DuckDB: lowercased whitespace tokens of `documents.text`. */
+  private val wsSql = raw"string_split_regex(lower(text), '\s+')"
+
+  /** DuckDB: 3-gram shingles over tokens `ws`. */
+  private val shinglesSql =
+    "CASE WHEN len(ws) >= 3 THEN [array_to_string(ws[i:i+2], ' ') " +
+      "for i in generate_series(1, len(ws)-2)] ELSE [] END"
+
+  /** DuckDB CTE producing (doc_id, s): distinct 3-gram shingles. */
+  private val distinctShinglesCte =
+    s"""w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM w),
+       ds AS (SELECT DISTINCT doc_id, s FROM sh)"""
+
+  private val k = 12 // minhash components
+  private val rowsPerBand = 3 // → 4 bands
+
+  val all: Seq[Q] = Seq(
+
+    // ---- text statistics + quality score ---------------------------------
+    Q("p01_text_stats", Some(s"""
+      SELECT doc_id,
+             CAST(len($wsSql) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+             round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+             round(CAST(len(list_filter($wsSql, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($wsSql), 6) AS stop_ratio,
+             round(0.4 * least(1.0, CAST(len($wsSql) AS DOUBLE) / 50.0)
+                 + 0.3 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+                 + 0.3 * least(1.0, CAST(len(list_filter($wsSql, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($wsSql) * 5.0), 6) AS quality
+      FROM documents
+      ORDER BY doc_id""")) { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.bpeishCount(col("text")).as("n_bpeish"),
+          round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- language identification -----------------------------------------
+    Q("p02_lang_id", Some {
+      val scoreSql = TextOps.langProfiles.map { case (lang, words) =>
+        s"CAST(len(list_filter($wsSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n             ")
+      val names = TextOps.langProfiles.map(_._1)
+      val m = s"greatest(${names.map(l => s"s_$l").mkString(",")})"
+      val caseSql = names.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+      s"""
+      SELECT doc_id, ${names.map(l => s"s_$l").mkString(", ")},
+             CASE WHEN $m = 0 THEN 'und' $caseSql ELSE 'und' END AS detected
+      FROM (SELECT doc_id, $scoreSql FROM documents) t
+      ORDER BY doc_id"""
+    }) { (spark, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val scoreCols = TextOps.langProfiles.map { case (lang, words) =>
+        size(filter(toks, t => t.isInCollection(words))).cast("long").as(s"s_$lang")
+      }
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id") +: scoreCols :+
+          TextOps.langId(col("text")).as("detected"): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- document fingerprint (content hash + min/max shingle hash) ------
+    Q("p03_fingerprint", Some(s"""
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content,
+             list_min(list_transform($shinglesSql, s -> ${Portable.h60Sql("s")})) AS min_h,
+             list_max(list_transform($shinglesSql, s -> ${Portable.h60Sql("s")})) AS max_h
+      FROM (SELECT doc_id, text, $wsSql AS ws FROM documents) t
+      ORDER BY doc_id""")) { (spark, dir) =>
+      val fp = TextOps.fingerprint(col("text"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), fp.getField("content").as("content"),
+          fp.getField("min_h").as("min_h"), fp.getField("max_h").as("max_h"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- exact dedup groups ----------------------------------------------
+    Q("p04_exact_dedup", Some("""
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+             min(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY content_hash""")) { (spark, dir) =>
+      DedupOps.exactGroups(Tables.load(spark, dir, "documents"), "doc_id", "text")
+        .select(col("content_hash"), col("keep_id"), col("n_copies"))
+        .orderBy(col("content_hash"))
+    },
+
+    // ---- n-gram Jaccard near-dup pairs (inverted-index join) -------------
+    Q("p05_jaccard_pairs", Some(s"""
+      WITH $distinctShinglesCte,
+      cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM ds GROUP BY doc_id),
+      df AS (SELECT s, COUNT(*) AS df FROM ds GROUP BY s),
+      capped AS (SELECT ds.doc_id, ds.s FROM ds JOIN df USING (s) WHERE df.df <= 1000),
+      pair AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+               FROM capped x JOIN capped y ON x.s = y.s AND x.doc_id < y.doc_id
+               GROUP BY 1, 2)
+      SELECT a, b, inter,
+             CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) AS jac
+      FROM pair JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+      WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.8
+      ORDER BY a, b""")) { (spark, dir) =>
+      DedupOps.jaccardPairs(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", minJaccard = 0.8, maxDf = 1000)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // ---- MinHash signatures ----------------------------------------------
+    Q("p06_minhash_signatures", Some {
+      val mins = (0 until k).map(j =>
+        s"min(${Portable.h60sSql(j, "s")}) AS m$j").mkString(",\n             ")
+      s"""
+      WITH $distinctShinglesCte
+      SELECT doc_id, $mins
+      FROM ds GROUP BY doc_id ORDER BY doc_id"""
+    }) { (spark, dir) =>
+      DedupOps.minhashSignatures(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", k)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- MinHash + LSH candidate pairs -----------------------------------
+    Q("p07_lsh_candidates", Some {
+      val mins = (0 until k).map(j =>
+        s"min(${Portable.h60sSql(j, "s")}) AS m$j").mkString(", ")
+      val bandSelects = (0 until k / rowsPerBand).map { b =>
+        val cols = (0 until rowsPerBand)
+          .map(r => s"CAST(m${b * rowsPerBand + r} AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bh FROM sig"
+      }.mkString(" UNION ALL ")
+      val eq = (0 until k)
+        .map(j => s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""
+      WITH $distinctShinglesCte,
+      sig AS (SELECT doc_id, $mins FROM ds GROUP BY doc_id),
+      band AS ($bandSelects),
+      pair AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_bands
+               FROM band x JOIN band y
+                 ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+               GROUP BY 1, 2)
+      SELECT a, b, n_bands, CAST($eq AS DOUBLE) / $k AS est_jaccard
+      FROM pair JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
+      ORDER BY a, b"""
+    }) { (spark, dir) =>
+      DedupOps.lshCandidates(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", k, rowsPerBand)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // ---- SimHash signatures ----------------------------------------------
+    Q("p08_simhash", Some(s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      dw AS (SELECT doc_id, unnest(list_distinct(ws)) AS word FROM w),
+      hb AS (SELECT doc_id, ${Portable.h60Sql("word")} AS h, bit
+             FROM dw CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) bits),
+      bs AS (SELECT doc_id, bit,
+                    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM hb GROUP BY doc_id, bit)
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bs GROUP BY doc_id ORDER BY doc_id""")) { (spark, dir) =>
+      DedupOps.simhash16(Tables.load(spark, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- SimHash near-dup pairs (pigeonhole block join) -------------------
+    Q("p09_simhash_pairs", Some {
+      val blockSelects = (0 until 4).map(q =>
+        s"SELECT doc_id, simhash, $q AS q, (simhash >> ${4 * q}) & 15 AS qk FROM sh")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      dw AS (SELECT doc_id, unnest(list_distinct(ws)) AS word FROM w),
+      hb AS (SELECT doc_id, ${Portable.h60Sql("word")} AS h, bit
+             FROM dw CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) bits),
+      bs AS (SELECT doc_id, bit,
+                    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM hb GROUP BY doc_id, bit),
+      sh AS (SELECT doc_id,
+                    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+             FROM bs GROUP BY doc_id),
+      blocks AS ($blockSelects)
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+             bit_count(xor(x.simhash, y.simhash)) AS hamming
+      FROM blocks x JOIN blocks y
+        ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+      ORDER BY a, b"""
+    }) { (spark, dir) =>
+      DedupOps.simhashPairs(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // ---- brute-force cosine top-k (exact ANN baseline) --------------------
+    Q("p10_knn_bruteforce", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 10),
+      s AS (SELECT query_id, vec_id,
+                   round(list_dot_product(qv, v)
+                     / sqrt(list_dot_product(qv, qv))
+                     / sqrt(list_dot_product(v, v)), 6) AS sim
+            FROM v CROSS JOIN q WHERE vec_id <> query_id),
+      r AS (SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rk
+            FROM s)
+      SELECT query_id, rk, vec_id, sim FROM r WHERE rk <= 5
+      ORDER BY query_id, rk""")) { (spark, dir) =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- IVF-partitioned cosine top-k (bucket = cluster label) ------------
+    Q("p11_knn_ivf", Some("""
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, label AS qlabel,
+                   CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 20),
+      s AS (SELECT query_id, vec_id,
+                   round(list_dot_product(qv, v)
+                     / sqrt(list_dot_product(qv, qv))
+                     / sqrt(list_dot_product(v, v)), 6) AS sim
+            FROM v JOIN q ON v.label = q.qlabel AND vec_id <> query_id),
+      r AS (SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rk
+            FROM s)
+      SELECT query_id, rk, vec_id, sim FROM r WHERE rk <= 5
+      ORDER BY query_id, rk""")) { (spark, dir) =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      SimilarityOps.partitionedTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", "label", 5)
+        .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- embedding near-dup pairs (bucketed, never all-pairs) -------------
+    Q("p12_embedding_neardup", Some("""
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             round(list_dot_product(x.v, y.v)
+               / sqrt(list_dot_product(x.v, x.v))
+               / sqrt(list_dot_product(y.v, y.v)), 6) AS sim
+      FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
+      WHERE round(list_dot_product(x.v, y.v)
+               / sqrt(list_dot_product(x.v, x.v))
+               / sqrt(list_dot_product(y.v, y.v)), 6) >= 0.25
+      ORDER BY a, b""")) { (spark, dir) =>
+      SimilarityOps.nearDupPairs(Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding", "label", minSim = 0.25)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // ---- tumbling-window event aggregation --------------------------------
+    Q("p13_tumbling_window", Some("""
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT)
+              - CAST(floor(epoch(ts)) AS BIGINT) % 900) AS bin_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY bin_start, event_type""")) { (spark, dir) =>
+      val ep = floor(unix_timestamp(col("ts"))).cast("long")
+      Tables.load(spark, dir, "events")
+        .groupBy((ep - ep % 900).as("bin_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("bin_start"), col("event_type"))
+    },
+
+    // ---- gap-based sessionization (lag + cumulative sum) -------------------
+    Q("p14_sessionize", Some("""
+      WITH e AS (SELECT user_id, event_id,
+                        CAST(floor(epoch(ts)) AS BIGINT) AS ep
+                 FROM events),
+      flagged AS (SELECT user_id, event_id, ep,
+                         CASE WHEN lag(ep) OVER w IS NULL
+                              OR ep - lag(ep) OVER w > 1800
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+      sess AS (SELECT user_id, event_id, ep,
+                      CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+               FROM flagged)
+      SELECT user_id, sess_id, COUNT(*) AS n_events,
+             min(ep) AS start_ep, max(ep) AS end_ep,
+             max(ep) - min(ep) AS dur_s
+      FROM sess GROUP BY user_id, sess_id
+      ORDER BY user_id, sess_id""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("ep"))
+        .withColumn("new_sess",
+          when(lag(col("ep"), 1).over(w).isNull ||
+            col("ep") - lag(col("ep"), 1).over(w) > 1800, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ep")).as("start_ep"),
+          max(col("ep")).as("end_ep"), (max(col("ep")) - min(col("ep"))).as("dur_s"))
+        .orderBy(col("user_id"), col("sess_id"))
+    }
+  )
+}

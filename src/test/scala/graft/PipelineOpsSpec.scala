@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+
+/** Unit specs for the training-data pipeline operators over planted
+  * fixtures (the parquet fixtures contain no exact duplicates, so the
+  * merge behavior is proven here).
+  */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The  quick brown fox jumps over the lazy dog"), // ws/case variant
+      (3L, "the quick brown fox jumps over the lazy cat"), // near-dup
+      (4L, "completely different content about query engines and shuffles here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactGroups merges whitespace/case variants, keeps min id") {
+    val g = DedupOps.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 3)
+    val dup = g.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("jaccardPairs finds the near-dup pair and not the unrelated doc") {
+    val p = DedupOps.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(p.contains((1L, 2L)) && p.contains((1L, 3L)) && p.contains((2L, 3L)))
+    assert(!p.exists(t => t._1 == 4L || t._2 == 4L))
+  }
+
+  test("lshCandidates surfaces exact dups with est_jaccard 1.0") {
+    val c = DedupOps.lshCandidates(docs, "doc_id", "text")
+      .filter(col("a") === 1 && col("b") === 2).collect()
+    assert(c.length == 1)
+    assert(c.head.getAs[Double]("est_jaccard") == 1.0)
+    assert(c.head.getAs[Long]("n_bands") == 4L)
+  }
+
+  test("simhashPairs: identical docs at hamming 0; unrelated doc far") {
+    val p = DedupOps.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(p.contains((1L, 2L)))
+  }
+
+  test("quality/langId/fingerprint are deterministic and sane") {
+    val r = docs.select(
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.langId(col("text")).as("lang"),
+      TextOps.fingerprint(col("text")).getField("content").as("c")).collect()
+    assert(r.forall(x => x.getAs[Double]("q") >= 0 && x.getAs[Double]("q") <= 1))
+    assert(r.take(3).forall(_.getAs[String]("lang") == "en"))
+    assert(r(0).getAs[String]("c") == r(1).getAs[String]("c"))
+  }
+
+  test("cosine top-k: self-similar vectors rank first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.98f, 0.2f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = SimilarityOps.bruteForceTopK(
+      vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 1).collect()
+    assert(top.length == 1 && top.head.getAs[Long]("vec_id") == 1L)
+    val ivf = SimilarityOps.partitionedTopK(
+      vecs, vecs.filter(col("vec_id") === 2), "vec_id", "embedding", "label", 1)
+      .collect()
+    assert(ivf.length == 1 && ivf.head.getAs[Long]("vec_id") == 3L)
+  }
+}
