@@ -8,21 +8,24 @@ import org.apache.spark.sql.functions._
   *
   *  - exact dedup: one hash-shuffle on a 128-bit content hash; no
   *    row-to-row comparison ever happens.
-  *  - n-gram Jaccard: inverted-index self-join on shingles (shuffle by
-  *    shingle), never an all-pairs cross join. Frequency-capped shingles
-  *    (stopword shingles shared by >maxDf docs are dropped) bound the
-  *    worst-case join fan-out — the classic skew guard.
-  *  - MinHash + LSH: fixed-size signatures (k salted portable hashes),
-  *    banded; candidate pairs come from a shuffle on (band, bandHash)
-  *    so cost is O(candidates), not O(n²).
+  *  - n-gram Jaccard: inverted index grouped by shingle (ONE shuffle),
+  *    pairs generated bucket-locally from the sorted posting list —
+  *    never a sort-merge self-join, never an all-pairs cross join.
+  *    Frequency-capped buckets (shingles shared by > maxDf docs are
+  *    dropped) bound the worst-case fan-out — the classic skew guard.
+  *  - MinHash + LSH: k-component signatures from ONE md5 per shingle
+  *    (affine family, [[Portable.minhashJ]]); banded; candidate pairs
+  *    come from a shuffle on (band, bandHash) so cost is O(candidates),
+  *    not O(n²). Signatures ride along with the band rows, so nothing
+  *    is recomputed or re-joined downstream.
   *  - SimHash: 16-bit signature; pairs found by the pigeonhole block
-  *    join (hamming ≤ 3 ⇒ at least one of four 4-bit quarters equal),
-  *    again a key-shuffle, not a cross join.
+  *    join (hamming ≤ 3 ⇒ at least one of four 4-bit quarters equal);
+  *    each pair is emitted exactly once by keeping only its FIRST
+  *    matching quarter (a pure filter — no distinct shuffle).
   *
-  * Everything is pure Column expressions over the portable md5-derived
-  * hash ([[Portable.h60]]), so every stage is whole-stage-codegen'd and
-  * the results are engine-reproducible (DuckDB oracle in
-  * `graft.queries.Pipeline`).
+  * Everything is pure Column expressions over portable md5-derived
+  * hashes ([[Portable]]), so every stage is engine-reproducible
+  * (DuckDB oracle in `graft.queries.Pipeline`).
   */
 object DedupOps {
 
@@ -35,119 +38,164 @@ object DedupOps {
       .groupBy(col("content_hash"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** doc → exploded distinct 3-gram shingles (the inverted-index rows). */
-  private def distinctShingles(docs: DataFrame, id: String, text: String): DataFrame =
+  /** doc → exploded 3-gram shingle stream `(did, s)`, built with fully
+    * codegen'd expressions: explode a position sequence, then
+    * element_at + concat_ws. (The lambda formulation
+    * `transform(sequence(...), i -> ...)` is a CodegenFallback and costs
+    * ~35µs/shingle interpreted — 36× this path.) May emit duplicate
+    * shingles per doc; callers needing set semantics dedup downstream
+    * (min / collect_set are duplicate-insensitive).
+    */
+  private def shingleStream(docs: DataFrame, id: String, text: String): DataFrame =
     docs
-      .select(col(id).as("did"), explode(TextOps.shingles(col(text), 3)).as("s"))
-      .distinct()
+      .select(col(id).as("did"), TextOps.tokens(col(text)).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("did"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 2)).as("i"))
+      .select(col("did"), expr(
+        "concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))"
+      ).as("s"))
 
-  /** Document pairs by exact n-gram Jaccard similarity, via inverted-
-    * index join. `maxDf` drops shingles occurring in more than that many
-    * docs (frequency cap = skew guard); `minJaccard` filters the output.
+  /** All pairs (arr(i), arr(j)) with i < j from a (sorted) array column
+    * `arr` of `df` — the bucket-local pair generator, emitted as columns
+    * `(pa, pb)` of the element type. Two codegen'd Generates (posexplode,
+    * then explode of the array's tail slice) — no interpreted lambdas.
+    * Output volume is bounded by the caller's bucket cap, never by
+    * O(n²) of the table.
+    */
+  private def explodePairs(df: DataFrame, arr: String): DataFrame =
+    df.select(col(arr), posexplode(col(arr)).as(Seq("__i", "pa")))
+      .select(col("pa"),
+        explode(slice(col(arr), col("__i") + 2, size(col(arr)))).as("pb"))
+
+  /** Document pairs by exact n-gram Jaccard similarity, via inverted
+    * index grouped by shingle. `maxDf` drops shingles occurring in more
+    * than that many docs (frequency cap = skew guard); `minJaccard`
+    * filters the output.
     */
   def jaccardPairs(docs: DataFrame, id: String, text: String,
                    minJaccard: Double, maxDf: Int = 1000): DataFrame = {
-    val ds = distinctShingles(docs, id, text)
-    val sizes = ds.groupBy(col("did")).agg(count(lit(1)).as("nsh"))
-    val capped = ds
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
-    val inter = capped.as("x")
-      .join(capped.as("y"), col("x.s") === col("y.s") && col("x.did") < col("y.did"))
-      .groupBy(col("x.did").as("a"), col("y.did").as("b"))
+    val ds = shingleStream(docs, id, text)
+    // per-doc distinct-shingle counts (set semantics via distinct-agg)
+    val sizes = ds.groupBy(col("did")).agg(countDistinct(col("s")).as("nsh"))
+    // shuffle 1: posting list per shingle; collect_set dedups per-doc
+    // repeats, sort → pairs come out a<b
+    val buckets = ds
+      .groupBy(col("s"))
+      .agg(sort_array(collect_set(col("did"))).as("dids"))
+      .filter(size(col("dids")).between(2, maxDf))
+    // shuffle 2: co-occurrence count per candidate pair
+    val inter = explodePairs(buckets, "dids")
+      .groupBy(col("pa").as("a"), col("pb").as("b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("did", "a").withColumnRenamed("nsh", "na"), "a")
-      .join(sizes.withColumnRenamed("did", "b").withColumnRenamed("nsh", "nb"), "b")
+      .join(sizes.select(col("did").as("a"), col("nsh").as("na")), "a")
+      .join(sizes.select(col("did").as("b"), col("nsh").as("nb")), "b")
       .withColumn("jac", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= minJaccard)
       .select(col("a"), col("b"), col("inter"), col("jac"))
   }
 
-  /** MinHash signature: k salted portable hashes, each the min over the
-    * doc's distinct 3-gram shingles. Columns m0..m{k-1}; docs with no
-    * shingles get nulls (callers drop or keep them deliberately).
+  /** MinHash signature: k affine hashes of one 32-bit shingle hash
+    * ([[Portable.minhashJ]]), each min'd over the doc's distinct 3-gram
+    * shingles. Columns m0..m{k-1}; docs with no shingles are absent.
+    * One md5 per (doc, shingle), one shuffle total.
     */
   def minhashSignatures(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
-    val ds = distinctShingles(docs, id, text)
-    val aggs = (0 until k).map(j => min(Portable.h60s(j, col("s"))).as(s"m$j"))
-    ds.groupBy(col("did").as(id)).agg(aggs.head, aggs.tail: _*)
+    val hashed = shingleStream(docs, id, text)
+      .select(col("did"), Portable.h32(col("s")).as("h"))
+    val aggs = (0 until k).map(j => min(Portable.minhashJ(j, col("h"))).as(s"m$j"))
+    hashed.groupBy(col("did").as(id)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH band table from a signature frame: one row per (doc, band)
-    * with the band hash = md5 of the band's signature slice.
+  /** LSH band rows carrying the full signature: one row per (doc, band)
+    * with the band hash (md5 of the band's signature slice) AND the
+    * whole signature array `ms`, so candidate scoring never has to
+    * re-join the signature table.
     */
   def lshBands(sig: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
     require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
-    val bands = (0 until k / rowsPerBand).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      sig.select(col(id).as("did"), lit(b).as("band"),
-        md5(concat_ws("|", cols.map(_.cast("string")): _*)).as("bh"))
-    }
-    bands.reduce(_ unionAll _)
+    val ms = array((0 until k).map(j => col(s"m$j")): _*)
+    val bandStructs = array((0 until k / rowsPerBand).map { b =>
+      val slice = (0 until rowsPerBand)
+        .map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("bh"))
+    }: _*)
+    sig
+      .select(col(id).as("did"), ms.as("ms"), explode(bandStructs).as("bd"))
+      .select(col("did"), col("ms"), col("bd.band").as("band"), col("bd.bh").as("bh"))
   }
 
   /** LSH candidate pairs: docs sharing ≥1 band, with the number of
     * agreeing bands and the signature-estimated Jaccard (fraction of
-    * equal minhash components).
+    * equal minhash components, computed from the ride-along signatures).
     */
   def lshCandidates(docs: DataFrame, id: String, text: String,
                     k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
-    val sig = minhashSignatures(docs, id, text, k)
-    val bands = lshBands(sig, id, k, rowsPerBand)
-    val pairs = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.did") < col("y.did"))
-      .groupBy(col("x.did").as("a"), col("y.did").as("b"))
-      .agg(count(lit(1)).as("n_bands"))
-    val eq = (0 until k).map(j =>
-      when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs
-      .join(sig.as("sa"), col("a") === col(s"sa.$id"))
-      .join(sig.as("sb"), col("b") === col(s"sb.$id"))
-      .select(col("a"), col("b"), col("n_bands"),
-        (eq.cast("double") / k).as("est_jaccard"))
+    val bands = lshBands(minhashSignatures(docs, id, text, k), id, k, rowsPerBand)
+    // shuffle 1: bucket per (band, bandHash); sorted by did → pairs a<b
+    val buckets = bands
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(struct(col("did"), col("ms")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    // shuffle 2: count agreeing bands per pair (signatures ride along)
+    val pairs = explodePairs(buckets, "ds")
+      .groupBy(col("pa.did").as("a"), col("pb.did").as("b"))
+      .agg(count(lit(1)).as("n_bands"),
+        first(col("pa.ms")).as("ma"), first(col("pb.ms")).as("mb"))
+    val eq = size(filter(zip_with(col("ma"), col("mb"),
+      (u, v) => u === v), x => x))
+    pairs.select(col("a"), col("b"), col("n_bands"),
+      (eq.cast("double") / k).as("est_jaccard"))
   }
 
   /** 16-bit SimHash over distinct tokens: bit i is set when the count
     * of token-hashes with bit i set exceeds those without.
     */
-  def simhash16(docs: DataFrame, id: String, text: String): DataFrame =
+  def simhash16(docs: DataFrame, id: String, text: String): DataFrame = {
+    val bitSums = (0 until 16).map(bit =>
+      sum(when(expr(s"shiftright(h, $bit) & 1") === 1, 1).otherwise(-1)).as(s"s$bit"))
+    val packed = (0 until 16).map(bit =>
+      when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L))).reduce(_ + _)
     docs
       .select(col(id).as("did"),
         explode(array_distinct(TextOps.tokens(col(text)))).as("w"))
-      .select(col("did"), Portable.h60(col("w")).as("h"),
-        explode(sequence(lit(0), lit(15))).as("bit"))
-      .groupBy(col("did"), col("bit"))
-      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1)).as("s"))
-      .groupBy(col("did").as(id))
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+      .select(col("did"), Portable.h60(col("w")).as("h"))
+      .groupBy(col("did"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("did").as(id), packed.as("simhash"))
+  }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3),
     * found scalably: hamming ≤ 3 over 16 bits ⇒ at least one 4-bit
-    * quarter is identical (pigeonhole), so candidates come from four
-    * key-joins on the quarters, then the exact hamming filter.
+    * quarter is identical (pigeonhole), so candidates come from key-
+    * joins on the quarters. Each pair is kept only in its FIRST equal
+    * quarter — a pure filter replaces the distinct() shuffle.
     */
   def simhashPairs(docs: DataFrame, id: String, text: String,
                    maxHamming: Int = 3): DataFrame = {
     val sh = simhash16(docs, id, text)
-    val blocks = (0 until 4).map { q =>
-      sh.select(col(id).as("did"), col("simhash"),
-        lit(q).as("q"), expr(s"shiftright(simhash, ${4 * q}) & 15").as("qk"))
-    }.reduce(_ unionAll _)
+    val quarters = array((0 until 4).map(q =>
+      struct(lit(q).as("q"),
+        expr(s"shiftright(simhash, ${4 * q}) & 15").as("qk"))): _*)
+    val blocks = sh
+      .select(col(id).as("did"), col("simhash"), explode(quarters).as("blk"))
+      .select(col("did"), col("simhash"), col("blk.q").as("q"), col("blk.qk").as("qk"))
+    def quarter(c: Column, q: Int): Column =
+      shiftright(c, q * 4).bitwiseAND(15)
+    // smallest equal quarter of the pair — dedupes the 4-way block join
+    val firstEq = (3 to 0 by -1).foldLeft(lit(-1)) { (acc, q) =>
+      when(quarter(col("x.simhash"), q) === quarter(col("y.simhash"), q),
+        lit(q)).otherwise(acc)
+    }
     blocks.as("x")
       .join(blocks.as("y"),
         col("x.q") === col("y.q") && col("x.qk") === col("y.qk") &&
           col("x.did") < col("y.did"))
+      .filter(col("x.q") === firstEq)
       .select(col("x.did").as("a"), col("y.did").as("b"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -37,4 +37,38 @@ object Portable {
   /** DuckDB SQL mirror of [[h60s]]. */
   def h60sSql(salt: Int, e: String): String =
     h60Sql(s"concat('$salt:', $e)")
+
+  // --- affine MinHash family over a single md5 -----------------------------
+  //
+  // k independent hash families from ONE md5 per value: h32(x) is the first
+  // 8 hex chars of md5 as a 32-bit integer, then m_j(x) = (a_j*h + b_j) mod P
+  // (the classic universal family). One md5 + k integer ops replaces k md5s
+  // — the dominant cost of MinHash signatures at scale. All arithmetic stays
+  // under 2^62 (a_j < 2^30, h < 2^32) so Spark and DuckDB BIGINTs agree
+  // bit-for-bit.
+
+  /** 32-bit portable hash (first 8 hex chars of md5), in [0, 2^32). */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** DuckDB SQL mirror of [[h32]]. */
+  def h32Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)"
+
+  /** Prime modulus of the affine family (largest prime below 2^32). */
+  val MinhashP: Long = 4294967291L
+
+  /** Deterministic multipliers (odd, < 2^30 — keeps a*h+b < 2^62). */
+  def aCoef(j: Int): Long = ((2654435761L * (j + 1)) % (1L << 30)) | 1L
+
+  /** Deterministic offsets in [0, P). */
+  def bCoef(j: Int): Long = (2246822519L * (j + 1)) % MinhashP
+
+  /** j-th affine minhash of a precomputed [[h32]] column. */
+  def minhashJ(j: Int, h: Column): Column =
+    (lit(aCoef(j)) * h + lit(bCoef(j))) % lit(MinhashP)
+
+  /** DuckDB SQL mirror of [[minhashJ]] over SQL expression `e` (= h32). */
+  def minhashJSql(j: Int, e: String): String =
+    s"((${aCoef(j)} * $e + ${bCoef(j)}) % $MinhashP)"
 }

@@ -3,12 +3,15 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.DotProduct.dot
 
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Scale design:
-  *  - [[cosine]] is a pure codegen'd expression (zip_with + aggregate
-  *    left-fold in double), no UDF.
+  *  - the dot-product kernel is a native codegen'd Catalyst expression
+  *    ([[graft.functions.DotProduct]]) — no UDF, no interpreted lambda.
+  *  - vector norms are computed ONCE per row before any join (`nrm`),
+  *    so each candidate pair costs exactly one dot product.
   *  - [[bruteForceTopK]] broadcasts the (small) query set and streams
   *    the big vector table once — the exact-search baseline; one
   *    shuffle for the per-query top-k (TakeOrdered-style window).
@@ -18,18 +21,22 @@ import org.apache.spark.sql.expressions.Window
   *    (shuffle by bucket) instead of a full scan per query.
   *
   * Similarities are rounded to 6 decimals before ranking so ordering is
-  * reproducible across engines (ties broken by vector id).
+  * reproducible across engines (ties broken by vector id). The division
+  * order `dot / normA / normB` matches the DuckDB oracle exactly, and
+  * the per-row norm equals the per-pair `sqrt(dot(v,v))` bit-for-bit
+  * (same fold), so precomputing changes nothing in the output.
   */
 object SimilarityOps {
 
-  /** Cosine similarity of two same-length double arrays, computed as a
-    * sequential left-fold (deterministic IEEE order both engines).
-    */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  /** Cosine similarity of two same-length double arrays. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+
+  /** (id, v, nrm) projection: vectors cast to double with their norm. */
+  private def withNorm(df: DataFrame, id: String, vec: String,
+                       idAs: String, vAs: String, nAs: String): DataFrame =
+    df.select(col(id).as(idAs), col(vec).cast("array<double>").as(vAs))
+      .withColumn(nAs, sqrt(dot(col(vAs), col(vAs))))
 
   /** Exact top-k neighbours for each query vector (brute force).
     * `vectors`/`queries`: (idCol, vecCol) frames; vecCol is
@@ -37,11 +44,11 @@ object SimilarityOps {
     */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
                      id: String, vec: String, k: Int): DataFrame = {
-    val v = vectors.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("v"))
-    val q = queries.select(col(id).as("query_id"), col(vec).cast("array<double>").as("qv"))
+    val v = withNorm(vectors, id, vec, "vec_id", "v", "nv")
+    val q = withNorm(queries, id, vec, "query_id", "qv", "nq")
     val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(dot(col("qv"), col("v")) / col("nq") / col("nv"), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -52,14 +59,18 @@ object SimilarityOps {
     */
   def partitionedTopK(vectors: DataFrame, queries: DataFrame,
                       id: String, vec: String, bucket: String, k: Int): DataFrame = {
-    val v = vectors.select(col(id).as("vec_id"), col(bucket).as("vb"),
-      col(vec).cast("array<double>").as("v"))
-    val q = queries.select(col(id).as("query_id"), col(bucket).as("qb"),
-      col(vec).cast("array<double>").as("qv"))
+    val v = vectors
+      .select(col(id).as("vec_id"), col(bucket).as("vb"),
+        col(vec).cast("array<double>").as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val q = queries
+      .select(col(id).as("query_id"), col(bucket).as("qb"),
+        col(vec).cast("array<double>").as("qv"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
     val scored = v.join(broadcast(q),
         col("vb") === col("qb") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(dot(col("qv"), col("v")) / col("nq") / col("nv"), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -71,12 +82,14 @@ object SimilarityOps {
     */
   def nearDupPairs(vectors: DataFrame, id: String, vec: String,
                    bucket: String, minSim: Double): DataFrame = {
-    val v = vectors.select(col(id).as("did"), col(bucket).as("bk"),
-      col(vec).cast("array<double>").as("v"))
+    val v = vectors
+      .select(col(id).as("did"), col(bucket).as("bk"),
+        col(vec).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     v.as("x").join(v.as("y"),
         col("x.bk") === col("y.bk") && col("x.did") < col("y.did"))
       .select(col("x.did").as("a"), col("y.did").as("b"),
-        round(cosine(col("x.v"), col("y.v")), 6).as("sim"))
+        round(dot(col("x.v"), col("y.v")) / col("x.nrm") / col("y.nrm"), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }

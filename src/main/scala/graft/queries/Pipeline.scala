@@ -129,13 +129,15 @@ object Pipeline {
     },
 
     // ---- MinHash signatures ----------------------------------------------
+    // (affine family over ONE md5 per shingle — see Portable.minhashJ)
     Q("p06_minhash_signatures", Some {
       val mins = (0 until k).map(j =>
-        s"min(${Portable.h60sSql(j, "s")}) AS m$j").mkString(",\n             ")
+        s"min(${Portable.minhashJSql(j, "h")}) AS m$j").mkString(",\n             ")
       s"""
-      WITH $distinctShinglesCte
+      WITH $distinctShinglesCte,
+      hs AS (SELECT doc_id, ${Portable.h32Sql("s")} AS h FROM ds)
       SELECT doc_id, $mins
-      FROM ds GROUP BY doc_id ORDER BY doc_id"""
+      FROM hs GROUP BY doc_id ORDER BY doc_id"""
     }) { (spark, dir) =>
       DedupOps.minhashSignatures(Tables.load(spark, dir, "documents"),
           "doc_id", "text", k)
@@ -145,7 +147,7 @@ object Pipeline {
     // ---- MinHash + LSH candidate pairs -----------------------------------
     Q("p07_lsh_candidates", Some {
       val mins = (0 until k).map(j =>
-        s"min(${Portable.h60sSql(j, "s")}) AS m$j").mkString(", ")
+        s"min(${Portable.minhashJSql(j, Portable.h32Sql("s"))}) AS m$j").mkString(", ")
       val bandSelects = (0 until k / rowsPerBand).map { b =>
         val cols = (0 until rowsPerBand)
           .map(r => s"CAST(m${b * rowsPerBand + r} AS VARCHAR)").mkString(", ")

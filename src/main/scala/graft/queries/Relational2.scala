@@ -226,7 +226,10 @@ object Relational2 {
           date_trunc("day", col("ts")).cast("date").cast("string").as("day_start"),
           col("ts").cast("date").cast("string").as("dt"),
           ep.as("ep"),
-          timestamp_seconds(ep - ep % 900).as("bin15m"),
+          // timestamp_ntz: DuckDB make_timestamp is a naive timestamp; a
+          // Spark TIMESTAMP_LTZ lands in parquet as isAdjustedToUTC=true,
+          // which DuckDB reads as TIMESTAMPTZ → schema mismatch (r1).
+          timestamp_seconds(ep - ep % 900).cast("timestamp_ntz").as("bin15m"),
           datediff(col("ts").cast("date"), lit(java.sql.Date.valueOf("2024-01-01")))
             .cast("int").as("days_in"),
           date_add(col("ts").cast("date"), 7).cast("string").as("plus_week"),
