@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: image/audio/video
+  * payloads are opaque `binary` columns with typed metadata, processed
+  * partition-parallel. The actual codecs are NOT in this container, so
+  * the decode steps are deterministic STUBS (clearly marked) — but the
+  * Spark-side plumbing that matters at 100 TB is real: binary columns
+  * flow through parquet scans untouched, metadata extraction is pure
+  * codegen'd expressions, and per-payload decoding is a `mapPartitions`
+  * over iterators (no per-row task setup, no driver collect).
+  */
+object MultimodalOps {
+
+  /** Container sniffing from magic bytes — pure expression, runs in the
+    * scan stage. Covers the common training-corpus containers.
+    */
+  def sniffMime(blob: Column): Column = {
+    val magic8 = hex(substring(blob, 1, 8))
+    val magic3 = hex(substring(blob, 1, 3))
+    val riff = hex(substring(blob, 1, 4))
+    val riffKind = hex(substring(blob, 9, 4))
+    val ftyp = hex(substring(blob, 5, 4))
+    when(magic8 === "89504E470D0A1A0A", "image/png")
+      .when(magic3 === "FFD8FF", "image/jpeg")
+      .when(riff === "52494646" && riffKind === "57415645", "audio/wav")   // RIFF…WAVE
+      .when(riff === "52494646" && riffKind === "41564920", "video/avi")   // RIFF…AVI
+      .when(ftyp === "66747970", "video/mp4")                              // ….ftyp
+      .when(magic3 === "494433", "audio/mpeg")                             // ID3
+      .otherwise("application/octet-stream")
+  }
+
+  /** STUB image decode: derives deterministic (width, height, channels)
+    * from the payload's portable hash instead of parsing a codec header
+    * (no image libs in this container). The schema and the scan-stage
+    * placement are exactly what a real header parse would use.
+    */
+  def decodeImageStub(blob: Column): Column = {
+    val h = Portable.h32(blob.cast("string"))
+    // integer div via exact-double trick: (h - h%448)/448 is exact
+    // because the numerator is divisible and the quotient < 2^53
+    val q = ((h - h % 448) / 448).cast("long")
+    struct(
+      (lit(64) + h % 448).as("width"),
+      (lit(64) + q % 448).as("height"),
+      lit(3).as("channels"))
+  }
+
+  /** Payload metadata projection: byte size, content digest, leading
+    * magic bytes, sniffed container type.
+    */
+  def blobMeta(blob: Column): Column =
+    struct(
+      length(blob).as("nbytes"),
+      md5(blob).as("digest"),
+      hex(substring(blob, 1, 4)).as("magic"),
+      sniffMime(blob).as("mime"))
+
+  /** STUB frame sampler: emits `n` evenly-spaced "frames" per payload as
+    * (id, frame_idx, frame_hash) via `mapPartitions` — the partition-
+    * parallel iterator shape of a real decoder (one codec context per
+    * partition, streaming over payloads, never materializing all frames).
+    * The per-frame digest stands in for decoded pixel data.
+    */
+  def sampleFramesStub(df: DataFrame, id: String, blob: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(blob).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: open one codec context here, reuse across payloads
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (did, bytes) =>
+          (0 until n).iterator.map { i =>
+            val start = if (bytes.isEmpty) 0 else bytes.length * i / n
+            val end = math.min(bytes.length, start + 16)
+            md.reset()
+            md.update(bytes, start, math.max(0, end - start))
+            val hash = md.digest().map("%02x".format(_)).mkString
+            (did, i, hash)
+          }
+        }
+      }
+      .toDF(id, "frame_idx", "frame_hash")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Structured-Streaming entries of the driver contract: each runs a
+  * bounded stream (AvailableNow over the fixture parquet) to completion
+  * into a memory sink, so the result is deterministic and oracle-
+  * checkable against the equivalent batch SQL in DuckDB.
+  */
+object StreamingQ {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- streaming tumbling-window aggregation (watermark + window) ------
+    Q("p15_stream_tumbling", Some("""
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT)
+              - CAST(floor(epoch(ts)) AS BIGINT) % 900) AS bin_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY bin_start, event_type""")) { (spark, dir) =>
+      StreamingOps.runToMemory(
+          StreamingOps.tumblingAgg(StreamingOps.eventsStream(spark, dir)),
+          mode = "complete")
+        .orderBy(col("bin_start"), col("event_type"))
+    },
+
+    // ---- streaming sessionization (native session_window state merge) ----
+    // Spark session semantics: a gap of EXACTLY the window closes the
+    // session (intervals [t, t+gap) merge only when they overlap), hence
+    // `>= gap` in the oracle's lag test; session end = last event + gap.
+    Q("p16_stream_sessionize", Some("""
+      WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      flagged AS (SELECT user_id, us,
+                         CASE WHEN lag(us) OVER w IS NULL
+                              OR us - lag(us) OVER w >= 1800000000
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      sess AS (SELECT user_id, us,
+                      SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+               FROM flagged)
+      SELECT user_id, min(us) AS start_us,
+             max(us) + 1800000000 AS end_us,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, start_us""")) { (spark, dir) =>
+      StreamingOps.runToMemory(
+          StreamingOps.sessionAgg(StreamingOps.eventsStream(spark, dir)),
+          mode = "complete")
+        .orderBy(col("user_id"), col("start_us"))
+    },
+
+    // ---- streaming exact-dedup group counts ------------------------------
+    Q("p17_stream_dedup", Some("""
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+             min(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY content_hash""")) { (spark, dir) =>
+      val docs = spark.readStream
+        .schema(Tables.load(spark, dir, "documents").schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      StreamingOps.runToMemory(
+          StreamingOps.dedupGroups(docs, "doc_id", "text"),
+          mode = "complete")
+        .orderBy(col("content_hash"))
+    }
+  )
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface of the engine: unbounded sources →
+  * declarative transforms → sinks, per SURVEY.md §2.2 "Streaming".
+  * (The reference itself is batch-only; DataFusion 38 exposes unbounded
+  * sources but no watermarks/triggers — this module is part of the
+  * north-star extension surface.)
+  *
+  * Scale design: every op here is a standard streaming aggregation —
+  * state is partitioned by group key across executors, watermarks bound
+  * state size, and `Trigger.AvailableNow` gives reproducible bounded
+  * runs (used by the oracle-checked entries in
+  * [[graft.queries.StreamingQ]]). The in-memory sink is for
+  * verification only; production sinks are files/Kafka via the same
+  * `writeStream` call.
+  */
+object StreamingOps {
+
+  /** `events.parquet` as a file stream. The fixture's ts is
+    * TIMESTAMP(NANOS), which Spark's reader only exposes as long
+    * (legacy nanosAsLong) — rebuilt here to a microsecond timestamp,
+    * identical to the batch path in [[graft.queries.Tables.load]].
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file-stream source lists a DIRECTORY; pathGlobFilter picks the
+    // one fixture file out of the shared testdata dir
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event type with a 1h watermark. */
+  def tumblingAgg(events: DataFrame, width: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("bin_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization via the native session_window operator:
+    * one state row per open session per user, merged incrementally.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+
+  /** Streaming exact-dedup: running duplicate-group counts on the
+    * normalized content hash (the streaming face of
+    * [[graft.ops.DedupOps.exactGroups]]).
+    */
+  def dedupGroups(docs: DataFrame, id: String, text: String): DataFrame =
+    docs
+      .select(col(id), graft.ops.TextOps.contentHash(col(text)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Run a bounded stream to completion into an in-memory sink and
+    * return the sink table (AvailableNow trigger → deterministic for a
+    * static source; used by the oracle-checked query entries).
+    */
+  def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val name = "graft_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

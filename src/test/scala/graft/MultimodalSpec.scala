@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.MultimodalOps
+
+/** Multimodal binary-column specs: container sniffing on real magic
+  * bytes (the fixture corpus has none), stub-decode determinism, and
+  * the partition-parallel frame sampler.
+  */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("multimodal-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def payloads = {
+    import spark.implicits._
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    Seq(
+      ("png", b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 1, 2, 3)),
+      ("jpeg", b(0xFF, 0xD8, 0xFF, 0xE0, 0, 0x10) ++ "JFIF".getBytes),
+      ("wav", "RIFF".getBytes ++ b(36, 0, 0, 0) ++ "WAVEfmt ".getBytes),
+      ("avi", "RIFF".getBytes ++ b(4, 0, 0, 0) ++ "AVI LIST".getBytes),
+      ("mp4", b(0, 0, 0, 0x20) ++ "ftypisom".getBytes),
+      ("mp3", "ID3".getBytes ++ b(4, 0, 0, 0, 0, 0, 0)),
+      ("txt", "hello world, just text".getBytes)
+    ).toDF("name", "payload")
+  }
+
+  test("sniffMime identifies every container from magic bytes") {
+    val got = payloads
+      .select(col("name"), MultimodalOps.sniffMime(col("payload")).as("mime"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "png" -> "image/png", "jpeg" -> "image/jpeg", "wav" -> "audio/wav",
+      "avi" -> "video/avi", "mp4" -> "video/mp4", "mp3" -> "audio/mpeg",
+      "txt" -> "application/octet-stream"))
+  }
+
+  test("blobMeta carries size/digest/magic; stub decode is deterministic and bounded") {
+    val r = payloads
+      .select(MultimodalOps.blobMeta(col("payload")).as("m"),
+        MultimodalOps.decodeImageStub(col("payload")).as("d"))
+      .select(col("m.nbytes"), col("m.digest"), col("d.width"), col("d.height"))
+      .collect()
+    assert(r.forall(_.getAs[Int]("nbytes") > 0))
+    assert(r.forall(_.getAs[String]("digest").length == 32))
+    assert(r.forall { x =>
+      val (w, h) = (x.getAs[Long]("width"), x.getAs[Long]("height"))
+      w >= 64 && w < 512 && h >= 64 && h < 512
+    })
+    // determinism: same payloads → same decode
+    val r2 = payloads.select(MultimodalOps.decodeImageStub(col("payload"))).collect()
+    assert(r2.sameElements(payloads.select(MultimodalOps.decodeImageStub(col("payload"))).collect()))
+  }
+
+  test("sampleFramesStub emits n evenly-spaced deterministic frames per payload") {
+    import spark.implicits._
+    val df = Seq((1L, "0123456789abcdefABCDEF".getBytes),
+      (2L, Array.empty[Byte])).toDF("id", "payload")
+    val frames = MultimodalOps.sampleFramesStub(df, "id", "payload", n = 4).collect()
+    assert(frames.length == 8) // 4 frames per payload, empty payload included
+    val one = frames.filter(_.getAs[Long]("id") == 1L).map(_.getAs[Int]("frame_idx"))
+    assert(one.sorted.sameElements(Array(0, 1, 2, 3)))
+    val hashes = frames.map(_.getAs[String]("frame_hash"))
+    assert(hashes.forall(_.length == 32))
+  }
+}

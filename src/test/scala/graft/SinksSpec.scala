@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink coverage (SURVEY.md §2.2 "Scans / sources / sinks"):
+  * parquet/CSV/JSON write + read round-trips with schema inference,
+  * partitioned writes with partition pruning, and catalog surface
+  * (CTAS / INSERT INTO / SHOW TABLES) — the DataFusion-38 paths the
+  * reference inherits via register_* and COPY TO.
+  */
+class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("sinks-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sinks").toString
+
+  private def sample = {
+    import spark.implicits._
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)).toDF("id", "k", "v")
+  }
+
+  test("parquet round-trip preserves schema and rows") {
+    val dir = s"${tmp()}/t.parquet"
+    sample.write.mode(SaveMode.Overwrite).parquet(dir)
+    val back = spark.read.parquet(dir)
+    // parquet read-back relaxes nullability; names+types must survive
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      sample.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().sameElements(sample.orderBy("id").collect()))
+  }
+
+  test("csv round-trip with header + schema inference recovers types") {
+    val dir = s"${tmp()}/t.csv"
+    sample.write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.schema("id").dataType.typeName == "integer" ||
+      back.schema("id").dataType.typeName == "long")
+    assert(back.count() == 3)
+    assert(back.agg(sum("v")).head.getDouble(0) == 7.5)
+  }
+
+  test("json round-trip with schema inference") {
+    val dir = s"${tmp()}/t.json"
+    sample.write.mode(SaveMode.Overwrite).json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 3)
+    assert(back.select(sum("v")).head.getDouble(0) == 7.5)
+  }
+
+  test("partitioned write prunes partitions on read (PartitionFilters)") {
+    val dir = s"${tmp()}/part"
+    sample.write.mode(SaveMode.Overwrite).partitionBy("k").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("k") === "a")
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("isnotnull(k"))
+  }
+
+  test("CTAS + INSERT INTO + SHOW TABLES on the session catalog") {
+    spark.sql("DROP TABLE IF EXISTS graft_sinks_spec")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_sinks_spec")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    spark.sql("CREATE TABLE graft_sinks_spec USING parquet AS SELECT 1 AS x")
+    spark.sql("INSERT INTO graft_sinks_spec VALUES (2), (3)")
+    assert(spark.sql("SELECT sum(x) FROM graft_sinks_spec").head.getLong(0) == 6L)
+    assert(spark.sql("SHOW TABLES").collect()
+      .exists(_.getAs[String]("tableName") == "graft_sinks_spec"))
+    spark.sql("DROP TABLE graft_sinks_spec")
+  }
+}

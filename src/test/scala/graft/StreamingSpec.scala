@@ -1,0 +1,130 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-user session state for the flatMapGroupsWithState spec
+  * (top-level so the Product encoder derives cleanly).
+  */
+case class SessState(start: Long, last: Long, n: Int)
+
+/** Structured-Streaming semantics specs: incremental watermark windows
+  * over a MemoryStream (append mode — late data dropped once the
+  * watermark passes), and custom session state via
+  * flatMapGroupsWithState. The bounded AvailableNow entries are
+  * oracle-checked by the driver (queries p15-p17); these specs prove
+  * the *incremental* behaviors the oracle can't see.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("append-mode tumbling window emits only watermark-closed bins and drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val agg = in.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bin"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wmspec")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: two rows in the 00:00 bin, one in 00:15
+    in.addData((ts("2024-01-01 00:01:00"), 1.0), (ts("2024-01-01 00:05:00"), 1.0),
+      (ts("2024-01-01 00:16:00"), 1.0))
+    q.processAllAvailable()
+    assert(spark.table("wmspec").count() == 0) // nothing closed yet
+
+    // batch 2: watermark → 00:30, closing both the 00:00 and 00:15 bins
+    in.addData((ts("2024-01-01 00:40:00"), 1.0))
+    q.processAllAvailable()
+    val closed = spark.table("wmspec").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getAs[Long]("n")).toMap
+    assert(closed == Map("2024-01-01 00:00:00.0" -> 2L, "2024-01-01 00:15:00.0" -> 1L))
+
+    // batch 3: a row for the already-closed 00:00 bin is LATE → dropped
+    in.addData((ts("2024-01-01 00:02:00"), 99.0))
+    q.processAllAvailable()
+    assert(spark.table("wmspec").count() == 2)
+    q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizes with custom per-user state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1800L // seconds
+    val in = MemoryStream[(Long, Long)] // (user_id, epoch_s)
+
+    val sessions = in.toDF().toDF("user_id", "ep")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessState], (Long, Long, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[List[SessState]]) =>
+          // fold sorted event times into gap-separated sessions; list
+          // head is the open session, tail are closed ones
+          val eps = rows.map(_._2).toList.sorted
+          val merged = eps.foldLeft(state.getOption.getOrElse(Nil)) { (acc, ep) =>
+            acc match {
+              case head :: tail if ep - head.last < gap =>
+                SessState(head.start, ep, head.n + 1) :: tail
+              case all => SessState(ep, ep, 1) :: all
+            }
+          }
+          merged match {
+            case open :: closed =>
+              state.update(List(open))
+              closed.reverseIterator.map(s => (user, s.start, s.last, s.n))
+            case Nil => Iterator.empty
+          }
+      }
+      .toDF("user_id", "start_ep", "end_ep", "n_events")
+
+    val q = sessions.writeStream.format("memory").queryName("fmgs")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((7L, 1000L), (7L, 1100L), (7L, 1200L))
+    q.processAllAvailable()
+    assert(spark.table("fmgs").count() == 0) // one open session, none closed
+    in.addData((7L, 5000L)) // gap > 1800 → closes the first session
+    q.processAllAvailable()
+    val rows = spark.table("fmgs").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("start_ep") == 1000L && r.getAs[Long]("end_ep") == 1200L
+      && r.getAs[Int]("n_events") == 3)
+    q.stop()
+  }
+
+  test("AvailableNow file stream over the fixture matches the batch aggregation") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingOps.runToMemory(
+      graft.streaming.StreamingOps.tumblingAgg(
+        graft.streaming.StreamingOps.eventsStream(spark, sf)),
+      mode = "complete")
+    val batch = queries.Tables.load(spark, sf, "events")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("bin_start"),
+        col("event_type"), col("n"))
+    assert(streamed.select("bin_start", "event_type", "n").except(batch).isEmpty
+      && batch.except(streamed.select("bin_start", "event_type", "n")).isEmpty)
+  }
+}
