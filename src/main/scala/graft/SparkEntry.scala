@@ -12,8 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def allQ: Seq[Q] =
-    Relational.all ++ Relational2.all ++ Relational3.all ++
-      Pipeline.all ++ StreamingQ.all ++ MultimodalQ.all
+    Relational.all ++ Relational2.all ++ Relational3.all ++ Relational4.all ++
+      Pipeline.all ++ Pipeline2.all ++ StreamingQ.all ++ MultimodalQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

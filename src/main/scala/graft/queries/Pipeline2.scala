@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Portable, TextOps}
+
+/** Training-data pipeline operators, part 2: deterministic hash
+  * sampling, vocabulary building, PII-style redaction, and per-label
+  * embedding centroids (the k-means/IVF training step).
+  *
+  * Like `Pipeline`, every oracle is the same formula in DuckDB SQL, so
+  * checks are exact.
+  */
+object Pipeline2 {
+
+  /** DuckDB: lowercased whitespace tokens of `documents.text`. */
+  private val wsSql = raw"string_split_regex(lower(text), '\s+')"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- deterministic hash sampling ---------------------------------------
+    // Sampling by a salted content-independent hash of the key: stable
+    // under re-runs, engine-portable, and (unlike rand()) reproducible
+    // across a 1000-executor fleet. 10% target rate.
+    Q("p20_hash_sample", Some(s"""
+      SELECT doc_id, source,
+             ${Portable.h60Sql("concat('sample:', CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+      FROM documents
+      WHERE ${Portable.h60Sql("concat('sample:', CAST(doc_id AS VARCHAR))")} % 100 < 10
+      ORDER BY doc_id""")) { (spark, dir) =>
+      val bucket = Portable.h60(concat(lit("sample:"),
+        col("doc_id").cast("string"))) % 100
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .filter(col("bucket") < 10)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- vocabulary building (top-k tokens by document frequency) ----------
+    // Distinct tokens per doc (set semantics), then ONE shuffle on token
+    // with partial counts map-side; top-k via ORDER BY + LIMIT (Spark:
+    // TakeOrderedAndProject — no global sort materialized).
+    Q("p21_vocab_topk", Some(s"""
+      WITH dw AS (SELECT DISTINCT doc_id, unnest($wsSql) AS token FROM documents)
+      SELECT token, COUNT(*) AS df
+      FROM dw GROUP BY token
+      ORDER BY df DESC, token
+      LIMIT 40""")) { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(40)
+    },
+
+    // ---- PII-style redaction ------------------------------------------------
+    // Digit runs → <NUM>, word@word → <EMAIL>-shaped masking; counts per
+    // doc let the pipeline audit redaction volume. Pure map — no shuffle.
+    Q("p22_redact", Some(raw"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_num,
+             CAST(len(regexp_extract_all(text, '\S+@\S+')) AS INTEGER) AS n_email,
+             md5(regexp_replace(regexp_replace(text, '\S+@\S+', '<EMAIL>', 'g'),
+                                '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+      FROM documents
+      ORDER BY doc_id""")) { (spark, dir) =>
+      val redacted = regexp_replace(
+        regexp_replace(col("text"), "\\S+@\\S+", "<EMAIL>"),
+        "[0-9]+", "<NUM>")
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("[0-9]+")).as("n_num"),
+          regexp_count(col("text"), lit("\\S+@\\S+")).as("n_email"),
+          md5(redacted).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- per-label embedding centroids (k-means / IVF training step) -------
+    // posexplode → ONE shuffle on (label, dim); elements are rounded to
+    // 6 decimals then summed through DECIMAL, so the mean is exact and
+    // partition-order-proof (bit-identical on any cluster size).
+    Q("p23_centroids", Some("""
+      SELECT label, i,
+             CAST(SUM(CAST(round(CAST(v[i] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           generate_series(1, 64) t(i)
+      GROUP BY label, i
+      ORDER BY label, i""")) { (spark, dir) =>
+      Tables.load(spark, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("i0", "x")))
+        .groupBy(col("label"), (col("i0") + 1).as("i"))
+        .agg((sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("c"))
+        .orderBy(col("label"), col("i"))
+    }
+  )
+}
