@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   *    come from a shuffle on (band, bandHash) so cost is O(candidates),
   *    not O(n²). Signatures ride along with the band rows, so nothing
   *    is recomputed or re-joined downstream.
-  *  - SimHash: 16-bit signature; pairs found by the pigeonhole block
-  *    join (hamming ≤ 3 ⇒ at least one of four 4-bit quarters equal);
-  *    each pair is emitted exactly once by keeping only its FIRST
-  *    matching quarter (a pure filter — no distinct shuffle).
+  *  - SimHash: 64-bit signature (the standard width); pairs found by
+  *    the pigeonhole block join (hamming ≤ 3 ⇒ at least one of four
+  *    16-bit bands equal → 65,536 keys per band), generated bucket-
+  *    locally with a size cap, so fan-out is O(candidates) with a
+  *    hard skew bound — never ~n²/16. Each pair is emitted exactly
+  *    once by keeping only its FIRST matching band (a pure filter —
+  *    no distinct shuffle).
   *
   * Everything is pure Column expressions over portable md5-derived
   * hashes ([[Portable]]), so every stage is engine-reproducible
@@ -150,52 +153,83 @@ object DedupOps {
       (eq.cast("double") / k).as("est_jaccard"))
   }
 
-  /** 16-bit SimHash over distinct tokens: bit i is set when the count
-    * of token-hashes with bit i set exceeds those without.
+  /** 64-bit SimHash over distinct tokens (the standard fingerprint width,
+    * Manku et al., WWW'07): bit i is set when the count of token-hashes
+    * with bit i set exceeds those without. Per-token randomness comes
+    * from TWO portable 32-bit hashes (bits 0-31 from `h32(w)`, bits
+    * 32-63 from the salted `h32s(1, w)`), so every one of the 64 bits is
+    * independently random and engine-reproducible.
+    *
+    * Output: `(id, simhash, qks)` where `qks` is the array of four
+    * 16-bit pigeonhole band keys (bits 0-15, 16-31, 32-47, 48-63) —
+    * 65,536 distinct values per band, precomputed here so the pair join
+    * never shifts the (possibly negative) packed signature.
     */
-  def simhash16(docs: DataFrame, id: String, text: String): DataFrame = {
-    val bitSums = (0 until 16).map(bit =>
-      sum(when(expr(s"shiftright(h, $bit) & 1") === 1, 1).otherwise(-1)).as(s"s$bit"))
-    val packed = (0 until 16).map(bit =>
+  def simhash64(docs: DataFrame, id: String, text: String): DataFrame = {
+    def bitOf(bit: Int): Column =
+      if (bit < 32) shiftright(col("h1"), bit).bitwiseAND(1)
+      else shiftright(col("h2"), bit - 32).bitwiseAND(1)
+    val bitSums = (0 until 64).map(bit =>
+      sum(when(bitOf(bit) === 1, 1).otherwise(-1)).as(s"s$bit"))
+    // bit 63's weight is Long.MinValue; the fold adds it last, so every
+    // partial sum stays in signed-64 range (no ANSI overflow)
+    val packed = (0 until 64).map(bit =>
       when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L))).reduce(_ + _)
+    val bandKeys = (0 until 4).map { q =>
+      (0 until 16).map(r =>
+        when(col(s"s${16 * q + r}") > 0, lit(1L << r)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }
     docs
       .select(col(id).as("did"),
         explode(array_distinct(TextOps.tokens(col(text)))).as("w"))
-      .select(col("did"), Portable.h60(col("w")).as("h"))
+      .select(col("did"), Portable.h32(col("w")).as("h1"),
+        Portable.h32s(1, col("w")).as("h2"))
       .groupBy(col("did"))
       .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("did").as(id), packed.as("simhash"))
+      .select(col("did").as(id), packed.as("simhash"), array(bandKeys: _*).as("qks"))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3),
-    * found scalably: hamming ≤ 3 over 16 bits ⇒ at least one 4-bit
-    * quarter is identical (pigeonhole), so candidates come from key-
-    * joins on the quarters. Each pair is kept only in its FIRST equal
-    * quarter — a pure filter replaces the distinct() shuffle.
+    * found scalably: hamming ≤ 3 over 64 bits ⇒ at least one 16-bit
+    * band is identical (pigeonhole), so candidates come from buckets
+    * keyed by (band, bandKey) — a 65,536-value key space per band (vs
+    * the 16-value space of a 16-bit signature, which degenerates to
+    * ~n²/16 pairs at scale). Pairs are generated bucket-locally from the
+    * sorted member list (same inverted-index shape as [[jaccardPairs]]);
+    * `maxBucket` caps bucket size (skew guard — one degenerate key can
+    * never explode the fan-out). Each pair is kept only in its FIRST
+    * equal band — a pure filter, no distinct() shuffle.
     */
   def simhashPairs(docs: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sh = simhash16(docs, id, text)
-    val quarters = array((0 until 4).map(q =>
-      struct(lit(q).as("q"),
-        expr(s"shiftright(simhash, ${4 * q}) & 15").as("qk"))): _*)
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sh = simhash64(docs, id, text)
+    val blockArr = array((0 until 4).map(q =>
+      struct(lit(q).as("q"), element_at(col("qks"), q + 1).as("qk"))): _*)
     val blocks = sh
-      .select(col(id).as("did"), col("simhash"), explode(quarters).as("blk"))
-      .select(col("did"), col("simhash"), col("blk.q").as("q"), col("blk.qk").as("qk"))
-    def quarter(c: Column, q: Int): Column =
-      shiftright(c, q * 4).bitwiseAND(15)
-    // smallest equal quarter of the pair — dedupes the 4-way block join
+      .select(col(id).as("did"), col("simhash"), col("qks"),
+        explode(blockArr).as("blk"))
+      .select(col("did"), col("simhash"), col("qks"),
+        col("blk.q").as("q"), col("blk.qk").as("qk"))
+    // the only pair-generating shuffle: bucket per (band, key), members
+    // sorted by did → pairs come out a<b; oversized buckets dropped
+    val buckets = blocks
+      .groupBy(col("q"), col("qk"))
+      .agg(sort_array(collect_list(
+        struct(col("did"), col("simhash"), col("qks")))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+    val raw = buckets
+      .select(col("q"), col("ds"), posexplode(col("ds")).as(Seq("__i", "pa")))
+      .select(col("q"), col("pa"),
+        explode(slice(col("ds"), col("__i") + 2, size(col("ds")))).as("pb"))
+    // smallest equal band of the pair — dedupes the 4-way block streams
     val firstEq = (3 to 0 by -1).foldLeft(lit(-1)) { (acc, q) =>
-      when(quarter(col("x.simhash"), q) === quarter(col("y.simhash"), q),
+      when(element_at(col("pa.qks"), q + 1) === element_at(col("pb.qks"), q + 1),
         lit(q)).otherwise(acc)
     }
-    blocks.as("x")
-      .join(blocks.as("y"),
-        col("x.q") === col("y.q") && col("x.qk") === col("y.qk") &&
-          col("x.did") < col("y.did"))
-      .filter(col("x.q") === firstEq)
-      .select(col("x.did").as("a"), col("y.did").as("b"),
-        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+    raw.filter(col("q") === firstEq)
+      .select(col("pa.did").as("a"), col("pb.did").as("b"),
+        expr("bit_count(pa.simhash ^ pb.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

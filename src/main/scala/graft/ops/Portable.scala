@@ -55,6 +55,17 @@ object Portable {
   def h32Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)"
 
+  /** Salted 32-bit portable hash: the j-th independent 32-bit family
+    * (used to extend per-token randomness past 32 bits, e.g. the upper
+    * half of a 64-bit SimHash).
+    */
+  def h32s(salt: Int, c: Column): Column =
+    h32(concat(lit(salt.toString), lit(":"), c))
+
+  /** DuckDB SQL mirror of [[h32s]]. */
+  def h32sSql(salt: Int, e: String): String =
+    h32Sql(s"concat('$salt:', $e)")
+
   /** Prime modulus of the affine family (largest prime below 2^32). */
   val MinhashP: Long = 4294967291L
 

@@ -33,6 +33,34 @@ object Pipeline {
   private val k = 12 // minhash components
   private val rowsPerBand = 3 // → 4 bands
 
+  /** DuckDB CTE chain computing the 64-bit SimHash signature + the four
+    * 16-bit band keys per document — the exact mirror of
+    * [[graft.ops.DedupOps.simhash64]]. DuckDB raises on `1::BIGINT << 63`,
+    * so bit weights are emitted as literal constants (bit 63's weight is
+    * Long.MinValue); the SUM runs in HUGEINT and is cast back to BIGINT.
+    */
+  private val simhash64Cte: String = {
+    val bitw = (0 until 64)
+      .map(b => s"($b, CAST(${1L << b} AS BIGINT), CAST(${1L << (b % 16)} AS BIGINT))")
+      .mkString(", ")
+    val qkCols = (0 until 4).map(q =>
+      s"CAST(SUM(CASE WHEN s > 0 AND bit // 16 = $q THEN rw ELSE 0 END) AS BIGINT) AS qk$q")
+      .mkString(",\n                  ")
+    s"""w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      dw AS (SELECT doc_id, unnest(list_distinct(ws)) AS word FROM w),
+      hs AS (SELECT doc_id, ${Portable.h32Sql("word")} AS h1,
+                    ${Portable.h32sSql(1, "word")} AS h2 FROM dw),
+      bitw(bit, bw, rw) AS (VALUES $bitw),
+      bs AS (SELECT doc_id, bit,
+                    SUM(CASE WHEN ((CASE WHEN bit < 32 THEN h1 ELSE h2 END)
+                                   >> (bit % 32)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM hs CROSS JOIN bitw GROUP BY doc_id, bit),
+      sig AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN s > 0 THEN bw ELSE 0 END) AS BIGINT) AS simhash,
+                  $qkCols
+              FROM bs JOIN bitw USING (bit) GROUP BY doc_id)"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- text statistics + quality score ---------------------------------
@@ -172,48 +200,38 @@ object Pipeline {
         .orderBy(col("a"), col("b"))
     },
 
-    // ---- SimHash signatures ----------------------------------------------
+    // ---- SimHash signatures (64-bit, Manku et al. width) ------------------
     Q("p08_simhash", Some(s"""
-      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
-      dw AS (SELECT doc_id, unnest(list_distinct(ws)) AS word FROM w),
-      hb AS (SELECT doc_id, ${Portable.h60Sql("word")} AS h, bit
-             FROM dw CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) bits),
-      bs AS (SELECT doc_id, bit,
-                    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-             FROM hb GROUP BY doc_id, bit)
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-      FROM bs GROUP BY doc_id ORDER BY doc_id""")) { (spark, dir) =>
-      DedupOps.simhash16(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      WITH $simhash64Cte
+      SELECT doc_id, simhash FROM sig ORDER BY doc_id""")) { (spark, dir) =>
+      DedupOps.simhash64(Tables.load(spark, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))
     },
 
-    // ---- SimHash near-dup pairs (pigeonhole block join) -------------------
+    // ---- SimHash near-dup pairs (pigeonhole band buckets, capped) ---------
     Q("p09_simhash_pairs", Some {
       val blockSelects = (0 until 4).map(q =>
-        s"SELECT doc_id, simhash, $q AS q, (simhash >> ${4 * q}) & 15 AS qk FROM sh")
-        .mkString(" UNION ALL ")
+        s"SELECT doc_id, $q AS q, qk$q AS qk FROM sig").mkString(" UNION ALL ")
       s"""
-      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
-      dw AS (SELECT doc_id, unnest(list_distinct(ws)) AS word FROM w),
-      hb AS (SELECT doc_id, ${Portable.h60Sql("word")} AS h, bit
-             FROM dw CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) bits),
-      bs AS (SELECT doc_id, bit,
-                    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-             FROM hb GROUP BY doc_id, bit),
-      sh AS (SELECT doc_id,
-                    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
-             FROM bs GROUP BY doc_id),
-      blocks AS ($blockSelects)
-      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-             bit_count(xor(x.simhash, y.simhash)) AS hamming
-      FROM blocks x JOIN blocks y
-        ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id
-      WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+      WITH $simhash64Cte,
+      blocks AS ($blockSelects),
+      capped AS (SELECT * FROM blocks
+                 QUALIFY COUNT(*) OVER (PARTITION BY q, qk) BETWEEN 2 AND 1000),
+      pair AS (SELECT x.doc_id AS a, y.doc_id AS b, x.q AS q
+               FROM capped x JOIN capped y
+                 ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id)
+      SELECT a, b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+      FROM pair
+      JOIN sig sa ON sa.doc_id = a
+      JOIN sig sb ON sb.doc_id = b
+      WHERE q = CASE WHEN sa.qk0 = sb.qk0 THEN 0 WHEN sa.qk1 = sb.qk1 THEN 1
+                     WHEN sa.qk2 = sb.qk2 THEN 2 ELSE 3 END
+        AND bit_count(xor(sa.simhash, sb.simhash)) <= 3
       ORDER BY a, b"""
     }) { (spark, dir) =>
       DedupOps.simhashPairs(Tables.load(spark, dir, "documents"),
-          "doc_id", "text", maxHamming = 3)
+          "doc_id", "text", maxHamming = 3, maxBucket = 1000)
         .orderBy(col("a"), col("b"))
     },
 

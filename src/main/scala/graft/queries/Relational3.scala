@@ -89,15 +89,40 @@ object Relational3 {
         .orderBy(col("l_returnflag"))
     },
 
-    // ---- approximate aggregates (no oracle: sketches are engine-
-    // specific; the driver records a rows-only check) ----------------------
-    Q("q36_approx_aggs", None) { (spark, dir) =>
+    // ---- approximate aggregates (HLL++ / quantile sketch) ----------------
+    // Sketch VALUES are engine-specific, so the oracle checks the error
+    // ENVELOPE instead: Spark emits the exact figures plus booleans
+    // asserting each sketch landed inside its documented bound (HLL++
+    // rsd 0.05 → |acd−exact|/exact ≤ 0.15 ≈ 3σ; percentile_approx
+    // accuracy 1000 → rank error ≤ 1/1000, checked against the exact
+    // quantiles at q∓0.002 computed in the same engine). DuckDB states
+    // the exact figures and literal TRUE — any sketch outside its bound
+    // hash-mismatches and turns the row red.
+    Q("q36_approx_aggs", Some("""
+      SELECT o_orderstatus,
+             COUNT(DISTINCT o_custkey) AS n_exact,
+             TRUE AS acd_ok, TRUE AS p50_ok, TRUE AS p95_ok
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")) { (spark, dir) =>
       Tables.load(spark, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
-          approx_count_distinct(col("o_custkey")).as("acd_cust"),
+          countDistinct(col("o_custkey")).as("n_exact"),
+          approx_count_distinct(col("o_custkey")).as("acd"),
           percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95"))
+          percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95"),
+          expr("percentile(o_totalprice, 0.498)").as("p50_lo"),
+          expr("percentile(o_totalprice, 0.502)").as("p50_hi"),
+          expr("percentile(o_totalprice, 0.948)").as("p95_lo"),
+          expr("percentile(o_totalprice, 0.952)").as("p95_hi"))
+        .select(
+          col("o_orderstatus"),
+          col("n_exact"),
+          (abs(col("acd") - col("n_exact")).cast("double") / col("n_exact")
+            <= 0.15).as("acd_ok"),
+          col("p50").between(col("p50_lo"), col("p50_hi")).as("p50_ok"),
+          col("p95").between(col("p95_lo"), col("p95_hi")).as("p95_ok"))
         .orderBy(col("o_orderstatus"))
     },
 

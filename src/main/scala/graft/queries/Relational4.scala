@@ -189,13 +189,18 @@ object Relational4 {
     },
 
     // ---- interval arithmetic ----------------------------------------------
+    // DATE ± INTERVAL result types diverge between engines (Spark: DATE or
+    // TIMESTAMP_LTZ depending on the interval class; DuckDB: naive
+    // TIMESTAMP), so every derived column is normalized to VARCHAR /
+    // BIGINT on BOTH sides (the q16 recipe) — the check is the interval
+    // arithmetic, not the engine-native carrier type.
     Q("q46_interval_arith", Some("""
       SELECT o_orderkey,
-             o_orderdate + INTERVAL 3 MONTH AS plus_3m,
-             o_orderdate - INTERVAL 45 DAY AS minus_45d,
-             date_trunc('month', o_orderdate)
-                  + INTERVAL 1 MONTH - INTERVAL 1 DAY AS month_end,
-             date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS days_to_2025
+             CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3m,
+             CAST(CAST(o_orderdate - INTERVAL 45 DAY AS DATE) AS VARCHAR) AS minus_45d,
+             CAST(CAST(date_trunc('month', o_orderdate)
+                  + INTERVAL 1 MONTH - INTERVAL 1 DAY AS DATE) AS VARCHAR) AS month_end,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS BIGINT) AS days_to_2025
       FROM orders
       WHERE o_orderkey < 1000
       ORDER BY o_orderkey""")) { (spark, dir) =>
@@ -203,12 +208,14 @@ object Relational4 {
         .filter(col("o_orderkey") < 1000)
         .select(
           col("o_orderkey"),
-          (col("o_orderdate") + expr("INTERVAL 3 MONTH")).as("plus_3m"),
-          (col("o_orderdate") - expr("INTERVAL 45 DAY")).as("minus_45d"),
+          (col("o_orderdate") + expr("INTERVAL 3 MONTH"))
+            .cast("date").cast("string").as("plus_3m"),
+          (col("o_orderdate") - expr("INTERVAL 45 DAY"))
+            .cast("date").cast("string").as("minus_45d"),
           (date_trunc("month", col("o_orderdate")) + expr("INTERVAL 1 MONTH")
-            - expr("INTERVAL 1 DAY")).as("month_end"),
+            - expr("INTERVAL 1 DAY")).cast("date").cast("string").as("month_end"),
           datediff(lit(java.sql.Date.valueOf("2025-01-01")),
-            col("o_orderdate").cast("date")).as("days_to_2025"))
+            col("o_orderdate").cast("date")).cast("long").as("days_to_2025"))
         .orderBy(col("o_orderkey"))
     }
   )

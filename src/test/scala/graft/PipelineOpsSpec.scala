@@ -60,6 +60,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains((1L, 2L)))
   }
 
+  test("simhash64 band keys span the 2^16 key space (not the 16-key " +
+    "degeneracy of a 16-bit signature)") {
+    import spark.implicits._
+    // 256 documents with disjoint token sets → 256 distinct signatures
+    val many = (0 until 256).map(i =>
+      (i.toLong, (0 until 12).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val keys = DedupOps.simhash64(many, "doc_id", "text")
+      .select(col("doc_id"), posexplode(col("qks")).as(Seq("band", "qk")))
+      .collect().map(r => (r.getAs[Int]("band"), r.getAs[Long]("qk")))
+    assert(keys.forall { case (_, qk) => qk >= 0 && qk < 65536 },
+      "band keys must live in the 16-bit domain [0, 2^16)")
+    (0 until 4).foreach { b =>
+      val distinct = keys.filter(_._1 == b).map(_._2).distinct.length
+      // 256 random draws from 2^16 collide rarely; anything >> 16 proves
+      // the key space is the full 16-bit band, not a 4-bit quarter
+      assert(distinct > 200, s"band $b: only $distinct distinct keys over 256 docs")
+    }
+  }
+
+  test("simhashPairs bucket cap bounds the fan-out (skew guard)") {
+    // with maxBucket = 1 every ≥2-member bucket is dropped → zero pairs,
+    // proving a degenerate key can never trigger quadratic blow-up
+    assert(DedupOps.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucket = 1).count() == 0L)
+  }
+
   test("quality/langId/fingerprint are deterministic and sane") {
     val r = docs.select(
       TextOps.qualityScore(col("text")).as("q"),
