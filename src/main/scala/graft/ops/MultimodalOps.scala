@@ -74,7 +74,11 @@ object MultimodalOps {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (did, bytes) =>
           (0 until n).iterator.map { i =>
-            val start = if (bytes.isEmpty) 0 else bytes.length * i / n
+            // long arithmetic: length * i overflows Int for payloads
+            // over ~Int.MaxValue/n bytes — exactly the blobs this
+            // module targets
+            val start =
+              if (bytes.isEmpty) 0 else (bytes.length.toLong * i / n).toInt
             val end = math.min(bytes.length, start + 16)
             md.reset()
             md.update(bytes, start, math.max(0, end - start))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 
 /** SURVEY.md §2.2 relational inventory, part 3: as-of join, date_bin,
   * linear-regression aggregates, approximate aggregates (HLL /
-  * quantile sketch — rows-only check, sketches are engine-specific),
+  * quantile sketch — verified against an error-envelope oracle),
   * and the DDL/sink path (CTAS + INSERT INTO + read-back).
   */
 object Relational3 {
@@ -136,23 +136,24 @@ object Relational3 {
         ('hi', 300000.0, 1e9), ('xl', 1e9, 1e12),
         ('xxl', 1e12, 1e15)) b(band, lo, hi)
       ORDER BY band""")) { (spark, dir) =>
-      spark.sql("DROP TABLE IF EXISTS graft_q37_bands")
+      val tbl = s"graft_q37_bands_$runToken"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
       // the in-memory catalog is per-JVM but the warehouse dir persists:
       // a stale location from an earlier session would fail the CTAS
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), "graft_q37_bands")
+        spark.conf.get("spark.sql.warehouse.dir"), tbl)
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
       // bare x.y literals parse as DECIMAL in both engines — cast the
       // CTAS schema to DOUBLE so inserts of 1e12 don't overflow it
-      spark.sql("""CREATE TABLE graft_q37_bands USING parquet AS
+      spark.sql(s"""CREATE TABLE $tbl USING parquet AS
         SELECT band, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
         FROM VALUES
           ('lo', 0.0, 100000.0), ('mid', 100000.0, 300000.0),
           ('hi', 300000.0, 1e9) AS b(band, lo, hi)""")
-      spark.sql("""INSERT INTO graft_q37_bands VALUES
+      spark.sql(s"""INSERT INTO $tbl VALUES
         ('xl', CAST(1e9 AS DOUBLE), CAST(1e12 AS DOUBLE)),
         ('xxl', CAST(1e12 AS DOUBLE), CAST(1e15 AS DOUBLE))""")
-      spark.sql("SELECT band, lo, hi FROM graft_q37_bands ORDER BY band")
+      spark.sql(s"SELECT band, lo, hi FROM $tbl ORDER BY band")
     }
   )
 }

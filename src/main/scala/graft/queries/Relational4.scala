@@ -14,8 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object Relational4 {
 
-  private def sink(sub: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_sink/$sub"
+  private def sink(sub: String): String = sinkDir(sub)
 
   val all: Seq[Q] = Seq(
 

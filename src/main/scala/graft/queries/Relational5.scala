@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.2 inventory, part 5 — the coverage tails called out by
+  * the round-2 review: Avro source/sink (the last scan family from the
+  * DF38 `register_parquet|csv|json|avro` row — Spark 4 bundles the Avro
+  * connector in spark-sql), the catalog/information-schema surface
+  * (`SHOW TABLES` + `DESCRIBE`), right outer join (the untested mirror
+  * of q18's left outer), and literal `GROUPING SETS` syntax (same
+  * Expand machinery as q11/q12 ROLLUP/CUBE, different SQL front door).
+  */
+object Relational5 {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Avro sink + source round-trip ------------------------------------
+    // Same pattern as q38/q39: write the filtered table out, read it
+    // back, aggregate — the oracle aggregates the original parquet, so
+    // the check covers the full write→read→aggregate loop. This Spark
+    // build compiles the Avro connector into spark-sql but does not
+    // register the "avro" short name, so the format is addressed by its
+    // provider class.
+    Q("q47_avro_roundtrip", Some("""
+      SELECT p_brand,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+             CAST(MAX(p_size) AS BIGINT) AS max_size
+      FROM part
+      WHERE p_partkey < 1500
+      GROUP BY p_brand
+      ORDER BY p_brand""")) { (spark, dir) =>
+      val out = sinkDir("q47_avro")
+      Tables.load(spark, dir, "part")
+        .filter(col("p_partkey") < 1500)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_retailprice"))
+        .write.mode("overwrite").format("org.apache.spark.sql.avro.AvroFileFormat").save(out)
+      spark.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(out)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sum_price"),
+          max(col("p_size")).cast("long").as("max_size"))
+        .orderBy(col("p_brand"))
+    },
+
+    // ---- catalog surface: SHOW TABLES + DESCRIBE --------------------------
+    // The oracle states the expected inventory literally (q45 style), so
+    // the check is that the session catalog reports exactly the
+    // registered fixture tables and lineitem's resolved schema.
+    Q("q48_catalog", Some {
+      val tableRows = Tables.names.sorted
+        .map(t => s"('table', '$t', CAST(NULL AS VARCHAR))").mkString(", ")
+      val colRows = Seq(
+        "l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+        "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+        "l_quantity" -> "double", "l_extendedprice" -> "double",
+        "l_discount" -> "double", "l_tax" -> "double",
+        "l_returnflag" -> "string", "l_linestatus" -> "string",
+        "l_shipdate" -> "timestamp_ntz")
+        .map { case (c, t) => s"('column', '$c', '$t')" }.mkString(", ")
+      s"""
+      SELECT kind, name, dtype
+      FROM (VALUES $tableRows, $colRows) t(kind, name, dtype)
+      ORDER BY kind, name"""
+    }) { (spark, dir) =>
+      val s = registered(spark, dir)
+      val tables = s.sql("SHOW TABLES")
+        .filter(col("tableName").isInCollection(Tables.names))
+        .select(lit("table").as("kind"), col("tableName").as("name"),
+          lit(null).cast("string").as("dtype"))
+      val cols = s.sql("DESCRIBE TABLE lineitem")
+        .filter(!col("col_name").startsWith("#") && col("col_name") =!= "")
+        .select(lit("column").as("kind"), col("col_name").as("name"),
+          col("data_type").as("dtype"))
+      tables.unionAll(cols).orderBy(col("kind"), col("name"))
+    },
+
+    // ---- right outer join (mirror of q18's left outer) --------------------
+    Q("q49_right_outer", Some("""
+      SELECT n.n_name,
+             COUNT(c.c_custkey) AS n_rich
+      FROM customer c RIGHT JOIN nation n
+        ON n.n_nationkey = c.c_nationkey AND c.c_acctbal > 9500
+      GROUP BY n.n_name
+      ORDER BY n.n_name""")) { (spark, dir) =>
+      val n = Tables.load(spark, dir, "nation")
+      val c = Tables.load(spark, dir, "customer").filter(col("c_acctbal") > 9500)
+      c.join(n, col("n_nationkey") === col("c_nationkey"), "right_outer")
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_rich"))
+        .orderBy(col("n_name"))
+    },
+
+    // ---- literal GROUPING SETS syntax -------------------------------------
+    // q11/q12 exercise rollup()/cube(); this is the explicit SQL form
+    // with a non-hierarchical set list ((flag, status), (status), ()) —
+    // something neither ROLLUP nor CUBE can express.
+    Q("q50_grouping_sets", Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+             CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")) { (spark, dir) =>
+      registered(spark, dir).sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    }
+  )
+}

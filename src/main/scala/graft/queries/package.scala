@@ -40,4 +40,13 @@ package object queries {
     Tables.register(spark, dir)
     spark
   }
+
+  /** Per-JVM-unique sink root: two concurrent bench/verify runs on one
+    * host must never clobber each other's sink data mid-read, so every
+    * sink path (and derived table name) carries the process id.
+    */
+  lazy val runToken: String = ProcessHandle.current().pid().toString
+
+  def sinkDir(sub: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_sink_$runToken/$sub"
 }

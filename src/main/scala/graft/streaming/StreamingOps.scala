@@ -82,6 +82,10 @@ object StreamingOps {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    val out = df.sparkSession.table(name)
+    // unregister the sink's temp view so repeated runs don't accumulate
+    // catalog entries; the already-resolved plan keeps the data alive
+    df.sparkSession.catalog.dropTempView(name)
+    out
   }
 }

@@ -96,6 +96,22 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getAs[String]("c") == r(1).getAs[String]("c"))
   }
 
+  test("DotProduct rejects uncast arrays at analysis; null element → NULL") {
+    import spark.implicits._
+    import graft.functions.DotProduct.dot
+    val floats = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    intercept[Exception] { // AnalysisException: array<float> must be cast
+      floats.select(dot(col("a"), col("b"))).collect()
+    }
+    val withNull = Seq(
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)),
+      (Seq[java.lang.Double](2.0, 3.0), Seq[java.lang.Double](1.0, 1.0))
+    ).toDF("a", "b")
+    val r = withNull.select(dot(col("a"), col("b")).as("s"))
+      .collect().map(row => if (row.isNullAt(0)) None else Some(row.getDouble(0)))
+    assert(r.toSeq == Seq(None, Some(5.0)))
+  }
+
   test("cosine top-k: self-similar vectors rank first") {
     import spark.implicits._
     val vecs = Seq(

@@ -70,6 +70,23 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PartitionFilters") && plan.contains("isnotnull(k"))
   }
 
+  test("parquet scan pushes predicates into the reader (PushedFilters) " +
+    "and prunes columns (ReadSchema)") {
+    val dir = s"${tmp()}/push"
+    sample.write.mode(SaveMode.Overwrite).parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("id") > 1).select(col("id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,1"),
+      s"predicate did not reach the parquet reader:\n$plan")
+    // projection pruning: the scan schema must carry only `id`
+    assert(plan.contains("ReadSchema") && !plan.contains("struct<id:bigint,k"),
+      s"scan reads more columns than the projection needs:\n$plan")
+    // EXPLAIN FORMATTED (the user-facing surface) reports the same
+    val explained = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(explained.contains("PushedFilters"))
+  }
+
   test("CTAS + INSERT INTO + SHOW TABLES on the session catalog") {
     spark.sql("DROP TABLE IF EXISTS graft_sinks_spec")
     val loc = new org.apache.hadoop.fs.Path(
