@@ -11,8 +11,11 @@ import graft.ddl.GraftParser
   * `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((_, delegate) => new GraftParser(delegate))
+    // batch-at-a-time UDF projection (udf.rs:82-115 granularity)
+    e.injectPlannerStrategy(_ => graft.plans.BatchInvokeStrategy)
+  }
 }
 
 /** Thin session facade — the engine's `SessionContext` analog. */

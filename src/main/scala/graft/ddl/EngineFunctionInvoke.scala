@@ -32,20 +32,35 @@ case class EngineFunctionInvoke(
   override def prettyName: String = functionName
 
   override def eval(input: InternalRow): Any = {
-    val args = children.map(c => fromCatalyst(c.eval(input), c.dataType))
+    val args = children.map(c =>
+      EngineFunctionInvoke.fromCatalyst(c.eval(input), c.dataType))
     val out =
       try fn(args)
-      catch {
-        case FunctionError(msg) =>
-          throw new SparkException(s"[$langTag Invocation] $msg")
-        case e: SparkException => throw e
-        case scala.util.control.NonFatal(e) =>
-          throw new SparkException(s"[$langTag Invocation Panic] ${e.getMessage}")
-      }
-    toCatalyst(out, dataType)
+      catch EngineFunctionInvoke.errorMapping(langTag)
+    EngineFunctionInvoke.toCatalyst(out, dataType)
   }
 
-  private def fromCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+object EngineFunctionInvoke {
+
+  /** Error mapping of the reference's invoke (udf.rs:95,111-113): a guest
+    * [[FunctionError]] → "[Lang Invocation] msg", any other throw →
+    * "[Lang Invocation Panic] msg". Shared by the row-wise eval above and
+    * the batch operator ([[graft.plans.BatchProjectExec]]).
+    */
+  def errorMapping(langTag: String): PartialFunction[Throwable, Nothing] = {
+    case FunctionError(msg) =>
+      throw new SparkException(s"[$langTag Invocation] $msg")
+    case e: SparkException => throw e
+    case scala.util.control.NonFatal(e) =>
+      throw new SparkException(s"[$langTag Invocation Panic] ${e.getMessage}")
+  }
+
+  def fromCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (s: UTF8String, StringType) => s.toString
     case (a: ArrayData, ArrayType(et, _)) =>
@@ -53,7 +68,7 @@ case class EngineFunctionInvoke(
     case (other, _) => other
   }
 
-  private def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
+  def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (s: String, StringType) => UTF8String.fromString(s)
     case (seq: Seq[_], ArrayType(et, _)) =>
@@ -61,8 +76,4 @@ case class EngineFunctionInvoke(
     case (m: MapData, _) => m
     case (other, _) => other
   }
-
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Expression =
-    copy(children = newChildren)
 }

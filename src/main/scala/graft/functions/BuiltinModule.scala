@@ -8,12 +8,19 @@ class BuiltinModule extends FunctionModule {
 
   override def functions: Map[String, ScalarBatchFunction] = Map(
     // wasm_function/src/lib.rs:26-53 — pow over two DOUBLE columns,
-    // NULL if either side NULL (lib.rs:43-46)
-    "pow" -> { args =>
-      (args(0), args(1)) match {
-        case (a: java.lang.Double, b: java.lang.Double) =>
-          java.lang.Double.valueOf(math.pow(a, b))
+    // NULL if either side NULL (lib.rs:43-46). Overrides the batch entry
+    // point to process whole columns, exactly the guest's
+    // `fn(&[ArrayRef]) -> ArrayRef` shape.
+    "pow" -> new ScalarBatchFunction {
+      private def one(a: Any, b: Any): Any = (a, b) match {
+        case (x: java.lang.Double, y: java.lang.Double) =>
+          java.lang.Double.valueOf(math.pow(x, y))
         case _ => null
+      }
+      override def apply(args: Seq[Any]): Any = one(args(0), args(1))
+      override def applyBatch(cols: IndexedSeq[Array[Any]], n: Int): Array[Any] = {
+        val (base, exp) = (cols(0), cols(1))
+        Array.tabulate(n)(i => one(base(i), exp(i)))
       }
     },
     // wasm_function/src/lib.rs:55-57 — guest returns Err(String)

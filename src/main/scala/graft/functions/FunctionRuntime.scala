@@ -23,6 +23,16 @@ trait ScalarBatchFunction extends Serializable {
     *         any other exception is a trap/panic
     *         ("[Wasm Invocation Panic] msg", udf.rs:95). */
   def apply(args: Seq[Any]): Any
+
+  /** Batch entry point — the faithful analog of the guest signature
+    * `fn(&[ArrayRef]) -> Result<ArrayRef, E>` (wasm_function/src/lib.rs:26):
+    * whole argument columns in, one result column out, ONE call per input
+    * batch (engine side: udf.rs:82-115, one IPC round-trip per batch).
+    * Default falls back to row-wise [[apply]]; column-oriented modules
+    * override it to process vectors directly.
+    */
+  def applyBatch(cols: IndexedSeq[Array[Any]], n: Int): Array[Any] =
+    Array.tabulate(n)(i => apply(cols.map(_(i))))
 }
 
 /** Guest-level error — maps to the reference's `Err(String)` return. */

@@ -19,6 +19,22 @@ class LifecycleTestModule extends FunctionModule {
     })
 }
 
+/** Counts `applyBatch` calls — proves the engine invokes the guest once
+  * per BATCH (udf.rs:82-115 granularity), not once per row. */
+class BatchCountModule extends FunctionModule {
+  override def functions: Map[String, ScalarBatchFunction] = Map(
+    "ident" -> new ScalarBatchFunction {
+      override def apply(args: Seq[Any]): Any = args(0)
+      override def applyBatch(cols: IndexedSeq[Array[Any]], n: Int): Array[Any] = {
+        BatchCountModule.calls.incrementAndGet()
+        Array.tabulate(n)(cols(0))
+      }
+    })
+}
+object BatchCountModule {
+  val calls = new java.util.concurrent.atomic.AtomicInteger()
+}
+
 /** Reference-parity golden tests — mirrors the e2e tests in
   * wasmedge_factory/src/lib.rs:174-375 and the README golden output
   * (README.md:99-108): SQL in, exact table out, exact error strings,
@@ -49,6 +65,30 @@ class EngineDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
       Row(4.0, 4.0, 256.0),
       Row(5.0, 5.1, 3670.684197150057)))
     engine.sql("DROP FUNCTION f1")
+  }
+
+  test("UDF projections run batch-at-a-time (udf.rs:82-115): one guest " +
+    "call per 8192-row batch, planned as BatchProjectExec") {
+    val spark = engine.spark
+    spark.range(0, 10000, 1, 1) // ONE partition → ceil(10000/8192) = 2 batches
+      .selectExpr("cast(id as double) as a")
+      .createOrReplaceTempView("graft_batch_t")
+    engine.sql(
+      "CREATE FUNCTION fb(DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS 'graft.BatchCountModule!ident'")
+    val df = engine.sql("select fb(a) as v from graft_batch_t")
+    assert(df.queryExecution.executedPlan.toString.contains("BatchProject"),
+      "engine UDF projection must plan the batch operator")
+    BatchCountModule.calls.set(0)
+    assert(df.collect().length == 10000)
+    assert(BatchCountModule.calls.get() == 2,
+      s"expected 2 batch calls for 10000 rows, got ${BatchCountModule.calls.get()}")
+    // nested calls evaluate innermost-first, each its own batch call
+    BatchCountModule.calls.set(0)
+    assert(engine.sql(
+      "select fb(fb(a)) as v from graft_batch_t").collect().length == 10000)
+    assert(BatchCountModule.calls.get() == 4,
+      s"expected 4 batch calls for nested invoke, got ${BatchCountModule.calls.get()}")
+    engine.sql("DROP FUNCTION fb")
   }
 
   test("scalar literal arguments (lib.rs:298-306, 333-342)") {
