@@ -95,6 +95,47 @@ object Pipeline2 {
         .agg((sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double")
           / count(lit(1))).as("c"))
         .orderBy(col("label"), col("i"))
+    },
+
+    // ---- TF-IDF top terms per document -------------------------------------
+    // Classic training-data featurization. Scores use SCALED INTEGER
+    // arithmetic (tf * 1e6 * N / df, floor division) instead of log-idf
+    // so both engines agree bit-for-bit — no float rounding at the
+    // ranking boundary. Plan: one shuffle for (doc, term) tf, one for
+    // term df, broadcast-joined; top-5 via per-doc window. N comes from
+    // a pre-pass count (two-pass, not a global window — the only shape
+    // that scales past one partition).
+    Q("p25_tfidf_topterms", Some(s"""
+      WITH toks AS (SELECT doc_id, unnest($wsSql) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      scored AS (SELECT doc_id, term,
+                        CAST(tf * 1000000 * n.n // df.df AS BIGINT) AS score
+                 FROM tf JOIN df USING (term) CROSS JOIN n),
+      ranked AS (SELECT doc_id, term, score,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term) AS rk
+                 FROM scored)
+      SELECT doc_id, rk, term, score FROM ranked WHERE rk <= 5
+      ORDER BY doc_id, rk""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(spark, dir, "documents")
+      val nDocs = docs.count() // two-pass scalar, the scalable N source
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .select(col("doc_id"), col("term"),
+          expr(s"(tf * 1000000 * $nDocs) div df").cast("long").as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("rk"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
     }
   )
 }

@@ -91,6 +91,55 @@ object Relational5 {
         .orderBy(col("n_name"))
     },
 
+    // ---- recursive CTE -----------------------------------------------------
+    // Long documented as a gap (SURVEY §2.2 "recursive CTE not in
+    // Spark"), but Spark 4.1 ships WITH RECURSIVE — so the gap is
+    // closed with a real query: recursion generates quantity bands,
+    // which then drive a banded lineitem aggregation.
+    Q("q51_recursive_cte", Some("""
+      WITH RECURSIVE bands(lo) AS (
+        SELECT 0
+        UNION ALL
+        SELECT lo + 10 FROM bands WHERE lo < 40)
+      SELECT b.lo, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM bands b JOIN lineitem
+        ON l_quantity >= b.lo AND l_quantity < b.lo + 10
+      GROUP BY b.lo
+      ORDER BY b.lo""")) { (spark, dir) =>
+      registered(spark, dir).sql("""
+        WITH RECURSIVE bands(lo) AS (
+          SELECT 0
+          UNION ALL
+          SELECT lo + 10 FROM bands WHERE lo < 40)
+        SELECT b.lo, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM bands b JOIN lineitem
+          ON l_quantity >= b.lo AND l_quantity < b.lo + 10
+        GROUP BY b.lo
+        ORDER BY b.lo""")
+    },
+
+    // ---- ORC sink + source round-trip (bonus beyond DF38's format set) ----
+    Q("q52_orc_roundtrip", Some("""
+      SELECT c_mktsegment,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      FROM customer
+      WHERE c_custkey < 1000
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")) { (spark, dir) =>
+      val out = sinkDir("q52_orc")
+      Tables.load(spark, dir, "customer")
+        .filter(col("c_custkey") < 1000)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.mode("overwrite").orc(out)
+      spark.read.orc(out)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // ---- literal GROUPING SETS syntax -------------------------------------
     // q11/q12 exercise rollup()/cube(); this is the explicit SQL form
     // with a non-hierarchical set list ((flag, status), (status), ()) —

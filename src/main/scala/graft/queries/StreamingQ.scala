@@ -53,6 +53,25 @@ object StreamingQ {
         .orderBy(col("user_id"), col("start_us"))
     },
 
+    // ---- stream-stream interval join (SymmetricHashJoinExec analog) ------
+    // Inner joins emit matches as both sides arrive (append mode), so a
+    // bounded AvailableNow run yields the complete, deterministic match
+    // set — the batch interval join is the exact oracle.
+    Q("p24_stream_join", Some("""
+      SELECT c.event_id AS click_id, p.event_id AS buy_id,
+             CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+             CAST(epoch_us(p.ts) AS BIGINT) AS buy_us
+      FROM events c JOIN events p
+        ON c.event_type = 'click' AND p.event_type = 'purchase'
+       AND c.user_id = p.user_id
+       AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+      ORDER BY click_id, buy_id""")) { (spark, dir) =>
+      StreamingOps.runToMemory(
+          StreamingOps.clickPurchaseJoin(StreamingOps.eventsStream(spark, dir)),
+          mode = "append")
+        .orderBy(col("click_id"), col("buy_id"))
+    },
+
     // ---- streaming exact-dedup group counts ------------------------------
     Q("p17_stream_dedup", Some("""
       SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,

@@ -62,6 +62,30 @@ object StreamingOps {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"))
 
+  /** Stream-stream interval self-join — the Structured-Streaming analog
+    * of DF38's `SymmetricHashJoinExec` (SURVEY §2.2 Joins): each click
+    * joins same-user purchases in the preceding `window`. Both sides are
+    * watermarked, so join state is evicted once the watermark passes the
+    * interval bound — state stays bounded on an unbounded stream.
+    */
+  def clickPurchaseJoin(events: DataFrame, window: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("buy_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr(s"INTERVAL $window") &&
+        col("p_ts") <= col("c_ts"))
+      .select(col("click_id"), col("buy_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("buy_us"))
+  }
+
   /** Streaming exact-dedup: running duplicate-group counts on the
     * normalized content hash (the streaming face of
     * [[graft.ops.DedupOps.exactGroups]]).
