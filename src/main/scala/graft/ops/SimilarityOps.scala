@@ -92,4 +92,49 @@ object SimilarityOps {
         round(dot(col("x.v"), col("y.v")) / col("x.nrm") / col("y.nrm"), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  // --- signed-random-projection LSH (Charikar, STOC'02) ------------------
+  //
+  // The LSH-family ANN path when no cluster label exists: k deterministic
+  // ±1 hyperplanes; a vector's bucket is the k-bit pattern of
+  // sign(dot(v, h_j)). Cosine-similar vectors agree on most signs, so
+  // near-dup candidates come from a bucket equi-join — 2^k keys, never
+  // all-pairs. Hyperplanes derive from md5 parity so both engines (and
+  // every executor) build bit-identical planes with no shared state.
+
+  /** Deterministic ±1 hyperplanes: entry (j,i) is +1 iff the low bit of
+    * the first byte of md5("srp:j:i") is set.
+    */
+  def srpHyperplanes(k: Int, dim: Int): Seq[Array[Double]] =
+    (0 until k).map { j =>
+      Array.tabulate(dim) { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val b = md.digest(s"srp:$j:$i".getBytes("UTF-8"))(0)
+        if ((b & 1) == 1) 1.0 else -1.0
+      }
+    }
+
+  /** k-bit SRP bucket of a double-array column. */
+  def srpBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (h, j) =>
+      when(dot(vec, typedlit(h.toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Near-dup pairs via SRP-LSH bucketing: like [[nearDupPairs]] but the
+    * blocking key is computed from the vectors themselves. Exactly ONE
+    * shuffle forms the buckets; candidates never leave their bucket.
+    */
+  def srpNearDupPairs(vectors: DataFrame, id: String, vec: String,
+                      k: Int, minSim: Double): DataFrame = {
+    val planes = srpHyperplanes(k, 64)
+    val v = vectors
+      .select(col(id).as("did"), col(vec).cast("array<double>").as("v"))
+      .withColumn("bk", srpBucket(col("v"), planes))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    v.as("x").join(v.as("y"),
+        col("x.bk") === col("y.bk") && col("x.did") < col("y.did"))
+      .select(col("x.did").as("a"), col("y.did").as("b"),
+        round(dot(col("x.v"), col("y.v")) / col("x.nrm") / col("y.nrm"), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Portable, TextOps}
+import graft.ops.{Portable, SimilarityOps, TextOps}
 
 /** Training-data pipeline operators, part 2: deterministic hash
   * sampling, vocabulary building, PII-style redaction, and per-label
@@ -136,6 +136,36 @@ object Pipeline2 {
         .filter(col("rk") <= 5)
         .select(col("doc_id"), col("rk"), col("term"), col("score"))
         .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // ---- SRP-LSH near-dup pairs (random-hyperplane bucketing) --------------
+    // The label-free ANN path: the blocking key comes from the vectors
+    // themselves via 8 deterministic ±1 hyperplanes (256 buckets). The
+    // SAME literal hyperplanes are embedded in the oracle SQL, so the
+    // check is exact — sign boundaries agree because both engines fold
+    // the dot product in the same order.
+    Q("p26_srp_neardup", Some {
+      val planes = SimilarityOps.srpHyperplanes(8, 64)
+      val bucketSql = planes.zipWithIndex.map { case (h, j) =>
+        val arr = h.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      b AS (SELECT vec_id, v, $bucketSql AS bk FROM v)
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             round(list_dot_product(x.v, y.v)
+               / sqrt(list_dot_product(x.v, x.v))
+               / sqrt(list_dot_product(y.v, y.v)), 6) AS sim
+      FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id
+      WHERE round(list_dot_product(x.v, y.v)
+               / sqrt(list_dot_product(x.v, x.v))
+               / sqrt(list_dot_product(y.v, y.v)), 6) >= 0.25
+      ORDER BY a, b"""
+    }) { (spark, dir) =>
+      SimilarityOps.srpNearDupPairs(Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, minSim = 0.25)
+        .orderBy(col("a"), col("b"))
     }
   )
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.DotProduct.dot
+import graft.ops.{DedupOps, Portable}
+
+/** Property tests for the engine-portable primitives (SURVEY §5 plan):
+  * hash domains, the affine MinHash family, SimHash invariants, and
+  * DotProduct vs the interpreted lambda formulation — on generated
+  * inputs, complementing the fixture-based golden/oracle suites.
+  * (Bare ScalaCheck `Gen` with fixed seeds — the scalatestplus bridge
+  * isn't in the offline dependency set, and deterministic seeds make
+  * failures reproducible anyway.)
+  */
+class PortablePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .appName("portable-props")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val words: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+
+  /** Draw `trials` samples of `gen` from fixed seeds 0..trials-1. */
+  private def samples[A](gen: Gen[A], trials: Int): Seq[A] =
+    (0 until trials).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i)))
+
+  test("h60/h32 land in their declared domains and are deterministic") {
+    import spark.implicits._
+    val ws = samples(Gen.listOfN(20, words), 5).flatten
+    val rows = ws.toDF("w")
+      .select(Portable.h60(col("w")).as("h60"), Portable.h32(col("w")).as("h32"))
+      .collect()
+    assert(rows.forall { r =>
+      val (h60, h32) = (r.getLong(0), r.getLong(1))
+      h60 >= 0 && h60 < (1L << 60) && h32 >= 0 && h32 < (1L << 32)
+    })
+    // same input twice → same hash (pure function of the value)
+    val again = ws.toDF("w").select(Portable.h60(col("w"))).collect()
+    assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
+  test("affine minhash family stays in [0, P) across the h32 domain") {
+    import spark.implicits._
+    val edges = Seq(0L, 1L, (1L << 31) - 1, 1L << 31, (1L << 32) - 1) ++
+      samples(Gen.chooseNum(0L, (1L << 32) - 1), 20)
+    val df = edges.toDF("h")
+    (0 until 12).foreach { j =>
+      val vals = df.select(Portable.minhashJ(j, col("h"))).collect().map(_.getLong(0))
+      assert(vals.forall(v => v >= 0 && v < Portable.MinhashP),
+        s"minhash family $j out of range")
+    }
+  }
+
+  test("simhash64 is a set function of tokens: permutations and " +
+    "duplicates never change the signature") {
+    import spark.implicits._
+    samples(Gen.listOfN(8, words), 10).foreach { ws =>
+      val doc = ws.mkString(" ")
+      val perm = new scala.util.Random(42).shuffle(ws).mkString(" ")
+      val dups = (ws ++ ws.take(3)).mkString(" ")
+      val df = Seq((1L, doc), (2L, perm), (3L, dups)).toDF("doc_id", "text")
+      val sig = DedupOps.simhash64(df, "doc_id", "text")
+        .orderBy(col("doc_id")).collect().map(_.getAs[Long]("simhash"))
+      assert(sig(0) == sig(1) && sig(0) == sig(2),
+        s"simhash must be a set function of tokens for $ws")
+    }
+  }
+
+  test("DotProduct equals the interpreted lambda formulation bit-for-bit") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0))
+    samples(Gen.zip(vecGen, vecGen), 10).foreach { case (a, b) =>
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .select(col("a").cast("array<double>").as("a"),
+          col("b").cast("array<double>").as("b"))
+      val native = df.select(dot(col("a"), col("b"))).head.getDouble(0)
+      val lambda = df.select(
+        aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _))
+        .head.getDouble(0)
+      // same fold order → bit-identical, not approximately equal
+      assert(java.lang.Double.compare(native, lambda) == 0,
+        s"native=$native lambda=$lambda")
+    }
+  }
+}
