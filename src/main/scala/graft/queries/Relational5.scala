@@ -140,6 +140,45 @@ object Relational5 {
         .orderBy(col("c_mktsegment"))
     },
 
+    // ---- GROUPS window frames (emulated) ----------------------------------
+    // Spark has no GROUPS frames (neither does DuckDB — its parser
+    // rejects the mode). The standard rewrite: a GROUPS frame over the
+    // ORDER BY key is a RANGE frame over the key's dense_rank (peer
+    // groups collapse to consecutive integers). The oracle applies the
+    // same rewrite in DuckDB SQL, so the peer-group arithmetic is
+    // cross-engine verified.
+    Q("q53_groups_frames", Some("""
+      WITH dr AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+               dense_rank() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity) AS dr
+        FROM lineitem
+        WHERE l_orderkey < 300)
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+               PARTITION BY l_returnflag ORDER BY dr
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS grp_sum,
+             COUNT(*) OVER (
+               PARTITION BY l_returnflag ORDER BY dr
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS grp_n
+      FROM dr
+      ORDER BY l_orderkey, l_linenumber, l_quantity, grp_sum, grp_n""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byQty = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val peers = Window.partitionBy(col("l_returnflag")).orderBy(col("dr"))
+        .rangeBetween(-1, 1)
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_orderkey") < 300)
+        .withColumn("dr", dense_rank().over(byQty))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          sum(dec(col("l_quantity"))).over(peers).cast("double").as("grp_sum"),
+          count(lit(1)).over(peers).as("grp_n"))
+        // (l_orderkey, l_linenumber) is not unique in the fixture — sort
+        // by every output column so the frame order is deterministic
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("grp_sum"), col("grp_n"))
+    },
+
     // ---- literal GROUPING SETS syntax -------------------------------------
     // q11/q12 exercise rollup()/cube(); this is the explicit SQL form
     // with a non-hierarchical set list ((flag, status), (status), ()) —
