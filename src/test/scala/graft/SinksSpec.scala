@@ -87,6 +87,43 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(explained.contains("PushedFilters"))
   }
 
+  test("bucketed tables co-locate equi-joins: no Exchange in the plan") {
+    // the 100 TB join strategy: both sides bucketed on the join key →
+    // SortMergeJoin reads buckets directly, zero shuffle at query time
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    Seq("graft_bkt_a", "graft_bkt_b").foreach { t =>
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    df.write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_a")
+    df.write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_b")
+    val joined = spark.sql("""
+      SELECT /*+ MERGE(a) */ a.k, a.v, b.v AS v2
+      FROM graft_bkt_a a JOIN graft_bkt_b b ON a.k = b.k""")
+    assert(joined.count() == 1000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(plan.contains("SortMergeJoin"))
+    spark.sql("DROP TABLE graft_bkt_a")
+    spark.sql("DROP TABLE graft_bkt_b")
+  }
+
+  test("CREATE EXTERNAL TABLE over an existing parquet location") {
+    val dir = s"${tmp()}/ext"
+    sample.write.mode(SaveMode.Overwrite).parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS graft_ext")
+    spark.sql(s"CREATE TABLE graft_ext USING parquet LOCATION '$dir'")
+    assert(spark.sql("SELECT sum(v) FROM graft_ext").head.getDouble(0) == 7.5)
+    // dropping an external table must leave the data in place
+    spark.sql("DROP TABLE graft_ext")
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("CTAS + INSERT INTO + SHOW TABLES on the session catalog") {
     spark.sql("DROP TABLE IF EXISTS graft_sinks_spec")
     val loc = new org.apache.hadoop.fs.Path(
