@@ -179,6 +179,37 @@ object Relational5 {
           col("grp_sum"), col("grp_n"))
     },
 
+    // ---- INTERSECT ALL / EXCEPT ALL (multiset semantics) ------------------
+    // q09 covers the distinct set ops; these are the bag variants
+    // (duplicate counts preserved), aggregated per value so the output
+    // is small and deterministically ordered.
+    Q("q54_set_ops_all", Some("""
+      SELECT op, q, COUNT(*) AS n FROM (
+        SELECT 'intersect_all' AS op, q FROM (
+          SELECT CAST(l_quantity AS INT) AS q FROM lineitem WHERE l_orderkey < 200
+          INTERSECT ALL
+          SELECT p_size AS q FROM part WHERE p_partkey < 500) i
+        UNION ALL
+        SELECT 'except_all' AS op, q FROM (
+          SELECT CAST(l_quantity AS INT) AS q FROM lineitem WHERE l_orderkey < 200
+          EXCEPT ALL
+          SELECT p_size AS q FROM part WHERE p_partkey < 500) e
+      ) t
+      GROUP BY op, q
+      ORDER BY op, q""")) { (spark, dir) =>
+      val a = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_quantity").cast("int").as("q"))
+      val b = Tables.load(spark, dir, "part")
+        .filter(col("p_partkey") < 500)
+        .select(col("p_size").as("q"))
+      a.intersectAll(b).select(lit("intersect_all").as("op"), col("q"))
+        .unionAll(a.exceptAll(b).select(lit("except_all").as("op"), col("q")))
+        .groupBy(col("op"), col("q"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("op"), col("q"))
+    },
+
     // ---- literal GROUPING SETS syntax -------------------------------------
     // q11/q12 exercise rollup()/cube(); this is the explicit SQL form
     // with a non-hierarchical set list ((flag, status), (status), ()) —
