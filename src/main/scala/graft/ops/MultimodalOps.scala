@@ -58,6 +58,48 @@ object MultimodalOps {
       hex(substring(blob, 1, 4)).as("magic"),
       sniffMime(blob).as("mime"))
 
+  /** STUB resize: a real implementation decodes, scales to (w, h) and
+    * re-encodes; the stub carries the target dims plus a deterministic
+    * digest of (payload, target size) standing in for the re-encoded
+    * bytes. Same shape as the real thing: a pure per-row scan-stage
+    * transform, no shuffle.
+    */
+  def resizeStub(blob: Column, w: Int, h: Int): Column =
+    struct(
+      lit(w).as("width"),
+      lit(h).as("height"),
+      md5(concat(md5(blob), lit(s":${w}x$h"))).as("payload_digest"))
+
+  /** STUB feature extraction: a deterministic pseudo-embedding of `dim`
+    * doubles in [0,1) derived from the payload digest — the
+    * `mapPartitions` batch shape of a real encoder (one model context
+    * per partition, streamed payloads, vectors emitted per row).
+    * value_j = uint32(md5("emb:j:" ++ md5hex(payload))[0,8)) / 2^32.
+    */
+  def embedStub(df: DataFrame, id: String, blob: String, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(blob).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: load one encoder/model context here per partition
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hexOf(bytes: Array[Byte]): String = {
+          md.reset(); md.update(bytes)
+          md.digest().map("%02x".format(_)).mkString
+        }
+        it.map { case (did, bytes) =>
+          val digest = hexOf(bytes)
+          val vec = Array.tabulate(dim) { j =>
+            val h = hexOf(s"emb:$j:$digest".getBytes("UTF-8")).substring(0, 8)
+            java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0
+          }
+          (did, vec)
+        }
+      }
+      .toDF(id, "embedding")
+  }
+
   /** STUB frame sampler: emits `n` evenly-spaced "frames" per payload as
     * (id, frame_idx, frame_hash) via `mapPartitions` — the partition-
     * parallel iterator shape of a real decoder (one codec context per

@@ -75,6 +75,28 @@ object MultimodalQ {
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("frame_hash"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // ---- stub feature extraction (pseudo-embedding per payload) ----------
+    // The encoder stub's formula is md5-only, so DuckDB reproduces every
+    // vector component exactly; the query explodes the vectors for a
+    // row-wise compare. dim=8 keeps the oracle cheap.
+    Q("p27_blob_embed", Some("""
+      SELECT doc_id, CAST(j AS BIGINT) AS j,
+             round(CAST(concat('0x', substr(
+                 md5(concat('emb:', CAST(j AS VARCHAR), ':', md5(text))),
+                 1, 8)) AS BIGINT) / 4294967296.0, 6) AS v
+      FROM documents, generate_series(0, 7) t(j)
+      ORDER BY doc_id, j""")) { (spark, dir) =>
+      MultimodalOps.embedStub(
+          Tables.load(spark, dir, "documents").withColumn("blob",
+            col("text").cast("binary")),
+          "doc_id", "blob", dim = 8)
+        .select(col("doc_id"),
+          posexplode(col("embedding")).as(Seq("j", "v0")))
+        .select(col("doc_id"), col("j").cast("long").as("j"),
+          round(col("v0"), 6).as("v"))
+        .orderBy(col("doc_id"), col("j"))
     }
   )
 }

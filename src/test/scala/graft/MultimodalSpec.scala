@@ -74,4 +74,24 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hashes = frames.map(_.getAs[String]("frame_hash"))
     assert(hashes.forall(_.length == 32))
   }
+
+  test("resizeStub and embedStub are deterministic with the declared shapes") {
+    val r = payloads.select(col("name"),
+      MultimodalOps.resizeStub(col("payload"), 224, 224).as("rz")).collect()
+    assert(r.forall(_.getStruct(1).getInt(0) == 224))
+    val again = payloads.select(
+      MultimodalOps.resizeStub(col("payload"), 224, 224).getField("payload_digest"))
+      .collect().map(_.getString(0))
+    assert(again.distinct.length == again.length, "distinct payloads → distinct digests")
+
+    val ids = payloads.withColumn("id", monotonically_increasing_id())
+    val emb = MultimodalOps.embedStub(ids, "id", "payload", dim = 16).collect()
+    assert(emb.length == 7)
+    emb.foreach { row =>
+      val v = row.getSeq[Double](1)
+      assert(v.length == 16 && v.forall(x => x >= 0.0 && x < 1.0))
+    }
+    val emb2 = MultimodalOps.embedStub(ids, "id", "payload", dim = 16).collect()
+    assert(emb.map(_.getSeq[Double](1)).toSeq == emb2.map(_.getSeq[Double](1)).toSeq)
+  }
 }
