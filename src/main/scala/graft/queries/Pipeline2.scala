@@ -138,6 +138,48 @@ object Pipeline2 {
         .orderBy(col("doc_id"), col("rk"))
     },
 
+    // ---- composite curation pipeline ---------------------------------------
+    // The fused flow a real corpus build runs: quality gate → language
+    // gate → exact dedup (keep min id) → deterministic hash sample.
+    // Every stage is engine-portable, so the END-TO-END composition is
+    // oracle-checked, not just the pieces. Plan: the two gates are
+    // scan-stage codegen filters; dedup is the single content-hash
+    // shuffle; the sample is a pure filter on the survivor id.
+    Q("p28_curation_pipeline", Some {
+      val q = "round(0.4 * least(1.0, CAST(len(ws) AS DOUBLE) / 50.0)" +
+        " + 0.3 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))" +
+        " + 0.3 * least(1.0, CAST(len(list_filter(ws, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len(ws) * 5.0), 6)"
+      val scoreSql = TextOps.langProfiles.map { case (lang, words) =>
+        s"len(list_filter(ws, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS s_$lang"
+      }.mkString(", ")
+      val names = TextOps.langProfiles.map(_._1)
+      val m = s"greatest(${names.map(l => s"s_$l").mkString(",")})"
+      val langCase = names.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+      s"""
+      WITH w AS (SELECT doc_id, text, $wsSql AS ws FROM documents),
+      scored AS (SELECT doc_id, text, $q AS quality, $scoreSql FROM w),
+      kept AS (SELECT doc_id, text FROM scored
+               WHERE quality >= 0.5
+                 AND (CASE WHEN $m = 0 THEN 'und' $langCase ELSE 'und' END) = 'en'),
+      grp AS (SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch,
+                     min(doc_id) AS doc_id, COUNT(*) AS n_copies
+              FROM kept GROUP BY 1)
+      SELECT doc_id, n_copies FROM grp
+      WHERE ${Portable.h60Sql("concat('sample:', CAST(doc_id AS VARCHAR))")} % 100 < 50
+      ORDER BY doc_id"""
+    }) { (spark, dir) =>
+      val kept = Tables.load(spark, dir, "documents")
+        .filter(TextOps.qualityScore(col("text")) >= 0.5 &&
+          TextOps.langId(col("text")) === "en")
+      kept
+        .groupBy(TextOps.contentHash(col("text")).as("ch"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .filter(Portable.h60(concat(lit("sample:"),
+          col("doc_id").cast("string"))) % 100 < 50)
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- SRP-LSH near-dup pairs (random-hyperplane bucketing) --------------
     // The label-free ANN path: the blocking key comes from the vectors
     // themselves via 8 deterministic ±1 hyperplanes (256 buckets). The
