@@ -123,10 +123,12 @@ object SimilarityOps {
   /** Near-dup pairs via SRP-LSH bucketing: like [[nearDupPairs]] but the
     * blocking key is computed from the vectors themselves. Exactly ONE
     * shuffle forms the buckets; candidates never leave their bucket.
+    * `dim` must equal the embedding dimension — a mismatch would bucket
+    * on a prefix (dim too small) or fold missing components as zero.
     */
   def srpNearDupPairs(vectors: DataFrame, id: String, vec: String,
-                      k: Int, minSim: Double): DataFrame = {
-    val planes = srpHyperplanes(k, 64)
+                      k: Int, minSim: Double, dim: Int): DataFrame = {
+    val planes = srpHyperplanes(k, dim)
     val v = vectors
       .select(col(id).as("did"), col(vec).cast("array<double>").as("v"))
       .withColumn("bk", srpBucket(col("v"), planes))

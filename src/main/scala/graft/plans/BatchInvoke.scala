@@ -2,12 +2,12 @@ package graft.plans
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.spark.SparkException
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
-import org.apache.spark.sql.catalyst.plans.physical.Partitioning
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{OrderPreservingUnaryExecNode, PartitioningPreservingUnaryExecNode, SparkPlan, SparkStrategy, UnaryExecNode}
 
 import graft.ddl.EngineFunctionInvoke
 
@@ -15,29 +15,59 @@ import graft.ddl.EngineFunctionInvoke
   * reference's `WasmFunctionWrapper::invoke` granularity
   * (wasmedge_factory/src/udf.rs:82-115): per input batch, pack whole
   * argument COLUMNS, make ONE call into the guest function, take the
-  * result column. The row-wise `CodegenFallback` eval on
-  * [[graft.ddl.EngineFunctionInvoke]] remains the fallback for
-  * non-projection call sites (e.g. a UDF inside a WHERE clause), with
-  * identical per-row semantics.
+  * result column.
   *
-  * Planning: [[BatchInvokeStrategy]] intercepts any `Project` whose list
-  * contains an engine UDF and plans [[BatchProjectExec]] instead of the
+  * Only UNGUARDED occurrences are batched. A UDF inside a conditional
+  * branch (`CASE WHEN`/`IF`/`COALESCE`/`AND`/`OR`/`try_*`) or a lambda
+  * body must keep per-row, short-circuit semantics — hoisting it would
+  * evaluate it for rows the guard excludes (and a guarded error function
+  * would fail the whole batch). Those occurrences — and any call site
+  * outside a projection, e.g. a WHERE clause — fall back to the row-wise
+  * `CodegenFallback` eval on [[graft.ddl.EngineFunctionInvoke]], with
+  * identical semantics.
+  *
+  * Planning: [[BatchInvokeStrategy]] intercepts any `Project` with a
+  * hoistable engine UDF and plans [[BatchProjectExec]] instead of the
   * stock projection. The strategy runs only at physical planning, so
   * every Catalyst optimization (pushdown, pruning, collapse) has already
   * applied to the standard `Project` node — nothing is hidden from the
   * optimizer.
   */
+object BatchInvoke {
+
+  /** Walk `e` visiting engine-UDF occurrences that are safe to hoist,
+    * NOT descending into guarded/lambda contexts (their occurrences keep
+    * row-wise evaluation).
+    */
+  private[plans] def foreachHoistable(e: Expression)(
+      f: EngineFunctionInvoke => Unit): Unit = e match {
+    case _: LambdaFunction | _: CaseWhen | _: If | _: Coalesce |
+         _: And | _: Or => ()
+    case guarded if guarded.getClass.getSimpleName.startsWith("Try") => ()
+    case inv: EngineFunctionInvoke =>
+      f(inv)
+      // a hoistable invoke's arguments run whenever it runs → recurse
+      inv.children.foreach(foreachHoistable(_)(f))
+    case other => other.children.foreach(foreachHoistable(_)(f))
+  }
+
+  private[plans] def containsHoistable(e: Expression): Boolean = {
+    var found = false
+    foreachHoistable(e)(_ => found = true)
+    found
+  }
+}
+
 object BatchInvokeStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Project(list, child)
-        if list.exists(_.exists(_.isInstanceOf[EngineFunctionInvoke])) =>
+    case Project(list, child) if list.exists(BatchInvoke.containsHoistable) =>
       BatchProjectExec(list, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
-/** Projection that evaluates each engine-UDF occurrence once per
-  * `batchSize`-row batch (8192 = the reference engine's batch unit).
+/** Projection that evaluates each hoistable engine-UDF occurrence once
+  * per `batchSize`-row batch (8192 = the reference engine's batch unit).
   *
   * Execution per batch mirrors udf.rs:82-115 stage by stage: buffer the
   * batch (the reference copies each batch across the host↔guest IPC
@@ -49,12 +79,15 @@ object BatchInvokeStrategy extends SparkStrategy {
   * produces the output rows with UDF results read from appended slots.
   */
 case class BatchProjectExec(projectList: Seq[NamedExpression], child: SparkPlan)
-    extends UnaryExecNode {
+    extends UnaryExecNode
+    with PartitioningPreservingUnaryExecNode
+    with OrderPreservingUnaryExecNode {
 
   override def output: Seq[Attribute] = projectList.map(_.toAttribute)
-  // pure projection: row set and order are unchanged
-  override def outputPartitioning: Partitioning = child.outputPartitioning
-  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  // pure projection: row set and order are unchanged (alias-aware, like
+  // stock ProjectExec, so downstream ops don't re-shuffle aliased keys)
+  override protected def outputExpressions: Seq[NamedExpression] = projectList
+  override protected def orderingExpressions: Seq[SortOrder] = child.outputOrdering
 
   private val batchSize = 8192
 
@@ -67,27 +100,26 @@ case class BatchProjectExec(projectList: Seq[NamedExpression], child: SparkPlan)
       slotAttrs: Seq[Attribute])
 
   /** Symbolic plan of the batch evaluation, computed once: peel
-    * innermost UDF occurrences round by round, rebinding the remaining
-    * expressions against the input schema extended with result slots,
-    * until the projection is invoke-free.
+    * innermost hoistable UDF occurrences round by round, rebinding the
+    * remaining expressions against the input schema extended with result
+    * slots, until no hoistable occurrence remains. (Guarded occurrences
+    * stay in the final projection and evaluate row-wise.)
     */
   private def planRounds(): (Seq[Round], Seq[Expression], Seq[Attribute]) = {
     val rounds = ArrayBuffer[Round]()
     var attrs: Seq[Attribute] = child.output
     var exprs: Seq[Expression] = projectList
-    def containsInvoke(e: Expression): Boolean =
-      e.exists(_.isInstanceOf[EngineFunctionInvoke])
-    while (exprs.exists(containsInvoke)) {
+    while (exprs.exists(BatchInvoke.containsHoistable)) {
       // innermost occurrences, deduped by reference identity: volatile
       // UDFs must not be merged by structural equality (udf.rs:54)
       val slotOf = new java.util.IdentityHashMap[EngineFunctionInvoke, Integer]()
       val leaves = ArrayBuffer[EngineFunctionInvoke]()
-      exprs.foreach(_.foreach {
-        case e: EngineFunctionInvoke
-            if !e.children.exists(containsInvoke) && !slotOf.containsKey(e) =>
+      exprs.foreach(BatchInvoke.foreachHoistable(_) { e =>
+        if (!e.children.exists(BatchInvoke.containsHoistable) &&
+            !slotOf.containsKey(e)) {
           slotOf.put(e, leaves.length)
           leaves += e
-        case _ => ()
+        }
       })
       val bound = leaves.map(inv => inv.copy(children =
         inv.children.map(BindReferences.bindReference(_, attrs)))).toSeq
@@ -110,12 +142,20 @@ case class BatchProjectExec(projectList: Seq[NamedExpression], child: SparkPlan)
   override protected def doExecute(): RDD[InternalRow] = {
     val (rounds, finalExprs, finalAttrs) = planRounds()
     val size = batchSize
-    child.execute().mapPartitions({ iter =>
-      // codegen'd output projection, compiled once per partition
+    child.execute().mapPartitionsWithIndex({ (index, iter) =>
+      // codegen'd output projection, compiled once per partition;
+      // initialize() arms any nondeterministic expressions (rand() etc.)
       val proj = UnsafeProjection.create(finalExprs, finalAttrs)
-      iter.grouped(size).flatMap { group =>
-        // buffer the batch (child iterators reuse row objects)
-        var rows: Array[InternalRow] = group.iterator.map(_.copy()).toArray
+      proj.initialize(index)
+      rounds.foreach(_.invokes.foreach(_.children.foreach(_.foreach {
+        case n: Nondeterministic => n.initialize(index)
+        case _ => ()
+      })))
+      // copy BEFORE grouping: child iterators reuse the row object, so
+      // buffering references first would collapse a batch to N aliases
+      // of its last row
+      iter.map(_.copy()).grouped(size).flatMap { group =>
+        var rows: Array[InternalRow] = group.toArray
         val n = rows.length
         rounds.foreach { round =>
           val results: Array[Array[Any]] = round.invokes.map { inv =>
@@ -132,6 +172,9 @@ case class BatchProjectExec(projectList: Seq[NamedExpression], child: SparkPlan)
             val out =
               try inv.fn.applyBatch(argCols, n)
               catch EngineFunctionInvoke.errorMapping(inv.langTag)
+            if (out.length != n)
+              throw new SparkException(s"[${inv.langTag} Invocation Panic] " +
+                s"batch function returned ${out.length} results for $n input rows")
             val conv = new Array[Any](n)
             var i = 0
             while (i < n) {

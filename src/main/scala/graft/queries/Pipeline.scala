@@ -70,9 +70,7 @@ object Pipeline {
              CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpeish,
              round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
              round(CAST(len(list_filter($wsSql, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($wsSql), 6) AS stop_ratio,
-             round(0.4 * least(1.0, CAST(len($wsSql) AS DOUBLE) / 50.0)
-                 + 0.3 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
-                 + 0.3 * least(1.0, CAST(len(list_filter($wsSql, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($wsSql) * 5.0), 6) AS quality
+             ${TextSql.quality(wsSql)} AS quality
       FROM documents
       ORDER BY doc_id""")) { (spark, dir) =>
       Tables.load(spark, dir, "documents")
@@ -88,15 +86,13 @@ object Pipeline {
 
     // ---- language identification -----------------------------------------
     Q("p02_lang_id", Some {
-      val scoreSql = TextOps.langProfiles.map { case (lang, words) =>
-        s"CAST(len(list_filter($wsSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$lang"
-      }.mkString(",\n             ")
       val names = TextOps.langProfiles.map(_._1)
-      val m = s"greatest(${names.map(l => s"s_$l").mkString(",")})"
-      val caseSql = names.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+      val scoreSql = names.map(l =>
+        s"CAST(${TextSql.langScore(wsSql, l)} AS BIGINT) AS s_$l")
+        .mkString(",\n             ")
       s"""
       SELECT doc_id, ${names.map(l => s"s_$l").mkString(", ")},
-             CASE WHEN $m = 0 THEN 'und' $caseSql ELSE 'und' END AS detected
+             ${TextSql.langCase(l => s"s_$l")} AS detected
       FROM (SELECT doc_id, $scoreSql FROM documents) t
       ORDER BY doc_id"""
     }) { (spark, dir) =>

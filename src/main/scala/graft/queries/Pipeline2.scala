@@ -146,21 +146,16 @@ object Pipeline2 {
     // scan-stage codegen filters; dedup is the single content-hash
     // shuffle; the sample is a pure filter on the survivor id.
     Q("p28_curation_pipeline", Some {
-      val q = "round(0.4 * least(1.0, CAST(len(ws) AS DOUBLE) / 50.0)" +
-        " + 0.3 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))" +
-        " + 0.3 * least(1.0, CAST(len(list_filter(ws, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len(ws) * 5.0), 6)"
-      val scoreSql = TextOps.langProfiles.map { case (lang, words) =>
-        s"len(list_filter(ws, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS s_$lang"
-      }.mkString(", ")
       val names = TextOps.langProfiles.map(_._1)
-      val m = s"greatest(${names.map(l => s"s_$l").mkString(",")})"
-      val langCase = names.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+      val scoreSql = names.map(l =>
+        s"${TextSql.langScore("ws", l)} AS s_$l").mkString(", ")
       s"""
       WITH w AS (SELECT doc_id, text, $wsSql AS ws FROM documents),
-      scored AS (SELECT doc_id, text, $q AS quality, $scoreSql FROM w),
+      scored AS (SELECT doc_id, text, ${TextSql.quality("ws")} AS quality,
+                        $scoreSql FROM w),
       kept AS (SELECT doc_id, text FROM scored
                WHERE quality >= 0.5
-                 AND (CASE WHEN $m = 0 THEN 'und' $langCase ELSE 'und' END) = 'en'),
+                 AND (${TextSql.langCase(l => s"s_$l")}) = 'en'),
       grp AS (SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch,
                      min(doc_id) AS doc_id, COUNT(*) AS n_copies
               FROM kept GROUP BY 1)
@@ -206,7 +201,7 @@ object Pipeline2 {
       ORDER BY a, b"""
     }) { (spark, dir) =>
       SimilarityOps.srpNearDupPairs(Tables.load(spark, dir, "embeddings"),
-          "vec_id", "embedding", k = 8, minSim = 0.25)
+          "vec_id", "embedding", k = 8, minSim = 0.25, dim = 64)
         .orderBy(col("a"), col("b"))
     }
   )

@@ -143,6 +143,7 @@ object Relational3 {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), tbl)
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      cleanupAtExit(loc.toUri.getPath)
       // bare x.y literals parse as DECIMAL in both engines — cast the
       // CTAS schema to DOUBLE so inserts of 1e12 don't overflow it
       spark.sql(s"""CREATE TABLE $tbl USING parquet AS

@@ -43,10 +43,68 @@ package object queries {
 
   /** Per-JVM-unique sink root: two concurrent bench/verify runs on one
     * host must never clobber each other's sink data mid-read, so every
-    * sink path (and derived table name) carries the process id.
+    * sink path (and derived table name) carries the process id. A
+    * shutdown hook removes everything registered here, so repeated runs
+    * don't accumulate per-pid garbage in tmp/warehouse dirs.
     */
   lazy val runToken: String = ProcessHandle.current().pid().toString
 
-  def sinkDir(sub: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_sink_$runToken/$sub"
+  private lazy val cleanupPaths = {
+    val paths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      paths.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(p))
+      }))
+    paths
+  }
+
+  /** Register a path for recursive deletion at JVM exit. */
+  def cleanupAtExit(path: String): Unit = { cleanupPaths.add(path): Unit }
+
+  def sinkDir(sub: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_sink_$runToken"
+    cleanupAtExit(root)
+    s"$root/$sub"
+  }
+}
+
+package queries {
+
+  import graft.ops.TextOps
+
+  /** Shared DuckDB mirrors of the TextOps formulas, built in ONE place so
+    * the oracles of every query using them (p01, p02, p28, …) can never
+    * drift from each other when `TextOps` changes.
+    */
+  private[queries] object TextSql {
+
+    private def inList(words: Seq[String]): String =
+      words.map(w => s"'$w'").mkString(",")
+
+    /** Mirror of [[TextOps.qualityScore]] over token-list expression `ws`. */
+    def quality(ws: String): String =
+      s"round(0.4 * least(1.0, CAST(len($ws) AS DOUBLE) / 50.0)" +
+        s" + 0.3 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))" +
+        s" + 0.3 * least(1.0, CAST(len(list_filter($ws, t -> t IN (${inList(TextOps.stopwords)}))) AS DOUBLE) / len($ws) * 5.0), 6)"
+
+    /** Mirror of one language's profile-hit count ([[TextOps.langId]]). */
+    def langScore(ws: String, lang: String): String = {
+      val words = TextOps.langProfiles.find(_._1 == lang).get._2
+      s"len(list_filter($ws, t -> t IN (${inList(words)})))"
+    }
+
+    /** Mirror of [[TextOps.langId]]'s pick-the-max CASE, over per-language
+      * score expressions produced by `score` (ties break in profile order).
+      */
+    def langCase(score: String => String): String = {
+      val names = TextOps.langProfiles.map(_._1)
+      val m = s"greatest(${names.map(score).mkString(",")})"
+      val whens = names.map(l => s"WHEN ${score(l)} = $m THEN '$l'").mkString(" ")
+      s"CASE WHEN $m = 0 THEN 'und' $whens ELSE 'und' END"
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -79,15 +80,29 @@ class EngineDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.queryExecution.executedPlan.toString.contains("BatchProject"),
       "engine UDF projection must plan the batch operator")
     BatchCountModule.calls.set(0)
-    assert(df.collect().length == 10000)
+    // VALUES must survive batching — a row-reuse bug would collapse every
+    // batch to copies of its last row and still pass a count assertion
+    val got = df.collect().map(_.getDouble(0)).sorted
+    assert(got.length == 10000 && got.sameElements((0 until 10000).map(_.toDouble)),
+      "batch path must preserve per-row values")
     assert(BatchCountModule.calls.get() == 2,
       s"expected 2 batch calls for 10000 rows, got ${BatchCountModule.calls.get()}")
     // nested calls evaluate innermost-first, each its own batch call
     BatchCountModule.calls.set(0)
-    assert(engine.sql(
-      "select fb(fb(a)) as v from graft_batch_t").collect().length == 10000)
+    val nested = engine.sql("select fb(fb(a)) as v from graft_batch_t")
+      .agg(sum(col("v"))).head.getDouble(0)
+    assert(nested == (0 until 10000).map(_.toDouble).sum)
     assert(BatchCountModule.calls.get() == 4,
       s"expected 4 batch calls for nested invoke, got ${BatchCountModule.calls.get()}")
+    // a guarded call keeps row-wise semantics: the guest must NOT be
+    // invoked for rows the guard excludes (here the error fn is guarded)
+    engine.sql(
+      "CREATE FUNCTION ferr2(DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS 'builtin!f_return_error'")
+    val guarded = engine.sql(
+      "select case when a < 0 then ferr2(a) else a end as v from graft_batch_t")
+    assert(guarded.agg(sum(col("v"))).head.getDouble(0)
+      == (0 until 10000).map(_.toDouble).sum)
+    engine.sql("DROP FUNCTION ferr2")
     engine.sql("DROP FUNCTION fb")
   }
 
