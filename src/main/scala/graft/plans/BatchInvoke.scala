@@ -35,15 +35,24 @@ import graft.ddl.EngineFunctionInvoke
   */
 object BatchInvoke {
 
+  /** Expressions that may skip evaluating some child for some row —
+    * hoisting a UDF out of them would evaluate it for rows the guard
+    * excludes. (Conservatively blocks the whole node, including
+    * always-evaluated operands like a guard's condition.)
+    */
+  private[plans] def isGuard(e: Expression): Boolean = e match {
+    case _: LambdaFunction | _: CaseWhen | _: If | _: Coalesce |
+         _: And | _: Or | _: In | _: InSet | _: NaNvl => true
+    case other => other.getClass.getSimpleName.startsWith("Try")
+  }
+
   /** Walk `e` visiting engine-UDF occurrences that are safe to hoist,
     * NOT descending into guarded/lambda contexts (their occurrences keep
     * row-wise evaluation).
     */
   private[plans] def foreachHoistable(e: Expression)(
       f: EngineFunctionInvoke => Unit): Unit = e match {
-    case _: LambdaFunction | _: CaseWhen | _: If | _: Coalesce |
-         _: And | _: Or => ()
-    case guarded if guarded.getClass.getSimpleName.startsWith("Try") => ()
+    case g if isGuard(g) => ()
     case inv: EngineFunctionInvoke =>
       f(inv)
       // a hoistable invoke's arguments run whenever it runs → recurse
@@ -128,6 +137,11 @@ case class BatchProjectExec(projectList: Seq[NamedExpression], child: SparkPlan)
           inv.dataType, nullable = true)()
       }.toSeq
       def replace(e: Expression): Expression = e match {
+        // replacement must respect the same guard boundaries as
+        // collection: a shared invoke INSTANCE sitting both unguarded
+        // and under a guard would otherwise be slot-substituted in the
+        // guarded position too
+        case g if BatchInvoke.isGuard(g) => g
         case inv: EngineFunctionInvoke if slotOf.containsKey(inv) =>
           slotAttrs(slotOf.get(inv))
         case other => other.mapChildren(replace)

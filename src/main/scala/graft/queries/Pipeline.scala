@@ -69,7 +69,7 @@ object Pipeline {
              CAST(len($wsSql) AS BIGINT) AS n_tokens,
              CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpeish,
              round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
-             round(CAST(len(list_filter($wsSql, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len($wsSql), 6) AS stop_ratio,
+             round(CAST(${TextSql.stopHits(wsSql)} AS DOUBLE) / len($wsSql), 6) AS stop_ratio,
              ${TextSql.quality(wsSql)} AS quality
       FROM documents
       ORDER BY doc_id""")) { (spark, dir) =>

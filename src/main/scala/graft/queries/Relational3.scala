@@ -143,7 +143,11 @@ object Relational3 {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), tbl)
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-      cleanupAtExit(loc.toUri.getPath)
+      // the File-based exit hook can only clean local paths; a remote
+      // warehouse (hdfs://…) must not map onto a same-named local dir
+      val uri = loc.toUri
+      if (uri.getScheme == null || uri.getScheme == "file")
+        cleanupAtExit(uri.getPath)
       // bare x.y literals parse as DECIMAL in both engines — cast the
       // CTAS schema to DOUBLE so inserts of 1e12 don't overflow it
       spark.sql(s"""CREATE TABLE $tbl USING parquet AS

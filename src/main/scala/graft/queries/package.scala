@@ -85,11 +85,15 @@ package queries {
     private def inList(words: Seq[String]): String =
       words.map(w => s"'$w'").mkString(",")
 
+    /** Mirror of [[TextOps.stopwordRatio]]'s hit count over `ws`. */
+    def stopHits(ws: String): String =
+      s"len(list_filter($ws, t -> t IN (${inList(TextOps.stopwords)})))"
+
     /** Mirror of [[TextOps.qualityScore]] over token-list expression `ws`. */
     def quality(ws: String): String =
       s"round(0.4 * least(1.0, CAST(len($ws) AS DOUBLE) / 50.0)" +
         s" + 0.3 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))" +
-        s" + 0.3 * least(1.0, CAST(len(list_filter($ws, t -> t IN (${inList(TextOps.stopwords)}))) AS DOUBLE) / len($ws) * 5.0), 6)"
+        s" + 0.3 * least(1.0, CAST(${stopHits(ws)} AS DOUBLE) / len($ws) * 5.0), 6)"
 
     /** Mirror of one language's profile-hit count ([[TextOps.langId]]). */
     def langScore(ws: String, lang: String): String = {

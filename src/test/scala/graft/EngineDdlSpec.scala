@@ -102,6 +102,19 @@ class EngineDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "select case when a < 0 then ferr2(a) else a end as v from graft_batch_t")
     assert(guarded.agg(sum(col("v"))).head.getDouble(0)
       == (0 until 10000).map(_.toDouble).sum)
+    // MIXED projection: the hoistable fb plans BatchProjectExec while the
+    // guarded ferr2 stays row-wise INSIDE it — both semantics at once
+    BatchCountModule.calls.set(0)
+    val mixed = engine.sql("""
+      select fb(a) as v,
+             case when a < 0 then ferr2(a) else a end as w
+      from graft_batch_t""")
+    assert(mixed.queryExecution.executedPlan.toString.contains("BatchProject"))
+    val sums = mixed.agg(sum(col("v")), sum(col("w"))).head
+    val expect = (0 until 10000).map(_.toDouble).sum
+    assert(sums.getDouble(0) == expect && sums.getDouble(1) == expect)
+    assert(BatchCountModule.calls.get() == 2,
+      "only the unguarded call may be batched")
     engine.sql("DROP FUNCTION ferr2")
     engine.sql("DROP FUNCTION fb")
   }
