@@ -179,6 +179,33 @@ object Relational5 {
           col("grp_sum"), col("grp_n"))
     },
 
+    // ---- engine UDF through the function factory (the reference's
+    // flagship operator, oracle-checked) ------------------------------------
+    // The DDL command is invoked directly (the driver's plain session has
+    // no GraftParser installed); the registered function then runs through
+    // ordinary spark.sql. DuckDB computes the same pow() natively — the
+    // check is that the factory → registry → invoke path computes exactly
+    // what the engine-native function does.
+    Q("q55_engine_udf", Some("""
+      SELECT o_orderkey,
+             round(pow(CAST(o_orderkey % 7 AS DOUBLE), 2.5), 6) AS powv
+      FROM orders
+      WHERE o_orderkey < 2000
+      ORDER BY o_orderkey""")) { (spark, dir) =>
+      graft.ddl.CreateEngineFunctionCommand(
+        "graft_q55_pow",
+        Seq(org.apache.spark.sql.types.DoubleType,
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.DoubleType,
+        "WASM", "builtin!pow", orReplace = true).run(spark)
+      registered(spark, dir).sql("""
+        SELECT o_orderkey,
+               round(graft_q55_pow(CAST(o_orderkey % 7 AS DOUBLE), 2.5), 6) AS powv
+        FROM orders
+        WHERE o_orderkey < 2000
+        ORDER BY o_orderkey""")
+    },
+
     // ---- INTERSECT ALL / EXCEPT ALL (multiset semantics) ------------------
     // q09 covers the distinct set ops; these are the bag variants
     // (duplicate counts preserved), aggregated per value so the output
