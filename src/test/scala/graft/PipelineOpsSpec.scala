@@ -96,6 +96,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getAs[String]("c") == r(1).getAs[String]("c"))
   }
 
+  test("srpNearDupPairs: identical vectors share a bucket and pair at " +
+    "sim 1.0; bucket keys stay in the 2^k domain") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array.tabulate(16)(i => (i + 1).toFloat)),
+      (1L, Array.tabulate(16)(i => (i + 1).toFloat)), // exact copy of 0
+      (2L, Array.tabulate(16)(i => -(i + 1).toFloat)) // antipode: all signs flip
+    ).toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.srpNearDupPairs(vecs, "vec_id", "embedding",
+      k = 8, minSim = 0.9, dim = 16).collect()
+    assert(pairs.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+      == Set((0L, 1L)), "only the identical pair may survive")
+    assert(pairs.head.getAs[Double]("sim") == 1.0)
+    val buckets = vecs
+      .select(SimilarityOps.srpBucket(col("embedding").cast("array<double>"),
+        SimilarityOps.srpHyperplanes(8, 16)).as("bk"))
+      .collect().map(_.getAs[Long]("bk"))
+    assert(buckets.forall(b => b >= 0 && b < 256))
+    // the antipode flips every sign → bitwise complement of vec 0's bucket
+    assert((buckets(0) ^ buckets(2)) == 255L)
+  }
+
   test("DotProduct rejects uncast arrays at analysis; null element → NULL") {
     import spark.implicits._
     import graft.functions.DotProduct.dot
