@@ -35,14 +35,24 @@ import graft.ddl.EngineFunctionInvoke
   */
 object BatchInvoke {
 
-  /** Expressions that may skip evaluating some child for some row —
-    * hoisting a UDF out of them would evaluate it for rows the guard
-    * excludes. (Conservatively blocks the whole node, including
-    * always-evaluated operands like a guard's condition.)
+  /** CONTROL-FLOW expressions — nodes that select which child to
+    * evaluate based on data values. Hoisting a UDF out of them would
+    * evaluate it for rows/branches the guard excludes, so their subtrees
+    * keep row-wise evaluation. (Conservatively blocks the whole node,
+    * including always-evaluated operands like a guard's condition.)
+    *
+    * Deliberately NOT guarded: plain null-strict parents (`x + f(y)`
+    * where x is null). Row-wise Spark skips f there; the batch path
+    * evaluates the argument column eagerly — exactly what the
+    * reference's vectorized engine does (DataFusion's BinaryExpr
+    * evaluates both child columns fully, then applies the kernel under
+    * the null mask), so eager-under-null-strict IS the reference
+    * semantics this operator exists to reproduce.
     */
   private[plans] def isGuard(e: Expression): Boolean = e match {
     case _: LambdaFunction | _: CaseWhen | _: If | _: Coalesce |
-         _: And | _: Or | _: In | _: InSet | _: NaNvl => true
+         _: And | _: Or | _: In | _: InSet | _: NaNvl | _: Elt |
+         _: AtLeastNNonNulls => true
     case other => other.getClass.getSimpleName.startsWith("Try")
   }
 
@@ -65,6 +75,16 @@ object BatchInvoke {
     foreachHoistable(e)(_ => found = true)
     found
   }
+
+  /** One evaluation round: UDF occurrences whose arguments are already
+    * invoke-free (bound to the current input schema), plus the slot
+    * attributes their results occupy. Top-level (not nested in the exec
+    * node) so task closures serialize only the bound invokes and slots,
+    * never the operator's plan subtree via a hidden $outer.
+    */
+  private[plans] case class Round(
+      invokes: Seq[EngineFunctionInvoke],
+      slotAttrs: Seq[Attribute])
 }
 
 object BatchInvokeStrategy extends SparkStrategy {
@@ -100,13 +120,7 @@ case class BatchProjectExec(projectList: Seq[NamedExpression], child: SparkPlan)
 
   private val batchSize = 8192
 
-  /** One evaluation round: UDF occurrences whose arguments are already
-    * invoke-free (bound to the current input schema), plus the slot
-    * attributes their results occupy.
-    */
-  private case class Round(
-      invokes: Seq[EngineFunctionInvoke],
-      slotAttrs: Seq[Attribute])
+  import BatchInvoke.Round
 
   /** Symbolic plan of the batch evaluation, computed once: peel
     * innermost hoistable UDF occurrences round by round, rebinding the
