@@ -20,6 +20,29 @@ class LifecycleTestModule extends FunctionModule {
     })
 }
 
+/** Non-DOUBLE functions — proves the declared-type marshalling is
+  * generic (the reference's IPC layer carries the full Arrow type
+  * system even though its demo only exercises Float64; SURVEY §1.1). */
+class TypesTestModule extends FunctionModule {
+  override def functions: Map[String, ScalarBatchFunction] = Map(
+    // array<double> → double
+    "vsum" -> { args =>
+      args(0) match {
+        case xs: Seq[_] =>
+          java.lang.Double.valueOf(
+            xs.map { case d: java.lang.Double => d.doubleValue; case _ => 0.0 }.sum)
+        case _ => null
+      }
+    },
+    // string → string (null-in → null-out)
+    "shout" -> { args =>
+      args(0) match {
+        case s: String => s.toUpperCase + "!"
+        case _ => null
+      }
+    })
+}
+
 /** Counts `applyBatch` calls — proves the engine invokes the guest once
   * per BATCH (udf.rs:82-115 granularity), not once per row. */
 class BatchCountModule extends FunctionModule {
@@ -117,6 +140,26 @@ class EngineDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "only the unguarded call may be batched")
     engine.sql("DROP FUNCTION ferr2")
     engine.sql("DROP FUNCTION fb")
+  }
+
+  test("marshalling is type-generic: ARRAY<DOUBLE> and STRING signatures") {
+    val spark = engine.spark
+    import spark.implicits._
+    engine.registerTable("graft_types_t",
+      Seq((Seq(1.0, 2.5), "ok"), (Seq(4.0), "go"))
+        .toDF("xs", "s"))
+    engine.sql(
+      "CREATE FUNCTION vsum(ARRAY<DOUBLE>) RETURNS DOUBLE LANGUAGE WASM AS 'graft.TypesTestModule!vsum'")
+    engine.sql(
+      "CREATE FUNCTION shout(STRING) RETURNS STRING LANGUAGE WASM AS 'graft.TypesTestModule!shout'")
+    val rows = engine
+      .sql("select vsum(xs) as v, shout(s) as w from graft_types_t order by v")
+      .collect()
+    assert(rows === Array(Row(3.5, "OK!"), Row(4.0, "GO!")))
+    // null propagation through the string path
+    assert(engine.sql("select shout(CAST(NULL AS STRING)) as w").head.isNullAt(0))
+    engine.sql("DROP FUNCTION vsum")
+    engine.sql("DROP FUNCTION shout")
   }
 
   test("scalar literal arguments (lib.rs:298-306, 333-342)") {
