@@ -22,9 +22,8 @@ import org.apache.spark.sql.functions._
   *    the pigeonhole block join (hamming ≤ 3 ⇒ at least one of four
   *    16-bit bands equal → 65,536 keys per band), generated bucket-
   *    locally with a size cap, so fan-out is O(candidates) with a
-  *    hard skew bound — never ~n²/16. Each pair is emitted exactly
-  *    once by keeping only its FIRST matching band (a pure filter —
-  *    no distinct shuffle).
+  *    hard skew bound — never ~n²/16. The band streams are deduped by
+  *    a pair-key aggregation whose volume the cap bounds.
   *
   * Everything is pure Column expressions over portable md5-derived
   * hashes ([[Portable]]), so every stage is engine-reproducible
@@ -198,8 +197,12 @@ object DedupOps {
     * ~n²/16 pairs at scale). Pairs are generated bucket-locally from the
     * sorted member list (same inverted-index shape as [[jaccardPairs]]);
     * `maxBucket` caps bucket size (skew guard — one degenerate key can
-    * never explode the fan-out). Each pair is kept only in its FIRST
-    * equal band — a pure filter, no distinct() shuffle.
+    * never explode the fan-out). The 4 band streams are deduped by a
+    * pair-key aggregation over the CAPPED candidates — a pair survives
+    * if ANY surviving bucket contains it. (A keep-first-equal-band
+    * filter would be shuffle-free but silently drops a pair whose first
+    * equal band got capped while a later band's bucket survived; the
+    * dedup shuffle is bounded by the cap, so correctness wins.)
     */
   def simhashPairs(docs: DataFrame, id: String, text: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
@@ -207,29 +210,24 @@ object DedupOps {
     val blockArr = array((0 until 4).map(q =>
       struct(lit(q).as("q"), element_at(col("qks"), q + 1).as("qk"))): _*)
     val blocks = sh
-      .select(col(id).as("did"), col("simhash"), col("qks"),
-        explode(blockArr).as("blk"))
-      .select(col("did"), col("simhash"), col("qks"),
-        col("blk.q").as("q"), col("blk.qk").as("qk"))
-    // the only pair-generating shuffle: bucket per (band, key), members
-    // sorted by did → pairs come out a<b; oversized buckets dropped
+      .select(col(id).as("did"), col("simhash"), explode(blockArr).as("blk"))
+      .select(col("did"), col("simhash"), col("blk.q").as("q"), col("blk.qk").as("qk"))
+    // pair-generating shuffle: bucket per (band, key), members sorted by
+    // did → pairs come out a<b; oversized buckets dropped
     val buckets = blocks
       .groupBy(col("q"), col("qk"))
-      .agg(sort_array(collect_list(
-        struct(col("did"), col("simhash"), col("qks")))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("did"), col("simhash")))).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
-    val raw = buckets
-      .select(col("q"), col("ds"), posexplode(col("ds")).as(Seq("__i", "pa")))
-      .select(col("q"), col("pa"),
+    buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("__i", "pa")))
+      .select(col("pa"),
         explode(slice(col("ds"), col("__i") + 2, size(col("ds")))).as("pb"))
-    // smallest equal band of the pair — dedupes the 4-way block streams
-    val firstEq = (3 to 0 by -1).foldLeft(lit(-1)) { (acc, q) =>
-      when(element_at(col("pa.qks"), q + 1) === element_at(col("pb.qks"), q + 1),
-        lit(q)).otherwise(acc)
-    }
-    raw.filter(col("q") === firstEq)
       .select(col("pa.did").as("a"), col("pb.did").as("b"),
         expr("bit_count(pa.simhash ^ pb.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      // dedup shuffle over ≤ 4 occurrences per pair, volume bounded by
+      // the bucket cap (hamming is a function of the pair → min == value)
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 }

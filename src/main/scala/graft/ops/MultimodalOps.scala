@@ -89,10 +89,13 @@ object MultimodalOps {
           md.digest().map("%02x".format(_)).mkString
         }
         it.map { case (did, bytes) =>
-          val digest = hexOf(bytes)
-          val vec = Array.tabulate(dim) { j =>
-            val h = hexOf(s"emb:$j:$digest".getBytes("UTF-8")).substring(0, 8)
-            java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0
+          // null payload → null vector (no crash; callers filter nulls)
+          val vec = if (bytes == null) null else {
+            val digest = hexOf(bytes)
+            Array.tabulate(dim) { j =>
+              val h = hexOf(s"emb:$j:$digest".getBytes("UTF-8")).substring(0, 8)
+              java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0
+            }
           }
           (did, vec)
         }

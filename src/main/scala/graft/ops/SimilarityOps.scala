@@ -105,14 +105,16 @@ object SimilarityOps {
   /** Deterministic ±1 hyperplanes: entry (j,i) is +1 iff the low bit of
     * the first byte of md5("srp:j:i") is set.
     */
-  def srpHyperplanes(k: Int, dim: Int): Seq[Array[Double]] =
+  def srpHyperplanes(k: Int, dim: Int): Seq[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     (0 until k).map { j =>
       Array.tabulate(dim) { i =>
-        val md = java.security.MessageDigest.getInstance("MD5")
+        md.reset()
         val b = md.digest(s"srp:$j:$i".getBytes("UTF-8"))(0)
         if ((b & 1) == 1) 1.0 else -1.0
       }
     }
+  }
 
   /** k-bit SRP bucket of a double-array column. */
   def srpBucket(vec: Column, planes: Seq[Array[Double]]): Column =

@@ -206,6 +206,9 @@ object Pipeline {
     },
 
     // ---- SimHash near-dup pairs (pigeonhole band buckets, capped) ---------
+    // a pair survives if ANY surviving (non-capped) bucket contains it —
+    // DISTINCT over the capped candidates mirrors the Spark-side
+    // pair-key aggregation exactly
     Q("p09_simhash_pairs", Some {
       val blockSelects = (0 until 4).map(q =>
         s"SELECT doc_id, $q AS q, qk$q AS qk FROM sig").mkString(" UNION ALL ")
@@ -213,17 +216,14 @@ object Pipeline {
       WITH $simhash64Cte,
       blocks AS ($blockSelects),
       capped AS (SELECT * FROM blocks
-                 QUALIFY COUNT(*) OVER (PARTITION BY q, qk) BETWEEN 2 AND 1000),
-      pair AS (SELECT x.doc_id AS a, y.doc_id AS b, x.q AS q
-               FROM capped x JOIN capped y
-                 ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id)
-      SELECT a, b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
-      FROM pair
-      JOIN sig sa ON sa.doc_id = a
-      JOIN sig sb ON sb.doc_id = b
-      WHERE q = CASE WHEN sa.qk0 = sb.qk0 THEN 0 WHEN sa.qk1 = sb.qk1 THEN 1
-                     WHEN sa.qk2 = sb.qk2 THEN 2 ELSE 3 END
-        AND bit_count(xor(sa.simhash, sb.simhash)) <= 3
+                 QUALIFY COUNT(*) OVER (PARTITION BY q, qk) BETWEEN 2 AND 1000)
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+             bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+      FROM capped x
+      JOIN capped y ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id
+      JOIN sig sa ON sa.doc_id = x.doc_id
+      JOIN sig sb ON sb.doc_id = y.doc_id
+      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
       ORDER BY a, b"""
     }) { (spark, dir) =>
       DedupOps.simhashPairs(Tables.load(spark, dir, "documents"),

@@ -126,6 +126,11 @@ object Pipeline2 {
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+      // NOTE: `tf` feeds both the df aggregation and the join, so its
+      // subtree executes twice (Spark does not dedupe common subplans).
+      // At production scale the tf table is persisted/checkpointed once;
+      // the agg+join shape is kept here because a count-over-window by
+      // term would buffer whole term partitions (skew-fragile at 100 TB)
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))

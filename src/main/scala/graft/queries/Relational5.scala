@@ -213,12 +213,12 @@ object Relational5 {
     Q("q54_set_ops_all", Some("""
       SELECT op, q, COUNT(*) AS n FROM (
         SELECT 'intersect_all' AS op, q FROM (
-          SELECT CAST(l_quantity AS INT) AS q FROM lineitem WHERE l_orderkey < 200
+          SELECT CAST(floor(l_quantity) AS INT) AS q FROM lineitem WHERE l_orderkey < 200
           INTERSECT ALL
           SELECT p_size AS q FROM part WHERE p_partkey < 500) i
         UNION ALL
         SELECT 'except_all' AS op, q FROM (
-          SELECT CAST(l_quantity AS INT) AS q FROM lineitem WHERE l_orderkey < 200
+          SELECT CAST(floor(l_quantity) AS INT) AS q FROM lineitem WHERE l_orderkey < 200
           EXCEPT ALL
           SELECT p_size AS q FROM part WHERE p_partkey < 500) e
       ) t
@@ -226,7 +226,9 @@ object Relational5 {
       ORDER BY op, q""")) { (spark, dir) =>
       val a = Tables.load(spark, dir, "lineitem")
         .filter(col("l_orderkey") < 200)
-        .select(col("l_quantity").cast("int").as("q"))
+        // floor() on both sides: a bare double→int CAST truncates in
+        // Spark but rounds in DuckDB
+        .select(floor(col("l_quantity")).cast("int").as("q"))
       val b = Tables.load(spark, dir, "part")
         .filter(col("p_partkey") < 500)
         .select(col("p_size").as("q"))

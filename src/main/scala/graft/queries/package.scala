@@ -89,10 +89,13 @@ package queries {
     def stopHits(ws: String): String =
       s"len(list_filter($ws, t -> t IN (${inList(TextOps.stopwords)})))"
 
-    /** Mirror of [[TextOps.qualityScore]] over token-list expression `ws`. */
-    def quality(ws: String): String =
+    /** Mirror of [[TextOps.qualityScore]]: `ws` is the token-list
+      * expression, `text` the raw source column it was derived from
+      * (the punct term reads the raw text, not the tokens).
+      */
+    def quality(ws: String, text: String = "text"): String =
       s"round(0.4 * least(1.0, CAST(len($ws) AS DOUBLE) / 50.0)" +
-        s" + 0.3 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))" +
+        s" + 0.3 * (1.0 - CAST(length(regexp_replace(lower($text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length($text))" +
         s" + 0.3 * least(1.0, CAST(${stopHits(ws)} AS DOUBLE) / len($ws) * 5.0), 6)"
 
     /** Mirror of one language's profile-hit count ([[TextOps.langId]]). */
