@@ -98,10 +98,12 @@ object Relational3 {
     // quantiles at q∓0.002 computed in the same engine). DuckDB states
     // the exact figures and literal TRUE — any sketch outside its bound
     // hash-mismatches and turns the row red.
+    // (ok flags are INT 1/0, not BOOLEAN — every proven driver compare
+    // path uses ints; booleans would be a novel comparator surface)
     Q("q36_approx_aggs", Some("""
       SELECT o_orderstatus,
              COUNT(DISTINCT o_custkey) AS n_exact,
-             TRUE AS acd_ok, TRUE AS p50_ok, TRUE AS p95_ok
+             1 AS acd_ok, 1 AS p50_ok, 1 AS p95_ok
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""")) { (spark, dir) =>
@@ -124,9 +126,9 @@ object Relational3 {
           col("o_orderstatus"),
           col("n_exact"),
           (abs(col("acd") - col("n_exact")).cast("double") / col("n_exact")
-            <= 0.15).as("acd_ok"),
-          col("p50").between(col("p50_lo"), col("p50_hi")).as("p50_ok"),
-          col("p95").between(col("p95_lo"), col("p95_hi")).as("p95_ok"))
+            <= 0.15).cast("int").as("acd_ok"),
+          col("p50").between(col("p50_lo"), col("p50_hi")).cast("int").as("p50_ok"),
+          col("p95").between(col("p95_lo"), col("p95_hi")).cast("int").as("p95_ok"))
         .orderBy(col("o_orderstatus"))
     },
 
