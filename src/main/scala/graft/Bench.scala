@@ -30,10 +30,18 @@ object Bench {
     val results = ordered.map { case (name, _) =>
       name -> math.min(p1(name), p2(name))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the last 2000 chars of output; with 80+
+    // queries, full names at nanosecond precision push the line past the
+    // buffer and the head (with "metric") gets cut off → unparseable.
+    // Short ids (the unique q##/p## prefix) at millisecond precision keep
+    // the whole line inside the buffer. This must stay the LAST line.
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + s3(v)
+    }.mkString("{", ",", "}")
+    val total = s3(results.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -9,6 +9,13 @@ object Verify {
     // optional 3rd arg: comma-separated query-name filter (dev runs only;
     // the driver always invokes with exactly two args = full dump)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    // a typo'd filter must fail loudly, not produce an empty dump that
+    // looks like a clean run
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -43,10 +43,14 @@ case class DotProduct(left: Expression, right: Expression)
   // a null ELEMENT nulls the whole product — the lambda formulation's
   // semantics (x*NULL = NULL → sum NULL). The check is emitted only when
   // the input type admits null elements, so the common non-null case
-  // keeps the tight primitive loop.
+  // keeps the tight primitive loop. Falls back to true on a mistyped
+  // tree: `nullable` can be consulted before checkInputDataTypes has
+  // surfaced the friendly error, and must not throw there.
   private def elementsNullable: Boolean =
-    left.dataType.asInstanceOf[ArrayType].containsNull ||
-      right.dataType.asInstanceOf[ArrayType].containsNull
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+      case _ => true
+    }
 
   override def nullable: Boolean = super.nullable || elementsNullable
 

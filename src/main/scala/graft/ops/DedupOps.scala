@@ -217,6 +217,14 @@ object DedupOps {
     val buckets = blocks
       .groupBy(col("q"), col("qk"))
       .agg(sort_array(collect_list(struct(col("did"), col("simhash")))).as("ds"))
+      // no-silent-caps: the skew guard voids the pigeonhole recall
+      // guarantee for pairs whose every equal band lands in an oversized
+      // bucket — surface the drop count as an observed metric
+      // (QueryExecutionListener / Observation) so recall loss under skew
+      // is measurable, not invisible
+      .observe("graft_simhash_buckets",
+        sum(when(size(col("ds")) > maxBucket, 1).otherwise(0))
+          .as("dropped_oversized"))
       .filter(size(col("ds")).between(2, maxBucket))
     buckets
       .select(col("ds"), posexplode(col("ds")).as(Seq("__i", "pa")))

@@ -125,14 +125,21 @@ object SimilarityOps {
   /** Near-dup pairs via SRP-LSH bucketing: like [[nearDupPairs]] but the
     * blocking key is computed from the vectors themselves. Exactly ONE
     * shuffle forms the buckets; candidates never leave their bucket.
-    * `dim` must equal the embedding dimension — a mismatch would bucket
-    * on a prefix (dim too small) or fold missing components as zero.
+    * `dim` must equal the embedding dimension — enforced per row below,
+    * because a mismatch would silently bucket on a prefix (dim too
+    * small) or fold missing components as zero, degrading recall.
     */
   def srpNearDupPairs(vectors: DataFrame, id: String, vec: String,
                       k: Int, minSim: Double, dim: Int): DataFrame = {
     val planes = srpHyperplanes(k, dim)
     val v = vectors
       .select(col(id).as("did"), col(vec).cast("array<double>").as("v"))
+      // assert_true raises on the first mismatched row and returns NULL
+      // otherwise, so the filter passes every valid row; as a filter
+      // predicate it cannot be pruned away
+      .filter(assert_true(size(col("v")) === dim,
+        concat(lit(s"srpNearDupPairs: embedding dim != $dim, got "),
+          size(col("v")).cast("string"))).isNull)
       .withColumn("bk", srpBucket(col("v"), planes))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     v.as("x").join(v.as("y"),

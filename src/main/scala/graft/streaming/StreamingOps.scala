@@ -67,6 +67,14 @@ object StreamingOps {
     * joins same-user purchases in the preceding `window`. Both sides are
     * watermarked, so join state is evicted once the watermark passes the
     * interval bound — state stays bounded on an unbounded stream.
+    *
+    * Oracle-equality note (p24): equality with the BATCH interval join
+    * holds because the fixture source is a single parquet file and
+    * AvailableNow (no maxFilesPerTrigger) ingests all available files in
+    * ONE micro-batch — no event can arrive more than the 1h watermark
+    * out of order relative to state eviction. On a genuinely unbounded
+    * multi-batch stream the join is still correct streaming-wise, but
+    * matches straddling the watermark would be dropped by design.
     */
   def clickPurchaseJoin(events: DataFrame, window: String = "30 minutes"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
