@@ -39,7 +39,7 @@ object Pipeline {
     * so bit weights are emitted as literal constants (bit 63's weight is
     * Long.MinValue); the SUM runs in HUGEINT and is cast back to BIGINT.
     */
-  private val simhash64Cte: String = {
+  private[queries] val simhash64Cte: String = {
     val bitw = (0 until 64)
       .map(b => s"($b, CAST(${1L << b} AS BIGINT), CAST(${1L << (b % 16)} AS BIGINT))")
       .mkString(", ")
@@ -59,6 +59,27 @@ object Pipeline {
                   CAST(SUM(CASE WHEN s > 0 THEN bw ELSE 0 END) AS BIGINT) AS simhash,
                   $qkCols
               FROM bs JOIN bitw USING (bit) GROUP BY doc_id)"""
+  }
+
+  /** DuckDB CTE chain (appended after [[simhash64Cte]]) producing
+    * `spairs(a, b, hamming)` — the exact mirror of
+    * [[graft.ops.DedupOps.simhashPairs]] (banded buckets, size cap,
+    * any-surviving-bucket dedup). Shared by p09 and the p29 clustering
+    * oracle so the two can never drift.
+    */
+  private[queries] val simhashPairsCte: String = {
+    val blockSelects = (0 until 4).map(q =>
+      s"SELECT doc_id, $q AS q, qk$q AS qk FROM sig").mkString(" UNION ALL ")
+    s"""blocks AS ($blockSelects),
+      capped AS (SELECT * FROM blocks
+                 QUALIFY COUNT(*) OVER (PARTITION BY q, qk) BETWEEN 2 AND 1000),
+      spairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                        bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+                 FROM capped x
+                 JOIN capped y ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id
+                 JOIN sig sa ON sa.doc_id = x.doc_id
+                 JOIN sig sb ON sb.doc_id = y.doc_id
+                 WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3)"""
   }
 
   val all: Seq[Q] = Seq(
@@ -209,23 +230,11 @@ object Pipeline {
     // a pair survives if ANY surviving (non-capped) bucket contains it —
     // DISTINCT over the capped candidates mirrors the Spark-side
     // pair-key aggregation exactly
-    Q("p09_simhash_pairs", Some {
-      val blockSelects = (0 until 4).map(q =>
-        s"SELECT doc_id, $q AS q, qk$q AS qk FROM sig").mkString(" UNION ALL ")
-      s"""
+    Q("p09_simhash_pairs", Some(s"""
       WITH $simhash64Cte,
-      blocks AS ($blockSelects),
-      capped AS (SELECT * FROM blocks
-                 QUALIFY COUNT(*) OVER (PARTITION BY q, qk) BETWEEN 2 AND 1000)
-      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-             bit_count(xor(sa.simhash, sb.simhash)) AS hamming
-      FROM capped x
-      JOIN capped y ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id
-      JOIN sig sa ON sa.doc_id = x.doc_id
-      JOIN sig sb ON sb.doc_id = y.doc_id
-      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
-      ORDER BY a, b"""
-    }) { (spark, dir) =>
+      $simhashPairsCte
+      SELECT a, b, hamming FROM spairs
+      ORDER BY a, b""")) { (spark, dir) =>
       DedupOps.simhashPairs(Tables.load(spark, dir, "documents"),
           "doc_id", "text", maxHamming = 3, maxBucket = 1000)
         .orderBy(col("a"), col("b"))
