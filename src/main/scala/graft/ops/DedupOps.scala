@@ -238,4 +238,72 @@ object DedupOps {
       .groupBy(col("a"), col("b"))
       .agg(min(col("hamming")).as("hamming"))
   }
+
+  /** Connected components over an undirected pair list `(a, b)` —
+    * the step that turns near-dup PAIRS (jaccardPairs / lshCandidates /
+    * simhashPairs / embedding near-dups) into duplicate CLUSTERS, so a
+    * survivor can be picked per cluster.
+    *
+    * Algorithm: distributed min-label propagation with pointer jumping.
+    * Each round every node (1) hooks to the minimum label in its closed
+    * neighborhood, then (2) jumps: `lbl := lbl(lbl)`, halving the depth
+    * of every label chain. Hook alone needs O(diameter) rounds (a path
+    * graph degenerates to O(n)); the jump makes convergence
+    * O(log diameter) — the Shiloach–Vishkin shape, all bounded shuffles
+    * on the node key. NEVER a driver-side union-find: no component, node
+    * list, or edge list is ever collected.
+    *
+    * Per round: one join edges⋈labels + one groupBy (hook), one
+    * self-join (jump), one short-circuit `limit(1)` existence check for
+    * convergence. `localCheckpoint` truncates lineage each round so the
+    * plan does not grow with iterations (which would re-execute every
+    * prior round at each action — the classic iterative-DataFrame trap).
+    *
+    * Returns one row per node appearing in `pairs`: (n, lbl) where lbl
+    * is the component's minimum node id. Nodes with no pairs are absent;
+    * callers coalesce to self-labels (see p29).
+    */
+  def connectedComponents(pairs: DataFrame, a: String = "a", b: String = "b",
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, a, b, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took to
+    * converge — exposed so tests can assert the O(log diameter) bound.
+    * Throws if `maxIter` rounds pass without convergence (an unconverged
+    * labeling silently under-merges clusters; failing loudly wins).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, a: String, b: String, maxIter: Int): (DataFrame, Int) = {
+    val edges = pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
+    // symmetrized + deduped once, reused every round
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    var labels = sym.select(col("u").as("n")).distinct()
+      .select(col("n"), col("n").as("lbl")).localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      rounds += 1
+      // hook: adopt the minimum label over {self} ∪ neighbors
+      val nbr = sym.join(labels.select(col("n").as("v2"), col("lbl")),
+          col("v") === col("v2"))
+        .select(col("u").as("n"), col("lbl"))
+      val hooked = labels.union(nbr).groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
+      // jump: lbl := lbl(lbl). Labels are always node ids of the same
+      // component, so the lookup hits (left + coalesce only for safety)
+      val relab = hooked.select(col("n").as("ln"), col("lbl").as("llbl"))
+      val jumped = hooked.join(relab, hooked("lbl") === relab("ln"), "left")
+        .select(hooked("n").as("n"),
+          coalesce(col("llbl"), hooked("lbl")).as("lbl"))
+        .localCheckpoint()
+      // fixpoint test: any node whose label still moved this round?
+      converged = jumped.join(labels.select(col("n"), col("lbl").as("old")), "n")
+        .filter(col("lbl") =!= col("old")).limit(1).count() == 0L
+      labels = jumped
+    }
+    sym.unpersist()
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds")
+    (labels, rounds)
+  }
 }

@@ -240,6 +240,43 @@ object Pipeline {
         .orderBy(col("a"), col("b"))
     },
 
+    // ---- SimHash near-dup clustering + survivor selection -----------------
+    // pairs → connected components (distributed min-label propagation
+    // with pointer jumping, graft.ops.DedupOps.connectedComponents) →
+    // cluster id = min doc_id of the component; survivor = the min
+    // itself. Docs with no near-dup are their own singleton cluster.
+    // The oracle computes the same fixpoint with a recursive CTE over
+    // the SHARED spairs definition (simhashPairsCte), so p09 and p29
+    // can never drift.
+    Q("p29_neardup_clusters", Some(s"""
+      WITH RECURSIVE $simhash64Cte,
+      $simhashPairsCte,
+      esym AS (SELECT a AS u, b AS v FROM spairs
+               UNION SELECT b, a FROM spairs),
+      walk(u, v) AS (SELECT u, v FROM esym
+                     UNION
+                     SELECT wk.u, e.v FROM walk wk JOIN esym e ON wk.v = e.u),
+      lbl AS (SELECT u AS n, least(u, min(v)) AS cluster_id
+              FROM walk GROUP BY u)
+      SELECT d.doc_id,
+             coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+             CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id
+                  THEN 1 ELSE 0 END AS is_survivor
+      FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id
+      ORDER BY d.doc_id""")) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val pairs = DedupOps.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = 1000)
+      val cc = DedupOps.connectedComponents(pairs)
+      docs.select(col("doc_id"))
+        .join(cc.select(col("n").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+          when(coalesce(col("lbl"), col("doc_id")) === col("doc_id"), 1)
+            .otherwise(0).as("is_survivor"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- brute-force cosine top-k (exact ANN baseline) --------------------
     Q("p10_knn_bruteforce", Some("""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

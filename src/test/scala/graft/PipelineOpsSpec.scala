@@ -86,6 +86,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       maxHamming = 3, maxBucket = 1).count() == 0L)
   }
 
+  test("connectedComponents labels a path graph in O(log diameter) rounds") {
+    import spark.implicits._
+    // path 1-2-…-16 (diameter 15) plus a disjoint triangle {100,101,102}:
+    // plain min-label propagation needs ~15 rounds end to end; pointer
+    // jumping must land well under that
+    val pairs = ((1L until 16L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L))).toDF("a", "b")
+    val (labels, rounds) =
+      DedupOps.connectedComponentsWithRounds(pairs, "a", "b", maxIter = 25)
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 16L).forall(m(_) == 1L), "path collapses to min id 1")
+    assert((100L to 102L).forall(m(_) == 100L), "triangle keeps its own min")
+    assert(rounds <= 7,
+      s"pointer jumping should close a diameter-15 path in ≤7 rounds, took $rounds")
+  }
+
+  test("connectedComponents converges immediately on an empty pair list") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DedupOps.connectedComponents(empty).count() == 0L)
+  }
+
   test("quality/langId/fingerprint are deterministic and sane") {
     val r = docs.select(
       TextOps.qualityScore(col("text")).as("q"),
