@@ -122,15 +122,21 @@ object Pipeline2 {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(spark, dir, "documents")
       val nDocs = docs.count() // two-pass scalar, the scalable N source
-      val tf = docs
+      val tfRaw = docs
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      // NOTE: `tf` feeds both the df aggregation and the join, so its
-      // subtree executes twice (Spark does not dedupe common subplans).
-      // At production scale the tf table is persisted/checkpointed once;
-      // the agg+join shape is kept here because a count-over-window by
-      // term would buffer whole term partitions (skew-fragile at 100 TB)
+      // `tf` feeds both the df aggregation and the join; Spark does not
+      // dedupe common subplans, so unmaterialized it would tokenize the
+      // corpus TWICE (two full scans at 100 TB). localCheckpoint runs
+      // the tf subtree once and both consumers read the materialized
+      // partitions — the plan shows a ScanExistingRDD in place of the
+      // second scan+explode+agg. (The agg+join shape itself is kept
+      // because a count-over-window by term would buffer whole term
+      // partitions — skew-fragile at 100 TB; production would swap
+      // localCheckpoint for a reliable persist/checkpoint.)
+      val tf = if (spark.conf.getOption("graft.tfidf.singlePass")
+          .forall(_.toBoolean)) tfRaw.localCheckpoint() else tfRaw
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))

@@ -204,6 +204,18 @@ class EngineDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exceptionChain(e).exists(
       _.getMessage.contains("[Wasm Invocation Panic] unreachable")))
     engine.sql("DROP FUNCTION f_p")
+    // the reference asserts the session still answers the full golden
+    // query AFTER the trap (lib.rs:298-306) — recovery proven HERE, in
+    // the same test, so it cannot be lost to test-order shuffling
+    engine.sql(
+      "CREATE FUNCTION f1r(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS 'builtin!pow'")
+    val rows = engine.sql("select a, b, f1r(a,b) as f from t order by a").collect()
+    assert(rows === Array(
+      Row(2.0, 2.0, 4.0),
+      Row(3.0, 3.0, 27.0),
+      Row(4.0, 4.0, 256.0),
+      Row(5.0, 5.1, 3670.684197150057)))
+    engine.sql("DROP FUNCTION f1r")
   }
 
   test("bad locator '!method' rejected (lib.rs:102-109,172)") {
