@@ -32,10 +32,28 @@ object MultimodalOps {
       .otherwise("application/octet-stream")
   }
 
+  /** Image dimensions: REAL header parse for PNG (IHDR) and JPEG (SOF
+    * marker walk) via the native [[graft.functions.ImageDims]]
+    * expression — plain byte reads, no codec library, runs in the scan
+    * stage. Falls back to the deterministic hash-derived stub dims for
+    * payloads that are not parseable images (the fixture corpus carries
+    * text bytes as stand-in payloads), so the schema is total either
+    * way. Only the PIXEL decode remains a stub — dimensions are parsed
+    * for real (oracle-checked by p30 over structurally-real headers).
+    */
+  def decodeImage(blob: Column): Column = {
+    val packed = graft.functions.ImageDims.dims(blob)
+    val stub = decodeImageStub(blob)
+    struct(
+      coalesce(shiftright(packed, 32), stub.getField("width")).as("width"),
+      coalesce(packed.bitwiseAND(0xffffffffL), stub.getField("height")).as("height"),
+      lit(3).as("channels"))
+  }
+
   /** STUB image decode: derives deterministic (width, height, channels)
     * from the payload's portable hash instead of parsing a codec header
-    * (no image libs in this container). The schema and the scan-stage
-    * placement are exactly what a real header parse would use.
+    * (no image libs in this container) — the fallback branch of
+    * [[decodeImage]] for non-image payloads.
     */
   def decodeImageStub(blob: Column): Column = {
     val h = Portable.h32(blob.cast("string"))

@@ -43,7 +43,9 @@ object MultimodalQ {
       ORDER BY doc_id""")) { (spark, dir) =>
       val blob = col("text").cast("binary")
       val meta = MultimodalOps.blobMeta(blob)
-      val dec = MultimodalOps.decodeImageStub(blob)
+      // real header parse first; text payloads aren't images, so this
+      // resolves to the deterministic stub dims the oracle mirrors
+      val dec = MultimodalOps.decodeImage(blob)
       Tables.load(spark, dir, "documents")
         .select(col("doc_id"),
           meta.getField("nbytes").cast("long").as("nbytes"),
@@ -53,6 +55,45 @@ object MultimodalQ {
           dec.getField("width").as("width"),
           dec.getField("height").as("height"),
           dec.getField("channels").cast("long").as("channels"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- REAL image-header dimension parse -------------------------------
+    // Builds structurally-real containers in-query — a PNG signature +
+    // IHDR chunk for even doc_ids, an SOI + APP0/JFIF + SOF0 JPEG
+    // prefix for odd ones — with dimensions derived from doc_id, then
+    // recovers them by PARSING the bytes (graft.functions.ImageDims:
+    // IHDR fixed offsets / JPEG marker-segment walk). The oracle
+    // computes the dims arithmetically, so any drift between the
+    // encoder layout and the parser fails the hash compare. The JPEG
+    // side crosses the APP0 segment before SOF0, so the skip loop is
+    // exercised, not just fixed offsets.
+    Q("p30_image_dims", Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+             1 + doc_id % 1000 AS width,
+             1 + (doc_id * 31) % 1000 AS height
+      FROM documents
+      ORDER BY doc_id""")) { (spark, dir) =>
+      val w = (lit(1L) + col("doc_id") % 1000).cast("int")
+      val h = (lit(1L) + (col("doc_id") * 31) % 1000).cast("int")
+      // PNG: signature, IHDR length 13, "IHDR", BE32 width, BE32 height,
+      // bit depth 8, color type 6 (RGBA), compression/filter/interlace 0
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+      // JPEG: SOI, APP0 (len 16, JFIF\0, v1.1, no density/thumb), SOF0
+      // (len 17, precision 8, BE16 height, BE16 width, 3 components)
+      val jpgHex = concat(
+        lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+        lit("03012200021101031101"))
+      val blob = unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(jpgHex))
+      val dec = MultimodalOps.decodeImage(blob)
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          MultimodalOps.sniffMime(blob).as("mime"),
+          dec.getField("width").as("width"),
+          dec.getField("height").as("height"))
         .orderBy(col("doc_id"))
     },
 

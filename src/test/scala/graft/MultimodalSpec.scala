@@ -63,6 +63,45 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.sameElements(payloads.select(MultimodalOps.decodeImageStub(col("payload"))).collect()))
   }
 
+  test("ImageDims parses a real PNG IHDR and a JPEG SOF walk; garbage → NULL") {
+    import spark.implicits._
+    import graft.functions.ImageDims
+    // a REAL complete 1×1 RGBA PNG as produced by standard encoders
+    val png1x1 = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    assert(ImageDims.parse(png1x1) == ((1L << 32) | 1L))
+    // JPEG with APP0 + DQT before SOF0 (the segment walk must cross
+    // both) and a legal FF fill byte before the SOF marker; dims 7×5
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val jpeg = b(0xFF, 0xD8) ++
+      b(0xFF, 0xE0, 0x00, 0x10) ++ "JFIF".getBytes ++
+      b(0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++
+      b(0xFF, 0xDB, 0x00, 0x43, 0x00) ++ Array.fill[Byte](64)(1) ++
+      b(0xFF) ++ // fill padding
+      b(0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0x05, 0x00, 0x07, 0x03,
+        0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    assert(ImageDims.parse(jpeg) == ((7L << 32) | 5L))
+    // through the codegen'd expression + the decodeImage preference order
+    val df = Seq(("png", png1x1), ("jpeg", jpeg),
+      ("txt", "not an image at all".getBytes)).toDF("name", "payload")
+    val got = df.select(col("name"),
+        ImageDims.dims(col("payload")).as("packed"),
+        MultimodalOps.decodeImage(col("payload")).as("d"))
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          r.getStruct(2).getLong(0), r.getStruct(2).getLong(1))).toMap
+    assert(got("png") == ((Some((1L << 32) | 1L), 1L, 1L)))
+    assert(got("jpeg") == ((Some((7L << 32) | 5L), 7L, 5L)))
+    assert(got("txt")._1.isEmpty, "non-image bytes must not parse")
+    // non-images keep the deterministic stub fallback dims
+    assert(got("txt")._2 >= 64 && got("txt")._3 >= 64)
+    // truncation and empty input fail cleanly, never misread
+    assert(ImageDims.parse(png1x1.take(20)) == -1L)
+    assert(ImageDims.parse(Array.empty[Byte]) == -1L)
+    // a JPEG whose scan starts before any SOF frame header → no dims
+    assert(ImageDims.parse(b(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x02)) == -1L)
+  }
+
   test("sampleFramesStub emits n evenly-spaced deterministic frames per payload") {
     import spark.implicits._
     val df = Seq((1L, "0123456789abcdefABCDEF".getBytes),
