@@ -86,6 +86,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       maxHamming = 3, maxBucket = 1).count() == 0L)
   }
 
+  test("simhashPairs under adversarial skew: drops are observed and " +
+    "fan-out stays flat when the hot group doubles (scale evidence)") {
+    import spark.implicits._
+    def corpus(giantSize: Int) = (
+      (0 until giantSize).map(i =>
+        (i.toLong, "alpha beta gamma delta epsilon zeta eta theta")) ++
+      (1000 until 1003).map(i =>
+        (i.toLong, "completely different words about query engines here now"))
+    ).toDF("doc_id", "text")
+    // 60 identical docs = one oversized bucket in each of the 4 bands
+    // (C(60,2)=1770 would-be pairs); the cap must drop all of them and
+    // SAY SO via the observed metric, while the 3-copy group's pairs
+    // survive untouched
+    val pairs = DedupOps.simhashPairs(corpus(60), "doc_id", "text",
+      maxHamming = 3, maxBucket = 20)
+    val rows = pairs.collect()
+    assert(rows.length == 3, "only the small group's 3 pairs may survive")
+    assert(rows.forall(_.getAs[Long]("a") >= 1000L))
+    val m = pairs.queryExecution.observedMetrics.get("graft_simhash_buckets")
+    assert(m.exists(_.getAs[Long]("dropped_oversized") == 4L),
+      s"expected 4 dropped band buckets observed, got $m")
+    // the 100-TB property: doubling the hot group must NOT grow the
+    // output or the candidate volume — the cap keeps fan-out flat
+    assert(DedupOps.simhashPairs(corpus(120), "doc_id", "text",
+      maxHamming = 3, maxBucket = 20).count() == 3L)
+  }
+
   test("connectedComponents labels a path graph in O(log diameter) rounds") {
     import spark.implicits._
     // path 1-2-…-16 (diameter 15) plus a disjoint triangle {100,101,102}:
