@@ -100,6 +100,22 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Non-overlapping n-token segments (the fixture has no newlines, so
+    * fixed token windows stand in for lines/paragraphs as the unit of
+    * corpus-level segment dedup). Empty array under n tokens. Mirror:
+    * `[array_to_string(ws[(i*n+1):(i*n+n)], ' ')
+    *    for i in generate_series(0, len(ws)//n - 1)]`.
+    */
+  def segments(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    // size/n on non-negative ints: exact double division, cast truncates = floor
+    val nSegs = (size(w) / n).cast("int")
+    when(size(w) >= n,
+      transform(sequence(lit(0), nSegs - 1),
+        i => concat_ws(" ", slice(w, i * n + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Rolling-hash document fingerprint: (min, max) portable hash over
     * 3-gram shingles plus the normalized content hash. Near-identical
     * docs share min/max with high probability; exact dups share all 3.

@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Portable, TextOps}
+
+/** Training-data pipeline operators, part 3: the corpus-curation steps a
+  * 100 TB pretraining build runs between raw scrape and tokenizer —
+  * Gopher-style repetition filters, benchmark decontamination, CCNet-style
+  * corpus-level segment dedup, stratified domain mixing, and int8
+  * embedding quantization.
+  *
+  * All ratio outputs are SCALED INTEGERS (ppm / permille via floor
+  * division) and all sums run over exact integers, so every oracle is
+  * bit-exact cross-engine — no float rounding at any compare boundary.
+  * The fixture has no newlines, so non-overlapping 8-token segments
+  * ([[TextOps.segments]]) stand in for lines/paragraphs.
+  */
+object Pipeline3 {
+
+  /** DuckDB: lowercased whitespace tokens of `documents.text`. */
+  private val wsSql = raw"string_split_regex(lower(text), '\s+')"
+
+  /** DuckDB: word n-gram shingles over a token list `ws` (same shape as
+    * [[TextOps.shingles]]).
+    */
+  private def shinglesSql(ws: String, n: Int): String =
+    s"CASE WHEN len($ws) >= $n THEN [array_to_string($ws[i:i+${n - 1}], ' ') " +
+      s"for i in generate_series(1, len($ws)-${n - 1})] ELSE [] END"
+
+  /** DuckDB: non-overlapping n-token segments (mirror of
+    * [[TextOps.segments]]).
+    */
+  private def segmentsSql(ws: String, n: Int): String =
+    s"CASE WHEN len($ws) >= $n THEN [array_to_string($ws[(i*$n+1):(i*$n+$n)], ' ') " +
+      s"for i in generate_series(0, len($ws)//$n - 1)] ELSE [] END"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Gopher-style repetition filters -----------------------------------
+    // Per-doc repetition signals (most-frequent-token share, duplicate
+    // word-bigram share, duplicate 8-token-segment share) as ppm via
+    // floor division. Everything is a higher-order array expression on
+    // the row itself — zero shuffle, embarrassingly parallel, scales
+    // with the scan. The O(distinct·n) mode count is per-document CPU
+    // (docs are bounded), the deliberate trade against a corpus-wide
+    // (doc_id, token) shuffle.
+    Q("p31_repetition_stats", Some(s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      b AS (SELECT doc_id, ws, ${shinglesSql("ws", 2)} AS bg,
+                   ${segmentsSql("ws", 8)} AS segs
+            FROM w)
+      SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_tokens,
+        CAST(list_max(list_transform(list_distinct(ws),
+               t -> len(list_filter(ws, x -> x = t)))) * 1000000 // len(ws) AS BIGINT)
+          AS top_token_ppm,
+        CAST(CASE WHEN len(bg) = 0 THEN 0
+                  ELSE (len(bg) - len(list_distinct(bg))) * 1000000 // len(bg) END AS BIGINT)
+          AS dup_bigram_ppm,
+        CAST(CASE WHEN len(segs) = 0 THEN 0
+                  ELSE (len(segs) - len(list_distinct(segs))) * 1000000 // len(segs) END AS BIGINT)
+          AS dup_seg_ppm
+      FROM b ORDER BY doc_id""")) { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"),
+          TextOps.shingles(col("text"), 2).as("bg"),
+          TextOps.segments(col("text"), 8).as("segs"))
+        .select(col("doc_id"),
+          expr("CAST(size(ws) AS BIGINT)").as("n_tokens"),
+          // CASTs before multiply: size() is INT and 5000 tokens * 1e6
+          // would wrap a 32-bit int silently
+          expr("""CAST(array_max(transform(array_distinct(ws),
+                    t -> size(filter(ws, x -> x = t)))) AS BIGINT)
+                  * 1000000 div CAST(size(ws) AS BIGINT)""").as("top_token_ppm"),
+          expr("""CASE WHEN size(bg) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(size(bg) - size(array_distinct(bg)) AS BIGINT)
+                       * 1000000 div CAST(size(bg) AS BIGINT) END""").as("dup_bigram_ppm"),
+          expr("""CASE WHEN size(segs) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(size(segs) - size(array_distinct(segs)) AS BIGINT)
+                       * 1000000 div CAST(size(segs) AS BIGINT) END""").as("dup_seg_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- benchmark decontamination -----------------------------------------
+    // The eval-set leakage check every training corpus needs: the
+    // benchmark set (deterministic fixture subset doc_id % 50 = 0)
+    // contributes its distinct 3-gram shingles; each train doc reports
+    // how many of its distinct shingles appear in any benchmark doc.
+    // Plan: the benchmark branch's doc_id filter is pushed below the
+    // explode, so it tokenizes ~2% of the corpus; the result is tiny →
+    // broadcast to the train-side stream. One shuffle (per-doc counts).
+    Q("p32_decontam", Some(s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      sh AS (SELECT doc_id, unnest(${shinglesSql("ws", 3)}) AS s FROM w),
+      ds AS (SELECT DISTINCT doc_id, s FROM sh),
+      bench AS (SELECT DISTINCT s FROM ds WHERE doc_id % 50 = 0),
+      train AS (SELECT doc_id, s FROM ds WHERE doc_id % 50 <> 0),
+      cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM train GROUP BY doc_id),
+      hit AS (SELECT doc_id, COUNT(*) AS n_contam
+              FROM train JOIN bench USING (s) GROUP BY doc_id)
+      SELECT c.doc_id, c.n_sh, coalesce(h.n_contam, 0) AS n_contam,
+             CAST(coalesce(h.n_contam, 0) * 1000000 // c.n_sh AS BIGINT) AS contam_ppm,
+             CASE WHEN coalesce(h.n_contam, 0) * 1000000 // c.n_sh >= 100000
+                  THEN 1 ELSE 0 END AS flagged
+      FROM cnt c LEFT JOIN hit h ON h.doc_id = c.doc_id
+      ORDER BY c.doc_id""")) { (spark, dir) =>
+      val ds = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("s"))
+        .distinct()
+      val bench = ds.filter(col("doc_id") % 50 === 0).select(col("s")).distinct()
+      val train = ds.filter(col("doc_id") % 50 =!= 0)
+      val cnt = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val hit = train.join(broadcast(bench), "s")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+      cnt.join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_contam"), lit(0L)).as("n_contam"))
+        .withColumn("contam_ppm", expr("n_contam * 1000000 div n_sh"))
+        .withColumn("flagged",
+          when(col("contam_ppm") >= 100000, 1).otherwise(0))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- corpus-level segment dedup (CCNet-style) --------------------------
+    // Every 8-token segment is kept only at its FIRST corpus position
+    // (min (doc_id, idx)); later copies anywhere in the corpus are
+    // removed. Output: per-doc survivor counts + md5 of the kept text,
+    // so the rewritten corpus itself is oracle-checked, not just counts.
+    // Plan: ONE shuffle on the segment string to find first positions,
+    // join back, per-doc agg. The segment stream feeds both sides;
+    // localCheckpoint (flagged, default on — p25 convention) runs
+    // tokenization once instead of twice at 100 TB.
+    Q("p33_segment_dedup", Some(s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      segd AS (SELECT doc_id, ${segmentsSql("ws", 8)} AS segs FROM w),
+      seg AS (SELECT doc_id, unnest(generate_series(1, len(segs))) AS idx,
+                     unnest(segs) AS seg FROM segd),
+      firsts AS (SELECT seg, min(doc_id * 1000000 + idx) AS first_pos
+                 FROM seg GROUP BY seg),
+      k AS (SELECT s.doc_id, s.idx, s.seg,
+                   CASE WHEN s.doc_id * 1000000 + s.idx = f.first_pos
+                        THEN 1 ELSE 0 END AS keep
+            FROM seg s JOIN firsts f USING (seg)),
+      agg AS (SELECT doc_id, COUNT(*) AS n_segs, CAST(SUM(keep) AS BIGINT) AS n_kept,
+                     md5(coalesce(string_agg(CASE WHEN keep = 1 THEN seg END,
+                                             ' ' ORDER BY idx), '')) AS kept_md5
+              FROM k GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.n_segs, 0) AS n_segs,
+             coalesce(a.n_kept, 0) AS n_kept,
+             coalesce(a.kept_md5, md5('')) AS kept_md5
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id""")) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val segRaw = docs
+        .select(col("doc_id"), posexplode(TextOps.segments(col("text"), 8))
+          .as(Seq("i0", "seg")))
+        .select(col("doc_id"), (col("i0") + 1).as("idx"), col("seg"))
+      val seg = if (spark.conf.getOption("graft.segdedup.singlePass")
+          .forall(_.toBoolean)) segRaw.localCheckpoint() else segRaw
+      val pos = col("doc_id") * 1000000 + col("idx")
+      val firsts = seg.groupBy(col("seg")).agg(min(pos).as("first_pos"))
+      val agg = seg.join(firsts, "seg")
+        .withColumn("keep", when(pos === col("first_pos"), 1).otherwise(0))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"), sum(col("keep")).cast("long").as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("keep") === 1,
+              struct(col("idx"), col("seg"))))),
+            s => s.getField("seg")), " ")).as("kept_md5"))
+      docs.select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- stratified domain mixing ------------------------------------------
+    // Per-source target sampling rates (deterministic permille derived
+    // from the source index) applied via the salted portable hash —
+    // reproducible on any fleet, no rand(). Output audits target vs
+    // realized rate per source. Pure scan filter + one tiny shuffle.
+    Q("p34_domain_mix", Some(s"""
+      WITH d AS (SELECT doc_id, source,
+                        CAST(substr(source, 4) AS INTEGER) AS si FROM documents),
+      t AS (SELECT doc_id, source, 100 + (si * 97) % 800 AS target_permille,
+                   CASE WHEN ${Portable.h60Sql("concat('mix:', CAST(doc_id AS VARCHAR))")} % 1000
+                        < 100 + (si * 97) % 800 THEN 1 ELSE 0 END AS kept
+            FROM d)
+      SELECT source, CAST(target_permille AS BIGINT) AS target_permille,
+             COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept,
+             CAST(CAST(SUM(kept) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS realized_permille
+      FROM t GROUP BY source, target_permille
+      ORDER BY source""")) { (spark, dir) =>
+      val si = substring(col("source"), 4, 10).cast("int")
+      val target = (lit(100) + (si * 97) % 800).cast("long")
+      val kept = when(Portable.h60(concat(lit("mix:"),
+        col("doc_id").cast("string"))) % 1000 < target, 1).otherwise(0)
+      Tables.load(spark, dir, "documents")
+        .select(col("source"), target.as("target_permille"), kept.as("kept"))
+        .groupBy(col("source"), col("target_permille"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).cast("long").as("n_kept"))
+        .withColumn("realized_permille", expr("n_kept * 1000 div n_docs"))
+        .orderBy(col("source"))
+    },
+
+    // ---- int8 embedding quantization ---------------------------------------
+    // Per-dimension min/max scalar quantization to 0..255 — the memory
+    // layout ANN serving uses. All arithmetic is integer micro-units
+    // (round(x*1e6) as BIGINT), so quantized codes AND reconstruction
+    // error are bit-exact cross-engine. Plan: pass 1 = 64-row stats agg
+    // (broadcast back), pass 2 = quantize + per-vector agg — the
+    // standard two-pass shape; the stats join is a broadcast, never a
+    // shuffle of the vectors.
+    Q("p35_quantize_int8", Some("""
+      WITH c AS (SELECT vec_id, i, CAST(round(v[i] * 1000000) AS BIGINT) AS ri
+                 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                      generate_series(1, 64) t(i)),
+      st AS (SELECT i, min(ri) AS lo, max(ri) AS hi FROM c GROUP BY i),
+      q AS (SELECT vec_id, c.i,
+                   CASE WHEN hi = lo THEN 0
+                        ELSE (ri - lo) * 255 // (hi - lo) END AS qv,
+                   CASE WHEN hi = lo THEN abs(ri - lo)
+                        ELSE abs(ri - (lo + ((ri - lo) * 255 // (hi - lo)) * (hi - lo) // 255))
+                        END AS err
+            FROM c JOIN st ON st.i = c.i)
+      SELECT vec_id, md5(string_agg(CAST(qv AS VARCHAR), ',' ORDER BY i)) AS q_md5,
+             CAST(SUM(qv) AS BIGINT) AS sum_q, CAST(SUM(err) AS BIGINT) AS sum_err
+      FROM q GROUP BY vec_id ORDER BY vec_id""")) { (spark, dir) =>
+      val c = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("i0", "x")))
+        .select(col("vec_id"), (col("i0") + 1).as("i"),
+          round(col("x") * 1000000, 0).cast("long").as("ri"))
+      val st = c.groupBy(col("i")).agg(min(col("ri")).as("lo"), max(col("ri")).as("hi"))
+      c.join(broadcast(st), "i")
+        .select(col("vec_id"), col("i"),
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(expr("(ri - lo) * 255 div (hi - lo)")).as("qv"),
+          when(col("hi") === col("lo"), abs(col("ri") - col("lo")))
+            .otherwise(expr(
+              "abs(ri - (lo + ((ri - lo) * 255 div (hi - lo)) * (hi - lo) div 255))"))
+            .as("err"))
+        .groupBy(col("vec_id"))
+        .agg(
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("i"), col("qv")))),
+            s => s.getField("qv").cast("string")), ",")).as("q_md5"),
+          sum(col("qv")).as("sum_q"), sum(col("err")).as("sum_err"))
+        .orderBy(col("vec_id"))
+    }
+  )
+}

@@ -199,4 +199,83 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(ivf.length == 1 && ivf.head.getAs[Long]("vec_id") == 3L)
   }
+
+  test("segments: non-overlapping windows, tail dropped, empty under n") {
+    import spark.implicits._
+    val t = Seq(
+      "a b c d e f g h i j", // 10 tokens → one 8-token segment, tail dropped
+      "a b c d e f g h a b c d e f g h x", // 17 → two identical segments
+      "too short" // 2 tokens → empty
+    ).toDF("text")
+    val out = t.select(TextOps.segments(col("text"), 8).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c d e f g h"))
+    assert(out(1) == Seq("a b c d e f g h", "a b c d e f g h"))
+    assert(out(2).isEmpty)
+  }
+
+  test("p33 segment dedup keeps only the first corpus occurrence") {
+    // doc 1 and doc 2 share their first segment; doc 2's copy must be
+    // removed (first_pos is doc 1), its unique second segment kept.
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h p q r s t u v w")
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"${sys.props("java.io.tmpdir")}/p33fix_${queries.runToken}/documents.parquet")
+    val dir = s"${sys.props("java.io.tmpdir")}/p33fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    val out = SparkEntry.queries("p33_segment_dedup")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"))).toSeq
+    assert(out == Seq((1L, 1L, 1L), (2L, 2L, 1L)))
+  }
+
+  test("p35 quantization: constant dimension hits the hi=lo guard with " +
+    "zero error") {
+    import spark.implicits._
+    // dim 1 constant across vectors → hi=lo → qv=0, err=0 (not div-by-0)
+    Seq(
+      (0L, Array(0.5f, 1.0f), 0),
+      (1L, Array(0.5f, -1.0f), 0)
+    ).toDF("vec_id", "embedding", "label").write.mode("overwrite")
+      .parquet(s"${sys.props("java.io.tmpdir")}/p35fix_${queries.runToken}/embeddings.parquet")
+    val dir = s"${sys.props("java.io.tmpdir")}/p35fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    val c = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        round(col("x") * 1000000, 0).cast("long").as("ri"))
+    val st = c.groupBy(col("i")).agg(min(col("ri")).as("lo"), max(col("ri")).as("hi"))
+    val q = c.join(broadcast(st), "i")
+      .select(col("vec_id"), col("i"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(expr("(ri - lo) * 255 div (hi - lo)")).as("qv"),
+        when(col("hi") === col("lo"), abs(col("ri") - col("lo")))
+          .otherwise(expr(
+            "abs(ri - (lo + ((ri - lo) * 255 div (hi - lo)) * (hi - lo) div 255))"))
+          .as("err"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("i"),
+        r.getAs[Long]("qv"), r.getAs[Long]("err"))).toSet
+    // dim 1 (constant 0.5): qv=0 err=0 for both; dim 2: lo=-1e6 hi=1e6 →
+    // 1.0 → q=255 recon exact, -1.0 → q=0 recon exact
+    assert(q == Set((0L, 1L, 0L, 0L), (1L, 1L, 0L, 0L),
+      (0L, 2L, 255L, 0L), (1L, 2L, 0L, 0L)))
+  }
+
+  test("p31 repetition stats: planted repetition is measured exactly") {
+    import spark.implicits._
+    Seq((1L, "x x x x y y z w")) // 8 tokens, top token x=4
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"${sys.props("java.io.tmpdir")}/p31fix_${queries.runToken}/documents.parquet")
+    val dir = s"${sys.props("java.io.tmpdir")}/p31fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    val r = SparkEntry.queries("p31_repetition_stats")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_tokens") == 8L)
+    assert(r.getAs[Long]("top_token_ppm") == 500000L) // 4*1e6 div 8
+    // bigrams: 7 total, "x x" appears 3× → 2 duplicates → 2*1e6 div 7
+    assert(r.getAs[Long]("dup_bigram_ppm") == 285714L)
+    assert(r.getAs[Long]("dup_seg_ppm") == 0L) // single segment
+  }
 }
