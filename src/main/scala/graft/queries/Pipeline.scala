@@ -16,13 +16,13 @@ import graft.ops.{DedupOps, Portable, SimilarityOps, TextOps}
   */
 object Pipeline {
 
-  /** DuckDB: lowercased whitespace tokens of `documents.text`. */
-  private val wsSql = raw"string_split_regex(lower(text), '\s+')"
+  /** DuckDB: lowercased whitespace tokens of `documents.text` (shared
+    * [[TextSql]] mirror — one definition repo-wide, so oracles can't drift).
+    */
+  private val wsSql = TextSql.ws
 
   /** DuckDB: 3-gram shingles over tokens `ws`. */
-  private val shinglesSql =
-    "CASE WHEN len(ws) >= 3 THEN [array_to_string(ws[i:i+2], ' ') " +
-      "for i in generate_series(1, len(ws)-2)] ELSE [] END"
+  private val shinglesSql = TextSql.shingles("ws", 3)
 
   /** DuckDB CTE producing (doc_id, s): distinct 3-gram shingles. */
   private val distinctShinglesCte =

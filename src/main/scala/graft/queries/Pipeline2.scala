@@ -12,8 +12,8 @@ import graft.ops.{Portable, SimilarityOps, TextOps}
   */
 object Pipeline2 {
 
-  /** DuckDB: lowercased whitespace tokens of `documents.text`. */
-  private val wsSql = raw"string_split_regex(lower(text), '\s+')"
+  /** DuckDB: lowercased whitespace tokens (shared [[TextSql]] mirror). */
+  private val wsSql = TextSql.ws
 
   val all: Seq[Q] = Seq(
 

@@ -17,22 +17,12 @@ import graft.ops.{Portable, TextOps}
   */
 object Pipeline3 {
 
-  /** DuckDB: lowercased whitespace tokens of `documents.text`. */
-  private val wsSql = raw"string_split_regex(lower(text), '\s+')"
-
-  /** DuckDB: word n-gram shingles over a token list `ws` (same shape as
-    * [[TextOps.shingles]]).
+  /** DuckDB mirrors — all from the shared [[TextSql]] object (one
+    * definition repo-wide, so oracles can't drift from `TextOps`).
     */
-  private def shinglesSql(ws: String, n: Int): String =
-    s"CASE WHEN len($ws) >= $n THEN [array_to_string($ws[i:i+${n - 1}], ' ') " +
-      s"for i in generate_series(1, len($ws)-${n - 1})] ELSE [] END"
-
-  /** DuckDB: non-overlapping n-token segments (mirror of
-    * [[TextOps.segments]]).
-    */
-  private def segmentsSql(ws: String, n: Int): String =
-    s"CASE WHEN len($ws) >= $n THEN [array_to_string($ws[(i*$n+1):(i*$n+$n)], ' ') " +
-      s"for i in generate_series(0, len($ws)//$n - 1)] ELSE [] END"
+  private val wsSql = TextSql.ws
+  private def shinglesSql(ws: String, n: Int): String = TextSql.shingles(ws, n)
+  private def segmentsSql(ws: String, n: Int): String = TextSql.segments(ws, n)
 
   val all: Seq[Q] = Seq(
 
@@ -87,8 +77,11 @@ object Pipeline3 {
     // contributes its distinct 3-gram shingles; each train doc reports
     // how many of its distinct shingles appear in any benchmark doc.
     // Plan: the benchmark branch's doc_id filter is pushed below the
-    // explode, so it tokenizes ~2% of the corpus; the result is tiny →
-    // broadcast to the train-side stream. One shuffle (per-doc counts).
+    // explode, so it tokenizes ~2% of the corpus. No forced broadcast:
+    // a real eval suite is small and auto-broadcasts under the
+    // threshold, but the hint is left to the optimizer because this
+    // derived set grows with the corpus — forcing it would OOM the
+    // driver at scale. One shuffle (per-doc counts).
     Q("p32_decontam", Some(s"""
       WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
       sh AS (SELECT doc_id, unnest(${shinglesSql("ws", 3)}) AS s FROM w),
@@ -110,7 +103,7 @@ object Pipeline3 {
       val bench = ds.filter(col("doc_id") % 50 === 0).select(col("s")).distinct()
       val train = ds.filter(col("doc_id") % 50 =!= 0)
       val cnt = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val hit = train.join(broadcast(bench), "s")
+      val hit = train.join(bench, "s")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
       cnt.join(hit, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_sh"),
@@ -135,10 +128,10 @@ object Pipeline3 {
       segd AS (SELECT doc_id, ${segmentsSql("ws", 8)} AS segs FROM w),
       seg AS (SELECT doc_id, unnest(generate_series(1, len(segs))) AS idx,
                      unnest(segs) AS seg FROM segd),
-      firsts AS (SELECT seg, min(doc_id * 1000000 + idx) AS first_pos
+      firsts AS (SELECT seg, min({'d': doc_id, 'i': idx}) AS first_pos
                  FROM seg GROUP BY seg),
       k AS (SELECT s.doc_id, s.idx, s.seg,
-                   CASE WHEN s.doc_id * 1000000 + s.idx = f.first_pos
+                   CASE WHEN {'d': s.doc_id, 'i': s.idx} = f.first_pos
                         THEN 1 ELSE 0 END AS keep
             FROM seg s JOIN firsts f USING (seg)),
       agg AS (SELECT doc_id, COUNT(*) AS n_segs, CAST(SUM(keep) AS BIGINT) AS n_kept,
@@ -157,7 +150,10 @@ object Pipeline3 {
         .select(col("doc_id"), (col("i0") + 1).as("idx"), col("seg"))
       val seg = if (spark.conf.getOption("graft.segdedup.singlePass")
           .forall(_.toBoolean)) segRaw.localCheckpoint() else segRaw
-      val pos = col("doc_id") * 1000000 + col("idx")
+      // lexicographic struct min: collision-free first position for ANY
+      // doc length (an integer encoding like doc_id*1e6+idx would alias
+      // past 1M segments/doc — silent corruption at raw-scrape scale)
+      val pos = struct(col("doc_id"), col("idx"))
       val firsts = seg.groupBy(col("seg")).agg(min(pos).as("first_pos"))
       val agg = seg.join(firsts, "seg")
         .withColumn("keep", when(pos === col("first_pos"), 1).otherwise(0))
@@ -183,7 +179,7 @@ object Pipeline3 {
     // realized rate per source. Pure scan filter + one tiny shuffle.
     Q("p34_domain_mix", Some(s"""
       WITH d AS (SELECT doc_id, source,
-                        CAST(substr(source, 4) AS INTEGER) AS si FROM documents),
+                        TRY_CAST(substr(source, 4) AS INTEGER) AS si FROM documents),
       t AS (SELECT doc_id, source, 100 + (si * 97) % 800 AS target_permille,
                    CASE WHEN ${Portable.h60Sql("concat('mix:', CAST(doc_id AS VARCHAR))")} % 1000
                         < 100 + (si * 97) % 800 THEN 1 ELSE 0 END AS kept
@@ -193,7 +189,9 @@ object Pipeline3 {
              CAST(CAST(SUM(kept) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS realized_permille
       FROM t GROUP BY source, target_permille
       ORDER BY source""")) { (spark, dir) =>
-      val si = substring(col("source"), 4, 10).cast("int")
+      // full suffix (no length cap) + NULL on malformed, matching the
+      // oracle's TRY_CAST — both engines agree on any future source shape
+      val si = expr("substr(source, 4)").cast("int")
       val target = (lit(100) + (si * 97) % 800).cast("long")
       val kept = when(Portable.h60(concat(lit("mix:"),
         col("doc_id").cast("string"))) % 1000 < target, 1).otherwise(0)
@@ -214,9 +212,10 @@ object Pipeline3 {
     // standard two-pass shape; the stats join is a broadcast, never a
     // shuffle of the vectors.
     Q("p35_quantize_int8", Some("""
-      WITH c AS (SELECT vec_id, i, CAST(round(v[i] * 1000000) AS BIGINT) AS ri
-                 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-                      generate_series(1, 64) t(i)),
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cx AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS i,
+                    unnest(v) AS x FROM v),
+      c AS (SELECT vec_id, i, CAST(round(x * 1000000) AS BIGINT) AS ri FROM cx),
       st AS (SELECT i, min(ri) AS lo, max(ri) AS hi FROM c GROUP BY i),
       q AS (SELECT vec_id, c.i,
                    CASE WHEN hi = lo THEN 0

@@ -85,6 +85,19 @@ package queries {
     private def inList(words: Seq[String]): String =
       words.map(w => s"'$w'").mkString(",")
 
+    /** Mirror of [[TextOps.tokens]] over `documents.text`. */
+    val ws: String = raw"string_split_regex(lower(text), '\s+')"
+
+    /** Mirror of [[TextOps.shingles]] over a token-list expression. */
+    def shingles(ws: String, n: Int): String =
+      s"CASE WHEN len($ws) >= $n THEN [array_to_string($ws[i:i+${n - 1}], ' ') " +
+        s"for i in generate_series(1, len($ws)-${n - 1})] ELSE [] END"
+
+    /** Mirror of [[TextOps.segments]] over a token-list expression. */
+    def segments(ws: String, n: Int): String =
+      s"CASE WHEN len($ws) >= $n THEN [array_to_string($ws[(i*$n+1):(i*$n+$n)], ' ') " +
+        s"for i in generate_series(0, len($ws)//$n - 1)] ELSE [] END"
+
     /** Mirror of [[TextOps.stopwordRatio]]'s hit count over `ws`. */
     def stopHits(ws: String): String =
       s"len(list_filter($ws, t -> t IN (${inList(TextOps.stopwords)})))"

@@ -234,7 +234,9 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("p35 quantization: constant dimension hits the hi=lo guard with " +
     "zero error") {
     import spark.implicits._
-    // dim 1 constant across vectors → hi=lo → qv=0, err=0 (not div-by-0)
+    // dim 1 constant across vectors → hi=lo → qv=0, err=0 (not div-by-0);
+    // dim 2 spans [-1,1] → 1.0→255 and -1.0→0, both reconstructed exactly.
+    // Drives the SHIPPED query (dimension-agnostic), not a copy of it.
     Seq(
       (0L, Array(0.5f, 1.0f), 0),
       (1L, Array(0.5f, -1.0f), 0)
@@ -242,26 +244,15 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet(s"${sys.props("java.io.tmpdir")}/p35fix_${queries.runToken}/embeddings.parquet")
     val dir = s"${sys.props("java.io.tmpdir")}/p35fix_${queries.runToken}"
     queries.cleanupAtExit(dir)
-    val c = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
-        .as(Seq("i0", "x")))
-      .select(col("vec_id"), (col("i0") + 1).as("i"),
-        round(col("x") * 1000000, 0).cast("long").as("ri"))
-    val st = c.groupBy(col("i")).agg(min(col("ri")).as("lo"), max(col("ri")).as("hi"))
-    val q = c.join(broadcast(st), "i")
-      .select(col("vec_id"), col("i"),
-        when(col("hi") === col("lo"), lit(0L))
-          .otherwise(expr("(ri - lo) * 255 div (hi - lo)")).as("qv"),
-        when(col("hi") === col("lo"), abs(col("ri") - col("lo")))
-          .otherwise(expr(
-            "abs(ri - (lo + ((ri - lo) * 255 div (hi - lo)) * (hi - lo) div 255))"))
-          .as("err"))
-      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("i"),
-        r.getAs[Long]("qv"), r.getAs[Long]("err"))).toSet
-    // dim 1 (constant 0.5): qv=0 err=0 for both; dim 2: lo=-1e6 hi=1e6 →
-    // 1.0 → q=255 recon exact, -1.0 → q=0 recon exact
-    assert(q == Set((0L, 1L, 0L, 0L), (1L, 1L, 0L, 0L),
-      (0L, 2L, 255L, 0L), (1L, 2L, 0L, 0L)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val out = SparkEntry.queries("p35_quantize_int8")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("q_md5"),
+        r.getAs[Long]("sum_q"), r.getAs[Long]("sum_err"))).toSeq
+    assert(out == Seq(
+      (0L, md5hex("0,255"), 255L, 0L),
+      (1L, md5hex("0,0"), 0L, 0L)))
   }
 
   test("p31 repetition stats: planted repetition is measured exactly") {
