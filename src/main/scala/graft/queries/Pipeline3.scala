@@ -51,7 +51,7 @@ object Pipeline3 {
                   ELSE (len(segs) - len(list_distinct(segs))) * 1000000 // len(segs) END AS BIGINT)
           AS dup_seg_ppm
       FROM b ORDER BY doc_id""")) { (spark, dir) =>
-      Tables.load(spark, dir, "documents")
+      Tables.spread(Tables.load(spark, dir, "documents"))
         .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"),
           TextOps.shingles(col("text"), 2).as("bg"),
           TextOps.segments(col("text"), 8).as("segs"))
@@ -76,12 +76,18 @@ object Pipeline3 {
     // benchmark set (deterministic fixture subset doc_id % 50 = 0)
     // contributes its distinct 3-gram shingles; each train doc reports
     // how many of its distinct shingles appear in any benchmark doc.
-    // Plan: the benchmark branch's doc_id filter is pushed below the
-    // explode, so it tokenizes ~2% of the corpus. No forced broadcast:
-    // a real eval suite is small and auto-broadcasts under the
-    // threshold, but the hint is left to the optimizer because this
-    // derived set grows with the corpus — forcing it would OOM the
-    // driver at scale. One shuffle (per-doc counts).
+    // Plan shape (the scale-critical part): per-doc DISTINCT is
+    // `array_distinct` on the shingle array — a row-local expression,
+    // so the corpus-wide (doc_id, shingle) distinct SHUFFLE the naive
+    // formulation needs never happens. Per-doc shingle counts come from
+    // `size(shs)` on the same array — no groupBy. The tokenized corpus
+    // is localCheckpoint'ed once (cluster analog: persist DISK_ONLY)
+    // because three consumers read it; without that, Spark re-tokenizes
+    // the corpus three times. The only remaining shuffles are over the
+    // ~2% benchmark branch and the contaminated-hit counts. No forced
+    // broadcast on the join: a real eval suite is small and
+    // auto-broadcasts under the threshold, but this derived set grows
+    // with the corpus — forcing it would OOM the driver at scale.
     Q("p32_decontam", Some(s"""
       WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
       sh AS (SELECT doc_id, unnest(${shinglesSql("ws", 3)}) AS s FROM w),
@@ -97,13 +103,15 @@ object Pipeline3 {
                   THEN 1 ELSE 0 END AS flagged
       FROM cnt c LEFT JOIN hit h ON h.doc_id = c.doc_id
       ORDER BY c.doc_id""")) { (spark, dir) =>
-      val ds = Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("s"))
-        .distinct()
-      val bench = ds.filter(col("doc_id") % 50 === 0).select(col("s")).distinct()
-      val train = ds.filter(col("doc_id") % 50 =!= 0)
-      val cnt = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val hit = train.join(bench, "s")
+      val sh = Tables.spread(Tables.load(spark, dir, "documents"))
+        .select(col("doc_id"), array_distinct(TextOps.shingles(col("text"), 3)).as("shs"))
+        .localCheckpoint()
+      val bench = sh.filter(col("doc_id") % 50 === 0)
+        .select(explode(col("shs")).as("s")).distinct()
+      val train = sh.filter(col("doc_id") % 50 =!= 0)
+      val cnt = train.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+      val hit = train.select(col("doc_id"), explode(col("shs")).as("s"))
+        .join(bench, "s")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
       cnt.join(hit, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_sh"),
@@ -143,7 +151,7 @@ object Pipeline3 {
              coalesce(a.kept_md5, md5('')) AS kept_md5
       FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY doc_id""")) { (spark, dir) =>
-      val docs = Tables.load(spark, dir, "documents")
+      val docs = Tables.spread(Tables.load(spark, dir, "documents"))
       val segRaw = docs
         .select(col("doc_id"), posexplode(TextOps.segments(col("text"), 8))
           .as(Seq("i0", "seg")))
@@ -195,7 +203,7 @@ object Pipeline3 {
       val target = (lit(100) + (si * 97) % 800).cast("long")
       val kept = when(Portable.h60(concat(lit("mix:"),
         col("doc_id").cast("string"))) % 1000 < target, 1).otherwise(0)
-      Tables.load(spark, dir, "documents")
+      Tables.spread(Tables.load(spark, dir, "documents"))
         .select(col("source"), target.as("target_permille"), kept.as("kept"))
         .groupBy(col("source"), col("target_permille"))
         .agg(count(lit(1)).as("n_docs"), sum(col("kept")).cast("long").as("n_kept"))
@@ -227,7 +235,7 @@ object Pipeline3 {
       SELECT vec_id, md5(string_agg(CAST(qv AS VARCHAR), ',' ORDER BY i)) AS q_md5,
              CAST(SUM(qv) AS BIGINT) AS sum_q, CAST(SUM(err) AS BIGINT) AS sum_err
       FROM q GROUP BY vec_id ORDER BY vec_id""")) { (spark, dir) =>
-      val c = Tables.load(spark, dir, "embeddings")
+      val c = Tables.spread(Tables.load(spark, dir, "embeddings"))
         .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
           .as(Seq("i0", "x")))
         .select(col("vec_id"), (col("i0") + 1).as("i"),

@@ -23,6 +23,24 @@ object Tables {
     }
   }
 
+  /** Spread a narrow scan across all cores for CPU-heavy per-row work
+    * (tokenization, shingling, per-vector math — the non-codegen
+    * higher-order-function expressions that dominate the pipeline ops).
+    *
+    * Why: a small parquet table is ONE input split (the fixture tables
+    * are a single row group), so every downstream per-row expression
+    * runs on one core no matter the session's parallelism. At
+    * production scale the scan itself yields thousands of splits, so
+    * the guard makes this a no-op there — the repartition (a full
+    * shuffle of the projected columns) fires only when the scan is
+    * narrower than the session's parallelism, i.e. exactly the case
+    * where the shuffle is small by construction.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
