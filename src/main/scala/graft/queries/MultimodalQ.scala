@@ -138,6 +138,72 @@ object MultimodalQ {
         .select(col("doc_id"), col("j").cast("long").as("j"),
           round(col("v0"), 6).as("v"))
         .orderBy(col("doc_id"), col("j"))
+    },
+
+    // ---- REAL WAV/RIFF header parse (audio analog of p30) ----------------
+    // Builds structurally-real WAV containers in-query — RIFF header, an
+    // odd-sized LIST chunk for doc_id%4==1 (exercising the even-padding
+    // walk), a 16-byte fmt chunk, and a data chunk whose payload is
+    // deliberately truncated (the parser must read the DECLARED size,
+    // the mid-stream reality of a 100 TB crawl) — with every field
+    // derived from doc_id, then recovers the fields by PARSING the bytes
+    // (graft.functions.WavMeta: little-endian chunk walk). The oracle
+    // computes the same fields arithmetically, so any drift between the
+    // in-query encoder layout and the parser fails the hash compare.
+    // duration_us is computed from the PARSED fields.
+    Q("p36_wav_meta", Some("""
+      WITH p AS (SELECT doc_id,
+                        1 + doc_id % 2 AS channels,
+                        8000 + (doc_id % 5) * 8820 AS sample_rate,
+                        CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+                        100 + doc_id % 900 AS frames
+                 FROM documents)
+      SELECT doc_id,
+             CAST(channels AS BIGINT) AS channels,
+             CAST(sample_rate AS BIGINT) AS sample_rate,
+             CAST(bits AS BIGINT) AS bits,
+             CAST(frames * channels * (bits // 8) AS BIGINT) AS data_size,
+             CAST(frames * 1000000 // sample_rate AS BIGINT) AS duration_us
+      FROM p ORDER BY doc_id""")) { (spark, dir) =>
+      // little-endian hex of a value known to fit 32/16 bits
+      def le32(x: org.apache.spark.sql.Column) = {
+        val h = lpad(hex(x.cast("long")), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      def le16(x: org.apache.spark.sql.Column) = {
+        val h = lpad(hex(x.cast("long")), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val c = lit(1L) + col("doc_id") % 2
+      val r = lit(8000L) + (col("doc_id") % 5) * 8820L
+      val b = when(col("doc_id") % 3 === 0, lit(8L)).otherwise(lit(16L))
+      val frames = lit(100L) + col("doc_id") % 900
+      val bytesPerFrame = c * expr("CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END")
+      val dataSize = frames * bytesPerFrame
+      // LIST chunk (size 3, odd → 1 pad byte) for doc_id%4==1: "INF"+pad
+      val listHex = when(col("doc_id") % 4 === 1,
+        concat(lit("4C495354"), le32(lit(3L)), lit("494E4600"))).otherwise(lit(""))
+      val listBytes = when(col("doc_id") % 4 === 1, lit(12L)).otherwise(lit(0L))
+      val riffSize = lit(4L) + listBytes + lit(24L) + lit(8L) + dataSize
+      val wavHex = concat(
+        lit("52494646"), le32(riffSize), lit("57415645"), // RIFF size WAVE
+        listHex,
+        lit("666D7420"), le32(lit(16L)), // "fmt " 16
+        le16(lit(1L)), le16(c), le32(r), le32(r * bytesPerFrame),
+        le16(bytesPerFrame), le16(b),
+        lit("64617461"), le32(dataSize)) // "data" size, payload truncated
+      val blob = unhex(wavHex)
+      import graft.functions.WavMeta
+      Tables.spread(Tables.load(spark, dir, "documents"))
+        .select(col("doc_id"),
+          WavMeta.channels(blob).as("channels"),
+          WavMeta.sampleRate(blob).as("sample_rate"),
+          WavMeta.bits(blob).as("bits"),
+          WavMeta.dataSize(blob).as("data_size"))
+        .withColumn("duration_us",
+          expr("data_size * 1000000 div (sample_rate * channels * (bits div 8))"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -256,6 +256,48 @@ object Pipeline3 {
             s => s.getField("qv").cast("string")), ",")).as("q_md5"),
           sum(col("qv")).as("sum_q"), sum(col("err")).as("sum_err"))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- sequence packing (training-batch construction) --------------------
+    // Assigns every document a position in a fixed-length (2048-token)
+    // training sequence stream: documents are sharded by a salted
+    // portable hash, and within a shard each doc's start offset is the
+    // running token total of its predecessors (doc_id order). bin =
+    // which sequence the doc STARTS in, off_in_bin = where. This is the
+    // offset-binning packing real pipelines use when docs may straddle
+    // sequence boundaries (truncate/continue at the boundary).
+    //
+    // Scale shape: the cumulative sum is a window per SHARD, so the
+    // only ordered sort is shard-local — shard count is the parallelism
+    // knob (8 here; thousands on a fleet). A single global cumsum would
+    // serialize the corpus through one partition; sharding is what
+    // makes packing embarrassingly parallel AND deterministically
+    // reproducible (hash, not round-robin) on any cluster size.
+    Q("p37_seq_packing", Some(s"""
+      WITH d AS (SELECT doc_id, CAST(len($wsSql) AS BIGINT) AS n_tokens,
+                        ${Portable.h60Sql("concat('pack:', CAST(doc_id AS VARCHAR))")} % 8 AS shard
+                 FROM documents),
+      o AS (SELECT doc_id, shard, n_tokens,
+                   coalesce(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+            FROM d)
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+             CAST(start_off AS BIGINT) AS start_off,
+             CAST(start_off // 2048 AS BIGINT) AS bin,
+             CAST(start_off % 2048 AS BIGINT) AS off_in_bin
+      FROM o ORDER BY doc_id""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.spread(Tables.load(spark, dir, "documents"))
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+          (Portable.h60(concat(lit("pack:"), col("doc_id").cast("string"))) % 8)
+            .as("shard"))
+        .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
+          expr("start_off div 2048").as("bin"),
+          (col("start_off") % 2048).as("off_in_bin"))
+        .orderBy(col("doc_id"))
     }
   )
 }

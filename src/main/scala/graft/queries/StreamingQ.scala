@@ -86,6 +86,33 @@ object StreamingQ {
           StreamingOps.dedupGroups(docs, "doc_id", "text"),
           mode = "complete")
         .orderBy(col("content_hash"))
+    },
+
+    // ---- custom-state operator (flatMapGroupsWithState) ------------------
+    // Per-user high-water-mark alerts: a row whenever a user's value
+    // strictly exceeds everything they produced before, with their
+    // running event count — semantics no built-in stateful op
+    // expresses (state = custom (count, max) per key). The batch
+    // oracle is the equivalent prefix-max window; equality rests on
+    // the documented single-micro-batch fixture contract (p24's).
+    Q("p38_stream_hwm", Some("""
+      WITH e AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+                        CAST(value AS DOUBLE) AS v FROM events),
+      w AS (SELECT user_id, event_id, v,
+                   row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+                     AS running_n,
+                   max(v) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_max
+            FROM e)
+      SELECT user_id, event_id, CAST(running_n AS BIGINT) AS running_n,
+             v AS value
+      FROM w WHERE prev_max IS NULL OR v > prev_max
+      ORDER BY user_id, running_n""")) { (spark, dir) =>
+      StreamingOps.runToMemory(
+          StreamingOps.highWaterAlerts(StreamingOps.eventsStream(spark, dir)),
+          mode = "append")
+        .orderBy(col("user_id"), col("running_n"))
     }
   )
 }

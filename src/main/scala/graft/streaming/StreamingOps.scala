@@ -2,8 +2,14 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
+
+/** Per-user custom state for [[StreamingOps.highWaterAlerts]]: running
+  * event count + running max. Top-level so the generated encoder never
+  * captures an enclosing scope.
+  */
+case class HwmState(n: Long, maxV: Double)
 
 /** Structured Streaming surface of the engine: unbounded sources →
   * declarative transforms → sinks, per SURVEY.md §2.2 "Streaming".
@@ -103,6 +109,51 @@ object StreamingOps {
       .select(col(id), graft.ops.TextOps.contentHash(col(text)).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-user high-water-mark alerts via `flatMapGroupsWithState` — the
+    * custom-state operator for semantics no built-in stateful op
+    * expresses: emit a row each time a user's `value` strictly exceeds
+    * every value they have produced before, tagged with that user's
+    * running event count. State per key is two primitives (count +
+    * max), updated across micro-batches; unbounded streams would add a
+    * timeout ([[GroupStateTimeout]]) to expire idle users — the fixture
+    * run is bounded, so state stays 1 row/user.
+    *
+    * Oracle-equality note (same single-batch contract as p24): events
+    * of a user are sorted by (ts, event_id) WITHIN a micro-batch, so
+    * equality with the batch window oracle holds when AvailableNow
+    * ingests the fixture in one batch. On a genuinely unbounded stream
+    * the op remains correct streaming-wise (state carries across
+    * batches) but an out-of-order straggler below an already-seen max
+    * is suppressed — by design for an alerting semantic.
+    */
+  def highWaterAlerts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")).as("us"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HwmState, (Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[HwmState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(HwmState(0L, Double.NegativeInfinity))
+          val out = Seq.newBuilder[(Long, Long, Long, Double)]
+          sorted.foreach { case (_, eid, _, v) =>
+            val n = st.n + 1
+            if (v > st.maxV) {
+              out += ((user, eid, n, v))
+              st = HwmState(n, v)
+            } else st = HwmState(n, st.maxV)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "running_n", "value")
+  }
 
   /** Run a bounded stream to completion into an in-memory sink and
     * return the sink table (AvailableNow trigger → deterministic for a

@@ -102,6 +102,52 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ImageDims.parse(b(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x02)) == -1L)
   }
 
+  test("WavMeta parses a real RIFF chunk walk; malformed input → NULL") {
+    import spark.implicits._
+    import graft.functions.WavMeta
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def le32(v: Long): Array[Byte] =
+      b((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+        ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    def le16(v: Long): Array[Byte] = b((v & 0xff).toInt, ((v >> 8) & 0xff).toInt)
+    // stereo 16-bit 44100 Hz, an odd-sized LIST chunk BEFORE fmt (the
+    // walk must apply even padding to reach it), data payload truncated
+    // (declared 1000 bytes, zero present)
+    val wav = "RIFF".getBytes ++ le32(4 + 12 + 24 + 8 + 1000) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(3) ++ "INF".getBytes ++ b(0) ++ // pad to even
+      "fmt ".getBytes ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(44100) ++ le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(1000)
+    assert(WavMeta.parse(wav, WavMeta.CHANNELS) == 2L)
+    assert(WavMeta.parse(wav, WavMeta.SAMPLE_RATE) == 44100L)
+    assert(WavMeta.parse(wav, WavMeta.BITS) == 16L)
+    assert(WavMeta.parse(wav, WavMeta.DATA_SIZE) == 1000L)
+    // missing data chunk → only that field is NULL
+    val noData = wav.take(wav.length - 8)
+    assert(WavMeta.parse(noData, WavMeta.DATA_SIZE) == -1L)
+    assert(WavMeta.parse(noData, WavMeta.SAMPLE_RATE) == 44100L)
+    // garbage, truncated header, AVI (RIFF but not WAVE) → unparseable
+    assert(WavMeta.parse("not audio".getBytes, WavMeta.CHANNELS) == -1L)
+    assert(WavMeta.parse(wav.take(10), WavMeta.CHANNELS) == -1L)
+    val avi = "RIFF".getBytes ++ le32(4) ++ "AVI ".getBytes
+    assert(WavMeta.parse(avi, WavMeta.CHANNELS) == -1L)
+    // a chunk whose declared size overruns the buffer ends the walk
+    // without misreading (fmt already captured)
+    val overrun = wav.dropRight(4) ++ le32(0xFFFFFFFFL)
+    assert(WavMeta.parse(overrun, WavMeta.SAMPLE_RATE) == 44100L)
+    // through the codegen'd expression: value columns + NULL propagation
+    val df = Seq(("wav", wav), ("txt", "plain".getBytes)).toDF("name", "payload")
+    val got = df.select(col("name"),
+        WavMeta.channels(col("payload")).as("c"),
+        WavMeta.sampleRate(col("payload")).as("r"),
+        WavMeta.bits(col("payload")).as("b"),
+        WavMeta.dataSize(col("payload")).as("d"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("wav").getLong(1) == 2L && got("wav").getLong(2) == 44100L &&
+      got("wav").getLong(3) == 16L && got("wav").getLong(4) == 1000L)
+    assert((1 to 4).forall(got("txt").isNullAt), "non-WAV bytes must not parse")
+  }
+
   test("sampleFramesStub emits n evenly-spaced deterministic frames per payload") {
     import spark.implicits._
     val df = Seq((1L, "0123456789abcdefABCDEF".getBytes),

@@ -113,6 +113,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("highWaterAlerts carries (count, max) state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val alerts = graft.streaming.StreamingOps.highWaterAlerts(
+      in.toDF().toDF("user_id", "ts", "event_id", "value"))
+    val q = alerts.writeStream.format("memory").queryName("hwm")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: rising then falling — alerts on 5.0 and 9.0 only
+    in.addData((1L, ts("2024-01-01 00:00:00"), 10L, 5.0),
+      (1L, ts("2024-01-01 00:01:00"), 11L, 9.0),
+      (1L, ts("2024-01-01 00:02:00"), 12L, 7.0))
+    q.processAllAvailable()
+    assert(spark.table("hwm").collect().map(_.getLong(1)).sorted.toSeq == Seq(10L, 11L))
+
+    // batch 2: 8.0 is under batch 1's max (state suppresses it — a batch
+    // restart would wrongly alert); 9.5 beats it, with running_n
+    // continued from batch 1's count, not restarted
+    in.addData((1L, ts("2024-01-01 00:03:00"), 13L, 8.0),
+      (1L, ts("2024-01-01 00:04:00"), 14L, 9.5))
+    q.processAllAvailable()
+    val rows = spark.table("hwm").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(rows.toSeq == Seq((10L, 1L, 5.0), (11L, 2L, 9.0), (14L, 5L, 9.5)))
+    q.stop()
+  }
+
   test("AvailableNow file stream over the fixture matches the batch aggregation") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingOps.runToMemory(
