@@ -46,7 +46,7 @@ object MultimodalQ {
       // real header parse first; text payloads aren't images, so this
       // resolves to the deterministic stub dims the oracle mirrors
       val dec = MultimodalOps.decodeImage(blob)
-      Tables.spread(Tables.load(spark, dir, "documents"))
+      Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"),
           meta.getField("nbytes").cast("long").as("nbytes"),
           meta.getField("digest").as("digest"),
@@ -89,7 +89,7 @@ object MultimodalQ {
         lit("03012200021101031101"))
       val blob = unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(jpgHex))
       val dec = MultimodalOps.decodeImage(blob)
-      Tables.spread(Tables.load(spark, dir, "documents"))
+      Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"),
           MultimodalOps.sniffMime(blob).as("mime"),
           dec.getField("width").as("width"),
@@ -110,7 +110,7 @@ object MultimodalQ {
                         CAST(least(16, length(b) - st) AS BIGINT))) AS frame_hash
       FROM s ORDER BY doc_id, frame_idx""")) { (spark, dir) =>
       MultimodalOps.sampleFramesStub(
-          Tables.spread(Tables.load(spark, dir, "documents")).withColumn("blob",
+          Tables.loadSpread(spark, dir, "documents").withColumn("blob",
             col("text").cast("binary")),
           "doc_id", "blob", n = 4)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
@@ -130,7 +130,7 @@ object MultimodalQ {
       FROM documents, generate_series(0, 7) t(j)
       ORDER BY doc_id, j""")) { (spark, dir) =>
       MultimodalOps.embedStub(
-          Tables.spread(Tables.load(spark, dir, "documents")).withColumn("blob",
+          Tables.loadSpread(spark, dir, "documents").withColumn("blob",
             col("text").cast("binary")),
           "doc_id", "blob", dim = 8)
         .select(col("doc_id"),
@@ -195,7 +195,7 @@ object MultimodalQ {
         lit("64617461"), le32(dataSize)) // "data" size, payload truncated
       val blob = unhex(wavHex)
       import graft.functions.WavMeta
-      Tables.spread(Tables.load(spark, dir, "documents"))
+      Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"),
           WavMeta.channels(blob).as("channels"),
           WavMeta.sampleRate(blob).as("sample_rate"),

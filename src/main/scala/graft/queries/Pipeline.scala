@@ -94,7 +94,7 @@ object Pipeline {
              ${TextSql.quality(wsSql)} AS quality
       FROM documents
       ORDER BY doc_id""")) { (spark, dir) =>
-      Tables.spread(Tables.load(spark, dir, "documents"))
+      Tables.loadSpread(spark, dir, "documents")
         .select(
           col("doc_id"),
           TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -121,7 +121,7 @@ object Pipeline {
       val scoreCols = TextOps.langProfiles.map { case (lang, words) =>
         size(filter(toks, t => t.isInCollection(words))).cast("long").as(s"s_$lang")
       }
-      Tables.spread(Tables.load(spark, dir, "documents"))
+      Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id") +: scoreCols :+
           TextOps.langId(col("text")).as("detected"): _*)
         .orderBy(col("doc_id"))
@@ -136,7 +136,7 @@ object Pipeline {
       FROM (SELECT doc_id, text, $wsSql AS ws FROM documents) t
       ORDER BY doc_id""")) { (spark, dir) =>
       val fp = TextOps.fingerprint(col("text"))
-      Tables.spread(Tables.load(spark, dir, "documents"))
+      Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"), fp.getField("content").as("content"),
           fp.getField("min_h").as("min_h"), fp.getField("max_h").as("max_h"))
         .orderBy(col("doc_id"))
@@ -149,7 +149,7 @@ object Pipeline {
       FROM documents
       GROUP BY 1
       ORDER BY content_hash""")) { (spark, dir) =>
-      DedupOps.exactGroups(Tables.spread(Tables.load(spark, dir, "documents")), "doc_id", "text")
+      DedupOps.exactGroups(Tables.loadSpread(spark, dir, "documents"), "doc_id", "text")
         .select(col("content_hash"), col("keep_id"), col("n_copies"))
         .orderBy(col("content_hash"))
     },
@@ -168,7 +168,7 @@ object Pipeline {
       FROM pair JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
       WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.8
       ORDER BY a, b""")) { (spark, dir) =>
-      DedupOps.jaccardPairs(Tables.spread(Tables.load(spark, dir, "documents")),
+      DedupOps.jaccardPairs(Tables.loadSpread(spark, dir, "documents"),
           "doc_id", "text", minJaccard = 0.8, maxDf = 1000)
         .orderBy(col("a"), col("b"))
     },
@@ -184,7 +184,7 @@ object Pipeline {
       SELECT doc_id, $mins
       FROM hs GROUP BY doc_id ORDER BY doc_id"""
     }) { (spark, dir) =>
-      DedupOps.minhashSignatures(Tables.spread(Tables.load(spark, dir, "documents")),
+      DedupOps.minhashSignatures(Tables.loadSpread(spark, dir, "documents"),
           "doc_id", "text", k)
         .orderBy(col("doc_id"))
     },
@@ -212,7 +212,7 @@ object Pipeline {
       FROM pair JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
       ORDER BY a, b"""
     }) { (spark, dir) =>
-      DedupOps.lshCandidates(Tables.spread(Tables.load(spark, dir, "documents")),
+      DedupOps.lshCandidates(Tables.loadSpread(spark, dir, "documents"),
           "doc_id", "text", k, rowsPerBand)
         .orderBy(col("a"), col("b"))
     },
@@ -221,7 +221,7 @@ object Pipeline {
     Q("p08_simhash", Some(s"""
       WITH $simhash64Cte
       SELECT doc_id, simhash FROM sig ORDER BY doc_id""")) { (spark, dir) =>
-      DedupOps.simhash64(Tables.spread(Tables.load(spark, dir, "documents")), "doc_id", "text")
+      DedupOps.simhash64(Tables.loadSpread(spark, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))
     },
@@ -235,7 +235,7 @@ object Pipeline {
       $simhashPairsCte
       SELECT a, b, hamming FROM spairs
       ORDER BY a, b""")) { (spark, dir) =>
-      DedupOps.simhashPairs(Tables.spread(Tables.load(spark, dir, "documents")),
+      DedupOps.simhashPairs(Tables.loadSpread(spark, dir, "documents"),
           "doc_id", "text", maxHamming = 3, maxBucket = 1000)
         .orderBy(col("a"), col("b"))
     },
@@ -264,7 +264,7 @@ object Pipeline {
                   THEN 1 ELSE 0 END AS is_survivor
       FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id
       ORDER BY d.doc_id""")) { (spark, dir) =>
-      val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+      val docs = Tables.loadSpread(spark, dir, "documents")
       val pairs = DedupOps.simhashPairs(docs, "doc_id", "text",
         maxHamming = 3, maxBucket = 1000)
       val cc = DedupOps.connectedComponents(pairs)
@@ -293,7 +293,7 @@ object Pipeline {
             FROM s)
       SELECT query_id, rk, vec_id, sim FROM r WHERE rk <= 5
       ORDER BY query_id, rk""")) { (spark, dir) =>
-      val emb = Tables.spread(Tables.load(spark, dir, "embeddings"))
+      val emb = Tables.loadSpread(spark, dir, "embeddings")
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", 5)
         .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
@@ -317,7 +317,7 @@ object Pipeline {
             FROM s)
       SELECT query_id, rk, vec_id, sim FROM r WHERE rk <= 5
       ORDER BY query_id, rk""")) { (spark, dir) =>
-      val emb = Tables.spread(Tables.load(spark, dir, "embeddings"))
+      val emb = Tables.loadSpread(spark, dir, "embeddings")
       SimilarityOps.partitionedTopK(emb, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding", "label", 5)
         .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
@@ -336,7 +336,7 @@ object Pipeline {
                / sqrt(list_dot_product(x.v, x.v))
                / sqrt(list_dot_product(y.v, y.v)), 6) >= 0.25
       ORDER BY a, b""")) { (spark, dir) =>
-      SimilarityOps.nearDupPairs(Tables.spread(Tables.load(spark, dir, "embeddings")),
+      SimilarityOps.nearDupPairs(Tables.loadSpread(spark, dir, "embeddings"),
           "vec_id", "embedding", "label", minSim = 0.25)
         .orderBy(col("a"), col("b"))
     },

@@ -29,7 +29,7 @@ object Pipeline2 {
       ORDER BY doc_id""")) { (spark, dir) =>
       val bucket = Portable.h60(concat(lit("sample:"),
         col("doc_id").cast("string"))) % 100
-      Tables.spread(Tables.load(spark, dir, "documents"))
+      Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"), col("source"), bucket.as("bucket"))
         .filter(col("bucket") < 10)
         .orderBy(col("doc_id"))
@@ -45,7 +45,7 @@ object Pipeline2 {
       FROM dw GROUP BY token
       ORDER BY df DESC, token
       LIMIT 40""")) { (spark, dir) =>
-      Tables.spread(Tables.load(spark, dir, "documents"))
+      Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
         .groupBy(col("token"))
@@ -68,7 +68,7 @@ object Pipeline2 {
       val redacted = regexp_replace(
         regexp_replace(col("text"), "\\S+@\\S+", "<EMAIL>"),
         "[0-9]+", "<NUM>")
-      Tables.spread(Tables.load(spark, dir, "documents"))
+      Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"),
           regexp_count(col("text"), lit("[0-9]+")).as("n_num"),
           regexp_count(col("text"), lit("\\S+@\\S+")).as("n_email"),
@@ -88,7 +88,7 @@ object Pipeline2 {
            generate_series(1, 64) t(i)
       GROUP BY label, i
       ORDER BY label, i""")) { (spark, dir) =>
-      Tables.spread(Tables.load(spark, dir, "embeddings"))
+      Tables.loadSpread(spark, dir, "embeddings")
         .select(col("label"),
           posexplode(col("embedding").cast("array<double>")).as(Seq("i0", "x")))
         .groupBy(col("label"), (col("i0") + 1).as("i"))
@@ -120,7 +120,7 @@ object Pipeline2 {
       SELECT doc_id, rk, term, score FROM ranked WHERE rk <= 5
       ORDER BY doc_id, rk""")) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+      val docs = Tables.loadSpread(spark, dir, "documents")
       val nDocs = docs.count() // two-pass scalar, the scalable N source
       val tfRaw = docs
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
@@ -174,7 +174,7 @@ object Pipeline2 {
       WHERE ${Portable.h60Sql("concat('sample:', CAST(doc_id AS VARCHAR))")} % 100 < 50
       ORDER BY doc_id"""
     }) { (spark, dir) =>
-      val kept = Tables.spread(Tables.load(spark, dir, "documents"))
+      val kept = Tables.loadSpread(spark, dir, "documents")
         .filter(TextOps.qualityScore(col("text")) >= 0.5 &&
           TextOps.langId(col("text")) === "en")
       kept
@@ -211,7 +211,7 @@ object Pipeline2 {
                / sqrt(list_dot_product(y.v, y.v)), 6) >= 0.25
       ORDER BY a, b"""
     }) { (spark, dir) =>
-      SimilarityOps.srpNearDupPairs(Tables.spread(Tables.load(spark, dir, "embeddings")),
+      SimilarityOps.srpNearDupPairs(Tables.loadSpread(spark, dir, "embeddings"),
           "vec_id", "embedding", k = 8, minSim = 0.25, dim = 64)
         .orderBy(col("a"), col("b"))
     }

@@ -51,7 +51,7 @@ object Pipeline3 {
                   ELSE (len(segs) - len(list_distinct(segs))) * 1000000 // len(segs) END AS BIGINT)
           AS dup_seg_ppm
       FROM b ORDER BY doc_id""")) { (spark, dir) =>
-      Tables.spread(Tables.load(spark, dir, "documents"))
+      Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"),
           TextOps.shingles(col("text"), 2).as("bg"),
           TextOps.segments(col("text"), 8).as("segs"))
@@ -103,12 +103,16 @@ object Pipeline3 {
                   THEN 1 ELSE 0 END AS flagged
       FROM cnt c LEFT JOIN hit h ON h.doc_id = c.doc_id
       ORDER BY c.doc_id""")) { (spark, dir) =>
-      val sh = Tables.spread(Tables.load(spark, dir, "documents"))
+      val shRaw = Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"), array_distinct(TextOps.shingles(col("text"), 3)).as("shs"))
-        .localCheckpoint()
+      val sh = if (spark.conf.getOption("graft.decontam.singlePass")
+          .forall(_.toBoolean)) shRaw.localCheckpoint() else shRaw
       val bench = sh.filter(col("doc_id") % 50 === 0)
         .select(explode(col("shs")).as("s")).distinct()
-      val train = sh.filter(col("doc_id") % 50 =!= 0)
+      // size(shs) > 0 mirrors the oracle, where a doc under 3 tokens has
+      // no shingle rows to unnest and so never reaches cnt — without it
+      // a short doc would surface here with n_sh=0 and a NULL ppm
+      val train = sh.filter(col("doc_id") % 50 =!= 0 && size(col("shs")) > 0)
       val cnt = train.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
       val hit = train.select(col("doc_id"), explode(col("shs")).as("s"))
         .join(bench, "s")
@@ -151,7 +155,7 @@ object Pipeline3 {
              coalesce(a.kept_md5, md5('')) AS kept_md5
       FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY doc_id""")) { (spark, dir) =>
-      val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+      val docs = Tables.loadSpread(spark, dir, "documents")
       val segRaw = docs
         .select(col("doc_id"), posexplode(TextOps.segments(col("text"), 8))
           .as(Seq("i0", "seg")))
@@ -203,7 +207,7 @@ object Pipeline3 {
       val target = (lit(100) + (si * 97) % 800).cast("long")
       val kept = when(Portable.h60(concat(lit("mix:"),
         col("doc_id").cast("string"))) % 1000 < target, 1).otherwise(0)
-      Tables.spread(Tables.load(spark, dir, "documents"))
+      Tables.loadSpread(spark, dir, "documents")
         .select(col("source"), target.as("target_permille"), kept.as("kept"))
         .groupBy(col("source"), col("target_permille"))
         .agg(count(lit(1)).as("n_docs"), sum(col("kept")).cast("long").as("n_kept"))
@@ -235,7 +239,7 @@ object Pipeline3 {
       SELECT vec_id, md5(string_agg(CAST(qv AS VARCHAR), ',' ORDER BY i)) AS q_md5,
              CAST(SUM(qv) AS BIGINT) AS sum_q, CAST(SUM(err) AS BIGINT) AS sum_err
       FROM q GROUP BY vec_id ORDER BY vec_id""")) { (spark, dir) =>
-      val c = Tables.spread(Tables.load(spark, dir, "embeddings"))
+      val c = Tables.loadSpread(spark, dir, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
           .as(Seq("i0", "x")))
         .select(col("vec_id"), (col("i0") + 1).as("i"),
@@ -289,7 +293,7 @@ object Pipeline3 {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.spread(Tables.load(spark, dir, "documents"))
+      Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
           (Portable.h60(concat(lit("pack:"), col("doc_id").cast("string"))) % 8)
             .as("shard"))

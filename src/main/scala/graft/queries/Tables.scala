@@ -41,6 +41,14 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** [[load]] + [[spread]] — the loader for queries whose per-row work
+    * (tokenization, shingling, vector math) dominates the scan. One
+    * call so query authors can't forget the spread half and silently
+    * run single-core on a narrow fixture scan.
+    */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    spread(load(spark, dir, name))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader

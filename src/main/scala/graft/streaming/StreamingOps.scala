@@ -140,11 +140,15 @@ object StreamingOps {
         (user: Long, rows: Iterator[(Long, Long, Long, Double)],
          state: GroupState[HwmState]) =>
           val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
-          var st = state.getOption.getOrElse(HwmState(0L, Double.NegativeInfinity))
+          var st = state.getOption.getOrElse(HwmState(0L, Double.NaN))
           val out = Seq.newBuilder[(Long, Long, Long, Double)]
           sorted.foreach { case (_, eid, _, v) =>
             val n = st.n + 1
-            if (v > st.maxV) {
+            // first event always alerts (the oracle's prev_max IS NULL
+            // branch), and Double.compare's total order ranks NaN above
+            // every finite value — matching SQL float ordering, where a
+            // primitive `v > max` would silently drop NaN/-Inf edges
+            if (st.n == 0L || java.lang.Double.compare(v, st.maxV) > 0) {
               out += ((user, eid, n, v))
               st = HwmState(n, v)
             } else st = HwmState(n, st.maxV)
