@@ -302,6 +302,72 @@ object Pipeline3 {
           expr("start_off div 2048").as("bin"),
           (col("start_off") % 2048).as("off_in_bin"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- bloom-prefiltered decontamination (semi-join reduction) -----------
+    // The decontamination join done the way a 100 TB pass has to: the
+    // benchmark side's distinct shingles build ONE bloom-filter binary
+    // (graft.functions.Bloom — the Catalyst BloomFilterAggregate /
+    // BloomFilterMightContain machinery Spark's runtime filtering uses
+    // but doesn't expose), shipped to every task as a scalar subquery;
+    // the train side is pre-filtered BEFORE the shuffle join, so only
+    // probable hits are ever shuffled — a few MB of bloom instead of
+    // re-shuffling the whole corpus. Bloom filters have no false
+    // negatives and the exact join downstream removes false positives,
+    // so the result is IDENTICAL to the unfiltered join — the oracle is
+    // the plain exact-join SQL, which is the strongest possible check
+    // that the reduction is lossless.
+    Q("p39_bloom_decontam", Some(s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      sh AS (SELECT doc_id, unnest(${shinglesSql("ws", 3)}) AS s FROM w),
+      ds AS (SELECT DISTINCT doc_id, s FROM sh),
+      bench AS (SELECT DISTINCT s FROM ds WHERE doc_id % 50 = 0),
+      train AS (SELECT doc_id, s FROM ds WHERE doc_id % 50 <> 0)
+      SELECT doc_id, COUNT(*) AS n_contam
+      FROM train JOIN bench USING (s)
+      GROUP BY doc_id ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.Bloom
+      val shRaw = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.shingles(col("text"), 3))).as("s"))
+      val sh = if (spark.conf.getOption("graft.decontam.singlePass")
+          .forall(_.toBoolean)) shRaw.localCheckpoint() else shRaw
+      val bench = sh.filter(col("doc_id") % 50 === 0).select(col("s")).distinct()
+      val bloom = bench.agg(Bloom.agg(xxhash64(col("s")), 200000L, 1600000L))
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .filter(Bloom.mightContain(bloom, xxhash64(col("s"))))
+        .join(bench, "s")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- overlapping-window document chunking ------------------------------
+    // RAG / context-window prep: each doc becomes overlapping 128-token
+    // chunks at stride 64 (chunk i starts at token i*64, clamped at the
+    // doc end), identified by (doc_id, chunk_idx) with an md5 of the
+    // chunk text so the rewritten chunks themselves are oracle-checked.
+    // Row-local higher-order exprs → zero shuffle, scales with the scan;
+    // the fan-out is bounded (≈ len/64 chunks per doc).
+    Q("p40_chunking", Some(s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      c AS (SELECT doc_id, ws,
+                   unnest(generate_series(0, CAST((len(ws)+63)//64 AS INT) - 1)) AS idx
+            FROM w)
+      SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+             CAST(idx * 64 AS BIGINT) AS start_tok,
+             CAST(len(ws[(idx*64+1):(idx*64+128)]) AS BIGINT) AS n_tok,
+             md5(array_to_string(ws[(idx*64+1):(idx*64+128)], ' ')) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_idx""")) { (spark, dir) =>
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(ws) + 63) div 64 - 1)," +
+            " i -> slice(ws, i * 64 + 1, 128))")).as(Seq("idx", "chunk")))
+        .select(col("doc_id"), col("idx").cast("long").as("chunk_idx"),
+          (col("idx") * 64).cast("long").as("start_tok"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }
   )
 }
