@@ -91,30 +91,26 @@ object TextOps {
 
   /** Word n-gram shingles (n consecutive tokens joined by one space).
     * Empty array when the document has fewer than n tokens.
+    *
+    * Native kernel ([[graft.functions.TextKernels]]): the equivalent
+    * `transform(sequence, i -> concat_ws(element_at(w, i), ...))`
+    * formulation re-evaluated the whole split+lower subtree once per
+    * produced shingle (interpreted HOF lambdas do no subexpression
+    * caching) — O(len²) per document and the dominant cost of every
+    * dedup/decontamination pass. The kernel splits once per row.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextKernels.shinglesCol(text, n)
 
   /** Non-overlapping n-token segments (the fixture has no newlines, so
     * fixed token windows stand in for lines/paragraphs as the unit of
     * corpus-level segment dedup). Empty array under n tokens. Mirror:
     * `[array_to_string(ws[(i*n+1):(i*n+n)], ' ')
     *    for i in generate_series(0, len(ws)//n - 1)]`.
+    * Native kernel — same rationale as [[shingles]].
     */
-  def segments(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    // size/n on non-negative ints: exact double division, cast truncates = floor
-    val nSegs = (size(w) / n).cast("int")
-    when(size(w) >= n,
-      transform(sequence(lit(0), nSegs - 1),
-        i => concat_ws(" ", slice(w, i * n + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def segments(text: Column, n: Int): Column =
+    graft.functions.TextKernels.segmentsCol(text, n)
 
   /** Rolling-hash document fingerprint: (min, max) portable hash over
     * 3-gram shingles plus the normalized content hash. Near-identical

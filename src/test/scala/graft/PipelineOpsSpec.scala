@@ -255,6 +255,43 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, md5hex("0,0"), 0L, 0L)))
   }
 
+  test("TextKernels shingles/segments are bit-identical to the Column formulation") {
+    import spark.implicits._
+    // the HOF tree the kernels replaced (kept here as the semantic spec)
+    def oldShingles(text: org.apache.spark.sql.Column, n: Int) = {
+      val w = split(lower(text), "\\s+")
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    def oldSegments(text: org.apache.spark.sql.Column, n: Int) = {
+      val w = split(lower(text), "\\s+")
+      val nSegs = (size(w) / n).cast("int")
+      when(size(w) >= n,
+        transform(sequence(lit(0), nSegs - 1),
+          i => concat_ws(" ", slice(w, i * n + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val edge = Seq(
+      "a b c d e f g", "one two", "single", "", " ", "  leading space",
+      "trailing space  ", "UPPER Case MiXeD", "tab\tand\nnewline  runs",
+      "Ünïcode Tökens ÀÉÎ here", "exactly three toks", "a a a a a",
+      null.asInstanceOf[String])
+    val df = edge.toDF("text")
+    for (n <- Seq(2, 3, 8)) {
+      val cmp = df.select(
+        TextOps.shingles(col("text"), n).as("ks"),
+        oldShingles(col("text"), n).as("os"),
+        TextOps.segments(col("text"), n).as("kg"),
+        oldSegments(col("text"), n).as("og")).collect()
+      cmp.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"shingles n=$n: $r")
+        assert(r.getSeq[String](2) == r.getSeq[String](3), s"segments n=$n: $r")
+      }
+    }
+  }
+
   test("Bloom semi-join reduction: no false negatives, lossless vs exact join, selective") {
     import spark.implicits._
     import graft.functions.Bloom
