@@ -273,7 +273,9 @@ object DedupOps {
     * labeling silently under-merges clusters; failing loudly wins).
     */
   private[graft] def connectedComponentsWithRounds(
-      pairs: DataFrame, a: String, b: String, maxIter: Int): (DataFrame, Int) = {
+      pairs: DataFrame, a: String, b: String, maxIter: Int,
+      loopPartitions: Int = 8): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
     // symmetrized + deduped once, reused every round. MATERIALIZED as a
     // checkpoint rather than persist()ed: a cached plan would embed the
@@ -287,6 +289,18 @@ object DedupOps {
     // checkpoint; either way the iteration must not re-plan upstream.)
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
+    // The loop body is 5+ shuffles per round over a pair graph that is
+    // ORDERS of magnitude smaller than the corpus (near-dup pairs, not
+    // documents), so per-round task-launch overhead dominates unless
+    // the loop's shuffle width matches the GRAPH size, not the corpus
+    // default — the same sizing rule runToMemory applies to streaming
+    // state stores. Narrowed only AFTER the sym checkpoint above, so
+    // the upstream pair pipeline (corpus-scale) keeps the session
+    // width; restored after the loop. A fleet run on a billion-edge
+    // graph passes a larger loopPartitions.
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopPartitions.toString)
+    try {
     // hook: adopt the minimum label over {self} ∪ neighbors. The
     // round-start label rides along as `old` (min ignores the nulls on
     // neighbor rows; only the self row carries it) so the fixpoint test
@@ -338,5 +352,6 @@ object DedupOps {
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds")
     (labels, rounds)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevPart)
   }
 }
