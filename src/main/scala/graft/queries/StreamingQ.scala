@@ -113,6 +113,25 @@ object StreamingQ {
           StreamingOps.highWaterAlerts(StreamingOps.eventsStream(spark, dir)),
           mode = "append")
         .orderBy(col("user_id"), col("running_n"))
+    },
+
+    // ---- arbitrary-state v2 (transformWithState + MapState, RocksDB) -----
+    // Per-user event-type counters in a RocksDB-backed MapState — the
+    // Spark 4 state-v2 API (typed Value/List/Map state + TTL + timers)
+    // that supersedes flatMapGroupsWithState's single state object.
+    // With the bounded single-batch fixture the final update per
+    // (user, type) is the total count, so the batch GROUP BY is the
+    // exact oracle.
+    Q("p41_stream_state_v2", Some("""
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""")) { (spark, dir) =>
+      StreamingOps.runToMemory(
+          StreamingOps.eventTypeCounts(StreamingOps.eventsStream(spark, dir)),
+          mode = "update",
+          providerOverride = Some(
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        .orderBy(col("user_id"), col("event_type"))
     }
   )
 }

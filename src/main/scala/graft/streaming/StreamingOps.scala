@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
 import org.apache.spark.sql.types._
 
 /** Per-user custom state for [[StreamingOps.highWaterAlerts]]: running
@@ -10,6 +10,32 @@ import org.apache.spark.sql.types._
   * captures an enclosing scope.
   */
 case class HwmState(n: Long, maxV: Double)
+
+/** State-v2 processor for [[StreamingOps.eventTypeCounts]]: a
+  * `MapState[event_type, count]` per user. Top-level class so the
+  * serialized processor carries no enclosing scope.
+  */
+class TypeCountsProcessor
+    extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+                               timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { case (_, et) =>
+      val cur = if (counts.containsKey(et)) counts.getValue(et) else 0L
+      counts.updateValue(et, cur + 1L)
+      touched += et
+    }
+    touched.iterator.map(et => (user, et, counts.getValue(et)))
+  }
+}
 
 /** Structured Streaming surface of the engine: unbounded sources →
   * declarative transforms → sinks, per SURVEY.md §2.2 "Streaming".
@@ -159,6 +185,31 @@ object StreamingOps {
       .toDF("user_id", "event_id", "running_n", "value")
   }
 
+  /** Per-user event-type counters on the arbitrary-state v2 API
+    * (`transformWithState` + `MapState`, Spark 4.x): one RocksDB-backed
+    * map per user keyed by event type, incremented per event, emitting
+    * the updated (user, type, count) rows each micro-batch. The richer
+    * state types (Map/List/Value + TTL + timers) are what distinguish
+    * v2 from `flatMapGroupsWithState`'s single state object — a
+    * per-type counter updates ONE map entry per event instead of
+    * rewriting a whole composite state value.
+    *
+    * Requires the RocksDB state-store provider (the only provider the
+    * v2 operator supports); [[runToMemory]] callers set it via
+    * `providerOverride`.
+    */
+  def eventTypeCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "event_type", "n")
+  }
+
   /** Run a bounded stream to completion into an in-memory sink and
     * return the sink table (AvailableNow trigger → deterministic for a
     * static source; used by the oracle-checked query entries).
@@ -172,17 +223,27 @@ object StreamingOps {
     * per-micro-batch setup 4× with zero effect on results; a production
     * deployment sizes it per stream the same way.
     */
-  def runToMemory(df: DataFrame, mode: String, statePartitions: Int = 8): DataFrame = {
+  def runToMemory(df: DataFrame, mode: String, statePartitions: Int = 8,
+                  providerOverride: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val name = "graft_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = spark.conf.get(provKey)
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // state-store provider is bound at query start (transformWithState
+    // only runs on RocksDB), restored after so the HDFS-backed default
+    // keeps serving the other verification streams
+    providerOverride.foreach(spark.conf.set(provKey, _))
     try {
       df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
         .awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set(provKey, prevProv)
+    }
     val out = spark.table(name)
     // unregister the sink's temp view so repeated runs don't accumulate
     // catalog entries; the already-resolved plan keeps the data alive
