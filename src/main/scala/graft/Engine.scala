@@ -35,19 +35,11 @@ object Engine {
   /** Local-mode engine with the graft extensions installed, shuffle
     * partitions sized for local cores (not the 200 default). */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): Engine = {
-    val spark = SparkSession.builder()
+    val spark = Env.tuned(SparkSession.builder())
       .master(s"local[$cores]")
       .appName("wasaffispark")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
-      // collect_list/collect_set aggregations (the dedup inverted
-      // indexes) use ObjectHashAggregate, which silently falls back to
-      // SORT-BASED aggregation at 128 hash-map keys (the conservative
-      // default) — thread dumps showed the posting-list stages spending
-      // their time in the fallback's per-group buffer churn. Small
-      // per-group buffers + large heap make a much higher threshold the
-      // right trade at any scale.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -12,9 +12,8 @@ object Scratch {
       case (t, n) => (t.nonEmpty, n)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val spark = Env.tuned(SparkSession.builder()).master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.local.dir", Env.scratchDir)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,8 +47,10 @@ object Scratch {
             w.start()
           }
           val t0 = System.nanoTime()
-          val n = SparkEntry.queries(name)(spark, sfDir).count()
-          done.set(true)
+          // done must flip even when the query throws, or the sleeping
+          // watchdog later dumps stacks against whatever runs next
+          val n = try SparkEntry.queries(name)(spark, sfDir).count()
+            finally done.set(true)
           println(f"  pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
         }
       } else {

@@ -18,17 +18,9 @@ object Verify {
     }
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = Env.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // collect_list/collect_set aggregations (the dedup inverted
-      // indexes) use ObjectHashAggregate, which silently falls back to
-      // SORT-BASED aggregation at 128 hash-map keys (the conservative
-      // default) — thread dumps showed the posting-list stages spending
-      // their time in the fallback's per-group buffer churn. Small
-      // per-group buffers + large heap make a much higher threshold the
-      // right trade at any scale.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.local.dir", Env.scratchDir)
       .config("spark.sql.session.timeZone", "UTC")
       // pyarrow/duckdb-friendly timestamps (INT96 is legacy)

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, CollationSupport, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayData, CollationFactory, CollationSupport, GenericArrayData}
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, BinaryType => _, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,8 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * single static call stays inside whole-stage codegen.
   *
   * Exactness: lowercase goes through the same
-  * `CollationSupport.Lower.execBinaryICU` the built-in `lower()` uses
-  * under the default UTF8_BINARY collation, and tokenization through
+  * `CollationSupport.Lower.exec` dispatch (collation id + the
+  * `spark.sql.icu.caseMappings.enabled` conf) as the built-in
+  * `lower()`, and tokenization through
   * the same `UTF8String.split(pattern, -1)` as `split(text, '\\s+')` —
   * so outputs are bit-identical to the Column formulation they
   * replace (the DuckDB oracle mirrors in TextSql are unchanged).
@@ -36,16 +38,17 @@ object TextKernels {
 
   private val EMPTY = new GenericArrayData(Array.empty[Any])
 
-  private def toks(text: UTF8String): Array[UTF8String] =
-    CollationSupport.Lower.execBinaryICU(text).split(WS, -1)
+  private def toks(text: UTF8String, useICU: Boolean): Array[UTF8String] =
+    CollationSupport.Lower.exec(text,
+      CollationFactory.UTF8_BINARY_COLLATION_ID, useICU).split(WS, -1)
 
   /** Overlapping n-grams over whitespace tokens of `lower(text)`;
     * empty array when under n tokens or text is NULL (matching
     * `CASE WHEN len >= n THEN ... ELSE [] END`).
     */
-  def shingles(text: UTF8String, n: Int): ArrayData = {
+  def shingles(text: UTF8String, n: Int, useICU: Boolean): ArrayData = {
     if (text == null) return EMPTY
-    val w = toks(text)
+    val w = toks(text, useICU)
     val m = w.length - n + 1
     if (m <= 0) return EMPTY
     val out = new Array[Any](m)
@@ -60,9 +63,9 @@ object TextKernels {
   /** Non-overlapping n-token segments (no partial tail); empty array
     * when under n tokens or text is NULL.
     */
-  def segments(text: UTF8String, n: Int): ArrayData = {
+  def segments(text: UTF8String, n: Int, useICU: Boolean): ArrayData = {
     if (text == null) return EMPTY
-    val w = toks(text)
+    val w = toks(text, useICU)
     val m = w.length / n
     if (m <= 0) return EMPTY
     val out = new Array[Any](m)
@@ -92,6 +95,14 @@ abstract class TextKernelExpr extends UnaryExpression {
   def kernel(text: UTF8String): ArrayData
   def kernelName: String
 
+  /** Same lazily-read conf dispatch as the built-in `Lower` (it chooses
+    * ICU vs JVM case mappings from `spark.sql.icu.caseMappings.enabled`)
+    * — hardcoding one branch would silently diverge from `lower()` in
+    * the same query when the conf is flipped.
+    */
+  protected lazy val useICU: Boolean =
+    SQLConf.get.getConf(SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullable: Boolean = false
@@ -111,7 +122,7 @@ abstract class TextKernelExpr extends UnaryExpression {
     import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val c = child.genCode(ctx)
     val call = s"graft.functions.TextKernels.$kernelName(" +
-      s"${c.isNull} ? null : ${c.value}, $n)"
+      s"${c.isNull} ? null : ${c.value}, $n, $useICU)"
     ev.copy(
       code = code"""
         ${c.code}
@@ -124,7 +135,8 @@ abstract class TextKernelExpr extends UnaryExpression {
 case class ShinglesExpr(child: Expression, n: Int) extends TextKernelExpr {
   override def prettyName: String = "graft_shingles"
   override def kernelName: String = "shingles"
-  override def kernel(text: UTF8String): ArrayData = TextKernels.shingles(text, n)
+  override def kernel(text: UTF8String): ArrayData =
+    TextKernels.shingles(text, n, useICU)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -132,7 +144,8 @@ case class ShinglesExpr(child: Expression, n: Int) extends TextKernelExpr {
 case class SegmentsExpr(child: Expression, n: Int) extends TextKernelExpr {
   override def prettyName: String = "graft_segments"
   override def kernelName: String = "segments"
-  override def kernel(text: UTF8String): ArrayData = TextKernels.segments(text, n)
+  override def kernel(text: UTF8String): ArrayData =
+    TextKernels.segments(text, n, useICU)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

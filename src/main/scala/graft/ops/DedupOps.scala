@@ -264,8 +264,8 @@ object DedupOps {
     * callers coalesce to self-labels (see p29).
     */
   def connectedComponents(pairs: DataFrame, a: String = "a", b: String = "b",
-                          maxIter: Int = 25): DataFrame =
-    connectedComponentsWithRounds(pairs, a, b, maxIter)._1
+                          maxIter: Int = 25, loopPartitions: Int = 8): DataFrame =
+    connectedComponentsWithRounds(pairs, a, b, maxIter, loopPartitions)._1
 
   /** [[connectedComponents]] plus the number of rounds it took to
     * converge — exposed so tests can assert the O(log diameter) bound.

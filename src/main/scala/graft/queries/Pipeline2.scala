@@ -135,8 +135,7 @@ object Pipeline2 {
       // because a count-over-window by term would buffer whole term
       // partitions — skew-fragile at 100 TB; production would swap
       // localCheckpoint for a reliable persist/checkpoint.)
-      val tf = if (spark.conf.getOption("graft.tfidf.singlePass")
-          .forall(_.toBoolean)) tfRaw.localCheckpoint() else tfRaw
+      val tf = if (singlePass(spark, "graft.tfidf.singlePass")) tfRaw.localCheckpoint() else tfRaw
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))

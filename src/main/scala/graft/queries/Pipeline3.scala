@@ -105,8 +105,7 @@ object Pipeline3 {
       ORDER BY c.doc_id""")) { (spark, dir) =>
       val shRaw = Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"), array_distinct(TextOps.shingles(col("text"), 3)).as("shs"))
-      val sh = if (spark.conf.getOption("graft.decontam.singlePass")
-          .forall(_.toBoolean)) shRaw.localCheckpoint() else shRaw
+      val sh = if (singlePass(spark, "graft.decontam.singlePass")) shRaw.localCheckpoint() else shRaw
       val bench = sh.filter(col("doc_id") % 50 === 0)
         .select(explode(col("shs")).as("s")).distinct()
       // size(shs) > 0 mirrors the oracle, where a doc under 3 tokens has
@@ -160,8 +159,7 @@ object Pipeline3 {
         .select(col("doc_id"), posexplode(TextOps.segments(col("text"), 8))
           .as(Seq("i0", "seg")))
         .select(col("doc_id"), (col("i0") + 1).as("idx"), col("seg"))
-      val seg = if (spark.conf.getOption("graft.segdedup.singlePass")
-          .forall(_.toBoolean)) segRaw.localCheckpoint() else segRaw
+      val seg = if (singlePass(spark, "graft.segdedup.singlePass")) segRaw.localCheckpoint() else segRaw
       // lexicographic struct min: collision-free first position for ANY
       // doc length (an integer encoding like doc_id*1e6+idx would alias
       // past 1M segments/doc — silent corruption at raw-scrape scale)
@@ -330,8 +328,7 @@ object Pipeline3 {
       val shRaw = Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(TextOps.shingles(col("text"), 3))).as("s"))
-      val sh = if (spark.conf.getOption("graft.decontam.singlePass")
-          .forall(_.toBoolean)) shRaw.localCheckpoint() else shRaw
+      val sh = if (singlePass(spark, "graft.decontam.singlePass")) shRaw.localCheckpoint() else shRaw
       val bench = sh.filter(col("doc_id") % 50 === 0).select(col("s")).distinct()
       val bloom = bench.agg(Bloom.agg(xxhash64(col("s")), 200000L, 1600000L))
       sh.filter(col("doc_id") % 50 =!= 0)

@@ -124,7 +124,9 @@ object StreamingQ {
     // exact oracle.
     Q("p41_stream_state_v2", Some("""
       SELECT user_id, event_type, COUNT(*) AS n
-      FROM events GROUP BY user_id, event_type
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id, event_type
       ORDER BY user_id, event_type""")) { (spark, dir) =>
       StreamingOps.runToMemory(
           StreamingOps.eventTypeCounts(StreamingOps.eventsStream(spark, dir)),

@@ -36,6 +36,13 @@ package object queries {
   def discPrice(price: Column, disc: Column): Column =
     dec(price) * (lit(1).cast(DecimalType(3, 0)) - dec(disc))
 
+  /** Conf-gated single-pass materialization flag (default ON): only an
+    * explicit "false" (any case) disables — a typo'd value must not
+    * throw from String.toBoolean inside query construction.
+    */
+  def singlePass(spark: SparkSession, key: String): Boolean =
+    !spark.conf.getOption(key).exists(_.trim.equalsIgnoreCase("false"))
+
   def registered(spark: SparkSession, dir: String): SparkSession = {
     Tables.register(spark, dir)
     spark

@@ -171,10 +171,12 @@ object StreamingOps {
           sorted.foreach { case (_, eid, _, v) =>
             val n = st.n + 1
             // first event always alerts (the oracle's prev_max IS NULL
-            // branch), and Double.compare's total order ranks NaN above
-            // every finite value — matching SQL float ordering, where a
-            // primitive `v > max` would silently drop NaN/-Inf edges
-            if (st.n == 0L || java.lang.Double.compare(v, st.maxV) > 0) {
+            // branch). The comparison must mirror SQL float `>`:
+            // NaN ranks above every non-NaN (so only the NaN case is
+            // special-cased), while +0.0/-0.0 compare EQUAL — a
+            // Double.compare total order would wrongly alert on +0.0
+            // after -0.0
+            if (st.n == 0L || v > st.maxV || (v.isNaN && !st.maxV.isNaN)) {
               out += ((user, eid, n, v))
               st = HwmState(n, v)
             } else st = HwmState(n, st.maxV)
@@ -203,6 +205,11 @@ object StreamingOps {
     import spark.implicits._
     events
       .select(col("user_id").cast("long"), col("event_type"))
+      // a MapState key cannot be NULL (the state encoder rejects it, and
+      // a crash-vs-NULL-group divergence from SQL would be worse) — the
+      // counters deliberately ignore untyped events; the p41 oracle
+      // carries the same predicate
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
       .as[(Long, String)]
       .groupByKey(_._1)
       .transformWithState(new TypeCountsProcessor,

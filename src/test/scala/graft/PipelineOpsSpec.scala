@@ -279,17 +279,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Ünïcode Tökens ÀÉÎ here", "exactly three toks", "a a a a a",
       null.asInstanceOf[String])
     val df = edge.toDF("text")
-    for (n <- Seq(2, 3, 8)) {
-      val cmp = df.select(
-        TextOps.shingles(col("text"), n).as("ks"),
-        oldShingles(col("text"), n).as("os"),
-        TextOps.segments(col("text"), n).as("kg"),
-        oldSegments(col("text"), n).as("og")).collect()
-      cmp.foreach { r =>
-        assert(r.getSeq[String](0) == r.getSeq[String](1), s"shingles n=$n: $r")
-        assert(r.getSeq[String](2) == r.getSeq[String](3), s"segments n=$n: $r")
+    // both ICU and JVM case-mapping modes: the kernel mirrors lower()'s
+    // conf dispatch, so parity must hold under either setting
+    val icuKey = "spark.sql.icu.caseMappings.enabled"
+    val prevIcu = spark.conf.get(icuKey)
+    try {
+      for (icu <- Seq("true", "false"); n <- Seq(2, 3, 8)) {
+        spark.conf.set(icuKey, icu)
+        val cmp = df.select(
+          TextOps.shingles(col("text"), n).as("ks"),
+          oldShingles(col("text"), n).as("os"),
+          TextOps.segments(col("text"), n).as("kg"),
+          oldSegments(col("text"), n).as("og")).collect()
+        cmp.foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1), s"shingles n=$n icu=$icu: $r")
+          assert(r.getSeq[String](2) == r.getSeq[String](3), s"segments n=$n icu=$icu: $r")
+        }
       }
-    }
+    } finally spark.conf.set(icuKey, prevIcu)
   }
 
   test("Bloom semi-join reduction: no false negatives, lossless vs exact join, selective") {
