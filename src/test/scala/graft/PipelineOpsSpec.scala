@@ -319,6 +319,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(passed >= 100 && passed < 600, s"bloom passed $passed of 2000")
   }
 
+  test("spread widens a narrow scan; no-op (same object) on an already-wide plan") {
+    val par = spark.sparkContext.defaultParallelism
+    val narrow = spark.range(0, 1000).coalesce(1).toDF("x")
+    assert(queries.Tables.spread(narrow).rdd.getNumPartitions == par)
+    val wide = spark.range(0, 1000).repartition(par).toDF("x")
+    // reference equality: no shuffle is ever added to a wide-enough plan
+    assert(queries.Tables.spread(wide) eq wide)
+  }
+
+  test("bloom prefilter plans as a scalar-subquery might_contain below the join") {
+    import spark.implicits._
+    import graft.functions.Bloom
+    val small = (0 until 50).map(i => s"k$i").toDF("s")
+    val big = (0 until 500).map(i => s"k$i").toDF("s")
+    val bloom = small.agg(Bloom.agg(xxhash64(col("s")), 100L, 800L))
+    val reduced = big.filter(Bloom.mightContain(bloom, xxhash64(col("s"))))
+      .join(small, "s")
+    val optimized = reduced.queryExecution.optimizedPlan.toString
+    // the probe survives optimization as a FILTER with the bloom build
+    // attached as a scalar subquery — i.e. the prefilter really sits
+    // below the join, it is not folded away or collected driver-side
+    assert(optimized.contains("might_contain"), optimized)
+    assert(optimized.contains("scalar-subquery"), optimized)
+    val joinIdx = optimized.indexOf("Join")
+    val probeIdx = optimized.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe should be planned under the join:\n$optimized")
+  }
+
   test("p31 repetition stats: planted repetition is measured exactly") {
     import spark.implicits._
     Seq((1L, "x x x x y y z w")) // 8 tokens, top token x=4
