@@ -277,6 +277,52 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // ---- dedup corpus rewrite (clusters applied) --------------------------
+    // The step after p29: apply the cluster labels to the corpus —
+    // keep one survivor per cluster, report how many docs merged into
+    // it and how many tokens the rewrite dropped. This is the actual
+    // deliverable of a near-dup pass (the rewritten corpus + an audit
+    // of what was removed); the oracle extends the shared recursive-CTE
+    // fixpoint, so pairs → clusters → rewrite can never drift apart.
+    // Plan cost beyond p29: one broadcast-joinable label table against
+    // the scan + one survivor-keyed agg.
+    Q("p42_dedup_rewrite", Some(s"""
+      WITH RECURSIVE $simhash64Cte,
+      $simhashPairsCte,
+      esym AS (SELECT a AS u, b AS v FROM spairs
+               UNION SELECT b, a FROM spairs),
+      walk(u, v) AS (SELECT u, v FROM esym
+                     UNION
+                     SELECT wk.u, e.v FROM walk wk JOIN esym e ON wk.v = e.u),
+      lbl AS (SELECT u AS n, least(u, min(v)) AS cluster_id
+              FROM walk GROUP BY u),
+      cl AS (SELECT d.doc_id,
+                    coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                    CAST(len($wsSql) AS BIGINT) AS n_tokens
+             FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id)
+      SELECT cluster_id AS survivor_id, COUNT(*) AS n_merged,
+             CAST(SUM(CASE WHEN doc_id <> cluster_id THEN n_tokens ELSE 0 END)
+               AS BIGINT) AS tokens_dropped
+      FROM cl GROUP BY cluster_id
+      ORDER BY survivor_id""")) { (spark, dir) =>
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val pairs = DedupOps.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = 1000)
+      val cc = DedupOps.connectedComponents(pairs)
+      docs
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .join(cc.select(col("n").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"), col("n_tokens"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_merged"),
+          sum(when(col("doc_id") =!= col("cluster_id"), col("n_tokens"))
+            .otherwise(0L)).cast("long").as("tokens_dropped"))
+        .select(col("cluster_id").as("survivor_id"),
+          col("n_merged"), col("tokens_dropped"))
+        .orderBy(col("survivor_id"))
+    },
+
     // ---- brute-force cosine top-k (exact ANN baseline) --------------------
     Q("p10_knn_bruteforce", Some("""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
