@@ -15,7 +15,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectParser((_, delegate) => new GraftParser(delegate))
     // batch-at-a-time UDF projection (udf.rs:82-115 granularity)
     e.injectPlannerStrategy(_ => graft.plans.BatchInvokeStrategy)
+    // the native kernels as SQL-callable functions, so spark.sql users
+    // get the same single-pass codegen path as the Column API
+    GraftExtensions.functions.foreach(e.injectFunction)
   }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument 2 must be an INT literal, got $other")
+  }
+
+  private def fn(name: String, usage: String, arity: Int)(
+      build: Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo("graft.functions", name, usage),
+    (args: Seq[Expression]) => {
+      require(args.length == arity, s"$name expects $arity arguments")
+      build(args)
+    })
+
+  /** SQL registrations for the engine's native expressions. */
+  private[graft] val functions = Seq(
+    fn("graft_shingles", "graft_shingles(text, n) - overlapping n-token shingles", 2)(
+      a => graft.functions.ShinglesExpr(a(0), intArg(a(1), "graft_shingles"))),
+    fn("graft_segments", "graft_segments(text, n) - non-overlapping n-token segments", 2)(
+      a => graft.functions.SegmentsExpr(a(0), intArg(a(1), "graft_segments"))),
+    fn("graft_image_dims", "graft_image_dims(binary) - packed (w<<32)|h from PNG/JPEG headers", 1)(
+      a => graft.functions.ImageDimsExpr(a(0))),
+    fn("graft_wav_meta", "graft_wav_meta(binary, field) - WAV header field (0=channels,1=rate,2=bits,3=data_size)", 2)(
+      a => graft.functions.WavMetaExpr(a(0), intArg(a(1), "graft_wav_meta"))),
+    fn("graft_dot", "graft_dot(array<double>, array<double>) - dot product", 2)(
+      a => graft.functions.DotProduct(a(0), a(1))))
 }
 
 /** Thin session facade — the engine's `SessionContext` analog. */

@@ -253,6 +253,21 @@ class EngineDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(engine.sql("select 1 + 1 as v").collect() === Array(Row(2)))
   }
 
+  test("native kernels are SQL-callable through the extensions") {
+    assert(engine.sql("SELECT graft_shingles('A b c d', 2) AS s")
+      .collect().head.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(engine.sql("SELECT graft_segments('a b c d e', 2) AS s")
+      .collect().head.getSeq[String](0) == Seq("a b", "c d"))
+    assert(engine.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0) == 11.0)
+    // WAV field id must be a literal (plan-time constant)
+    val err = intercept[Exception](
+      engine.sql("SELECT graft_wav_meta(CAST('x' AS BINARY), 1 + 1)").collect())
+    assert(exceptionChain(err).exists(_.getMessage.contains("INT literal")))
+    assert(engine.sql("SELECT graft_image_dims(CAST('nope' AS BINARY)) AS d")
+      .collect().head.isNullAt(0))
+  }
+
   private def exceptionChain(e: Throwable): Seq[Throwable] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
 }
