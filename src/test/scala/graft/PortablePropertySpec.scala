@@ -52,6 +52,31 @@ class PortablePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("header parsers never throw on arbitrary bytes (100 TB of crawl is adversarial)") {
+    import graft.functions.{ImageDims, WavMeta}
+    val bytes: Gen[Array[Byte]] =
+      Gen.chooseNum(0, 200).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    val raw = samples(bytes, 300)
+    // adversarial prefixes: valid magics followed by garbage/truncation,
+    // so the chunk/segment walks run off into random declared sizes
+    val magic = Seq("RIFF".getBytes, "RIFF1234WAVE".getBytes,
+      Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A),
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte))
+    val all = raw ++ magic.flatMap(m => raw.take(50).map(m ++ _))
+    all.foreach { b =>
+      (0 to 3).foreach(f => WavMeta.parse(b, f)) // must return, never throw
+      ImageDims.parse(b)
+    }
+    // and through the codegen'd expressions
+    import spark.implicits._
+    val df = all.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("i", "b")
+    val n = df.select(WavMeta.channels(col("b")), WavMeta.sampleRate(col("b")),
+      WavMeta.bits(col("b")), WavMeta.dataSize(col("b")),
+      ImageDims.dims(col("b"))).count()
+    assert(n == all.length)
+  }
+
   test("affine minhash family stays in [0, P) across the h32 domain") {
     import spark.implicits._
     val edges = Seq(0L, 1L, (1L << 31) - 1, 1L << 31, (1L << 32) - 1) ++
