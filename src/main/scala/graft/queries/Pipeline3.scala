@@ -365,6 +365,34 @@ object Pipeline3 {
           size(col("chunk")).cast("long").as("n_tok"),
           md5(array_join(col("chunk"), " ")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // ---- deterministic per-group reservoir sample ---------------------------
+    // Eval-set construction: a uniform k=5 sample PER SOURCE, chosen as
+    // the k lowest salted portable hashes — reproducible on any fleet
+    // (no rand()), stable under corpus growth for the docs that stay.
+    // One shuffle (the per-source window rank); each group sorts only
+    // its own rows. At extreme per-group cardinality the refinement is
+    // a partial per-partition top-k before the window — noted, not
+    // needed while groups are orders of magnitude under partition size.
+    Q("p43_reservoir_sample", Some(s"""
+      WITH h AS (SELECT doc_id, source,
+                        ${Portable.h60Sql("concat('rsv:', CAST(doc_id AS VARCHAR))")} AS hk
+                 FROM documents),
+      r AS (SELECT doc_id, source, hk,
+                   row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+            FROM h)
+      SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, hk
+      FROM r WHERE rk <= 5 ORDER BY source, rk""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Portable.h60(concat(lit("rsv:"), col("doc_id").cast("string"))).as("hk"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"), col("hk"))
+        .orderBy(col("source"), col("rk"))
     }
   )
 }
