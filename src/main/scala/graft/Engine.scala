@@ -23,10 +23,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
   private def intArg(e: Expression, fn: String): Int = e match {
-    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    // any plan-time-constant integer works (literal, CAST, folded
+    // arithmetic) — the kernels need the value at expression build time
+    case c if c.foldable && c.dataType == org.apache.spark.sql.types.IntegerType =>
+      c.eval() match {
+        case v: java.lang.Integer => v.intValue()
+        case _ => throw new IllegalArgumentException(
+          s"$fn: argument 2 must be a non-NULL INT constant")
+      }
     case other => throw new IllegalArgumentException(
       s"$fn: argument 2 must be an INT literal, got $other")
   }
@@ -34,7 +41,10 @@ object GraftExtensions {
   private def fn(name: String, usage: String, arity: Int)(
       build: Seq[Expression] => Expression) = (
     FunctionIdentifier(name),
-    new ExpressionInfo("graft.functions", name, usage),
+    // 5-arg ctor: (className, db, NAME, usage, arguments) — the 3-arg
+    // overload is (className, db, name) and would register the usage
+    // text as the function name
+    new ExpressionInfo("graft.functions", null, name, usage, ""),
     (args: Seq[Expression]) => {
       require(args.length == arity, s"$name expects $arity arguments")
       build(args)

@@ -27,7 +27,9 @@ case class ImageDimsExpr(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    // NullType: a NULL literal argument is legal SQL; null in → null out
+    case BinaryType | org.apache.spark.sql.types.NullType =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a BINARY argument, got ${t.catalogString}")
   }

@@ -108,8 +108,12 @@ abstract class TextKernelExpr extends UnaryExpression {
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
-    case StringType => TypeCheckResult.TypeCheckFailure(s"$prettyName: n must be >= 1, got $n")
+    // NullType: SQL callers write graft_shingles(NULL, 2) like any
+    // builtin — a null input is the null-text case (empty array out)
+    case StringType | org.apache.spark.sql.types.NullType if n >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType | org.apache.spark.sql.types.NullType =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: n must be >= 1, got $n")
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a STRING argument, got ${t.catalogString}")
   }
@@ -120,15 +124,26 @@ abstract class TextKernelExpr extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
-    val c = child.genCode(ctx)
-    val call = s"graft.functions.TextKernels.$kernelName(" +
-      s"${c.isNull} ? null : ${c.value}, $n, $useICU)"
-    ev.copy(
-      code = code"""
-        ${c.code}
-        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $call;
-        """,
-      isNull = FalseLiteral)
+    if (child.dataType == org.apache.spark.sql.types.NullType) {
+      // a NULL-typed child has no usable generated value — emit the
+      // null-text case directly
+      val call = s"graft.functions.TextKernels.$kernelName(null, $n, $useICU)"
+      ev.copy(
+        code = code"""
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $call;
+          """,
+        isNull = FalseLiteral)
+    } else {
+      val c = child.genCode(ctx)
+      val call = s"graft.functions.TextKernels.$kernelName(" +
+        s"${c.isNull} ? null : ${c.value}, $n, $useICU)"
+      ev.copy(
+        code = code"""
+          ${c.code}
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $call;
+          """,
+        isNull = FalseLiteral)
+    }
   }
 }
 

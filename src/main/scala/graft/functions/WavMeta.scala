@@ -29,9 +29,12 @@ case class WavMetaExpr(child: Expression, field: Int) extends UnaryExpression {
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType if field >= 0 && field <= 3 => TypeCheckResult.TypeCheckSuccess
-    case BinaryType => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName field must be 0..3, got $field")
+    // NullType: a NULL literal argument is legal SQL; null in → null out
+    case BinaryType | org.apache.spark.sql.types.NullType
+        if field >= 0 && field <= 3 => TypeCheckResult.TypeCheckSuccess
+    case BinaryType | org.apache.spark.sql.types.NullType =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName field must be 0..3, got $field")
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a BINARY argument, got ${t.catalogString}")
   }

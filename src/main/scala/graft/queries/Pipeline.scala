@@ -61,11 +61,26 @@ object Pipeline {
               FROM bs JOIN bitw USING (bit) GROUP BY doc_id)"""
   }
 
+  /** DuckDB recursive-CTE fixpoint over `spairs` producing
+    * `lbl(n, cluster_id)` — the oracle mirror of
+    * [[graft.ops.DedupOps.connectedComponents]]. ONE definition shared
+    * by p29 (clusters) and p42 (rewrite), so a tie-break or cap change
+    * cannot silently diverge the two.
+    */
+  private[queries] val clusterLabelsCte: String =
+    """esym AS (SELECT a AS u, b AS v FROM spairs
+               UNION SELECT b, a FROM spairs),
+      walk(u, v) AS (SELECT u, v FROM esym
+                     UNION
+                     SELECT wk.u, e.v FROM walk wk JOIN esym e ON wk.v = e.u),
+      lbl AS (SELECT u AS n, least(u, min(v)) AS cluster_id
+              FROM walk GROUP BY u)"""
+
   /** DuckDB CTE chain (appended after [[simhash64Cte]]) producing
     * `spairs(a, b, hamming)` — the exact mirror of
     * [[graft.ops.DedupOps.simhashPairs]] (banded buckets, size cap,
-    * any-surviving-bucket dedup). Shared by p09 and the p29 clustering
-    * oracle so the two can never drift.
+    * any-surviving-bucket dedup). Shared by p09 and the p29/p42
+    * clustering oracles so they can never drift.
     */
   private[queries] val simhashPairsCte: String = {
     val blockSelects = (0 until 4).map(q =>
@@ -251,13 +266,7 @@ object Pipeline {
     Q("p29_neardup_clusters", Some(s"""
       WITH RECURSIVE $simhash64Cte,
       $simhashPairsCte,
-      esym AS (SELECT a AS u, b AS v FROM spairs
-               UNION SELECT b, a FROM spairs),
-      walk(u, v) AS (SELECT u, v FROM esym
-                     UNION
-                     SELECT wk.u, e.v FROM walk wk JOIN esym e ON wk.v = e.u),
-      lbl AS (SELECT u AS n, least(u, min(v)) AS cluster_id
-              FROM walk GROUP BY u)
+      $clusterLabelsCte
       SELECT d.doc_id,
              coalesce(l.cluster_id, d.doc_id) AS cluster_id,
              CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id
@@ -289,13 +298,7 @@ object Pipeline {
     Q("p42_dedup_rewrite", Some(s"""
       WITH RECURSIVE $simhash64Cte,
       $simhashPairsCte,
-      esym AS (SELECT a AS u, b AS v FROM spairs
-               UNION SELECT b, a FROM spairs),
-      walk(u, v) AS (SELECT u, v FROM esym
-                     UNION
-                     SELECT wk.u, e.v FROM walk wk JOIN esym e ON wk.v = e.u),
-      lbl AS (SELECT u AS n, least(u, min(v)) AS cluster_id
-              FROM walk GROUP BY u),
+      $clusterLabelsCte,
       cl AS (SELECT d.doc_id,
                     coalesce(l.cluster_id, d.doc_id) AS cluster_id,
                     CAST(len($wsSql) AS BIGINT) AS n_tokens

@@ -386,7 +386,7 @@ object Pipeline3 {
       FROM r WHERE rk <= 5 ORDER BY source, rk""")) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
-      Tables.load(spark, dir, "documents")
+      Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"), col("source"),
           Portable.h60(concat(lit("rsv:"), col("doc_id").cast("string"))).as("hk"))
         .withColumn("rk", row_number().over(w).cast("long"))

@@ -260,11 +260,20 @@ class EngineDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getSeq[String](0) == Seq("a b", "c d"))
     assert(engine.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect().head.getDouble(0) == 11.0)
-    // WAV field id must be a literal (plan-time constant)
+    // any plan-time-constant INT works as the field/n argument
+    assert(engine.sql("SELECT graft_wav_meta(CAST('x' AS BINARY), 1 + 1) AS f")
+      .collect().head.isNullAt(0)) // folded constant accepted; bytes unparseable
     val err = intercept[Exception](
-      engine.sql("SELECT graft_wav_meta(CAST('x' AS BINARY), 1 + 1)").collect())
-    assert(exceptionChain(err).exists(_.getMessage.contains("INT literal")))
+      engine.sql("SELECT graft_shingles('a b', CAST(NULL AS INT))").collect())
+    assert(exceptionChain(err).exists(_.getMessage.contains("non-NULL INT")))
     assert(engine.sql("SELECT graft_image_dims(CAST('nope' AS BINARY)) AS d")
+      .collect().head.isNullAt(0))
+    // NULL literal arguments are legal SQL, like every builtin
+    assert(engine.sql("SELECT graft_shingles(NULL, 2) AS s")
+      .collect().head.getSeq[String](0).isEmpty)
+    assert(engine.sql("SELECT graft_image_dims(NULL) AS d")
+      .collect().head.isNullAt(0))
+    assert(engine.sql("SELECT graft_wav_meta(NULL, 1) AS r")
       .collect().head.isNullAt(0))
   }
 

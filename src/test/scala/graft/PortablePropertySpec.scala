@@ -71,10 +71,12 @@ class PortablePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     // and through the codegen'd expressions
     import spark.implicits._
     val df = all.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("i", "b")
-    val n = df.select(WavMeta.channels(col("b")), WavMeta.sampleRate(col("b")),
+    // collect() the projected columns — a count() would let column
+    // pruning delete the parse expressions and never run the codegen
+    val rows = df.select(WavMeta.channels(col("b")), WavMeta.sampleRate(col("b")),
       WavMeta.bits(col("b")), WavMeta.dataSize(col("b")),
-      ImageDims.dims(col("b"))).count()
-    assert(n == all.length)
+      ImageDims.dims(col("b"))).collect()
+    assert(rows.length == all.length)
   }
 
   test("affine minhash family stays in [0, P) across the h32 domain") {
