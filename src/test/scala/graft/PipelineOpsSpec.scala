@@ -348,6 +348,29 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bloom probe should be planned under the join:\n$optimized")
   }
 
+  test("plan audit: no Cartesian products; document scans are column-pruned") {
+    val dir = "/root/testdata/sf0.001"
+    // representative heavy queries: every join family + the shingle
+    // pipelines; q20 (the deliberate cross join) is excluded by design
+    val audited = Seq("q03_shipping_priority", "q05_local_supplier_volume",
+      "q17_full_outer_cte", "p05_jaccard_pairs", "p07_lsh_candidates",
+      "p09_simhash_pairs", "p12_embedding_neardup", "p26_srp_neardup",
+      "p32_decontam", "p39_bloom_decontam", "p42_dedup_rewrite")
+    audited.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a Cartesian product:\n$plan")
+      // a documents scan must never read the full row for a projection
+      // of (doc_id, text)-derived columns — source would be wasted I/O
+      plan.linesIterator.filter(_.contains("FileScan parquet"))
+        .filter(_.contains("documents")).foreach { scanLine =>
+          assert(!scanLine.contains("source"),
+            s"$name reads unused documents columns:\n$scanLine")
+        }
+    }
+  }
+
   test("p31 repetition stats: planted repetition is measured exactly") {
     import spark.implicits._
     Seq((1L, "x x x x y y z w")) // 8 tokens, top token x=4
