@@ -33,6 +33,28 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)).toDF("id", "k", "v")
   }
 
+  test("ANALYZE TABLE feeds the optimizer exact row counts (CBO stats)") {
+    sample.write.mode("overwrite").saveAsTable("graft_stats_t")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.sql("ANALYZE TABLE graft_stats_t COMPUTE STATISTICS FOR ALL COLUMNS")
+      // row-count estimation consumes the stats only under CBO
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.table("graft_stats_t").queryExecution
+        .optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(3)),
+        s"ANALYZE should give the optimizer an exact row count, got $stats")
+      // column-level stats recorded in the catalog (distinct counts
+      // drive join-size estimation)
+      val desc = spark.sql("DESCRIBE EXTENDED graft_stats_t k").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc.get("distinct_count").contains("2"), desc)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.sql("DROP TABLE IF EXISTS graft_stats_t")
+    }
+  }
+
   test("parquet round-trip preserves schema and rows") {
     val dir = s"${tmp()}/t.parquet"
     sample.write.mode(SaveMode.Overwrite).parquet(dir)
