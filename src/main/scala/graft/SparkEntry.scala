@@ -13,9 +13,9 @@ object SparkEntry {
 
   private def allQ: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational3.all ++ Relational4.all ++
-      Relational5.all ++
-      Pipeline.all ++ Pipeline2.all ++ Pipeline3.all ++ StreamingQ.all ++
-      MultimodalQ.all
+      Relational5.all ++ Relational6.all ++
+      Pipeline.all ++ Pipeline2.all ++ Pipeline3.all ++ Pipeline4.all ++
+      StreamingQ.all ++ MultimodalQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

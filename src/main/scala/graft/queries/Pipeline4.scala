@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** Training-data pipeline operators, part 4: tokenizer-training and
+  * language-model-statistics steps — the character-pair frequency count
+  * that drives a BPE merge iteration, and per-document bigram
+  * conditional-probability scoring against corpus-wide n-gram counts
+  * (the integer-exact core of perplexity-style quality filtering).
+  *
+  * Same conventions as [[Pipeline3]]: all ratios are scaled integers
+  * (ppm via floor division) so every oracle is bit-exact cross-engine.
+  */
+object Pipeline4 {
+
+  private val wsSql = TextSql.ws
+  private def shinglesSql(ws: String, n: Int): String = TextSql.shingles(ws, n)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- BPE merge-candidate pair frequencies ------------------------------
+    // One iteration of byte-pair-encoding tokenizer training: count
+    // adjacent CHARACTER pairs inside every word occurrence across the
+    // corpus and rank the merge candidates. Plan shape: the char-pair
+    // fan-out is a row-local generator (explode of a transform over the
+    // word — no join, no per-char shuffle); the only shuffle is the
+    // pair-count aggregate, whose keyspace is bounded by the alphabet
+    // squared (≤ a few thousand keys at ANY corpus size) — partial
+    // map-side aggregation collapses the fan-out before it moves, so
+    // the operator scales with the scan, not with corpus size.
+    Q("p46_bpe_pairs", Some(s"""
+      WITH w AS (SELECT unnest($wsSql) AS w FROM documents),
+      p AS (SELECT unnest([w[i:i+1] for i in generate_series(1, length(w)-1)]) AS pair
+            FROM w WHERE length(w) >= 2)
+      SELECT pair, COUNT(*) AS n
+      FROM p GROUP BY pair
+      ORDER BY n DESC, pair
+      LIMIT 32""")) { (spark, dir) =>
+      Tables.loadSpread(spark, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(32)
+    },
+
+    // ---- bigram-LM document scoring ----------------------------------------
+    // Perplexity-style quality signal without floats: corpus bigram
+    // counts C2(w1 w2) and prefix counts C1(w1) are built once (two
+    // count aggregates over the same exploded bigram stream), then each
+    // document's bigrams join the tables and score
+    // cond_ppm = C2 * 1e6 // C1 — the integer conditional probability
+    // of each transition — averaged per document. Plan shape: the
+    // count tables derive from ONE tokenization pass; the join back is
+    // keyed on the bigram string (shuffle bounded by corpus vocabulary,
+    // heavy-hitter keys are exactly the frequent bigrams AQE handles);
+    // docs under 2 tokens have no bigrams and drop out on both engines.
+    Q("p47_bigram_lm", Some(s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      bg AS (SELECT doc_id, unnest(${shinglesSql("ws", 2)}) AS bg FROM w),
+      c2 AS (SELECT bg, COUNT(*) AS n2 FROM bg GROUP BY bg),
+      c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS n1
+             FROM bg GROUP BY 1),
+      j AS (SELECT b.doc_id, c2.n2 * 1000000 // c1.n1 AS cond_ppm
+            FROM bg b JOIN c2 USING (bg)
+            JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(cond_ppm) // COUNT(*) AS BIGINT) AS avg_cond_ppm
+      FROM j GROUP BY doc_id
+      ORDER BY doc_id""")) { (spark, dir) =>
+      val bgRaw = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
+      // three consumers (c2, c1, the doc-side join) read the tokenized
+      // stream — materialize it once (p25/p32 single-pass convention)
+      val bg = if (singlePass(spark, "graft.bigramlm.singlePass"))
+        bgRaw.localCheckpoint() else bgRaw
+      val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("n2"))
+      val c1 = bg.select(substring_index(col("bg"), " ", 1).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+      bg.join(c2, "bg")
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(c1, "w1")
+        .select(col("doc_id"), expr("n2 * 1000000 div n1").as("cond_ppm"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(cond_ppm) div count(1)").cast("long").as("avg_cond_ppm"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational surface, part 6: LATERAL correlated subqueries, ordered
+  * string aggregation (LISTAGG / string_agg), and IGNORE NULLS window
+  * navigation — SQL-standard features both engines express natively.
+  */
+object Relational6 {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- LATERAL join (correlated table subquery) --------------------------
+    // Top-3 orders per nation via a correlated LATERAL subquery — the
+    // SQL-standard form of "for each row, run this parameterized
+    // query". Catalyst decorrelates the LIMIT-ed subquery into a
+    // ranked window join (DecorrelateInnerQuery), so the executed plan
+    // is the scalable per-group top-k, not N nested executions: the
+    // lateral is declarative sugar, the engine picks the set-based
+    // physical plan.
+    Q("q56_lateral", Some("""
+      SELECT n.n_name, t.o_orderkey, t.o_totalprice
+      FROM nation n, LATERAL (
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 3) t
+      ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey""")) { (spark, dir) =>
+      registered(spark, dir).sql("""
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM nation n, LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 3) t
+        ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey""")
+    },
+
+    // ---- ordered string aggregation (LISTAGG WITHIN GROUP) -----------------
+    // Spark 4's SQL-standard LISTAGG ... WITHIN GROUP (ORDER BY ...) vs
+    // DuckDB's string_agg ORDER BY — the deterministic (ordered)
+    // variant, without which a distributed string agg is
+    // partition-order nondeterministic and can never hash-match.
+    Q("q57_listagg", Some("""
+      SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""")) { (spark, dir) =>
+      registered(spark, dir).sql("""
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name""")
+    },
+
+    // ---- IGNORE NULLS window navigation ------------------------------------
+    // lag(... IGNORE NULLS) (previous non-null observation) and
+    // last_value(... IGNORE NULLS) (gap-fill / last-observation-carried-
+    // forward) — the time-series imputation primitives. Nulls are
+    // fabricated deterministically (event_id % 3) so both engines see
+    // the same gaps; values are copied, never computed, so doubles
+    // compare bit-exact.
+    Q("q58_ignore_nulls", Some("""
+      WITH e AS (SELECT event_id, user_id, ts,
+                        CASE WHEN event_id % 3 = 0 THEN NULL
+                             ELSE value END AS v
+                 FROM events)
+      SELECT event_id,
+             lag(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_v
+      FROM e
+      ORDER BY event_id""")) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(spark, dir, "events")
+        .withColumn("v",
+          when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+        .select(col("event_id"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"),
+          last(col("v"), ignoreNulls = true).over(wf).as("fill_v"))
+        .orderBy(col("event_id"))
+    }
+  )
+}

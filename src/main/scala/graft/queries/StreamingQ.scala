@@ -115,6 +115,44 @@ object StreamingQ {
         .orderBy(col("user_id"), col("running_n"))
     },
 
+    // ---- stream-static enrichment join -----------------------------------
+    // The dimension-enrichment shape: events stream, customer dimension
+    // broadcast per micro-batch (NO join state), tiny stateful agg on
+    // top. Complete mode because the aggregate keyspace (segments) is
+    // bounded; the batch join+GROUP BY is the exact oracle.
+    Q("p44_stream_enrich", Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")) { (spark, dir) =>
+      StreamingOps.runToMemory(
+          StreamingOps.segmentRevenue(StreamingOps.eventsStream(spark, dir),
+            Tables.load(spark, dir, "customer")),
+          mode = "complete")
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
+    // First event per (user, type, minute) key with key state expiring
+    // at the watermark. The surviving ROW per key is arrival-order
+    // dependent, so the checked result is per-key counts rolled up by
+    // type — each key contributes exactly one survivor, making the
+    // batch COUNT(DISTINCT key) the exact oracle.
+    Q("p45_stream_dedup_wm", Some("""
+      SELECT event_type,
+             COUNT(DISTINCT (user_id, date_trunc('minute', ts))) AS n_first
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")) { (spark, dir) =>
+      StreamingOps.runToMemory(
+          StreamingOps.minuteDedup(StreamingOps.eventsStream(spark, dir)),
+          mode = "append")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_first"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- arbitrary-state v2 (transformWithState + MapState, RocksDB) -----
     // Per-user event-type counters in a RocksDB-backed MapState — the
     // Spark 4 state-v2 API (typed Value/List/Map state + TTL + timers)

@@ -217,6 +217,41 @@ object StreamingOps {
       .toDF("user_id", "event_type", "n")
   }
 
+  /** Stream-static enrichment join + aggregation: each micro-batch of
+    * events joins the static customer dimension on `user_id = c_custkey`
+    * and feeds a per-segment revenue aggregate. The standard streaming
+    * enrichment shape at any scale — facts stream, dimensions broadcast:
+    * the static side is re-planned (and re-broadcast) per micro-batch,
+    * so the join holds NO state (unlike the stream-stream join, whose
+    * state grows with the watermark window) and the stream side never
+    * shuffles for the join. The only stateful operator is the final
+    * aggregate, whose cardinality is the segment count — tiny forever.
+    * Exact decimal sum for a bit-stable cross-engine total (dsum
+    * convention).
+    */
+  def segmentRevenue(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+
+  /** Streaming first-per-key dedup via `dropDuplicatesWithinWatermark`:
+    * keeps the first event seen per (user, type, minute) key. Unlike
+    * plain `dropDuplicates` (whose key state lives forever), a key's
+    * state is dropped once the watermark passes its event time plus the
+    * delay — bounded state on an unbounded stream, which is the entire
+    * point of the operator. WHICH physical row survives a duplicate key
+    * is arrival-order-dependent, so oracle-checked callers aggregate to
+    * per-key counts (deterministic: every key survives exactly once).
+    */
+  def minuteDedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("minute_bin", date_trunc("minute", col("ts")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_bin")
+
   /** Run a bounded stream to completion into an in-memory sink and
     * return the sink table (AvailableNow trigger → deterministic for a
     * static source; used by the oracle-checked query entries).

@@ -385,4 +385,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("dup_bigram_ppm") == 285714L)
     assert(r.getAs[Long]("dup_seg_ppm") == 0L) // single segment
   }
+
+  /** Writes a one-table documents fixture and returns its dir. */
+  private def docsFixture(tag: String, rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/${tag}_${queries.runToken}"
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    dir
+  }
+
+  test("p46 BPE pairs: planted char pairs counted across word occurrences; " +
+    "single-char words contribute nothing") {
+    // "abab" → ab, ba, ab; "ab" → ab; "x" → none. Totals: ab=3+1? no —
+    // abab yields ab,ba,ab (3 pairs), ab yields ab → ab=3, ba=1.
+    val dir = docsFixture("p46fix", Seq((1L, "abab ab x")))
+    val r = SparkEntry.queries("p46_bpe_pairs")(spark, dir)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r == Seq(("ab", 3L), ("ba", 1L)))
+  }
+
+  test("p47 bigram LM: deterministic transition ppm; short docs drop out") {
+    // corpus: doc 1 "a b a b", doc 2 "a b", doc 3 "a" (no bigram).
+    // bigrams: d1 = [a b, b a, a b], d2 = [a b] → C2(a b)=3, C2(b a)=1;
+    // C1(a)=3, C1(b)=1 (prefix occurrences).
+    // d1 cond_ppm = [1e6*3//3, 1e6*1//1, 1e6] = [1e6,1e6,1e6] → avg 1e6
+    // d2 = [1e6] → avg 1e6; d3 absent.
+    val dir = docsFixture("p47fix", Seq((1L, "a b a b"), (2L, "a b"), (3L, "a")))
+    val r = SparkEntry.queries("p47_bigram_lm")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 3L, 1000000L), (2L, 1L, 1000000L)))
+  }
 }

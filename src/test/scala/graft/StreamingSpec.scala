@@ -184,4 +184,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runOnce() == first,
       "restart from checkpoint must not reprocess committed data")
   }
+
+  test("dropDuplicatesWithinWatermark suppresses duplicate keys across " +
+    "micro-batches while key state lives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val dedup = in.toDF().toDF("ts", "user_id", "event_type")
+      .withColumn("minute_bin", date_trunc("minute", col("ts")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_bin")
+    val q = dedup.writeStream.format("memory").queryName("ddwm")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: two rows with the SAME (user, type, minute) key → one out
+    in.addData((ts("2024-01-01 00:00:10"), 1L, "click"),
+      (ts("2024-01-01 00:00:40"), 1L, "click"),
+      (ts("2024-01-01 00:01:10"), 1L, "click")) // different minute → kept
+    q.processAllAvailable()
+    assert(spark.table("ddwm").count() == 2)
+
+    // batch 2: the same key again, watermark not yet past its expiry →
+    // state suppresses it (this is what plain per-batch dedup can't do)
+    in.addData((ts("2024-01-01 00:00:50"), 1L, "click"))
+    q.processAllAvailable()
+    assert(spark.table("ddwm").count() == 2)
+    q.stop()
+  }
+
+  test("stream-static enrichment join holds no stream state and matches the batch join") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingOps.runToMemory(
+      graft.streaming.StreamingOps.segmentRevenue(
+        graft.streaming.StreamingOps.eventsStream(spark, sf),
+        queries.Tables.load(spark, sf, "customer")),
+      mode = "complete")
+    val batch = queries.Tables.load(spark, sf, "events")
+      .join(queries.Tables.load(spark, sf, "customer"),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
