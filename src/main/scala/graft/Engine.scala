@@ -61,7 +61,11 @@ object GraftExtensions {
     fn("graft_wav_meta", "graft_wav_meta(binary, field) - WAV header field (0=channels,1=rate,2=bits,3=data_size)", 2)(
       a => graft.functions.WavMetaExpr(a(0), intArg(a(1), "graft_wav_meta"))),
     fn("graft_dot", "graft_dot(array<double>, array<double>) - dot product", 2)(
-      a => graft.functions.DotProduct(a(0), a(1))))
+      a => graft.functions.DotProduct(a(0), a(1))),
+    fn("graft_gcd", "graft_gcd(bigint, bigint) - greatest common divisor (DF38 gcd; Spark has no built-in)", 2)(
+      a => graft.functions.GcdExpr(a(0), a(1))),
+    fn("graft_lcm", "graft_lcm(bigint, bigint) - least common multiple (DF38 lcm; Spark has no built-in)", 2)(
+      a => graft.functions.LcmExpr(a(0), a(1))))
 }
 
 /** Thin session facade — the engine's `SessionContext` analog. */

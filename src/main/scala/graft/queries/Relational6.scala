@@ -86,6 +86,53 @@ object Relational6 {
           lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"),
           last(col("v"), ignoreNulls = true).over(wf).as("fill_v"))
         .orderBy(col("event_id"))
+    },
+
+    // ---- scalar-function gap sweep (DF38 fns q14/q15 left uncovered) -------
+    // The DF38 math/string functions without a prior oracle row:
+    // factorial, gcd, lcm (gcd/lcm have NO Spark built-in — covered by
+    // the engine's native codegen expressions graft_gcd/graft_lcm),
+    // nanvl, initcap, find_in_set, overlay, chr/ascii, bit_length, hex.
+    // DuckDB lacks initcap/find_in_set/overlay/nanvl — the oracle
+    // emulates those four with list/substr expressions, so the compare
+    // still pins Spark's exact semantics (word capitalization, 1-based
+    // set position with 0-absent, splice bounds, NaN fallback).
+    Q("q59_scalar_gap_sweep", Some("""
+      SELECT p_partkey,
+             CAST(factorial(CAST(p_partkey % 10 AS INTEGER)) AS BIGINT) AS fact,
+             gcd(p_partkey, 36) AS g,
+             lcm(p_partkey % 12 + 1, 8) AS l,
+             CASE WHEN p_partkey % 2 = 1 THEN -1.0 ELSE p_retailprice END AS nv,
+             array_to_string(list_transform(string_split(p_name, ' '),
+               w -> upper(w[1:1]) || lower(w[2:])), ' ') AS ic,
+             CAST(coalesce(list_position(string_split('ring,bolt,widget', ','),
+               split_part(p_name, ' ', 2)), 0) AS INTEGER) AS fis,
+             substr(p_name, 1, 2) || '##' || substr(p_name, 5) AS ov,
+             chr(CAST(65 + p_partkey % 26 AS INTEGER)) AS ch,
+             ascii(p_name) AS asc_first,
+             CAST(bit_length(p_name) AS INTEGER) AS bl,
+             hex(p_partkey) AS hx
+      FROM part
+      WHERE p_partkey <= 200
+      ORDER BY p_partkey""")) { (spark, dir) =>
+      import graft.functions.NumberTheory
+      Tables.load(spark, dir, "part")
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          factorial((col("p_partkey") % 10).cast("int")).as("fact"),
+          NumberTheory.gcdCol(col("p_partkey"), lit(36L)).as("g"),
+          NumberTheory.lcmCol(col("p_partkey") % 12 + 1, lit(8L)).as("l"),
+          nanvl(when(col("p_partkey") % 2 === 1, lit(Double.NaN))
+            .otherwise(col("p_retailprice")), lit(-1.0)).as("nv"),
+          initcap(col("p_name")).as("ic"),
+          expr("find_in_set(split_part(p_name, ' ', 2), 'ring,bolt,widget')")
+            .as("fis"),
+          expr("overlay(p_name PLACING '##' FROM 3 FOR 2)").as("ov"),
+          chr(lit(65) + col("p_partkey") % 26).as("ch"),
+          ascii(col("p_name")).as("asc_first"),
+          bit_length(col("p_name")).as("bl"),
+          hex(col("p_partkey")).as("hx"))
+        .orderBy(col("p_partkey"))
     }
   )
 }

@@ -417,4 +417,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
     assert(r == Seq((1L, 3L, 1000000L), (2L, 1L, 1000000L)))
   }
+
+  test("gcd/lcm kernels: DF38 semantics — non-negative, zero identities, " +
+    "null-safe, overflow raises") {
+    import spark.implicits._
+    import graft.functions.NumberTheory
+    val df = Seq(
+      (12L, 18L), (0L, 36L), (0L, 0L), (-12L, 18L), (7L, 13L)
+    ).toDF("a", "b")
+    val r = df.select(NumberTheory.gcdCol(col("a"), col("b")).as("g"),
+        NumberTheory.lcmCol(col("a"), col("b")).as("l"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((6L, 36L), (36L, 0L), (0L, 0L), (6L, 36L), (1L, 91L)))
+    // null-safe: null in → null out (BinaryExpression default)
+    val withNull = Seq((Some(4L), None: Option[Long])).toDF("a", "b")
+    assert(withNull.select(NumberTheory.gcdCol(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+    // lcm overflow must raise, not wrap (3^39 * 2^62 >> 2^63)
+    intercept[Exception] {
+      Seq((Long.MaxValue, Long.MaxValue - 1L)).toDF("a", "b")
+        .select(NumberTheory.lcmCol(col("a"), col("b"))).collect()
+    }
+    // SQL registration path (engine extensions): same kernels by name
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    assert(spark.sql("SELECT graft_gcd(12L, 18L), graft_lcm(4L, 6L)")
+      .collect().head.toSeq == Seq(6L, 12L))
+  }
 }
