@@ -133,6 +133,24 @@ object Relational6 {
           bit_length(col("p_name")).as("bl"),
           hex(col("p_partkey")).as("hx"))
         .orderBy(col("p_partkey"))
+    },
+
+    // ---- GROUP BY ALL (inferred grouping keys) -----------------------------
+    // Both engines accept the same SQL text verbatim: every non-aggregate
+    // select item becomes a grouping key. Pure dialect-parity row — the
+    // plan is the ordinary partial/final hash aggregate.
+    Q("q60_group_by_all", Some("""
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY ALL
+      ORDER BY o_orderpriority, o_orderstatus""")) { (spark, dir) =>
+      registered(spark, dir).sql("""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderpriority, o_orderstatus""")
     }
   )
 }

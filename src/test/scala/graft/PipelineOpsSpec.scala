@@ -355,7 +355,8 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val audited = Seq("q03_shipping_priority", "q05_local_supplier_volume",
       "q17_full_outer_cte", "p05_jaccard_pairs", "p07_lsh_candidates",
       "p09_simhash_pairs", "p12_embedding_neardup", "p26_srp_neardup",
-      "p32_decontam", "p39_bloom_decontam", "p42_dedup_rewrite")
+      "p32_decontam", "p39_bloom_decontam", "p42_dedup_rewrite",
+      "p46_bpe_pairs", "p47_bigram_lm", "q56_lateral", "q59_scalar_gap_sweep")
     audited.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString

@@ -212,6 +212,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("foreachBatch idempotent sink: batch-id gating makes a replayed " +
+    "micro-batch a no-op (the exactly-once sink contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the pattern a transactional sink implements: remember the last
+    // committed batchId; re-delivery of the same id (post-crash replay)
+    // must not double-write
+    val committed = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val sink = new scala.collection.mutable.ArrayBuffer[Long]()
+    def writeBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      if (committed.putIfAbsent(batchId, 1L) == null) {
+        sink.synchronized { sink ++= df.as[Long].collect() }
+      }
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("v").select(col("v"))
+      .writeStream.foreachBatch(writeBatch _).start()
+    in.addData(1L, 2L)
+    q.processAllAvailable()
+    assert(sink.sorted == Seq(1L, 2L))
+    // replay the SAME batch id manually — the gate must reject it
+    writeBatch(Seq(1L, 2L).toDF("v"), 0L)
+    assert(sink.sorted == Seq(1L, 2L), "replayed batch id must be a no-op")
+    in.addData(3L)
+    q.processAllAvailable()
+    assert(sink.sorted == Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
   test("stream-static enrichment join holds no stream state and matches the batch join") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingOps.runToMemory(
