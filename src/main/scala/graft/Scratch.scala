@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev-only plan inspector (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // --time: execute (count) each named query twice and print wall times
     // instead of the plan; mirrors Bench's per-query measurement.
     val (time, names) = args.partition(_ == "--time") match {

@@ -89,6 +89,48 @@ object Pipeline4 {
         .agg(count(lit(1)).as("n_bigrams"),
           expr("sum(cond_ppm) div count(1)").cast("long").as("avg_cond_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- incremental ingest dedup ------------------------------------------
+    // The shape every CONTINUOUSLY-growing corpus needs: a new batch of
+    // documents (fixture split doc_id % 10 >= 8) deduped against the
+    // already-ingested corpus (the other 80%) AND within itself. Each
+    // new doc is classified: dup of an existing doc, dup of an earlier
+    // new doc, or kept. Plan shape: the existing side reduces to
+    // DISTINCT hashes (never full rows — at 100 TB the ingested corpus
+    // is only ever touched as its hash index); one shuffle join on the
+    // hash + one first-per-hash aggregate over the SMALL new batch. The
+    // existing-hash side is NOT broadcast: it grows with the corpus,
+    // while the join key is a fixed-width md5 — exactly the economics
+    // of a hash-index lookup.
+    Q("p48_incremental_dedup", Some(raw"""
+      WITH h AS (SELECT doc_id,
+                        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+                 FROM documents),
+      old AS (SELECT DISTINCT ch FROM h WHERE doc_id % 10 < 8),
+      new AS (SELECT doc_id, ch FROM h WHERE doc_id % 10 >= 8),
+      firsts AS (SELECT ch, min(doc_id) AS keep_id FROM new GROUP BY ch)
+      SELECT n.doc_id, n.ch,
+             CASE WHEN o.ch IS NOT NULL THEN 'dup_existing'
+                  WHEN n.doc_id <> f.keep_id THEN 'dup_new'
+                  ELSE 'kept' END AS status
+      FROM new n
+      LEFT JOIN old o USING (ch)
+      JOIN firsts f USING (ch)
+      ORDER BY n.doc_id""")) { (spark, dir) =>
+      val h = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.contentHash(col("text")).as("ch"))
+      val old = h.filter(col("doc_id") % 10 < 8).select(col("ch")).distinct()
+        .withColumn("in_old", lit(1))
+      val fresh = h.filter(col("doc_id") % 10 >= 8)
+      val firsts = fresh.groupBy(col("ch")).agg(min(col("doc_id")).as("keep_id"))
+      fresh.join(old, Seq("ch"), "left")
+        .join(firsts, "ch")
+        .select(col("doc_id"), col("ch"),
+          when(col("in_old").isNotNull, "dup_existing")
+            .when(col("doc_id") =!= col("keep_id"), "dup_new")
+            .otherwise("kept").as("status"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -419,6 +419,20 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == Seq((1L, 3L, 1000000L), (2L, 1L, 1000000L)))
   }
 
+  test("p48 incremental dedup classifies new docs against the ingested corpus") {
+    // old corpus: 10, 20; new batch: 18 (dup of old 10), 28 (fresh),
+    // 38 (dup of new 28 → later id loses), 48 (unique)
+    val dir = docsFixture("p48fix", Seq(
+      (10L, "alpha beta gamma"), (20L, "delta epsilon"),
+      (18L, "Alpha  beta GAMMA"), // ws/case variant of 10 → dup_existing
+      (28L, "fresh new content"), (38L, "fresh  NEW content"), // dup_new
+      (48L, "entirely unique doc")))
+    val r = SparkEntry.queries("p48_incremental_dedup")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getString(2))).toMap
+    assert(r == Map(18L -> "dup_existing", 28L -> "kept",
+      38L -> "dup_new", 48L -> "kept"))
+  }
+
   test("gcd/lcm kernels: DF38 semantics — non-negative, zero identities, " +
     "null-safe, overflow raises") {
     import spark.implicits._
