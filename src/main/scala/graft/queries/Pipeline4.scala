@@ -131,6 +131,65 @@ object Pipeline4 {
             .when(col("doc_id") =!= col("keep_id"), "dup_new")
             .otherwise("kept").as("status"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- banded interval join (nested-loop → equi-join rewrite) ------------
+    // Same semantics as p24's batch oracle (clicks ⋈ same-user purchases
+    // in the preceding 30 min) but executed as the SCALABLE batch
+    // rewrite: time-band bucketing turns the non-equi interval condition
+    // into a hash equi-join on (user, band) — one bounded shuffle
+    // instead of a per-key nested loop. The oracle is the plain interval
+    // join, proving the rewrite lossless (band edges included).
+    Q("p49_banded_interval_join", Some("""
+      SELECT c.event_id AS click_id, p.event_id AS buy_id,
+             CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+             CAST(epoch_us(p.ts) AS BIGINT) AS buy_us
+      FROM events c JOIN events p
+        ON c.event_type = 'click' AND p.event_type = 'purchase'
+       AND c.user_id = p.user_id
+       AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+      ORDER BY click_id, buy_id""")) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("us").as("click_us"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"),
+          col("us").as("buy_us"))
+      graft.ops.JoinPatterns.bandedIntervalJoin(
+          clicks, buys, "user_id", "click_us", "buy_us", 30L * 60 * 1000000)
+        .select(col("click_id"), col("buy_id"), col("click_us"), col("buy_us"))
+        .orderBy(col("click_id"), col("buy_id"))
+    },
+
+    // ---- salted skew join --------------------------------------------------
+    // lineitem keyed on l_returnflag — 3 distinct values, the worst
+    // skew a shuffle join can see (every row of a flag in ONE task).
+    // The salted rewrite spreads each hot key over 8 salt partitions
+    // and replicates the 3-row dim ×8; the oracle is the plain join,
+    // proving bit-identical results. This is the manual fallback for
+    // single-giant-key skew that AQE's partition splitting can't fix.
+    Q("p50_salted_skew_join", Some("""
+      WITH dim(flag, weight) AS (VALUES ('A', 2), ('N', 3), ('R', 5))
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * weight) AS DOUBLE)
+               AS weighted_qty
+      FROM lineitem JOIN dim ON l_returnflag = flag
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")) { (spark, dir) =>
+      import spark.implicits._
+      val dim = Seq(("A", 2L), ("N", 3L), ("R", 5L)).toDF("l_returnflag", "weight")
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+      graft.ops.JoinPatterns.saltedJoin(li, dim, "l_returnflag",
+          col("l_orderkey"), salts = 8)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity")) * col("weight")).cast("double")
+            .as("weighted_qty"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

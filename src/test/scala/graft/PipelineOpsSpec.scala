@@ -433,6 +433,46 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       38L -> "dup_new", 48L -> "kept"))
   }
 
+  test("bandedIntervalJoin equals the naive interval join, including both " +
+    "window edges") {
+    import spark.implicits._
+    import graft.ops.JoinPatterns
+    val w = 100L
+    // right rows planted exactly AT both edges (t-100, t), inside, and
+    // one tick outside each edge
+    val left = Seq((1L, 1000L, "c1")).toDF("k", "lts", "lid")
+    val right = Seq(
+      (1L, 900L, "r_lo_edge"), (1L, 899L, "r_below"), (1L, 950L, "r_in"),
+      (1L, 1000L, "r_hi_edge"), (1L, 1001L, "r_above"), (2L, 950L, "r_wrong_key")
+    ).toDF("k", "rts", "rid")
+    val banded = JoinPatterns.bandedIntervalJoin(left, right, "k", "lts", "rts", w)
+      .select(col("rid")).as[String].collect().sorted.toSeq
+    assert(banded == Seq("r_hi_edge", "r_in", "r_lo_edge"))
+    val naive = left.join(right,
+        left("k") === right("k") &&
+          col("rts") >= col("lts") - w && col("rts") <= col("lts"))
+      .select(col("rid")).as[String].collect().sorted.toSeq
+    assert(banded == naive)
+  }
+
+  test("saltedJoin matches the plain join and shuffles on the salted key") {
+    import spark.implicits._
+    import graft.ops.JoinPatterns
+    val left = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"))
+      .toDF("id", "key")
+    val dim = Seq(("A", 10L), ("B", 20L)).toDF("key", "w")
+    val salted = JoinPatterns.saltedJoin(left, dim, "key", col("id"), salts = 4)
+    val got = salted.select(col("id"), col("w")).as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L)))
+    // the join must shuffle on (key, salt) — the hot key 'A' spreads
+    // over salt partitions instead of landing in one task
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column absent from plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"salted join did not take the shuffle path:\n$plan")
+  }
+
   test("gcd/lcm kernels: DF38 semantics — non-negative, zero identities, " +
     "null-safe, overflow raises") {
     import spark.implicits._
