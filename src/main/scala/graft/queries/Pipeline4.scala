@@ -190,6 +190,50 @@ object Pipeline4 {
           sum(dec(col("l_quantity")) * col("weight")).cast("double")
             .as("weighted_qty"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ---- Count-Min-Sketch heavy hitters (error-envelope oracle) ------------
+    // The sketch path for vocabulary top-k when the exact corpus-wide
+    // (token, count) aggregate is the thing you're trying to AVOID:
+    // Spark's count_min_sketch aggregate (DuckDB has no analog) builds
+    // one mergeable ~KB sketch in a single pass; point queries then
+    // bound each frequency. Verified q36-style: exact top-20 counts
+    // (which DuckDB reproduces) plus a `within_bound` flag proving
+    // est ∈ [exact, exact + eps·N] — CMS point estimates can only
+    // overshoot, by at most eps·N at the chosen confidence; seed fixed
+    // → deterministic. The 1-row sketch collect is the aggregate's
+    // scalar result (production broadcasts it to probe distributed).
+    Q("p51_cms_topk", Some(s"""
+      WITH t AS (SELECT unnest($wsSql) AS token FROM documents),
+      c AS (SELECT token, COUNT(*) AS exact FROM t GROUP BY token)
+      SELECT token, exact, TRUE AS within_bound
+      FROM c ORDER BY exact DESC, token LIMIT 20""")) { (spark, dir) =>
+      val toksRaw = Tables.loadSpread(spark, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val toks = if (singlePass(spark, "graft.cms.singlePass"))
+        toksRaw.localCheckpoint() else toksRaw
+      val row = toks.agg(
+        expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("total")).collect()(0)
+      val probe = new CmsProbe(row.getAs[Array[Byte]](0),
+        row.getLong(1) / 1000) // eps·N with eps = 0.001
+      val probeUdf = udf((t: String, exact: Long) => probe.ok(t, exact))
+      toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("token")).limit(20)
+        .withColumn("within_bound", probeUdf(col("token"), col("exact")))
     }
   )
+}
+
+/** Serializable CMS point-query probe for p51: the sketch bytes ship in
+  * the task closure, deserialized once per executor (transient lazy).
+  */
+class CmsProbe(bytes: Array[Byte], bound: Long) extends Serializable {
+  @transient private lazy val cms =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  def ok(token: String, exact: Long): Boolean = {
+    val est = cms.estimateCount(token)
+    est >= exact && est <= exact + bound
+  }
 }

@@ -433,6 +433,16 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       38L -> "dup_new", 48L -> "kept"))
   }
 
+  test("p51 CMS top-k: planted counts exact, estimates within the envelope") {
+    val dir = docsFixture("p51fix", Seq(
+      (1L, "x x x x y y z"), (2L, "x y w")))
+    val r = SparkEntry.queries("p51_cms_topk")(spark, dir)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getBoolean(2)))
+    assert(r.head == ("x", 5L, true)) // top token, exact count
+    assert(r.map(_._1).toSeq == Seq("x", "y", "w", "z")) // count desc, token asc
+    assert(r.forall(_._3), "CMS estimate escaped [exact, exact + eps*N]")
+  }
+
   test("bandedIntervalJoin equals the naive interval join, including both " +
     "window edges") {
     import spark.implicits._
