@@ -221,6 +221,31 @@ object Pipeline4 {
       toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
         .orderBy(col("exact").desc, col("token")).limit(20)
         .withColumn("within_bound", probeUdf(col("token"), col("exact")))
+    },
+
+    // ---- sliding (overlapping) windows -------------------------------------
+    // The hopping-window aggregate (30 min width, 15 min slide) via
+    // Spark's native window() with a slide duration — each event lands
+    // in exactly width/slide = 2 windows. The oracle expands the same
+    // 2-window membership arithmetically (bin and bin−slide), so the
+    // overlap semantics are pinned cross-engine. Completes the window
+    // triad next to p13 (tumbling) and p14 (session).
+    Q("p52_sliding_window", Some("""
+      WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                        event_type, value FROM events)
+      SELECT sec - sec % 900 - k * 900 AS bin_start, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM e, (VALUES (0), (1)) AS o(k)
+      GROUP BY 1, 2
+      ORDER BY bin_start, event_type""")) { (spark, dir) =>
+      Tables.load(spark, dir, "events")
+        .groupBy(window(col("ts"), "30 minutes", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("bin_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("bin_start"), col("event_type"))
     }
   )
 }
