@@ -33,9 +33,16 @@ object JoinPatterns {
                          windowUs: Long): DataFrame = {
     require(windowUs > 0, s"windowUs must be positive, got $windowUs")
     val w = lit(windowUs)
+    // exact integer FLOOR division ((a - pmod(a,w)) div w): float
+    // `floor(a/w)` would be ulp-fragile near band edges, and bare `div`
+    // truncates toward zero — wrong band for pre-epoch (negative)
+    // timestamps. Subtracting the non-negative pmod makes the numerator
+    // an exact multiple of w, so integer div IS floor, for any sign.
+    def band(ts: String): Column =
+      expr(s"(($ts - pmod($ts, $windowUs)) div $windowUs)")
     val lb = left.withColumn("__band",
-      explode(array(floor(col(leftTs) / w) - 1, floor(col(leftTs) / w))))
-    val rb = right.withColumn("__band", floor(col(rightTs) / w))
+      explode(array(band(leftTs) - 1, band(leftTs))))
+    val rb = right.withColumn("__band", band(rightTs))
     lb.join(rb, Seq(key, "__band"))
       .filter(col(rightTs) >= col(leftTs) - w && col(rightTs) <= col(leftTs))
       .drop("__band")

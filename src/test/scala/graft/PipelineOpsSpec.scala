@@ -463,6 +463,15 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           col("rts") >= col("lts") - w && col("rts") <= col("lts"))
       .select(col("rid")).as[String].collect().sorted.toSeq
     assert(banded == naive)
+
+    // pre-epoch (negative) timestamps: floor-banding must not truncate
+    // toward zero — a window straddling a negative band edge still matches
+    val nleft = Seq((1L, -950L, "c")).toDF("k", "lts", "lid")
+    val nright = Seq((1L, -1050L, "n_lo_edge"), (1L, -1051L, "n_below"),
+      (1L, -950L, "n_hi_edge"), (1L, -1000L, "n_in")).toDF("k", "rts", "rid")
+    val nb = JoinPatterns.bandedIntervalJoin(nleft, nright, "k", "lts", "rts", w)
+      .select(col("rid")).as[String].collect().sorted.toSeq
+    assert(nb == Seq("n_hi_edge", "n_in", "n_lo_edge"))
   }
 
   test("saltedJoin matches the plain join and shuffles on the salted key") {
