@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -44,22 +43,20 @@ object NumberTheory {
 }
 
 /** Shared shape of the two binary integer kernels: BIGINT in/out,
-  * null-safe, codegen via one static call.
+  * null-safe, codegen via one static call. `ImplicitCastInputTypes`
+  * lets the analyzer widen narrower integer arguments (INT/SMALLINT
+  * literals in SQL) to BIGINT — matching DataFusion 38's gcd/lcm, which
+  * accept any integer type via coercion.
   */
-abstract class NumberTheoryExpr extends BinaryExpression {
+abstract class NumberTheoryExpr extends BinaryExpression with ImplicitCastInputTypes {
 
   /** Static method on [[NumberTheory]] — must match the kernel name. */
   protected def kernelName: String
 
   override def dataType: DataType = LongType
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (bigint, bigint) arguments, " +
-          s"got (${l.catalogString}, ${r.catalogString})")
-    }
+  // inferred result type: AbstractDataType is private[sql], unnameable here
+  override def inputTypes = Seq(LongType, LongType)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,

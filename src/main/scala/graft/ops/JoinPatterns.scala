@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSql}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
 
 /** The two join rewrites a 100 TB engine needs when neither side fits
@@ -32,14 +33,21 @@ object JoinPatterns {
                          key: String, leftTs: String, rightTs: String,
                          windowUs: Long): DataFrame = {
     require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(!(left.columns ++ right.columns).contains("__band"),
+      "bandedIntervalJoin reserves the __band column name")
     val w = lit(windowUs)
     // exact integer FLOOR division ((a - pmod(a,w)) div w): float
     // `floor(a/w)` would be ulp-fragile near band edges, and bare `div`
     // truncates toward zero — wrong band for pre-epoch (negative)
     // timestamps. Subtracting the non-negative pmod makes the numerator
     // an exact multiple of w, so integer div IS floor, for any sign.
-    def band(ts: String): Column =
-      expr(s"(($ts - pmod($ts, $windowUs)) div $windowUs)")
+    // Built with the Column API (Catalyst IntegralDivide = SQL `div`),
+    // not a SQL string, so backtick-needing column names can't break it.
+    def band(ts: String): Column = {
+      val n = col(ts) - pmod(col(ts), w)
+      GraftSql.column(IntegralDivide(
+        GraftSql.expression(n), GraftSql.expression(w)))
+    }
     val lb = left.withColumn("__band",
       explode(array(band(leftTs) - 1, band(leftTs))))
     val rb = right.withColumn("__band", band(rightTs))
@@ -60,11 +68,16 @@ object JoinPatterns {
     * enough to replicate a few times (the window between broadcast and
     * plain shuffle). `saltExpr` must be deterministic (reruns/retries
     * must re-salt identically); pass e.g. `pmod(col("id"), lit(salts))`.
+    * A NULL salt coalesces to bucket 0 — the row still joins (identical
+    * to the plain key-join), it just isn't spread.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltExpr: Column, salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    val ls = left.withColumn("__salt", pmod(saltExpr, lit(salts)).cast("int"))
+    require(!(left.columns ++ right.columns).contains("__salt"),
+      "saltedJoin reserves the __salt column name")
+    val ls = left.withColumn("__salt",
+      coalesce(pmod(saltExpr, lit(salts)), lit(0)).cast("int"))
     val rs = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     // shuffle_hash pins the shuffle-join path: at fixture size the

@@ -261,4 +261,10 @@ class CmsProbe(bytes: Array[Byte], bound: Long) extends Serializable {
     val est = cms.estimateCount(token)
     est >= exact && est <= exact + bound
   }
+
+  /** Raw point estimate — exposed so the envelope spec can report the
+    * actual (exact, est, bound) triple when the 0.99-confidence bound
+    * escapes, instead of surfacing as an opaque oracle hash diff.
+    */
+  def estimate(token: String): Long = cms.estimateCount(token)
 }

@@ -245,6 +245,15 @@ object StreamingOps {
     * point of the operator. WHICH physical row survives a duplicate key
     * is arrival-order-dependent, so oracle-checked callers aggregate to
     * per-key counts (deterministic: every key survives exactly once).
+    *
+    * ORACLE CONTRACT: "every key survives exactly once" equals the
+    * batch COUNT(DISTINCT) only while each key's duplicates arrive
+    * within one watermark window of each other. With a multi-file /
+    * multi-batch source, a duplicate arriving after the watermark
+    * passed its key's state would be re-emitted (overcount) or dropped
+    * as late (undercount); the p45 entry therefore ingests the fixture
+    * with one source file = one micro-batch (and the multi-batch specs
+    * in StreamingSpec assert the documented semantics instead).
     */
   def minuteDedup(events: DataFrame): DataFrame =
     events
