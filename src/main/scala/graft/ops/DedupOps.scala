@@ -287,29 +287,35 @@ object DedupOps {
     // every round's plan stays a few nodes deep no matter what produced
     // the pairs. (Production swaps localCheckpoint for a reliable
     // checkpoint; either way the iteration must not re-plan upstream.)
-    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
     // The loop body is 5+ shuffles per round over a pair graph that is
     // ORDERS of magnitude smaller than the corpus (near-dup pairs, not
     // documents), so per-round task-launch overhead dominates unless
     // the loop's shuffle width matches the GRAPH size, not the corpus
     // default — the same sizing rule runToMemory applies to streaming
-    // state stores. Narrowed only AFTER the sym checkpoint above, so
-    // the upstream pair pipeline (corpus-scale) keeps the session
-    // width; restored after the loop. A fleet run on a billion-edge
-    // graph passes a larger loopPartitions.
-    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", loopPartitions.toString)
-    try {
+    // state stores. The width is pinned with EXPLICIT
+    // `repartition(loopPartitions, key)` at each loop shuffle point
+    // (never by mutating the session's shuffle-partitions conf, which
+    // would silently re-plan any concurrent query on the same session
+    // at loop width). Each explicit repartition REPLACES the exchange
+    // the downstream join/agg would have inserted — the planner sees
+    // the required hash partitioning already present — so the shuffle
+    // count per round is unchanged. The upstream pair pipeline keeps
+    // the session width; only post-checkpoint loop relations narrow. A
+    // fleet run on a billion-edge graph passes a larger loopPartitions.
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .repartition(loopPartitions, col("v")) // baked into the checkpoint once; every round's join reuses it
+      .localCheckpoint()
     // hook: adopt the minimum label over {self} ∪ neighbors. The
     // round-start label rides along as `old` (min ignores the nulls on
     // neighbor rows; only the self row carries it) so the fixpoint test
     // reads the materialized checkpoint with NO extra join.
     def hook(lbls: DataFrame): DataFrame = {
-      val nbr = sym.join(lbls.select(col("n").as("v2"), col("lbl")),
+      val nbr = sym.join(lbls.select(col("n").as("v2"), col("lbl"))
+            .repartition(loopPartitions, col("v2")),
           col("v") === col("v2"))
         .select(col("u").as("n"), col("lbl"), lit(null).cast("long").as("old"))
-      lbls.union(nbr).groupBy(col("n"))
+      lbls.union(nbr).repartition(loopPartitions, col("n")).groupBy(col("n"))
         .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
     }
     // dev-only per-round timing (GRAFT_CC_DEBUG=1)
@@ -319,7 +325,8 @@ object DedupOps {
       println(f"[cc] $tag: ${(System.nanoTime() - tt) / 1e9}%.2fs")
       tt = System.nanoTime()
     }
-    var labels = sym.select(col("u").as("n")).distinct()
+    var labels = sym.select(col("u").as("n"))
+      .repartition(loopPartitions, col("n")).distinct()
       .select(col("n"), col("n").as("lbl")).localCheckpoint()
     lap("init")
     var rounds = 0
@@ -340,8 +347,10 @@ object DedupOps {
       // Labels are always node ids of the same component, so the lookup
       // hits (left + coalesce only for safety).
       val m1 = h2.select(col("n").as("j1"), col("lbl").as("l1"))
-      val jumped = h2.join(m1, h2("lbl") === col("j1"), "left")
-        .select(h2("n"), coalesce(col("l1"), h2("lbl")).as("lbl"), col("old"))
+        .repartition(loopPartitions, col("j1"))
+      val hr = h2.repartition(loopPartitions, col("lbl"))
+      val jumped = hr.join(m1, hr("lbl") === col("j1"), "left")
+        .select(hr("n"), coalesce(col("l1"), hr("lbl")).as("lbl"), col("old"))
         .localCheckpoint()
       lap(s"round $rounds ckpt")
       // fixpoint test: a shuffle-free scan over the checkpointed rows
@@ -352,6 +361,5 @@ object DedupOps {
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds")
     (labels, rounds)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevPart)
   }
 }
