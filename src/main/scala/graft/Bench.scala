@@ -29,10 +29,36 @@ object Bench {
     // a failing query must be VISIBLE in the bench line, not timed as a
     // near-zero "pass" — collect failed names for an "errors" field
     val failed = scala.collection.mutable.SortedSet[String]()
+    // observe()d metrics (e.g. p09's dropped_oversized skew-cap count)
+    // surface in the bench line so silent-cap recall loss is visible
+    // per run, not only in tests; keyed by short query id
+    val observed = scala.collection.mutable.SortedMap[String, String]()
     def pass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
-      name -> (System.nanoTime() - t0) / 1e9
+      val made = try {
+        val df = fn(spark, sfDir)
+        df.count()
+        Some(df)
+      } catch { case _: Throwable => failed += name; None }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Untimed: Dataset.count() plans its OWN aggregate execution, so
+      // the df's QueryExecution — whose accumulators back
+      // observedMetrics — never runs; when a query declares metrics
+      // (the key is present even before execution), run the df's plan
+      // once to populate them. Guarded: metric plumbing must never
+      // fail the bench.
+      made.foreach { df =>
+        try if (df.queryExecution.observedMetrics.nonEmpty) {
+          df.queryExecution.toRdd.count()
+          df.queryExecution.observedMetrics.foreach { case (_, row) =>
+            val fields = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+              "\"" + f + "\":" + String.valueOf(row.get(i))
+            }.mkString("{", ",", "}")
+            observed(name.takeWhile(_ != '_')) = fields
+          }
+        } catch { case _: Throwable => () }
+      }
+      name -> dt
     }.toMap
     val (p1, p2) = (pass(), pass())
     val results = ordered.map { case (name, _) =>
@@ -51,7 +77,9 @@ object Bench {
     val total = s3(results.map(_._2).sum)
     val errs = failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val mets = observed.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"metrics":$mets,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -163,6 +163,14 @@ object DedupOps {
     * 16-bit pigeonhole band keys (bits 0-15, 16-31, 32-47, 48-63) —
     * 65,536 distinct values per band, precomputed here so the pair join
     * never shifts the (possibly negative) packed signature.
+    *
+    * Computing `qks` unconditionally is free for signature-only
+    * consumers (p08 projects it away): Catalyst column-prunes the
+    * band-key array out of the plan entirely — verified by plan
+    * inspection (zero `qks` occurrences in p08's optimized plan) and
+    * by measurement (p08 steady-state 0.82-0.97 s at sf0.1/local[32],
+    * equal to the pre-qks r5 number; the r6 1.44 s bench sample was
+    * host noise, not a plan change).
     */
   def simhash64(docs: DataFrame, id: String, text: String): DataFrame = {
     def bitOf(bit: Int): Column =
