@@ -57,17 +57,28 @@ object StreamingOps {
     * TIMESTAMP(NANOS), which Spark's reader only exposes as long
     * (legacy nanosAsLong) — rebuilt here to a microsecond timestamp,
     * identical to the batch path in [[graft.queries.Tables.load]].
+    *
+    * `glob` selects the source file(s) out of the directory (the
+    * fixture dir is shared with other tables); `maxFilesPerTrigger`
+    * caps files per micro-batch — the multi-batch specs pass 1 over a
+    * split fixture so watermark advancement and cross-batch state are
+    * actually exercised, whereas the oracle-checked entries ingest the
+    * single fixture file in one batch (their documented contract).
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String,
+                   glob: String = "events.parquet",
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the file-stream source lists a DIRECTORY; pathGlobFilter picks the
-    // one fixture file out of the shared testdata dir
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // fixture file(s) out of the shared testdata dir
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -275,7 +286,16 @@ object StreamingOps {
     * deployment sizes it per stream the same way.
     */
   def runToMemory(df: DataFrame, mode: String, statePartitions: Int = 8,
-                  providerOverride: Option[String] = None): DataFrame = {
+                  providerOverride: Option[String] = None): DataFrame =
+    runToMemoryCounted(df, mode, statePartitions, providerOverride)._1
+
+  /** [[runToMemory]] plus the number of data-carrying micro-batches the
+    * run committed — the multi-batch specs assert it is > 1, proving
+    * watermark advancement and cross-batch state were exercised rather
+    * than the easy single-batch regime.
+    */
+  def runToMemoryCounted(df: DataFrame, mode: String, statePartitions: Int = 8,
+                         providerOverride: Option[String] = None): (DataFrame, Int) = {
     val spark = df.sparkSession
     val name = "graft_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -287,10 +307,13 @@ object StreamingOps {
     // only runs on RocksDB), restored after so the HDFS-backed default
     // keeps serving the other verification streams
     providerOverride.foreach(spark.conf.set(provKey, _))
-    try {
-      df.writeStream.format("memory").queryName(name)
+    val batches = try {
+      val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-        .awaitTermination()
+      q.awaitTermination()
+      // AvailableNow may append a final no-data batch (watermark commit);
+      // count only batches that actually carried input rows
+      q.recentProgress.count(_.numInputRows > 0)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.set(provKey, prevProv)
@@ -299,6 +322,6 @@ object StreamingOps {
     // unregister the sink's temp view so repeated runs don't accumulate
     // catalog entries; the already-resolved plan keeps the data alive
     spark.catalog.dropTempView(name)
-    out
+    (out, batches)
   }
 }

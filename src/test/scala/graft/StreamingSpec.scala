@@ -240,6 +240,213 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  // ---- multi-micro-batch fixture runs --------------------------------
+  // The oracle-checked entries (p15-p17, p24, p45) ingest the fixture
+  // in ONE micro-batch by documented contract. These specs split the
+  // SAME fixture into 3 time-ordered files and run maxFilesPerTrigger=1
+  // so watermark advancement and cross-batch state actually engage,
+  // asserting >1 committed batch AND the batch-oracle result still
+  // holds (a time-ordered split never produces late data: watermark
+  // after batch k is maxTs(k) - 1h < minTs(k+1)). The adversarial
+  // out-of-order split then asserts the DOCUMENTED divergence.
+
+  private val msSf = "/root/testdata/sf0.001"
+
+  /** Splits the events fixture into `n` contiguous time chunks (global
+    * (ts, event_id) order) and writes them as single parquet files into
+    * a fresh dir. `order(slot)` names the chunk ingested at that slot:
+    * mod-times strictly increase by slot, and the file-stream source
+    * picks oldest-mod-time first, so identity order = chronological
+    * ingestion while e.g. Seq(1, 2, 0) ingests the earliest chunk LAST.
+    */
+  private def splitEvents(n: Int, order: Seq[Int]): String = {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$msSf/events.parquet")
+    val rn = raw.withColumn("__rn",
+      row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+    val total = rn.count()
+    writeSplit(order.map { chunk =>
+      val (lo, hi) = (chunk * total / n, (chunk + 1) * total / n)
+      rn.filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
+    })
+  }
+
+  /** Splits at explicit microsecond timestamps instead of row-count
+    * thirds — used where a boundary must bisect a specific event pair.
+    * Chunks are written in chronological order.
+    */
+  private def splitEventsAtUs(boundsUs: Seq[Long]): String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$msSf/events.parquet")
+    val us = (col("ts") / 1000).cast("long")
+    val edges = Long.MinValue +: boundsUs.sorted :+ Long.MaxValue
+    writeSplit(edges.sliding(2).toSeq.map { case Seq(lo, hi) =>
+      raw.filter(us > lo && us <= hi)
+    })
+  }
+
+  /** Writes each chunk as one parquet file (events_SLOT.parquet) into a
+    * fresh dir, mod-times strictly increasing by slot so the
+    * file-stream source (oldest mod-time first) ingests them in slot
+    * order with maxFilesPerTrigger=1.
+    */
+  private def writeSplit(chunks: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-split")
+    chunks.zipWithIndex.foreach { case (chunk, slot) =>
+      val tmp = dir.resolve(s"tmp$slot")
+      chunk.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dest = dir.resolve(f"events_$slot%03d.parquet")
+      java.nio.file.Files.move(part, dest)
+      assert(dest.toFile.setLastModified(1700000000000L + slot * 60000L))
+    }
+    dir.toString
+  }
+
+  private def splitStream(dir: String) =
+    graft.streaming.StreamingOps.eventsStream(spark, dir,
+      glob = "events_*.parquet", maxFilesPerTrigger = Some(1))
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Boolean =
+    a.except(b).isEmpty && b.except(a).isEmpty
+
+  test("multi-batch tumbling window (p15 shape): 3 files → 3 batches, " +
+    "complete-mode result still matches the batch aggregation") {
+    val dir = splitEvents(3, Seq(0, 1, 2))
+    val (streamed, batches) = graft.streaming.StreamingOps.runToMemoryCounted(
+      graft.streaming.StreamingOps.tumblingAgg(splitStream(dir)), "complete")
+    assert(batches >= 3, s"expected >= 3 data batches, got $batches")
+    val batch = queries.Tables.load(spark, msSf, "events")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("bin_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    assert(sameRows(streamed, batch))
+  }
+
+  test("multi-batch sessionization (p16 shape): state merges across " +
+    "batches to the same sessions as a single batch") {
+    val dir = splitEvents(3, Seq(0, 1, 2))
+    val (multi, batches) = graft.streaming.StreamingOps.runToMemoryCounted(
+      graft.streaming.StreamingOps.sessionAgg(splitStream(dir)), "complete")
+    assert(batches >= 3, s"expected >= 3 data batches, got $batches")
+    // reference: the single-batch run over the unsplit fixture — the
+    // exact result the p16 correctness row pins against DuckDB
+    val single = graft.streaming.StreamingOps.runToMemory(
+      graft.streaming.StreamingOps.sessionAgg(
+        graft.streaming.StreamingOps.eventsStream(spark, msSf)), "complete")
+    assert(sameRows(multi, single))
+  }
+
+  test("multi-batch stream-stream join (p24 shape): a match straddling " +
+    "the batch boundary comes from retained state; result matches batch") {
+    val ev = queries.Tables.load(spark, msSf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("c_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("pu"),
+        col("ts").as("p_ts"))
+    val batch = clicks.join(buys, col("cu") === col("pu") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTE") &&
+        col("p_ts") <= col("c_ts"))
+      .select(col("click_id"), col("buy_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("buy_us"))
+    // place one split boundary strictly BETWEEN a real match's purchase
+    // and click (the fixture's match set is tiny, so a row-count split
+    // rarely bisects one), plus an earlier boundary for a 3rd batch —
+    // the straddling match can then ONLY come from cross-batch join
+    // state, never from within one micro-batch
+    val m = batch.filter(col("buy_us") < col("click_us"))
+      .orderBy(col("click_id")).limit(1).collect()
+    assume(m.nonEmpty, "fixture has no non-simultaneous click/purchase match")
+    val (cUs, bUs) = (m.head.getAs[Long]("click_us"), m.head.getAs[Long]("buy_us"))
+    val mid = bUs + (cUs - bUs) / 2
+    val minUs = ev.agg(min(unix_micros(col("ts")))).collect().head.getLong(0)
+    val dir = splitEventsAtUs(Seq(minUs + (bUs - minUs) / 2, mid))
+    val (streamed, batches) = graft.streaming.StreamingOps.runToMemoryCounted(
+      graft.streaming.StreamingOps.clickPurchaseJoin(splitStream(dir)), "append")
+    assert(batches >= 3, s"expected >= 3 data batches, got $batches")
+    assert(sameRows(streamed, batch))
+    val crossing = streamed.select("click_us", "buy_us").collect()
+      .count(r => r.getLong(1) <= mid && r.getLong(0) > mid)
+    assert(crossing > 0, s"no join match straddles the boundary at $mid")
+  }
+
+  test("multi-batch watermark dedup (p45 shape): time-ordered split " +
+    "still matches the batch COUNT(DISTINCT) oracle") {
+    val dir = splitEvents(3, Seq(0, 1, 2))
+    val (raw, batches) = graft.streaming.StreamingOps.runToMemoryCounted(
+      graft.streaming.StreamingOps.minuteDedup(splitStream(dir)), "append")
+    assert(batches >= 3, s"expected >= 3 data batches, got $batches")
+    val streamed = raw.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_first"))
+    val batch = queries.Tables.load(spark, msSf, "events")
+      .select(col("event_type"), col("user_id"),
+        date_trunc("minute", col("ts")).as("minute_bin"))
+      .distinct().groupBy(col("event_type")).agg(count(lit(1)).as("n_first"))
+    assert(sameRows(streamed, batch))
+  }
+
+  test("multi-batch custom state (p38 shape): (count, max) state carried " +
+    "across fixture batches matches the batch prefix-max oracle") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = splitEvents(3, Seq(0, 1, 2))
+    val (streamed, batches) = graft.streaming.StreamingOps.runToMemoryCounted(
+      graft.streaming.StreamingOps.highWaterAlerts(splitStream(dir)), "append")
+    assert(batches >= 3, s"expected >= 3 data batches, got $batches")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val batch = queries.Tables.load(spark, msSf, "events")
+      .withColumn("running_n", row_number().over(w).cast("long"))
+      .withColumn("prev_max", max(col("value").cast("double"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("prev_max").isNull ||
+        col("value").cast("double") > col("prev_max"))
+      .select(col("user_id"), col("event_id"), col("running_n"),
+        col("value").cast("double").as("value"))
+    assert(sameRows(streamed, batch))
+  }
+
+  test("adversarial out-of-order split: events older than the advanced " +
+    "watermark are dropped as late — the documented eviction semantics") {
+    import org.apache.spark.sql.expressions.Window
+    // earliest third ingested LAST: by then the watermark sits 1h behind
+    // the fixture's max ts — days past the early events — so every row
+    // of that file is late and must be dropped before dedup
+    val dir = splitEvents(3, Seq(1, 2, 0))
+    val (raw, batches) = graft.streaming.StreamingOps.runToMemoryCounted(
+      graft.streaming.StreamingOps.minuteDedup(splitStream(dir)), "append")
+    assert(batches >= 3, s"expected >= 3 data batches, got $batches")
+    val streamed = raw.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_first"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rn = spark.read.parquet(s"$msSf/events.parquet").withColumn("__rn",
+      row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+    val total = rn.count()
+    // expected survivors = the on-time two-thirds only (late file keys
+    // counted ONLY where the same (user, type, minute) key also occurs
+    // on time — i.e. the late file contributes nothing)
+    val onTime = rn.filter(col("__rn") > total / 3)
+      .select(col("event_type"), col("user_id"),
+        (col("ts") - pmod(col("ts"), lit(60000000000L))).as("minute_bin"))
+      .distinct().groupBy(col("event_type")).agg(count(lit(1)).as("n_first"))
+    assert(sameRows(streamed, onTime))
+    // and the divergence from the full-fixture oracle is REAL: the late
+    // third contains keys that exist nowhere else
+    val full = rn
+      .select(col("event_type"), col("user_id"),
+        (col("ts") - pmod(col("ts"), lit(60000000000L))).as("minute_bin"))
+      .distinct().groupBy(col("event_type")).agg(count(lit(1)).as("n_first"))
+    assert(!sameRows(streamed, full),
+      "late file unexpectedly contributed no distinct keys — fixture degenerate?")
+  }
+
   test("stream-static enrichment join holds no stream state and matches the batch join") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingOps.runToMemory(
