@@ -5,12 +5,21 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: image/audio/video
   * payloads are opaque `binary` columns with typed metadata, processed
-  * partition-parallel. The actual codecs are NOT in this container, so
-  * the decode steps are deterministic STUBS (clearly marked) — but the
-  * Spark-side plumbing that matters at 100 TB is real: binary columns
-  * flow through parquet scans untouched, metadata extraction is pure
-  * codegen'd expressions, and per-payload decoding is a `mapPartitions`
-  * over iterators (no per-row task setup, no driver collect).
+  * partition-parallel.
+  *
+  * What is REAL byte math (no codec library needed): container
+  * sniffing, PNG/JPEG dimension parse ([[graft.functions.ImageDims]]),
+  * WAV/RIFF metadata ([[graft.functions.WavMeta]]), and — over
+  * uncompressed 24-bpp bitmaps — pixel resize and channel features
+  * ([[graft.functions.Bmp]]), all codegen'd scan-stage expressions.
+  * Only the COMPRESSED-codec decode steps (PNG/JPEG pixel decode,
+  * learned embeddings) are deterministic STUBS (clearly marked),
+  * because those genuinely need libraries this container lacks — but
+  * their Spark-side plumbing that matters at 100 TB is real: binary
+  * columns flow through parquet scans untouched, metadata extraction is
+  * pure codegen'd expressions, and per-payload decoding is a
+  * `mapPartitions` over iterators (no per-row task setup, no driver
+  * collect).
   */
 object MultimodalOps {
 
@@ -29,6 +38,7 @@ object MultimodalOps {
       .when(riff === "52494646" && riffKind === "41564920", "video/avi")   // RIFF…AVI
       .when(ftyp === "66747970", "video/mp4")                              // ….ftyp
       .when(magic3 === "494433", "audio/mpeg")                             // ID3
+      .when(hex(substring(blob, 1, 2)) === "424D", "image/bmp")            // BM
       .otherwise("application/octet-stream")
   }
 
@@ -76,11 +86,14 @@ object MultimodalOps {
       hex(substring(blob, 1, 4)).as("magic"),
       sniffMime(blob).as("mime"))
 
-  /** STUB resize: a real implementation decodes, scales to (w, h) and
-    * re-encodes; the stub carries the target dims plus a deterministic
-    * digest of (payload, target size) standing in for the re-encoded
-    * bytes. Same shape as the real thing: a pure per-row scan-stage
-    * transform, no shuffle.
+  /** STUB resize for COMPRESSED payloads: a real implementation
+    * decodes, scales to (w, h) and re-encodes; the stub carries the
+    * target dims plus a deterministic digest of (payload, target size)
+    * standing in for the re-encoded bytes. Same shape as the real
+    * thing: a pure per-row scan-stage transform, no shuffle. For
+    * UNCOMPRESSED bitmaps the resize is REAL —
+    * [[graft.functions.Bmp.resample]] does the actual
+    * nearest-neighbour pixel math (oracle-checked by p54).
     */
   def resizeStub(blob: Column, w: Int, h: Int): Column =
     struct(
@@ -88,11 +101,16 @@ object MultimodalOps {
       lit(h).as("height"),
       md5(concat(md5(blob), lit(s":${w}x$h"))).as("payload_digest"))
 
-  /** STUB feature extraction: a deterministic pseudo-embedding of `dim`
-    * doubles in [0,1) derived from the payload digest — the
-    * `mapPartitions` batch shape of a real encoder (one model context
-    * per partition, streamed payloads, vectors emitted per row).
+  /** STUB feature extraction for LEARNED embeddings: a deterministic
+    * pseudo-embedding of `dim` doubles in [0,1) derived from the
+    * payload digest — the `mapPartitions` batch shape of a real encoder
+    * (one model context per partition, streamed payloads, vectors
+    * emitted per row).
     * value_j = uint32(md5("emb:j:" ++ md5hex(payload))[0,8)) / 2^32.
+    * For CLASSICAL pixel features over uncompressed bitmaps the
+    * extraction is REAL — [[graft.functions.Bmp.channelStats]] computes
+    * channel sums + histogram from actual pixel bytes (oracle-checked
+    * by p55).
     */
   def embedStub(df: DataFrame, id: String, blob: String, dim: Int): DataFrame = {
     val spark = df.sparkSession

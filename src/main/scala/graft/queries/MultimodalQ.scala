@@ -14,6 +14,19 @@ object MultimodalQ {
 
   private val h = Portable.h32Sql("text")
 
+  /** Little-endian hex of a value known to fit 32/16 bits — the BMP and
+    * WAV container builders share these.
+    */
+  private def le32h(x: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(x.cast("long")), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le16h(x: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(x.cast("long")), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- binary payload metadata + stub decode ---------------------------
@@ -34,6 +47,7 @@ object MultimodalQ {
                 AND upper(hex(substr(text, 9, 4))) = '41564920' THEN 'video/avi'
                WHEN upper(hex(substr(text, 5, 4))) = '66747970' THEN 'video/mp4'
                WHEN upper(hex(substr(text, 1, 3))) = '494433' THEN 'audio/mpeg'
+               WHEN upper(hex(substr(text, 1, 2))) = '424D' THEN 'image/bmp'
                ELSE 'application/octet-stream'
              END AS mime,
              64 + ($h % 448) AS width,
@@ -204,6 +218,114 @@ object MultimodalQ {
         .withColumn("duration_us",
           expr("data_size * 1000000 div (sample_rate * channels * (bits div 8))"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- REAL pixel resize over an uncompressed bitmap --------------------
+    // Builds a structurally-real 24-bpp BMP per document (dims and every
+    // pixel value derived from doc_id), then recovers a 4x3 thumbnail by
+    // PARSING the bytes — graft.functions.Bmp walks the file/info
+    // headers, bottom-up padded pixel rows, and does the exact
+    // nearest-neighbour index math (sx = x2*w//4, sy = y2*h//3). The
+    // oracle computes the same pixels arithmetically, so any drift in
+    // header layout, row padding, bottom-up order, BGR byte order, or
+    // the resample arithmetic fails the hash compare. This is the real
+    // resize the r6 stubs stood in for — only COMPRESSED codecs remain
+    // stubbed.
+    Q("p54_bmp_resize", Some("""
+      WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+                 FROM documents),
+      g AS (SELECT doc_id, w, h, unnest(generate_series(0, 11)) AS i FROM d),
+      m AS (SELECT doc_id, i,
+                   ((i % 4) * w) // 4 AS sx, ((i // 4) * h) // 3 AS sy
+            FROM g)
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             (doc_id*7 + sx*3 + sy*5) % 256 AS r,
+             (doc_id*7 + sx*3 + sy*5 + 11) % 256 AS g,
+             (doc_id*7 + sx*3 + sy*5 + 22) % 256 AS b
+      FROM m ORDER BY doc_id, i""")) { (spark, dir) =>
+      import graft.functions.Bmp
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), posexplode(Bmp.resample(bmpBlob, 4, 3))
+          .as(Seq("i", "px")))
+        .select(col("doc_id"), col("i").cast("long").as("i"),
+          shiftright(col("px"), 16).cast("long").as("r"),
+          (shiftright(col("px"), 8) % 256).cast("long").as("g"),
+          (col("px") % 256).cast("long").as("b"))
+        .orderBy(col("doc_id"), col("i"))
+    },
+
+    // ---- REAL channel features over the same bitmap ------------------------
+    // One pass over every pixel (a single scan-stage codegen'd
+    // expression, no per-pixel explode — the shape that survives
+    // megapixel payloads): per-channel sums, a 4-bin red histogram,
+    // and the integer channel mean. Dims come from the parsed header
+    // (BmpDimsExpr round-trip), not the generator arithmetic.
+    Q("p55_bmp_features", Some("""
+      WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+                 FROM documents),
+      e AS (SELECT doc_id, w, h, unnest(generate_series(0, w*h - 1)) AS i FROM d),
+      v AS (SELECT doc_id, w*h AS n_px,
+                   (doc_id*7 + (i % w)*3 + (i // w)*5) % 256 AS r,
+                   (doc_id*7 + (i % w)*3 + (i // w)*5 + 11) % 256 AS g,
+                   (doc_id*7 + (i % w)*3 + (i // w)*5 + 22) % 256 AS b
+            FROM e)
+      SELECT doc_id, CAST(min(n_px) AS BIGINT) AS n_px,
+             CAST(SUM(r) AS BIGINT) AS sum_r,
+             CAST(SUM(g) AS BIGINT) AS sum_g,
+             CAST(SUM(b) AS BIGINT) AS sum_b,
+             CAST(SUM(CASE WHEN r // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rh0,
+             CAST(SUM(CASE WHEN r // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rh1,
+             CAST(SUM(CASE WHEN r // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS rh2,
+             CAST(SUM(CASE WHEN r // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS rh3,
+             CAST(CAST(SUM(r) AS BIGINT) // min(n_px) AS BIGINT) AS mean_r
+      FROM v GROUP BY doc_id
+      ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.Bmp
+      val stats = Bmp.channelStats(bmpBlob)
+      val dims = Bmp.dims(bmpBlob)
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          (shiftright(dims, 32) * dims.bitwiseAND(0xffffffffL))
+            .cast("long").as("n_px"),
+          stats.getItem(0).as("sum_r"), stats.getItem(1).as("sum_g"),
+          stats.getItem(2).as("sum_b"),
+          stats.getItem(3).as("rh0"), stats.getItem(4).as("rh1"),
+          stats.getItem(5).as("rh2"), stats.getItem(6).as("rh3"))
+        .withColumn("mean_r", expr("sum_r div n_px"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** Structurally-real uncompressed 24-bpp BMP built in-query: 14-byte
+    * file header, 40-byte BITMAPINFOHEADER, bottom-up B,G,R rows padded
+    * to 4 bytes — dims 3..8 x 2..6 and channel values
+    * `(doc_id*7 + x*3 + y*5 + {0,11,22}) % 256` (r,g,b) all derived
+    * from doc_id, so the DuckDB oracle can compute any pixel
+    * arithmetically while the engine recovers it by parsing bytes.
+    */
+  private def bmpBlob: org.apache.spark.sql.Column = {
+    val w = (lit(3L) + col("doc_id") % 6).cast("int") // 3..8
+    val h = (lit(2L) + col("doc_id") % 5).cast("int") // 2..6
+    val pad = (lit(4) - (w * 3) % 4) % 4
+    val imageSize = (w * 3 + pad) * h
+    def chan(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+             off: Int) =
+      lpad(hex((col("doc_id") * 7 + x * 3 + y * 5 + lit(off)) % 256), 2, "0")
+    // pixel byte order in the file is B, G, R
+    def pix(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      concat(chan(x, y, 22), chan(x, y, 11), chan(x, y, 0))
+    // rows are stored bottom-up: file row yf holds image row h-1-yf
+    val pixelsHex = array_join(
+      transform(sequence(lit(0), h - 1), yf =>
+        concat(
+          array_join(transform(sequence(lit(0), w - 1), x =>
+            pix(x, h - 1 - yf)), ""),
+          repeat(lit("00"), pad))), "")
+    val header = concat(
+      lit("424D"), le32h(lit(54) + imageSize), lit("00000000"), le32h(lit(54)),
+      le32h(lit(40)), le32h(w), le32h(h), le16h(lit(1)), le16h(lit(24)),
+      le32h(lit(0)), le32h(imageSize),
+      le32h(lit(0)), le32h(lit(0)), le32h(lit(0)), le32h(lit(0)))
+    unhex(concat(header, pixelsHex))
+  }
 }

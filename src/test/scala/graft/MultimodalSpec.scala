@@ -179,4 +179,61 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val emb2 = MultimodalOps.embedStub(ids, "id", "payload", dim = 16).collect()
     assert(emb.map(_.getSeq[Double](1)).toSeq == emb2.map(_.getSeq[Double](1)).toSeq)
   }
+
+  test("Bmp parses a hand-built 24-bpp bitmap: bottom-up rows, padding, " +
+    "BGR order, resample index math, channel stats") {
+    // 3x2 image, rowSize = ((3*3+3)/4)*4 = 12 → 3 pad bytes per row.
+    // Image rows (top-down), pixels as (r,g,b):
+    //   y=0: (255,0,0) (0,255,0) (0,0,255)
+    //   y=1: (10,20,30) (40,50,60) (70,80,90)
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int) = Array(v, v >> 8).map(_.toByte)
+    val rowBot = Array( // file row 0 = image row y=1 (bottom-up), B,G,R
+      30, 20, 10, 60, 50, 40, 90, 80, 70, 0, 0, 0).map(_.toByte)
+    val rowTop = Array(
+      0, 0, 255, 0, 255, 0, 255, 0, 0, 0, 0, 0).map(_.toByte)
+    val bmp = Array[Byte]('B', 'M') ++ le32(54 + 24) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(3) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(24) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ rowBot ++ rowTop
+    assert(graft.functions.Bmp.parseDims(bmp) == (3L << 32 | 2L))
+    // identity resample (3x2 → 3x2) recovers the TOP-DOWN pixel grid
+    val ident = graft.functions.Bmp.resampleData(bmp, 3, 2).toIntArray()
+    assert(ident.toSeq == Seq(0xff0000, 0x00ff00, 0x0000ff,
+      0x0a141e, 0x28323c, 0x46505a))
+    // 1x1 resample reads source pixel (0*3/1, 0*2/1) = top-left
+    assert(graft.functions.Bmp.resampleData(bmp, 1, 1).toIntArray().toSeq ==
+      Seq(0xff0000))
+    // channel stats: sums over all 6 pixels + 4-bin red histogram
+    val st = graft.functions.Bmp.channelStatsData(bmp).toLongArray()
+    assert(st.toSeq == Seq(255L + 10 + 40 + 70, 255L + 20 + 50 + 80,
+      255L + 30 + 60 + 90, 4L /* r in [0,64): 0,0,10,40 */ ,
+      1L /* 70 */ , 0L, 1L /* 255 */ ))
+  }
+
+  test("Bmp kernels never throw on arbitrary bytes (fuzz) and reject " +
+    "non-24bpp/compressed/truncated variants with NULL") {
+    val rnd = new scala.util.Random(42)
+    (0 until 2000).foreach { i =>
+      val bytes = new Array[Byte](rnd.nextInt(96))
+      rnd.nextBytes(bytes)
+      if (bytes.length >= 2) { bytes(0) = 'B'; bytes(1) = 'M' } // hit the parse path
+      graft.functions.Bmp.parseDims(bytes)
+      graft.functions.Bmp.resampleData(bytes, 4, 3)
+      graft.functions.Bmp.channelStatsData(bytes)
+    }
+    // a valid header whose declared pixel rows exceed the payload → NULL
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int) = Array(v, v >> 8).map(_.toByte)
+    def hdr(bpp: Int, comp: Int, h: Int) =
+      Array[Byte]('B', 'M') ++ le32(54) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(3) ++ le32(h) ++ le16(1) ++ le16(bpp) ++ le32(comp) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    assert(graft.functions.Bmp.parseDims(hdr(24, 0, 2)) == -1L) // truncated
+    assert(graft.functions.Bmp.parseDims(
+      hdr(32, 0, 1) ++ new Array[Byte](64)) == -1L) // 32 bpp unsupported
+    assert(graft.functions.Bmp.parseDims(
+      hdr(24, 1, 1) ++ new Array[Byte](64)) == -1L) // RLE compressed
+    assert(graft.functions.Bmp.parseDims(
+      hdr(24, 0, -1) ++ new Array[Byte](64)) == -1L) // top-down rejected
+  }
 }
