@@ -49,16 +49,11 @@ object Pipeline4 {
     },
 
     // ---- bigram-LM document scoring ----------------------------------------
-    // Perplexity-style quality signal without floats: corpus bigram
-    // counts C2(w1 w2) and prefix counts C1(w1) are built once (two
-    // count aggregates over the same exploded bigram stream), then each
-    // document's bigrams join the tables and score
-    // cond_ppm = C2 * 1e6 // C1 — the integer conditional probability
-    // of each transition — averaged per document. Plan shape: the
-    // count tables derive from ONE tokenization pass; the join back is
-    // keyed on the bigram string (shuffle bounded by corpus vocabulary,
-    // heavy-hitter keys are exactly the frequent bigrams AQE handles);
-    // docs under 2 tokens have no bigrams and drop out on both engines.
+    // Perplexity-style quality signal without floats — see
+    // [[graft.ops.LmOps.bigramLm]] for the shape. The hot-key joins are
+    // SALTED (AQE's skew split provably can't fire on a join whose
+    // build side aggregates above its shuffle — PipelineOpsSpec); the
+    // salting is oracle-proven result-identical here.
     Q("p47_bigram_lm", Some(s"""
       WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
       bg AS (SELECT doc_id, unnest(${shinglesSql("ws", 2)}) AS bg FROM w),
@@ -72,22 +67,9 @@ object Pipeline4 {
              CAST(SUM(cond_ppm) // COUNT(*) AS BIGINT) AS avg_cond_ppm
       FROM j GROUP BY doc_id
       ORDER BY doc_id""")) { (spark, dir) =>
-      val bgRaw = Tables.loadSpread(spark, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
-      // three consumers (c2, c1, the doc-side join) read the tokenized
-      // stream — materialize it once (p25/p32 single-pass convention)
-      val bg = if (singlePass(spark, "graft.bigramlm.singlePass"))
-        bgRaw.localCheckpoint() else bgRaw
-      val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("n2"))
-      val c1 = bg.select(substring_index(col("bg"), " ", 1).as("w1"))
-        .groupBy(col("w1")).agg(count(lit(1)).as("n1"))
-      bg.join(c2, "bg")
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-        .join(c1, "w1")
-        .select(col("doc_id"), expr("n2 * 1000000 div n1").as("cond_ppm"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          expr("sum(cond_ppm) div count(1)").cast("long").as("avg_cond_ppm"))
+      graft.ops.LmOps.bigramLm(Tables.loadSpread(spark, dir, "documents"),
+          "doc_id", "text",
+          singlePass = singlePass(spark, "graft.bigramlm.singlePass"))
         .orderBy(col("doc_id"))
     },
 

@@ -617,4 +617,70 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private def choose2(n: Int): Long = n.toLong * (n - 1) / 2
+
+  test("p47 bigram-LM under a planted hot bigram: AQE skew split can't " +
+    "fire on this join shape, the salted path bounds the largest task group") {
+    import spark.implicits._
+    import graft.ops.LmOps
+    // a corpus where one bigram ("aa bb") is ~10x hotter than any other:
+    // 500 docs repeat it, 50 docs carry unique filler bigrams
+    val hotDocs = (0L until 500L).map(i => (i, "aa bb"))
+    val coldDocs = (500L until 550L).map(i => (i, s"u$i v$i w$i"))
+    val docs = (hotDocs ++ coldDocs).toDF("doc_id", "text")
+
+    // 1. AQE CANNOT split this join: the count-table side aggregates
+    // above its shuffle, and OptimizeSkewedJoin only matches a join
+    // whose children are bare (sorted) shuffle stages. Prove it by
+    // executing the UNSALTED shape under maximally eager skew configs —
+    // the plan must show a sort-merge join and no skew marker.
+    val keep = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    val unsaltedRows = try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1024")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1024")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bg = docs.select(col("doc_id"),
+        explode(TextOps.shingles(col("text"), 2)).as("bg"))
+      val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("n2"))
+      val unsalted = bg.join(c2, "bg")
+      val out = unsalted.collect() // finalizes the adaptive plan
+      val plan = unsalted.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join in the unsalted plan:\n$plan")
+      assert(!plan.contains("skew=true"),
+        "AQE split the aggregate-build join after all — drop the salted " +
+          s"path in LmOps.bigramLm and delegate to AQE:\n$plan")
+      out.length
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+    assert(unsaltedRows == 500 + 50 * 2) // hot bigram + 2 bigrams per cold doc
+
+    // 2. the salted path bounds the hot key: the largest (bg, salt)
+    // join group is ~hot/salts, not hot
+    val salts = 8
+    val maxGroup = docs.select(col("doc_id"),
+        explode(TextOps.shingles(col("text"), 2)).as("bg"))
+      .groupBy(col("bg"), pmod(col("doc_id"), lit(salts)))
+      .count().agg(max(col("count"))).collect().head.getLong(0)
+    assert(maxGroup <= 500 / salts + salts,
+      s"salting left a join group of $maxGroup rows (hot key is 500)")
+
+    // 3. the salted pipeline goes through __salt shuffle joins and its
+    // result equals the plain-join reference
+    val scored = LmOps.bigramLm(docs, "doc_id", "text", singlePass = false)
+    val got = scored.orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column absent from p47 plan:\n$plan")
+    // hot docs: 1 bigram "aa bb" with C2=500, C1(aa)=500 → cond_ppm 1e6
+    assert(got.take(500).forall { case (_, n, ppm) => n == 1L && ppm == 1000000L })
+    // cold docs: 2 unique bigrams, C2=1, C1(prefix)=1 → cond_ppm 1e6
+    assert(got.drop(500).forall { case (_, n, ppm) => n == 2L && ppm == 1000000L })
+  }
 }
