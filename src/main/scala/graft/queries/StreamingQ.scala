@@ -27,6 +27,26 @@ object StreamingQ {
         .orderBy(col("bin_start"), col("event_type"))
     },
 
+    // ---- streaming sliding (hopping) window aggregation -------------------
+    // The overlapping-window shape under a watermark: each event lands
+    // in width/slide = 2 window states. The oracle expands the same
+    // 2-window membership arithmetically (bin and bin - slide) — p52's
+    // batch oracle, now driven through the streaming engine.
+    Q("p53_stream_sliding", Some("""
+      WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                        event_type, value FROM events)
+      SELECT sec - sec % 900 - k * 900 AS bin_start, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM e, (VALUES (0), (1)) AS o(k)
+      GROUP BY 1, 2
+      ORDER BY bin_start, event_type""")) { (spark, dir) =>
+      StreamingOps.runToMemory(
+          StreamingOps.slidingAgg(StreamingOps.eventsStream(spark, dir)),
+          mode = "complete")
+        .orderBy(col("bin_start"), col("event_type"))
+    },
+
     // ---- streaming sessionization (native session_window state merge) ----
     // Spark session semantics: a gap of EXACTLY the window closes the
     // session (intervals [t, t+gap) merge only when they overlap), hence

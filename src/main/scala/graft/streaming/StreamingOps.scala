@@ -92,6 +92,22 @@ object StreamingOps {
       .select(unix_timestamp(col("window.start")).as("bin_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding (hopping) window counts/sums per event type with a 1h
+    * watermark: each event lands in width/slide overlapping windows —
+    * the streaming face of the batch p52 entry. State is one row per
+    * (window, type); the watermark closes windows whose end has passed,
+    * so state stays bounded on an unbounded stream.
+    */
+  def slidingAgg(events: DataFrame, width: String = "30 minutes",
+                 slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("bin_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Gap-based sessionization via the native session_window operator:
     * one state row per open session per user, merged incrementally.
     */

@@ -328,6 +328,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sameRows(streamed, batch))
   }
 
+  test("multi-batch sliding window (p53 shape): overlapping window state " +
+    "accumulates across 3 batches to the batch aggregation") {
+    val dir = splitEvents(3, Seq(0, 1, 2))
+    val (streamed, batches) = graft.streaming.StreamingOps.runToMemoryCounted(
+      graft.streaming.StreamingOps.slidingAgg(splitStream(dir)), "complete")
+    assert(batches >= 3, s"expected >= 3 data batches, got $batches")
+    val batch = queries.Tables.load(spark, msSf, "events")
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("bin_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    assert(sameRows(streamed, batch))
+    // overlap sanity: every event contributes to width/slide = 2 windows
+    val nEvents = queries.Tables.load(spark, msSf, "events").count()
+    val totalN = streamed.agg(sum(col("n"))).collect().head.getLong(0)
+    assert(totalN == 2 * nEvents,
+      s"expected 2x window membership, got $totalN over $nEvents events")
+  }
+
   test("multi-batch sessionization (p16 shape): state merges across " +
     "batches to the same sessions as a single batch") {
     val dir = splitEvents(3, Seq(0, 1, 2))
