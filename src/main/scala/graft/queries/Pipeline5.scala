@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{ClusterOps, Portable, TextOps}
+
+/** Training-data pipeline operators, part 5: corpus organization —
+  * iterative k-means clustering over embeddings (the unsupervised step
+  * that PRODUCES the IVF/domain labels earlier ops consume) and
+  * per-stratum quota sampling (the domain-mix knob every data recipe
+  * needs). Same integer-exact conventions as [[Pipeline3]]/[[Pipeline4]].
+  */
+object Pipeline5 {
+
+  private val wsSql = TextSql.ws
+
+  val all: Seq[Q] = Seq(
+
+    // ---- iterative k-means (Lloyd) over embeddings -------------------------
+    // One full Lloyd iteration (assign to the deterministic seed
+    // centroids, recompute as integer means) followed by the final
+    // assignment — the oracle mirrors the identical scaled-integer
+    // arithmetic, so every per-vector cluster id and exact squared
+    // distance hash-matches. See [[graft.ops.ClusterOps.kmeansLloyd]]
+    // for the scale shape (broadcast assign, one (cluster, dim)
+    // shuffle per M-step).
+    Q("p56_kmeans_lloyd", Some("""
+      WITH v AS (SELECT vec_id,
+                        [CAST(round((x + 1.0) * 1000000, 0) AS DOUBLE)
+                         for x in CAST(embedding AS DOUBLE[])] AS v
+                 FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < 8),
+      a1 AS (SELECT v.vec_id, c0.cid,
+                    CAST(list_dot_product(v.v, v.v)
+                         - 2 * list_dot_product(v.v, c0.c)
+                         + list_dot_product(c0.c, c0.c) AS BIGINT) AS d
+             FROM v CROSS JOIN c0),
+      s1 AS (SELECT vec_id, cid AS cluster
+             FROM (SELECT vec_id, cid, d,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d, cid) AS rk
+                   FROM a1) WHERE rk = 1),
+      m AS (SELECT s1.cluster, j,
+                   CAST(CAST(SUM(v.v[j]) AS BIGINT) // COUNT(*) AS DOUBLE) AS mj
+            FROM s1 JOIN v USING (vec_id), generate_series(1, 64) t(j)
+            GROUP BY cluster, j),
+      c1 AS (SELECT cluster AS cid, list(mj ORDER BY j) AS c FROM m
+             GROUP BY cluster),
+      a2 AS (SELECT v.vec_id, c1.cid,
+                    CAST(list_dot_product(v.v, v.v)
+                         - 2 * list_dot_product(v.v, c1.c)
+                         + list_dot_product(c1.c, c1.c) AS BIGINT) AS d
+             FROM v CROSS JOIN c1)
+      SELECT vec_id, cid AS cluster, d
+      FROM (SELECT vec_id, cid, d,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rk
+            FROM a2) WHERE rk = 1
+      ORDER BY vec_id""")) { (spark, dir) =>
+      ClusterOps.kmeansLloyd(Tables.loadSpread(spark, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 1)
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- per-stratum quota sampling ----------------------------------------
+    // The domain-mix sampler: rank documents inside each stratum
+    // (detected language) by a salted portable hash and keep the first
+    // `quota` — deterministic, fleet-reproducible, no rand(). The
+    // Spark side aggregates with the bounded top-n kernel
+    // ([[graft.functions.TopN]]): map-side partials carry at most
+    // `quota` pairs per stratum, so the shuffle moves O(partitions x
+    // strata x quota) rows, NOT the corpus — the shape that survives a
+    // 100 TB stratum. The oracle is the equivalent ranked window.
+    Q("p57_stratified_sample", Some {
+      val names = TextOps.langProfiles.map(_._1)
+      val scoreSql = names.map(l =>
+        s"CAST(${TextSql.langScore(wsSql, l)} AS BIGINT) AS s_$l")
+        .mkString(",\n             ")
+      val hSql = Portable.h60Sql("concat('samp:', CAST(doc_id AS VARCHAR))")
+      s"""
+      WITH t AS (SELECT doc_id, ${TextSql.langCase(l => s"s_$l")} AS lang
+                 FROM (SELECT doc_id, $scoreSql FROM documents) raw),
+      r AS (SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY $hSql, doc_id) AS rk
+            FROM t)
+      SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+      FROM r WHERE rk <= 25
+      ORDER BY lang, rk"""
+    }) { (spark, dir) =>
+      import graft.functions.TopN
+      val h = Portable.h60(concat(lit("samp:"), col("doc_id").cast("string")))
+      Tables.loadSpread(spark, dir, "documents")
+        .select(TextOps.langId(col("text")).as("lang"),
+          h.as("h"), col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(TopN.minTopN(col("h"), col("doc_id"), 25).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("rk0", "p")))
+        .select(col("lang"), (col("rk0") + 1).cast("long").as("rk"),
+          col("p.id").as("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    }
+  )
+}

@@ -618,6 +618,61 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def choose2(n: Int): Long = n.toLong * (n - 1) / 2
 
+  test("kmeansLloyd separates planted clusters and is deterministic") {
+    import spark.implicits._
+    import graft.ops.ClusterOps
+    // 3 planted blobs in 8 dims at well-separated corners; ids 0,1,2
+    // (the deterministic seeds) land one per blob
+    def lcg(seed: Long): Double = {
+      val x = seed * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 11).toDouble / (1L << 53).toDouble) * 0.1
+    }
+    val rows = (0 until 90).map { i =>
+      val blob = i % 3
+      val v = Seq.tabulate(8)(j =>
+        ((if (j == blob * 2) 0.8 else -0.3) + lcg(i * 17 + j)).toFloat)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = ClusterOps.kmeansLloyd(df, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every member joined the cluster seeded inside its own blob
+    assert((0 until 90).forall(i => out(i.toLong) == (i % 3).toLong),
+      s"planted blobs not separated: ${out.toSeq.sortBy(_._1).take(12)}")
+    val again = ClusterOps.kmeansLloyd(df, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == again, "kmeansLloyd must be bit-deterministic")
+  }
+
+  test("MinTopNPairs matches the ranked window, skips NULLs, and " +
+    "aggregates partially before the shuffle") {
+    import spark.implicits._
+    import graft.functions.TopN
+    // 10k rows over 4 groups, keys from a fixed LCG; some null ids
+    def k(i: Int): Long = (i * 6364136223846793005L + 1442695040888963407L) >>> 12
+    val rows = (0 until 10000).map(i =>
+      (s"g${i % 4}", k(i), if (i % 97 == 0) None else Some(i.toLong)))
+    val df = rows.toDF("grp", "h", "id").repartition(8)
+    val agg = df.groupBy(col("grp"))
+      .agg(TopN.minTopN(col("h"), col("id"), 5).as("top"))
+    val got = agg.select(col("grp"), posexplode(col("top")).as(Seq("rk", "p")))
+      .select(col("grp"), col("rk"), col("p.h"), col("p.id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val expect = rows.collect { case (g, h, Some(i)) => (g, h, i) }
+      .groupBy(_._1).flatMap { case (g, grp) =>
+        grp.map(t => (t._2, t._3)).sorted.take(5).zipWithIndex
+          .map { case ((h, i), rk) => (g, rk, h, i) }
+      }.toSet
+    assert(got == expect)
+    // the plan must run the kernel in two phases (partial before the
+    // shuffle, merge after) — the entire point vs a ranked window
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_min_top_n") &&
+      plan.contains("graft_min_top_n"),
+      s"expected a two-phase ObjectHashAggregate over the kernel:\n$plan")
+  }
+
   test("p47 bigram-LM under a planted hot bigram: AQE skew split can't " +
     "fire on this join shape, the salted path bounds the largest task group") {
     import spark.implicits._
