@@ -65,7 +65,17 @@ object GraftExtensions {
     fn("graft_gcd", "graft_gcd(bigint, bigint) - greatest common divisor (DF38 gcd; Spark has no built-in)", 2)(
       a => graft.functions.GcdExpr(a(0), a(1))),
     fn("graft_lcm", "graft_lcm(bigint, bigint) - least common multiple (DF38 lcm; Spark has no built-in)", 2)(
-      a => graft.functions.LcmExpr(a(0), a(1))))
+      a => graft.functions.LcmExpr(a(0), a(1))),
+    fn("graft_bmp_dims", "graft_bmp_dims(binary) - packed (w<<32)|h of an uncompressed 24-bpp BMP", 1)(
+      a => graft.functions.BmpDimsExpr(a(0))),
+    fn("graft_bmp_resample", "graft_bmp_resample(binary, w, h) - nearest-neighbour thumbnail as array<int> packed RGB", 3)(
+      a => graft.functions.BmpResampleExpr(a(0),
+        intArg(a(1), "graft_bmp_resample"), intArg(a(2), "graft_bmp_resample"))),
+    fn("graft_bmp_channel_stats", "graft_bmp_channel_stats(binary) - [sum_r,sum_g,sum_b,h0..h3] channel sums + red histogram", 1)(
+      a => graft.functions.BmpChannelStatsExpr(a(0))),
+    // aggregate: the analyzer wraps a bare AggregateFunction builder
+    fn("graft_min_top_n", "graft_min_top_n(h, id, n) - the n smallest (h, id) pairs of the group, map-side bounded", 3)(
+      a => graft.functions.MinTopNPairs(a(0), a(1), intArg(a(2), "graft_min_top_n"))))
 }
 
 /** Thin session facade — the engine's `SessionContext` analog. */

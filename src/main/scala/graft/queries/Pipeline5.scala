@@ -98,6 +98,38 @@ object Pipeline5 {
         .select(col("lang"), (col("rk0") + 1).cast("long").as("rk"),
           col("p.id").as("doc_id"))
         .orderBy(col("lang"), col("rk"))
+    },
+
+    // ---- deterministic train/val/test split assignment ---------------------
+    // The split every training corpus needs, as a pure row-local
+    // expression: bucket = portable_hash('split:' || doc_id) mod 1000,
+    // train < 900, val < 950, test otherwise. No rand(), no state — a
+    // document lands in the SAME split on every engine, every rerun,
+    // every cluster size, and membership is decidable per row in the
+    // scan stage (a 100 TB corpus splits without any shuffle; the only
+    // shuffle here is the tiny verification rollup).
+    Q("p58_hash_split", Some {
+      val hSql = Portable.h60Sql("concat('split:', CAST(doc_id AS VARCHAR))")
+      s"""
+      WITH t AS (SELECT doc_id, n_chars,
+                        CASE WHEN $hSql % 1000 < 900 THEN 'train'
+                             WHEN $hSql % 1000 < 950 THEN 'val'
+                             ELSE 'test' END AS split
+                 FROM documents)
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             min(doc_id) AS first_id
+      FROM t GROUP BY split
+      ORDER BY split"""
+    }) { (spark, dir) =>
+      val b = Portable.h60(concat(lit("split:"), col("doc_id").cast("string"))) % 1000
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          when(b < 900, "train").when(b < 950, "val").otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_id"))
+        .orderBy(col("split"))
     }
   )
 }

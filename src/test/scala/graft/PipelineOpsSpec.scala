@@ -671,6 +671,18 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("partial_graft_min_top_n") &&
       plan.contains("graft_min_top_n"),
       s"expected a two-phase ObjectHashAggregate over the kernel:\n$plan")
+    // SQL registration path: same kernel by name, analyzer-wrapped agg
+    GraftExtensions.functions.foreach { case (fid, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(fid, info, builder)
+    }
+    df.createOrReplaceTempView("topn_in")
+    val viaSql = spark.sql(
+      "SELECT grp, graft_min_top_n(h, id, 5) AS top FROM topn_in GROUP BY grp")
+      .select(col("grp"), posexplode(col("top")).as(Seq("rk", "p")))
+      .select(col("grp"), col("rk"), col("p.h"), col("p.id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(viaSql == expect)
   }
 
   test("p47 bigram-LM under a planted hot bigram: AQE skew split can't " +
