@@ -130,6 +130,103 @@ object Pipeline5 {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("first_id"))
         .orderBy(col("split"))
+    },
+
+    // ---- corpus-statistics quality gate (percentile threshold) -------------
+    // The "derive the cut from the corpus, then filter" pattern: the
+    // per-language p90 document length is computed as a DISCRETE
+    // percentile (an actual element — ceil(q*n)-th smallest, identical
+    // semantics in Spark's percentile_disc and DuckDB's quantile_disc,
+    // no interpolation to drift), then broadcast back and applied as a
+    // scan-stage gate. Two aggregates, one broadcast — never a global
+    // sort of the corpus.
+    Q("p59_quality_gate", Some("""
+      WITH t AS (SELECT lang,
+                        CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS thr
+                 FROM documents GROUP BY lang)
+      SELECT d.lang, min(t.thr) AS thr,
+             CAST(SUM(CASE WHEN d.n_chars >= t.thr THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+             COUNT(*) AS n_total
+      FROM documents d JOIN t ON d.lang = t.lang
+      GROUP BY d.lang
+      ORDER BY d.lang""")) { (spark, dir) =>
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val thr = docs.groupBy(col("lang")).agg(
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("thr"))
+      docs.join(broadcast(thr), "lang")
+        .groupBy(col("lang"))
+        .agg(min(col("thr")).as("thr"),
+          sum(when(col("n_chars") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+          count(lit(1)).as("n_total"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- end-to-end ANN: train the coarse quantizer, then serve ------------
+    // The full IVF pipeline composed from this library's own parts:
+    // k-means (p56) trains the coarse quantizer, its cluster ids become
+    // the IVF partition key, and the top-k search probes only each
+    // query's own bucket (p11 shape). The oracle replays the identical
+    // integer-exact training chain and then the bucket-scoped search —
+    // pinning that training and serving agree cross-engine END TO END,
+    // not just per stage.
+    Q("p60_ivf_trained", Some("""
+      WITH v AS (SELECT vec_id,
+                        [CAST(round((x + 1.0) * 1000000, 0) AS DOUBLE)
+                         for x in CAST(embedding AS DOUBLE[])] AS v
+                 FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < 8),
+      a1 AS (SELECT v.vec_id, c0.cid,
+                    CAST(list_dot_product(v.v, v.v)
+                         - 2 * list_dot_product(v.v, c0.c)
+                         + list_dot_product(c0.c, c0.c) AS BIGINT) AS d
+             FROM v CROSS JOIN c0),
+      s1 AS (SELECT vec_id, cid AS cluster
+             FROM (SELECT vec_id, cid, d,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d, cid) AS rk
+                   FROM a1) WHERE rk = 1),
+      m AS (SELECT s1.cluster, j,
+                   CAST(CAST(SUM(v.v[j]) AS BIGINT) // COUNT(*) AS DOUBLE) AS mj
+            FROM s1 JOIN v USING (vec_id), generate_series(1, 64) t(j)
+            GROUP BY cluster, j),
+      c1 AS (SELECT cluster AS cid, list(mj ORDER BY j) AS c FROM m
+             GROUP BY cluster),
+      a2 AS (SELECT v.vec_id, c1.cid,
+                    CAST(list_dot_product(v.v, v.v)
+                         - 2 * list_dot_product(v.v, c1.c)
+                         + list_dot_product(c1.c, c1.c) AS BIGINT) AS d
+             FROM v CROSS JOIN c1),
+      s2 AS (SELECT vec_id, cid AS cluster
+             FROM (SELECT vec_id, cid, d,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d, cid) AS rk
+                   FROM a2) WHERE rk = 1),
+      vv AS (SELECT e.vec_id, s2.cluster, CAST(e.embedding AS DOUBLE[]) AS v0
+             FROM embeddings e JOIN s2 USING (vec_id)),
+      q AS (SELECT vec_id AS query_id, cluster AS qc, v0 AS qv
+            FROM vv WHERE vec_id < 20),
+      s AS (SELECT query_id, vv.vec_id,
+                   round(list_dot_product(qv, v0)
+                     / sqrt(list_dot_product(qv, qv))
+                     / sqrt(list_dot_product(v0, v0)), 6) AS sim
+            FROM vv JOIN q ON vv.cluster = q.qc AND vv.vec_id <> q.query_id),
+      r AS (SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rk
+            FROM s)
+      SELECT query_id, rk, vec_id, sim FROM r WHERE rk <= 5
+      ORDER BY query_id, rk""")) { (spark, dir) =>
+      import graft.ops.SimilarityOps
+      val emb = Tables.loadSpread(spark, dir, "embeddings")
+      val trained = ClusterOps.kmeansLloyd(emb, "vec_id", "embedding",
+        k = 8, iters = 1).select(col("vec_id"), col("cluster"))
+      val v = emb.join(trained, "vec_id")
+      SimilarityOps.partitionedTopK(v, v.filter(col("vec_id") < 20),
+          "vec_id", "embedding", "cluster", 5)
+        .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+        .orderBy(col("query_id"), col("rk"))
     }
   )
 }
