@@ -642,6 +642,17 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = ClusterOps.kmeansLloyd(df, "vec_id", "embedding", k = 3, iters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == again, "kmeansLloyd must be bit-deterministic")
+    // plan shape: centroids BROADCAST to the vectors (the vector table
+    // must never shuffle for assignment) and the argmin runs as a
+    // partial-then-final min aggregate, not a window
+    val assigned = ClusterOps.kmeansLloyd(df, "vec_id", "embedding",
+      k = 3, iters = 0)
+    assigned.collect()
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid assign must broadcast, not shuffle:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"argmin must partial-aggregate map-side:\n$plan")
   }
 
   test("MinTopNPairs matches the ranked window, skips NULLs, and " +
