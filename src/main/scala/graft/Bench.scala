@@ -50,12 +50,27 @@ object Bench {
       made.foreach { df =>
         try if (df.queryExecution.observedMetrics.nonEmpty) {
           df.queryExecution.toRdd.count()
-          df.queryExecution.observedMetrics.foreach { case (_, row) =>
-            val fields = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
-              "\"" + f + "\":" + String.valueOf(row.get(i))
-            }.mkString("{", ",", "}")
-            observed(name.takeWhile(_ != '_')) = fields
+          // one merged object per query: multiple observe() points must
+          // not overwrite each other (field keys get the metric-name
+          // prefix when there is more than one), and every value must
+          // stay valid JSON (finite numbers raw; NaN/Inf/strings quoted)
+          def jsonVal(v: Any): String = v match {
+            case null => "null"
+            case d: java.lang.Double if d.isNaN || d.isInfinite => "\"" + d + "\""
+            case f: java.lang.Float if f.isNaN || f.isInfinite => "\"" + f + "\""
+            case n: java.lang.Number => String.valueOf(n)
+            case b: java.lang.Boolean => String.valueOf(b)
+            case other => "\"" + String.valueOf(other)
+              .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
           }
+          val ms = df.queryExecution.observedMetrics.toSeq.sortBy(_._1)
+          val fields = ms.flatMap { case (mname, row) =>
+            row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+              val k = if (ms.size > 1) s"$mname.$f" else f
+              "\"" + k + "\":" + jsonVal(row.get(i))
+            }
+          }.mkString("{", ",", "}")
+          observed(name.takeWhile(_ != '_')) = fields
         } catch { case _: Throwable => () }
       }
       name -> dt

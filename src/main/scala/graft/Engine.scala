@@ -25,17 +25,17 @@ object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-  private def intArg(e: Expression, fn: String): Int = e match {
+  private def intArg(e: Expression, fn: String, pos: Int = 2): Int = e match {
     // any plan-time-constant integer works (literal, CAST, folded
     // arithmetic) — the kernels need the value at expression build time
     case c if c.foldable && c.dataType == org.apache.spark.sql.types.IntegerType =>
       c.eval() match {
         case v: java.lang.Integer => v.intValue()
         case _ => throw new IllegalArgumentException(
-          s"$fn: argument 2 must be a non-NULL INT constant")
+          s"$fn: argument $pos must be a non-NULL INT constant")
       }
     case other => throw new IllegalArgumentException(
-      s"$fn: argument 2 must be an INT literal, got $other")
+      s"$fn: argument $pos must be an INT literal, got $other")
   }
 
   private def fn(name: String, usage: String, arity: Int)(
@@ -70,12 +70,14 @@ object GraftExtensions {
       a => graft.functions.BmpDimsExpr(a(0))),
     fn("graft_bmp_resample", "graft_bmp_resample(binary, w, h) - nearest-neighbour thumbnail as array<int> packed RGB", 3)(
       a => graft.functions.BmpResampleExpr(a(0),
-        intArg(a(1), "graft_bmp_resample"), intArg(a(2), "graft_bmp_resample"))),
+        intArg(a(1), "graft_bmp_resample"),
+        intArg(a(2), "graft_bmp_resample", 3))),
     fn("graft_bmp_channel_stats", "graft_bmp_channel_stats(binary) - [sum_r,sum_g,sum_b,h0..h3] channel sums + red histogram", 1)(
       a => graft.functions.BmpChannelStatsExpr(a(0))),
     // aggregate: the analyzer wraps a bare AggregateFunction builder
     fn("graft_min_top_n", "graft_min_top_n(h, id, n) - the n smallest (h, id) pairs of the group, map-side bounded", 3)(
-      a => graft.functions.MinTopNPairs(a(0), a(1), intArg(a(2), "graft_min_top_n"))))
+      a => graft.functions.MinTopNPairs(a(0), a(1),
+        intArg(a(2), "graft_min_top_n", 3))))
 }
 
 /** Thin session facade — the engine's `SessionContext` analog. */

@@ -102,7 +102,8 @@ object Bmp {
     */
   def resampleData(b: Array[Byte], w2: Int, h2: Int): GenericArrayData = {
     val hd = header(b)
-    if (hd == null || w2 <= 0 || h2 <= 0) return null
+    if (hd == null || w2 <= 0 || h2 <= 0 ||
+      w2.toLong * h2 > BmpResampleExpr.maxPixels) return null
     val offset = hd(0); val w = hd(1); val h = hd(2)
     val out = new Array[Int](w2 * h2)
     var y2 = 0
@@ -197,6 +198,20 @@ case class BmpResampleExpr(child: Expression, w2: Int, h2: Int)
   override def prettyName: String = "graft_bmp_resample"
   override def nullable: Boolean = true
 
+  // The NULL-never-throw contract covers the PAYLOAD; the target grid is
+  // the caller's request and a bad one fails analysis loudly. The pixel
+  // cap keeps the per-row output array bounded (2^24 ints = 64 MB) —
+  // past that, w2*h2 would overflow Int or OOM an executor.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (w2 <= 0 || h2 <= 0 || w2.toLong * h2 > BmpResampleExpr.maxPixels)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName target grid must satisfy 1 <= w*h <= " +
+          s"${BmpResampleExpr.maxPixels}, got ${w2}x$h2")
+    else base
+  }
+
   override def nullSafeEval(input: Any): Any =
     Bmp.resampleData(input.asInstanceOf[Array[Byte]], w2, h2)
 
@@ -212,6 +227,11 @@ case class BmpResampleExpr(child: Expression, w2: Int, h2: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object BmpResampleExpr {
+  /** Largest allowed w2*h2 output grid (64 MB of packed ints per row). */
+  val maxPixels: Long = 1L << 24
 }
 
 /** One-pass channel sums + 4-bin red histogram of a BMP payload:

@@ -40,7 +40,12 @@ case class MinTopNPairs(
     StructField("id", LongType, nullable = false))), containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    // n <= 0 must fail analysis: compact()/eval() would otherwise
+    // silently empty every group. Checked here (not only in the Column
+    // API) so the SQL registration path errors identically.
+    if (n <= 0) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires n > 0, got $n")
+    else if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (BIGINT, BIGINT) arguments, got " +
         children.map(_.dataType.catalogString).mkString(", "))

@@ -45,7 +45,10 @@ object ClusterOps {
           "x -> cast(round((x + 1.0D) * 1000000.0D, 0) as double))").as("v"))
       // read 2*iters+1 times; pin it once
       .localCheckpoint()
-    var cents = v.filter(col("vid") < k)
+    // genuinely the k smallest ids (TakeOrderedAndProject — k rows move),
+    // not `vid < k`, which would silently under-seed any id space that
+    // is 1-based, sparse, or pre-filtered
+    var cents = v.orderBy(col("vid")).limit(k)
       .select(col("vid").as("cid"), col("v").as("c"))
 
     // nearest centroid per vector: exact integer d^2 via the dot-product

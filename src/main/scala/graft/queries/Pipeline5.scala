@@ -28,7 +28,7 @@ object Pipeline5 {
                         [CAST(round((x + 1.0) * 1000000, 0) AS DOUBLE)
                          for x in CAST(embedding AS DOUBLE[])] AS v
                  FROM embeddings),
-      c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < 8),
+      c0 AS (SELECT vec_id AS cid, v AS c FROM v ORDER BY vec_id LIMIT 8),
       a1 AS (SELECT v.vec_id, c0.cid,
                     CAST(list_dot_product(v.v, v.v)
                          - 2 * list_dot_product(v.v, c0.c)
@@ -176,7 +176,7 @@ object Pipeline5 {
                         [CAST(round((x + 1.0) * 1000000, 0) AS DOUBLE)
                          for x in CAST(embedding AS DOUBLE[])] AS v
                  FROM embeddings),
-      c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < 8),
+      c0 AS (SELECT vec_id AS cid, v AS c FROM v ORDER BY vec_id LIMIT 8),
       a1 AS (SELECT v.vec_id, c0.cid,
                     CAST(list_dot_product(v.v, v.v)
                          - 2 * list_dot_product(v.v, c0.c)

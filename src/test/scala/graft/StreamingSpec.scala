@@ -219,10 +219,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the pattern a transactional sink implements: remember the last
     // committed batchId; re-delivery of the same id (post-crash replay)
     // must not double-write
-    val committed = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val sink = new scala.collection.mutable.ArrayBuffer[Long]()
     def writeBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
-      if (committed.putIfAbsent(batchId, 1L) == null) {
+      if (committed.add(batchId)) {
         sink.synchronized { sink ++= df.as[Long].collect() }
       }
     val in = MemoryStream[Long]
