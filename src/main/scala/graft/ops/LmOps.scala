@@ -49,4 +49,43 @@ object LmOps {
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(cond_ppm) div count(1)").cast("long").as("avg_cond_ppm"))
   }
+
+  /** Corpus-level pointwise mutual information of adjacent token pairs —
+    * the collocation/phrase-mining statistic (which pairs co-occur far
+    * more than chance predicts). `pmi = ln(p(w1,w2) / (p(w1) p(w2)))`
+    * with `p(w1,w2) = n_pair/M` over bigrams and `p(w) = n1/N` over
+    * unigrams, evaluated as ONE double expression
+    * `ln((n_pair * N * N) / (M * n1a * n1b))` in identical operation
+    * order on every engine, rounded to 6 — so the oracle hash-matches.
+    *
+    * Scale shape: the only corpus-sized shuffle is the pair-count
+    * groupBy. The unigram table is vocabulary-bounded and the totals are
+    * one row each — all three join back by BROADCAST, so no second
+    * shuffle of the pair table. `minCount` prunes the pair table before
+    * the joins (rare pairs dominate the key space under Zipf; the
+    * interesting collocations all clear the floor).
+    */
+  def pmiPairs(docs: DataFrame, text: String,
+               minCount: Long, topK: Int): DataFrame = {
+    val toks = docs.select(TextOps.tokens(col(text)).as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n1"))
+    val uniTotal = uni.agg(sum(col("n1")).as("nn"))
+    val pairs = docs
+      .select(explode(TextOps.shingles(col(text), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val pairTotal = pairs.agg(sum(col("n_pair")).as("mm"))
+    pairs.filter(col("n_pair") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("n1").as("n1a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("n1").as("n1b"))), "w2")
+      .crossJoin(broadcast(uniTotal))
+      .crossJoin(broadcast(pairTotal))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        expr("round(ln((cast(n_pair as double) * nn * nn) / " +
+          "(cast(mm as double) * n1a * n1b)), 6)").as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{ClusterOps, Portable, TextOps}
+import graft.ops.{ClusterOps, LmOps, Portable, TextOps}
 
 /** Training-data pipeline operators, part 5: corpus organization —
   * iterative k-means clustering over embeddings (the unsupervised step
@@ -227,6 +227,37 @@ object Pipeline5 {
           "vec_id", "embedding", "cluster", 5)
         .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- PMI collocation mining --------------------------------------------
+    // Which adjacent token pairs co-occur far beyond chance — the
+    // phrase-mining statistic behind tokenizer-vocabulary and
+    // stop-phrase curation. One corpus shuffle (the pair-count
+    // groupBy); unigram counts and both totals come back by broadcast.
+    // The PMI double is evaluated in IDENTICAL operation order on both
+    // engines and rounded to 6 (the q15 ln-determinism pattern).
+    Q("p61_pmi_pairs", Some(s"""
+      WITH w AS (SELECT $wsSql AS ws FROM documents),
+      tok AS (SELECT unnest(ws) AS w FROM w),
+      u AS (SELECT w, COUNT(*) AS n1 FROM tok GROUP BY w),
+      ut AS (SELECT CAST(SUM(n1) AS BIGINT) AS nn FROM u),
+      bgl AS (SELECT unnest(${TextSql.shingles("ws", 2)}) AS bg FROM w),
+      b AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+                   COUNT(*) AS n_pair
+            FROM bgl GROUP BY 1, 2),
+      bt AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS mm FROM b)
+      SELECT w1, w2, n_pair,
+             round(ln((CAST(n_pair AS DOUBLE) * nn * nn)
+                      / (CAST(mm AS DOUBLE) * ua.n1 * ub.n1)), 6) AS pmi
+      FROM b
+      JOIN u ua ON b.w1 = ua.w
+      JOIN u ub ON b.w2 = ub.w
+      CROSS JOIN ut CROSS JOIN bt
+      WHERE n_pair >= 5
+      ORDER BY pmi DESC, w1, w2
+      LIMIT 40""")) { (spark, dir) =>
+      LmOps.pmiPairs(Tables.loadSpread(spark, dir, "documents"), "text",
+        minCount = 5, topK = 40)
     }
   )
 }
