@@ -258,6 +258,73 @@ object Pipeline5 {
       LIMIT 40""")) { (spark, dir) =>
       LmOps.pmiPairs(Tables.loadSpread(spark, dir, "documents"), "text",
         minCount = 5, topK = 40)
+    },
+
+    // ---- mergeable decimal-bucket quantile sketch --------------------------
+    // DDSketch-style relative-error quantiles as a native mergeable
+    // aggregate ([[graft.functions.DqSketch]]): decimal digit-count
+    // bins (exact integer math — no float log to disagree at bucket
+    // boundaries), map-side partial maps of <=O(buckets) entries, so a
+    // 100 TB column's p50/p90/p99 cost one scan — never a sort. The
+    // oracle REPLAYS the identical bucket+rank arithmetic in SQL, and
+    // the *_exact columns (engine-native discrete percentiles, the p59
+    // pattern) ride along so an envelope escape is diagnosable, not an
+    // opaque hash diff. The <=5% relative-error guarantee is asserted
+    // in PipelineOpsSpec.
+    Q("p62_dq_quantiles", Some("""
+      WITH tp AS (SELECT event_type,
+                         CAST(round(value * 1000, 0) AS BIGINT) AS v
+                  FROM events
+                  WHERE CAST(round(value * 1000, 0) AS BIGINT) > 0),
+      b AS (SELECT event_type, v,
+                   CAST(power(10, greatest(length(CAST(v AS VARCHAR)) - 2, 0))
+                        AS BIGINT) AS g
+            FROM tp),
+      c AS (SELECT event_type, v - v % g AS lb, g, COUNT(*) AS cnt
+            FROM b GROUP BY 1, 2, 3),
+      n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(quantile_disc(v, 0.5) AS BIGINT) AS p50_exact,
+                   CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90_exact,
+                   CAST(quantile_disc(v, 0.99) AS BIGINT) AS p99_exact
+            FROM tp GROUP BY 1),
+      cum AS (SELECT event_type, lb, g,
+                     SUM(cnt) OVER (PARTITION BY event_type ORDER BY lb) AS cum
+              FROM c),
+      r AS (SELECT cum.event_type, lb, g, cum, n.n FROM cum JOIN n USING (event_type)),
+      est AS (SELECT event_type,
+                     MIN(CASE WHEN cum >= (500000 * n + 999999) // 1000000
+                              THEN lb + g // 2 END) AS p50_est,
+                     MIN(CASE WHEN cum >= (900000 * n + 999999) // 1000000
+                              THEN lb + g // 2 END) AS p90_est,
+                     MIN(CASE WHEN cum >= (990000 * n + 999999) // 1000000
+                              THEN lb + g // 2 END) AS p99_est
+              FROM r GROUP BY 1)
+      SELECT n.event_type, n.n, est.p50_est, n.p50_exact,
+             est.p90_est, n.p90_exact, est.p99_est, n.p99_exact
+      FROM n JOIN est USING (event_type)
+      ORDER BY event_type""")) { (spark, dir) =>
+      import graft.functions.DqSketch
+      Tables.loadSpread(spark, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 1000, 0).cast("long").as("v"))
+        .filter(col("v") > 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          DqSketch.quantilesCol(col("v"), Seq(500000, 900000, 990000)).as("est"),
+          // exact discrete percentiles ride along as the DIAGNOSTIC
+          // column pair (they sort each group; production uses the
+          // sketch alone — this query's point is proving est vs exact)
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+            .cast("long").as("p50_exact"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)")
+            .cast("long").as("p90_exact"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY v)")
+            .cast("long").as("p99_exact"))
+        .select(col("event_type"), col("n"),
+          col("est")(0).as("p50_est"), col("p50_exact"),
+          col("est")(1).as("p90_est"), col("p90_exact"),
+          col("est")(2).as("p99_est"), col("p99_exact"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -761,4 +761,62 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cold docs: 2 unique bigrams, C2=1, C1(prefix)=1 → cond_ppm 1e6
     assert(got.drop(500).forall { case (_, n, ppm) => n == 2L && ppm == 1000000L })
   }
+
+  test("DqSketch: decimal buckets are exact, estimates stay within the " +
+    "5% relative-error guarantee, and the aggregate partials map-side") {
+    import spark.implicits._
+    import graft.functions.{DqSketch, DqSketchQuantiles}
+    // bucket math edges: width 1 below 3 digits, then 10^(d-2); the
+    // lower bound keeps the digit count (so width is recomputable)
+    assert(Seq(1L, 9L, 99L).forall(v => DqSketch.bucketWidth(v) == 1L))
+    assert(DqSketch.bucketWidth(100L) == 10L)
+    assert(DqSketch.bucketWidth(999L) == 10L)
+    assert(DqSketch.bucketWidth(1000L) == 100L)
+    assert(DqSketch.bucketWidth(Long.MaxValue) == 100000000000000000L)
+    assert(DqSketch.bucketLb(12345L) == 12000L)
+    assert(DqSketch.bucketLb(99999L) == 99000L)
+    assert(DqSketch.bucketLb(Long.MaxValue) > 0L) // no overflow
+
+    // a skewed fixture (LCG^2 → long tail), grouped, vs exact ranks
+    def k(i: Int): Long = ((i * 6364136223846793005L + 1442695040888963407L)
+      >>> 40) + 1
+    val rows = (0 until 20000).map(i => (s"g${i % 3}", k(i) * k(i) % 1000000 + 1))
+    val df = rows.toDF("grp", "v").repartition(8)
+    val qs = Seq(500000, 900000, 990000)
+    val agg = df.groupBy(col("grp"))
+      .agg(DqSketch.quantilesCol(col("v"), qs).as("est"))
+    val got = agg.collect().map(r =>
+      r.getString(0) -> r.getSeq[Long](1)).toMap
+    val byGrp = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    byGrp.foreach { case (g, sorted) =>
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val exact = sorted((((q.toLong * sorted.size + 999999L) / 1000000L)
+          .toInt - 1).max(0))
+        val est = got(g)(i)
+        assert(math.abs(est - exact).toDouble <= 0.05 * exact,
+          s"$g q=$q: est $est vs exact $exact breaks the 5% envelope")
+      }
+    }
+    // the whole point vs percentile_disc: partial sketches before the
+    // shuffle, merged after
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_dq_quantiles") &&
+      plan.contains("graft_dq_quantiles"),
+      s"expected two-phase ObjectHashAggregate over the sketch:\n$plan")
+    // empty input and all-non-positive input: zero estimates, no throw
+    val empty = Seq.empty[(String, Long)].toDF("grp", "v")
+      .groupBy(col("grp")).agg(DqSketch.quantilesCol(col("v"), qs))
+    assert(empty.collect().isEmpty)
+    val nonpos = Seq(("g", -5L), ("g", 0L)).toDF("grp", "v")
+      .groupBy(col("grp")).agg(DqSketch.quantilesCol(col("v"), qs).as("est"))
+      .collect()
+    assert(nonpos.head.getSeq[Long](1) == Seq(0L, 0L, 0L))
+    // misuse fails analysis loudly, not silently
+    intercept[Exception] {
+      Seq(("g", 1L)).toDF("grp", "v").groupBy(col("grp"))
+        .agg(org.apache.spark.sql.GraftSql.column(
+          DqSketchQuantiles(org.apache.spark.sql.GraftSql.expression(col("v")),
+            Seq(0)).toAggregateExpression())).collect()
+    }
+  }
 }
