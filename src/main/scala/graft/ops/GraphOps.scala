@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operators over edge lists — the same
+  * loop discipline as [[DedupOps.connectedComponents]] and
+  * [[ClusterOps.kmeansLloyd]]: every round is a bounded shuffle keyed
+  * on the edge endpoints, each round's result is `localCheckpoint`ed so
+  * the plan does not grow with iterations, and ALL arithmetic is
+  * integer (scaled ranks, floor division), so any engine replays the
+  * fixpoint bit-for-bit.
+  */
+object GraphOps {
+
+  /** `iters` rounds of damped PageRank over a weighted directed edge
+    * list `(src, dst, w)`, returning `(node, rank)` for every node in
+    * `nodes` — scaled-integer arithmetic throughout:
+    * `rank' = (100-dampPct)% of scale + dampPct% of inflow`, where each
+    * edge contributes `rank(src) * w div outWeight(src)` (floor
+    * division; the damping terms are also floor divisions, applied in
+    * a fixed order both engines share).
+    *
+    * Dangling nodes (no out-edges) keep their rank out of circulation
+    * — the simple damped formulation; isolated nodes settle at the
+    * teleport base. Scale shape: per round, ONE join of the rank table
+    * to the edge list on `src` and ONE aggregation on `dst` — both
+    * shuffles sized to the graph, never to whatever corpus produced
+    * it. The out-weight table is computed once, joined into the edge
+    * list up front, and the combined list is checkpointed, so the loop
+    * re-reads a pinned edge relation instead of recomputing its
+    * lineage `iters` times.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
+               scale: Long = 1000000L, dampPct: Long = 85L): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
+    val ow = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val e = edges.join(ow, "src")
+      .select(col("src"), col("dst"), col("w"), col("ow"))
+      .localCheckpoint()
+    val base = scale * (100L - dampPct) / 100L
+    var r = nodes.select(col("node"), lit(scale).as("rank"))
+    (1 to iters).foreach { _ =>
+      val inflow = e.join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("(rank * w) div ow").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      r = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"$base + ($dampPct * coalesce(inflow, 0L)) div 100")
+            .cast("long").as("rank"))
+        .localCheckpoint() // node-table sized; keeps the loop plan flat
+    }
+    r
+  }
+}

@@ -325,6 +325,65 @@ object Pipeline5 {
           col("est")(1).as("p90_est"), col("p90_exact"),
           col("est")(2).as("p99_est"), col("p99_exact"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- PageRank source authority over the near-dup graph -----------------
+    // Which sources are the CANONICAL origin of duplicated content:
+    // cross-source SimHash near-dup pairs (the SHARED spairs definition
+    // — p09/p29/p63 can never drift) become a weighted source->source
+    // graph, and 3 rounds of damped PageRank (scaled-integer, floor
+    // division — [[graft.ops.GraphOps.pageRank]]) rank the sources.
+    // The oracle unrolls the identical integer fixpoint, so every rank
+    // hash-matches. Per round: one join + one agg, both sized to the
+    // GRAPH, not the corpus that produced it.
+    Q("p63_source_rank", Some(s"""
+      WITH ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      src AS (SELECT doc_id, source FROM documents),
+      eraw AS (SELECT sa.source AS s, sb.source AS t FROM spairs
+               JOIN src sa ON spairs.a = sa.doc_id
+               JOIN src sb ON spairs.b = sb.doc_id
+               WHERE sa.source <> sb.source),
+      esym AS (SELECT s, t FROM eraw UNION ALL SELECT t AS s, s AS t FROM eraw),
+      e AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS w FROM esym GROUP BY 1, 2),
+      ow AS (SELECT s, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+      nodes AS (SELECT DISTINCT source AS node FROM documents),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+      f1 AS (SELECT e.t AS node, CAST(SUM((r.rank * e.w) // o.ow) AS BIGINT) AS inflow
+             FROM e JOIN r0 r ON e.s = r.node JOIN ow o ON e.s = o.s GROUP BY 1),
+      r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(f1.inflow, 0)) // 100
+                                 AS BIGINT) AS rank
+             FROM nodes n LEFT JOIN f1 ON n.node = f1.node),
+      f2 AS (SELECT e.t AS node, CAST(SUM((r.rank * e.w) // o.ow) AS BIGINT) AS inflow
+             FROM e JOIN r1 r ON e.s = r.node JOIN ow o ON e.s = o.s GROUP BY 1),
+      r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(f2.inflow, 0)) // 100
+                                 AS BIGINT) AS rank
+             FROM nodes n LEFT JOIN f2 ON n.node = f2.node),
+      f3 AS (SELECT e.t AS node, CAST(SUM((r.rank * e.w) // o.ow) AS BIGINT) AS inflow
+             FROM e JOIN r2 r ON e.s = r.node JOIN ow o ON e.s = o.s GROUP BY 1),
+      r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(f3.inflow, 0)) // 100
+                                 AS BIGINT) AS rank
+             FROM nodes n LEFT JOIN f3 ON n.node = f3.node)
+      SELECT node AS source, rank FROM r3
+      ORDER BY rank DESC, source""")) { (spark, dir) =>
+      import graft.ops.{DedupOps, GraphOps}
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val pairs = DedupOps.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = 1000)
+      val src = docs.select(col("doc_id"), col("source"))
+      val eraw = pairs
+        .join(src.select(col("doc_id").as("a"), col("source").as("s")), "a")
+        .join(src.select(col("doc_id").as("b"), col("source").as("t")), "b")
+        .filter(col("s") =!= col("t"))
+        .select(col("s"), col("t"))
+      val esym = eraw.union(eraw.select(col("t"), col("s")))
+      val edges = esym.groupBy(col("s"), col("t"))
+        .agg(count(lit(1)).as("w"))
+        .select(col("s").as("src"), col("t").as("dst"), col("w"))
+      val nodes = docs.select(col("source").as("node")).distinct()
+      GraphOps.pageRank(edges, nodes, iters = 3)
+        .select(col("node").as("source"), col("rank"))
+        .orderBy(col("rank").desc, col("source"))
     }
   )
 }

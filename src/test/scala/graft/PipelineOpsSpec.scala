@@ -819,4 +819,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
             Seq(0)).toAggregateExpression())).collect()
     }
   }
+
+  test("GraphOps.pageRank: exact integer ranks on a planted star, " +
+    "isolated nodes settle at the teleport base, bit-deterministic") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // star: b, c, d each point at a (weight 1); e is isolated
+    val edges = Seq(("b", "a", 1L), ("c", "a", 1L), ("d", "a", 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq("a", "b", "c", "d", "e").toDF("node")
+    def ranks(iters: Int): Map[String, Long] =
+      GraphOps.pageRank(edges, nodes, iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hand-computed: r0 = 1e6 everywhere;
+    // iter1: inflow(a) = 3 * (1e6 * 1 div 1) = 3e6
+    //        r(a) = 150000 + (85 * 3e6) div 100 = 2700000; spokes 150000
+    assert(ranks(1) == Map("a" -> 2700000L, "b" -> 150000L, "c" -> 150000L,
+      "d" -> 150000L, "e" -> 150000L))
+    // iter2: inflow(a) = 3 * 150000 = 450000
+    //        r(a) = 150000 + (85 * 450000) div 100 = 532500
+    val r2 = ranks(2)
+    assert(r2("a") == 532500L && r2("e") == 150000L)
+    assert(ranks(2) == ranks(2), "pageRank must be bit-deterministic")
+    // zero iterations: everyone at scale
+    assert(ranks(0).values.toSet == Set(1000000L))
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, nodes, iters = -1)
+    }
+  }
 }
