@@ -384,6 +384,59 @@ object Pipeline5 {
       GraphOps.pageRank(edges, nodes, iters = 3)
         .select(col("node").as("source"), col("rank"))
         .orderBy(col("rank").desc, col("source"))
+    },
+
+    // ---- kNN label propagation (pseudo-labeling) ---------------------------
+    // The semi-supervised step every labeling pipeline needs: vectors
+    // with held-out labels (vec_id % 5 = 0) take the MAJORITY label of
+    // their 5 nearest labeled neighbours (cosine; ties -> smallest
+    // label). Votes are integers, so the argmax is exact cross-engine;
+    // the neighbour search reuses the proven p10 brute-force kernel
+    // (the exact baseline — at 100 TB the search swaps to the p11 IVF /
+    // p26 SRP bucketed variants, which are the same join shape). The
+    // true label rides along so accuracy is diagnosable per row. The
+    // argmax is a partial-agg-friendly struct-max, not a window.
+    Q("p64_label_prop", Some("""
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id % 5 <> 0),
+      q AS (SELECT vec_id AS query_id, label AS true_label,
+                   CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id % 5 = 0),
+      s AS (SELECT query_id, true_label, vec_id, label,
+                   round(list_dot_product(qv, v)
+                     / sqrt(list_dot_product(qv, qv))
+                     / sqrt(list_dot_product(v, v)), 6) AS sim
+            FROM v CROSS JOIN q),
+      r AS (SELECT query_id, true_label, label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rk
+            FROM s),
+      k AS (SELECT query_id, true_label, label, COUNT(*) AS votes
+            FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+      p AS (SELECT query_id, true_label, label, votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY votes DESC, label) AS pr
+            FROM k)
+      SELECT query_id AS vec_id, label AS predicted, votes, true_label
+      FROM p WHERE pr = 1
+      ORDER BY vec_id""")) { (spark, dir) =>
+      import graft.ops.SimilarityOps
+      val emb = Tables.loadSpread(spark, dir, "embeddings")
+      val labeled = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val queries = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val nn = SimilarityOps.bruteForceTopK(labeled, queries,
+        "vec_id", "embedding", 5)
+      nn.join(labeled.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("s"))
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .select(col("query_id").as("vec_id"),
+          (-col("s.nl")).cast("int").as("predicted"),
+          col("s.votes").as("votes"), col("true_label"))
+        .orderBy(col("vec_id"))
     }
   )
 }
