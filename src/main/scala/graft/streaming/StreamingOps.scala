@@ -153,6 +153,37 @@ object StreamingOps {
         unix_micros(col("p_ts")).as("buy_us"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: like [[clickPurchaseJoin]]
+    * but every click eventually emits — matched rows as soon as the
+    * match arrives, unmatched clicks as NULL-padded rows once the
+    * watermark proves no future purchase can still match (purchases
+    * precede clicks here, so that is when the global watermark passes
+    * the click's own timestamp). The delayed NULL-padding IS the
+    * defining outer-streaming semantics: it requires state eviction to
+    * fire, which only happens across micro-batches — so this operator
+    * is pinned by the multi-batch StreamingSpec harness (a single-batch
+    * AvailableNow file oracle can never observe the padded rows).
+    */
+  def clickPurchaseLeftJoin(events: DataFrame,
+                            window: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("buy_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr(s"INTERVAL $window") &&
+        col("p_ts") <= col("c_ts"),
+      "leftOuter")
+      .select(col("click_id"), col("buy_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("buy_us"))
+  }
+
   /** Streaming exact-dedup: running duplicate-group counts on the
     * normalized content hash (the streaming face of
     * [[graft.ops.DedupOps.exactGroups]]).

@@ -212,6 +212,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("left-outer stream-stream join: matches emit immediately, " +
+    "unmatched clicks NULL-pad only after the watermark proves no " +
+    "future match — the eviction-driven outer semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+    val joined = StreamingOps.clickPurchaseLeftJoin(events)
+    val q = joined.writeStream.format("memory").queryName("lsj")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: b1 precedes c1 for user 1 (match); c2 for user 2 has no
+    // purchase — it must NOT emit yet (a matching purchase could still
+    // arrive within the watermark delay)
+    in.addData((100L, ts("2024-01-01 09:50:00"), 1L, "purchase"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (2L, ts("2024-01-01 10:00:00"), 2L, "click"))
+    q.processAllAvailable()
+    val afterB1 = spark.table("lsj").collect()
+    assert(afterB1.map(r => (r.getLong(0), r.get(1))).toSet == Set((1L, 100L)),
+      s"batch 1 must emit only the matched pair: ${afterB1.mkString(",")}")
+
+    // batches 2-3: both sides advance past 11:00, so the global
+    // watermark (min over inputs, 1h delay) passes c2's 10:00 and its
+    // NULL-padded row must surface
+    in.addData((3L, ts("2024-01-01 11:30:00"), 3L, "click"),
+      (101L, ts("2024-01-01 11:29:00"), 3L, "purchase"))
+    q.processAllAvailable()
+    in.addData((4L, ts("2024-01-01 13:00:00"), 4L, "click"),
+      (102L, ts("2024-01-01 13:00:00"), 4L, "purchase"))
+    q.processAllAvailable()
+    val rows = spark.table("lsj").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(rows.contains((1L, Some(100L))) && rows.contains((3L, Some(101L))),
+      s"matched pairs missing: $rows")
+    assert(rows.contains((2L, None)),
+      s"unmatched click 2 must NULL-pad after watermark passage: $rows")
+    // c4 is still inside the watermark horizon — not yet padded
+    assert(!rows.contains((4L, None)) || rows.contains((4L, Some(102L))),
+      s"click 4 must not pad while a match is present/possible: $rows")
+    q.stop()
+  }
+
   test("foreachBatch idempotent sink: batch-id gating makes a replayed " +
     "micro-batch a no-op (the exactly-once sink contract)") {
     import spark.implicits._
