@@ -437,6 +437,105 @@ object Pipeline5 {
           (-col("s.nl")).cast("int").as("predicted"),
           col("s.votes").as("votes"), col("true_label"))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- SCD2 temporal dimension build (CDC compaction) --------------------
+    // The change-data-capture pattern every metadata catalog needs:
+    // each customer's order stream is run-length-compressed into
+    // priority EPOCHS — valid_from = first date of a run of equal
+    // priorities, valid_to = the next run's start (NULL while
+    // current). Classic gaps-and-islands: a lag-change flag, a running
+    // island id, one aggregate per island, one lead for the closing
+    // date. Scale shape: everything windows/aggregates on ONE
+    // partitioning (o_custkey) — a single shuffle end to end, range-
+    // partitioned at cluster scale.
+    Q("p65_scd2_history", Some("""
+      WITH o AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+                 FROM orders),
+      f AS (SELECT *, CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                             OR lag(o_orderpriority) OVER w <> o_orderpriority
+                           THEN 1 ELSE 0 END AS chg
+            FROM o WINDOW w AS (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)),
+      i AS (SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS island
+            FROM f),
+      g AS (SELECT o_custkey, CAST(island AS BIGINT) AS island,
+                   min(o_orderpriority) AS priority,
+                   min(o_orderdate) AS valid_from,
+                   COUNT(*) AS n_orders
+            FROM i GROUP BY 1, 2)
+      SELECT o_custkey, island, priority, valid_from,
+             lead(valid_from) OVER (PARTITION BY o_custkey
+                                    ORDER BY island) AS valid_to,
+             n_orders
+      FROM g
+      ORDER BY o_custkey, island""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val chg = when(lag(col("o_orderpriority"), 1).over(w).isNull
+        || lag(col("o_orderpriority"), 1).over(w) =!= col("o_orderpriority"), 1)
+        .otherwise(0)
+      val wi = Window.partitionBy(col("o_custkey")).orderBy(col("island"))
+      Tables.load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate"), col("o_orderkey"))
+        .withColumn("chg", chg)
+        .withColumn("island", sum(col("chg")).over(w).cast("long"))
+        .groupBy(col("o_custkey"), col("island"))
+        .agg(min(col("o_orderpriority")).as("priority"),
+          min(col("o_orderdate")).as("valid_from"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_custkey"), col("island"), col("priority"),
+          col("valid_from"),
+          lead(col("valid_from"), 1).over(wi).as("valid_to"),
+          col("n_orders"))
+        .orderBy(col("o_custkey"), col("island"))
+    },
+
+    // ---- ordered funnel progression ----------------------------------------
+    // The event-sequence analysis every product/behavior dataset gets:
+    // per user, the earliest view, the earliest click STRICTLY AFTER
+    // that view, and the earliest purchase strictly after that click —
+    // stage = how far the ordered funnel progressed (1..3). Three
+    // aggregates and two joins, ALL keyed on user_id: one partitioning
+    // end to end, no window over the raw stream, each stage's table
+    // shrinks to one row per user before the next join.
+    Q("p66_funnel", Some("""
+      WITH e AS (SELECT user_id, event_type,
+                        CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      v AS (SELECT user_id, min(sec) AS view_sec FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(sec) AS click_sec FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND sec > view_sec GROUP BY 1),
+      p AS (SELECT e.user_id, min(sec) AS buy_sec FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND sec > click_sec GROUP BY 1)
+      SELECT v.user_id,
+             CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                       WHEN c.user_id IS NOT NULL THEN 2
+                       ELSE 1 END AS INTEGER) AS stage,
+             view_sec, click_sec, buy_sec
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      ORDER BY user_id""")) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("sec")).as("view_sec"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("sec") > col("view_sec"))
+        .groupBy(col("user_id")).agg(min(col("sec")).as("click_sec"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("sec") > col("click_sec"))
+        .groupBy(col("user_id")).agg(min(col("sec")).as("buy_sec"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("buy_sec").isNotNull, 3)
+            .when(col("click_sec").isNotNull, 2)
+            .otherwise(1).cast("int").as("stage"),
+          col("view_sec"), col("click_sec"), col("buy_sec"))
+        .orderBy(col("user_id"))
     }
   )
 }
