@@ -99,6 +99,36 @@ object DedupOps {
       .select(col("a"), col("b"), col("inter"), col("jac"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: `containment(a in b) =
+    * |Sa ∩ Sb| / |Sa|` — the quote/subset statistic symmetric Jaccard
+    * misses (a short document fully quoted inside a long one has low
+    * Jaccard but containment 1.0; decontamination cares about exactly
+    * that shape). Same two bounded shuffles as [[jaccardPairs]]
+    * (inverted index with the `maxDf` skew cap, then one pair-count
+    * aggregation); both directions are emitted as EXACT ppm integers
+    * (floor division), so the oracle hash-matches. Keeps pairs where
+    * either direction reaches `minPpm`.
+    */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+                       minPpm: Long, maxDf: Int = 1000): DataFrame = {
+    val ds = shingleStream(docs, id, text)
+    val sizes = ds.groupBy(col("did")).agg(countDistinct(col("s")).as("nsh"))
+    val buckets = ds
+      .groupBy(col("s"))
+      .agg(sort_array(collect_set(col("did"))).as("dids"))
+      .filter(size(col("dids")).between(2, maxDf))
+    val inter = explodePairs(buckets, "dids")
+      .groupBy(col("pa").as("a"), col("pb").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("did").as("a"), col("nsh").as("na")), "a")
+      .join(sizes.select(col("did").as("b"), col("nsh").as("nb")), "b")
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        expr("inter * 1000000 div na").as("cont_ab_ppm"),
+        expr("inter * 1000000 div nb").as("cont_ba_ppm"))
+      .filter(col("cont_ab_ppm") >= minPpm || col("cont_ba_ppm") >= minPpm)
+  }
+
   /** MinHash signature: k affine hashes of one 32-bit shingle hash
     * ([[Portable.minhashJ]]), each min'd over the doc's distinct 3-gram
     * shingles. Columns m0..m{k-1}; docs with no shingles are absent.

@@ -25,7 +25,7 @@ object Pipeline {
   private val shinglesSql = TextSql.shingles("ws", 3)
 
   /** DuckDB CTE producing (doc_id, s): distinct 3-gram shingles. */
-  private val distinctShinglesCte =
+  private[queries] val distinctShinglesCte =
     s"""w AS (SELECT doc_id, $wsSql AS ws FROM documents),
        sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM w),
        ds AS (SELECT DISTINCT doc_id, s FROM sh)"""

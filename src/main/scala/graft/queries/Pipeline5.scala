@@ -536,6 +536,35 @@ object Pipeline5 {
             .otherwise(1).cast("int").as("stage"),
           col("view_sec"), col("click_sec"), col("buy_sec"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- asymmetric n-gram containment -------------------------------------
+    // The quote/subset statistic symmetric Jaccard misses: a short
+    // document fully quoted inside a long one has low Jaccard but
+    // containment 1.0 — exactly the shape test-set decontamination
+    // hunts. Same bounded inverted-index shuffles as p05 (shared
+    // shingle CTE, maxDf skew cap); both directions emitted as exact
+    // ppm integers so the oracle hash-matches.
+    Q("p67_containment_pairs", Some(s"""
+      WITH ${Pipeline.distinctShinglesCte},
+      cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM ds GROUP BY doc_id),
+      df AS (SELECT s, COUNT(*) AS df FROM ds GROUP BY s),
+      capped AS (SELECT ds.doc_id, ds.s FROM ds JOIN df USING (s)
+                 WHERE df.df <= 1000),
+      pair AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+               FROM capped x JOIN capped y ON x.s = y.s AND x.doc_id < y.doc_id
+               GROUP BY 1, 2)
+      SELECT a, b, inter, ca.nsh AS na, cb.nsh AS nb,
+             inter * 1000000 // ca.nsh AS cont_ab_ppm,
+             inter * 1000000 // cb.nsh AS cont_ba_ppm
+      FROM pair JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+      WHERE inter * 1000000 // ca.nsh >= 500000
+         OR inter * 1000000 // cb.nsh >= 500000
+      ORDER BY a, b""")) { (spark, dir) =>
+      import graft.ops.DedupOps
+      DedupOps.containmentPairs(Tables.loadSpread(spark, dir, "documents"),
+          "doc_id", "text", minPpm = 500000, maxDf = 1000)
+        .orderBy(col("a"), col("b"))
     }
   )
 }

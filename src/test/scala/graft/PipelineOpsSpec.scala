@@ -820,6 +820,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("containmentPairs: a planted full quote scores containment 1.0 " +
+    "where Jaccard stays below any dedup threshold") {
+    import spark.implicits._
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 90).map(i => s"f$i").mkString(" ")
+    val fixture = Seq(
+      (1L, quote), // the short document
+      (2L, s"$quote $filler"), // quotes 1 in full, then 10x more text
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(fixture, "doc_id", "text",
+      minPpm = 900000)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(5), r.getLong(6)))
+    // doc1: 10 tokens -> 8 shingles, all inside doc2; doc2: 100 tokens
+    // -> 98 shingles => cont(1 in 2) = 1.0, cont(2 in 1) = 8/98
+    assert(got.toSeq == Seq((1L, 2L, 1000000L, 81632L)),
+      s"quote must contain fully one way, weakly the other: ${got.toSeq}")
+    // the same pair under symmetric Jaccard: 8/98 — invisible to p05
+    val jac = DedupOps.jaccardPairs(fixture, "doc_id", "text",
+      minJaccard = 0.5).collect()
+    assert(jac.isEmpty, s"Jaccard should miss the quote: ${jac.toSeq}")
+  }
+
   test("GraphOps.pageRank: exact integer ranks on a planted star, " +
     "isolated nodes settle at the teleport base, bit-deterministic") {
     import spark.implicits._
