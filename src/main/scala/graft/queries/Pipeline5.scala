@@ -565,6 +565,47 @@ object Pipeline5 {
       DedupOps.containmentPairs(Tables.loadSpread(spark, dir, "documents"),
           "doc_id", "text", minPpm = 500000, maxDf = 1000)
         .orderBy(col("a"), col("b"))
+    },
+
+    // ---- quality-policy survivor selection ---------------------------------
+    // The survivor-policy knob on near-dup clustering: p42 keeps the
+    // min-id member; real curation keeps the BEST one. Same shared
+    // fixpoint (spairs -> recursive-CTE labels), then an argmax on the
+    // p01 quality score — a partial-agg-friendly struct-max keyed by
+    // (quality, -doc_id), NOT a window over the corpus; ties break to
+    // the smaller id. Cost beyond p29: one label join + one agg.
+    Q("p68_quality_survivor", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      ${Pipeline.clusterLabelsCte},
+      qd AS (SELECT doc_id, ${TextSql.quality(wsSql)} AS q FROM documents),
+      cl AS (SELECT qd.doc_id, coalesce(l.cluster_id, qd.doc_id) AS cluster_id,
+                    qd.q
+             FROM qd LEFT JOIN lbl l ON l.n = qd.doc_id),
+      r AS (SELECT cluster_id, doc_id, q,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY q DESC, doc_id) AS rk
+            FROM cl),
+      n AS (SELECT cluster_id, COUNT(*) AS n_members FROM cl GROUP BY 1)
+      SELECT r.cluster_id, doc_id AS survivor_id, q AS survivor_quality,
+             n.n_members
+      FROM r JOIN n USING (cluster_id) WHERE rk = 1
+      ORDER BY cluster_id""")) { (spark, dir) =>
+      import graft.ops.DedupOps
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val pairs = DedupOps.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = 1000)
+      val cc = DedupOps.connectedComponents(pairs)
+      docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+        .join(cc.select(col("n").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"), col("q"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("q"), (-col("doc_id")).as("nid"))).as("s"))
+        .select(col("cluster_id"), (-col("s.nid")).as("survivor_id"),
+          col("s.q").as("survivor_quality"), col("n_members"))
+        .orderBy(col("cluster_id"))
     }
   )
 }
