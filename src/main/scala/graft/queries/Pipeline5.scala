@@ -606,6 +606,68 @@ object Pipeline5 {
         .select(col("cluster_id"), (-col("s.nid")).as("survivor_id"),
           col("s.q").as("survivor_quality"), col("n_members"))
         .orderBy(col("cluster_id"))
+    },
+
+    // ---- BM25 lexical retrieval --------------------------------------------
+    // The retrieval side of corpus curation: score every document
+    // against a fixed term query with BM25 (k1=1.2, b=0.75) and return
+    // the top 20. Per-term contributions are PIVOTED into columns and
+    // added in one fixed left-to-right expression — never a SUM over
+    // doubles, whose accumulation order neither engine guarantees. The
+    // only corpus shuffle is the (doc, term) tf aggregate (the term
+    // filter prunes in the scan); df/N/avgdl are broadcast scalars.
+    // ln/divide chains follow the proven q15 round-6 pattern.
+    Q("p69_bm25", Some(s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
+      tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+      tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+             WHERE t IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+      df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      c AS (SELECT tf.doc_id, tf.t,
+                   ln(1.0 + (CAST(n.n - df.df AS DOUBLE) + 0.5)
+                            / (CAST(df.df AS DOUBLE) + 0.5))
+                   * (CAST(tf.tf AS DOUBLE) * 2.2)
+                   / (CAST(tf.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / n.avgdl)))
+                     AS contrib
+            FROM tf JOIN df USING (t) JOIN d USING (doc_id) CROSS JOIN n),
+      p AS (SELECT doc_id,
+                   coalesce(max(CASE WHEN t = 'hash' THEN contrib END), 0.0) AS c1,
+                   coalesce(max(CASE WHEN t = 'join' THEN contrib END), 0.0) AS c2,
+                   coalesce(max(CASE WHEN t = 'stream' THEN contrib END), 0.0) AS c3
+            FROM c GROUP BY 1)
+      SELECT doc_id, round(c1 + c2 + c3, 6) AS score
+      FROM p ORDER BY score DESC, doc_id LIMIT 20""")) { (spark, dir) =>
+      val terms = Seq("hash", "join", "stream")
+      val w = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      val d = w.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+      val n = d.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = w.select(col("doc_id"), explode(col("ws")).as("t"))
+        .filter(col("t").isInCollection(terms))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val contrib = tf.join(broadcast(df), "t").join(d, "doc_id")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("t"),
+          expr("ln(1.0D + (cast(n - df as double) + 0.5D) " +
+            "/ (cast(df as double) + 0.5D)) " +
+            "* (cast(tf as double) * 2.2D) " +
+            "/ (cast(tf as double) " +
+            "+ 1.2D * (0.25D + 0.75D * (cast(dl as double) / avgdl)))")
+            .as("contrib"))
+      contrib.groupBy(col("doc_id"))
+        .agg(coalesce(max(when(col("t") === "hash", col("contrib"))), lit(0.0)).as("c1"),
+          coalesce(max(when(col("t") === "join", col("contrib"))), lit(0.0)).as("c2"),
+          coalesce(max(when(col("t") === "stream", col("contrib"))), lit(0.0)).as("c3"))
+        .select(col("doc_id"),
+          round(col("c1") + col("c2") + col("c3"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
     }
   )
 }
