@@ -668,6 +668,46 @@ object Pipeline5 {
           round(col("c1") + col("c2") + col("c3"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // ---- weighted priority sampling ----------------------------------------
+    // The data-recipe upsampling knob, deterministic: priority =
+    // portable_hash div weight (a weight-w document is w times as
+    // likely to land a small key — the integer analog of A-ES
+    // exponential sampling), sample = the 100 SMALLEST priorities,
+    // taken by the bounded [[graft.functions.TopN]] kernel as ONE
+    // global aggregate: map-side partials carry at most 100 pairs per
+    // partition, so the sample of a 100 TB corpus moves O(partitions
+    // x k) rows — never a global sort, no rand(), rerun-identical.
+    // The kernel's (h, id) pair order IS the oracle's (pri, doc_id)
+    // ranked window.
+    Q("p70_weighted_sample", Some {
+      val hSql = Portable.h60Sql("concat('wsamp:', CAST(doc_id AS VARCHAR))")
+      s"""
+      WITH t AS (SELECT doc_id, lang,
+                        CASE WHEN lang = 'en' THEN 4 ELSE 1 END AS w,
+                        $hSql // (CASE WHEN lang = 'en' THEN 4 ELSE 1 END) AS pri
+                 FROM documents)
+      SELECT CAST(row_number() OVER (ORDER BY pri, doc_id) AS BIGINT) AS rk,
+             doc_id, lang, CAST(w AS BIGINT) AS w, pri
+      FROM t ORDER BY pri, doc_id LIMIT 100"""
+    }) { (spark, dir) =>
+      import graft.functions.TopN
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val w = when(col("lang") === "en", 4L).otherwise(1L)
+      val sample = docs
+        .select(col("doc_id"),
+          Portable.h60(concat(lit("wsamp:"), col("doc_id").cast("string"))).as("h"),
+          w.as("w"))
+        .select(col("doc_id"), expr("h div w").as("pri"))
+        .agg(TopN.minTopN(col("pri"), col("doc_id"), 100).as("top"))
+        .select(posexplode(col("top")).as(Seq("rk0", "p")))
+        .select((col("rk0") + 1).cast("long").as("rk"),
+          col("p.id").as("doc_id"), col("p.h").as("pri"))
+      sample.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("rk"), col("doc_id"), col("lang"),
+          when(col("lang") === "en", 4L).otherwise(1L).as("w"), col("pri"))
+        .orderBy(col("rk"))
     }
   )
 }
