@@ -14,8 +14,8 @@ import org.apache.spark.sql.types._
   * resample) and channel features exact integer byte math, runnable in
   * the scan stage of a 100 TB corpus pass as native codegen'd
   * expressions — the same byte-walk skill as [[ImageDims]]/[[WavMeta]],
-  * now applied to pixels, not just headers. Only COMPRESSED codecs
-  * (PNG/JPEG pixel decode) remain stubbed in
+  * now applied to pixels, not just headers. PNG pixel decode is also
+  * real ([[Png]] — JVM zlib inflate); only JPEG remains stubbed in
   * [[graft.ops.MultimodalOps]].
   *
   * All parsers return NULL (never throw) on anything that is not a

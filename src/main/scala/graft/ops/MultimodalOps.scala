@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * What is REAL byte math (no codec library needed): container
   * sniffing, PNG/JPEG dimension parse ([[graft.functions.ImageDims]]),
-  * WAV/RIFF metadata ([[graft.functions.WavMeta]]), and — over
-  * uncompressed 24-bpp bitmaps — pixel resize and channel features
-  * ([[graft.functions.Bmp]]), all codegen'd scan-stage expressions.
-  * Only the COMPRESSED-codec decode steps (PNG/JPEG pixel decode,
-  * learned embeddings) are deterministic STUBS (clearly marked),
+  * WAV/RIFF metadata ([[graft.functions.WavMeta]]), pixel resize and
+  * channel features over uncompressed 24-bpp bitmaps
+  * ([[graft.functions.Bmp]]), and FULL 8-bit RGB PNG pixel decode —
+  * zlib inflate + all five row unfilters via the JVM's built-in
+  * Inflater ([[graft.functions.Png]]) — all codegen'd scan-stage
+  * expressions. Only JPEG pixel decode (DCT entropy coding, no
+  * JVM-built-in decoder) and learned embeddings
+  * are deterministic STUBS (clearly marked),
   * because those genuinely need libraries this container lacks — but
   * their Spark-side plumbing that matters at 100 TB is real: binary
   * columns flow through parquet scans untouched, metadata extraction is

@@ -229,8 +229,8 @@ object MultimodalQ {
     // oracle computes the same pixels arithmetically, so any drift in
     // header layout, row padding, bottom-up order, BGR byte order, or
     // the resample arithmetic fails the hash compare. This is the real
-    // resize the r6 stubs stood in for — only COMPRESSED codecs remain
-    // stubbed.
+    // resize the r6 stubs stood in for; p71 extends real decode to the
+    // COMPRESSED PNG codec, leaving only JPEG stubbed.
     Q("p54_bmp_resize", Some("""
       WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
                  FROM documents),
@@ -293,6 +293,48 @@ object MultimodalQ {
           stats.getItem(5).as("rh2"), stats.getItem(6).as("rh3"))
         .withColumn("mean_r", expr("sum_r div n_px"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- REAL decode of a COMPRESSED codec: PNG ----------------------------
+    // The step past p54/p55's uncompressed bitmaps: a structurally-real
+    // 8-bit RGB PNG per document (signature, IHDR, a zlib stream in the
+    // IDAT, IEND), decoded by graft.functions.Png with the JVM's REAL
+    // zlib inflate plus per-row unfiltering. The in-query builder emits
+    // the zlib stream as a STORED deflate block (the one deflate shape
+    // that is hex-constructible arithmetically), so the oracle computes
+    // every pixel directly while the engine must walk chunks, inflate,
+    // and unfilter to recover them; compressed (non-stored) streams and
+    // filters 1-4 are pinned by MultimodalSpec against a real
+    // java.util.zip.Deflater encoder. Only JPEG remains stubbed.
+    Q("p71_png_decode", Some("""
+      WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+                 FROM documents),
+      e AS (SELECT doc_id, w, h, unnest(generate_series(0, w*h - 1)) AS i FROM d),
+      v AS (SELECT doc_id, w, h,
+                   (doc_id*7 + (i % w)*3 + (i // w)*5) % 256 AS r,
+                   (doc_id*7 + (i % w)*3 + (i // w)*5 + 11) % 256 AS g,
+                   (doc_id*7 + (i % w)*3 + (i // w)*5 + 22) % 256 AS b
+            FROM e)
+      SELECT doc_id, CAST(min(w) AS BIGINT) AS w, CAST(min(h) AS BIGINT) AS h,
+             CAST(SUM(r) AS BIGINT) AS sum_r,
+             CAST(SUM(g) AS BIGINT) AS sum_g,
+             CAST(SUM(b) AS BIGINT) AS sum_b,
+             CAST(SUM(CASE WHEN r // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rh0,
+             CAST(SUM(CASE WHEN r // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rh1,
+             CAST(SUM(CASE WHEN r // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS rh2,
+             CAST(SUM(CASE WHEN r // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS rh3
+      FROM v GROUP BY doc_id
+      ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.PngChannelStats
+      val stats = PngChannelStats(pngBlob)
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          stats.getItem(0).as("w"), stats.getItem(1).as("h"),
+          stats.getItem(2).as("sum_r"), stats.getItem(3).as("sum_g"),
+          stats.getItem(4).as("sum_b"),
+          stats.getItem(5).as("rh0"), stats.getItem(6).as("rh1"),
+          stats.getItem(7).as("rh2"), stats.getItem(8).as("rh3"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -303,6 +345,44 @@ object MultimodalQ {
     * from doc_id, so the DuckDB oracle can compute any pixel
     * arithmetically while the engine recovers it by parsing bytes.
     */
+  /** Structurally-real 8-bit RGB PNG built in-query: signature, IHDR,
+    * one IDAT whose zlib stream is a single STORED deflate block
+    * (header 0x7801, block 0x01 + LEN/NLEN, raw scanlines: one 0x00
+    * filter byte per row then top-down R,G,B triples), IEND. Chunk CRCs
+    * and the adler32 trailer are zeros — the tolerant parser does not
+    * verify them (and a raw inflate never reads the trailer). Same
+    * dims/pixel arithmetic as [[bmpBlob]], so the oracle computes every
+    * channel value directly.
+    */
+  private def pngBlob: org.apache.spark.sql.Column = {
+    def be32h(x: org.apache.spark.sql.Column) =
+      lpad(hex(x.cast("long")), 8, "0")
+    val w = (lit(3L) + col("doc_id") % 6).cast("int") // 3..8
+    val h = (lit(2L) + col("doc_id") % 5).cast("int") // 2..6
+    def chan(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+             off: Int) =
+      lpad(hex((col("doc_id") * 7 + x * 3 + y * 5 + lit(off)) % 256), 2, "0")
+    def pix(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      concat(chan(x, y, 0), chan(x, y, 11), chan(x, y, 22)) // R, G, B
+    val scanlines = array_join(
+      transform(sequence(lit(0), h - 1), y =>
+        concat(lit("00"), // filter type 0 (None) per row
+          array_join(transform(sequence(lit(0), w - 1), x => pix(x, y)), ""))),
+      "")
+    val dataLen = h * (lit(1) + w * 3)
+    val idatLen = dataLen + 11 // zlib hdr 2 + stored hdr 5 + adler 4
+    unhex(concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D49484452"), be32h(w), be32h(h),
+      lit("0802000000"), lit("00000000"), // depth 8, RGB, CRC unverified
+      be32h(idatLen), lit("49444154"), // IDAT
+      lit("780101"), // zlib hdr + final STORED block
+      le16h(dataLen), le16h(lit(65535) - dataLen), // LEN, NLEN (LE)
+      scanlines, lit("00000000"), // adler32 (unverified)
+      lit("00000000"), // IDAT CRC (unverified)
+      lit("0000000049454E4400000000"))) // IEND
+  }
+
   private def bmpBlob: org.apache.spark.sql.Column = {
     val w = (lit(3L) + col("doc_id") % 6).cast("int") // 3..8
     val h = (lit(2L) + col("doc_id") % 5).cast("int") // 2..6

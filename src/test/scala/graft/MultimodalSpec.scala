@@ -236,4 +236,102 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.functions.Bmp.parseDims(
       hdr(24, 0, -1) ++ new Array[Byte](64)) == -1L) // top-down rejected
   }
+
+  // Test-only REAL PNG encoder: proper CRC32 chunk checksums and a
+  // genuinely COMPRESSED zlib stream (java.util.zip.Deflater), with a
+  // caller-chosen filter type applied per row — so the decoder's
+  // inflate path and all five unfilters are exercised against ground
+  // truth, not against the p71 stored-block shortcut.
+  private def encodePng(w: Int, h: Int, rgb: Array[Byte],
+                        filterOf: Int => Int,
+                        splitIdat: Boolean = false): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Unit =
+        Seq(24, 16, 8, 0).foreach(s => out.write(((v >> s) & 0xff).toInt))
+      be32(data.length)
+      out.write(typ.getBytes("US-ASCII")); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      be32(crc.getValue)
+      out.toByteArray
+    }
+    val stride = w * 3
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val ft = filterOf(y)
+      raw.write(ft)
+      for (x <- 0 until stride) {
+        val cur = rgb(y * stride + x) & 0xff
+        val a = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+        val b = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= 3 && y > 0) rgb((y - 1) * stride + x - 3) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw.write((cur - pred) & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val zbuf = new Array[Byte](raw.size() * 2 + 64)
+    val zlen = defl.deflate(zbuf); defl.end()
+    val z = zbuf.take(zlen)
+    val ihdr = {
+      val d = new java.io.ByteArrayOutputStream()
+      def be32(v: Int): Unit =
+        Seq(24, 16, 8, 0).foreach(s => d.write((v >> s) & 0xff))
+      be32(w); be32(h); d.write(8); d.write(2); d.write(0); d.write(0); d.write(0)
+      d.toByteArray
+    }
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val idats =
+      if (splitIdat && z.length > 4) // two IDATs: the decoder must concat
+        chunk("IDAT", z.take(3)) ++ chunk("IDAT", z.drop(3))
+      else chunk("IDAT", z)
+    sig ++ chunk("IHDR", ihdr) ++ idats ++ chunk("IEND", Array.empty)
+  }
+
+  test("Png.decodeRgb round-trips a REAL deflate-compressed PNG through " +
+    "every filter type, concatenates split IDATs, and rejects junk") {
+    import graft.functions.Png
+    val w = 7; val h = 6
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    // each row uses a different filter (0..4, cycling) — the decoder
+    // must invert Sub/Up/Average/Paeth, not just None
+    val png = encodePng(w, h, rgb, y => y % 5)
+    val got = Png.decodeRgb(png)
+    assert(got != null && got._1 == w && got._2 == h)
+    assert(got._3.toSeq == rgb.toSeq, "pixels must round-trip exactly")
+    // split IDAT stream: same pixels
+    val got2 = Png.decodeRgb(encodePng(w, h, rgb, _ => 4, splitIdat = true))
+    assert(got2._3.toSeq == rgb.toSeq, "split IDATs must concatenate")
+    // stats agree with direct arithmetic
+    val stats = Png.channelStatsData(png)
+    val sumR = (0 until w * h).map(i => rgb(i * 3) & 0xff).sum.toLong
+    assert(stats.getLong(0) == w && stats.getLong(1) == h)
+    assert(stats.getLong(2) == sumR)
+    // tolerant-parse: truncation, junk, wrong shapes -> null, never throw
+    assert(Png.decodeRgb(null) == null)
+    assert(Png.decodeRgb(png.take(20)) == null)
+    assert(Png.decodeRgb("not a png at all".getBytes) == null)
+    assert(Png.decodeRgb(png.map(b => (b ^ 0x55).toByte)) == null)
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      Png.decodeRgb(junk) // must not throw
+    }
+    // corrupt the deflate stream mid-IDAT: null, not an exception
+    val corrupt = png.clone()
+    corrupt(corrupt.length - 30) = 0x7f
+    Png.decodeRgb(corrupt) // any result, but no throw
+  }
 }
