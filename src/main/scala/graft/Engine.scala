@@ -74,6 +74,8 @@ object GraftExtensions {
         intArg(a(2), "graft_bmp_resample", 3))),
     fn("graft_bmp_channel_stats", "graft_bmp_channel_stats(binary) - [sum_r,sum_g,sum_b,h0..h3] channel sums + red histogram", 1)(
       a => graft.functions.BmpChannelStatsExpr(a(0))),
+    fn("graft_png_channel_stats", "graft_png_channel_stats(binary) - [w,h,sum_r,sum_g,sum_b,h0..h3] from a REAL 8-bit RGB PNG decode (zlib inflate + unfilter)", 1)(
+      a => graft.functions.PngChannelStatsExpr(a(0))),
     // aggregate: the analyzer wraps a bare AggregateFunction builder
     fn("graft_min_top_n", "graft_min_top_n(h, id, n) - the n smallest (h, id) pairs of the group, map-side bounded", 3)(
       a => graft.functions.MinTopNPairs(a(0), a(1),
