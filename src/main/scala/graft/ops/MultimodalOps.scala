@@ -14,15 +14,17 @@ import org.apache.spark.sql.functions._
   * ([[graft.functions.Bmp]]), and FULL 8-bit RGB PNG pixel decode —
   * zlib inflate + all five row unfilters via the JVM's built-in
   * Inflater ([[graft.functions.Png]]) — all codegen'd scan-stage
-  * expressions. Only JPEG pixel decode (DCT entropy coding, no
-  * JVM-built-in decoder) and learned embeddings
-  * are deterministic STUBS (clearly marked),
-  * because those genuinely need libraries this container lacks — but
-  * their Spark-side plumbing that matters at 100 TB is real: binary
-  * columns flow through parquet scans untouched, metadata extraction is
-  * pure codegen'd expressions, and per-payload decoding is a
-  * `mapPartitions` over iterators (no per-row task setup, no driver
-  * collect).
+  * expressions. JPEG pixel decode is real too, via the JDK's built-in
+  * ImageIO codecs ([[decodePixelsReal]]) — pinned by spec rather than
+  * the cross-engine oracle because JPEG IDCT rounding is
+  * implementation-defined. Only LEARNED embeddings (and the
+  * oracle-parity fallback dims for non-image payloads) remain
+  * deterministic STUBS (clearly marked), because a model genuinely
+  * needs weights this container lacks — but the Spark-side plumbing
+  * that matters at 100 TB is real: binary columns flow through parquet
+  * scans untouched, metadata extraction is pure codegen'd expressions,
+  * and per-payload decoding is a `mapPartitions` over iterators (no
+  * per-row task setup, no driver collect).
   */
 object MultimodalOps {
 
@@ -140,6 +142,52 @@ object MultimodalOps {
         }
       }
       .toDF(id, "embedding")
+  }
+
+  /** REAL pixel decode via the JDK's built-in ImageIO codecs — JPEG
+    * included (javax.imageio ships in java.desktop and is
+    * headless-safe): per-payload parsed (width, height) and exact
+    * per-channel sums. JPEG's IDCT rounding is implementation-defined,
+    * so unlike the PNG kernel ([[graft.functions.Png]], oracle-checked
+    * by p71) this path is pinned BY SPEC on the running JVM rather than
+    * by the cross-engine oracle — but the decode is genuinely real, not
+    * a stub. `mapPartitions` codec shape: one decode loop per
+    * partition, payloads streamed, undecodable rows yield NULL dims
+    * (mid-crawl truncation is data, not an error).
+    */
+  def decodePixelsReal(df: DataFrame, id: String, blob: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(blob).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.map { case (did, bytes) =>
+          val img =
+            try {
+              if (bytes == null) null
+              else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            } catch { case _: Exception => null } // junk bytes: not an error
+          if (img == null) (did, None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Long], None: Option[Long])
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val px = img.getRGB(x, y)
+                sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            (did, Some(w), Some(h), Some(sr), Some(sg), Some(sb))
+          }
+        }
+      }
+      .toDF(id, "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
   /** STUB frame sampler: emits `n` evenly-spaced "frames" per payload as

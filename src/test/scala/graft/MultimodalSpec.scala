@@ -334,4 +334,30 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     corrupt(corrupt.length - 30) = 0x7f
     Png.decodeRgb(corrupt) // any result, but no throw
   }
+
+  test("decodePixelsReal: JDK ImageIO decodes a REAL JPEG — exact dims, " +
+    "channel means within lossy tolerance; junk rows yield NULL dims") {
+    import spark.implicits._
+    // a 16x12 solid-color image: lossy DCT must still average back to
+    // the source color within a small tolerance
+    val (w, h) = (16, 12)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0xC86432) // r,g,b
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpeg = bos.toByteArray
+    assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8) // real JPEG
+    val df = Seq((1L, jpeg), (2L, "definitely not an image".getBytes))
+      .toDF("id", "blob")
+    val rows = MultimodalOps.decodePixelsReal(df, "id", "blob")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ok = rows(1L)
+    assert(ok.getInt(1) == w && ok.getInt(2) == h, s"dims: $ok")
+    val n = (w * h).toDouble
+    assert(math.abs(ok.getLong(3) / n - 0xC8) <= 3.0, s"mean r drifted: $ok")
+    assert(math.abs(ok.getLong(4) / n - 0x64) <= 3.0, s"mean g drifted: $ok")
+    assert(math.abs(ok.getLong(5) / n - 0x32) <= 3.0, s"mean b drifted: $ok")
+    assert(rows(2L).isNullAt(1), "junk must decode to NULL dims, not throw")
+  }
 }
