@@ -133,7 +133,9 @@ object DqSketch {
     val sorted = buf.toSeq.sortBy(_._1)
     val n = sorted.iterator.map(_._2).sum
     qPpm.map { q =>
-      val rank = (q.toLong * n + 999999L) / 1000000L
+      // BigInt: q*n overflows Long past ~9.2e12 rows per group — the
+      // exact scale this sketch exists for; the quotient always fits
+      val rank = ((BigInt(q) * n + 999999) / 1000000).toLong
       var cum = 0L
       var est = 0L
       val it = sorted.iterator
@@ -141,7 +143,11 @@ object DqSketch {
       while (!done && it.hasNext) {
         val (lb, c) = it.next()
         cum += c
-        if (cum >= rank) { est = lb + bucketWidth(lb) / 2; done = true }
+        // clamped midpoint: the top decade's lb + g/2 can pass
+        // Long.MaxValue (lb up to 9.2e18, g/2 = 5e16)
+        val half = bucketWidth(lb) / 2
+        est = if (lb > Long.MaxValue - half) Long.MaxValue else lb + half
+        if (cum >= rank) done = true
       }
       est
     }

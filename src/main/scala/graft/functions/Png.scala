@@ -14,9 +14,10 @@ import org.apache.spark.sql.types._
   * gap the BMP kernels ([[Bmp]]) could not: chunk walk (IHDR → IDAT* →
   * IEND, multi-IDAT streams concatenated), zlib inflate of the pixel
   * stream, and per-row UNFILTERING of all five PNG filter types (None /
-  * Sub / Up / Average / Paeth) with exact byte arithmetic. Only JPEG
-  * (DCT entropy coding, no JVM-built-in decoder) remains stubbed in
-  * [[graft.ops.MultimodalOps]].
+  * Sub / Up / Average / Paeth) with exact byte arithmetic. JPEG decode
+  * is real via JDK ImageIO ([[graft.ops.MultimodalOps.decodePixelsReal]]
+  * — spec-pinned, since JPEG IDCT rounding is implementation-defined);
+  * this kernel exists where bit-exact cross-engine decode is possible.
   *
   * Tolerant-parse contract (mid-crawl truncation is data, not an
   * error): returns NULL — never throws — on anything that is not a

@@ -39,14 +39,17 @@ object GraphOps {
     val e = edges.join(ow, "src")
       .select(col("src"), col("dst"), col("w"), col("ow"))
       .localCheckpoint()
+    // the node table is referenced every round — pin it too, or each
+    // iteration re-runs whatever corpus-sized lineage produced it
+    val ns = nodes.select(col("node")).localCheckpoint()
     val base = scale * (100L - dampPct) / 100L
-    var r = nodes.select(col("node"), lit(scale).as("rank"))
+    var r = ns.select(col("node"), lit(scale).as("rank"))
     (1 to iters).foreach { _ =>
       val inflow = e.join(r.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("(rank * w) div ow").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      r = nodes.join(inflow, Seq("node"), "left")
+      r = ns.join(inflow, Seq("node"), "left")
         .select(col("node"),
           expr(s"$base + ($dampPct * coalesce(inflow, 0L)) div 100")
             .cast("long").as("rank"))

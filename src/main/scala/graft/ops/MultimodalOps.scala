@@ -162,22 +162,42 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         System.setProperty("java.awt.headless", "true")
+        // no temp-file spooling per payload: everything is already
+        // in-memory bytes
+        javax.imageio.ImageIO.setUseCache(false)
+        def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+          if (bytes == null) return null
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return null
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            // dimension-bomb guard BEFORE raster allocation: a header
+            // claiming huge dims must yield NULL, not an executor OOM
+            // (same cap as the PNG kernel)
+            val w = r.getWidth(0).toLong; val h = r.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > graft.functions.Png.maxPixels) null
+            else r.read(0)
+          } finally r.dispose()
+        }
         it.map { case (did, bytes) =>
           val img =
-            try {
-              if (bytes == null) null
-              else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            } catch { case _: Exception => null } // junk bytes: not an error
+            try decode(bytes)
+            catch { case _: Exception => null } // junk bytes: not an error
           if (img == null) (did, None: Option[Int], None: Option[Int],
             None: Option[Long], None: Option[Long], None: Option[Long])
           else {
             val w = img.getWidth; val h = img.getHeight
             var sr = 0L; var sg = 0L; var sb = 0L
+            val row = new Array[Int](w) // bulk row reads, not per-pixel
             var y = 0
             while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
               var x = 0
               while (x < w) {
-                val px = img.getRGB(x, y)
+                val px = row(x)
                 sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
                 x += 1
               }

@@ -230,7 +230,8 @@ object MultimodalQ {
     // header layout, row padding, bottom-up order, BGR byte order, or
     // the resample arithmetic fails the hash compare. This is the real
     // resize the r6 stubs stood in for; p71 extends real decode to the
-    // COMPRESSED PNG codec, leaving only JPEG stubbed.
+    // COMPRESSED PNG codec (and JPEG decodes for real via JDK ImageIO,
+    // spec-pinned — MultimodalOps.decodePixelsReal).
     Q("p54_bmp_resize", Some("""
       WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
                  FROM documents),
@@ -305,7 +306,9 @@ object MultimodalQ {
     // every pixel directly while the engine must walk chunks, inflate,
     // and unfilter to recover them; compressed (non-stored) streams and
     // filters 1-4 are pinned by MultimodalSpec against a real
-    // java.util.zip.Deflater encoder. Only JPEG remains stubbed.
+    // java.util.zip.Deflater encoder. (JPEG decodes for real via JDK
+    // ImageIO — spec-pinned, not oracle-checkable: IDCT rounding is
+    // implementation-defined.)
     Q("p71_png_decode", Some("""
       WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
                  FROM documents),

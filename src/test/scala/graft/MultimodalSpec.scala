@@ -359,5 +359,30 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(ok.getLong(4) / n - 0x64) <= 3.0, s"mean g drifted: $ok")
     assert(math.abs(ok.getLong(5) / n - 0x32) <= 3.0, s"mean b drifted: $ok")
     assert(rows(2L).isNullAt(1), "junk must decode to NULL dims, not throw")
+    // dimension bomb: a valid PNG header claiming 50000x50000 must
+    // yield NULL dims BEFORE any raster allocation, not an OOM
+    val bombIhdr = {
+      val d = new java.io.ByteArrayOutputStream()
+      def be32(v: Int): Unit =
+        Seq(24, 16, 8, 0).foreach(s => d.write((v >> s) & 0xff))
+      be32(50000); be32(50000)
+      d.write(8); d.write(2); d.write(0); d.write(0); d.write(0)
+      d.toByteArray
+    }
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    def chunkOf(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Unit =
+        Seq(24, 16, 8, 0).foreach(s => out.write(((v >> s) & 0xff).toInt))
+      be32(data.length); out.write(typ.getBytes("US-ASCII")); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      be32(crc.getValue); out.toByteArray
+    }
+    val bomb = sig ++ chunkOf("IHDR", bombIhdr) ++
+      chunkOf("IDAT", Array[Byte](0x78, 0x01)) ++ chunkOf("IEND", Array.empty)
+    val bombRows = MultimodalOps.decodePixelsReal(
+      Seq((9L, bomb)).toDF("id", "blob"), "id", "blob").collect()
+    assert(bombRows.head.isNullAt(1), "dimension bomb must yield NULL dims")
   }
 }

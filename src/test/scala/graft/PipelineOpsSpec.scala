@@ -776,6 +776,10 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DqSketch.bucketLb(12345L) == 12000L)
     assert(DqSketch.bucketLb(99999L) == 99000L)
     assert(DqSketch.bucketLb(Long.MaxValue) > 0L) // no overflow
+    // top-decade midpoint clamps instead of wrapping negative
+    val extreme = scala.collection.mutable.LongMap(
+      DqSketch.bucketLb(Long.MaxValue) -> 1L)
+    assert(DqSketch.quantiles(extreme, Seq(500000)) == Seq(Long.MaxValue))
 
     // a skewed fixture (LCG^2 → long tail), grouped, vs exact ranks
     def k(i: Int): Long = ((i * 6364136223846793005L + 1442695040888963407L)
