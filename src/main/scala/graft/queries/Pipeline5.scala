@@ -708,6 +708,91 @@ object Pipeline5 {
         .select(col("rk"), col("doc_id"), col("lang"),
           when(col("lang") === "en", 4L).otherwise(1L).as("w"), col("pri"))
         .orderBy(col("rk"))
+    },
+
+    // ---- corpus snapshot diff (CDC between ingests) ------------------------
+    // What changed between two corpus versions — the audit every
+    // re-crawl needs before reprocessing: v2 is simulated from v1
+    // (drop doc_id%97=0, mutate text for %10=0, add new ids for
+    // %50=0), then ONE full-outer join on doc_id classifies every row
+    // into added/removed/changed/unchanged by content hash. The report
+    // aggregates per status. At 100 TB: one hash-partitioned shuffle;
+    // downstream reprocessing reads only added+changed — the whole
+    // point of diffing before recomputing.
+    Q("p72_corpus_diff", Some("""
+      WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+      v2 AS (SELECT doc_id,
+                    md5(CASE WHEN doc_id % 10 = 0 THEN concat(text, ' v2')
+                             ELSE text END) AS h
+             FROM documents WHERE doc_id % 97 <> 0
+             UNION ALL
+             SELECT doc_id + 100000,
+                    md5(concat('new doc ', CAST(doc_id AS VARCHAR)))
+             FROM documents WHERE doc_id % 50 = 0),
+      d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                   CASE WHEN v1.doc_id IS NULL THEN 'added'
+                        WHEN v2.doc_id IS NULL THEN 'removed'
+                        WHEN v1.h <> v2.h THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      SELECT status, COUNT(*) AS n,
+             min(doc_id) AS first_id, max(doc_id) AS last_id
+      FROM d GROUP BY status
+      ORDER BY status""")) { (spark, dir) =>
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val v2 = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h"))
+        .union(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            md5(concat(lit("new doc "), col("doc_id").cast("string"))).as("h")))
+      v1.as("a").join(v2.as("b"), v1("doc_id") === v2("doc_id"), "full_outer")
+        .select(coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+          when(col("a.doc_id").isNull, "added")
+            .when(col("b.doc_id").isNull, "removed")
+            .when(col("a.h") =!= col("b.h"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
+        .orderBy(col("status"))
+    },
+
+    // ---- incremental aggregate maintenance ---------------------------------
+    // The aggregate-state-table pattern: each ingest reduces to a
+    // per-key partial state (count, decimal sum, min/max), states from
+    // separate ingests MERGE by re-aggregation, and finals derive from
+    // the merged state — never from re-reading old ingests. The oracle
+    // computes the same aggregates DIRECTLY over the full table, so
+    // the hash match IS the associativity proof: two-phase
+    // state-merge == one-shot aggregation, exactly. (Decimal sums make
+    // the merge order-independent — the dsum convention.)
+    Q("p73_incremental_agg", Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             CAST(min(floor(epoch(ts))) AS BIGINT) AS first_sec,
+             CAST(max(floor(epoch(ts))) AS BIGINT) AS last_sec
+      FROM events GROUP BY event_type
+      ORDER BY event_type""")) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          dec(col("value")).as("v"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+      // two ingests, each reduced to its own partial-state table
+      def state(f: org.apache.spark.sql.DataFrame) = f
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+      val s1 = state(ev.filter(col("event_id") % 2 === 0))
+      val s2 = state(ev.filter(col("event_id") % 2 =!= 0))
+      // merge = re-aggregation of the union of states
+      s1.union(s2)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).cast("double").as("sum_value"),
+          min(col("mn")).as("first_sec"), max(col("mx")).as("last_sec"))
+        .orderBy(col("event_type"))
     }
   )
 }
