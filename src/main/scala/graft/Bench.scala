@@ -60,8 +60,18 @@ object Bench {
             case f: java.lang.Float if f.isNaN || f.isInfinite => "\"" + f + "\""
             case n: java.lang.Number => String.valueOf(n)
             case b: java.lang.Boolean => String.valueOf(b)
-            case other => "\"" + String.valueOf(other)
-              .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+            case other =>
+              val sb = new StringBuilder("\"")
+              String.valueOf(other).foreach {
+                case '\\' => sb.append("\\\\")
+                case '"' => sb.append("\\\"")
+                case '\n' => sb.append("\\n")
+                case '\r' => sb.append("\\r")
+                case '\t' => sb.append("\\t")
+                case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+                case c => sb.append(c)
+              }
+              sb.append("\"").toString
           }
           val ms = df.queryExecution.observedMetrics.toSeq.sortBy(_._1)
           val fields = ms.flatMap { case (mname, row) =>

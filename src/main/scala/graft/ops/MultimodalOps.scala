@@ -169,18 +169,20 @@ object MultimodalOps {
           if (bytes == null) return null
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) return null
-          val r = readers.next()
           try {
-            r.setInput(iis)
-            // dimension-bomb guard BEFORE raster allocation: a header
-            // claiming huge dims must yield NULL, not an executor OOM
-            // (same cap as the PNG kernel)
-            val w = r.getWidth(0).toLong; val h = r.getHeight(0).toLong
-            if (w <= 0 || h <= 0 || w * h > graft.functions.Png.maxPixels) null
-            else r.read(0)
-          } finally r.dispose()
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) return null
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              // dimension-bomb guard BEFORE raster allocation: a header
+              // claiming huge dims must yield NULL, not an executor OOM
+              // (same cap as the PNG kernel)
+              val w = r.getWidth(0).toLong; val h = r.getHeight(0).toLong
+              if (w <= 0 || h <= 0 || w * h > graft.functions.Png.maxPixels) null
+              else r.read(0)
+            } finally r.dispose()
+          } finally iis.close() // dispose() does not close the stream
         }
         it.map { case (did, bytes) =>
           val img =

@@ -341,13 +341,6 @@ object MultimodalQ {
     }
   )
 
-  /** Structurally-real uncompressed 24-bpp BMP built in-query: 14-byte
-    * file header, 40-byte BITMAPINFOHEADER, bottom-up B,G,R rows padded
-    * to 4 bytes — dims 3..8 x 2..6 and channel values
-    * `(doc_id*7 + x*3 + y*5 + {0,11,22}) % 256` (r,g,b) all derived
-    * from doc_id, so the DuckDB oracle can compute any pixel
-    * arithmetically while the engine recovers it by parsing bytes.
-    */
   /** Structurally-real 8-bit RGB PNG built in-query: signature, IHDR,
     * one IDAT whose zlib stream is a single STORED deflate block
     * (header 0x7801, block 0x01 + LEN/NLEN, raw scanlines: one 0x00
@@ -386,6 +379,13 @@ object MultimodalQ {
       lit("0000000049454E4400000000"))) // IEND
   }
 
+  /** Structurally-real uncompressed 24-bpp BMP built in-query: 14-byte
+    * file header, 40-byte BITMAPINFOHEADER, bottom-up B,G,R rows padded
+    * to 4 bytes — dims 3..8 x 2..6 and channel values
+    * `(doc_id*7 + x*3 + y*5 + {0,11,22}) % 256` (r,g,b) all derived
+    * from doc_id, so the DuckDB oracle can compute any pixel
+    * arithmetically while the engine recovers it by parsing bytes.
+    */
   private def bmpBlob: org.apache.spark.sql.Column = {
     val w = (lit(3L) + col("doc_id") % 6).cast("int") // 3..8
     val h = (lit(2L) + col("doc_id") % 5).cast("int") // 2..6

@@ -277,7 +277,7 @@ object Pipeline5 {
                   FROM events
                   WHERE CAST(round(value * 1000, 0) AS BIGINT) > 0),
       b AS (SELECT event_type, v,
-                   CAST(power(10, greatest(length(CAST(v AS VARCHAR)) - 2, 0))
+                   CAST('1' || repeat('0', greatest(length(CAST(v AS VARCHAR)) - 2, 0))
                         AS BIGINT) AS g
             FROM tp),
       c AS (SELECT event_type, v - v % g AS lb, g, COUNT(*) AS cnt
@@ -748,7 +748,12 @@ object Pipeline5 {
         .union(docs.filter(col("doc_id") % 50 === 0)
           .select((col("doc_id") + 100000).as("doc_id"),
             md5(concat(lit("new doc "), col("doc_id").cast("string"))).as("h")))
-      v1.as("a").join(v2.as("b"), v1("doc_id") === v2("doc_id"), "full_outer")
+      // join on the alias-qualified columns: the dataframe-apply form
+      // (v1("doc_id") === v2("doc_id")) on two frames derived from the
+      // same source only resolves via Spark's ambiguous-self-join
+      // auto-repair, which is fragile under failAmbiguousSelfJoin
+      v1.as("a").join(v2.as("b"), col("a.doc_id") === col("b.doc_id"),
+          "full_outer")
         .select(coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
           when(col("a.doc_id").isNull, "added")
             .when(col("b.doc_id").isNull, "removed")
