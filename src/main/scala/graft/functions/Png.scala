@@ -3,26 +3,33 @@ package graft.functions
 import java.util.zip.Inflater
 
 import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** REAL pixel decode of a COMPRESSED codec — 8-bit RGB PNG — with zero
+/** REAL pixel decode of a COMPRESSED codec — 8-bit PNG — with zero
   * external dependencies: the JVM ships the zlib inflate the format
   * needs (`java.util.zip.Inflater`). This closes the compressed-codec
   * gap the BMP kernels ([[Bmp]]) could not: chunk walk (IHDR → IDAT* →
   * IEND, multi-IDAT streams concatenated), zlib inflate of the pixel
   * stream, and per-row UNFILTERING of all five PNG filter types (None /
-  * Sub / Up / Average / Paeth) with exact byte arithmetic. JPEG decode
-  * is real via JDK ImageIO ([[graft.ops.MultimodalOps.decodePixelsReal]]
-  * — spec-pinned, since JPEG IDCT rounding is implementation-defined);
-  * this kernel exists where bit-exact cross-engine decode is possible.
+  * Sub / Up / Average / Paeth) with exact byte arithmetic. All four
+  * crawl-realistic non-palette color types decode: grayscale (0),
+  * RGB (2), gray+alpha (4), RGBA (6) — the unfilter predictor offsets
+  * track each type's bytes-per-pixel (1/3/2/4), and the output is
+  * normalized to RGB triples (gray replicated, alpha dropped). JPEG
+  * decode is real via JDK ImageIO
+  * ([[graft.ops.MultimodalOps.decodePixelsReal]] — spec-pinned, since
+  * JPEG IDCT rounding is implementation-defined); this kernel exists
+  * where bit-exact cross-engine decode is possible.
   *
   * Tolerant-parse contract (mid-crawl truncation is data, not an
   * error): returns NULL — never throws — on anything that is not a
-  * complete 8-bit color-type-2 non-interlaced PNG; chunk CRCs and the
-  * zlib adler32 trailer are not verified (raw inflate), matching the
+  * complete 8-bit non-interlaced PNG of those color types (palette /
+  * 16-bit / interlaced → NULL); chunk CRCs and the zlib adler32
+  * trailer are not verified (raw inflate), matching the
   * be-liberal-in-what-you-accept posture of a corpus pass.
   */
 object Png {
@@ -63,8 +70,10 @@ object Png {
       hist(0), hist(1), hist(2), hist(3)))
   }
 
-  /** Full decode to `(w, h, rgb)` — rgb row-major top-down, 3 bytes per
-    * pixel — or null. Package-visible so specs can pin exact pixels.
+  /** Full decode to `(w, h, rgb)` — rgb row-major top-down, normalized
+    * to 3 bytes per pixel regardless of source color type (gray
+    * replicated to r=g=b, alpha dropped) — or null. Package-visible so
+    * specs can pin exact pixels.
     */
   private[graft] def decodeRgb(b: Array[Byte]): (Int, Int, Array[Byte]) = {
     if (b == null || b.length < 8) return null
@@ -72,6 +81,8 @@ object Png {
     while (s < 8) { if (b(s) != signature(s)) return null; s += 1 }
     var i = 8
     var w = 0; var h = 0
+    var bpp = 0 // bytes per pixel in the filtered stream
+    var colorType = -1
     var haveIhdr = false
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
@@ -86,8 +97,14 @@ object Png {
           h = be32(b, i + 12).toInt
           val depth = b(i + 16); val color = b(i + 17)
           val interlace = b(i + 20)
-          // 8-bit RGB, no interlace — the shape this kernel decodes
-          if (depth != 8 || color != 2 || interlace != 0) return null
+          // 8-bit gray/RGB/gray+alpha/RGBA, no interlace (palette and
+          // 16-bit depths are the crawl long-tail — NULL, not decoded)
+          if (depth != 8 || interlace != 0) return null
+          bpp = color match {
+            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+            case _ => return null
+          }
+          colorType = color
           if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return null
           haveIhdr = true
         case "IDAT" =>
@@ -103,7 +120,7 @@ object Png {
     // zlib wrapper: 2-byte header (reject FDICT — no preset dicts in
     // PNG), then raw-inflate; the adler32 trailer is not verified
     if (raw.length < 3 || (raw(1) & 0x20) != 0) return null
-    val stride = 1 + w * 3
+    val stride = 1 + w * bpp
     val expected = h * stride
     val out = new Array[Byte](expected)
     val inf = new Inflater(true)
@@ -120,9 +137,10 @@ object Png {
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
-    // unfilter in place: recon(x) = filt(x) + predictor(a, b, c), bpp 3
-    val rgb = new Array[Byte](w * h * 3)
-    val rowBytes = w * 3
+    // unfilter in place: recon(x) = filt(x) + predictor(a, b, c); the
+    // a/c neighbours sit one PIXEL (bpp bytes) left, per the spec
+    val plane = new Array[Byte](w * h * bpp)
+    val rowBytes = w * bpp
     var y = 0
     while (y < h) {
       val ft = out(y * stride) & 0xff
@@ -130,9 +148,9 @@ object Png {
       var x = 0
       while (x < rowBytes) {
         val filt = out(y * stride + 1 + x) & 0xff
-        val a = if (x >= 3) rgb(y * rowBytes + x - 3) & 0xff else 0
-        val up = if (y > 0) rgb((y - 1) * rowBytes + x) & 0xff else 0
-        val c = if (x >= 3 && y > 0) rgb((y - 1) * rowBytes + x - 3) & 0xff else 0
+        val a = if (x >= bpp) plane(y * rowBytes + x - bpp) & 0xff else 0
+        val up = if (y > 0) plane((y - 1) * rowBytes + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) plane((y - 1) * rowBytes + x - bpp) & 0xff else 0
         val recon = ft match {
           case 0 => filt
           case 1 => filt + a
@@ -144,17 +162,111 @@ object Png {
             val pc = math.abs(p - c)
             filt + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
         }
-        rgb(y * rowBytes + x) = (recon & 0xff).toByte
+        plane(y * rowBytes + x) = (recon & 0xff).toByte
         x += 1
       }
       y += 1
     }
+    if (colorType == 2) return (w, h, plane)
+    // normalize gray / gray+alpha / RGBA to RGB triples
+    val rgb = new Array[Byte](w * h * 3)
+    val n = w * h
+    var p = 0
+    while (p < n) {
+      colorType match {
+        case 0 | 4 => // gray (+alpha): replicate, drop alpha
+          val g = plane(p * bpp)
+          rgb(p * 3) = g; rgb(p * 3 + 1) = g; rgb(p * 3 + 2) = g
+        case 6 => // RGBA: drop alpha
+          rgb(p * 3) = plane(p * 4)
+          rgb(p * 3 + 1) = plane(p * 4 + 1)
+          rgb(p * 3 + 2) = plane(p * 4 + 2)
+      }
+      p += 1
+    }
     (w, h, rgb)
+  }
+
+  /** Deterministic lossless re-encode of an RGB plane as an 8-bit
+    * color-type-2 PNG: filter-None rows, one zlib stream from a
+    * fixed-configuration `Deflater` (DEFAULT_COMPRESSION, default
+    * strategy), real CRC32 chunk checksums and adler32 trailer — a
+    * fully standard PNG any decoder reads back bit-exactly. The
+    * compressed BYTES are only pinned per-JVM (deflate output is
+    * implementation-defined), which is why the p74 oracle re-decodes
+    * instead of hashing the payload.
+    */
+  private[graft] def encodeRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var y = 0
+    while (y < h) {
+      raw(y * (1 + w * 3)) = 0 // filter None
+      System.arraycopy(rgb, y * w * 3, raw, y * (1 + w * 3) + 1, w * 3)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater() // zlib wrapper + adler32
+    defl.setInput(raw); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream(zbuf.size() + 64)
+    def be32(v: Long): Unit =
+      Seq(24, 16, 8, 0).foreach(s => out.write(((v >> s) & 0xff).toInt))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      be32(data.length)
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      be32(crc.getValue)
+    }
+    out.write(signature)
+    val ihdr = new java.io.ByteArrayOutputStream()
+    def ibe32(v: Int): Unit =
+      Seq(24, 16, 8, 0).foreach(s => ihdr.write((v >> s) & 0xff))
+    ibe32(w); ibe32(h)
+    ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** The full compressed-codec resize loop — REAL decode ([[decodeRgb]],
+    * any supported color type), nearest-neighbour resample with the
+    * exact [[Bmp.resampleData]] mapping (output (x2,y2) reads source
+    * (x2*w/w2, y2*h/h2), integer floor division), then REAL re-encode
+    * ([[encodeRgb]]) — or null when the input doesn't decode. This is
+    * what retires the resize stub for PNG payloads: bytes in, decoded
+    * and resampled pixels, standard PNG bytes out.
+    */
+  def resizePng(b: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    if (w2 <= 0 || h2 <= 0 || w2.toLong * h2 > maxPixels) return null
+    val px = decodeRgb(b)
+    if (px == null) return null
+    val (w, h, rgb) = px
+    val out = new Array[Byte](w2 * h2 * 3)
+    var y2 = 0
+    while (y2 < h2) {
+      val sy = (y2.toLong * h / h2).toInt
+      var x2 = 0
+      while (x2 < w2) {
+        val sx = (x2.toLong * w / w2).toInt
+        val sp = (sy * w + sx) * 3
+        val dp = (y2 * w2 + x2) * 3
+        out(dp) = rgb(sp); out(dp + 1) = rgb(sp + 1); out(dp + 2) = rgb(sp + 2)
+        x2 += 1
+      }
+      y2 += 1
+    }
+    encodeRgb(w2, h2, out)
   }
 }
 
-/** `array<long>` [w, h, sum_r, sum_g, sum_b, h0..h3] of an 8-bit RGB
-  * PNG — REAL inflate + unfilter in the scan stage — or NULL.
+/** `array<long>` [w, h, sum_r, sum_g, sum_b, h0..h3] of an 8-bit PNG
+  * (gray / RGB / gray+alpha / RGBA) — REAL inflate + unfilter in the
+  * scan stage — or NULL.
   */
 case class PngChannelStatsExpr(child: Expression)
     extends UnaryExpression with BmpInputCheck {
@@ -184,4 +296,53 @@ object PngChannelStats {
   /** Column API for [[PngChannelStatsExpr]]. */
   def apply(blob: Column): Column =
     GraftSql.column(PngChannelStatsExpr(GraftSql.expression(blob)))
+}
+
+/** REAL PNG resize in the scan stage: decode (inflate + unfilter, any
+  * supported color type) → nearest-neighbour resample to (w2, h2) →
+  * deterministic lossless re-encode (filter-None RGB, fixed Deflater).
+  * BINARY out (a standard PNG payload), NULL when the input is not a
+  * decodable PNG. A pure per-row transform — the whole codec loop rides
+  * whole-stage codegen with zero shuffle, the shape a 100 TB thumbnail
+  * pass needs.
+  */
+case class PngResizeExpr(child: Expression, w2: Int, h2: Int)
+    extends UnaryExpression with BmpInputCheck {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_png_resize"
+  override def nullable: Boolean = true
+
+  // payload problems → NULL; a bad target grid is the CALLER's bug and
+  // fails analysis loudly (same contract as BmpResampleExpr)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (w2 <= 0 || h2 <= 0 || w2.toLong * h2 > Png.maxPixels)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName target grid must satisfy 1 <= w*h <= " +
+          s"${Png.maxPixels}, got ${w2}x$h2")
+    else base
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Png.resizePng(input.asInstanceOf[Array[Byte]], w2, h2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val out = ctx.freshName("resized")
+      s"""
+         |byte[] $out = graft.functions.Png.resizePng($bytes, $w2, $h2);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PngResize {
+  /** Column API for [[PngResizeExpr]]. */
+  def apply(blob: Column, w2: Int, h2: Int): Column =
+    GraftSql.column(PngResizeExpr(GraftSql.expression(blob), w2, h2))
 }

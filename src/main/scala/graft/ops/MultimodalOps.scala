@@ -91,14 +91,18 @@ object MultimodalOps {
       hex(substring(blob, 1, 4)).as("magic"),
       sniffMime(blob).as("mime"))
 
-  /** STUB resize for COMPRESSED payloads: a real implementation
-    * decodes, scales to (w, h) and re-encodes; the stub carries the
-    * target dims plus a deterministic digest of (payload, target size)
-    * standing in for the re-encoded bytes. Same shape as the real
-    * thing: a pure per-row scan-stage transform, no shuffle. For
-    * UNCOMPRESSED bitmaps the resize is REAL —
-    * [[graft.functions.Bmp.resample]] does the actual
-    * nearest-neighbour pixel math (oracle-checked by p54).
+  /** STUB resize for LOSSY compressed payloads (JPEG): a real
+    * implementation decodes, scales to (w, h) and re-encodes; the stub
+    * carries the target dims plus a deterministic digest of (payload,
+    * target size) standing in for the re-encoded bytes. Same shape as
+    * the real thing: a pure per-row scan-stage transform, no shuffle.
+    * For PNG the loop is REAL end to end —
+    * [[graft.functions.PngResize]] decodes, resamples and re-encodes
+    * actual bytes (oracle-checked by p74) — and for UNCOMPRESSED
+    * bitmaps [[graft.functions.Bmp.resample]] does the actual
+    * nearest-neighbour pixel math (oracle-checked by p54). Only JPEG
+    * re-encode remains stubbed: its lossy output is
+    * implementation-defined, so there is no bit-exact contract to pin.
     */
   def resizeStub(blob: Column, w: Int, h: Int): Column =
     struct(

@@ -298,25 +298,35 @@ object MultimodalQ {
 
     // ---- REAL decode of a COMPRESSED codec: PNG ----------------------------
     // The step past p54/p55's uncompressed bitmaps: a structurally-real
-    // 8-bit RGB PNG per document (signature, IHDR, a zlib stream in the
+    // 8-bit PNG per document (signature, IHDR, a zlib stream in the
     // IDAT, IEND), decoded by graft.functions.Png with the JVM's REAL
-    // zlib inflate plus per-row unfiltering. The in-query builder emits
-    // the zlib stream as a STORED deflate block (the one deflate shape
-    // that is hex-constructible arithmetically), so the oracle computes
-    // every pixel directly while the engine must walk chunks, inflate,
-    // and unfilter to recover them; compressed (non-stored) streams and
-    // filters 1-4 are pinned by MultimodalSpec against a real
-    // java.util.zip.Deflater encoder. (JPEG decodes for real via JDK
-    // ImageIO — spec-pinned, not oracle-checkable: IDCT rounding is
-    // implementation-defined.)
+    // zlib inflate plus per-row unfiltering. The fixture cycles through
+    // all four crawl-realistic color types by doc_id % 4 — RGB, RGBA,
+    // grayscale, gray+alpha — so the decoder's per-type byte stride and
+    // RGB normalization (gray replicated, alpha dropped) are
+    // oracle-checked, not just the happy RGB path. The in-query builder
+    // emits the zlib stream as a STORED deflate block (the one deflate
+    // shape that is hex-constructible arithmetically), so the oracle
+    // computes every pixel directly while the engine must walk chunks,
+    // inflate, and unfilter to recover them; compressed (non-stored)
+    // streams and filters 1-4 are pinned by MultimodalSpec against a
+    // real java.util.zip.Deflater encoder at every bpp. (JPEG decodes
+    // for real via JDK ImageIO — spec-pinned, not oracle-checkable:
+    // IDCT rounding is implementation-defined.)
     Q("p71_png_decode", Some("""
       WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
                  FROM documents),
       e AS (SELECT doc_id, w, h, unnest(generate_series(0, w*h - 1)) AS i FROM d),
       v AS (SELECT doc_id, w, h,
                    (doc_id*7 + (i % w)*3 + (i // w)*5) % 256 AS r,
-                   (doc_id*7 + (i % w)*3 + (i // w)*5 + 11) % 256 AS g,
-                   (doc_id*7 + (i % w)*3 + (i // w)*5 + 22) % 256 AS b
+                   CASE WHEN doc_id % 4 >= 2
+                        THEN (doc_id*7 + (i % w)*3 + (i // w)*5) % 256
+                        ELSE (doc_id*7 + (i % w)*3 + (i // w)*5 + 11) % 256
+                   END AS g,
+                   CASE WHEN doc_id % 4 >= 2
+                        THEN (doc_id*7 + (i % w)*3 + (i // w)*5) % 256
+                        ELSE (doc_id*7 + (i % w)*3 + (i // w)*5 + 22) % 256
+                   END AS b
             FROM e)
       SELECT doc_id, CAST(min(w) AS BIGINT) AS w, CAST(min(h) AS BIGINT) AS h,
              CAST(SUM(r) AS BIGINT) AS sum_r,
@@ -338,39 +348,105 @@ object MultimodalQ {
           stats.getItem(5).as("rh0"), stats.getItem(6).as("rh1"),
           stats.getItem(7).as("rh2"), stats.getItem(8).as("rh3"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- the FULL compressed-codec resize loop: PNG -> PNG -----------------
+    // What a 100 TB thumbnail pass actually does, end to end and all
+    // REAL: decode the compressed payload (inflate + unfilter, any
+    // supported color type), nearest-neighbour resample to 5x4 (the
+    // exact Bmp/p54 mapping: source pixel (x2*w/5, y2*h/4), floor
+    // division), re-encode as a standard PNG (filter-None rows, fixed
+    // Deflater, real CRCs) — then DECODE THE RE-ENCODED BYTES for the
+    // checked output, so the oracle's arithmetic pixel math proves the
+    // whole decode→resample→encode→decode chain is lossless. Deflate
+    // bytes are implementation-defined, hence re-decode rather than
+    // payload hash. One scan-stage expression chain per row: no
+    // shuffle, no UDF, codegen end to end. This retires the resize
+    // stub for PNG payloads (MultimodalOps.resizeStub remains only for
+    // JPEG, whose re-encode is lossy and impl-defined).
+    Q("p74_png_resize", Some("""
+      WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+                 FROM documents),
+      e AS (SELECT doc_id, w, h, unnest(generate_series(0, 19)) AS i FROM d),
+      m AS (SELECT doc_id, ((i % 5) * w) // 5 AS sx, ((i // 5) * h) // 4 AS sy
+            FROM e),
+      v AS (SELECT doc_id,
+                   (doc_id*7 + sx*3 + sy*5) % 256 AS r,
+                   CASE WHEN doc_id % 4 >= 2
+                        THEN (doc_id*7 + sx*3 + sy*5) % 256
+                        ELSE (doc_id*7 + sx*3 + sy*5 + 11) % 256
+                   END AS g,
+                   CASE WHEN doc_id % 4 >= 2
+                        THEN (doc_id*7 + sx*3 + sy*5) % 256
+                        ELSE (doc_id*7 + sx*3 + sy*5 + 22) % 256
+                   END AS b
+            FROM m)
+      SELECT doc_id, CAST(5 AS BIGINT) AS w, CAST(4 AS BIGINT) AS h,
+             CAST(SUM(r) AS BIGINT) AS sum_r,
+             CAST(SUM(g) AS BIGINT) AS sum_g,
+             CAST(SUM(b) AS BIGINT) AS sum_b,
+             CAST(SUM(CASE WHEN r // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rh0,
+             CAST(SUM(CASE WHEN r // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rh1,
+             CAST(SUM(CASE WHEN r // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS rh2,
+             CAST(SUM(CASE WHEN r // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS rh3
+      FROM v GROUP BY doc_id
+      ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.{PngChannelStats, PngResize}
+      val stats = PngChannelStats(PngResize(pngBlob, 5, 4))
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          stats.getItem(0).as("w"), stats.getItem(1).as("h"),
+          stats.getItem(2).as("sum_r"), stats.getItem(3).as("sum_g"),
+          stats.getItem(4).as("sum_b"),
+          stats.getItem(5).as("rh0"), stats.getItem(6).as("rh1"),
+          stats.getItem(7).as("rh2"), stats.getItem(8).as("rh3"))
+        .orderBy(col("doc_id"))
     }
   )
 
-  /** Structurally-real 8-bit RGB PNG built in-query: signature, IHDR,
-    * one IDAT whose zlib stream is a single STORED deflate block
-    * (header 0x7801, block 0x01 + LEN/NLEN, raw scanlines: one 0x00
-    * filter byte per row then top-down R,G,B triples), IEND. Chunk CRCs
-    * and the adler32 trailer are zeros — the tolerant parser does not
-    * verify them (and a raw inflate never reads the trailer). Same
-    * dims/pixel arithmetic as [[bmpBlob]], so the oracle computes every
-    * channel value directly.
+  /** Structurally-real 8-bit PNG built in-query: signature, IHDR, one
+    * IDAT whose zlib stream is a single STORED deflate block (header
+    * 0x7801, block 0x01 + LEN/NLEN, raw scanlines: one 0x00 filter byte
+    * per row then top-down pixel bytes), IEND. The color type cycles by
+    * `doc_id % 4` — 0→RGB(2), 1→RGBA(6), 2→gray(0), 3→gray+alpha(4) —
+    * with gray = the R formula and alpha = off 33 (the decoder drops
+    * it, so the oracle never sees it). Chunk CRCs and the adler32
+    * trailer are zeros — the tolerant parser does not verify them (and
+    * a raw inflate never reads the trailer). Same dims/pixel arithmetic
+    * as [[bmpBlob]], so the oracle computes every channel value
+    * directly.
     */
   private def pngBlob: org.apache.spark.sql.Column = {
     def be32h(x: org.apache.spark.sql.Column) =
       lpad(hex(x.cast("long")), 8, "0")
     val w = (lit(3L) + col("doc_id") % 6).cast("int") // 3..8
     val h = (lit(2L) + col("doc_id") % 5).cast("int") // 2..6
+    val ct = (col("doc_id") % 4).cast("int") // fixture color-type selector
+    val bpp = when(ct === 0, 3).when(ct === 1, 4)
+      .when(ct === 2, 1).otherwise(2)
+    val colorHex = when(ct === 0, "02").when(ct === 1, "06")
+      .when(ct === 2, "00").otherwise("04")
     def chan(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
              off: Int) =
       lpad(hex((col("doc_id") * 7 + x * 3 + y * 5 + lit(off)) % 256), 2, "0")
     def pix(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      concat(chan(x, y, 0), chan(x, y, 11), chan(x, y, 22)) // R, G, B
+      when(ct === 0, concat(chan(x, y, 0), chan(x, y, 11), chan(x, y, 22)))
+        .when(ct === 1, concat(chan(x, y, 0), chan(x, y, 11), chan(x, y, 22),
+          chan(x, y, 33)))
+        .when(ct === 2, chan(x, y, 0))
+        .otherwise(concat(chan(x, y, 0), chan(x, y, 33)))
     val scanlines = array_join(
       transform(sequence(lit(0), h - 1), y =>
         concat(lit("00"), // filter type 0 (None) per row
           array_join(transform(sequence(lit(0), w - 1), x => pix(x, y)), ""))),
       "")
-    val dataLen = h * (lit(1) + w * 3)
+    val dataLen = h * (lit(1) + w * bpp)
     val idatLen = dataLen + 11 // zlib hdr 2 + stored hdr 5 + adler 4
     unhex(concat(
       lit("89504E470D0A1A0A"), // signature
       lit("0000000D49484452"), be32h(w), be32h(h),
-      lit("0802000000"), lit("00000000"), // depth 8, RGB, CRC unverified
+      lit("08"), colorHex, lit("000000"), // depth 8, color type, no interlace
+      lit("00000000"), // IHDR CRC (unverified)
       be32h(idatLen), lit("49444154"), // IDAT
       lit("780101"), // zlib hdr + final STORED block
       le16h(dataLen), le16h(lit(65535) - dataLen), // LEN, NLEN (LE)

@@ -239,12 +239,16 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // Test-only REAL PNG encoder: proper CRC32 chunk checksums and a
   // genuinely COMPRESSED zlib stream (java.util.zip.Deflater), with a
-  // caller-chosen filter type applied per row — so the decoder's
-  // inflate path and all five unfilters are exercised against ground
-  // truth, not against the p71 stored-block shortcut.
-  private def encodePng(w: Int, h: Int, rgb: Array[Byte],
+  // caller-chosen filter type applied per row and any 8-bit color type
+  // (plane = bpp bytes/pixel: 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA) —
+  // so the decoder's inflate path and all five unfilters are exercised
+  // at every pixel stride against ground truth, not against the p71
+  // stored-block shortcut.
+  private def encodePng(w: Int, h: Int, plane: Array[Byte],
                         filterOf: Int => Int,
-                        splitIdat: Boolean = false): Array[Byte] = {
+                        splitIdat: Boolean = false,
+                        colorType: Int = 2): Array[Byte] = {
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4 }
     def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       def be32(v: Long): Unit =
@@ -256,16 +260,16 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       be32(crc.getValue)
       out.toByteArray
     }
-    val stride = w * 3
+    val stride = w * bpp
     val raw = new java.io.ByteArrayOutputStream()
     for (y <- 0 until h) {
       val ft = filterOf(y)
       raw.write(ft)
       for (x <- 0 until stride) {
-        val cur = rgb(y * stride + x) & 0xff
-        val a = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
-        val b = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
-        val c = if (x >= 3 && y > 0) rgb((y - 1) * stride + x - 3) & 0xff else 0
+        val cur = plane(y * stride + x) & 0xff
+        val a = if (x >= bpp) plane(y * stride + x - bpp) & 0xff else 0
+        val b = if (y > 0) plane((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) plane((y - 1) * stride + x - bpp) & 0xff else 0
         val pred = ft match {
           case 0 => 0
           case 1 => a
@@ -289,7 +293,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       val d = new java.io.ByteArrayOutputStream()
       def be32(v: Int): Unit =
         Seq(24, 16, 8, 0).foreach(s => d.write((v >> s) & 0xff))
-      be32(w); be32(h); d.write(8); d.write(2); d.write(0); d.write(0); d.write(0)
+      be32(w); be32(h)
+      d.write(8); d.write(colorType); d.write(0); d.write(0); d.write(0)
       d.toByteArray
     }
     val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
@@ -333,6 +338,87 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val corrupt = png.clone()
     corrupt(corrupt.length - 30) = 0x7f
     Png.decodeRgb(corrupt) // any result, but no throw
+  }
+
+  test("Png.decodeRgb handles gray/gray+alpha/RGBA color types with " +
+    "per-bpp unfiltering, normalizes to RGB, and rejects palette/16-bit") {
+    import graft.functions.Png
+    val w = 7; val h = 6
+    // deterministic plane content distinct per byte position
+    def plane(bpp: Int) =
+      Array.tabulate(w * h * bpp)(i => ((i * 41 + 7) % 256).toByte)
+    // every row a different filter: the a/c predictor offsets must use
+    // the TYPE'S bpp (1/2/4), not RGB's 3, or Sub/Paeth rows corrupt
+    for ((ct, bpp) <- Seq((0, 1), (4, 2), (6, 4))) {
+      val p = plane(bpp)
+      val got = Png.decodeRgb(encodePng(w, h, p, y => y % 5, colorType = ct))
+      assert(got != null && got._1 == w && got._2 == h, s"color type $ct")
+      val expected = Array.tabulate(w * h * 3) { i =>
+        val px = i / 3
+        ct match {
+          case 0 => p(px) // gray replicated
+          case 4 => p(px * 2) // gray replicated, alpha dropped
+          case 6 => p(px * 4 + i % 3) // alpha dropped
+        }
+      }
+      assert(got._3.toSeq == expected.toSeq,
+        s"color type $ct must unfilter at bpp $bpp and normalize to RGB")
+    }
+    // channel stats ride the same path: gray image has sum_r == sum_g
+    val g = plane(1)
+    val stats = Png.channelStatsData(encodePng(w, h, g, _ => 1, colorType = 0))
+    val sumG = g.map(_ & 0xff).map(_.toLong).sum
+    assert(stats.getLong(2) == sumG && stats.getLong(3) == sumG &&
+      stats.getLong(4) == sumG)
+    // palette (3) and 16-bit depth are NULL, never a throw
+    val pal = encodePng(w, h, plane(1), _ => 0, colorType = 0)
+    pal(25) = 3 // color-type byte inside IHDR
+    assert(Png.decodeRgb(pal) == null, "palette must be rejected")
+    val deep = encodePng(w, h, plane(3), _ => 0, colorType = 2)
+    deep(24) = 16 // bit-depth byte inside IHDR
+    assert(Png.decodeRgb(deep) == null, "16-bit depth must be rejected")
+  }
+
+  test("Png.resizePng: decode -> nearest-neighbour resample -> re-encode " +
+    "is lossless, standard, and deterministic; junk yields null") {
+    import graft.functions.Png
+    val w = 8; val h = 6; val w2 = 5; val h2 = 4
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 53 + 19) % 256).toByte)
+    // source uses real deflate + mixed filters — the full decode path
+    val src = encodePng(w, h, rgb, y => y % 5)
+    val out = Png.resizePng(src, w2, h2)
+    assert(out != null)
+    // re-encoded payload is a standard PNG: decodes back to exactly the
+    // resampled pixels (floor-division mapping, the p54/Bmp convention)
+    val got = Png.decodeRgb(out)
+    assert(got != null && got._1 == w2 && got._2 == h2)
+    val expected = Array.tabulate(w2 * h2 * 3) { i =>
+      val px = i / 3; val ch = i % 3
+      val sx = ((px % w2).toLong * w / w2).toInt
+      val sy = ((px / w2).toLong * h / h2).toInt
+      rgb((sy * w + sx) * 3 + ch)
+    }
+    assert(got._3.toSeq == expected.toSeq, "resize loop must be lossless")
+    // ImageIO (an independent decoder) agrees on dims and pixels: the
+    // re-encode is STANDARD, not merely self-consistent
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img != null && img.getWidth == w2 && img.getHeight == h2)
+    for (y <- 0 until h2; x <- 0 until w2) {
+      val p = (y * w2 + x) * 3
+      val exp = ((expected(p) & 0xff) << 16) |
+        ((expected(p + 1) & 0xff) << 8) | (expected(p + 2) & 0xff)
+      assert((img.getRGB(x, y) & 0xffffff) == exp)
+    }
+    // deterministic bytes on this JVM; gray input also round-trips
+    assert(Png.resizePng(src, w2, h2).toSeq == out.toSeq)
+    val gray = Array.tabulate(w * h)(i => ((i * 11 + 3) % 256).toByte)
+    val g2 = Png.decodeRgb(
+      Png.resizePng(encodePng(w, h, gray, _ => 2, colorType = 0), w2, h2))
+    assert(g2 != null && g2._3(0) == g2._3(1) && g2._3(1) == g2._3(2))
+    // payload junk -> null, never throw; bad target grid fails loudly
+    assert(Png.resizePng(null, w2, h2) == null)
+    assert(Png.resizePng("junk".getBytes, w2, h2) == null)
+    assert(Png.resizePng(src.take(30), w2, h2) == null)
   }
 
   test("decodePixelsReal: JDK ImageIO decodes a REAL JPEG — exact dims, " +
