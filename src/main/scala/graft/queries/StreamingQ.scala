@@ -21,9 +21,8 @@ object StreamingQ {
       FROM events
       GROUP BY 1, 2
       ORDER BY bin_start, event_type""")) { (spark, dir) =>
-      StreamingOps.runToMemory(
-          StreamingOps.tumblingAgg(StreamingOps.eventsStream(spark, dir)),
-          mode = "complete")
+      StreamingOps.runToMemory(spark, mode = "complete") { s =>
+          StreamingOps.tumblingAgg(StreamingOps.eventsStream(s, dir)) }
         .orderBy(col("bin_start"), col("event_type"))
     },
 
@@ -41,9 +40,8 @@ object StreamingQ {
       FROM e, (VALUES (0), (1)) AS o(k)
       GROUP BY 1, 2
       ORDER BY bin_start, event_type""")) { (spark, dir) =>
-      StreamingOps.runToMemory(
-          StreamingOps.slidingAgg(StreamingOps.eventsStream(spark, dir)),
-          mode = "complete")
+      StreamingOps.runToMemory(spark, mode = "complete") { s =>
+          StreamingOps.slidingAgg(StreamingOps.eventsStream(s, dir)) }
         .orderBy(col("bin_start"), col("event_type"))
     },
 
@@ -67,9 +65,8 @@ object StreamingQ {
              COUNT(*) AS n_events
       FROM sess GROUP BY user_id, sid
       ORDER BY user_id, start_us""")) { (spark, dir) =>
-      StreamingOps.runToMemory(
-          StreamingOps.sessionAgg(StreamingOps.eventsStream(spark, dir)),
-          mode = "complete")
+      StreamingOps.runToMemory(spark, mode = "complete") { s =>
+          StreamingOps.sessionAgg(StreamingOps.eventsStream(s, dir)) }
         .orderBy(col("user_id"), col("start_us"))
     },
 
@@ -86,9 +83,8 @@ object StreamingQ {
        AND c.user_id = p.user_id
        AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
       ORDER BY click_id, buy_id""")) { (spark, dir) =>
-      StreamingOps.runToMemory(
-          StreamingOps.clickPurchaseJoin(StreamingOps.eventsStream(spark, dir)),
-          mode = "append")
+      StreamingOps.runToMemory(spark, mode = "append") { s =>
+          StreamingOps.clickPurchaseJoin(StreamingOps.eventsStream(s, dir)) }
         .orderBy(col("click_id"), col("buy_id"))
     },
 
@@ -99,12 +95,11 @@ object StreamingQ {
       FROM documents
       GROUP BY 1
       ORDER BY content_hash""")) { (spark, dir) =>
-      val docs = spark.readStream
-        .schema(Tables.load(spark, dir, "documents").schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      StreamingOps.runToMemory(
-          StreamingOps.dedupGroups(docs, "doc_id", "text"),
-          mode = "complete")
+      StreamingOps.runToMemory(spark, mode = "complete") { s =>
+          val docs = s.readStream
+            .schema(Tables.load(s, dir, "documents").schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          StreamingOps.dedupGroups(docs, "doc_id", "text") }
         .orderBy(col("content_hash"))
     },
 
@@ -129,9 +124,8 @@ object StreamingQ {
              v AS value
       FROM w WHERE prev_max IS NULL OR v > prev_max
       ORDER BY user_id, running_n""")) { (spark, dir) =>
-      StreamingOps.runToMemory(
-          StreamingOps.highWaterAlerts(StreamingOps.eventsStream(spark, dir)),
-          mode = "append")
+      StreamingOps.runToMemory(spark, mode = "append") { s =>
+          StreamingOps.highWaterAlerts(StreamingOps.eventsStream(s, dir)) }
         .orderBy(col("user_id"), col("running_n"))
     },
 
@@ -146,10 +140,9 @@ object StreamingQ {
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""")) { (spark, dir) =>
-      StreamingOps.runToMemory(
-          StreamingOps.segmentRevenue(StreamingOps.eventsStream(spark, dir),
-            Tables.load(spark, dir, "customer")),
-          mode = "complete")
+      StreamingOps.runToMemory(spark, mode = "complete") { s =>
+          StreamingOps.segmentRevenue(StreamingOps.eventsStream(s, dir),
+            Tables.load(s, dir, "customer")) }
         .orderBy(col("c_mktsegment"))
     },
 
@@ -165,9 +158,8 @@ object StreamingQ {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""")) { (spark, dir) =>
-      StreamingOps.runToMemory(
-          StreamingOps.minuteDedup(StreamingOps.eventsStream(spark, dir)),
-          mode = "append")
+      StreamingOps.runToMemory(spark, mode = "append") { s =>
+          StreamingOps.minuteDedup(StreamingOps.eventsStream(s, dir)) }
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_first"))
         .orderBy(col("event_type"))
@@ -186,11 +178,10 @@ object StreamingQ {
       WHERE user_id IS NOT NULL AND event_type IS NOT NULL
       GROUP BY user_id, event_type
       ORDER BY user_id, event_type""")) { (spark, dir) =>
-      StreamingOps.runToMemory(
-          StreamingOps.eventTypeCounts(StreamingOps.eventsStream(spark, dir)),
-          mode = "update",
+      StreamingOps.runToMemory(spark, mode = "update",
           providerOverride = Some(
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+          s => StreamingOps.eventTypeCounts(StreamingOps.eventsStream(s, dir)) }
         .orderBy(col("user_id"), col("event_type"))
     }
   )

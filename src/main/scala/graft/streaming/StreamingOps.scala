@@ -184,6 +184,37 @@ object StreamingOps {
         unix_micros(col("p_ts")).as("buy_us"))
   }
 
+  /** FULL-OUTER stream-stream interval join — the last of the three
+    * outer modes ([[clickPurchaseJoin]] inner, [[clickPurchaseLeftJoin]]
+    * left): matches emit as they arrive, and BOTH sides NULL-pad on
+    * eviction — an unmatched click pads once the watermark proves no
+    * future purchase can precede it, an unmatched purchase pads once
+    * the watermark passes the last click time it could still match
+    * (its own timestamp plus the interval width). Exercises both join
+    * state stores' eviction paths, so it is pinned by the multi-batch
+    * StreamingSpec harness like the left-outer mode (single-batch runs
+    * never observe padded rows).
+    */
+  def clickPurchaseFullJoin(events: DataFrame,
+                            window: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("buy_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr(s"INTERVAL $window") &&
+        col("p_ts") <= col("c_ts"),
+      "fullOuter")
+      .select(col("click_id"), col("buy_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("buy_us"))
+  }
+
   /** Streaming exact-dedup: running duplicate-group counts on the
     * normalized content hash (the streaming face of
     * [[graft.ops.DedupOps.exactGroups]]).
@@ -323,52 +354,57 @@ object StreamingOps {
     * return the sink table (AvailableNow trigger → deterministic for a
     * static source; used by the oracle-checked query entries).
     *
-    * The stream is planned with `statePartitions` shuffle partitions
-    * (restored afterwards): a streaming query instantiates one state
-    * store per shuffle partition per stateful operator, and that count
-    * is baked into the checkpoint at first start — so it must be sized
-    * to the stream's key cardinality, not inherited from the batch
-    * default. For these fixture-sized verification streams 8 stores cut
-    * per-micro-batch setup 4× with zero effect on results; a production
-    * deployment sizes it per stream the same way.
+    * The stream is BUILT AND PLANNED ON A CLONED SESSION
+    * (`spark.newSession()` — isolated runtime SQL confs, shared
+    * SparkContext and catalog), because two confs must differ from the
+    * batch session's for the duration of the run: shuffle partitions
+    * (a streaming query instantiates one state store per shuffle
+    * partition per stateful operator, baked into the checkpoint at
+    * first start — sized to the stream's key cardinality, not
+    * inherited from the batch default; for these fixture-sized
+    * verification streams 8 stores cut per-micro-batch setup 4×) and,
+    * for state-v2 operators, the RocksDB state-store provider. Setting
+    * them on the clone means a concurrent batch query planned on the
+    * primary session mid-run can never observe streaming-sized confs —
+    * the set-and-restore window the old in-place approach had.
+    *
+    * `build` receives the clone and must construct the whole stream
+    * (sources included) against it: session confs are read from the
+    * DataFrame's OWN session at planning, so a source built on the
+    * primary session would silently ignore the overrides.
     */
-  def runToMemory(df: DataFrame, mode: String, statePartitions: Int = 8,
-                  providerOverride: Option[String] = None): DataFrame =
-    runToMemoryCounted(df, mode, statePartitions, providerOverride)._1
+  def runToMemory(spark: SparkSession, mode: String, statePartitions: Int = 8,
+                  providerOverride: Option[String] = None)
+                 (build: SparkSession => DataFrame): DataFrame =
+    runToMemoryCounted(spark, mode, statePartitions, providerOverride)(build)._1
 
   /** [[runToMemory]] plus the number of data-carrying micro-batches the
     * run committed — the multi-batch specs assert it is > 1, proving
     * watermark advancement and cross-batch state were exercised rather
     * than the easy single-batch regime.
     */
-  def runToMemoryCounted(df: DataFrame, mode: String, statePartitions: Int = 8,
-                         providerOverride: Option[String] = None): (DataFrame, Int) = {
-    val spark = df.sparkSession
+  def runToMemoryCounted(spark: SparkSession, mode: String,
+                         statePartitions: Int = 8,
+                         providerOverride: Option[String] = None)
+                        (build: SparkSession => DataFrame): (DataFrame, Int) = {
     val name = "graft_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevProv = spark.conf.get(provKey)
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    // state-store provider is bound at query start (transformWithState
-    // only runs on RocksDB), restored after so the HDFS-backed default
-    // keeps serving the other verification streams
-    providerOverride.foreach(spark.conf.set(provKey, _))
-    val batches = try {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      // AvailableNow may append a final no-data batch (watermark commit);
-      // count only batches that actually carried input rows
-      q.recentProgress.count(_.numInputRows > 0)
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      spark.conf.set(provKey, prevProv)
-    }
-    val out = spark.table(name)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // state-v2 operators (transformWithState) only run on RocksDB
+    providerOverride.foreach(
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    val df = build(s)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // AvailableNow may append a final no-data batch (watermark commit);
+    // count only batches that actually carried input rows
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    val out = s.table(name)
     // unregister the sink's temp view so repeated runs don't accumulate
     // catalog entries; the already-resolved plan keeps the data alive
-    spark.catalog.dropTempView(name)
+    s.catalog.dropTempView(name)
     (out, batches)
   }
 }

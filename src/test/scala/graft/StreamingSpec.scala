@@ -144,9 +144,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("AvailableNow file stream over the fixture matches the batch aggregation") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingOps.runToMemory(
+      spark, mode = "complete") { s =>
       graft.streaming.StreamingOps.tumblingAgg(
-        graft.streaming.StreamingOps.eventsStream(spark, sf)),
-      mode = "complete")
+        graft.streaming.StreamingOps.eventsStream(s, sf)) }
     val batch = queries.Tables.load(spark, sf, "events")
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -258,6 +258,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("full-outer stream-stream join: BOTH sides NULL-pad, each only " +
+    "after the watermark evicts its state — clicks when no earlier " +
+    "purchase can arrive, purchases when no later click can") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+    val joined = StreamingOps.clickPurchaseFullJoin(events)
+    val q = joined.writeStream.format("memory").queryName("fsj")
+      .outputMode(OutputMode.Append()).start()
+
+    def rows() = spark.table("fsj").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+
+    // batch 1: user 1 matches; click 2 (user 2) has no purchase and
+    // purchase 200 (user 5) has no click — NEITHER may emit yet: a
+    // purchase for c2 / a click for b200 could still arrive on time
+    in.addData((100L, ts("2024-01-01 09:50:00"), 1L, "purchase"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (2L, ts("2024-01-01 10:00:00"), 2L, "click"),
+      (200L, ts("2024-01-01 10:00:00"), 5L, "purchase"))
+    q.processAllAvailable()
+    assert(rows() == Set((Some(1L), Some(100L))),
+      s"batch 1 must emit only the matched pair: ${rows()}")
+
+    // batches 2-3: both sides advance to 13:00, watermark (1h delay)
+    // reaches 12:00 — past c2's 10:00 (click state horizon) AND past
+    // b200's 10:30 = ts + interval (purchase state horizon) — so BOTH
+    // padded rows must surface, exercising both stores' eviction
+    in.addData((3L, ts("2024-01-01 11:30:00"), 3L, "click"),
+      (101L, ts("2024-01-01 11:29:00"), 3L, "purchase"))
+    q.processAllAvailable()
+    in.addData((4L, ts("2024-01-01 13:00:00"), 4L, "click"),
+      (102L, ts("2024-01-01 13:00:00"), 4L, "purchase"))
+    q.processAllAvailable()
+    val got = rows()
+    assert(got.contains((Some(1L), Some(100L))) &&
+      got.contains((Some(3L), Some(101L))), s"matched pairs missing: $got")
+    assert(got.contains((Some(2L), None)),
+      s"unmatched click must NULL-pad after watermark passage: $got")
+    assert(got.contains((None, Some(200L))),
+      s"unmatched purchase must NULL-pad after watermark passage: $got")
+    // the 13:00 pair is still inside the horizon: matched or pending,
+    // but never padded
+    assert(!got.contains((Some(4L), None)) && !got.contains((None, Some(102L))),
+      s"in-horizon rows must not pad: $got")
+    q.stop()
+  }
+
   test("foreachBatch idempotent sink: batch-id gating makes a replayed " +
     "micro-batch a no-op (the exactly-once sink contract)") {
     import spark.implicits._
@@ -351,8 +403,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     dir.toString
   }
 
-  private def splitStream(dir: String) =
-    graft.streaming.StreamingOps.eventsStream(spark, dir,
+  private def splitStream(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.streaming.StreamingOps.eventsStream(s, dir,
       glob = "events_*.parquet", maxFilesPerTrigger = Some(1))
 
   private def sameRows(a: org.apache.spark.sql.DataFrame,
@@ -363,7 +415,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     "complete-mode result still matches the batch aggregation") {
     val dir = splitEvents(3, Seq(0, 1, 2))
     val (streamed, batches) = graft.streaming.StreamingOps.runToMemoryCounted(
-      graft.streaming.StreamingOps.tumblingAgg(splitStream(dir)), "complete")
+      spark, "complete") { s =>
+      graft.streaming.StreamingOps.tumblingAgg(splitStream(s, dir)) }
     assert(batches >= 3, s"expected >= 3 data batches, got $batches")
     val batch = queries.Tables.load(spark, msSf, "events")
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
@@ -378,7 +431,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     "accumulates across 3 batches to the batch aggregation") {
     val dir = splitEvents(3, Seq(0, 1, 2))
     val (streamed, batches) = graft.streaming.StreamingOps.runToMemoryCounted(
-      graft.streaming.StreamingOps.slidingAgg(splitStream(dir)), "complete")
+      spark, "complete") { s =>
+      graft.streaming.StreamingOps.slidingAgg(splitStream(s, dir)) }
     assert(batches >= 3, s"expected >= 3 data batches, got $batches")
     val batch = queries.Tables.load(spark, msSf, "events")
       .groupBy(window(col("ts"), "30 minutes", "15 minutes"), col("event_type"))
@@ -398,13 +452,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     "batches to the same sessions as a single batch") {
     val dir = splitEvents(3, Seq(0, 1, 2))
     val (multi, batches) = graft.streaming.StreamingOps.runToMemoryCounted(
-      graft.streaming.StreamingOps.sessionAgg(splitStream(dir)), "complete")
+      spark, "complete") { s =>
+      graft.streaming.StreamingOps.sessionAgg(splitStream(s, dir)) }
     assert(batches >= 3, s"expected >= 3 data batches, got $batches")
     // reference: the single-batch run over the unsplit fixture — the
     // exact result the p16 correctness row pins against DuckDB
     val single = graft.streaming.StreamingOps.runToMemory(
+      spark, "complete") { s =>
       graft.streaming.StreamingOps.sessionAgg(
-        graft.streaming.StreamingOps.eventsStream(spark, msSf)), "complete")
+        graft.streaming.StreamingOps.eventsStream(s, msSf)) }
     assert(sameRows(multi, single))
   }
 
@@ -436,7 +492,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val minUs = ev.agg(min(unix_micros(col("ts")))).collect().head.getLong(0)
     val dir = splitEventsAtUs(Seq(minUs + (bUs - minUs) / 2, mid))
     val (streamed, batches) = graft.streaming.StreamingOps.runToMemoryCounted(
-      graft.streaming.StreamingOps.clickPurchaseJoin(splitStream(dir)), "append")
+      spark, "append") { s =>
+      graft.streaming.StreamingOps.clickPurchaseJoin(splitStream(s, dir)) }
     assert(batches >= 3, s"expected >= 3 data batches, got $batches")
     assert(sameRows(streamed, batch))
     val crossing = streamed.select("click_us", "buy_us").collect()
@@ -448,7 +505,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     "still matches the batch COUNT(DISTINCT) oracle") {
     val dir = splitEvents(3, Seq(0, 1, 2))
     val (raw, batches) = graft.streaming.StreamingOps.runToMemoryCounted(
-      graft.streaming.StreamingOps.minuteDedup(splitStream(dir)), "append")
+      spark, "append") { s =>
+      graft.streaming.StreamingOps.minuteDedup(splitStream(s, dir)) }
     assert(batches >= 3, s"expected >= 3 data batches, got $batches")
     val streamed = raw.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_first"))
@@ -464,7 +522,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.expressions.Window
     val dir = splitEvents(3, Seq(0, 1, 2))
     val (streamed, batches) = graft.streaming.StreamingOps.runToMemoryCounted(
-      graft.streaming.StreamingOps.highWaterAlerts(splitStream(dir)), "append")
+      spark, "append") { s =>
+      graft.streaming.StreamingOps.highWaterAlerts(splitStream(s, dir)) }
     assert(batches >= 3, s"expected >= 3 data batches, got $batches")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(unix_micros(col("ts")), col("event_id"))
@@ -487,7 +546,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // of that file is late and must be dropped before dedup
     val dir = splitEvents(3, Seq(1, 2, 0))
     val (raw, batches) = graft.streaming.StreamingOps.runToMemoryCounted(
-      graft.streaming.StreamingOps.minuteDedup(splitStream(dir)), "append")
+      spark, "append") { s =>
+      graft.streaming.StreamingOps.minuteDedup(splitStream(s, dir)) }
     assert(batches >= 3, s"expected >= 3 data batches, got $batches")
     val streamed = raw.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_first"))
@@ -516,10 +576,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("stream-static enrichment join holds no stream state and matches the batch join") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingOps.runToMemory(
+      spark, mode = "complete") { s =>
       graft.streaming.StreamingOps.segmentRevenue(
-        graft.streaming.StreamingOps.eventsStream(spark, sf),
-        queries.Tables.load(spark, sf, "customer")),
-      mode = "complete")
+        graft.streaming.StreamingOps.eventsStream(s, sf),
+        queries.Tables.load(s, sf, "customer")) }
     val batch = queries.Tables.load(spark, sf, "events")
       .join(queries.Tables.load(spark, sf, "customer"),
         col("user_id") === col("c_custkey"))
