@@ -148,4 +148,64 @@ object SimilarityOps {
         round(dot(col("x.v"), col("y.v")) / col("x.nrm") / col("y.nrm"), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** Per-table deterministic hyperplanes: table 0 IS [[srpHyperplanes]]
+    * (seed `srp:j:i`, so L=1 degenerates to the single-table operator);
+    * table t>0 salts the seed as `srp:t:j:i` — independent sign
+    * patterns per table, still bit-identical on every engine/executor.
+    */
+  def srpTablePlanes(table: Int, k: Int, dim: Int): Seq[Array[Double]] =
+    if (table == 0) srpHyperplanes(k, dim)
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until k).map { j =>
+        Array.tabulate(dim) { i =>
+          md.reset()
+          val b = md.digest(s"srp:$table:$j:$i".getBytes("UTF-8"))(0)
+          if ((b & 1) == 1) 1.0 else -1.0
+        }
+      }
+    }
+
+  /** Multi-table SRP-LSH — how production raises LSH recall WITHOUT
+    * paying the k=4-style candidate blowup: L independent k-bit tables,
+    * a pair is a candidate if it collides in ANY table (union), then
+    * deduped. Recall compounds as 1-(1-p^k)^L while per-table candidate
+    * volume stays at the k-bit level (the measured lift is pinned by
+    * PipelineOpsSpec against the single-table operator on the planted
+    * fixture).
+    *
+    * Scale shape: the explode carries only (id, table, bucket) — L slim
+    * rows per vector, never the vector itself — candidates form in one
+    * (table, bucket) equi-join, the pair set DEDUPES BEFORE the vectors
+    * are fetched (the expensive columns join back onto the already-
+    * shrunk candidate list), and nothing is ever all-pairs.
+    */
+  def srpMultiTablePairs(vectors: DataFrame, id: String, vec: String,
+                         k: Int, minSim: Double, dim: Int,
+                         tables: Int): DataFrame = {
+    require(tables >= 1, s"srpMultiTablePairs: tables must be >= 1, got $tables")
+    val v = vectors
+      .select(col(id).as("did"), col(vec).cast("array<double>").as("v"))
+      .filter(assert_true(size(col("v")) === dim,
+        concat(lit(s"srpMultiTablePairs: embedding dim != $dim, got "),
+          size(col("v")).cast("string"))).isNull)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val slim = v.select(col("did"), explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          srpBucket(col("v"), srpTablePlanes(t, k, dim)).as("bk"))
+      }: _*)).as("tb"))
+      .select(col("did"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val cand = slim.as("x").join(slim.as("y"),
+        col("x.t") === col("y.t") && col("x.bk") === col("y.bk") &&
+          col("x.did") < col("y.did"))
+      .select(col("x.did").as("a"), col("y.did").as("b"))
+      .distinct() // a pair found by several tables scores once
+    cand
+      .join(v.select(col("did").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+      .join(v.select(col("did").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / col("na") / col("nb"), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
 }

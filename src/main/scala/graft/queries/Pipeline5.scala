@@ -798,6 +798,266 @@ object Pipeline5 {
         .agg(sum(col("n")).as("n"), sum(col("s")).cast("double").as("sum_value"),
           min(col("mn")).as("first_sec"), max(col("mx")).as("last_sec"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- curation DAG with materialized shared stages ----------------------
+    // The production shape of the p29/p42/p63/p68 family: those entries
+    // each rebuild the SAME simhash-pairs + connected-components
+    // fixpoint because the bench harness runs them standalone — a real
+    // curation pipeline computes the pair graph and the cluster labels
+    // ONCE, materializes both, and derives every consumer from the
+    // shared tables. This entry IS that DAG: spairs and labels are
+    // written to parquet (the CC fixpoint even reads the materialized
+    // pairs, so pair generation runs exactly once), then the dedup
+    // rewrite (p42's shape), the quality-survivor selection (p68's) and
+    // the PageRank source ranking (p63's) all derive from the two
+    // parquet tables, unioned into one audit report keyed by
+    // (section, k). One fixpoint + one pair scan instead of three of
+    // each — the oracle is the same shared-CTE SQL the standalone
+    // entries use, so the DAG refactor provably changes no results.
+    Q("p75_curation_dag", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      ${Pipeline.clusterLabelsCte},
+      qd AS (SELECT doc_id, source, CAST(len($wsSql) AS BIGINT) AS n_tokens,
+                    ${TextSql.quality(wsSql)} AS q
+             FROM documents),
+      cl AS (SELECT qd.doc_id, coalesce(l.cluster_id, qd.doc_id) AS cluster_id,
+                    qd.n_tokens, qd.q
+             FROM qd LEFT JOIN lbl l ON l.n = qd.doc_id),
+      rewrite AS (SELECT cluster_id AS survivor_id, COUNT(*) AS n_merged,
+                         CAST(SUM(CASE WHEN doc_id <> cluster_id
+                                       THEN n_tokens ELSE 0 END) AS BIGINT)
+                           AS tokens_dropped
+                  FROM cl GROUP BY cluster_id),
+      sr AS (SELECT cluster_id, doc_id, q,
+                    row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY q DESC, doc_id) AS rk,
+                    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+             FROM cl),
+      eraw AS (SELECT sa.source AS s, sb.source AS t FROM spairs
+               JOIN qd sa ON spairs.a = sa.doc_id
+               JOIN qd sb ON spairs.b = sb.doc_id
+               WHERE sa.source <> sb.source),
+      psym AS (SELECT s, t FROM eraw UNION ALL SELECT t AS s, s AS t FROM eraw),
+      e AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS w FROM psym GROUP BY 1, 2),
+      ow AS (SELECT s, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+      nodes AS (SELECT DISTINCT source AS node FROM documents),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+      f1 AS (SELECT e.t AS node, CAST(SUM((r.rank * e.w) // o.ow) AS BIGINT) AS inflow
+             FROM e JOIN r0 r ON e.s = r.node JOIN ow o ON e.s = o.s GROUP BY 1),
+      r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(f1.inflow, 0)) // 100
+                                 AS BIGINT) AS rank
+             FROM nodes n LEFT JOIN f1 ON n.node = f1.node),
+      f2 AS (SELECT e.t AS node, CAST(SUM((r.rank * e.w) // o.ow) AS BIGINT) AS inflow
+             FROM e JOIN r1 r ON e.s = r.node JOIN ow o ON e.s = o.s GROUP BY 1),
+      r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(f2.inflow, 0)) // 100
+                                 AS BIGINT) AS rank
+             FROM nodes n LEFT JOIN f2 ON n.node = f2.node),
+      f3 AS (SELECT e.t AS node, CAST(SUM((r.rank * e.w) // o.ow) AS BIGINT) AS inflow
+             FROM e JOIN r2 r ON e.s = r.node JOIN ow o ON e.s = o.s GROUP BY 1),
+      r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(f3.inflow, 0)) // 100
+                                 AS BIGINT) AS rank
+             FROM nodes n LEFT JOIN f3 ON n.node = f3.node)
+      SELECT 'rewrite' AS section, CAST(survivor_id AS VARCHAR) AS k,
+             n_merged AS v1, tokens_dropped AS v2, CAST(NULL AS DOUBLE) AS v3
+      FROM rewrite
+      UNION ALL
+      SELECT 'survivor', CAST(cluster_id AS VARCHAR), doc_id, n_members, q
+      FROM sr WHERE rk = 1
+      UNION ALL
+      SELECT 'rank', node, rank, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+      FROM r3
+      ORDER BY section, k""")) { (spark, dir) =>
+      import graft.ops.{DedupOps, GraphOps}
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      // ---- shared stages, materialized once --------------------------------
+      // (unique per (process, sf dir): concurrent runs never collide,
+      // and a bench second pass just overwrites)
+      val base = sinkDir(s"p75_${Integer.toHexString(dir.hashCode)}")
+      DedupOps.simhashPairs(docs, "doc_id", "text",
+          maxHamming = 3, maxBucket = 1000)
+        .write.mode("overwrite").parquet(s"$base/spairs")
+      val spairs = spark.read.parquet(s"$base/spairs")
+      // the fixpoint consumes the MATERIALIZED pairs: pair generation
+      // runs once for the whole DAG, not once per consumer
+      DedupOps.connectedComponents(spairs)
+        .write.mode("overwrite").parquet(s"$base/labels")
+      val labels = spark.read.parquet(s"$base/labels")
+        .select(col("n").as("doc_id"), col("lbl"))
+      // ---- consumers, all derived from the two parquet tables --------------
+      val qd = docs.select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("q"))
+      val cl = qd.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+          col("n_tokens"), col("q"))
+      val rewrite = cl.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_merged"),
+          sum(when(col("doc_id") =!= col("cluster_id"), col("n_tokens"))
+            .otherwise(0L)).cast("long").as("tokens_dropped"))
+        .select(lit("rewrite").as("section"),
+          col("cluster_id").cast("string").as("k"),
+          col("n_merged").as("v1"), col("tokens_dropped").as("v2"),
+          lit(null).cast("double").as("v3"))
+      val survivor = cl.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("q"), (-col("doc_id")).as("nid"))).as("s"))
+        .select(lit("survivor").as("section"),
+          col("cluster_id").cast("string").as("k"),
+          (-col("s.nid")).as("v1"), col("n_members").as("v2"),
+          col("s.q").as("v3"))
+      val src = qd.select(col("doc_id"), col("source"))
+      val eraw = spairs
+        .join(src.select(col("doc_id").as("a"), col("source").as("s")), "a")
+        .join(src.select(col("doc_id").as("b"), col("source").as("t")), "b")
+        .filter(col("s") =!= col("t"))
+        .select(col("s"), col("t"))
+      val esym = eraw.union(eraw.select(col("t"), col("s")))
+      val edges = esym.groupBy(col("s"), col("t"))
+        .agg(count(lit(1)).as("w"))
+        .select(col("s").as("src"), col("t").as("dst"), col("w"))
+      val nodes = docs.select(col("source").as("node")).distinct()
+      val rank = GraphOps.pageRank(edges, nodes, iters = 3)
+        .select(lit("rank").as("section"), col("node").as("k"),
+          col("rank").as("v1"), lit(null).cast("long").as("v2"),
+          lit(null).cast("double").as("v3"))
+      rewrite.union(survivor).union(rank)
+        .orderBy(col("section"), col("k"))
+    },
+
+    // ---- multi-table SRP-LSH near-dup candidates ---------------------------
+    // The production recall knob the single-table p26 documents but
+    // can't turn: L independent k-bit SRP tables, a pair is a candidate
+    // if it collides in ANY table, deduped before the vectors are
+    // fetched. Recall compounds as 1-(1-p^k)^L at k-bit per-table
+    // candidate volume — the measured lift over L=1 is pinned in
+    // PipelineOpsSpec on the planted-cluster fixture; here the full
+    // 4-table candidate set (every table's planes mirrored as literal
+    // arrays) is oracle-checked pair for pair. Scale shape: explode
+    // carries only (id, table, bucket); one (t, bk) equi-join; DISTINCT
+    // pair dedup; vectors join back onto the shrunk candidate list.
+    Q("p76_srp_multitable", Some {
+      val (tables, k, dim) = (4, 8, 64)
+      val tableSql = (0 until tables).map { t =>
+        val planes = graft.ops.SimilarityOps.srpTablePlanes(t, k, dim)
+        val bucketSql = planes.zipWithIndex.map { case (h, j) =>
+          val arr = h.map(x => if (x > 0) "1.0" else "-1.0")
+            .mkString("[", ",", "]")
+          s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"SELECT vec_id, $t AS t, $bucketSql AS bk FROM v"
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      b AS ($tableSql),
+      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+               FROM b x JOIN b y
+                 ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id),
+      s AS (SELECT a, b,
+                   round(list_dot_product(va.v, vb.v)
+                     / sqrt(list_dot_product(va.v, va.v))
+                     / sqrt(list_dot_product(vb.v, vb.v)), 6) AS sim
+            FROM cand JOIN v va ON cand.a = va.vec_id
+                      JOIN v vb ON cand.b = vb.vec_id)
+      SELECT a, b, sim FROM s WHERE sim >= 0.25
+      ORDER BY a, b"""
+    }) { (spark, dir) =>
+      import graft.ops.SimilarityOps
+      SimilarityOps.srpMultiTablePairs(
+          Tables.loadSpread(spark, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, minSim = 0.25, dim = 64, tables = 4)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // ---- sketch-state incremental maintenance ------------------------------
+    // p73 for APPROXIMATE state: real 100 TB rollups maintain sketch
+    // states per ingest, not just exact count/sum/min/max. Each ingest
+    // reduces to its DqSketch bucket table (event_type, lb, cnt) — the
+    // sketch's EXPLICIT state, materialized as rows with the same exact
+    // decimal binning ([[graft.functions.DqSketch.bucketLb]], mirrored
+    // here as integer string arithmetic) — states from separate ingests
+    // merge by bucket-count addition, and the merged state finalizes
+    // through the integer rank arithmetic. The SAME output row also
+    // carries the one-shot [[graft.functions.DqSketchQuantiles]]
+    // estimates (the TypedImperativeAggregate path over the full
+    // table): the oracle computes one set of values, so the hash match
+    // proves merged-two-ingest state == one-shot sketch BIT-FOR-BIT —
+    // the mergeability contract, verified cross-engine. Scale shape:
+    // per ingest one bounded (type, bucket) agg (<= ~90 buckets/decade
+    // per type); the merge moves state rows, never data.
+    Q("p77_sketch_merge", Some("""
+      WITH tp AS (SELECT event_type,
+                         CAST(round(value * 1000, 0) AS BIGINT) AS v
+                  FROM events
+                  WHERE CAST(round(value * 1000, 0) AS BIGINT) > 0),
+      b AS (SELECT event_type, v,
+                   CAST('1' || repeat('0', greatest(length(CAST(v AS VARCHAR)) - 2, 0))
+                        AS BIGINT) AS g
+            FROM tp),
+      c AS (SELECT event_type, v - v % g AS lb, g, COUNT(*) AS cnt
+            FROM b GROUP BY 1, 2, 3),
+      n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tp GROUP BY 1),
+      cum AS (SELECT event_type, lb, g,
+                     SUM(cnt) OVER (PARTITION BY event_type ORDER BY lb) AS cum
+              FROM c),
+      r AS (SELECT cum.event_type, lb, g, cum, n.n
+            FROM cum JOIN n USING (event_type)),
+      est AS (SELECT event_type,
+                     MIN(CASE WHEN cum >= (500000 * n + 999999) // 1000000
+                              THEN lb + g // 2 END) AS p50,
+                     MIN(CASE WHEN cum >= (900000 * n + 999999) // 1000000
+                              THEN lb + g // 2 END) AS p90,
+                     MIN(CASE WHEN cum >= (990000 * n + 999999) // 1000000
+                              THEN lb + g // 2 END) AS p99
+              FROM r GROUP BY 1)
+      SELECT est.event_type, n.n,
+             est.p50 AS p50_merged, est.p90 AS p90_merged,
+             est.p99 AS p99_merged,
+             est.p50 AS p50_sketch, est.p90 AS p90_sketch,
+             est.p99 AS p99_sketch
+      FROM est JOIN n USING (event_type)
+      ORDER BY event_type""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.DqSketch
+      val tp = Tables.load(spark, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(round(value * 1000, 0) AS BIGINT)").as("v"))
+        .filter(col("v") > 0)
+      // the sketch's binning as a column expression (exact integer
+      // string arithmetic — the p62 convention, no float log)
+      val lb = col("v") - col("v") %
+        expr("CAST('1' || repeat('0', greatest(length(CAST(v AS STRING)) - 2, 0)) AS BIGINT)")
+      val binned = tp.withColumn("lb", lb)
+      // two ingests, each reduced to its own sketch-state table
+      def state(f: org.apache.spark.sql.DataFrame) = f
+        .groupBy(col("event_type"), col("lb")).agg(count(lit(1)).as("cnt"))
+      val s1 = state(binned.filter(col("event_id") % 2 === 0))
+      val s2 = state(binned.filter(col("event_id") % 2 =!= 0))
+      // state merge = bucket-count addition
+      val merged = s1.union(s2)
+        .groupBy(col("event_type"), col("lb")).agg(sum(col("cnt")).as("cnt"))
+      // finalize the merged state: integer rank over cumulative counts
+      val g = expr("CAST('1' || repeat('0', greatest(length(CAST(lb AS STRING)) - 2, 0)) AS BIGINT)")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("lb"))
+      val cum = merged.withColumn("g", g)
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      def estOf(ppm: Int) = min(
+        when(col("cum") >= expr(s"(${ppm}L * n + 999999L) div 1000000L"),
+          col("lb") + expr("g div 2")))
+      val fromState = cum.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          estOf(500000).as("p50_merged"), estOf(900000).as("p90_merged"),
+          estOf(990000).as("p99_merged"))
+      // the one-shot sketch over the full table (TypedImperativeAggregate
+      // partial-merge machinery) — must agree with the merged state
+      val oneShot = tp.groupBy(col("event_type"))
+        .agg(DqSketch.quantilesCol(col("v"), Seq(500000, 900000, 990000)).as("e"))
+        .select(col("event_type"), col("e")(0).as("p50_sketch"),
+          col("e")(1).as("p90_sketch"), col("e")(2).as("p99_sketch"))
+      fromState.join(oneShot, "event_type").orderBy(col("event_type"))
     }
   )
 }

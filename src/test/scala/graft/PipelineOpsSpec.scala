@@ -614,6 +614,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the recall/cost tradeoff: k=4 recalls at least as much " +
         s"as k=8 over more (but sub-quadratic) candidates; got " +
         s"r4=$r4 n4=$n4, r8=$r8 n8=$n8, all=$allPairs")
+
+    // the production lever the single-table comment promises: MORE
+    // TABLES, not fewer bits. L=1 must degenerate to the single-table
+    // operator exactly; L=4 must measurably lift recall at the same
+    // per-table bit width while staying sub-quadratic
+    def srpMulti(tables: Int): (Double, Int) = {
+      val cand = pairs(SimilarityOps.srpMultiTablePairs(
+        emb, "vec_id", "embedding", k = 8, minSim = -1.0, dim = dim,
+        tables = tables), "a", "b")
+      (truthPairs.count(cand.contains).toDouble / truthPairs.size, cand.size)
+    }
+    val (rL1, nL1) = srpMulti(1)
+    val (rL4, nL4) = srpMulti(4)
+    info(f"SRP(k=8, L=1) recall = $rL1%.3f over $nL1 candidates; " +
+      f"SRP(k=8, L=4) = $rL4%.3f over $nL4 candidates")
+    assert(rL1 == r8 && nL1 == n8,
+      s"L=1 must equal the single-table operator: got r=$rL1/$r8 n=$nL1/$n8")
+    assert(rL4 > rL1,
+      f"4 tables must lift candidate recall: L=4 $rL4%.3f vs L=1 $rL1%.3f")
+    assert(nL4 < allPairs, s"L=4 candidates must stay sub-quadratic: " +
+      s"$nL4 vs all-pairs $allPairs")
   }
 
   private def choose2(n: Int): Long = n.toLong * (n - 1) / 2
@@ -822,6 +843,51 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           DqSketchQuantiles(org.apache.spark.sql.GraftSql.expression(col("v")),
             Seq(0)).toAggregateExpression())).collect()
     }
+  }
+
+  test("DqSketch state tables (p77 shape): per-ingest bucket states merge " +
+    "to the one-shot sketch bit-for-bit, and the state agg is two-phase") {
+    import spark.implicits._
+    import graft.functions.DqSketch
+    def k(i: Int): Long = ((i * 6364136223846793005L + 1442695040888963407L)
+      >>> 40) + 1
+    val rows = (0 until 12000).map(i => (s"g${i % 3}", i.toLong, k(i) % 90000 + 1))
+    val df = rows.toDF("grp", "id", "v").repartition(8)
+    // the column-expression binning must agree with the kernel binning
+    // on every row — otherwise state tables and the aggregate silently
+    // sketch different buckets
+    val lbExpr = col("v") - col("v") % expr(
+      "CAST('1' || repeat('0', greatest(length(CAST(v AS STRING)) - 2, 0)) AS BIGINT)")
+    df.select(col("v"), lbExpr.as("lb")).collect().foreach { r =>
+      assert(r.getLong(1) == DqSketch.bucketLb(r.getLong(0)),
+        s"column binning disagrees with kernel at v=${r.getLong(0)}")
+    }
+    // two ingests -> two explicit state tables -> merged by addition
+    def state(f: org.apache.spark.sql.DataFrame) = f.withColumn("lb", lbExpr)
+      .groupBy(col("grp"), col("lb")).agg(count(lit(1)).as("cnt"))
+    val merged = state(df.filter(col("id") % 2 === 0))
+      .union(state(df.filter(col("id") % 2 =!= 0)))
+      .groupBy(col("grp"), col("lb")).agg(sum(col("cnt")).as("cnt"))
+    // finalizing the merged state through the kernel's own rank
+    // arithmetic must equal the one-shot TypedImperativeAggregate
+    val qs = Seq(500000, 900000, 990000)
+    val mergedMaps = merged.collect()
+      .groupBy(_.getString(0)).view.mapValues { rs =>
+        val m = scala.collection.mutable.LongMap.empty[Long]
+        rs.foreach(r => m.update(r.getLong(1), r.getLong(2)))
+        m
+      }.toMap
+    val fromState = mergedMaps.view.mapValues(DqSketch.quantiles(_, qs)).toMap
+    val oneShot = df.groupBy(col("grp"))
+      .agg(DqSketch.quantilesCol(col("v"), qs).as("est")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(fromState == oneShot,
+      s"merged state must finalize to the one-shot sketch: $fromState vs $oneShot")
+    // the state table itself must partial-aggregate map-side: the merge
+    // moves O(buckets) state rows, never data
+    val plan = state(df).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"state table must be a two-phase aggregate:\n$plan")
   }
 
   test("containmentPairs: a planted full quote scores containment 1.0 " +
