@@ -25,7 +25,14 @@ object Bench {
     // stalls (shared host); min per query measures steady-state latency,
     // and interleaving the passes keeps one stall from hitting both
     // attempts of the same query.
+    // SPARK_GRAFT_ONLY=p05,p09 restricts the run to the named query-id
+    // prefixes (for growth-curve measurements of a family across scale
+    // factors); SPARK_GRAFT_PASSES widens best-of-2 to best-of-N.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n.takeWhile(_ != '_'))) }
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     // a failing query must be VISIBLE in the bench line, not timed as a
     // near-zero "pass" — collect failed names for an "errors" field
     val failed = scala.collection.mutable.SortedSet[String]()
@@ -85,9 +92,9 @@ object Bench {
       }
       name -> dt
     }.toMap
-    val (p1, p2) = (pass(), pass())
+    val passes = Seq.fill(nPasses)(pass())
     val results = ordered.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name))
+      name -> passes.map(_(name)).min
     }
     // The driver captures only the last 2000 chars of output; with 80+
     // queries, full names at nanosecond precision push the line past the

@@ -401,8 +401,192 @@ object MultimodalQ {
           stats.getItem(5).as("rh0"), stats.getItem(6).as("rh1"),
           stats.getItem(7).as("rh2"), stats.getItem(8).as("rh3"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- REAL PCM sample decode + waveform features (audio p55) ------------
+    // The step past p36's header-only parse: a structurally-real WAV
+    // per document whose DATA payload is real interleaved integer PCM
+    // (8-bit unsigned for doc_id%3==0, 16-bit signed LE otherwise;
+    // mono/stereo by doc_id%2), decoded by graft.functions.Wav — the
+    // chunk walk, then one pass over every frame computing per-channel
+    // sum / sum|x| / peak / zero-crossings as a single scan-stage
+    // codegen'd expression. Every stored sample is derived from
+    // (doc_id, frame, channel), so the oracle computes the decoded
+    // signed values arithmetically; any drift in the byte layout,
+    // sign handling, channel interleave, or the feature math fails the
+    // hash compare. The stereo rows prove the interleave walk; the
+    // 8-bit rows prove the unsigned-offset decode.
+    Q("p78_wav_pcm_features", Some("""
+      WITH p AS (SELECT doc_id,
+                        1 + doc_id % 2 AS nch,
+                        CASE WHEN doc_id % 3 = 0 THEN 256 ELSE 65536 END AS m,
+                        50 + doc_id % 200 AS frames
+                 FROM documents),
+      c AS (SELECT doc_id, nch, m, frames,
+                   unnest(generate_series(0, nch - 1)) AS ch FROM p),
+      s AS (SELECT doc_id, m, frames, ch,
+                   unnest(generate_series(0, frames - 1)) AS i FROM c),
+      v AS (SELECT doc_id, ch, i, frames,
+                   CASE WHEN m = 256
+                        THEN (doc_id*13 + i*17 + ch*29) % 256 - 128
+                        WHEN (doc_id*13 + i*17 + ch*29) % 65536 < 32768
+                        THEN (doc_id*13 + i*17 + ch*29) % 65536
+                        ELSE (doc_id*13 + i*17 + ch*29) % 65536 - 65536
+                   END AS val
+            FROM s),
+      z AS (SELECT doc_id, ch, frames, val,
+                   lag(val) OVER (PARTITION BY doc_id, ch ORDER BY i) AS pv
+            FROM v)
+      SELECT doc_id, CAST(ch AS BIGINT) AS ch,
+             CAST(min(frames) AS BIGINT) AS n_frames,
+             CAST(sum(val) AS BIGINT) AS sum_v,
+             CAST(sum(abs(val)) AS BIGINT) AS sum_abs,
+             CAST(max(abs(val)) AS BIGINT) AS peak,
+             CAST(sum(CASE WHEN pv IS NOT NULL AND ((val < 0) <> (pv < 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zc
+      FROM z GROUP BY doc_id, ch
+      ORDER BY doc_id, ch""")) { (spark, dir) =>
+      import graft.functions.Wav
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Wav.pcmStats(wavPcmBlob)).as(Seq("ch", "st")))
+        .select(col("doc_id"), col("ch").cast("long").as("ch"),
+          col("st").getItem(0).as("n_frames"),
+          col("st").getItem(1).as("sum_v"),
+          col("st").getItem(2).as("sum_abs"),
+          col("st").getItem(3).as("peak"),
+          col("st").getItem(4).as("zc"))
+        .orderBy(col("doc_id"), col("ch"))
+    },
+
+    // ---- REAL PCM resample (audio p54) -------------------------------------
+    // Nearest-neighbour downsample of the decoded channel-0 waveform to
+    // a fixed 16 frames — out[j] reads source frame j*frames/16, the
+    // exact Bmp/p54 mapping in one dimension. What a 100 TB audio pass
+    // does to normalize variable-length clips to a fixed feature grid;
+    // one scan-stage expression, no shuffle, no explode of raw frames.
+    Q("p79_wav_pcm_resample", Some("""
+      WITH p AS (SELECT doc_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 256 ELSE 65536 END AS m,
+                        50 + doc_id % 200 AS frames
+                 FROM documents),
+      j AS (SELECT doc_id, m, frames,
+                   unnest(generate_series(0, 15)) AS j FROM p),
+      t AS (SELECT doc_id, j, m, (j * frames) // 16 AS si FROM j)
+      SELECT doc_id, CAST(j AS BIGINT) AS j,
+             CAST(CASE WHEN m = 256
+                       THEN (doc_id*13 + si*17) % 256 - 128
+                       WHEN (doc_id*13 + si*17) % 65536 < 32768
+                       THEN (doc_id*13 + si*17) % 65536
+                       ELSE (doc_id*13 + si*17) % 65536 - 65536
+                  END AS BIGINT) AS val
+      FROM t ORDER BY doc_id, j""")) { (spark, dir) =>
+      import graft.functions.Wav
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Wav.pcmResample(wavPcmBlob, 16)).as(Seq("j", "v")))
+        .select(col("doc_id"), col("j").cast("long").as("j"),
+          col("v").cast("long").as("val"))
+        .orderBy(col("doc_id"), col("j"))
+    },
+
+    // ---- REAL gzip member decode (compressed TEXT payloads) ----------------
+    // The first thing a crawl pipeline does to a fetched body: strip
+    // the RFC 1952 framing and inflate. The fixture wraps each
+    // document's leading 200 chars in a structurally-real gzip member
+    // — header with the FNAME flag set (the walk must skip a
+    // zero-terminated filename, the single most common real-world
+    // header extra), a STORED deflate block (the hex-constructible
+    // shape, as in p71's IDAT), and an unverified CRC32/ISIZE trailer
+    // (mid-crawl members truncate after the deflate stream; bytes
+    // already inflated are data). graft.functions.Gzip raw-inflates
+    // with the JVM's real zlib and the decoded BYTES compose with
+    // built-in md5/length/substring downstream — decode is a
+    // scan-stage expression, so decompress-and-fingerprint is one
+    // codegen'd pass with zero shuffle. Compressed (non-stored)
+    // members, FEXTRA/FHCRC headers, bomb payloads, and junk bytes
+    // are pinned by MultimodalSpec against a real GZIPOutputStream.
+    Q("p80_gunzip_decode", Some("""
+      WITH p AS (SELECT doc_id, substr(text, 1, 200) AS body FROM documents)
+      SELECT doc_id,
+             CAST(length(body) AS BIGINT) AS n_raw,
+             md5(body) AS digest,
+             substr(body, 1, 16) AS head
+      FROM p ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.Gzip
+      val dec = Gzip.inflate(gzipBlob)
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          length(dec).cast("long").as("n_raw"),
+          md5(dec).as("digest"),
+          substring(dec, 1, 16).cast("string").as("head"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** Structurally-real PCM WAV built in-query: RIFF header, an
+    * odd-sized LIST chunk for doc_id%5==0 (the even-padding walk), a
+    * 16-byte fmt chunk (format tag 1 = integer PCM), and a data chunk
+    * whose payload is REAL interleaved samples — 8-bit unsigned when
+    * `doc_id % 3 == 0`, 16-bit signed little-endian otherwise, mono or
+    * stereo by `doc_id % 2`. Stored sample for (frame i, channel c) is
+    * `(doc_id*13 + i*17 + c*29) % M` (M = 2^bits), which the decoder
+    * recovers as `stored - 128` (8-bit) / two's-complement (16-bit) —
+    * so the oracle computes every decoded value arithmetically.
+    */
+  private def wavPcmBlob: org.apache.spark.sql.Column = {
+    val nch = (lit(1L) + col("doc_id") % 2).cast("int")
+    val bits8 = col("doc_id") % 3 === 0
+    val m = when(bits8, 256L).otherwise(65536L)
+    val bps = when(bits8, 1L).otherwise(2L)
+    val frames = (lit(50L) + col("doc_id") % 200).cast("int")
+    def stored(i: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      (col("doc_id") * 13 + i * 17 + c * 29) % m
+    def sampleHex(i: org.apache.spark.sql.Column,
+                  c: org.apache.spark.sql.Column) =
+      when(bits8, lpad(hex(stored(i, c)), 2, "0"))
+        .otherwise(le16h(stored(i, c)))
+    val dataHex = array_join(
+      transform(sequence(lit(0), frames - 1), i =>
+        array_join(transform(sequence(lit(0), nch - 1), c =>
+          sampleHex(i, c)), "")), "")
+    val dataSize = frames * nch * bps
+    val listHex = when(col("doc_id") % 5 === 0,
+      concat(lit("4C495354"), le32h(lit(3L)), lit("494E4600"))).otherwise(lit(""))
+    val listBytes = when(col("doc_id") % 5 === 0, lit(12L)).otherwise(lit(0L))
+    val rate = lit(8000L)
+    val blockAlign = nch * bps
+    val riffSize = lit(4L) + listBytes + lit(24L) + lit(8L) + dataSize
+    unhex(concat(
+      lit("52494646"), le32h(riffSize), lit("57415645"),
+      listHex,
+      lit("666D7420"), le32h(lit(16L)),
+      le16h(lit(1L)), le16h(nch), le32h(rate), le32h(rate * blockAlign),
+      le16h(blockAlign), le16h(when(bits8, 8L).otherwise(lit(16L))),
+      lit("64617461"), le32h(dataSize),
+      dataHex))
+  }
+
+  /** Structurally-real gzip member built in-query: magic 1F 8B, CM 8,
+    * FLG with FNAME set, zero MTIME/XFL, OS FF, the filename
+    * "d.txt\0", one STORED deflate block (final bit set, LE16
+    * LEN/NLEN) carrying the document's leading 200 chars, and a
+    * zeroed CRC32/ISIZE trailer (tolerantly unverified, and a raw
+    * inflate never reads it). The fixture text is pure ASCII
+    * (verified at p18), so `length` == octets and `hex(body)` is the
+    * exact payload byte sequence.
+    */
+  private def gzipBlob: org.apache.spark.sql.Column = {
+    val body = substring(col("text"), 1, 200)
+    val len = length(body).cast("long")
+    unhex(concat(
+      lit("1F8B0808"), // magic, deflate, FLG=FNAME
+      lit("0000000000FF"), // MTIME, XFL, OS
+      lit("642E74787400"), // "d.txt\0"
+      lit("01"), le16h(len), le16h(lit(65535L) - len), // final STORED block
+      hex(body),
+      lit("0000000000000000"))) // CRC32 + ISIZE (unverified)
+  }
 
   /** Structurally-real 8-bit PNG built in-query: signature, IHDR, one
     * IDAT whose zlib stream is a single STORED deflate block (header

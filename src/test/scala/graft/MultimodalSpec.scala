@@ -471,4 +471,152 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((9L, bomb)).toDF("id", "blob"), "id", "blob").collect()
     assert(bombRows.head.isNullAt(1), "dimension bomb must yield NULL dims")
   }
+
+  // ---- real PCM sample decode (p78/p79) ----------------------------------
+
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+  private def le32b(v: Long): Array[Byte] =
+    b((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+  private def le16b(v: Long): Array[Byte] =
+    b((v & 0xff).toInt, ((v >> 8) & 0xff).toInt)
+
+  /** A complete integer-PCM WAV with the given interleaved DECODED
+    * samples (frame-major); bits ∈ {8, 16}.
+    */
+  private def pcmWav(channels: Int, bits: Int, frames: Seq[Seq[Int]]): Array[Byte] = {
+    val data = frames.flatMap(_.map { v =>
+      if (bits == 8) b(v + 128) else le16b(v & 0xffff)
+    }).flatten.toArray
+    "RIFF".getBytes ++ le32b(4 + 24 + 8 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32b(16) ++
+      le16b(1) ++ le16b(channels) ++ le32b(8000) ++
+      le32b(8000L * channels * bits / 8) ++
+      le16b(channels * bits / 8) ++ le16b(bits) ++
+      "data".getBytes ++ le32b(data.length) ++ data
+  }
+
+  test("Wav PCM kernels decode real 8/16-bit mono/stereo samples: " +
+    "per-channel features, resample mapping, malformed input → NULL") {
+    import spark.implicits._
+    import graft.functions.Wav
+    // stereo 16-bit: ch0 = [100, -200, 300, -1], ch1 = [-32768, 32767, 0, 5]
+    val stereo = pcmWav(2, 16,
+      Seq(Seq(100, -32768), Seq(-200, 32767), Seq(300, 0), Seq(-1, 5)))
+    val st = Wav.pcmStatsData(stereo)
+    assert(st.numElements() == 2)
+    val ch0 = st.getArray(0).toLongArray()
+    val ch1 = st.getArray(1).toLongArray()
+    // [n_frames, sum, sum_abs, peak_abs, zero_crossings]
+    assert(ch0.toSeq == Seq(4L, 199L, 601L, 300L, 3L))
+    // ch1 signs: neg, pos, pos(0 counts as non-negative), pos → 1 crossing
+    assert(ch1.toSeq == Seq(4L, 4L, 65540L, 32768L, 1L))
+    // 8-bit mono: decoded = stored - 128
+    val mono8 = pcmWav(1, 8, Seq(Seq(-128), Seq(0), Seq(127), Seq(-1)))
+    // signs: neg, nonneg(0), nonneg, neg → crossings at frames 1 and 3
+    assert(Wav.pcmStatsData(mono8).getArray(0).toLongArray().toSeq ==
+      Seq(4L, -2L, 256L, 128L, 2L))
+    // resample: n == frames is identity on channel 0; n < frames reads
+    // source frame j*frames/n
+    assert(Wav.pcmResampleData(stereo, 4).toIntArray().toSeq ==
+      Seq(100, -200, 300, -1))
+    assert(Wav.pcmResampleData(stereo, 2).toIntArray().toSeq ==
+      Seq(100, 300))
+    // malformed inputs: truncated data payload, float PCM (fmt tag 3),
+    // 24-bit depth, junk, empty — NULL, never a throw
+    assert(Wav.pcmStatsData(stereo.dropRight(1)) == null,
+      "truncated data must not decode")
+    val floatFmt = stereo.clone(); floatFmt(20) = 3
+    assert(Wav.pcmStatsData(floatFmt) == null)
+    val bits24 = stereo.clone(); bits24(34) = 24
+    assert(Wav.pcmStatsData(bits24) == null)
+    assert(Wav.pcmStatsData("not audio".getBytes) == null)
+    assert(Wav.pcmStatsData(Array.empty[Byte]) == null)
+    assert(Wav.pcmResampleData(stereo, 0) == null, "bad target count")
+    // fuzz: arbitrary bytes (including RIFF-prefixed garbage) never throw
+    val rnd = new scala.util.Random(78)
+    (0 until 200).foreach { i =>
+      val junk = new Array[Byte](rnd.nextInt(128))
+      rnd.nextBytes(junk)
+      val payload = if (i % 3 == 0) "RIFF".getBytes ++ junk else junk
+      Wav.pcmStatsData(payload); Wav.pcmResampleData(payload, 8)
+    }
+    // through the codegen'd expressions with NULL propagation
+    val rows = Seq((1L, stereo), (2L, "junk".getBytes))
+      .toDF("id", "blob")
+      .select(col("id"), Wav.pcmStats(col("blob")).as("st"),
+        Wav.pcmResample(col("blob"), 2).as("rs"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getSeq[scala.collection.Seq[Long]](1).head.toSeq ==
+      Seq(4L, 199L, 601L, 300L, 3L))
+    assert(rows(1L).getSeq[Int](2).toSeq == Seq(100, 300))
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(2))
+  }
+
+  // ---- real gzip member decode (p80) -------------------------------------
+
+  test("Gzip inflates a REAL GZIPOutputStream member and crawl-realistic " +
+    "header variants; truncation/bombs/junk → NULL") {
+    import spark.implicits._
+    import graft.functions.Gzip
+    val text = ("the quick brown fox jumps over the lazy dog, " * 40).getBytes
+    // a real compressed (non-stored) member from the JDK encoder
+    val real = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(text); gz.close()
+      bos.toByteArray
+    }
+    assert(Gzip.inflateData(real).toSeq == text.toSeq)
+    // trailing garbage after the member (concatenated-stream reality):
+    // the deflate stream still terminates → decoded bytes unchanged
+    assert(Gzip.inflateData(real ++ "EXTRA".getBytes).toSeq == text.toSeq)
+    // FEXTRA + FNAME + FCOMMENT + FHCRC all set: the walk must skip a
+    // LE16-length extra field, two zero-terminated strings, and the
+    // 2-byte header CRC to reach the deflate stream
+    val deflated = real.drop(10) // raw deflate + trailer from the real member
+    val hdr = b(0x1f, 0x8b, 8, 2 | 4 | 8 | 16) ++ le32b(0) ++ b(0, 0xff) ++
+      le16b(4) ++ "xtra".getBytes ++
+      "name.txt".getBytes ++ b(0) ++ "a comment".getBytes ++ b(0) ++
+      le16b(0xbeef)
+    assert(Gzip.inflateData(hdr ++ deflated).toSeq == text.toSeq)
+    // truncated mid-deflate-stream → NULL (not partial bytes)
+    assert(Gzip.inflateData(real.dropRight(12)) == null)
+    // reserved FLG bits, wrong magic, wrong method, junk, empty → NULL
+    val badFlg = real.clone(); badFlg(3) = 0x40
+    assert(Gzip.inflateData(badFlg) == null)
+    assert(Gzip.inflateData(b(0x1f, 0x8c, 8, 0, 0, 0, 0, 0, 0, 0xff, 3, 0)) == null)
+    val badCm = real.clone(); badCm(2) = 7
+    assert(Gzip.inflateData(badCm) == null)
+    assert(Gzip.inflateData("not gzip at all".getBytes) == null)
+    assert(Gzip.inflateData(Array.empty[Byte]) == null)
+    // decompression bomb: ~80 MiB of zeros compresses to ~80 KB; the
+    // 64 MiB output cap must return NULL, not allocate the plaintext
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      val chunk = new Array[Byte](1 << 20)
+      (0 until 80).foreach(_ => gz.write(chunk))
+      gz.close(); bos.toByteArray
+    }
+    assert(Gzip.inflateData(bomb) == null, "output cap must stop bombs")
+    // fuzz: arbitrary bytes (including gzip-magic-prefixed) never throw
+    val rnd = new scala.util.Random(80)
+    (0 until 200).foreach { i =>
+      val junk = new Array[Byte](rnd.nextInt(96))
+      rnd.nextBytes(junk)
+      Gzip.inflateData(if (i % 3 == 0) b(0x1f, 0x8b, 8) ++ junk else junk)
+    }
+    // through the codegen'd expression, composing with built-ins
+    val rows = Seq((1L, real), (2L, "junk".getBytes))
+      .toDF("id", "blob")
+      .select(col("id"), length(Gzip.inflate(col("blob"))).as("n"),
+        md5(Gzip.inflate(col("blob"))).as("digest"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(1) == text.length)
+    assert(rows(1L).getString(2) ==
+      java.security.MessageDigest.getInstance("MD5").digest(text)
+        .map("%02x".format(_)).mkString)
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(2))
+  }
 }
