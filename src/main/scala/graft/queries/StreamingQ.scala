@@ -183,6 +183,33 @@ object StreamingQ {
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
           s => StreamingOps.eventTypeCounts(StreamingOps.eventsStream(s, dir)) }
         .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // ---- foreachBatch idempotent MERGE upsert sink ------------------------
+    // The streaming-writes-a-serving-table pattern: each micro-batch
+    // is aggregated per key and MERGEd into a versioned parquet target
+    // (additive columns sum across batches; "latest" columns take the
+    // deterministic (ts, event_id) struct-max), with batchId tracking
+    // making re-delivered batches no-ops — the exactly-once recipe
+    // Delta's MERGE formalizes. With the bounded fixture the final
+    // target equals the batch aggregate, which IS the oracle; the
+    // multi-batch split, version accumulation, and idempotent
+    // re-delivery are pinned by StreamingSpec.
+    Q("p83_stream_upsert", Some("""
+      WITH last AS (SELECT user_id, ts, event_type, event_id,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events),
+      agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY user_id)
+      SELECT a.user_id, a.n_events, a.sum_value,
+             CAST(epoch_us(l.ts) AS BIGINT) AS last_ts,
+             l.event_type AS last_type
+      FROM agg a JOIN last l ON a.user_id = l.user_id AND l.rn = 1
+      ORDER BY a.user_id""")) { (spark, dir) =>
+      StreamingOps.upsertEvents(spark, dir, sinkDir("p83_upsert"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -941,4 +941,38 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraphOps.pageRank(edges, nodes, iters = -1)
     }
   }
+
+  test("CharStats: one-pass counts match hand computation, code points " +
+    "count surrogate pairs once, empty and NULL are safe") {
+    import spark.implicits._
+    import graft.functions.CharStats
+    // "ab1 a!" → 6 chars, 3 alpha, 1 digit, 1 ws, 1 other;
+    // distinct {a,b,1,' ','!'} = 5; collision: only 'a' repeats (2·1)
+    val st = CharStats.statsData(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ab1 a!"))
+    assert(st.toLongArray().toSeq == Seq(6L, 3L, 1L, 1L, 1L, 5L, 2L))
+    // an astral-plane emoji is ONE code point (two UTF-16 units) —
+    // matching DuckDB's code-point length/substr semantics
+    val emoji = CharStats.statsData(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a😀a"))
+    assert(emoji.toLongArray().toSeq == Seq(3L, 2L, 0L, 0L, 1L, 2L, 2L))
+    // empty string: all zeros
+    assert(CharStats.statsData(
+      org.apache.spark.unsafe.types.UTF8String.fromString(""))
+      .toLongArray().toSeq == Seq.fill(7)(0L))
+    // NULL propagation + agreement with the explode formulation,
+    // through the codegen'd expression
+    val df = Seq((1L, "hello world"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val rows = df.select(col("id"), CharStats.stats(col("text")).as("st"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(2L).isNullAt(1), "NULL text → NULL stats")
+    val hello = rows(1L).getSeq[Long](1)
+    val exploded = df.filter(col("id") === 1)
+      .select(explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("ch")).count().collect()
+    assert(hello(5) == exploded.length.toLong) // n_distinct
+    assert(hello(6) ==
+      exploded.map(r => r.getLong(1) * (r.getLong(1) - 1)).sum) // collision
+  }
 }

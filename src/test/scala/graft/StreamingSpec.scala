@@ -573,6 +573,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "late file unexpectedly contributed no distinct keys — fixture degenerate?")
   }
 
+  test("multi-batch upsert sink (p83 shape): one merged version per file, " +
+    "final target equals the single-batch run, replayed batchId is a no-op") {
+    val dir = splitEvents(3, Seq(0, 1, 2))
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val (got, target) = graft.streaming.StreamingOps.upsertRun(
+      spark, dir, root, glob = "events_*.parquet", maxFilesPerTrigger = Some(1))
+    // three files → three committed merges (v0, v1, v2): cross-batch
+    // additive sums and latest-wins maxes actually exercised
+    assert(target.currentVersion >= 2,
+      s"expected >= 3 committed versions, got ${target.currentVersion + 1}")
+    // the incremental merge must converge to the same state as one
+    // batch over the unsplit fixture (associativity of the merge)
+    val ref = graft.streaming.StreamingOps.upsertEvents(spark, msSf,
+      java.nio.file.Files.createTempDirectory("graft-upsert-ref").toString)
+    assert(sameRows(got, ref))
+    // re-deliver an already-committed batchId (the at-least-once
+    // post-recovery case): the gate must skip the merge entirely
+    val v = target.currentVersion
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val replay = spark.read.parquet(s"$dir/events_000.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    target.merge(replay, 0L)
+    assert(target.currentVersion == v, "replayed batchId must be a no-op")
+    // a genuinely NEW batch advances the version and adds its rows
+    target.merge(replay, 1000L)
+    assert(target.currentVersion == v + 1)
+    val n0 = got.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    val n1 = target.read(spark).get
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(n1 == n0 + replay.count(), "new batch must merge additively")
+  }
+
   test("stream-static enrichment join holds no stream state and matches the batch join") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingOps.runToMemory(
