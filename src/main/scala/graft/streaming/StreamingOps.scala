@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Per-user custom state for [[StreamingOps.highWaterAlerts]]: running
@@ -34,6 +34,54 @@ class TypeCountsProcessor
       touched += et
     }
     touched.iterator.map(et => (user, et, counts.getValue(et)))
+  }
+}
+
+/** State-v2 processor with EVENT-TIME TIMERS for
+  * [[StreamingOps.sessionTimeouts]]: per-user running count + a
+  * session-close timer slid to (last event time + gap) on every
+  * batch. When the watermark passes the timer, [[handleExpiredTimer]]
+  * fires: the closed session is EMITTED (count + close time) and the
+  * state cleared — the timer-driven emission pattern
+  * (mapGroupsWithState's GroupStateTimeout, re-expressed in the v2
+  * API) that lets an unbounded stream output sessions withOUT waiting
+  * for the next event of the same key. Top-level class so the
+  * serialized processor carries no enclosing scope. Input
+  * `(user_id, eventTimeMs)`, output `(user_id, n_events, closedAtMs)`.
+  */
+class SessionTimerProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+
+  @transient private var count: ValueState[Long] = _
+  @transient private var lastTs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    lastTs = getHandle.getValueState[Long]("lastTs",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var n = if (count.exists()) count.get() else 0L
+    var last = if (lastTs.exists()) lastTs.get() else Long.MinValue
+    rows.foreach { case (_, ts) => n += 1; if (ts > last) last = ts }
+    // slide the close timer: exactly one pending timer per key
+    val timers = getHandle.listTimers()
+    while (timers.hasNext) getHandle.deleteTimer(timers.next())
+    getHandle.registerTimer(last + gapMs)
+    count.update(n)
+    lastTs.update(last)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+    val out = (user, count.get(), expiredTimerInfo.getExpiryTimeInMs())
+    count.clear()
+    lastTs.clear()
+    Iterator.single(out)
   }
 }
 
@@ -304,6 +352,32 @@ object StreamingOps {
       .transformWithState(new TypeCountsProcessor,
         TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "event_type", "n")
+  }
+
+  /** Timer-driven session closing over an event stream
+    * ([[SessionTimerProcessor]]): emits `(user_id, n_events,
+    * closed_at_ms)` when a user's session has seen no event for `gap`
+    * — driven by EVENT-TIME TIMERS against the watermark, so closed
+    * sessions surface without waiting for the key's next event (the
+    * thing `session_window` aggregation cannot do in append mode
+    * before more data arrives for that key). State per key is two
+    * longs + one timer; the watermark bounds both.
+    */
+  def sessionTimeouts(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val ms = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").cast("long"), unix_millis(col("ts")))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(ms),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "n_events", "closed_at_ms")
   }
 
   /** Stream-static enrichment join + aggregation: each micro-batch of

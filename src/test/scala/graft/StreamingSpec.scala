@@ -573,6 +573,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "late file unexpectedly contributed no distinct keys — fixture degenerate?")
   }
 
+  test("state-v2 event-time timers: sessions close and EMIT when the " +
+    "watermark passes the slid timer, without the key seeing more data") {
+    // transformWithState + timers needs RocksDB; build everything on a
+    // clone so the provider/partition confs never touch the shared
+    // session (the runToMemory discipline, inlined for MemoryStream)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val sessions = graft.streaming.StreamingOps.sessionTimeouts(
+      in.toDF().toDF("user_id", "ts"), gap = "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("stt")
+      .outputMode(OutputMode.Append()).start()
+    def closures() = s.table("stt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // two sessions open; timers slid to last-event + 30 min
+    in.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+      (2L, ts("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    assert(closures().isEmpty, "no watermark passage yet → nothing closes")
+    // an unrelated user advances the watermark to 03:00 — users 1 and 2
+    // never see another event, yet their sessions must EMIT (the
+    // timer-driven close session_window cannot do in append mode)
+    in.addData((3L, ts("2024-01-01 03:00:00")))
+    q.processAllAvailable()
+    in.addData((3L, ts("2024-01-01 03:10:00"))) // same-key event re-slides 3's timer
+    q.processAllAvailable()
+    val afterWm = closures()
+    assert(afterWm.contains((1L,
+      2L, ts("2024-01-01 00:40:00").getTime)), s"got $afterWm")
+    assert(afterWm.contains((2L,
+      1L, ts("2024-01-01 00:35:00").getTime)), s"got $afterWm")
+    assert(!afterWm.exists(_._1 == 3L), "user 3's session is still open")
+    // advance far enough to pass user 3's slid timer (03:40)
+    in.addData((4L, ts("2024-01-01 08:00:00")))
+    q.processAllAvailable()
+    in.addData((4L, ts("2024-01-01 08:01:00"))) // one more wm advance to fire
+    q.processAllAvailable()
+    val end = closures()
+    assert(end.contains((3L, 2L, ts("2024-01-01 03:40:00").getTime)),
+      s"slid timer must fire at last-event+gap: $end")
+    // a closed key's state was CLEARED: its next event starts a fresh
+    // session (count restarts at 1)
+    in.addData((1L, ts("2024-01-01 08:30:00")))
+    q.processAllAvailable()
+    in.addData((5L, ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    in.addData((5L, ts("2024-01-02 00:00:01")))
+    q.processAllAvailable()
+    assert(closures().contains((1L, 1L, ts("2024-01-01 09:00:00").getTime)),
+      s"cleared state must restart the count: ${closures()}")
+    q.stop()
+  }
+
   test("multi-batch upsert sink (p83 shape): one merged version per file, " +
     "final target equals the single-batch run, replayed batchId is a no-op") {
     val dir = splitEvents(3, Seq(0, 1, 2))
