@@ -208,4 +208,78 @@ object SimilarityOps {
         round(dot(col("va"), col("vb")) / col("na") / col("nb"), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  // ---- product quantization (p88) ------------------------------------------
+  // 64 floats → m 4-bit codes is the 16× memory cut that lets a 100 TB
+  // embedding corpus serve from RAM. All arithmetic in integer
+  // micro-units (round(x*1e6), the p35 convention) so codes and
+  // distances are bit-exact cross-engine and order-independent.
+
+  /** Explode an embedding table into integer subspace components:
+    * `(vec_id, sub, j, ri)` with `sub = dim div subDim` subspaces of
+    * `subDim` components each. Row-local; stays in the scan stage.
+    */
+  def pqComponents(emb: DataFrame, id: String, vec: String,
+                   subDim: Int): DataFrame =
+    emb.select(col(id).as("vec_id"),
+        posexplode(col(vec).cast("array<double>")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") / subDim).cast("long").as("sub"),
+        (col("i0") % subDim).as("j"),
+        round(col("x") * 1000000, 0).cast("long").as("ri"))
+
+  /** A `ks`-entry per-subspace codebook seeded from a hash-ranked
+    * sample of the corpus (the k-means++ init; p56's trained centroids
+    * plug into the same `(sub, code, j, cv)` shape). The row_number
+    * window runs over the post-limit `ks`-row frame only — the
+    * documented broadcast-scalar exception, never the corpus.
+    */
+  def pqSeedCodebook(emb: DataFrame, id: String, vec: String,
+                     subDim: Int, ks: Int, salt: String): DataFrame = {
+    val seeds = emb
+      .select(col(id).as("vec_id"),
+        Portable.h60(concat(lit(s"$salt:"), col(id).cast("string"))).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(ks)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
+      .select(col("vec_id"), col("code"))
+    broadcast(seeds).join(pqComponents(emb, id, vec, subDim), "vec_id")
+      .select(col("code"), col("sub"), col("j"), col("ri").as("cv"))
+  }
+
+  /** Encode every vector against the (broadcast) codebook: ONE shuffle
+    * of `(vec, sub, code)` partial distances with map-side combine,
+    * argmin = struct-min aggregate (NOT a window), ties to the lowest
+    * code id. Returns `(vec_id, sub, code)` — the m-nibble PQ code.
+    */
+  def pqEncode(c: DataFrame, cb: DataFrame): DataFrame =
+    c.join(broadcast(cb), Seq("sub", "j"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum((col("ri") - col("cv")) * (col("ri") - col("cv"))).as("d"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d").as("d"), col("code").as("code"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+
+  /** Asymmetric distance computation: build the per-query `m × ks`
+    * distance table once (query-local, broadcast), then approx distance
+    * per vector = m table lookups + one sum. `exact_dist` rides along
+    * (a broadcast join of the 1-vector query against the components)
+    * so callers can measure the quantization gap. Top-k =
+    * orderBy+limit → TakeOrderedAndProject, O(partitions×k) movement.
+    */
+  def pqAdcTopK(codes: DataFrame, cb: DataFrame, c: DataFrame,
+                queryId: Long, k: Int): DataFrame = {
+    val q = c.filter(col("vec_id") === queryId)
+      .select(col("sub"), col("j"), col("ri").as("qri"))
+    val dt = cb.join(broadcast(q), Seq("sub", "j"))
+      .groupBy(col("sub"), col("code"))
+      .agg(sum((col("qri") - col("cv")) * (col("qri") - col("cv"))).as("qd"))
+    val adc = codes.join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("qd")).as("adc_dist"))
+    val ex = c.join(broadcast(q), Seq("sub", "j"))
+      .groupBy(col("vec_id"))
+      .agg(sum((col("ri") - col("qri")) * (col("ri") - col("qri"))).as("exact_dist"))
+    adc.join(ex, "vec_id")
+      .select(col("vec_id"), col("adc_dist"), col("exact_dist"))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(k)
+  }
 }

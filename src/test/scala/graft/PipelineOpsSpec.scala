@@ -975,4 +975,99 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hello(6) ==
       exploded.map(r => r.getLong(1) * (r.getLong(1) - 1)).sum) // collision
   }
+
+  test("BPE apply (p87 kernel): rank-order cascades, left-to-right " +
+    "adjacent merges, and no cross-symbol-boundary matches") {
+    import spark.implicits._
+    val enc = Seq("the", "spark", "batch", "scan", "anan", "anat", "ban", "x")
+      .toDF("w")
+      .select(col("w"), graft.queries.Pipeline7.bpeEncode(col("w")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // cascading merges: each rank's output feeds later ranks
+    assert(enc("the") == "(the)")     // t+h → th, th+e → the
+    assert(enc("spark") == "(spark)") // s+p, a+r, sp+ar, spar+k
+    assert(enc("batch") == "(batch)") // a+t, c+h, at+ch, b+atch
+    assert(enc("scan") == "(scan)")   // a+n, s+c, sc+an
+    // ADJACENT occurrences of one pair must BOTH merge in a single
+    // rank's pass — the case a space-separated replace scheme gets
+    // wrong (the shared separator is consumed by the first match)
+    assert(enc("anan") == "(an)(an)")
+    // left-to-right within a rank: (a,n) wins the overlapping 'a'
+    // before (a,t) ever sees it, then (a,t) takes the remainder
+    assert(enc("anat") == "(an)(at)")
+    // a merged symbol's interior must not re-match: (an) contains no
+    // mergeable (a)(n) once fused, and (b,an) is not in the table
+    assert(enc("ban") == "(b)(an)")
+    assert(enc("x") == "(x)")
+  }
+
+  test("PQ + ADC (p88 kernels): planted clusters retrieve, self ranks " +
+    "first, and cross-cluster ADC distances dominate within-cluster") {
+    import spark.implicits._
+    import graft.ops.SimilarityOps._
+    // 12 well-separated cluster centers in 64-dim; 20 members each with
+    // small deterministic jitter on a few dims. Quantization error
+    // (jitter-sized) ≪ inter-cluster distance, so ADC must keep
+    // clusters apart even when the hash-sampled codebook misses some
+    // cluster: same-cluster vectors share codes and distance-table
+    // rows, different clusters do not.
+    val vecs = (0 until 240).map { id =>
+      val cl = id % 12
+      val v = Array.tabulate(64) { d =>
+        val center = if (d / 8 == cl % 8) 10.0 + cl else 0.5 * ((cl + d) % 3)
+        center + 0.001 * ((id * 31 + d * 7) % 5)
+      }
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val c = pqComponents(vecs, "vec_id", "embedding", subDim = 8)
+    val cb = pqSeedCodebook(vecs, "vec_id", "embedding",
+      subDim = 8, ks = 16, salt = "pqspec")
+    val codes = pqEncode(c, cb)
+    // every vector gets exactly 8 sub-codes
+    assert(codes.groupBy("vec_id").count().filter(col("count") =!= 8).isEmpty)
+    val qid = 5L // cluster 5
+    val top = pqAdcTopK(codes, cb, c, qid, k = 20).collect()
+    assert(top.head.getLong(0) == qid, "query must rank first")
+    assert(top.head.getLong(2) == 0L, "self exact distance is zero")
+    val topIds = top.map(_.getLong(0)).toSet
+    val cluster = (0 until 240).filter(_ % 12 == 5).map(_.toLong).toSet
+    assert(topIds == cluster,
+      s"ADC top-20 must be exactly the query's 20-member cluster, got $topIds")
+    // the quantization gap is bounded: cross-cluster ADC distance
+    // dominates every within-cluster one
+    val all = pqAdcTopK(codes, cb, c, qid, k = 240).collect()
+    val (in, out) = all.partition(r => cluster.contains(r.getLong(0)))
+    assert(in.map(_.getLong(1)).max < out.map(_.getLong(1)).min,
+      "within-cluster ADC must be strictly below cross-cluster ADC")
+  }
+
+  test("Morton interleave (p89 kernel): exact bit patterns and 2-D " +
+    "locality of the bucket prefix") {
+    import spark.implicits._
+    val m = Seq((65535L, 0L), (0L, 65535L), (65535L, 65535L), (0L, 0L),
+      (1L, 0L), (0L, 1L), (3L, 1L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.queries.Pipeline7.morton(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m((65535L, 0L)) == 0xAAAAAAAAL)  // x → odd bit positions
+    assert(m((0L, 65535L)) == 0x55555555L)  // y → even bit positions
+    assert(m((65535L, 65535L)) == 0xFFFFFFFFL)
+    assert(m((0L, 0L)) == 0L)
+    assert(m((1L, 0L)) == 2L && m((0L, 1L)) == 1L)
+    assert(m((3L, 1L)) == 11L) // x=11 y=01 → z=1011
+    // locality: sharing a long z-prefix bounds BOTH coordinate ranges —
+    // the property that makes one sort key skip on two dimensions
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong * 1024, y.toLong * 1024)).toDF("x", "y")
+    val buckets = grid.select(col("x"), col("y"),
+        shiftright(graft.queries.Pipeline7.morton(col("x"), col("y")), 26).as("b"))
+      .groupBy("b")
+      .agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+      .collect()
+    assert(buckets.length == 64)
+    // global range is 64513; every z-bucket confines both dims to ≤ 1/8
+    assert(buckets.forall(r => r.getLong(1) <= 64513 / 8 &&
+      r.getLong(2) <= 64513 / 8))
+  }
 }
