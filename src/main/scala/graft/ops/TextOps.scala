@@ -123,4 +123,20 @@ object TextOps {
       array_min(transform(sh, s => Portable.h60(s))).as("min_h"),
       array_max(transform(sh, s => Portable.h60(s))).as("max_h"))
   }
+
+  /** Content-defined chunking (p91): split `text` at every position
+    * whose trailing `window`-char hash satisfies
+    * `h60(window) % modulus == 0` — the LBFS-style window-hash CDC that
+    * storage dedup uses. The property that matters (and that the spec
+    * proves): because boundaries depend only on LOCAL content, two
+    * payloads sharing a long suffix re-synchronize to IDENTICAL chunks
+    * after at most one window-length of divergence, no matter how their
+    * prefixes differ — fixed-size blocking can't do that. One static
+    * call per row inside whole-stage codegen ([[graft.functions.Cdc]]
+    * — same rationale as [[graft.functions.CharStats]]: a per-position
+    * higher-order lambda runs interpreted ~len times per row); expected
+    * chunk length = `modulus`.
+    */
+  def cdcChunks(text: Column, window: Int, modulus: Int): Column =
+    graft.functions.Cdc.chunks(text, window, modulus)
 }

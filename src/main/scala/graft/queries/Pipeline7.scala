@@ -269,6 +269,250 @@ object Pipeline7 {
           countDistinct(col("src_dom")).as("n_src_domains"),
           sum(when(col("dst_dom") === col("src_dom"), 1L).otherwise(0L)).as("n_self"))
         .orderBy(col("dst_dom"))
+    },
+
+    // ---- content-defined chunking (CDC) cross-doc dedup --------------------
+    // Storage-layer dedup below the token level: split each payload at
+    // positions where the trailing 8-char window hash ≡ 0 (mod 64) —
+    // LBFS-style window-hash CDC, expected chunk ≈ 64 chars — then
+    // measure how much of every document is made of chunks shared with
+    // other documents. The fixture welds a per-source boilerplate
+    // footer onto each doc: CDC re-synchronizes on the identical
+    // suffix no matter how long the preceding text is (the property
+    // fixed-size blocking lacks — proven in PipelineOpsSpec), so the
+    // footer chunks dedup across every doc of the source while the
+    // body stays unique. p33 dedups token segments; this dedups BYTES,
+    // the level a 100 TB object store actually bills.
+    //
+    // Scale shape: chunking is ONE static kernel call per row inside
+    // whole-stage codegen (graft.functions.Cdc — a rolling code-point
+    // window hash, no per-character explode, no interpreted
+    // per-position lambda); the only shuffles
+    // are the chunk-keyed partial-agg count and the chunk-keyed join
+    // (production keys both on the 60-bit chunk hash for constant-width
+    // exchange; the string key here keeps the oracle 1:1).
+    Q("p91_cdc_chunks", Some(s"""
+      WITH d AS (SELECT doc_id,
+                        text || ' ' || repeat('ad unit for ' || source || ' visit now ', 4) AS payload
+                 FROM documents),
+      b AS (SELECT doc_id, payload, CAST(length(payload) AS BIGINT) AS n,
+                   [CAST(i AS BIGINT) for i in generate_series(8, length(payload))
+                    if ${graft.functions.Cdc.boundarySql("payload", 8, 64)}] AS bs
+            FROM d),
+      p AS (SELECT doc_id, payload,
+                   list_prepend(CAST(0 AS BIGINT), list_append(bs, n)) AS pos FROM b),
+      c0 AS (SELECT doc_id,
+                    unnest([substr(payload, CAST(pos[k] + 1 AS INT),
+                                   CAST(pos[k+1] - pos[k] AS INT))
+                            for k in generate_series(1, len(pos) - 1)]) AS chunk
+             FROM p),
+      c AS (SELECT doc_id, chunk FROM c0 WHERE length(chunk) > 0),
+      g AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM c GROUP BY 1),
+      j AS (SELECT c.doc_id, length(c.chunk) AS clen, g.n_docs
+            FROM c JOIN g ON g.chunk = c.chunk)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(clen) AS BIGINT) AS n_chars,
+             CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             CAST(sum(CASE WHEN n_docs > 1 THEN clen ELSE 0 END) * 1000000
+                  // sum(clen) AS BIGINT) AS dup_char_ppm
+      FROM j GROUP BY doc_id ORDER BY doc_id""")) { (spark, dir) =>
+      val payload = concat(col("text"), lit(" "),
+        repeat(concat(lit("ad unit for "), col("source"), lit(" visit now ")), 4))
+      val c = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.cdcChunks(payload, window = 8, modulus = 64)).as("chunk"))
+      val g = c.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      c.join(g, "chunk")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(length(col("chunk"))).cast("long").as("n_chars"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"),
+          expr("sum(CASE WHEN n_docs > 1 THEN length(chunk) ELSE 0 END) * 1000000" +
+            " div sum(length(chunk))").as("dup_char_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- incremental IVF maintenance + drift detection ---------------------
+    // What keeps a 100 TB ANN index alive between retrains: new
+    // embedding batches are assigned to the EXISTING coarse centroids
+    // (touching only the delta — the corpus's bucket counts are
+    // materialized index metadata), and the batch's bucket-occupancy
+    // profile is compared against the index's to decide when the
+    // centroids have gone stale. Fixture: vec_id % 10 == 0 is the
+    // arriving delta, the rest is the indexed base; 8 centroids are
+    // hash-seeded from the BASE only (p56's trained centroids plug into
+    // the same shape). Assignment reuses the p88 PQ kernels with ONE
+    // 64-dim subspace — IVF coarse assignment IS product quantization
+    // with m=1. skew_milli = |base share − delta share| per bucket in
+    // exact thousandths; its max is the retrain trigger.
+    //
+    // Scale shape: centroid table = 8 rows broadcast; assignment = one
+    // partial-agg shuffle of (vec, code) distances + struct-min argmin;
+    // the drift rollup is 8 rows crossed with a broadcast 1-row total.
+    Q("p92_ivf_incremental", Some(s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cx AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS i,
+                    unnest(v) AS x FROM v),
+      c AS (SELECT vec_id, (i-1) AS j, CAST(round(x * 1000000) AS BIGINT) AS ri
+            FROM cx),
+      seeds AS (SELECT vec_id, rn - 1 AS code FROM
+                  (SELECT vec_id, row_number() OVER (ORDER BY
+                     ${Portable.h60Sql("concat('ivfinc:', CAST(vec_id AS VARCHAR))")},
+                     vec_id) AS rn
+                   FROM embeddings WHERE vec_id % 10 != 0) WHERE rn <= 8),
+      cb AS (SELECT s.code, c.j, c.ri AS cv
+             FROM seeds s JOIN c ON c.vec_id = s.vec_id),
+      d AS (SELECT c.vec_id, cb.code, SUM((c.ri - cb.cv) * (c.ri - cb.cv)) AS d
+            FROM c JOIN cb ON cb.j = c.j GROUP BY 1, 2),
+      asg AS (SELECT vec_id, code AS bucket FROM
+                (SELECT vec_id, code, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY d, code) AS rn FROM d)
+              WHERE rn = 1),
+      g AS (SELECT bucket,
+                   CAST(sum(CASE WHEN vec_id % 10 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                   CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+            FROM asg GROUP BY 1),
+      t AS (SELECT sum(n_base) AS tb, sum(n_delta) AS td FROM g)
+      SELECT bucket, n_base, n_delta,
+             CAST(n_base * 1000 // tb AS BIGINT) AS base_milli,
+             CAST(n_delta * 1000 // td AS BIGINT) AS delta_milli,
+             CAST(abs(n_base * 1000 // tb - n_delta * 1000 // td) AS BIGINT) AS skew_milli
+      FROM g, t ORDER BY bucket""")) { (spark, dir) =>
+      import graft.ops.SimilarityOps._
+      val emb = Tables.loadSpread(spark, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val c = pqComponents(emb, "vec_id", "embedding", subDim = 64)
+      val cb = pqSeedCodebook(base, "vec_id", "embedding",
+        subDim = 64, ks = 8, salt = "ivfinc")
+      val g = pqEncode(c, cb)
+        .select(col("vec_id"), col("code").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L)).as("n_delta"))
+      val t = g.agg(sum(col("n_base")).as("tb"), sum(col("n_delta")).as("td"))
+      g.crossJoin(broadcast(t))
+        .select(col("bucket"), col("n_base"), col("n_delta"),
+          expr("n_base * 1000 div tb").as("base_milli"),
+          expr("n_delta * 1000 div td").as("delta_milli"),
+          expr("abs(n_base * 1000 div tb - n_delta * 1000 div td)").as("skew_milli"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- training-mixture epoch planner ------------------------------------
+    // The step between corpus statistics and the data loader: given
+    // per-source token inventories and mixture weights, allocate a
+    // global token budget (half the corpus here) proportionally to
+    // weight×inventory, convert each source's allocation into an epoch
+    // (repeat) factor in exact milli-epochs, cap repetition at 4
+    // epochs (the over-sampling guard every published mixture applies),
+    // and account the deficit the cap leaves unfilled. p34 gates
+    // DOWN-sampling to a target share; this plans UP-sampling — how
+    // many times a scarce high-weight source is repeated per pass.
+    //
+    // Scale shape: one partial-agg rollup to sources (broadcast-sized
+    // by construction), a 1-row total crossed back, then row-local
+    // integer arithmetic. The planner output IS the broadcast table
+    // p94's manifest materialization consumes.
+    Q("p93_epoch_plan", Some(s"""
+      WITH d AS (SELECT source, CAST(substr(source, 4) AS INT) AS si,
+                        CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(len($wsSql)) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY 1, 2),
+      w AS (SELECT source, n_docs, n_tokens,
+                   CAST(1 + (si * 3) % 5 AS BIGINT) AS weight FROM d),
+      t AS (SELECT sum(n_tokens) // 2 AS budget,
+                   sum(n_tokens * weight) AS tw FROM w)
+      SELECT source, n_docs, n_tokens, weight,
+             CAST(budget * (n_tokens * weight) // tw AS BIGINT) AS target_tokens,
+             CAST(budget * (n_tokens * weight) // tw * 1000 // n_tokens AS BIGINT) AS epochs_milli,
+             CAST(least(budget * (n_tokens * weight) // tw * 1000 // n_tokens,
+                        4000) AS BIGINT) AS epochs_capped_milli,
+             CAST(least(budget * (n_tokens * weight) // tw, 4 * n_tokens) AS BIGINT) AS realized_tokens,
+             CAST(budget * (n_tokens * weight) // tw
+                  - least(budget * (n_tokens * weight) // tw, 4 * n_tokens) AS BIGINT) AS deficit_tokens
+      FROM w, t ORDER BY source""")) { (spark, dir) =>
+      val w = Tables.loadSpread(spark, dir, "documents")
+        .select(col("source"), expr("CAST(substr(source, 4) AS INT)").as("si"),
+          TextOps.tokenCount(col("text")).as("n_tok"))
+        .groupBy(col("source"), col("si"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("weight", (lit(1) + (col("si") * 3) % 5).cast("long"))
+      val t = w.agg((sum(col("n_tokens")) / 2).cast("long").as("budget"),
+        sum(col("n_tokens") * col("weight")).as("tw"))
+      w.crossJoin(broadcast(t))
+        .withColumn("target_tokens", expr("budget * (n_tokens * weight) div tw"))
+        .withColumn("epochs_milli", expr("target_tokens * 1000 div n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+          col("target_tokens"), col("epochs_milli"),
+          least(col("epochs_milli"), lit(4000L)).as("epochs_capped_milli"),
+          least(col("target_tokens"), expr("4 * n_tokens")).as("realized_tokens"),
+          (col("target_tokens") -
+            least(col("target_tokens"), expr("4 * n_tokens"))).as("deficit_tokens"))
+        .orderBy(col("source"))
+    },
+
+    // ---- upsampling manifest materialization -------------------------------
+    // Turning an epoch plan into the thing the data loader reads: every
+    // document receives floor(rate) whole copies plus one more iff its
+    // salted hash falls under the fractional remainder — deterministic
+    // Bernoulli rounding, so the manifest is bit-reproducible on any
+    // cluster and NEVER uses rand(). The copies are MATERIALIZED
+    // (posexplode of a sequence — the corpus×epochs row multiplication
+    // a real loader pays) and then rolled back up per source to prove
+    // the realized rate lands within one per-mille quantum of the plan.
+    //
+    // Scale shape: the explode multiplies rows by the epoch factor —
+    // exactly the blowup the training job itself reads, sized by the
+    // plan's cap (≤4×); rates are row-local arithmetic on the source
+    // index (p93's broadcast plan table in production); one rollup
+    // shuffle keyed by source.
+    Q("p94_upsample_manifest", Some(s"""
+      WITH d AS (SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS si
+                 FROM documents),
+      r AS (SELECT doc_id, source,
+                   CAST(250 + (si * 997) % 3500 AS BIGINT) AS rate_milli,
+                   CASE WHEN ${Portable.h60Sql("concat('ep:', CAST(doc_id AS VARCHAR))")}
+                          % 1000 < (250 + (si * 997) % 3500) % 1000
+                        THEN 1 ELSE 0 END AS bump FROM d),
+      m AS (SELECT doc_id, source, rate_milli, bump,
+                   unnest(generate_series(1, rate_milli // 1000 + bump)) AS copy_idx
+            FROM r),
+      s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM d GROUP BY 1),
+      g AS (SELECT source, min(rate_milli) AS rate_milli,
+                   CAST(count(*) AS BIGINT) AS n_manifest,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_in,
+                   CAST(sum(CASE WHEN copy_idx = 1 THEN bump ELSE 0 END) AS BIGINT) AS n_bumped
+            FROM m GROUP BY source)
+      SELECT g.source, g.rate_milli, g.n_manifest, g.n_docs_in, g.n_bumped,
+             CAST(g.n_manifest * 1000 // s.n_src AS BIGINT) AS realized_milli
+      FROM g JOIN s ON s.source = g.source ORDER BY g.source""")) { (spark, dir) =>
+      val docs = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("CAST(substr(source, 4) AS INT)").as("si"))
+      val r = docs
+        .withColumn("rate_milli", (lit(250) + (col("si") * 997) % 3500).cast("long"))
+        .withColumn("bump",
+          when(Portable.h60(concat(lit("ep:"), col("doc_id").cast("string")))
+            % 1000 < col("rate_milli") % 1000, 1L).otherwise(0L))
+      // Spark's sequence() steps DOWNWARD when start > stop, so a
+      // zero-copy doc (rate < 1000, no bump) must explode an empty
+      // array, not sequence(1, 0) = [1, 0]
+      val copies = expr("rate_milli div 1000") + col("bump")
+      val m = r.select(col("doc_id"), col("source"), col("rate_milli"), col("bump"),
+        explode(when(copies >= 1, sequence(lit(1L), copies))
+          .otherwise(array().cast("array<bigint>"))).as("copy_idx"))
+      val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      m.groupBy(col("source"))
+        .agg(min(col("rate_milli")).as("rate_milli"),
+          count(lit(1)).as("n_manifest"),
+          countDistinct(col("doc_id")).as("n_docs_in"),
+          sum(when(col("copy_idx") === 1, col("bump")).otherwise(0L)).as("n_bumped"))
+        .join(broadcast(perSource), "source")
+        .withColumn("realized_milli", expr("n_manifest * 1000 div n_src"))
+        .select(col("source"), col("rate_milli"), col("n_manifest"),
+          col("n_docs_in"), col("n_bumped"), col("realized_milli"))
+        .orderBy(col("source"))
     }
   )
 

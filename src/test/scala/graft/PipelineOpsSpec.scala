@@ -1070,4 +1070,38 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets.forall(r => r.getLong(1) <= 64513 / 8 &&
       r.getLong(2) <= 64513 / 8))
   }
+
+  test("CDC chunking (p91 kernel): boundaries re-synchronize on a shared " +
+    "suffix regardless of prefix length; short texts chunk whole") {
+    import spark.implicits._
+    val suffix = (1 to 40).map(i => s"boiler plate unit $i").mkString(" ")
+    val docs = Seq(
+      (1L, "tiny unique prefix one " + suffix),
+      (2L, "a completely different and much longer leading preamble " +
+        "with extra words in it " + suffix),
+      (3L, "short"), // below the 8-char window → single whole chunk
+      (4L, "")
+    ).toDF("id", "t")
+    val chunks = docs
+      .select(col("id"), TextOps.cdcChunks(col("t"), 8, 64).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // reassembly invariant: chunks concatenate back to the input
+    assert(chunks(1L).mkString == "tiny unique prefix one " + suffix)
+    assert(chunks(3L) == Seq("short"))
+    assert(chunks(4L).isEmpty)
+    // the resync property: docs 1 and 2 share NO prefix, yet after at
+    // most one window-length into the common suffix their boundaries
+    // coincide — all later chunks are IDENTICAL strings. Fixed-size
+    // blocking would misalign every block after the differing prefix.
+    val shared = chunks(1L).toSet.intersect(chunks(2L).toSet)
+    assert(shared.nonEmpty, "no chunk re-synchronized on the shared suffix")
+    // the shared chunks cover the suffix tail: both docs END with the
+    // same run of chunks
+    val tail1 = chunks(1L).reverse.takeWhile(shared.contains)
+    val tail2 = chunks(2L).reverse.takeWhile(shared.contains)
+    assert(tail1 == tail2 && tail1.nonEmpty,
+      s"tails must coincide, got $tail1 vs $tail2")
+    assert(tail1.map(_.length).sum > suffix.length / 2,
+      "resynchronized tail should cover most of the shared suffix")
+  }
 }
