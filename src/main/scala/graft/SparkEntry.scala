@@ -15,7 +15,7 @@ object SparkEntry {
     Relational.all ++ Relational2.all ++ Relational3.all ++ Relational4.all ++
       Relational5.all ++ Relational6.all ++
       Pipeline.all ++ Pipeline2.all ++ Pipeline3.all ++ Pipeline4.all ++
-      Pipeline5.all ++ Pipeline6.all ++ Pipeline7.all ++
+      Pipeline5.all ++ Pipeline6.all ++ Pipeline7.all ++ Pipeline8.all ++
       StreamingQ.all ++ MultimodalQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

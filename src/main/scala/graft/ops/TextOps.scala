@@ -139,4 +139,24 @@ object TextOps {
     */
   def cdcChunks(text: Column, window: Int, modulus: Int): Column =
     graft.functions.Cdc.chunks(text, window, modulus)
+
+  /** Overlapping token-window chunking for retrieval/RAG prep (p96):
+    * windows of `window` tokens every `stride` tokens (overlap =
+    * `window - stride`), as `array<struct<idx, toks>>`. Chunk count is
+    * `1 + ceil(max(0, n - window) / stride)` — every token is covered,
+    * the last chunk may be short, a doc shorter than one window still
+    * yields exactly one chunk. Row-local (`transform` + `slice` inside
+    * the scan); the explode downstream is the only row growth and is
+    * bounded by `n / stride + 1` chunks per doc.
+    */
+  def ragChunks(text: Column, window: Int, stride: Int): Column = {
+    require(stride >= 1 && window >= stride,
+      s"ragChunks requires 1 <= stride <= window, got window=$window stride=$stride")
+    val ws = tokens(text)
+    val lastIdx = ((greatest(size(ws) - lit(window), lit(0))
+      + lit(stride - 1)) / lit(stride)).cast("int")
+    transform(sequence(lit(0), lastIdx), i =>
+      struct(i.cast("long").as("idx"),
+        slice(ws, i * stride + 1, lit(window)).as("toks")))
+  }
 }

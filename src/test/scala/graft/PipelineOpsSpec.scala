@@ -1104,4 +1104,79 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tail1.map(_.length).sum > suffix.length / 2,
       "resynchronized tail should cover most of the shared suffix")
   }
+
+  test("phrase occurrences (p95 kernel): overlapping repeated-token " +
+    "matches all count; partial matches don't") {
+    import spark.implicits._
+    import graft.ops.IndexOps
+    val d = Seq(
+      (1L, "batch batch batch batch"), // tri-gram at starts 0 AND 1
+      (2L, "hash join beats nested loop hash join"), // two occurrences
+      (3L, "hash only then join apart") // both terms, never adjacent
+    ).toDF("doc_id", "text")
+    val post = IndexOps.positionalPostings(d, "doc_id", TextOps.tokens(col("text")))
+    val occ = IndexOps.phraseOccurrences(post, "doc_id",
+        Seq("batch batch batch", "hash join"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(occ == Set(
+      ("batch batch batch", 1L, 0L), ("batch batch batch", 1L, 1L),
+      ("hash join", 2L, 0L), ("hash join", 2L, 5L)))
+  }
+
+  test("ragChunks (p96 kernel): full coverage, exact overlap, short-doc " +
+    "single chunk, reassembly") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 80).map(i => s"t$i").mkString(" ")), // 80 tokens → 3 chunks
+      (2L, "just five little tokens here"),           // < window → 1 chunk
+      (3L, (1 to 32).map(i => s"u$i").mkString(" "))  // == window → 1 chunk
+    ).toDF("doc_id", "text")
+    val rows = d.select(col("doc_id"),
+        explode(TextOps.ragChunks(col("text"), 32, 24)).as("c"))
+      .select(col("doc_id"), col("c.idx"), col("c.toks"))
+      .collect().groupBy(_.getLong(0))
+    val c1 = rows(1L).sortBy(_.getLong(1)).map(_.getSeq[String](2))
+    assert(c1.map(_.length).toSeq == Seq(32, 32, 32)) // starts 1, 25, 49
+    // stride overlap: chunk k shares its last 8 tokens with chunk k+1's head
+    assert(c1(0).drop(24) == c1(1).take(8) && c1(1).drop(24) == c1(2).take(8))
+    // coverage: union of chunks = the original token sequence
+    assert((c1(0) ++ c1(1).drop(8) ++ c1(2).drop(8)) ==
+      (1 to 80).map(i => s"t$i"))
+    assert(rows(2L).length == 1 && rows(2L).head.getSeq[String](2).length == 5)
+    assert(rows(3L).length == 1 && rows(3L).head.getSeq[String](2).length == 32)
+  }
+
+  test("packShards (p98 kernel): two-phase distributed prefix sum is " +
+    "bit-identical to the naive global window; shards contiguous and " +
+    "budget-bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.ShardOps
+    // deterministic ragged sizes, ids deliberately NOT dense (gaps) and
+    // NOT aligned to the bucket width
+    val items = (0 until 300).map(i => (i * 3L + (i % 7), (i * 37 % 190 + 10).toLong))
+      .toDF("id", "sz").repartition(4)
+    val packed = ShardOps.packShards(items, "id", "sz",
+      bucketWidth = 64, budget = 500)
+    val naive = items.withColumn("pfx",
+      coalesce(sum(col("sz")).over(Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard_id", expr("pfx div 500"))
+    val got = packed.select("id", "pfx", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = naive.select("id", "pfx", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // shards are contiguous id ranges with at most one straddler over budget
+    val byShard = packed.collect().groupBy(_.getAs[Long]("shard_id"))
+    val spans = byShard.toSeq.sortBy(_._1)
+      .map { case (s, rs) => (s, rs.map(_.getAs[Long]("id")).min,
+        rs.map(_.getAs[Long]("id")).max, rs.map(_.getAs[Long]("sz")).sum) }
+    spans.sliding(2).foreach {
+      case Seq((_, _, hi, _), (_, lo, _, _)) => assert(hi < lo)
+      case _ =>
+    }
+    val maxSz = 199L
+    assert(spans.forall { case (_, _, _, tot) => tot <= 500 + maxSz })
+  }
 }
