@@ -88,4 +88,56 @@ object LmOps {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** BPE merge TRAINING (p99): learn `rounds` merges by the classic
+    * greedy loop — count adjacent symbol pairs over the word-frequency
+    * table, take the most frequent pair (ties: lexicographic (a, b)),
+    * merge it everywhere, repeat. p46 counts one round's merge
+    * candidates and p87 APPLIES a learned list; this closes the loop
+    * and produces the list. Words are parenthesis-framed symbol
+    * sequences (`(b)(a)(t)` — the p87 framing, which makes a literal
+    * `replace` a correct non-overlapping left-to-right pair merge).
+    *
+    * Scale shape: the corpus-sized tokenization collapses to the
+    * word-frequency table ONCE (vocabulary-bounded — Heaps' law, not
+    * corpus-sized — and persisted); each round is then one
+    * vocab-sized pair-count partial agg plus a top-1 TakeOrdered, and
+    * the winning pair is a 1-row driver read (the p51-style
+    * aggregate-scalar exception) folded into the next round's encode
+    * expression. Symbols are assumed not to contain parentheses
+    * (whitespace tokens in this corpus cannot).
+    */
+  def bpeTrainMerges(docs: DataFrame, text: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(TextOps.tokens(col(text))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val base = vocab
+      .select(regexp_replace(col("term"), "(.)", "($1)").as("enc"), col("freq"))
+      .persist()
+    var enc = base
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = enc
+        .select(regexp_extract_all(col("enc"), lit("\\(([^)]*)\\)"), lit(1))
+          .as("s"), col("freq"))
+        .select(explode(expr(
+          "transform(slice(s, 1, size(s) - 1), (x, i) -> " +
+            "named_struct('a', x, 'b', s[i + 1]))")).as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"BPE training ran dry at round $r")
+      val (a, b, cnt) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((r.toLong, a, b, a + b, cnt))
+      enc = enc.withColumn("enc",
+        call_function("replace", col("enc"), lit(s"($a)($b)"), lit(s"($a$b)")))
+    }
+    base.unpersist()
+    merges.result()
+      .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+  }
 }

@@ -149,6 +149,36 @@ object TextOps {
     * the scan); the explode downstream is the only row growth and is
     * bounded by `n / stride + 1` chunks per doc.
     */
+  /** Obfuscation-resistant canonicalization for blocklist matching
+    * (p100): lowercase → leet-substitute digits/symbols → strip
+    * separator characters (including spaces, so "c a s i n o"
+    * collapses) → collapse elongated letter runs ("spaaam" → "spam")
+    * for each letter in `letters`. The SAME canonicalization must be
+    * applied to the blocklist terms (see [[canonTerm]]) so both sides
+    * live in the canonical space — that is what makes "fr33 m0n3y"
+    * match "freemoney" even though the canonical form ("fremony") is
+    * not a dictionary word.
+    *
+    * Per-letter run collapse (not a `(.)\1+` backreference) because
+    * the DuckDB oracle's RE2 engine has no backreferences — the chain
+    * is generated from one letter list on both engines so they cannot
+    * drift. Entirely row-local; runs inside whole-stage codegen.
+    */
+  def normalizeObfuscated(text: Column, letters: Seq[Char]): Column = {
+    val base = regexp_replace(
+      translate(lower(text), leetFrom, leetTo), "[ ._*+!-]", "")
+    letters.foldLeft(base)((e, c) => regexp_replace(e, s"$c$c+", c.toString))
+  }
+
+  /** Leet-speak substitution table shared with the oracle mirror. */
+  val leetFrom = "0134578$@"
+  val leetTo = "oieastbsa"
+
+  /** A blocklist term's canonical form under the same run collapse. */
+  def canonTerm(term: String, letters: Seq[Char]): String =
+    letters.foldLeft(term.toLowerCase)((s, c) =>
+      s.replaceAll(s"$c$c+", c.toString))
+
   def ragChunks(text: Column, window: Int, stride: Int): Column = {
     require(stride >= 1 && window >= stride,
       s"ragChunks requires 1 <= stride <= window, got window=$window stride=$stride")

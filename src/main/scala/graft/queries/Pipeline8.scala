@@ -35,6 +35,66 @@ object Pipeline8 {
   private val PackBucket = 64L
   private val PackBudget = 32768L
 
+  /** p99 training depth. */
+  private val BpeRounds = 5
+
+  /** DuckDB mirror of [[graft.ops.LmOps.bpeTrainMerges]]: the greedy
+    * loop unrolled to `rounds` CTE stages, each picking its round's
+    * argmax pair by scalar subquery and folding the literal merge into
+    * the next stage's encode — the same data-dependent sequence the
+    * Spark loop materializes through its 1-row driver reads.
+    */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH w AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+                 FROM (SELECT unnest($wsSql) AS term FROM documents)
+                 GROUP BY 1),
+      e0 AS (SELECT """ +
+      raw"""regexp_replace(term, '(.)', '(\1)', 'g') AS enc, freq FROM w)"""
+    for (r <- 1 to rounds) {
+      val prev = s"e${r - 1}"
+      sb ++= s""",
+      s$r AS (SELECT """ +
+        raw"""regexp_extract_all(enc, '\(([^)]*)\)', 1) AS s, freq FROM $prev),
+      x$r AS (SELECT s, freq, unnest(generate_series(1, len(s) - 1)) AS i
+              FROM s$r),
+      c$r AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM x$r GROUP BY 1, 2),
+      m$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
+      e$r AS (SELECT replace(enc,
+                '(' || (SELECT a FROM m$r) || ')(' || (SELECT b FROM m$r) || ')',
+                '(' || (SELECT a FROM m$r) || (SELECT b FROM m$r) || ')') AS enc,
+                freq FROM $prev)"""
+    }
+    sb ++= "\n      " + (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS left_sym, " +
+        s"b AS right_sym, a || b AS merged, cnt AS pair_count FROM m$r")
+      .mkString(" UNION ALL ")
+    sb ++= "\n      ORDER BY merge_rank"
+    sb.result()
+  }
+
+  /** The p100 blocklist and its obfuscated injections — single source
+    * of truth for the Spark chain AND the oracle SQL. Injections
+    * cover the classic evasions: separator insertion ("b.u.y-n0w"),
+    * leet digits + spacing ("fr33 m0n3y"), full char-spacing
+    * ("c-a-s-i-n-o"), and elongation + leet ("spaaamc0rp").
+    */
+  private val blocklist = Seq("buynow", "casino", "freemoney", "spamcorp")
+  private val spamLetters: Seq[Char] = blocklist.flatMap(_.toSeq).distinct.sorted
+  private val spamInjections: Seq[(Long, String)] = Seq(
+    7L -> " b.u.y-n0w", 11L -> " fr33 m0n3y",
+    13L -> " c-a-s-i-n-o", 17L -> " spaaamc0rp")
+
+  /** DuckDB mirror of [[TextOps.normalizeObfuscated]] over `e`. */
+  private def normSql(e: String): String = {
+    val base = s"regexp_replace(translate(lower($e), " +
+      s"'${TextOps.leetFrom}', '${TextOps.leetTo}'), '[ ._*+!-]', '', 'g')"
+    spamLetters.foldLeft(base)((s, c) =>
+      s"regexp_replace($s, '$c$c+', '$c', 'g')")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- positional inverted index + phrase search -------------------------
@@ -239,6 +299,89 @@ object Pipeline8 {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("shard_id"))
+    },
+
+    // ---- BPE merge training (closes the p46/p87 loop) ----------------------
+    // p46 counts one round's merge candidates, p87 APPLIES a learned
+    // list — this LEARNS the list: five rounds of the greedy BPE loop
+    // (count adjacent symbol pairs weighted by word frequency, merge
+    // the most frequent pair, repeat), each round's winner folded into
+    // the next round's encode. The oracle unrolls the same five
+    // data-dependent rounds as CTE stages with scalar-subquery argmax
+    // picks — the hash match proves the full training trajectory, not
+    // just one step.
+    //
+    // Scale shape: the corpus-sized tokenize collapses to the
+    // vocabulary-bounded word-frequency table once (persisted); each
+    // round is a vocab-sized pair-count partial agg + top-1
+    // TakeOrdered, with a 1-row driver read per round (the p51-style
+    // aggregate-scalar exception — it reads the ANSWER, not data).
+    Q("p99_bpe_train", Some(bpeTrainOracle(BpeRounds))) { (spark, dir) =>
+      graft.ops.LmOps.bpeTrainMerges(
+        Tables.loadSpread(spark, dir, "documents"), "text", BpeRounds)
+        .orderBy(col("merge_rank"))
+    },
+
+    // ---- obfuscation-resistant blocklist gating ----------------------------
+    // Trust-and-safety filtering that adversaries actually face:
+    // blocklist terms hidden by separator insertion, leet digits,
+    // char-spacing, and elongation are caught by canonicalizing BOTH
+    // the text and the terms into the same space (lower → leet map →
+    // strip separators incl. spaces → collapse letter runs). The
+    // fixture welds the four classic evasions onto doc_id mod-classes;
+    // the raw-substring scan catches none of them (n_raw_visible
+    // proves it), the canonical scan catches all. Run collapse is a
+    // generated per-letter chain, NOT a `(.)\1+` backreference — the
+    // oracle's RE2 has none, and both chains derive from one list.
+    //
+    // Scale shape: entirely row-local regex/translate work inside the
+    // scan stage plus one source-keyed rollup — the cheapest possible
+    // gate, which is the point: it runs over ALL 100 TB before
+    // anything expensive does.
+    Q("p100_blocklist_gate", Some {
+      val payload = "text" + spamInjections.map { case (m, s) =>
+        s" || CASE WHEN doc_id % $m = 0 THEN '$s' ELSE '' END"
+      }.mkString
+      val hitCols = blocklist.map { t =>
+        val c = TextOps.canonTerm(t, spamLetters)
+        s"CAST(sum(CASE WHEN contains(norm, '$c') THEN 1 ELSE 0 END) AS BIGINT) AS n_$t"
+      }.mkString(", ")
+      val anyHit = blocklist.map { t =>
+        val c = TextOps.canonTerm(t, spamLetters)
+        s"contains(norm, '$c')"
+      }.mkString(" OR ")
+      val rawHit = blocklist.map(t => s"contains(lower(payload), '$t')")
+        .mkString(" OR ")
+      s"""
+      WITH d AS (SELECT doc_id, source, $payload AS payload FROM documents),
+      n AS (SELECT doc_id, source, payload,
+                   ${normSql("payload")} AS norm FROM d)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN $anyHit THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+             CAST(sum(CASE WHEN $rawHit THEN 1 ELSE 0 END) AS BIGINT) AS n_raw_visible,
+             $hitCols
+      FROM n GROUP BY source ORDER BY source"""
+    }) { (spark, dir) =>
+      val payload = spamInjections.foldLeft(col("text")) { case (e, (m, s)) =>
+        concat(e, when(col("doc_id") % m === 0, lit(s)).otherwise(lit("")))
+      }
+      val norm = TextOps.normalizeObfuscated(payload, spamLetters)
+      val canon = blocklist.map(t => t -> TextOps.canonTerm(t, spamLetters))
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), payload.as("payload"),
+          norm.as("norm"))
+      val anyHit = canon.map { case (_, c) => col("norm").contains(c) }
+        .reduce(_ || _)
+      val rawHit = blocklist.map(t => lower(col("payload")).contains(t))
+        .reduce(_ || _)
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(when(anyHit, 1L).otherwise(0L)).as("n_gated")) +:
+            (sum(when(rawHit, 1L).otherwise(0L)).as("n_raw_visible")) +:
+            canon.map { case (t, c) =>
+              sum(when(col("norm").contains(c), 1L).otherwise(0L)).as(s"n_$t")
+            }: _*)
+        .orderBy(col("source"))
     }
   )
 }

@@ -1179,4 +1179,40 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val maxSz = 199L
     assert(spans.forall { case (_, _, _, tot) => tot <= 500 + maxSz })
   }
+
+  test("bpeTrainMerges (p99 kernel): greedy argmax by weighted pair count, " +
+    "and later merges cascade on earlier merge outputs") {
+    import spark.implicits._
+    import graft.ops.LmOps
+    // 'ab' appears 3+1 times as a pair (freq-weighted), so round 1 must
+    // merge (a,b); round 2's only remaining pair is (ab, c) — its LEFT
+    // SYMBOL is round 1's output, proving merges compose.
+    val d = Seq((1L, "ab ab ab abc")).toDF("doc_id", "text")
+    val m = LmOps.bpeTrainMerges(d, "text", rounds = 2)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m(0) == ((1L, "a", "b", "ab", 4L)))
+    assert(m(1) == ((2L, "ab", "c", "abc", 1L)))
+  }
+
+  test("normalizeObfuscated (p100 kernel): separator, leet, spacing and " +
+    "elongation evasions all canonicalize onto the blocklist term") {
+    import spark.implicits._
+    val letters = "abcefimnoprsuwy".toSeq
+    val d = Seq(
+      (1L, "b.u.y-n0w"), (2L, "fr33 m0n3y"), (3L, "c a s i n o"),
+      (4L, "spaaamc0rp"), (5L, "perfectly ordinary text")
+    ).toDF("id", "t")
+    val got = d.select(col("id"),
+        TextOps.normalizeObfuscated(col("t"), letters).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "buynow")
+    assert(got(2L) == TextOps.canonTerm("freemoney", letters)) // "fremony"
+    assert(got(3L) == "casino")
+    assert(got(4L) == "spamcorp")
+    // innocuous text: only spaces removed and the double-l of
+    // "perfectly"… has none; "oo"/"tt" collapse only for listed letters
+    assert(got(5L) == "perfectlyordinarytext")
+  }
 }
