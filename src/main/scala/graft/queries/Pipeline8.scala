@@ -382,6 +382,79 @@ object Pipeline8 {
               sum(when(col("norm").contains(c), 1L).otherwise(0L)).as(s"n_$t")
             }: _*)
         .orderBy(col("source"))
+    },
+
+    // ---- leakage-safe cluster-aware train/val/test split -------------------
+    // WHY dedup clusters exist: a doc-level hash split puts members of
+    // the same near-dup cluster on both sides of the train/eval fence —
+    // the eval set then "tests" on paraphrases of training data.
+    // Assigning by hash of the CLUSTER id makes straddling impossible
+    // by construction; this entry proves it IN THE DATA, computing the
+    // straddle count the honest way for both policies: n_leaky_naive
+    // (clusters whose members' doc-level hashes land in >1 split —
+    // nonzero on the fixture) vs n_leaky_cluster (always 0). 80/10/10
+    // via h60(cluster_id) mod 10, deterministic on any cluster.
+    //
+    // Scale shape: reuses the shared p09/p29 banded-pairs + bounded-CC
+    // fixpoint (the p75 curation DAG materializes the same labels once
+    // in production); on top of it, split assignment is row-local
+    // hashing on the label table and the audit is two cluster/split-
+    // keyed partial aggs.
+    Q("p101_leakage_split", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      ${Pipeline.clusterLabelsCte},
+      asg AS (SELECT d.doc_id,
+                     coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                     CASE WHEN ${Portable.h60Sql(
+        "concat('split:', CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR))")} % 10 < 8
+                          THEN 'train'
+                          WHEN ${Portable.h60Sql(
+        "concat('split:', CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR))")} % 10 = 8
+                          THEN 'val' ELSE 'test' END AS split,
+                     CASE WHEN ${Portable.h60Sql(
+        "concat('split:', CAST(d.doc_id AS VARCHAR))")} % 10 < 8 THEN 'train'
+                          WHEN ${Portable.h60Sql(
+        "concat('split:', CAST(d.doc_id AS VARCHAR))")} % 10 = 8 THEN 'val'
+                          ELSE 'test' END AS naive_split
+              FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id),
+      cl AS (SELECT cluster_id, count(DISTINCT naive_split) AS nns,
+                    count(DISTINCT split) AS ncs FROM asg GROUP BY 1)
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+             CAST(count(DISTINCT CASE WHEN cl.nns > 1 THEN a.cluster_id END)
+                  AS BIGINT) AS n_leaky_naive,
+             CAST(count(DISTINCT CASE WHEN cl.ncs > 1 THEN a.cluster_id END)
+                  AS BIGINT) AS n_leaky_cluster
+      FROM asg a JOIN cl USING (cluster_id)
+      GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      import graft.ops.DedupOps
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val b = Portable.h60(concat(lit("split:"), c.cast("string"))) % 10
+        when(b < 8, "train").when(b === 8, "val").otherwise("test")
+      }
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val pairs = DedupOps.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = 1000)
+      val cc = DedupOps.connectedComponents(pairs)
+      val asg = docs.select(col("doc_id"))
+        .join(cc.select(col("n").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+        .withColumn("split", splitOf(col("cluster_id")))
+        .withColumn("naive_split", splitOf(col("doc_id")))
+      val cl = asg.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("naive_split")).as("nns"),
+          countDistinct(col("split")).as("ncs"))
+      asg.join(cl, "cluster_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          countDistinct(when(col("nns") > 1, col("cluster_id")))
+            .as("n_leaky_naive"),
+          countDistinct(when(col("ncs") > 1, col("cluster_id")))
+            .as("n_leaky_cluster"))
+        .orderBy(col("split"))
     }
   )
 }

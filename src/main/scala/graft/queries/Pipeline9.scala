@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Round-8 pipeline entries, fourth batch: behavioral cohorts,
+  * contrastive-training pair mining, and point-in-time snapshot reads —
+  * the analysis/serving consumers of the event stream, the embedding
+  * corpus, and the SCD2 history built upstream.
+  */
+object Pipeline9 {
+
+  /** p104 snapshot dates — single source of truth for both engines. */
+  private val asofDates = Seq("1993-06-01", "1995-06-01", "1997-06-01")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- cohort retention matrix -------------------------------------------
+    // The standard product/behavior table: users are cohorted by first
+    // active day and each later active day counts toward
+    // (cohort, day_offset) — the retention curve per cohort, with the
+    // rate in exact per-mille. Aggregation-by-construction (no window
+    // over the raw stream): the (user, day) activity set collapses
+    // first, the first-seen day is a user-keyed agg, the matrix a
+    // cohort-keyed agg.
+    //
+    // Scale shape: two shuffles keyed user_id (distinct + first-seen)
+    // and one keyed cohort; output is bounded by cohorts × offsets, not
+    // events. At 100 TB the (user, day) distinct is the map-side-
+    // combining workhorse — it collapses the event stream before
+    // anything else runs.
+    Q("p102_cohort_retention", Some("""
+      WITH e AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                 FROM events),
+      f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
+      r AS (SELECT f.cohort,
+                   CAST(date_diff('day', f.cohort, e.d) AS BIGINT) AS day_offset,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+            FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+      s AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+            FROM f GROUP BY 1)
+      SELECT r.cohort, r.day_offset, r.n_active, s.cohort_size,
+             CAST(r.n_active * 1000 // s.cohort_size AS BIGINT)
+               AS retained_milli
+      FROM r JOIN s USING (cohort) ORDER BY 1, 2""")) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "events")
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("d")).distinct()
+      val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+      val size = first.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("cohort_size"))
+      e.join(first, "user_id")
+        .groupBy(col("cohort"),
+          datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(size), "cohort")
+        .select(col("cohort"), col("day_offset"), col("n_active"),
+          col("cohort_size"),
+          expr("n_active * 1000 div cohort_size").as("retained_milli"))
+        .orderBy(col("cohort"), col("day_offset"))
+    },
+
+    // ---- contrastive hard-negative / easy-positive pair mining -------------
+    // The training-pair step of embedding finetuning: for each query in
+    // a fixed panel, the HARDEST negative (highest dot product among
+    // other-label vectors — the confusable the model must push away)
+    // and the EASIEST positive (lowest dot among same-label vectors —
+    // the far member it must pull in). margin = easy_pos − hard_neg in
+    // exact micro²-units; a negative margin marks the violated triplets
+    // a trainer batches first. Scaled-integer dots (round(x·1e6), the
+    // p88/p92/p97 convention), ties toward the smaller vec_id.
+    //
+    // Scale shape: the 20-query panel is fixed-size and broadcast; ONE
+    // partial-agg pass over corpus components computes every dot; label
+    // attachment is a key join against the (id, label) table; both
+    // argmax and argmin are conditional struct-extrema aggregates —
+    // never a window over the corpus.
+    Q("p103_hard_negatives", Some("""
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      cx AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS i,
+                    unnest(v) AS x FROM v),
+      c AS (SELECT vec_id, i - 1 AS j,
+                   CAST(round(x * 1000000) AS BIGINT) AS ri FROM cx),
+      q AS (SELECT vec_id AS qid, j, ri AS qi FROM c WHERE vec_id < 20),
+      d AS (SELECT q.qid, c.vec_id AS vid, sum(q.qi * c.ri) AS dot
+            FROM c JOIN q ON q.j = c.j AND c.vec_id != q.qid GROUP BY 1, 2),
+      l AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+      j AS (SELECT d.qid, ql.label AS qlabel, d.vid, vl.label AS vlabel,
+                   CAST(d.dot AS BIGINT) AS dot
+            FROM d JOIN l ql ON ql.vec_id = d.qid
+                   JOIN l vl ON vl.vec_id = d.vid),
+      hn AS (SELECT qid, vid AS hard_neg_id, dot AS hard_neg_dot FROM
+               (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY dot DESC, vid) AS rn FROM j WHERE vlabel != qlabel)
+             WHERE rn = 1),
+      ep AS (SELECT qid, vid AS easy_pos_id, dot AS easy_pos_dot FROM
+               (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY dot, vid) AS rn FROM j WHERE vlabel = qlabel)
+             WHERE rn = 1)
+      SELECT DISTINCT j.qid, j.qlabel, hn.hard_neg_id, hn.hard_neg_dot,
+             ep.easy_pos_id, ep.easy_pos_dot,
+             ep.easy_pos_dot - hn.hard_neg_dot AS margin
+      FROM j JOIN hn USING (qid) JOIN ep USING (qid)
+      ORDER BY j.qid""")) { (spark, dir) =>
+      val emb = Tables.loadSpread(spark, dir, "embeddings")
+      val c = emb.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("j", "x")))
+        .select(col("vec_id"), col("j"),
+          round(col("x") * 1000000, 0).cast("long").as("ri"))
+      val q = c.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("j"), col("ri").as("qi"))
+      val labels = emb.select(col("vec_id"), col("label").cast("long"))
+      val d = c.join(broadcast(q), "j")
+        .where(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("qi") * col("ri")).as("dot"))
+        .join(broadcast(labels.select(col("vec_id").as("qid"),
+          col("label").as("qlabel"))), "qid")
+        .join(labels.select(col("vec_id"), col("label").as("vlabel")),
+          "vec_id")
+      d.groupBy(col("qid"), col("qlabel"))
+        .agg(
+          max(when(col("vlabel") =!= col("qlabel"),
+            struct(col("dot"), (-col("vec_id")).as("nv")))).as("hn"),
+          min(when(col("vlabel") === col("qlabel"),
+            struct(col("dot"), col("vec_id").as("v")))).as("ep"))
+        .select(col("qid"), col("qlabel"),
+          (-col("hn.nv")).as("hard_neg_id"), col("hn.dot").as("hard_neg_dot"),
+          col("ep.v").as("easy_pos_id"), col("ep.dot").as("easy_pos_dot"),
+          (col("ep.dot") - col("hn.dot")).as("margin"))
+        .orderBy(col("qid"))
+    },
+
+    // ---- point-in-time snapshot read over the SCD2 history -----------------
+    // Time travel over the p65 change history: for each snapshot date,
+    // the census of customers by their THEN-effective order priority —
+    // interval containment (valid_from <= d < valid_to, NULL valid_to =
+    // still current) against a broadcast panel of snapshot dates, three
+    // versions reconstructed in ONE pass over the history. Customers
+    // whose history starts after a snapshot date correctly don't exist
+    // in that snapshot.
+    //
+    // Scale shape: the history build is p65's single o_custkey
+    // partitioning; the snapshot panel is a 3-row broadcast nested-loop
+    // join (the documented broadcast-tiny-frame exception); the census
+    // is one (date, priority)-keyed partial agg of bounded width.
+    Q("p104_asof_snapshot", Some(s"""
+      WITH o AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+                 FROM orders),
+      f AS (SELECT *, CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                             OR lag(o_orderpriority) OVER w <> o_orderpriority
+                           THEN 1 ELSE 0 END AS chg
+            FROM o WINDOW w AS (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)),
+      i AS (SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS island
+            FROM f),
+      g AS (SELECT o_custkey, CAST(island AS BIGINT) AS island,
+                   min(o_orderpriority) AS priority,
+                   min(o_orderdate) AS valid_from
+            FROM i GROUP BY 1, 2),
+      h AS (SELECT o_custkey, priority, valid_from,
+                   lead(valid_from) OVER (PARTITION BY o_custkey
+                                          ORDER BY island) AS valid_to
+            FROM g),
+      dt(asof_date) AS (VALUES ${asofDates.map(d => s"(TIMESTAMP '$d')").mkString(", ")})
+      SELECT dt.asof_date, h.priority,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM h JOIN dt ON h.valid_from <= dt.asof_date
+                    AND (h.valid_to IS NULL OR h.valid_to > dt.asof_date)
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wi = Window.partitionBy(col("o_custkey")).orderBy(col("island"))
+      val chg = when(lag(col("o_orderpriority"), 1).over(w).isNull
+        || lag(col("o_orderpriority"), 1).over(w) =!= col("o_orderpriority"), 1)
+        .otherwise(0)
+      val hist = Tables.load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate"), col("o_orderkey"))
+        .withColumn("chg", chg)
+        .withColumn("island", sum(col("chg")).over(w).cast("long"))
+        .groupBy(col("o_custkey"), col("island"))
+        .agg(min(col("o_orderpriority")).as("priority"),
+          min(col("o_orderdate")).as("valid_from"))
+        .select(col("o_custkey"), col("island"), col("priority"),
+          col("valid_from"),
+          lead(col("valid_from"), 1).over(wi).as("valid_to"))
+      val dates = asofDates.map(Tuple1(_)).toDF("s")
+        .select(to_timestamp(col("s")).as("asof_date"))
+      hist.join(broadcast(dates),
+          col("valid_from") <= col("asof_date")
+            && (col("valid_to").isNull || col("valid_to") > col("asof_date")))
+        .groupBy(col("asof_date"), col("priority"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("asof_date"), col("priority"))
+    }
+  )
+}
