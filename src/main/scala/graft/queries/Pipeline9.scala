@@ -196,6 +196,119 @@ object Pipeline9 {
         .groupBy(col("asof_date"), col("priority"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("asof_date"), col("priority"))
+    },
+
+    // ---- triangle count + transitivity of the near-dup graph ---------------
+    // Graph-shape forensics on the dedup pair graph: triangles vs open
+    // wedges (transitivity) separates tight duplicate cliques from
+    // star-shaped template hubs — the diagnostic that tells you whether
+    // CC clusters are real families or one boilerplate page linking
+    // everything. Exact integer transitivity in per-mille.
+    //
+    // Scale shape: edges are the shared bounded p09 spairs (banded,
+    // capped — never all-pairs). Triangles use the ORIENTATION trick:
+    // edges point low→high in the (degree, id) total order, wedges are
+    // an oriented-adjacency self-join on the source, closed by ONE
+    // keyed (v,w) join against oriented edges. ANY total order counts
+    // each triangle exactly once — so the oracle's simple id-order
+    // triple join must produce the SAME count the degree-ordered Spark
+    // plan does (that equality is itself evidence the orientation is
+    // correct), while degree-ordering bounds the wedge fan-out by
+    // out-degree ≤ O(√m) instead of a hub's full degree. Wedge total =
+    // Σ d(d−1)/2 is a degree-table aggregate, never materialized.
+    Q("p105_dup_triangles", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      e AS (SELECT a, b FROM spairs),
+      deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+                (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+              GROUP BY 1),
+      tri AS (SELECT count(*) AS t FROM e e1
+              JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+      wed AS (SELECT sum(d * (d - 1) // 2) AS w FROM deg)
+      SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+             CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+             CAST(wed.w AS BIGINT) AS n_wedges,
+             CAST(tri.t AS BIGINT) AS n_triangles,
+             CAST(3 * tri.t * 1000 // wed.w AS BIGINT) AS transitivity_milli
+      FROM tri, wed""")) { (spark, dir) =>
+      import graft.ops.DedupOps
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val e = DedupOps.simhashPairs(docs, "doc_id", "text",
+          maxHamming = 3, maxBucket = 1000)
+        .select(col("a"), col("b")).localCheckpoint()
+      val deg = e.select(col("a").as("n"))
+        .union(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      // orient every edge low→high in the (degree, id) total order:
+      // out-degree is bounded by O(sqrt(m)) so the wedge self-join
+      // cannot blow up on a hub, and any total order counts each
+      // triangle exactly once (the oracle uses plain id order — equal
+      // counts prove it)
+      val withOrd = e
+        .join(deg.select(col("n").as("a"), struct(col("d"), col("n")).as("oa")), "a")
+        .join(deg.select(col("n").as("b"), struct(col("d"), col("n")).as("ob")), "b")
+      val oe = withOrd.select(
+        when(col("oa") < col("ob"), col("a")).otherwise(col("b")).as("src"),
+        when(col("oa") < col("ob"), col("b")).otherwise(col("a")).as("dst"),
+        when(col("oa") < col("ob"), col("ob")).otherwise(col("oa")).as("odst"))
+      val w1 = oe.select(col("src"), col("dst").as("v"), col("odst").as("ov"))
+      val w2 = oe.select(col("src"), col("dst").as("w"), col("odst").as("ow"))
+      val wedges = w1.join(w2, "src").where(col("ov") < col("ow"))
+      val tri = wedges.join(oe.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w")).agg(count(lit(1)).as("t"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      stats.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("t").as("n_triangles"),
+          expr("3 * t * 1000 div n_wedges").as("transitivity_milli"))
+    },
+
+    // ---- one-pass column profiler (dataset card statistics) ----------------
+    // The profile block of a dataset card: per column — row count, null
+    // count, exact distinct count, lexicographic min/max of the string
+    // form. Computed by MELTING the table ((column_name, value) rows
+    // via stack) so ALL columns profile through ONE shuffle keyed by
+    // column name, instead of k independent jobs or k count-distinct
+    // expansions of one aggregate. Values compare as strings so every
+    // column type rides one schema — deterministic in both engines
+    // (doubles are excluded: their string forms are engine-defined).
+    //
+    // Scale shape: the melt is a row-local ×k scan-stage explosion
+    // feeding one partial agg; at 100 TB swap countDistinct for
+    // approx_count_distinct (same plan shape) — exact here so the
+    // oracle can check it. Per-column-name skew is bounded: exactly k
+    // equal-size key groups.
+    Q("p106_column_profile", Some {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+      val melted = cols.map(c =>
+        s"SELECT '$c' AS column_name, CAST($c AS VARCHAR) AS val FROM lineitem")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH m AS ($melted)
+      SELECT column_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+             min(val) AS min_val, max(val) AS max_val
+      FROM m GROUP BY 1 ORDER BY 1"""
+    }) { (spark, dir) =>
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+      val stackArgs = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+      Tables.load(spark, dir, "lineitem")
+        .select(expr(s"stack(${cols.length}, $stackArgs)")
+          .as(Seq("column_name", "val")))
+        .groupBy(col("column_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("val")).as("n_distinct"),
+          min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+        .orderBy(col("column_name"))
     }
   )
 }
