@@ -309,6 +309,112 @@ object Pipeline9 {
           countDistinct(col("val")).as("n_distinct"),
           min(col("val")).as("min_val"), max(col("val")).as("max_val"))
         .orderBy(col("column_name"))
+    },
+
+    // ---- schema-evolution read (mergeSchema over drifted batches) ----------
+    // What every long-lived lake hits: an early ingest batch wrote
+    // (doc_id, source, n_chars), a later one (doc_id, source, lang) —
+    // the columns drifted. The read unifies them via Spark's
+    // `mergeSchema` parquet option: the union schema comes back with
+    // NULL fill for each batch's missing columns, no rewrite of old
+    // files. The oracle reconstructs the same union from the base
+    // table arithmetically.
+    //
+    // Scale shape: schema merge is footer-only work (file schemas
+    // union at planning, data is never rewritten or shuffled); the
+    // scan stays a plain pruned parquet scan. The write here is the
+    // fixture setup, partitioned like any sink.
+    Q("p108_schema_evolution", Some("""
+      SELECT doc_id, source,
+             CASE WHEN doc_id < 250 THEN CAST(n_chars AS BIGINT) END AS n_chars,
+             CASE WHEN doc_id >= 250 THEN lang END AS lang
+      FROM documents ORDER BY doc_id""")) { (spark, dir) =>
+      val root = sinkDir(s"p108_evo_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      val docs = Tables.load(spark, dir, "documents")
+      docs.where(col("doc_id") < 250)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$root/batch1")
+      docs.where(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .write.mode("overwrite").parquet(s"$root/batch2")
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$root/batch1", s"$root/batch2")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- PII detection + redaction accounting ------------------------------
+    // The scrub pass a corpus takes before anything trains on it:
+    // e-mail and phone patterns are counted and replaced with typed
+    // placeholder tokens, and the audit reports — per source — how
+    // many of each PII kind were removed, how many documents were
+    // touched, and an order-independent content digest (bit_xor of the
+    // per-doc h60) of the REDACTED corpus, the checksum a downstream
+    // consumer pins. The fixture welds synthetic PII onto doc_id
+    // mod-classes (the p100 convention), so expected counts are
+    // deterministic and nonzero. RE2-safe patterns only (the oracle
+    // engine has no backreferences/lookahead).
+    //
+    // Scale shape: detection and redaction are row-local regex work in
+    // the scan stage; the audit is ONE source-keyed partial agg; the
+    // digest is a commutative aggregate, so partitioning never affects
+    // it.
+    Q("p109_pii_redact", Some {
+      val email = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+      val phone = "555-[0-9][0-9][0-9][0-9]"
+      s"""
+      WITH d AS (SELECT doc_id, source, text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com now' ELSE '' END
+                   || CASE WHEN doc_id % 9 = 0
+                           THEN ' call 555-' ||
+                                CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END
+                   AS payload FROM documents),
+      r AS (SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(payload, '$email')) AS BIGINT)
+                     AS n_email,
+                   CAST(len(regexp_extract_all(payload, '$phone')) AS BIGINT)
+                     AS n_phone,
+                   regexp_replace(regexp_replace(payload, '$email', '[EMAIL]',
+                     'g'), '$phone', '[PHONE]', 'g') AS redacted
+            FROM d)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_email) AS BIGINT) AS n_emails,
+             CAST(sum(n_phone) AS BIGINT) AS n_phones,
+             CAST(sum(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_docs_touched,
+             bit_xor(${graft.ops.Portable.h60Sql("redacted")}) AS content_xor
+      FROM r GROUP BY source ORDER BY source"""
+    }) { (spark, dir) =>
+      val email = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+      val phone = "555-[0-9][0-9][0-9][0-9]"
+      val payload = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          concat(lit(" call 555-"),
+            (lit(1000) + col("doc_id") % 9000).cast("string")))
+          .otherwise(lit("")))
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), payload.as("payload"))
+        .select(col("doc_id"), col("source"),
+          size(regexp_extract_all(col("payload"), lit(email), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("payload"), lit(phone), lit(0)))
+            .cast("long").as("n_phone"),
+          graft.ops.Portable.h60(
+            regexp_replace(regexp_replace(col("payload"), email, "[EMAIL]"),
+              phone, "[PHONE]")).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("n_emails"),
+          sum(col("n_phone")).as("n_phones"),
+          sum(when(col("n_email") + col("n_phone") > 0, 1L).otherwise(0L))
+            .as("n_docs_touched"),
+          expr("bit_xor(h)").as("content_xor"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -210,6 +210,27 @@ object StreamingQ {
       ORDER BY a.user_id""")) { (spark, dir) =>
       StreamingOps.upsertEvents(spark, dir, sinkDir("p83_upsert"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- LEFT-SEMI stream-stream interval join (p107) --------------------
+    // The streaming EXISTS: each click emits at most once when a
+    // qualifying same-user purchase in the preceding 30 minutes is
+    // seen; no purchase columns leak. Fourth stream-stream mode after
+    // inner (p24), left-outer and full-outer (StreamingSpec) — and the
+    // one a funnel gate actually wants (did a conversion follow?
+    // yes/no, not the cross product of all matches).
+    Q("p107_stream_semi_join", Some("""
+      SELECT c.event_id AS click_id, c.user_id AS c_user,
+             CAST(epoch_us(c.ts) AS BIGINT) AS click_us
+      FROM events c
+      WHERE c.event_type = 'click' AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts)
+      ORDER BY click_id""")) { (spark, dir) =>
+      StreamingOps.runToMemory(spark, mode = "append") { s =>
+          StreamingOps.clickPurchaseSemiJoin(StreamingOps.eventsStream(s, dir)) }
+        .orderBy(col("click_id"))
     }
   )
 }

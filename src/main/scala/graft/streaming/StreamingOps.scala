@@ -263,6 +263,33 @@ object StreamingOps {
         unix_micros(col("p_ts")).as("buy_us"))
   }
 
+  /** LEFT-SEMI stream-stream interval join — the fourth stream-stream
+    * mode alongside inner / left-outer / full-outer: each click emits
+    * AT MOST ONCE, as soon as one qualifying same-user purchase in the
+    * preceding `window` is seen, and no purchase columns leak into the
+    * output. Semantically the streaming EXISTS — the oracle (p107) is
+    * the batch EXISTS subquery. Match-time emission needs no eviction
+    * wait, so unlike the outer modes this one IS observable in a
+    * single AvailableNow batch; state still evicts by watermark.
+    */
+  def clickPurchaseSemiJoin(events: DataFrame,
+                            window: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr(s"INTERVAL $window") &&
+        col("p_ts") <= col("c_ts"),
+      "leftSemi")
+      .select(col("click_id"), col("c_user"),
+        unix_micros(col("c_ts")).as("click_us"))
+  }
+
   /** Streaming exact-dedup: running duplicate-group counts on the
     * normalized content hash (the streaming face of
     * [[graft.ops.DedupOps.exactGroups]]).
