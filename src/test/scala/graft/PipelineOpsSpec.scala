@@ -1196,6 +1196,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(1) == ((2L, "ab", "c", "abc", 1L)))
   }
 
+  test("CMS sketch (p111 kernel): local h60 mirror matches the engine " +
+    "hash; estimates always >= truth with forced collisions; merge is " +
+    "partition-independent") {
+    import spark.implicits._
+    import graft.functions.Cms
+    import graft.ops.Portable
+    // the local md5 mirror IS the cross-engine bridge — pin it against
+    // the Catalyst expression on awkward inputs
+    val samples = Seq("0:scan", "3:", "1:a b", "2:ümläut", "0:x'y\"z")
+    val engine = samples.toDF("s").select(Portable.h60(col("s")))
+      .collect().map(_.getLong(0))
+    assert(samples.map(Cms.h60Local).toSeq == engine.toSeq)
+    // width 16 + 200 distinct items => collisions guaranteed; CMS must
+    // only ever OVERestimate
+    val items = (0 until 1000).map(i => (s"g${i % 2}", s"item${i % 200}"))
+      .toDF("g", "term").repartition(7)
+    val sk = items.groupBy(col("g")).agg(Cms.sketch(col("term"), 4, 16).as("cms"))
+    val truth = items.groupBy(col("g"), col("term")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val skMap = sk.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (((g, t), c) <- truth) {
+      val est = (0 until 4).map(r => skMap(g)(r * 16 + Cms.slot(r, t, 16))).min
+      assert(est >= c, s"CMS underestimated $g/$t: $est < $c")
+    }
+    // partition-independence: a single-partition run yields the same state
+    val sk1 = items.repartition(1).groupBy(col("g"))
+      .agg(Cms.sketch(col("term"), 4, 16).as("cms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(skMap == sk1)
+  }
+
   test("normalizeObfuscated (p100 kernel): separator, leet, spacing and " +
     "elongation evasions all canonicalize onto the blocklist term") {
     import spark.implicits._
