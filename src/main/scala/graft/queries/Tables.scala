@@ -51,15 +51,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
-      // rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and rebuild a
-      // microsecond timestamp (same truncation DuckDB applies), keeping
-      // the column order/name identical to the source table.
+      // events.ts has shipped in two physical layouts across fixture
+      // generations: INT64 TIMESTAMP(NANOS) (which Spark's reader only
+      // exposes as long via the legacy conf) and plain TIMESTAMP(MICROS)
+      // with isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Normalize
+      // BOTH to a session-zone microsecond TIMESTAMP — under the UTC
+      // session every query sees identical instants either way, and the
+      // output schema stays stable across fixture regenerations.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => df
+        case _ => // TIMESTAMP_NTZ: same wall clock, session zone is UTC
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

@@ -101,10 +101,14 @@ class SessionTimerProcessor(gapMs: Long)
   */
 object StreamingOps {
 
-  /** `events.parquet` as a file stream. The fixture's ts is
-    * TIMESTAMP(NANOS), which Spark's reader only exposes as long
-    * (legacy nanosAsLong) — rebuilt here to a microsecond timestamp,
-    * identical to the batch path in [[graft.queries.Tables.load]].
+  /** `events.parquet` as a file stream. The ts column has shipped in
+    * multiple physical layouts across fixture generations (INT64
+    * TIMESTAMP(NANOS) readable only as long, TIMESTAMP(MICROS) NTZ,
+    * and session-zone TIMESTAMP in spec-written splits). A file stream
+    * needs its schema up front, so a one-off BATCH read of the same
+    * files probes the layout, and the stream normalizes to a
+    * session-zone microsecond TIMESTAMP — identical to the batch path
+    * in [[graft.queries.Tables.load]].
     *
     * `glob` selects the source file(s) out of the directory (the
     * fixture dir is shared with other tables); `maxFilesPerTrigger`
@@ -117,8 +121,10 @@ object StreamingOps {
                    glob: String = "events.parquet",
                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the file-stream source lists a DIRECTORY; pathGlobFilter picks the
@@ -126,8 +132,13 @@ object StreamingOps {
     val reader = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = reader.parquet(dir)
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling-window counts/sums per event type with a 1h watermark. */

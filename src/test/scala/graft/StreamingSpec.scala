@@ -359,8 +359,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     */
   private def splitEvents(n: Int, order: Seq[Int]): String = {
     import org.apache.spark.sql.expressions.Window
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$msSf/events.parquet")
+    // normalized load (layout-adaptive ts) — chunks are WRITTEN with the
+    // normalized session-zone timestamp, which eventsStream's schema
+    // probe then reads back without any rebuild
+    val raw = queries.Tables.load(spark, msSf, "events")
     val rn = raw.withColumn("__rn",
       row_number().over(Window.orderBy(col("ts"), col("event_id"))))
     val total = rn.count()
@@ -375,9 +377,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     * Chunks are written in chronological order.
     */
   private def splitEventsAtUs(boundsUs: Seq[Long]): String = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$msSf/events.parquet")
-    val us = (col("ts") / 1000).cast("long")
+    val raw = queries.Tables.load(spark, msSf, "events")
+    val us = unix_micros(col("ts"))
     val edges = Long.MinValue +: boundsUs.sorted :+ Long.MaxValue
     writeSplit(edges.sliding(2).toSeq.map { case Seq(lo, hi) =>
       raw.filter(us > lo && us <= hi)
@@ -551,8 +552,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batches >= 3, s"expected >= 3 data batches, got $batches")
     val streamed = raw.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_first"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rn = spark.read.parquet(s"$msSf/events.parquet").withColumn("__rn",
+    val rn = queries.Tables.load(spark, msSf, "events").withColumn("__rn",
       row_number().over(Window.orderBy(col("ts"), col("event_id"))))
     val total = rn.count()
     // expected survivors = the on-time two-thirds only (late file keys
@@ -560,14 +560,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // on time — i.e. the late file contributes nothing)
     val onTime = rn.filter(col("__rn") > total / 3)
       .select(col("event_type"), col("user_id"),
-        (col("ts") - pmod(col("ts"), lit(60000000000L))).as("minute_bin"))
+        date_trunc("minute", col("ts")).as("minute_bin"))
       .distinct().groupBy(col("event_type")).agg(count(lit(1)).as("n_first"))
     assert(sameRows(streamed, onTime))
     // and the divergence from the full-fixture oracle is REAL: the late
     // third contains keys that exist nowhere else
     val full = rn
       .select(col("event_type"), col("user_id"),
-        (col("ts") - pmod(col("ts"), lit(60000000000L))).as("minute_bin"))
+        date_trunc("minute", col("ts")).as("minute_bin"))
       .distinct().groupBy(col("event_type")).agg(count(lit(1)).as("n_first"))
     assert(!sameRows(streamed, full),
       "late file unexpectedly contributed no distinct keys — fixture degenerate?")
@@ -648,9 +648,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-deliver an already-committed batchId (the at-least-once
     // post-recovery case): the gate must skip the merge entirely
     val v = target.currentVersion
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // split chunks are written with the normalized timestamp — no rebuild
     val replay = spark.read.parquet(s"$dir/events_000.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     target.merge(replay, 0L)
     assert(target.currentVersion == v, "replayed batchId must be a no-op")
     // a genuinely NEW batch advances the version and adds its rows
