@@ -250,6 +250,227 @@ object Pipeline11 {
         .select(col("event_type"), col("n_raw"), col("n_unique"),
           (col("n_raw") - col("n_unique")).as("n_dropped"), col("kept_xor"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- last-touch marketing attribution ----------------------------------
+    // The revenue-attribution rollup every growth pipeline runs: each
+    // purchase credits the user's most recent PRECEDING click/view
+    // within a 7-day lookback, else 'direct'. The carry-forward is two
+    // last(..., ignoreNulls) windows over (ts, event_id) order with an
+    // UNBOUNDED-PRECEDING→1-PRECEDING frame — identical null pattern,
+    // so both values come from the SAME touch row; strict precedence
+    // (same-instant purchases can't self-attribute) falls out of the
+    // frame's −1 bound, and the deterministic (us, event_id) tie-break
+    // makes the answer partition-invariant.
+    //
+    // Scale shape: ONE shuffle keyed by user_id (the natural session
+    // key), one sort per user partition, then a bounded channel
+    // rollup. No self-join of purchases×touches — the window carries
+    // the last touch in O(events) instead of O(purchases·touches).
+    Q("p115_attribution", Some("""
+      WITH ev AS (SELECT event_id, user_id, event_type,
+                         CAST(epoch_us(ts) AS BIGINT) AS us,
+                         CAST(round(value * 1000, 0) AS BIGINT) AS v
+                  FROM events),
+      w AS (SELECT user_id, event_id, event_type, us, v,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN us END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS t_us,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN event_type END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS t_ch
+            FROM ev),
+      p AS (SELECT CASE WHEN t_us IS NOT NULL
+                         AND us - t_us <= 604800000000
+                        THEN t_ch ELSE 'direct' END AS channel, v
+            FROM w WHERE event_type = 'purchase')
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(v) AS BIGINT) AS revenue_milli
+      FROM p GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(round(value * 1000, 0) AS BIGINT)").as("v"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = col("event_type").isin("click", "view")
+      val attributed = ev
+        .withColumn("t_us", last(when(touch, col("us")), ignoreNulls = true)
+          .over(w))
+        .withColumn("t_ch",
+          last(when(touch, col("event_type")), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(when(col("t_us").isNotNull
+            && col("us") - col("t_us") <= 604800000000L, col("t_ch"))
+          .otherwise("direct").as("channel"), col("v"))
+      attributed.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("v"))
+          .as("revenue_milli"))
+        .orderBy(col("channel"))
+    },
+
+    // ---- bounded k-core peeling of the near-dup graph ----------------------
+    // Template farms and boilerplate mills show up as DENSE near-dup
+    // regions; the 2-core strips the harmless tree-like fringe (docs
+    // with a single accidental match) and keeps exactly the cyclic
+    // cores worth auditing. Four unrolled peel rounds: each round
+    // removes every node whose CURRENT degree < 2 (including nodes
+    // orphaned by the previous round — degree computed by LEFT join
+    // from the active set, so zero-degree nodes are caught), then
+    // induces the subgraph. removed_round = the round a doc fell, 0 =
+    // survived all four (the fixpoint cores on this fixture).
+    //
+    // Scale shape: the standard distributed k-core schedule — per
+    // round ONE degree aggregation + two leftsemi joins, lineage cut
+    // by localCheckpoint so the loop's plan stays O(1) deep. The
+    // oracle unrolls the SAME four rounds as chained CTEs, proving the
+    // trajectory, not just the final set.
+    Q("p116_kcore", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      e0 AS MATERIALIZED (SELECT a, b FROM spairs),
+      a0 AS (SELECT DISTINCT n FROM
+               (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)),
+      g1 AS (SELECT n, count(*) AS d FROM
+               (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+             GROUP BY 1),
+      d1 AS MATERIALIZED (SELECT a0.n, coalesce(g1.d, 0) AS d
+             FROM a0 LEFT JOIN g1 USING (n)),
+      r1 AS (SELECT n FROM d1 WHERE d < 2),
+      a1 AS MATERIALIZED (SELECT n FROM d1 WHERE d >= 2),
+      e1 AS MATERIALIZED (SELECT a, b FROM e0
+             WHERE a IN (SELECT n FROM a1) AND b IN (SELECT n FROM a1)),
+      g2 AS (SELECT n, count(*) AS d FROM
+               (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1)
+             GROUP BY 1),
+      d2 AS MATERIALIZED (SELECT a1.n, coalesce(g2.d, 0) AS d
+             FROM a1 LEFT JOIN g2 USING (n)),
+      r2 AS (SELECT n FROM d2 WHERE d < 2),
+      a2 AS MATERIALIZED (SELECT n FROM d2 WHERE d >= 2),
+      e2 AS MATERIALIZED (SELECT a, b FROM e1
+             WHERE a IN (SELECT n FROM a2) AND b IN (SELECT n FROM a2)),
+      g3 AS (SELECT n, count(*) AS d FROM
+               (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2)
+             GROUP BY 1),
+      d3 AS MATERIALIZED (SELECT a2.n, coalesce(g3.d, 0) AS d
+             FROM a2 LEFT JOIN g3 USING (n)),
+      r3 AS (SELECT n FROM d3 WHERE d < 2),
+      a3 AS MATERIALIZED (SELECT n FROM d3 WHERE d >= 2),
+      e3 AS MATERIALIZED (SELECT a, b FROM e2
+             WHERE a IN (SELECT n FROM a3) AND b IN (SELECT n FROM a3)),
+      g4 AS (SELECT n, count(*) AS d FROM
+               (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3)
+             GROUP BY 1),
+      d4 AS MATERIALIZED (SELECT a3.n, coalesce(g4.d, 0) AS d
+             FROM a3 LEFT JOIN g4 USING (n)),
+      r4 AS (SELECT n FROM d4 WHERE d < 2),
+      a4 AS (SELECT n FROM d4 WHERE d >= 2)
+      SELECT n AS doc_id, removed_round FROM (
+        SELECT n, CAST(1 AS BIGINT) AS removed_round FROM r1
+        UNION ALL SELECT n, CAST(2 AS BIGINT) FROM r2
+        UNION ALL SELECT n, CAST(3 AS BIGINT) FROM r3
+        UNION ALL SELECT n, CAST(4 AS BIGINT) FROM r4
+        UNION ALL SELECT n, CAST(0 AS BIGINT) FROM a4)
+      ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.ops.DedupOps
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      var edges = DedupOps.simhashPairs(docs, "doc_id", "text",
+          maxHamming = 3, maxBucket = 1000)
+        .select(col("a"), col("b")).localCheckpoint()
+      var active = edges.select(col("a").as("n"))
+        .union(edges.select(col("b").as("n"))).distinct()
+      val removedRounds = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+      for (r <- 1 to 4) {
+        val deg = edges.select(col("a").as("n"))
+          .union(edges.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        val d = active.join(deg, Seq("n"), "left")
+          .withColumn("d", coalesce(col("d"), lit(0L)))
+        removedRounds += d.where(col("d") < 2)
+          .select(col("n"), lit(r.toLong).as("removed_round"))
+          .localCheckpoint()
+        active = d.where(col("d") >= 2).select(col("n")).localCheckpoint()
+        edges = edges
+          .join(active.select(col("n").as("a")), Seq("a"), "leftsemi")
+          .join(active.select(col("n").as("b")), Seq("b"), "leftsemi")
+          .select(col("a"), col("b")).localCheckpoint()
+      }
+      (removedRounds.result() :+
+          active.select(col("n"), lit(0L).as("removed_round")))
+        .reduce(_ union _)
+        .select(col("n").as("doc_id"), col("removed_round"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- daily ingest-volume anomaly detection -----------------------------
+    // The ops alarm over an ingest feed: per (event type, day) counts
+    // on a DENSIFIED calendar grid (missing days count 0 — exactly the
+    // anomaly a sparse grid would hide), flagged when the day deviates
+    // from its trailing 7-day window by more than 2σ. The z² gate is
+    // EXACT integer algebra: (7c − s)² > 4·(7ss − s²) multiplies the
+    // float z-score test through by 49·var — no sqrt, no doubles, both
+    // engines bit-equal. Warm-up days (n_win < 7) are reported but
+    // never flagged.
+    //
+    // Scale shape: the event stream collapses to the O(types × days)
+    // count grid FIRST (one partial-agg shuffle); the window runs on
+    // the tiny grid, never over raw events. The calendar densify is a
+    // broadcast cross of distinct types × one global min/max row.
+    Q("p117_ingest_anomaly", Some("""
+      WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1, 2),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+      t AS (SELECT DISTINCT event_type FROM events),
+      g AS (SELECT t.event_type,
+                   unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day
+            FROM t, b),
+      d AS (SELECT g.event_type, g.day, coalesce(c.c, 0) AS c
+            FROM g LEFT JOIN c USING (event_type, day)),
+      w AS (SELECT event_type, day, c,
+                   count(*) OVER win AS n_win,
+                   coalesce(sum(c) OVER win, 0) AS s7,
+                   coalesce(sum(c * c) OVER win, 0) AS ss7
+            FROM d WINDOW win AS
+              (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, day, c,
+             CAST(n_win AS BIGINT) AS n_win,
+             CAST(s7 AS BIGINT) AS s7, CAST(ss7 AS BIGINT) AS ss7,
+             CAST(CASE WHEN n_win = 7
+                        AND (7 * c - s7) * (7 * c - s7)
+                            > 4 * (7 * ss7 - s7 * s7)
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      FROM w ORDER BY 1, 2""")) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+      val c = ev.groupBy(col("event_type"),
+          date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val b = c.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val t = ev.select(col("event_type")).distinct()
+      val g = t.crossJoin(broadcast(b))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val d = g.join(c, Seq("event_type", "day"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val win = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      d.select(col("event_type"), col("day"), col("c"),
+          count(lit(1)).over(win).as("n_win"),
+          coalesce(sum(col("c")).over(win), lit(0L)).as("s7"),
+          coalesce(sum(col("c") * col("c")).over(win), lit(0L)).as("ss7"))
+        .withColumn("is_anomaly",
+          when(col("n_win") === 7
+            && (lit(7) * col("c") - col("s7"))
+               * (lit(7) * col("c") - col("s7"))
+               > lit(4) * (lit(7) * col("ss7") - col("s7") * col("s7")),
+            1L).otherwise(0L))
+        .orderBy(col("event_type"), col("day"))
     }
   )
 }
