@@ -17,10 +17,10 @@ object Pipeline6 {
     * standard web-quality filter shape) plus a bias. One definition so
     * the Spark side and the oracle SQL can never drift.
     */
-  private val qualityWeights: Seq[(String, Long)] = Seq(
+  private[queries] val qualityWeights: Seq[(String, Long)] = Seq(
     "fast" -> 3L, "spark" -> 2L, "query" -> 1L, "vector" -> 1L,
     "slow" -> -4L, "dup" -> -3L, "scan" -> -1L, "the" -> -1L)
-  private val qualityBias = 5L
+  private[queries] val qualityBias = 5L
 
   val all: Seq[Q] = Seq(
 
