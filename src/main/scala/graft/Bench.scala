@@ -96,22 +96,28 @@ object Bench {
     val results = ordered.map { case (name, _) =>
       name -> passes.map(_(name)).min
     }
-    // The driver captures only the last 2000 chars of output; with 80+
-    // queries, full names at nanosecond precision push the line past the
-    // buffer and the head (with "metric") gets cut off → unparseable.
-    // Short ids (the unique q##/p## prefix) at millisecond precision keep
-    // the whole line inside the buffer. This must stay the LAST line.
+    // The driver captures only the LAST 2000 chars of output and parses
+    // the final JSON line. 180+ query timings no longer fit in one line
+    // inside that window (the head — with "metric" — got truncated in
+    // round 8 and the driver recorded parsed:null). So: per-query
+    // timings stream out FIRST, one short line each (greppable
+    // "benchq" prefix, never the word "metric"), and the LAST line is a
+    // compact summary JSON — total, errors, and the slowest entries —
+    // sized well under the capture window even with sbt's trailing
+    // "[success]" line after it.
     def s3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + s3(v)
-    }.mkString("{", ",", "}")
+    results.foreach { case (k, v) =>
+      println(s"""benchq {"${k.takeWhile(_ != '_')}":${s3(v)}}""")
+    }
+    observed.foreach { case (k, v) => println(s"""benchm {"$k":$v}""") }
     val total = s3(results.map(_._2).sum)
     val errs = failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
       .mkString("[", ",", "]")
-    val mets = observed.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"metrics":$mets,"queries":$qs,"sf":"$sfDir"}""")
+    val slowest = results.sortBy(-_._2).take(8).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + s3(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

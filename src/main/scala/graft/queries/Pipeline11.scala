@@ -422,13 +422,13 @@ object Pipeline11 {
     // the tiny grid, never over raw events. The calendar densify is a
     // broadcast cross of distinct types × one global min/max row.
     Q("p117_ingest_anomaly", Some("""
-      WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+      WITH c AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
                         CAST(count(*) AS BIGINT) AS c
                  FROM events GROUP BY 1, 2),
       b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
       t AS (SELECT DISTINCT event_type FROM events),
       g AS (SELECT t.event_type,
-                   unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day
+                   CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS day
             FROM t, b),
       d AS (SELECT g.event_type, g.day, coalesce(c.c, 0) AS c
             FROM g LEFT JOIN c USING (event_type, day)),
@@ -439,7 +439,7 @@ object Pipeline11 {
             FROM d WINDOW win AS
               (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-      SELECT event_type, day, c,
+      SELECT event_type, CAST(day AS VARCHAR) AS day, c,
              CAST(n_win AS BIGINT) AS n_win,
              CAST(s7 AS BIGINT) AS s7, CAST(ss7 AS BIGINT) AS ss7,
              CAST(CASE WHEN n_win = 7
@@ -449,7 +449,7 @@ object Pipeline11 {
       FROM w ORDER BY 1, 2""")) { (spark, dir) =>
       val ev = Tables.load(spark, dir, "events")
       val c = ev.groupBy(col("event_type"),
-          date_trunc("DAY", col("ts")).as("day"))
+          date_trunc("DAY", col("ts")).cast("date").as("day"))
         .agg(count(lit(1)).as("c"))
       val b = c.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       val t = ev.select(col("event_type")).distinct()
@@ -460,7 +460,8 @@ object Pipeline11 {
         .withColumn("c", coalesce(col("c"), lit(0L)))
       val win = Window.partitionBy(col("event_type")).orderBy(col("day"))
         .rowsBetween(-7, -1)
-      d.select(col("event_type"), col("day"), col("c"),
+      d.select(col("event_type"), col("day").cast("string").as("day"),
+          col("c"),
           count(lit(1)).over(win).as("n_win"),
           coalesce(sum(col("c")).over(win), lit(0L)).as("s7"),
           coalesce(sum(col("c") * col("c")).over(win), lit(0L)).as("ss7"))

@@ -136,14 +136,18 @@ object Pipeline12 {
                AS BIGINT) AS fp,
              CAST(sum(CASE WHEN in_truth AND NOT in_pred THEN 1 ELSE 0 END)
                AS BIGINT) AS fn,
-             CAST(sum(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END)
-               * 1000000
-               // sum(CASE WHEN in_pred THEN 1 ELSE 0 END) AS BIGINT)
-               AS precision_ppm,
-             CAST(sum(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END)
-               * 1000000
-               // sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT)
-               AS recall_ppm
+             CAST(CASE WHEN sum(CASE WHEN in_pred THEN 1 ELSE 0 END) = 0
+                       THEN 0
+                       ELSE sum(CASE WHEN in_pred AND in_truth
+                                     THEN 1 ELSE 0 END) * 1000000
+                            // sum(CASE WHEN in_pred THEN 1 ELSE 0 END)
+                  END AS BIGINT) AS precision_ppm,
+             CAST(CASE WHEN sum(CASE WHEN in_truth THEN 1 ELSE 0 END) = 0
+                       THEN 0
+                       ELSE sum(CASE WHEN in_pred AND in_truth
+                                     THEN 1 ELSE 0 END) * 1000000
+                            // sum(CASE WHEN in_truth THEN 1 ELSE 0 END)
+                  END AS BIGINT) AS recall_ppm
       FROM j""")) { (spark, dir) =>
       import graft.ops.DedupOps
       val docs = Tables.loadSpread(spark, dir, "documents")
@@ -169,8 +173,13 @@ object Pipeline12 {
             .as("fn"))
         .select(col("n_pred"), col("n_truth"), col("tp"), col("fp"),
           col("fn"),
-          expr("tp * 1000000 div n_pred").as("precision_ppm"),
-          expr("tp * 1000000 div n_truth").as("recall_ppm"))
+          // zero-pair guard: Spark's div yields NULL on /0 while
+          // DuckDB's // raises — a degenerate-but-defined 0 on both
+          // sides keeps the engines aligned on an empty pair set
+          expr("CASE WHEN n_pred = 0 THEN 0L " +
+            "ELSE tp * 1000000 div n_pred END").as("precision_ppm"),
+          expr("CASE WHEN n_truth = 0 THEN 0L " +
+            "ELSE tp * 1000000 div n_truth END").as("recall_ppm"))
     },
 
     // ---- inter-rater agreement (Cohen's kappa) -----------------------------

@@ -30,7 +30,7 @@ object Pipeline9 {
     // combining workhorse — it collapses the event stream before
     // anything else runs.
     Q("p102_cohort_retention", Some("""
-      WITH e AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+      WITH e AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
                  FROM events),
       f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
       r AS (SELECT f.cohort,
@@ -39,12 +39,14 @@ object Pipeline9 {
             FROM e JOIN f USING (user_id) GROUP BY 1, 2),
       s AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
             FROM f GROUP BY 1)
-      SELECT r.cohort, r.day_offset, r.n_active, s.cohort_size,
+      SELECT CAST(r.cohort AS VARCHAR) AS cohort, r.day_offset, r.n_active,
+             s.cohort_size,
              CAST(r.n_active * 1000 // s.cohort_size AS BIGINT)
                AS retained_milli
       FROM r JOIN s USING (cohort) ORDER BY 1, 2""")) { (spark, dir) =>
       val e = Tables.load(spark, dir, "events")
-        .select(col("user_id"), date_trunc("DAY", col("ts")).as("d")).distinct()
+        .select(col("user_id"),
+          date_trunc("DAY", col("ts")).cast("date").as("d")).distinct()
       val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
       val size = first.groupBy(col("cohort"))
         .agg(count(lit(1)).as("cohort_size"))
@@ -53,8 +55,8 @@ object Pipeline9 {
           datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .join(broadcast(size), "cohort")
-        .select(col("cohort"), col("day_offset"), col("n_active"),
-          col("cohort_size"),
+        .select(col("cohort").cast("string").as("cohort"), col("day_offset"),
+          col("n_active"), col("cohort_size"),
           expr("n_active * 1000 div cohort_size").as("retained_milli"))
         .orderBy(col("cohort"), col("day_offset"))
     },
@@ -163,8 +165,8 @@ object Pipeline9 {
                    lead(valid_from) OVER (PARTITION BY o_custkey
                                           ORDER BY island) AS valid_to
             FROM g),
-      dt(asof_date) AS (VALUES ${asofDates.map(d => s"(TIMESTAMP '$d')").mkString(", ")})
-      SELECT dt.asof_date, h.priority,
+      dt(asof_date) AS (VALUES ${asofDates.map(d => s"(DATE '$d')").mkString(", ")})
+      SELECT CAST(dt.asof_date AS VARCHAR) AS asof_date, h.priority,
              CAST(count(*) AS BIGINT) AS n_customers
       FROM h JOIN dt ON h.valid_from <= dt.asof_date
                     AND (h.valid_to IS NULL OR h.valid_to > dt.asof_date)
@@ -189,11 +191,12 @@ object Pipeline9 {
           col("valid_from"),
           lead(col("valid_from"), 1).over(wi).as("valid_to"))
       val dates = asofDates.map(Tuple1(_)).toDF("s")
-        .select(to_timestamp(col("s")).as("asof_date"))
+        .select(to_date(col("s")).as("asof_date"))
       hist.join(broadcast(dates),
           col("valid_from") <= col("asof_date")
             && (col("valid_to").isNull || col("valid_to") > col("asof_date")))
-        .groupBy(col("asof_date"), col("priority"))
+        .groupBy(col("asof_date").cast("string").as("asof_date"),
+          col("priority"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("asof_date"), col("priority"))
     },

@@ -121,8 +121,16 @@ object StreamingOps {
                    glob: String = "events.parquet",
                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.option("pathGlobFilter", glob).parquet(dir)
-      .schema("ts").dataType
+    // A stream is routinely defined BEFORE its first file arrives; when
+    // the probe finds no matching file it cannot infer anything, so fall
+    // back to the long-epoch layout (the nanos fixture generation) —
+    // the normalization below maps every layout to the same output type
+    // either way, so a wrong guess only matters if the probe could have
+    // succeeded.
+    val tsType = try {
+      spark.read.option("pathGlobFilter", glob).parquet(dir)
+        .schema("ts").dataType
+    } catch { case _: Throwable => LongType }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),

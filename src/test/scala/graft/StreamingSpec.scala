@@ -676,4 +676,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
+
+  test("eventsStream defined before any source file exists falls back to " +
+    "the long-epoch schema instead of throwing") {
+    val empty = java.nio.file.Files.createTempDirectory("graft-empty-src")
+      .toString
+    // the schema probe finds nothing matching the glob; the stream must
+    // still be definable (a stream routinely starts before its first file)
+    val df = graft.streaming.StreamingOps.eventsStream(spark, empty)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
 }
