@@ -91,24 +91,96 @@ object MultimodalOps {
       hex(substring(blob, 1, 4)).as("magic"),
       sniffMime(blob).as("mime"))
 
-  /** STUB resize for LOSSY compressed payloads (JPEG): a real
-    * implementation decodes, scales to (w, h) and re-encodes; the stub
-    * carries the target dims plus a deterministic digest of (payload,
-    * target size) standing in for the re-encoded bytes. Same shape as
-    * the real thing: a pure per-row scan-stage transform, no shuffle.
-    * For PNG the loop is REAL end to end —
-    * [[graft.functions.PngResize]] decodes, resamples and re-encodes
-    * actual bytes (oracle-checked by p74) — and for UNCOMPRESSED
-    * bitmaps [[graft.functions.Bmp.resample]] does the actual
-    * nearest-neighbour pixel math (oracle-checked by p54). Only JPEG
-    * re-encode remains stubbed: its lossy output is
-    * implementation-defined, so there is no bit-exact contract to pin.
+  /** REAL resize loop for LOSSY compressed payloads (JPEG): ImageIO
+    * decode → bilinear resample to (w, h) → ImageIO JPEG re-encode at
+    * a fixed quality. The full PNG loop is bit-exact and
+    * oracle-checked (p74, [[graft.functions.PngResize]]); JPEG's IDCT
+    * and quantizer are implementation-defined, so this path is pinned
+    * BY SPEC instead — MultimodalSpec re-decodes the emitted bytes and
+    * asserts per-pixel deltas against an independent resample stay
+    * inside a lossy-codec tolerance envelope (the only honest contract
+    * a lossy codec offers). Same scale shape as every codec kernel
+    * here: one codec context per partition via `mapPartitions`,
+    * payloads streamed, no shuffle; undecodable rows yield NULL
+    * payload (mid-crawl truncation is data, not an error).
     */
-  def resizeStub(blob: Column, w: Int, h: Int): Column =
-    struct(
-      lit(w).as("width"),
-      lit(h).as("height"),
-      md5(concat(md5(blob), lit(s":${w}x$h"))).as("payload_digest"))
+  def resizeJpegReal(df: DataFrame, id: String, blob: String,
+                     w: Int, h: Int, quality: Float = 0.9f): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(blob).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (did, bytes) =>
+          val out =
+            try {
+              val img = decodeBounded(bytes)
+              if (img == null) null
+              else {
+                val scaled = bilinearScale(img, w, h)
+                encodeJpeg(scaled, quality)
+              }
+            } catch { case _: Exception => null }
+          (did, w, h, out)
+        }
+      }
+      .toDF(id, "width", "height", "payload")
+  }
+
+  /** Bilinear rescale onto an RGB raster — shared by the resize kernel
+    * and the spec's independent reference resample.
+    */
+  private[graft] def bilinearScale(img: java.awt.image.BufferedImage,
+                                   w: Int, h: Int): java.awt.image.BufferedImage = {
+    val dst = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    dst
+  }
+
+  /** JPEG-encode at an explicit quality (ImageIO's default writer). */
+  private[graft] def encodeJpeg(img: java.awt.image.BufferedImage,
+                                quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** ImageIO decode with the dimension-bomb guard (shared with
+    * [[decodePixelsReal]]): a header claiming huge dims yields NULL
+    * before raster allocation, never an executor OOM.
+    */
+  private[graft] def decodeBounded(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    if (bytes == null) return null
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val w = r.getWidth(0).toLong; val h = r.getHeight(0).toLong
+        if (w <= 0 || h <= 0 || w * h > graft.functions.Png.maxPixels) null
+        else r.read(0)
+      } finally r.dispose()
+    } finally iis.close() // dispose() does not close the stream
+  }
 
   /** STUB feature extraction for LEARNED embeddings: a deterministic
     * pseudo-embedding of `dim` doubles in [0,1) derived from the

@@ -361,9 +361,10 @@ object MultimodalQ {
     // whole decode→resample→encode→decode chain is lossless. Deflate
     // bytes are implementation-defined, hence re-decode rather than
     // payload hash. One scan-stage expression chain per row: no
-    // shuffle, no UDF, codegen end to end. This retires the resize
-    // stub for PNG payloads (MultimodalOps.resizeStub remains only for
-    // JPEG, whose re-encode is lossy and impl-defined).
+    // shuffle, no UDF, codegen end to end. The PNG loop is bit-exact
+    // and oracle-checked here; the JPEG loop is real too
+    // (MultimodalOps.resizeJpegReal) but spec-pinned with a tolerance
+    // envelope, because lossy re-encode is impl-defined.
     Q("p74_png_resize", Some("""
       WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
                  FROM documents),

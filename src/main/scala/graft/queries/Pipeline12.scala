@@ -251,23 +251,26 @@ object Pipeline12 {
 
     // ---- portable HyperLogLog (mergeable distinct-count sketch) ------------
     // The third portable sketch (after the CMS and the Bloom): a
-    // 16-register HLL over each source's token stream, with the
-    // ENTIRE register state rebuilt by the oracle — bucket = top 4
-    // bits of h60, rho = leading-zero rank of the low 56 bits read
-    // off length(bin(sub)) (exact in both engines), register = max
-    // rho. The estimate keeps HLL's harmonic mean in EXACT integers
-    // by quantizing each 2^−reg term to 2^(20−reg) (terms past 2^20
-    // drop — a defined, engine-identical truncation), so est =
-    // 673·256·2^20 / (1000·ΣD) in one trunc division. The '_all' row
-    // is computed by MERGING the per-source register tables (max per
-    // bucket) while the oracle computes it one-shot from the raw
-    // stream — their hash equality is the cross-engine mergeability
-    // proof (the p77 pattern). abs_err_ppm against the exact distinct
-    // count is REPORTED, not asserted: raw HLL is biased in the
-    // low-load regime, and the harness measures instead of hiding it.
+    // 256-register HLL over each source's token stream (standard
+    // error 1.04/√256 = 6.5%), with the ENTIRE register state rebuilt
+    // by the oracle — bucket = top 8 bits of h60, rho = leading-zero
+    // rank of the low 52 bits read off length(bin(sub)) (exact in
+    // both engines), register = max rho. The estimate keeps HLL's
+    // harmonic mean in EXACT integers by quantizing each 2^−reg term
+    // to 2^(20−reg) (terms past 2^20 drop — a defined,
+    // engine-identical truncation), and α₂₅₆ = .7213/(1+1.079/256) is
+    // carried as the exact rational 1846528/2570790, so est =
+    // 1846528·256·2^20 / (2570790·ΣD) = 126892437938372608 //
+    // (2570790·ΣD) in one trunc division. The '_all' row is computed
+    // by MERGING the per-source register tables (max per bucket)
+    // while the oracle computes it one-shot from the raw stream —
+    // their hash equality is the cross-engine mergeability proof (the
+    // p77 pattern). abs_err_ppm against the exact distinct count is
+    // REPORTED here and ASSERTED against the m=256 standard-error
+    // envelope in PortablePropertySpec.
     //
     // Scale shape: one map-side-combinable max per (source, bucket) —
-    // 16 longs per group regardless of cardinality; merges are
+    // 256 longs per group regardless of cardinality; merges are
     // elementwise max (commutative/idempotent). The exact distinct
     // alongside costs the real shuffle the sketch exists to avoid —
     // it is the measured reference, present only in the harness.
@@ -276,18 +279,18 @@ object Pipeline12 {
       h AS (SELECT source, tok,
                    ${Portable.h60Sql("concat('hll:', tok)")} AS h
             FROM t),
-      rb AS (SELECT source, h // 72057594037927936 AS bucket,
-                    h % 72057594037927936 AS sub
+      rb AS (SELECT source, h // 4503599627370496 AS bucket,
+                    h % 4503599627370496 AS sub
              FROM h),
       rho AS (SELECT source, bucket,
-                     CASE WHEN sub = 0 THEN 57
-                          ELSE 57 - length(bin(sub)) END AS r
+                     CASE WHEN sub = 0 THEN 53
+                          ELSE 53 - length(bin(sub)) END AS r
               FROM rb),
       m AS MATERIALIZED (SELECT source, bucket, max(r) AS reg
                          FROM rho GROUP BY 1, 2),
       am AS (SELECT bucket, max(r) AS reg FROM rho GROUP BY 1),
       srcs AS (SELECT DISTINCT source FROM documents),
-      bk AS (SELECT unnest(generate_series(0, 15)) AS bucket),
+      bk AS (SELECT unnest(generate_series(0, 255)) AS bucket),
       regs AS MATERIALIZED (
         SELECT s.source, b.bucket, coalesce(m.reg, 0) AS reg
         FROM srcs s CROSS JOIN bk b
@@ -310,9 +313,9 @@ object Pipeline12 {
                        AS reg_xor
               FROM regs GROUP BY 1)
       SELECT e.source, x.n_exact,
-             CAST(180662042624 // (1000 * e.dd) AS BIGINT) AS est_hll,
-             CAST(abs(180662042624 // (1000 * e.dd) - x.n_exact) * 1000000
-               // x.n_exact AS BIGINT) AS abs_err_ppm,
+             CAST(126892437938372608 // (2570790 * e.dd) AS BIGINT) AS est_hll,
+             CAST(abs(126892437938372608 // (2570790 * e.dd) - x.n_exact)
+               * 1000000 // x.n_exact AS BIGINT) AS abs_err_ppm,
              e.n_zero_regs, e.reg_xor
       FROM est e JOIN ex x USING (source) ORDER BY 1""")) { (spark, dir) =>
       val docs = Tables.loadSpread(spark, dir, "documents")
@@ -321,15 +324,15 @@ object Pipeline12 {
       val rho = t
         .select(col("source"),
           Portable.h60(concat(lit("hll:"), col("tok"))).as("h"))
-        .select(col("source"), expr("h div 72057594037927936").as("bucket"),
-          (col("h") % 72057594037927936L).as("sub"))
+        .select(col("source"), expr("h div 4503599627370496").as("bucket"),
+          (col("h") % 4503599627370496L).as("sub"))
         .select(col("source"), col("bucket"),
-          when(col("sub") === 0, 57L)
-            .otherwise(lit(57L) - length(bin(col("sub")))).as("r"))
+          when(col("sub") === 0, 53L)
+            .otherwise(lit(53L) - length(bin(col("sub")))).as("r"))
       val m = rho.groupBy(col("source"), col("bucket"))
         .agg(max(col("r")).as("reg")).localCheckpoint()
       val srcs = docs.select(col("source")).distinct()
-      val bk = spark.range(0, 16).select(col("id").as("bucket"))
+      val bk = spark.range(0, 256).select(col("id").as("bucket"))
       val perSrc = srcs.crossJoin(broadcast(bk))
         .join(m, Seq("source", "bucket"), "left")
         .select(col("source"), col("bucket"),
@@ -356,9 +359,9 @@ object Pipeline12 {
           expr("bit_xor(hx)").as("reg_xor"))
       est.join(ex, "source")
         .select(col("source"), col("n_exact"),
-          expr("180662042624L div (1000 * dd)").as("est_hll"),
-          expr("abs(180662042624L div (1000 * dd) - n_exact) * 1000000" +
-            " div n_exact").as("abs_err_ppm"),
+          expr("126892437938372608L div (2570790 * dd)").as("est_hll"),
+          expr("abs(126892437938372608L div (2570790 * dd) - n_exact)" +
+            " * 1000000 div n_exact").as("abs_err_ppm"),
           col("n_zero_regs"), col("reg_xor"))
         .orderBy(col("source"))
     }

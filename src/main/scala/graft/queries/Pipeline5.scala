@@ -869,22 +869,16 @@ object Pipeline5 {
       SELECT 'rank', node, rank, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
       FROM r3
       ORDER BY section, k""")) { (spark, dir) =>
-      import graft.ops.{DedupOps, GraphOps}
+      import graft.ops.GraphOps
       val docs = Tables.loadSpread(spark, dir, "documents")
-      // ---- shared stages, materialized once --------------------------------
-      // (unique per (process, sf dir): concurrent runs never collide,
-      // and a bench second pass just overwrites)
-      val base = sinkDir(s"p75_${Integer.toHexString(dir.hashCode)}")
-      DedupOps.simhashPairs(docs, "doc_id", "text",
-          maxHamming = 3, maxBucket = 1000)
-        .write.mode("overwrite").parquet(s"$base/spairs")
-      val spairs = spark.read.parquet(s"$base/spairs")
-      // the fixpoint consumes the MATERIALIZED pairs: pair generation
-      // runs once for the whole DAG, not once per consumer
-      DedupOps.connectedComponents(spairs)
-        .write.mode("overwrite").parquet(s"$base/labels")
-      val labels = spark.read.parquet(s"$base/labels")
-        .select(col("n").as("doc_id"), col("lbl"))
+      // ---- shared stages, materialized once per process --------------------
+      // (SharedStages memoizes per fixture dir: the first DAG consumer
+      // in the process pays for pair generation + the CC fixpoint,
+      // every later consumer — p101's split, a bench re-pass — reads
+      // the materialized parquet)
+      val spairs = SharedStages.spairs(spark, dir)
+      val labels = SharedStages.labels(spark, dir)
+        .select(col("doc_id"), col("cluster_id").as("lbl"))
       // ---- consumers, all derived from the two parquet tables --------------
       val qd = docs.select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).as("n_tokens"),

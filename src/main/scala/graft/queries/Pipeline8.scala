@@ -428,19 +428,19 @@ object Pipeline8 {
                   AS BIGINT) AS n_leaky_cluster
       FROM asg a JOIN cl USING (cluster_id)
       GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
-      import graft.ops.DedupOps
       def splitOf(c: org.apache.spark.sql.Column) = {
         val b = Portable.h60(concat(lit("split:"), c.cast("string"))) % 10
         when(b < 8, "train").when(b === 8, "val").otherwise("test")
       }
       val docs = Tables.loadSpread(spark, dir, "documents")
-      val pairs = DedupOps.simhashPairs(docs, "doc_id", "text",
-        maxHamming = 3, maxBucket = 1000)
-      val cc = DedupOps.connectedComponents(pairs)
+      // the labels come from the SAME materialized table the p75 DAG
+      // uses (SharedStages) — split assignment is row-local hashing on
+      // top of it, so the fixpoint cost amortizes across the DAG
+      // instead of recurring per consumer
       val asg = docs.select(col("doc_id"))
-        .join(cc.select(col("n").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .join(SharedStages.labels(spark, dir), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
         .withColumn("split", splitOf(col("cluster_id")))
         .withColumn("naive_split", splitOf(col("doc_id")))
       val cl = asg.groupBy(col("cluster_id"))

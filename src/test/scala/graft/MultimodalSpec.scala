@@ -160,15 +160,65 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashes.forall(_.length == 32))
   }
 
-  test("resizeStub and embedStub are deterministic with the declared shapes") {
-    val r = payloads.select(col("name"),
-      MultimodalOps.resizeStub(col("payload"), 224, 224).as("rz")).collect()
-    assert(r.forall(_.getStruct(1).getInt(0) == 224))
-    val again = payloads.select(
-      MultimodalOps.resizeStub(col("payload"), 224, 224).getField("payload_digest"))
-      .collect().map(_.getString(0))
-    assert(again.distinct.length == again.length, "distinct payloads → distinct digests")
+  test("resizeJpegReal: decode → bilinear resample → re-encode stays " +
+    "inside the lossy-codec tolerance envelope") {
+    import spark.implicits._
+    // smooth gradients are the honest test image for a lossy codec:
+    // quantization error concentrates at hard edges, so a bound that
+    // holds on gradients pins the pipeline (decode, scale, re-encode)
+    // without asserting impl-defined DCT noise on synthetic edges
+    def gradient(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        // no modulo: a wrap is a hard 255→0 edge, exactly the
+        // discontinuity a gradient bound must not contain
+        val r = math.min(255, x * (220 - seed * 9) / (w - 1) + seed * 5)
+        val g = math.min(255, y * (200 - seed * 7) / (h - 1) + seed * 9)
+        val b = math.min(255,
+          (x + y) * (180 - seed * 5) / (w + h - 2) + seed * 13)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      img
+    }
+    val originals = (0 until 3).map(i => i.toLong -> gradient(64, 48, i * 7))
+    val df = originals.map { case (id, img) =>
+      (id, MultimodalOps.encodeJpeg(img, 0.95f))
+    }.toDF("id", "payload")
+    val out = MultimodalOps.resizeJpegReal(df, "id", "payload", 16, 12)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Array[Byte]]("payload"))).toMap
+    assert(out.size == 3)
+    originals.foreach { case (id, img) =>
+      val (w, h, bytes) = out(id)
+      assert(w == 16 && h == 12 && bytes != null && bytes.nonEmpty)
+      val decoded = MultimodalOps.decodeBounded(bytes)
+      assert(decoded.getWidth == 16 && decoded.getHeight == 12,
+        "emitted payload must re-decode at the target dims")
+      // independent reference: same bilinear resample of the ORIGINAL
+      // (pre-jpeg) raster; deltas then bound decode+re-encode loss
+      val ref = MultimodalOps.bilinearScale(img, 16, 12)
+      var maxDelta = 0; var sumDelta = 0L; var n = 0
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val a = decoded.getRGB(x, y); val b = ref.getRGB(x, y)
+        for (shift <- Seq(16, 8, 0)) {
+          val d = math.abs(((a >> shift) & 0xff) - ((b >> shift) & 0xff))
+          maxDelta = math.max(maxDelta, d); sumDelta += d; n += 1
+        }
+      }
+      assert(maxDelta <= 48,
+        s"per-pixel delta $maxDelta exceeds the lossy envelope")
+      assert(sumDelta.toDouble / n <= 8.0,
+        s"mean delta ${sumDelta.toDouble / n} exceeds the lossy envelope")
+    }
+    // junk bytes are data, not an error: NULL payload, no crash
+    val junk = Seq((9L, "not a jpeg".getBytes)).toDF("id", "payload")
+    val jr = MultimodalOps.resizeJpegReal(junk, "id", "payload", 8, 8).collect()
+    assert(jr.length == 1 && jr(0).isNullAt(3))
+  }
 
+  test("embedStub is deterministic with the declared shapes") {
     val ids = payloads.withColumn("id", monotonically_increasing_id())
     val emb = MultimodalOps.embedStub(ids, "id", "payload", dim = 16).collect()
     assert(emb.length == 7)

@@ -122,4 +122,36 @@ class PortablePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"native=$native lambda=$lambda")
     }
   }
+
+  test("m=256 HLL estimate stays inside the 3σ standard-error envelope " +
+    "across planted cardinalities") {
+    // The p121 pipeline entry REPORTS abs_err_ppm; this pins the
+    // envelope: with 256 registers the standard error is 1.04/√256 =
+    // 6.5%, so |est − n|/n must stay under 3σ = 19.5% for planted
+    // cardinalities well past the low-load bias regime. Same integer
+    // kernel as the query: bucket = top 8 bits of h60, rho off the low
+    // 52 bits, α₂₅₆ as the exact rational 1846528/2570790, harmonic
+    // terms quantized to 2^(20−reg).
+    import spark.implicits._
+    for (n <- Seq(2000, 20000)) {
+      val est = spark.range(0, n)
+        .select(Portable.h60(concat(lit("hll:tok"), col("id"))).as("h"))
+        .select(expr("h div 4503599627370496").as("bucket"),
+          (col("h") % 4503599627370496L).as("sub"))
+        .select(col("bucket"),
+          when(col("sub") === 0, 53L)
+            .otherwise(lit(53L) - length(bin(col("sub")))).as("r"))
+        .groupBy(col("bucket")).agg(max(col("r")).as("reg"))
+        .agg(
+          (sum(when(col("reg") <= 20,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - reg AS INT))"))
+            .otherwise(0L))
+            // empty buckets contribute the full 2^20 term (reg 0)
+            + (lit(256L) - count(lit(1))) * lit(1048576L)).as("dd"))
+        .select(expr("126892437938372608L div (2570790 * dd)"))
+        .head.getLong(0)
+      val err = math.abs(est - n).toDouble / n
+      assert(err <= 0.195, s"n=$n est=$est err=$err outside 3σ envelope")
+    }
+  }
 }
