@@ -400,4 +400,58 @@ object DedupOps {
       s"connectedComponents did not converge within $maxIter rounds")
     (labels, rounds)
   }
+
+  /** Incremental (ingest-time) near-dup screening: for each INCOMING
+    * doc, its SimHash near-dup candidates among the EXISTING corpus —
+    * the asymmetric form of [[simhashPairs]]. A production ingest never
+    * re-pairs the corpus against itself; the incoming batch's bands
+    * probe the (pre-banded, at scale pre-bucketed) corpus, so the join
+    * is |batch| × bucket-width, not |corpus|².
+    *
+    * Banding is identical to [[simhashPairs]] (hamming ≤ 3 over 64 bits
+    * ⇒ some 16-bit band equal, pigeonhole), and `maxBucket` caps the
+    * EXISTING side's bucket per (band, key) — one degenerate corpus key
+    * can never explode an ingest. Every incoming doc appears in the
+    * output exactly once: (id, n_dups = distinct existing partners at
+    * hamming ≤ maxHamming, min_hamming, is_dup), min_hamming = -1 when
+    * no candidate survived.
+    */
+  def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
+                          id: String, text: String,
+                          maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    def bands(sh: DataFrame, side: String): DataFrame = {
+      val blockArr = array((0 until 4).map(q =>
+        struct(lit(q).as("q"), element_at(col("qks"), q + 1).as("qk"))): _*)
+      sh.select(col(id).as(s"${side}_id"), col("simhash").as(s"${side}_sh"),
+          explode(blockArr).as("blk"))
+        .select(col(s"${side}_id"), col(s"${side}_sh"),
+          col("blk.q").as("q"), col("blk.qk").as("qk"))
+    }
+    val ex = bands(simhash64(existing, id, text), "ex")
+    // skew guard on the corpus side: a (band, key) bucket wider than
+    // maxBucket is dropped wholesale (same no-silent-degenerate-key
+    // contract as simhashPairs; the 4-band any-bucket dedup below keeps
+    // a pair alive if ANY of its equal bands survived)
+    val exCapped = ex
+      .withColumn("bw", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q"), col("qk"))))
+      .filter(col("bw") <= maxBucket).drop("bw")
+    val in = bands(simhash64(incoming, id, text), "in")
+    val hits = in.join(exCapped, Seq("q", "qk"))
+      .filter(col("in_id") =!= col("ex_id"))
+      .select(col("in_id"), col("ex_id"),
+        expr("bit_count(in_sh ^ ex_sh)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      // any-surviving-band dedup, then the per-doc verdict rollup
+      .distinct()
+      .groupBy(col("in_id"))
+      .agg(count(lit(1)).as("n_dups"), min(col("hamming")).as("min_hamming"))
+    incoming.select(col(id).as("in_id"))
+      .join(hits, Seq("in_id"), "left")
+      .select(col("in_id").as(id),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"),
+        when(col("n_dups").isNotNull, 1L).otherwise(0L).as("is_dup"))
+  }
 }

@@ -1,0 +1,568 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** Round-9 pipeline entries: the ingest-time incremental dedup path,
+  * corpus forensics (source overlap, graph assortativity), and the
+  * training-loader accounting ops (sequence packing, vocabulary
+  * coverage).
+  */
+object Pipeline13 {
+
+  private val wsSql = TextSql.ws
+
+  /** Token capacity of one packed training sequence (p124). */
+  private val PackCapacity = 256L
+
+  val all: Seq[Q] = Seq(
+
+    // ---- incremental (ingest-time) near-dup screening ----------------------
+    // The dedup path a LIVE corpus actually runs: a new batch arrives
+    // (doc_id % 3 = 0 plays the batch; the rest is the standing
+    // corpus) and each incoming doc is screened against the corpus
+    // WITHOUT re-pairing the corpus against itself — the asymmetric
+    // form of the p09 banded-SimHash join (DedupOps.incrementalNearDups).
+    // Incoming bands probe the existing bands; the bucket cap guards
+    // the EXISTING side (one degenerate corpus key can never explode
+    // an ingest); the verdict per incoming doc is (n_dups,
+    // min_hamming, is_dup), min_hamming = -1 when nothing matched.
+    //
+    // Scale shape: |batch| × bucket-width band join — at 100 TB the
+    // corpus side is a PRE-banded materialized table (the SharedStages
+    // pattern), so an ingest touches only the probed buckets and the
+    // quadratic corpus×corpus term never exists.
+    Q("p122_incremental_dedup", Some(s"""
+      WITH ${Pipeline.simhash64Cte},
+      blocks AS (SELECT doc_id, 0 AS q, qk0 AS qk FROM sig
+                 UNION ALL SELECT doc_id, 1, qk1 FROM sig
+                 UNION ALL SELECT doc_id, 2, qk2 FROM sig
+                 UNION ALL SELECT doc_id, 3, qk3 FROM sig),
+      exb AS (SELECT * FROM blocks WHERE doc_id % 3 <> 0
+              QUALIFY COUNT(*) OVER (PARTITION BY q, qk) <= 1000),
+      inb AS (SELECT * FROM blocks WHERE doc_id % 3 = 0),
+      hits AS (SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id,
+                      bit_count(xor(si.simhash, se.simhash)) AS hamming
+               FROM inb i JOIN exb e ON i.q = e.q AND i.qk = e.qk
+               JOIN sig si ON si.doc_id = i.doc_id
+               JOIN sig se ON se.doc_id = e.doc_id
+               WHERE bit_count(xor(si.simhash, se.simhash)) <= 3),
+      agg AS (SELECT in_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+                     CAST(MIN(hamming) AS BIGINT) AS min_hamming
+              FROM hits GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(a.n_dups, 0) AS n_dups,
+             coalesce(a.min_hamming, -1) AS min_hamming,
+             CAST(CASE WHEN a.in_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS is_dup
+      FROM documents d LEFT JOIN agg a ON a.in_id = d.doc_id
+      WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""")) { (spark, dir) =>
+      import graft.ops.DedupOps
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      DedupOps.incrementalNearDups(
+          existing = docs.filter(col("doc_id") % 3 =!= 0),
+          incoming = docs.filter(col("doc_id") % 3 === 0),
+          id = "doc_id", text = "text",
+          maxHamming = 3, maxBucket = 1000)
+        .select(col("doc_id"), col("n_dups"),
+          col("min_hamming").cast("long").as("min_hamming"), col("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- cross-source n-gram overlap matrix --------------------------------
+    // Corpus forensics before mixing sources into one training set:
+    // for every source pair, how many DISCRIMINATIVE 5-gram shingles
+    // they share, and the containment of the smaller side —
+    // boilerplate detection at the catalog level (two sources sharing
+    // 40% of their shingles are the same crawl twice). Discriminative
+    // = source-df in [2, 10]: df=1 grams can't overlap anything, and
+    // grams in >10 sources are ubiquitous boilerplate that says
+    // nothing about any PAIR (and at scale would fan each gram into
+    // |S|² pair rows — the cap is the skew guard, mirrored exactly in
+    // the oracle).
+    //
+    // Scale shape: one distinct (source, gram) collapse (map-side
+    // combinable), a gram-keyed inverted-index self-join bounded by
+    // df ≤ 10 → ≤ 45 pair rows per gram, one pair-keyed count. The
+    // pair matrix is O(|sources|²) metadata, never data-sized.
+    Q("p123_source_overlap", Some(s"""
+      WITH w AS (SELECT source, $wsSql AS ws FROM documents),
+      g AS (SELECT DISTINCT source,
+                   unnest(${TextSql.shingles("ws", 5)}) AS gm
+            FROM w),
+      df AS (SELECT gm, COUNT(*) AS sdf FROM g GROUP BY 1),
+      gc AS (SELECT g.source, g.gm FROM g JOIN df USING (gm)
+             WHERE df.sdf BETWEEN 2 AND 10),
+      sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+             FROM gc GROUP BY 1),
+      pr AS (SELECT x.source AS sa, y.source AS sb,
+                    CAST(COUNT(*) AS BIGINT) AS n_shared
+             FROM gc x JOIN gc y ON x.gm = y.gm AND x.source < y.source
+             GROUP BY 1, 2)
+      SELECT pr.sa, pr.sb, pr.n_shared,
+             za.n_grams AS n_grams_a, zb.n_grams AS n_grams_b,
+             CAST(pr.n_shared * 1000000
+                  // least(za.n_grams, zb.n_grams) AS BIGINT)
+               AS containment_ppm
+      FROM pr JOIN sz za ON za.source = pr.sa
+              JOIN sz zb ON zb.source = pr.sb
+      ORDER BY 1, 2""")) { (spark, dir) =>
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val g = docs
+        .select(col("source"),
+          explode(TextOps.shingles(col("text"), 5)).as("gm"))
+        .distinct()
+      val gc = g.join(
+          g.groupBy(col("gm")).agg(count(lit(1)).as("sdf"))
+            .filter(col("sdf").between(2, 10)),
+          "gm")
+        .select(col("source"), col("gm"))
+      val sz = gc.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      val pr = gc.select(col("gm"), col("source").as("sa"))
+        .join(gc.select(col("gm"), col("source").as("sb")), "gm")
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_shared"))
+      pr.join(broadcast(sz.select(col("source").as("sa"),
+          col("n_grams").as("n_grams_a"))), "sa")
+        .join(broadcast(sz.select(col("source").as("sb"),
+          col("n_grams").as("n_grams_b"))), "sb")
+        .select(col("sa"), col("sb"), col("n_shared"),
+          col("n_grams_a"), col("n_grams_b"),
+          expr("n_shared * 1000000 div least(n_grams_a, n_grams_b)")
+            .as("containment_ppm"))
+        .orderBy(col("sa"), col("sb"))
+    },
+
+    // ---- training-sequence packing (concat-and-chop accounting) ------------
+    // The loader step between a filtered corpus and a GPU: documents
+    // are concatenated in doc order and chopped into fixed
+    // 256-token sequences (the GPT-style packing that wastes zero
+    // padding), and THIS entry is the accounting a data engineer
+    // actually reads off that plan: per pack, how many docs start in
+    // it, their token mass, how many straddle the boundary (cross-doc
+    // attention leakage sites), and the spilled token volume. All
+    // exact integer prefix-sum math.
+    //
+    // Scale shape: the prefix sum is ShardOps.packShards' two-phase
+    // distributed scan (per-bucket partials → O(#buckets) offsets →
+    // per-bucket windows) — NOT the naive single-partition global
+    // window; the oracle runs the naive window and the hash match is
+    // the equivalence proof (the p98 pattern at a different grain).
+    Q("p124_sequence_packing", Some(s"""
+      WITH d AS (SELECT doc_id, CAST(len($wsSql) AS BIGINT) AS n
+                 FROM documents WHERE len($wsSql) > 0),
+      p AS (SELECT doc_id, n,
+                   sum(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                     AS pfx
+            FROM d),
+      x AS (SELECT doc_id, n, pfx,
+                   pfx // $PackCapacity AS pack_id,
+                   (pfx + n - 1) // $PackCapacity AS pack_last
+            FROM p)
+      SELECT CAST(pack_id AS BIGINT) AS pack_id,
+             CAST(count(*) AS BIGINT) AS n_docs_started,
+             CAST(sum(n) AS BIGINT) AS n_tokens_started,
+             CAST(sum(CASE WHEN pack_last > pack_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_straddlers,
+             CAST(sum(greatest(0, pfx + n - (pack_id + 1) * $PackCapacity))
+               AS BIGINT) AS tokens_spilled
+      FROM x GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      import graft.ops.ShardOps
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+        .filter(col("n") > 0)
+      ShardOps.packShards(d, "doc_id", "n",
+          bucketWidth = 512L, budget = PackCapacity)
+        .withColumn("pack_last",
+          expr(s"(pfx + n - 1) div $PackCapacity"))
+        .groupBy(col("shard_id").as("pack_id"))
+        .agg(count(lit(1)).as("n_docs_started"),
+          sum(col("n")).as("n_tokens_started"),
+          sum(when(col("pack_last") > col("shard_id"), 1L).otherwise(0L))
+            .as("n_straddlers"),
+          sum(greatest(lit(0L),
+            col("pfx") + col("n")
+              - (col("shard_id") + 1) * lit(PackCapacity)))
+            .as("tokens_spilled"))
+        .orderBy(col("pack_id"))
+    },
+
+    // ---- pre-join skew audit (heavy-hitter report) -------------------------
+    // The report you read BEFORE launching a 100 TB join: for each
+    // join-key family, the top-5 heavy hitters with their row share in
+    // ppm — the keys that need salting or an AQE skew split. Exact
+    // counts (the CMS entry estimates; this is the planning-table
+    // truth), deterministic tie-break toward the smaller key.
+    //
+    // Scale shape: one partial-agg count per key family (map-side
+    // combinable), then the top-5 runs over the COUNT table — key
+    // cardinality, not row count; rank via per-family window on that
+    // bounded table.
+    Q("p125_skew_audit", Some("""
+      WITH c AS (
+        SELECT 'events.user_id' AS rel, CAST(user_id AS BIGINT) AS k,
+               COUNT(*) AS n FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'lineitem.l_partkey', CAST(l_partkey AS BIGINT), COUNT(*)
+        FROM lineitem GROUP BY 2
+        UNION ALL
+        SELECT 'orders.o_custkey', CAST(o_custkey AS BIGINT), COUNT(*)
+        FROM orders GROUP BY 2),
+      t AS (SELECT rel, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1),
+      r AS (SELECT rel, k, n,
+                   row_number() OVER (PARTITION BY rel
+                                      ORDER BY n DESC, k) AS rk
+            FROM c)
+      SELECT r.rel, CAST(r.rk AS BIGINT) AS rank, r.k AS key_val,
+             CAST(r.n AS BIGINT) AS n,
+             CAST(r.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+             t.total
+      FROM r JOIN t USING (rel) WHERE r.rk <= 5
+      ORDER BY 1, 2""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val fams = Seq(
+        ("events.user_id", "events", "user_id"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("orders.o_custkey", "orders", "o_custkey"))
+      val counts = fams.map { case (rel, tbl, key) =>
+        Tables.load(spark, dir, tbl)
+          .groupBy(col(key).cast("long").as("k"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(rel).as("rel"), col("k"), col("n"))
+      }.reduce(_ union _)
+      val totals = counts.groupBy(col("rel")).agg(sum(col("n")).as("total"))
+      counts
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("rel"))
+            .orderBy(col("n").desc, col("k"))))
+        .filter(col("rank") <= 5)
+        .join(broadcast(totals), "rel")
+        .select(col("rel"), col("rank").cast("long").as("rank"),
+          col("k").as("key_val"), col("n"),
+          expr("n * 1000000 div total").as("share_ppm"), col("total"))
+        .orderBy(col("rel"), col("rank"))
+    },
+
+    // ---- per-label embedding drift across training epochs ------------------
+    // Model-ops monitoring: split the embedding snapshots into two
+    // "epochs" (vec_id parity stands in for snapshot version) and
+    // measure, per label, the cosine between the two epoch CENTROIDS —
+    // the drift alarm that catches a class whose representation moved.
+    // Centroid cosine = sum-vector cosine (the 1/n cancels), so the
+    // aggregation is exact scaled-integer sums (round(x·1000) per
+    // component — deterministic across engines, unlike a float sum
+    // whose value depends on reduction order); only the final
+    // norm/divide runs in doubles, on bit-identical integer inputs.
+    //
+    // Scale shape: one (label, epoch, dim) partial agg over an
+    // exploded scan — map-side combinable, output O(labels × dims);
+    // the cosine join runs on that metadata-sized table.
+    Q("p126_embedding_drift", Some("""
+      WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                        vec_id % 2 AS e, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id, label, e,
+                   unnest(generate_series(1, len(v))) AS j, unnest(v) AS x
+            FROM v),
+      s AS (SELECT label, e, j,
+                   CAST(SUM(CAST(round(x * 1000) AS BIGINT)) AS BIGINT) AS s
+            FROM c GROUP BY 1, 2, 3),
+      n AS (SELECT label, e, CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM v GROUP BY 1, 2),
+      d AS (SELECT s0.label,
+                   CAST(SUM(s0.s * s1.s) AS BIGINT) AS dot,
+                   CAST(SUM(s0.s * s0.s) AS BIGINT) AS nrm0,
+                   CAST(SUM(s1.s * s1.s) AS BIGINT) AS nrm1
+            FROM s s0 JOIN s s1 ON s0.label = s1.label AND s0.j = s1.j
+            WHERE s0.e = 0 AND s1.e = 1 GROUP BY 1)
+      SELECT d.label, n0.n_vecs AS n_vecs_e0, n1.n_vecs AS n_vecs_e1,
+             d.dot, d.nrm0, d.nrm1,
+             round(CAST(d.dot AS DOUBLE) / sqrt(CAST(d.nrm0 AS DOUBLE))
+                   / sqrt(CAST(d.nrm1 AS DOUBLE)), 6) AS centroid_cos
+      FROM d JOIN n n0 ON n0.label = d.label AND n0.e = 0
+             JOIN n n1 ON n1.label = d.label AND n1.e = 1
+      ORDER BY d.label""")) { (spark, dir) =>
+      val v = Tables.loadSpread(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          (col("vec_id") % 2).as("e"),
+          col("embedding").cast("array<double>").as("v"))
+      val s = v.select(col("label"), col("e"),
+          posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy(col("label"), col("e"), col("j"))
+        .agg(sum(round(col("x") * 1000, 0).cast("long")).as("s"))
+      val n = v.groupBy(col("label"), col("e"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val d = s.filter(col("e") === 0)
+        .select(col("label"), col("j"), col("s").as("s0"))
+        .join(s.filter(col("e") === 1)
+          .select(col("label"), col("j"), col("s").as("s1")),
+          Seq("label", "j"))
+        .groupBy(col("label"))
+        .agg(sum(col("s0") * col("s1")).as("dot"),
+          sum(col("s0") * col("s0")).as("nrm0"),
+          sum(col("s1") * col("s1")).as("nrm1"))
+      d.join(broadcast(n.filter(col("e") === 0)
+          .select(col("label"), col("n_vecs").as("n_vecs_e0"))), "label")
+        .join(broadcast(n.filter(col("e") === 1)
+          .select(col("label"), col("n_vecs").as("n_vecs_e1"))), "label")
+        .select(col("label"), col("n_vecs_e0"), col("n_vecs_e1"),
+          col("dot"), col("nrm0"), col("nrm1"),
+          round(col("dot").cast("double")
+            / sqrt(col("nrm0").cast("double"))
+            / sqrt(col("nrm1").cast("double")), 6).as("centroid_cos"))
+        .orderBy(col("label"))
+    },
+
+    // ---- degree assortativity of the near-dup graph ------------------------
+    // The p105 triangle census's companion diagnostic: Pearson
+    // correlation of endpoint degrees over the (symmetrized) near-dup
+    // edges. Positive r = dup clusters link big-to-big (crawl
+    // families); strongly negative r = hub-and-spoke boilerplate
+    // (one template linking everything) — a different failure mode
+    // than low transitivity, and the number that says WHICH. All
+    // moment sums are exact integers on the bounded pair graph; only
+    // the final normalization runs in doubles on those exact inputs.
+    // By edge symmetry Σx = Σy and Σx² = Σy², so one pair of sums
+    // serves both margins.
+    //
+    // Scale shape: edges are the shared banded p09 spairs (df-capped,
+    // never all-pairs); degrees are one node-keyed agg; the moment
+    // rollup is a single 1-row reduce. No data-sized window, no
+    // collect.
+    Q("p127_degree_assortativity", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      esym AS (SELECT a AS u, b AS v FROM spairs
+               UNION ALL SELECT b, a FROM spairs),
+      deg AS (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS d
+              FROM esym GROUP BY 1),
+      ed AS (SELECT du.d AS x, dv.d AS y
+             FROM esym e JOIN deg du ON du.n = e.u
+                         JOIN deg dv ON dv.n = e.v),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM ed)
+      SELECT n AS n_edges, sx, sxx, sxy,
+             round(CAST(n * sxy - sx * sx AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS assort_r
+      FROM m""")) { (spark, dir) =>
+      val spairs = SharedStages.spairs(spark, dir)
+        .select(col("a"), col("b"))
+      val esym = spairs.select(col("a").as("u"), col("b").as("v"))
+        .union(spairs.select(col("b").as("u"), col("a").as("v")))
+      val deg = esym.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+      esym
+        .join(deg.select(col("n").as("u"), col("d").as("x")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("y")), "v")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n").as("n_edges"), col("sx"), col("sxx"), col("sxy"),
+          round((col("n") * col("sxy") - col("sx") * col("sx"))
+            .cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("assort_r"))
+    },
+
+    // ---- tokenizer vocabulary coverage curve -------------------------------
+    // The sizing table behind every "how big should the vocab be"
+    // decision: rank token types by corpus frequency and report, for
+    // vocab budgets 100 / 1 000 / 10 000, how much of the RUNNING TEXT
+    // a top-k vocabulary covers (Zipf in practice: the top 100 types
+    // usually cover half the stream). Exact integers end to end.
+    //
+    // Scale shape: the corpus-sized tokenize collapses to the
+    // vocabulary-bounded frequency table in one map-side-combinable
+    // agg (Heaps' law caps it); the rank window and budget probe run
+    // on THAT table, never on the token stream.
+    Q("p128_vocab_coverage", Some(s"""
+      WITH t AS (SELECT unnest($wsSql) AS tok FROM documents),
+      f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS n_types FROM f),
+      r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rk
+            FROM f),
+      v(vocab_size) AS (VALUES (100), (1000), (10000))
+      SELECT CAST(v.vocab_size AS BIGINT) AS vocab_size, t.n_types, t.total,
+             CAST(SUM(CASE WHEN r.rk <= v.vocab_size THEN r.n ELSE 0 END)
+               AS BIGINT) AS n_covered,
+             CAST(SUM(CASE WHEN r.rk <= v.vocab_size THEN r.n ELSE 0 END)
+                  * 1000000 // t.total AS BIGINT) AS coverage_ppm
+      FROM r CROSS JOIN v CROSS JOIN tot t
+      GROUP BY 1, 2, 3 ORDER BY 1""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.loadSpread(spark, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val tot = f.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_types"))
+      val r = f.withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+      val v = spark.range(0, 3)
+        .select(pow(lit(10), col("id") + 2).cast("long").as("vocab_size"))
+      r.crossJoin(broadcast(v)).crossJoin(broadcast(tot))
+        .groupBy(col("vocab_size"), col("n_types"), col("total"))
+        .agg(sum(when(col("rk") <= col("vocab_size"), col("n"))
+          .otherwise(0L)).as("n_covered"))
+        .select(col("vocab_size"), col("n_types"), col("total"),
+          col("n_covered"),
+          expr("n_covered * 1000000 div total").as("coverage_ppm"))
+        .orderBy(col("vocab_size"))
+    },
+
+    // ---- k-NN hubness census -----------------------------------------------
+    // The ANN-quality pathology check: a "hub" vector appears in
+    // everyone's top-k list (a known curse-of-dimensionality failure
+    // that silently wrecks retrieval diversity). Over the fixed
+    // 20-query panel (the p103 convention), count how many top-5
+    // lists each corpus vector occupies. Scaled-integer dots
+    // (round(x·1e6)) keep ranking deterministic across engines.
+    //
+    // Scale shape: ONE partial-agg pass computes every (query, vec)
+    // dot against the broadcast panel; per-query top-5 uses the
+    // bounded TopN kernel (map-side partials of ≤ n pairs — never a
+    // corpus-sized window partition); the census is a count over the
+    // 100-row top table.
+    Q("p129_ann_hubness", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      cx AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS i,
+                    unnest(v) AS x FROM v),
+      c AS (SELECT vec_id, i - 1 AS j,
+                   CAST(round(x * 1000000) AS BIGINT) AS ri FROM cx),
+      q AS (SELECT vec_id AS qid, j, ri AS qi FROM c WHERE vec_id < 20),
+      d AS (SELECT q.qid, c.vec_id AS vid, SUM(q.qi * c.ri) AS dot
+            FROM c JOIN q ON q.j = c.j AND c.vec_id != q.qid GROUP BY 1, 2),
+      top AS (SELECT qid, vid FROM
+                (SELECT qid, vid, row_number() OVER (PARTITION BY qid
+                   ORDER BY dot DESC, vid) AS rk FROM d)
+              WHERE rk <= 5)
+      SELECT vid AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM top GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      import graft.functions.TopN
+      val emb = Tables.loadSpread(spark, dir, "embeddings")
+      val c = emb.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("j", "x")))
+        .select(col("vec_id"), col("j"),
+          round(col("x") * 1000000, 0).cast("long").as("ri"))
+      val q = c.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("j"), col("ri").as("qi"))
+      c.join(broadcast(q), "j")
+        .where(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("qi") * col("ri")).as("dot"))
+        // top-5 by dot desc, ties to smaller vid = min over (-dot, vid)
+        .groupBy(col("qid"))
+        .agg(TopN.minTopN(-col("dot"), col("vec_id"), 5).as("top"))
+        .select(explode(col("top.id")).as("vec_id"))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n_lists"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- dataset card rollup -----------------------------------------------
+    // The per-source summary a dataset card publishes: doc and token
+    // counts, corpus share, mean doc length, language census with the
+    // dominant language and its share. Exact integers (mean length in
+    // tokens-per-1000-docs form; shares in ppm); the dominant-language
+    // argmax is a struct-extremum aggregate with the (n, lang)
+    // tie-break mirrored as a ranked window in the oracle.
+    //
+    // Scale shape: two keyed partial aggs ((source, lang) then
+    // source) plus one corpus-total broadcast — the output is catalog
+    // metadata, O(|sources|).
+    Q("p130_dataset_card", Some(s"""
+      WITH d AS (SELECT source, lang, CAST(len($wsSql) AS BIGINT) AS n
+                 FROM documents),
+      sl AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(n) AS BIGINT) AS n_toks
+             FROM d GROUP BY 1, 2),
+      s AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs
+            FROM sl GROUP BY 1),
+      dom AS (SELECT source, lang AS top_lang, n_docs AS top_lang_docs FROM
+                (SELECT sl.*, row_number() OVER (PARTITION BY source
+                   ORDER BY n_docs DESC, lang DESC) AS rk FROM sl)
+              WHERE rk = 1),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM s)
+      SELECT s.source, s.n_docs, s.n_tokens,
+             CAST(s.n_tokens * 1000000 // t.corpus_tokens AS BIGINT)
+               AS token_share_ppm,
+             CAST(s.n_tokens * 1000 // s.n_docs AS BIGINT)
+               AS mean_len_milli,
+             s.n_langs, dom.top_lang,
+             CAST(dom.top_lang_docs * 1000000 // s.n_docs AS BIGINT)
+               AS top_lang_share_ppm
+      FROM s JOIN dom USING (source) CROSS JOIN tot t
+      ORDER BY s.source""")) { (spark, dir) =>
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("source"), col("lang"),
+          TextOps.tokenCount(col("text")).as("n"))
+      val sl = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_toks"))
+      val s = sl.groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          count(lit(1)).as("n_langs"))
+      // dominant language: max over (n_docs, lang) — more docs wins,
+      // lexicographically LARGER lang breaks ties (struct max), the
+      // exact mirror of the oracle's ORDER BY n_docs DESC, lang DESC
+      val dom = sl.groupBy(col("source"))
+        .agg(max(struct(col("n_docs"), col("lang"))).as("m"))
+        .select(col("source"), col("m.lang").as("top_lang"),
+          col("m.n_docs").as("top_lang_docs"))
+      val tot = s.agg(sum(col("n_tokens")).as("corpus_tokens"))
+      s.join(broadcast(dom), "source").crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens * 1000000 div corpus_tokens")
+            .as("token_share_ppm"),
+          expr("n_tokens * 1000 div n_docs").as("mean_len_milli"),
+          col("n_langs"), col("top_lang"),
+          expr("top_lang_docs * 1000000 div n_docs")
+            .as("top_lang_share_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // ---- k-anonymity audit over quasi-identifiers --------------------------
+    // The privacy-side sibling of the p109 PII redaction: group the
+    // customer table by the quasi-identifier pair (market segment,
+    // nation) and measure re-identification exposure — how many
+    // QI groups and rows sit below anonymity thresholds k ∈ {5, 20}.
+    // The report is the bucketed group-size histogram every release
+    // review reads: a group of size 1 is an individual in the clear.
+    //
+    // Scale shape: one QI-keyed partial agg collapses the table to
+    // O(|QI combinations|) group sizes; the bucket rollup runs on
+    // that metadata table. No row leaves the executor un-aggregated.
+    Q("p131_k_anonymity", Some("""
+      WITH g AS (SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT)
+                        AS nat, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM customer GROUP BY 1, 2),
+      b AS (SELECT CASE WHEN n < 5 THEN 'k_lt_5'
+                        WHEN n < 20 THEN 'k_5_to_19'
+                        ELSE 'k_ge_20' END AS bucket, n
+            FROM g)
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MIN(n) AS BIGINT) AS min_group,
+             CAST(MAX(n) AS BIGINT) AS max_group
+      FROM b GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      val g = Tables.load(spark, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nat"))
+        .agg(count(lit(1)).as("n"))
+      g.select(when(col("n") < 5, "k_lt_5")
+          .when(col("n") < 20, "k_5_to_19")
+          .otherwise("k_ge_20").as("bucket"), col("n"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_rows"),
+          min(col("n")).as("min_group"), max(col("n")).as("max_group"))
+        .orderBy(col("bucket"))
+    }
+  )
+}

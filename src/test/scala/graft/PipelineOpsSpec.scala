@@ -60,6 +60,48 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains((1L, 2L)))
   }
 
+  test("incrementalNearDups screens the batch against the corpus " +
+    "asymmetrically: verdict per incoming doc, corpus never self-paired") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"), // corpus-internal dup
+      (12L, "completely unrelated corpus text about engines")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "The  quick brown fox jumps over the lazy dog"), // dup of 10/11
+      (21L, "fresh novel content nothing like anything else")).toDF("doc_id", "text")
+    val out = DedupOps.incrementalNearDups(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dups"), r.getAs[Long]("min_hamming"),
+          r.getAs[Long]("is_dup"))).toMap
+    // exactly one verdict row per INCOMING doc — the corpus-internal
+    // dup pair (10, 11) produces no output row (never self-paired)
+    assert(out.keySet == Set(20L, 21L))
+    val (n20, h20, d20) = out(20L)
+    assert(d20 == 1L && n20 == 2L && h20 == 0L,
+      s"near-dup of two corpus docs must match both at hamming 0, got ($n20, $h20, $d20)")
+    assert(out(21L) == ((0L, -1L, 0L)),
+      "novel doc: no candidates, sentinel min_hamming = -1")
+  }
+
+  test("incrementalNearDups maxBucket caps the EXISTING side: a " +
+    "degenerate corpus bucket cannot explode an ingest") {
+    import spark.implicits._
+    // 8 identical corpus docs = one bucket of 8 per band; cap at 4
+    // drops every band bucket → the incoming dup finds nothing
+    val corpus = (0 until 8).map(i =>
+      (100L + i, "common template text repeated across the corpus"))
+      .toDF("doc_id", "text")
+    val batch = Seq((200L, "common template text repeated across the corpus"))
+      .toDF("doc_id", "text")
+    val capped = DedupOps.incrementalNearDups(corpus, batch, "doc_id", "text",
+      maxBucket = 4).collect()
+    assert(capped.length == 1 && capped(0).getAs[Long]("is_dup") == 0L)
+    val uncapped = DedupOps.incrementalNearDups(corpus, batch, "doc_id", "text",
+      maxBucket = 1000).collect()
+    assert(uncapped(0).getAs[Long]("n_dups") == 8L)
+  }
+
   test("simhash64 band keys span the 2^16 key space (not the 16-key " +
     "degeneracy of a 16-bit signature)") {
     import spark.implicits._
