@@ -563,6 +563,262 @@ object Pipeline13 {
         .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_rows"),
           min(col("n")).as("min_group"), max(col("n")).as("max_group"))
         .orderBy(col("bucket"))
+    },
+
+    // ---- equi-depth histogram (CBO statistics collection) ------------------
+    // The statistics pass a cost-based optimizer runs over a fact
+    // column: 10 equi-depth buckets of l_extendedprice via ntile over
+    // the total (value, rowkey) order — deterministic in both engines
+    // (ties split by the unique key, exactly the p118 decile
+    // convention). Per bucket: row count, exact [lo, hi] bounds, and
+    // distinct-value count — the selectivity table a 100 TB join
+    // planner consults before choosing broadcast vs shuffle.
+    //
+    // Scale shape: the rank is ONE total-order window (at production
+    // scale this runs on a sampled scan — the SHAPE is identical);
+    // the per-bucket rollup is a 10-group partial agg.
+    Q("p132_equidepth_histogram", Some("""
+      WITH v AS (SELECT l_orderkey, l_linenumber,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                 FROM lineitem),
+      n AS (SELECT cents,
+                   ntile(10) OVER (ORDER BY cents, l_orderkey, l_linenumber)
+                     AS bucket
+            FROM v)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(cents) AS BIGINT) AS lo_cents,
+             CAST(MAX(cents) AS BIGINT) AS hi_cents,
+             CAST(COUNT(DISTINCT cents) AS BIGINT) AS n_distinct
+      FROM n GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // round, not truncate: DuckDB's double→BIGINT cast rounds while
+      // Spark's truncates — an explicit round on both sides is the
+      // only portable cents conversion
+      val v = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      v.withColumn("bucket", ntile(10).over(
+          Window.orderBy(col("cents"), col("l_orderkey"),
+            col("l_linenumber"))))
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"),
+          countDistinct(col("cents")).as("n_distinct"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- freshness-decayed replay-sampling manifest ------------------------
+    // Continual-pretraining data mixing: when replaying an event
+    // stream into training, fresh data outweighs stale data by a
+    // half-life decay. Weights stay EXACT integers by making the
+    // decay a bit shift: weight_ppm = 1_000_000 >> (age_days / 30) —
+    // a halving per 30 days that both engines compute identically
+    // (shift capped at 40: older than ~3 years rounds to zero, a
+    // defined truncation). The manifest allocates a 10 000-sample
+    // budget per event type proportional to decayed mass — the
+    // sampler downstream just reads quotas.
+    //
+    // Scale shape: age anchors on the global max event day (one 1-row
+    // broadcast); everything else is a single (type)-keyed partial
+    // agg of integer weights in the scan stage.
+    Q("p133_freshness_quota", Some("""
+      WITH b AS (SELECT CAST(max(date_trunc('day', ts)) AS DATE) AS anchor
+                 FROM events),
+      w AS (SELECT e.event_type,
+                   CAST(1000000 >> least(40, date_diff('day',
+                     CAST(date_trunc('day', e.ts) AS DATE), b.anchor) // 30)
+                     AS BIGINT) AS wt
+            FROM events e CROSS JOIN b),
+      m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(wt) AS BIGINT) AS mass
+            FROM w GROUP BY 1),
+      t AS (SELECT CAST(SUM(mass) AS BIGINT) AS total FROM m)
+      SELECT m.event_type, m.n_events, m.mass,
+             CAST(m.mass * 10000 // t.total AS BIGINT) AS quota
+      FROM m CROSS JOIN t ORDER BY 1""")) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("event_type"),
+          date_trunc("DAY", col("ts")).cast("date").as("d"))
+      val anchor = ev.agg(max(col("d")).as("anchor"))
+      val m = ev.crossJoin(broadcast(anchor))
+        .select(col("event_type"),
+          expr("shiftright(1000000L, CAST(least(40, " +
+            "datediff(anchor, d) div 30) AS INT))").as("wt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("wt")).as("mass"))
+      m.crossJoin(broadcast(m.agg(sum(col("mass")).as("total"))))
+        .select(col("event_type"), col("n_events"), col("mass"),
+          expr("mass * 10000 div total").as("quota"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- join-cardinality estimate vs truth --------------------------------
+    // The System-R textbook estimator every CBO still runs:
+    // |A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B) under the uniformity +
+    // containment assumptions — here computed EXACTLY (integer
+    // counts, exact NDVs) next to the TRUE join cardinality, with the
+    // signed error in ppm. Two key pairs: the clean FK edge
+    // (orders⋈lineitem, where containment holds and the estimate is
+    // nearly exact) and the skewed semi-accidental edge
+    // (customer⋈events on user id, where uniformity breaks) — the
+    // table that teaches WHEN to trust the estimator.
+    //
+    // Scale shape: counts and NDVs are per-table partial aggs; the
+    // true cardinality is Σ_k cntA(k)·cntB(k) over the two COUNT
+    // tables joined on the key — never the materialized join itself.
+    Q("p134_join_card_estimate", Some("""
+      WITH oa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv
+                  FROM orders),
+      lb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv
+             FROM lineitem),
+      ol AS (SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS actual FROM
+               (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders
+                GROUP BY 1) a
+               JOIN (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem
+                     GROUP BY 1) b USING (k)),
+      ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS ndv
+             FROM customer),
+      eb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv
+             FROM events),
+      ce AS (SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS actual FROM
+               (SELECT c_custkey AS k, COUNT(*) AS n FROM customer
+                GROUP BY 1) a
+               JOIN (SELECT user_id AS k, COUNT(*) AS n FROM events
+                     GROUP BY 1) b USING (k)),
+      r AS (
+        SELECT 'orders_x_lineitem' AS pair, oa.n AS n_left, lb.n AS n_right,
+               oa.ndv AS ndv_left, lb.ndv AS ndv_right,
+               CAST(oa.n * lb.n // greatest(oa.ndv, lb.ndv) AS BIGINT)
+                 AS est, ol.actual
+        FROM oa, lb, ol
+        UNION ALL
+        SELECT 'customer_x_events', ca.n, eb.n, ca.ndv, eb.ndv,
+               CAST(ca.n * eb.n // greatest(ca.ndv, eb.ndv) AS BIGINT),
+               ce.actual
+        FROM ca, eb, ce)
+      SELECT pair, n_left, n_right, ndv_left, ndv_right, est, actual,
+             CAST((est - actual) * 1000000 // actual AS BIGINT)
+               AS signed_err_ppm
+      FROM r ORDER BY 1""")) { (spark, dir) =>
+      def stats(tbl: String, key: String) = {
+        val t = Tables.load(spark, dir, tbl)
+        (t.agg(count(lit(1)).as("n"),
+          countDistinct(col(key)).as("ndv")),
+          t.groupBy(col(key).as("k")).agg(count(lit(1)).as("n")))
+      }
+      def pairRow(name: String, a: (org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame), b: (org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame)) = {
+        val actual = a._2.join(b._2.select(col("k"),
+            col("n").as("nb")), "k")
+          .agg(sum(col("n") * col("nb")).as("actual"))
+        a._1.select(col("n").as("n_left"), col("ndv").as("ndv_left"))
+          .crossJoin(b._1.select(col("n").as("n_right"),
+            col("ndv").as("ndv_right")))
+          .crossJoin(actual)
+          .select(lit(name).as("pair"), col("n_left"), col("n_right"),
+            col("ndv_left"), col("ndv_right"),
+            expr("n_left * n_right div greatest(ndv_left, ndv_right)")
+              .as("est"), col("actual"))
+      }
+      pairRow("orders_x_lineitem",
+          stats("orders", "o_orderkey"), stats("lineitem", "l_orderkey"))
+        .union(pairRow("customer_x_events",
+          stats("customer", "c_custkey"), stats("events", "user_id")))
+        .select(col("*"),
+          expr("(est - actual) * 1000000 div actual").as("signed_err_ppm"))
+        .orderBy(col("pair"))
+    },
+
+    // ---- arrival-order lateness profile (watermark sizing) -----------------
+    // The measurement that tells you WHAT WATERMARK TO CONFIGURE:
+    // replay the stream in arrival order and compute each event's
+    // lateness = how far its event time lags the max event time
+    // already seen — exactly the quantity a streaming watermark
+    // trades off against state size. The fixture stream is ts-ordered
+    // (zero lateness), so a deterministic at-least-once replay tail
+    // is WELDED on (the p114 convention): every event_id % 97 == 0
+    // event is redelivered after the entire original stream, in id
+    // order — late by the whole remaining span, spreading the
+    // histogram across its buckets. Reported as the on-time/late
+    // histogram with exact microsecond bounds.
+    // The running max is the SAME two-phase distributed scan as
+    // ShardOps (per-bucket partial maxes → exclusive bucket prefix
+    // over the O(#buckets) table → within-bucket windows); the oracle
+    // runs the naive single-partition global window and the hash
+    // match is the equivalence proof.
+    Q("p135_lateness_profile", Some("""
+      WITH mx AS (SELECT CAST(max(event_id) + 1 AS BIGINT) AS m FROM events),
+      e AS (SELECT CAST(event_id AS BIGINT) AS seq,
+                   CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+            UNION ALL
+            SELECT mx.m + event_id, CAST(epoch_us(ts) AS BIGINT)
+            FROM events CROSS JOIN mx WHERE event_id % 97 = 0),
+      r AS (SELECT seq, us,
+                   max(us) OVER (ORDER BY seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS seen
+            FROM e),
+      l AS (SELECT seq,
+                   greatest(0, coalesce(seen - us, 0)) AS late_us
+            FROM r),
+      b AS (SELECT CASE WHEN late_us = 0 THEN '0_on_time'
+                        WHEN late_us <= 60000000 THEN '1_under_1m'
+                        WHEN late_us <= 300000000 THEN '2_under_5m'
+                        WHEN late_us <= 1800000000 THEN '3_under_30m'
+                        ELSE '4_over_30m' END AS bucket, late_us
+            FROM l)
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+             CAST(SUM(late_us) AS BIGINT) AS sum_late_us
+      FROM b GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bucketWidth = 4096L
+      val base = Tables.load(spark, dir, "events")
+        .select(col("event_id").cast("long").as("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val mx = base.agg((max(col("event_id")) + 1).as("m"))
+      val replay = base.filter(col("event_id") % 97 === 0)
+        .crossJoin(broadcast(mx))
+        .select((col("m") + col("event_id")).as("seq"), col("us"))
+      val e = base.select(col("event_id").as("seq"), col("us"))
+        .union(replay)
+        .withColumn("__bk", expr(s"seq div $bucketWidth"))
+      // two-phase exclusive running max (the ShardOps pattern with
+      // max instead of sum): bucket partial maxes → exclusive prefix
+      // max over the bucket metadata table → per-bucket windows
+      val offs = e.groupBy(col("__bk")).agg(max(col("us")).as("__bmax"))
+        .withColumn("__prev", max(col("__bmax")).over(
+          Window.orderBy(col("__bk"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("__bk"), col("__prev"))
+      val inBucket = Window.partitionBy(col("__bk"))
+        .orderBy(col("seq"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.join(broadcast(offs), "__bk")
+        .withColumn("seen",
+          greatest(coalesce(max(col("us")).over(inBucket), lit(Long.MinValue)),
+            coalesce(col("__prev"), lit(Long.MinValue))))
+        .withColumn("late_us",
+          when(col("seen") === Long.MinValue, 0L)
+            .otherwise(greatest(lit(0L), col("seen") - col("us"))))
+        .select(
+          when(col("late_us") === 0, "0_on_time")
+            .when(col("late_us") <= 60000000L, "1_under_1m")
+            .when(col("late_us") <= 300000000L, "2_under_5m")
+            .when(col("late_us") <= 1800000000L, "3_under_30m")
+            .otherwise("4_over_30m").as("bucket"),
+          col("late_us"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("late_us")).as("max_late_us"),
+          sum(col("late_us")).as("sum_late_us"))
+        .orderBy(col("bucket"))
     }
   )
 }
