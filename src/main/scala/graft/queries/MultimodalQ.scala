@@ -522,8 +522,126 @@ object MultimodalQ {
           md5(dec).as("digest"),
           substring(dec, 1, 16).cast("string").as("head"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- REAL MP4 (ISO-BMFF) metadata box walk -----------------------------
+    // The video face of the codec-kernel family: a structurally-real
+    // MP4 per document — ftyp, then moov containing a v0 mvhd
+    // (timescale/duration) and 1–3 trak/tkhd boxes (track dims as
+    // 16.16 fixed point) — parsed back by graft.functions.Mp4's
+    // bounded box walk (big-endian sizes, nested children, box-bomb
+    // cap). Every doc_id % 11 == 7 payload is TRUNCATED mid-moov: the
+    // kernel returns NULL and the row reports -1 sentinels — the
+    // NULL-never-throw posture proven in-query, not just in specs.
+    // The oracle computes all fields arithmetically from doc_id; any
+    // drift in box layout, size math, fixed-point shift, or the
+    // truncation contract fails the hash compare. Frame DECODE stays
+    // stubbed (p19) — a real H.264 decoder is out of scope; the box
+    // walk is what a 100 TB video-manifest pass actually runs.
+    //
+    // Scale shape: one codegen'd expression in the scan stage; no
+    // shuffle, no UDF.
+    Q("p139_mp4_box_walk", Some("""
+      WITH p AS (SELECT doc_id,
+                        600 + (doc_id % 10) * 100 AS timescale,
+                        1000 + (doc_id * 37) % 100000 AS duration,
+                        1 + doc_id % 3 AS n_tracks,
+                        doc_id % 11 = 7 AS corrupt
+                 FROM documents),
+      t AS (SELECT doc_id,
+                   unnest(generate_series(0, n_tracks - 1)) AS i
+            FROM p),
+      dims AS (SELECT doc_id,
+                      CAST(MAX(64 + 16 * ((doc_id + i) % 5)) AS BIGINT)
+                        AS max_w,
+                      CAST(MAX(48 + 16 * ((doc_id + 2 * i) % 4)) AS BIGINT)
+                        AS max_h
+               FROM t GROUP BY 1)
+      SELECT p.doc_id,
+             CAST(CASE WHEN corrupt THEN -1 ELSE timescale END AS BIGINT)
+               AS timescale,
+             CAST(CASE WHEN corrupt THEN -1 ELSE duration END AS BIGINT)
+               AS duration,
+             CAST(CASE WHEN corrupt THEN -1 ELSE n_tracks END AS BIGINT)
+               AS n_tracks,
+             CAST(CASE WHEN corrupt THEN -1 ELSE dims.max_w END AS BIGINT)
+               AS max_width,
+             CAST(CASE WHEN corrupt THEN -1 ELSE dims.max_h END AS BIGINT)
+               AS max_height,
+             CAST(CASE WHEN corrupt THEN -1
+                       ELSE duration * 1000 // timescale END AS BIGINT)
+               AS duration_ms
+      FROM p JOIN dims USING (doc_id) ORDER BY p.doc_id""")) { (spark, dir) =>
+      import graft.functions.Mp4
+      val meta = Mp4.meta(mp4Blob)
+      val sent = (i: Int) => coalesce(element_at(meta, i), lit(-1L))
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          sent(1).as("timescale"), sent(2).as("duration"),
+          sent(3).as("n_tracks"), sent(4).as("max_width"),
+          sent(5).as("max_height"))
+        .withColumn("duration_ms",
+          when(col("timescale") === -1L, -1L)
+            .otherwise(expr("duration * 1000 div timescale")))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** Structurally-real ISO-BMFF MP4 built in-query: ftyp, then moov
+    * holding a 108-byte v0 mvhd (timescale = 600 + (doc_id%10)·100,
+    * duration = 1000 + (doc_id·37) % 100000) and `1 + doc_id % 3`
+    * trak boxes, each a 92-byte v0 tkhd with track dims
+    * (64 + 16·((doc_id+i)%5)) × (48 + 16·((doc_id+2i)%4)) as 16.16
+    * fixed point. All sizes big-endian per ISO 14496-12. Payloads for
+    * doc_id % 11 == 7 are truncated 20 bytes into moov — a real
+    * mid-crawl truncation the parser must map to NULL.
+    */
+  private def mp4Blob: org.apache.spark.sql.Column = {
+    def be32h(x: org.apache.spark.sql.Column) =
+      lpad(hex(x.cast("long")), 8, "0")
+    def be16h(x: org.apache.spark.sql.Column) =
+      lpad(hex(x.cast("long")), 4, "0")
+    val matrixHex = "00010000" + "00000000" * 3 + "00010000" +
+      "00000000" * 3 + "40000000"
+    val nTracks = (lit(1L) + col("doc_id") % 3).cast("int")
+    val timescale = lit(600L) + (col("doc_id") % 10) * 100L
+    val duration = lit(1000L) + (col("doc_id") * 37) % 100000L
+    val mvhd = concat(
+      be32h(lit(108L)), lit("6D766864"), // size, 'mvhd'
+      lit("00000000"), // v0 + flags
+      lit("00000000"), lit("00000000"), // ctime, mtime
+      be32h(timescale), be32h(duration),
+      lit("00010000"), be16h(lit(0x0100L)), be16h(lit(0L)), // rate, vol, rsvd
+      lit("00000000" * 2), // reserved 8
+      lit(matrixHex), lit("00000000" * 6), // matrix, predefined
+      be32h(nTracks + 1)) // next_track_id
+    def tkhd(i: Int) = {
+      val w = lit(64L) + ((col("doc_id") + i) % 5) * 16L
+      val h = lit(48L) + ((col("doc_id") + 2 * i) % 4) * 16L
+      concat(
+        be32h(lit(100L)), lit("7472616B"), // trak box, size 8 + 92
+        be32h(lit(92L)), lit("746B6864"), // tkhd
+        lit("00000007"), // v0 + enabled flags
+        lit("00000000"), lit("00000000"), // ctime, mtime
+        be32h(lit(i + 1L)), lit("00000000"), // track_id, reserved
+        be32h(duration), lit("00000000" * 2), // duration, reserved 8
+        be16h(lit(0L)), be16h(lit(0L)), // layer, alt group
+        be16h(lit(0L)), be16h(lit(0L)), // volume, reserved
+        lit(matrixHex),
+        be32h(shiftleft(w, 16)), be32h(shiftleft(h, 16))) // 16.16 dims
+    }
+    val traks = concat((0 until 3).map(i =>
+      when(nTracks > i, tkhd(i)).otherwise(lit(""))): _*)
+    val moovSize = lit(8L) + 108L + nTracks.cast("long") * 100L
+    val full = concat(
+      be32h(lit(16L)), lit("66747970"), // ftyp
+      lit("69736F6D"), be32h(lit(0L)), // isom, minor version
+      be32h(moovSize), lit("6D6F6F76"), // moov
+      mvhd, traks)
+    // mid-crawl truncation: cut 20 bytes into moov (hex chars = 2/byte)
+    when(col("doc_id") % 11 === 7, unhex(substring(full, 1, (16 + 28) * 2)))
+      .otherwise(unhex(full))
+  }
 
   /** Structurally-real PCM WAV built in-query: RIFF header, an
     * odd-sized LIST chunk for doc_id%5==0 (the even-padding walk), a

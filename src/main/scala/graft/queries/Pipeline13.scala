@@ -819,6 +819,183 @@ object Pipeline13 {
           max(col("late_us")).as("max_late_us"),
           sum(col("late_us")).as("sum_late_us"))
         .orderBy(col("bucket"))
+    },
+
+    // ---- salted skew join, equivalence-proven ------------------------------
+    // The hot-key defense spelled out as a plan: the skewed fact side
+    // (events.user_id — p125 shows its hitters) gets a deterministic
+    // salt (event_id % 8); the dim side is exploded ×8 so every
+    // (key, salt) pair finds its partner; the join key becomes
+    // (user_id, salt), splitting each hot key's row mass over 8
+    // reducers. The oracle runs the PLAIN join — the hash match is
+    // the proof that salting is semantics-preserving, which is the
+    // entire point of the technique. Money stays exact (cents via
+    // round before any aggregation).
+    //
+    // Scale shape: the dim explode costs ×8 of the SMALL side; the
+    // fact side's per-reducer ceiling drops ×8. At 100 TB this is
+    // the difference between one straggler task and a balanced
+    // stage (AQE's skew split does this adaptively; the salt is the
+    // static form that also works pre-AQE and for stateful sinks).
+    Q("p136_salted_join", Some("""
+      WITH j AS (SELECT c.c_mktsegment AS seg,
+                        CAST(round(e.value * 100) AS BIGINT) AS cents
+                 FROM events e JOIN customer c ON e.user_id = c.c_custkey)
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM j GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      val salts = 8
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          pmod(col("event_id"), lit(salts)).as("salt"))
+      val cust = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("seg"))
+        .crossJoin(spark.range(0, salts).select(col("id").as("salt")))
+      ev.join(cust, Seq("user_id", "salt"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("seg"))
+    },
+
+    // ---- data-quality expectations suite -----------------------------------
+    // The release gate a 100 TB ingest runs before anything trains on
+    // it: a fixed battery of expectations, one verdict row each —
+    // uniqueness (duplicate customer keys), referential integrity
+    // (lineitem orphans vs orders), range validity (negative event
+    // values), completeness (empty documents), and freshness span
+    // (event stream covers > 0 days). n_violations + pass flag per
+    // check; the suite output is fixed-size whatever the data volume.
+    //
+    // Scale shape: every check is one partial agg or one left-anti
+    // probe (the orphan check builds its verdict from the count
+    // tables, not a materialized join); the union is 5 rows.
+    Q("p137_dq_expectations", Some("""
+      SELECT * FROM (
+        SELECT 'customer_key_unique' AS expectation,
+               CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+                 AS n_violations
+        FROM customer
+        UNION ALL
+        SELECT 'lineitem_fk_orders',
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                 AS BIGINT)
+        UNION ALL
+        SELECT 'event_value_nonneg',
+               CAST((SELECT count(*) FROM events WHERE value < 0) AS BIGINT)
+        UNION ALL
+        SELECT 'document_nonempty',
+               CAST((SELECT count(*) FROM documents
+                     WHERE text IS NULL OR length(text) = 0) AS BIGINT)
+        UNION ALL
+        SELECT 'event_span_positive',
+               CAST((SELECT CASE WHEN date_diff('day',
+                       CAST(min(date_trunc('day', ts)) AS DATE),
+                       CAST(max(date_trunc('day', ts)) AS DATE)) > 0
+                     THEN 0 ELSE 1 END FROM events) AS BIGINT))
+      ORDER BY 1""")) { (spark, dir) =>
+      val cust = Tables.load(spark, dir, "customer")
+      val li = Tables.load(spark, dir, "lineitem")
+      val ord = Tables.load(spark, dir, "orders")
+      val ev = Tables.load(spark, dir, "events")
+      val docs = Tables.load(spark, dir, "documents")
+      val uniq = cust.agg((count(lit(1)) - countDistinct(col("c_custkey")))
+        .as("n_violations"))
+        .select(lit("customer_key_unique").as("expectation"),
+          col("n_violations"))
+      val orphans = li.select(col("l_orderkey"))
+        .join(ord.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_fk_orders").as("expectation"),
+          col("n_violations"))
+      val nonneg = ev.filter(col("value") < 0)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("event_value_nonneg").as("expectation"),
+          col("n_violations"))
+      val nonempty = docs
+        .filter(col("text").isNull || length(col("text")) === 0)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("document_nonempty").as("expectation"),
+          col("n_violations"))
+      val span = ev
+        .agg(datediff(max(date_trunc("DAY", col("ts")).cast("date")),
+          min(date_trunc("DAY", col("ts")).cast("date"))).as("d"))
+        .select(lit("event_span_positive").as("expectation"),
+          when(col("d") > 0, 0L).otherwise(1L).as("n_violations"))
+      uniq.union(orphans).union(nonneg).union(nonempty).union(span)
+        .orderBy(col("expectation"))
+    },
+
+    // ---- zone-map pruning advisor ------------------------------------------
+    // WHY sort keys matter at 100 TB, measured: chunk the lineitem
+    // scan into 4096-row "files" two ways — natural (orderkey) layout
+    // vs laid out by ship date — compute each chunk's [min, max] ship
+    // date (exactly the zone map / parquet row-group stats a reader
+    // consults), and count how many chunks a one-month predicate can
+    // skip under each layout. The sorted layout's pruned fraction IS
+    // the I/O a sort-on-write buys; the natural layout's ~zero is
+    // what it costs to skip that sort. Rank for the sorted layout via
+    // the same two-phase-equivalent ntile convention (deterministic
+    // (key, rowkey) total order).
+    //
+    // Scale shape: one pass computes chunk ids for both layouts, one
+    // (layout, chunk) partial agg builds the zone maps, the verdict
+    // is a count over the O(#chunks) metadata table.
+    Q("p138_zonemap_advisor", Some("""
+      WITH v AS (SELECT l_orderkey, l_linenumber,
+                        CAST(epoch_us(l_shipdate) AS BIGINT) AS sd
+                 FROM lineitem),
+      nat AS (SELECT sd,
+                     (row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+                       - 1) // 4096 AS chunk
+              FROM v),
+      srt AS (SELECT sd,
+                     (row_number() OVER (ORDER BY sd, l_orderkey,
+                        l_linenumber) - 1) // 4096 AS chunk
+              FROM v),
+      z AS (SELECT 'natural' AS layout, chunk, min(sd) AS lo, max(sd) AS hi
+            FROM nat GROUP BY 2
+            UNION ALL
+            SELECT 'shipdate_sorted', chunk, min(sd), max(sd)
+            FROM srt GROUP BY 2),
+      p AS (SELECT layout,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN hi < epoch_us(TIMESTAMP '1995-06-01')
+                                   OR lo >= epoch_us(TIMESTAMP '1995-07-01')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
+            FROM z GROUP BY 1)
+      SELECT layout, n_chunks, n_pruned,
+             CAST(n_pruned * 1000000 // n_chunks AS BIGINT) AS pruned_ppm
+      FROM p ORDER BY 1""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // l_shipdate reads as TIMESTAMP_NTZ; route through the session-UTC
+      // TimestampType so unix_micros matches the oracle's epoch_us
+      val v = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          unix_micros(col("l_shipdate")
+            .cast(org.apache.spark.sql.types.TimestampType)).as("sd"))
+      def chunks(ord: Seq[org.apache.spark.sql.Column], layout: String) =
+        v.withColumn("chunk",
+            ((row_number().over(Window.orderBy(ord: _*)) - 1) / 4096)
+              .cast("long"))
+          .groupBy(col("chunk"))
+          .agg(min(col("sd")).as("lo"), max(col("sd")).as("hi"))
+          .select(lit(layout).as("layout"), col("lo"), col("hi"))
+      val lo = unix_micros(to_timestamp(lit("1995-06-01")))
+      val hi = unix_micros(to_timestamp(lit("1995-07-01")))
+      chunks(Seq(col("l_orderkey"), col("l_linenumber")), "natural")
+        .union(chunks(Seq(col("sd"), col("l_orderkey"),
+          col("l_linenumber")), "shipdate_sorted"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("hi") < lo || col("lo") >= hi, 1L).otherwise(0L))
+            .as("n_pruned"))
+        .select(col("layout"), col("n_chunks"), col("n_pruned"),
+          expr("n_pruned * 1000000 div n_chunks").as("pruned_ppm"))
+        .orderBy(col("layout"))
     }
   )
 }

@@ -218,6 +218,45 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jr.length == 1 && jr(0).isNullAt(3))
   }
 
+  test("Mp4 box walk parses a hand-built moov and maps every malformed " +
+    "shape to NULL (never throws)") {
+    import spark.implicits._
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("ASCII") ++ payload
+    val matrix = be32(0x00010000L) ++ Array.fill(12)(0.toByte) ++
+      be32(0x00010000L) ++ Array.fill(12)(0.toByte) ++ be32(0x40000000L)
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(48000) ++ be32(0x00010000L) ++
+      Array[Byte](1, 0, 0, 0) ++ Array.fill(8)(0.toByte) ++ matrix ++
+      Array.fill(24)(0.toByte) ++ be32(3))
+    def tkhd(id: Long, w: Long, h: Long) = box("trak", box("tkhd",
+      be32(7) ++ be32(0) ++ be32(0) ++ be32(id) ++ be32(0) ++ be32(48000) ++
+        Array.fill(8)(0.toByte) ++ Array.fill(8)(0.toByte) ++ matrix ++
+        be32(w << 16) ++ be32(h << 16)))
+    val good = box("ftyp", "isom".getBytes ++ be32(0)) ++
+      box("moov", mvhd ++ tkhd(1, 320, 240) ++ tkhd(2, 640, 360))
+    val parsed = Seq(Tuple1(good)).toDF("b")
+      .select(graft.functions.Mp4.meta(col("b"))).head.getSeq[Long](0)
+    assert(parsed == Seq(1000L, 48000L, 2L, 640L, 360L))
+    // adversarial shapes: all NULL, none throw
+    val lyingSize = be32(1 << 30) ++ "moov".getBytes ++ be32(0)
+    val tinyBox = be32(4) ++ "moov".getBytes // size < 8
+    val v1Mvhd = box("ftyp", be32(0)) ++
+      box("moov", box("mvhd", Array[Byte](1) ++ Array.fill(30)(0.toByte)))
+    val truncated = good.take(40)
+    val bomb = box("moov", // 65 zero-size... built as 65 valid tiny boxes
+      Array.fill(65)(box("free", Array.empty[Byte])).flatten)
+    val cases = Seq(lyingSize, tinyBox, v1Mvhd, truncated, bomb,
+      Array.empty[Byte], "garbage".getBytes)
+    cases.zipWithIndex.foreach { case (bytes, i) =>
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.Mp4.meta(col("b"))).head
+      assert(r.isNullAt(0), s"adversarial case $i must parse to NULL")
+    }
+  }
+
   test("embedStub is deterministic with the declared shapes") {
     val ids = payloads.withColumn("id", monotonically_increasing_id())
     val emb = MultimodalOps.embedStub(ids, "id", "payload", dim = 16).collect()
