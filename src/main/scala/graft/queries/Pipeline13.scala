@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.TextOps
+import graft.ops.{Portable, TextOps}
 
 /** Round-9 pipeline entries: the ingest-time incremental dedup path,
   * corpus forensics (source overlap, graph assortativity), and the
@@ -996,6 +996,142 @@ object Pipeline13 {
         .select(col("layout"), col("n_chunks"), col("n_pruned"),
           expr("n_pruned * 1000000 div n_chunks").as("pruned_ppm"))
         .orderBy(col("layout"))
+    },
+
+    // ---- rendezvous-hash shard rebalance matrix ----------------------------
+    // WHY stateful shards use rendezvous (highest-random-weight)
+    // hashing instead of `key mod n`, measured: assign every doc to
+    // its max-weight shard among 8, then again among 9, and cross-
+    // tabulate. Rendezvous moves only the docs whose NEW shard wins
+    // their weight race — ~1/9 of the corpus, all INTO shard 8 —
+    // while mod-hash would reshuffle ~8/9 of everything. The moved
+    // row count per (old, new) cell is the state-migration bill a
+    // resharding actually pays. Weights are portable h60 hashes;
+    // argmax tie-break toward the larger shard id (struct max),
+    // mirrored as a ranked window in the oracle.
+    //
+    // Scale shape: per doc, a 9-way weight comparison in the scan
+    // stage (a fixed-size explode, no data-sized join); one
+    // (old, new)-keyed partial agg to the O(shards²) matrix.
+    Q("p140_rendezvous_rebalance", Some(s"""
+      WITH s AS (SELECT doc_id, unnest(generate_series(0, 8)) AS sh
+                 FROM documents),
+      w AS (SELECT doc_id, sh,
+                   ${Portable.h60Sql(
+        "concat('shard:', CAST(sh AS VARCHAR), ':', CAST(doc_id AS VARCHAR))")}
+                     AS wt
+            FROM s),
+      o AS (SELECT doc_id, sh AS old_shard FROM
+              (SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY wt DESC, sh DESC) AS rk FROM w WHERE sh < 8)
+            WHERE rk = 1),
+      n AS (SELECT doc_id, sh AS new_shard FROM
+              (SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY wt DESC, sh DESC) AS rk FROM w)
+            WHERE rk = 1)
+      SELECT o.old_shard, n.new_shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(CASE WHEN o.old_shard <> n.new_shard THEN 1 ELSE 0 END
+               AS BIGINT) AS moved
+      FROM o JOIN n USING (doc_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (spark, dir) =>
+      val w = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"))
+        .crossJoin(broadcast(spark.range(0, 9).select(col("id").as("sh"))))
+        .select(col("doc_id"), col("sh"),
+          Portable.h60(concat(lit("shard:"), col("sh").cast("string"),
+            lit(":"), col("doc_id").cast("string"))).as("wt"))
+      // argmax by (weight, shard) struct max — larger shard wins ties,
+      // the oracle's ORDER BY wt DESC, sh DESC
+      val o = w.filter(col("sh") < 8).groupBy(col("doc_id"))
+        .agg(max(struct(col("wt"), col("sh"))).as("m"))
+        .select(col("doc_id"), col("m.sh").as("old_shard"))
+      val n = w.groupBy(col("doc_id"))
+        .agg(max(struct(col("wt"), col("sh"))).as("m"))
+        .select(col("doc_id"), col("m.sh").as("new_shard"))
+      o.join(n, "doc_id")
+        .groupBy(col("old_shard"), col("new_shard"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("old_shard"), col("new_shard"), col("n_docs"),
+          when(col("old_shard") =!= col("new_shard"), 1L).otherwise(0L)
+            .as("moved"))
+        .orderBy(col("old_shard"), col("new_shard"))
+    },
+
+    // ---- funnel time-to-convert, exact percentiles -------------------------
+    // The latency distribution behind the p66 funnel: per user, the
+    // gap between the FIRST view and the first purchase strictly
+    // after it; per market segment, the exact median and p90 of that
+    // gap. Order statistics stay exact integers via explicit ranks on
+    // the (gap, user) total order — median = the two middle ranks
+    // SUMMED (the p113 doubled trick, no halving, no floats), p90 =
+    // the type-1 quantile at rank ceil(9n/10). No percentile_approx:
+    // at this grain the user table is the small side and exactness is
+    // what the oracle can pin.
+    //
+    // Scale shape: the event stream collapses to per-user firsts in
+    // one user-keyed agg (map-side combinable conditional mins); the
+    // rank windows run over the USER-sized gap table partitioned by
+    // segment, not over events.
+    Q("p141_time_to_convert", Some("""
+      WITH f AS (SELECT user_id,
+                        min(CASE WHEN event_type = 'view'
+                                 THEN epoch_us(ts) END) AS first_view
+                 FROM events GROUP BY 1),
+      p AS (SELECT e.user_id,
+                   CAST(min(epoch_us(e.ts)) - any_value(f.first_view)
+                     AS BIGINT) AS gap_us
+            FROM events e JOIN f ON f.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND f.first_view IS NOT NULL
+              AND epoch_us(e.ts) > f.first_view
+            GROUP BY 1),
+      g AS (SELECT c.c_mktsegment AS seg, p.user_id, p.gap_us
+            FROM p JOIN customer c ON c.c_custkey = p.user_id),
+      r AS (SELECT seg, gap_us,
+                   row_number() OVER (PARTITION BY seg
+                     ORDER BY gap_us, user_id) AS rk,
+                   count(*) OVER (PARTITION BY seg) AS n
+            FROM g)
+      SELECT seg, CAST(max(n) AS BIGINT) AS n_converted,
+             CAST(sum(CASE WHEN rk = (n + 1) // 2 THEN gap_us ELSE 0 END)
+                  + sum(CASE WHEN rk = n // 2 + 1 THEN gap_us ELSE 0 END)
+               AS BIGINT) AS med2_us,
+             CAST(sum(CASE WHEN rk = (9 * n + 9) // 10
+                           THEN gap_us ELSE 0 END) AS BIGINT)
+               AS p90_us
+      FROM r GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val us = unix_micros(col("ts"))
+      val f = Tables.load(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", us)).as("first_view"))
+        .filter(col("first_view").isNotNull)
+      val p = Tables.load(spark, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), us.as("pus"))
+        .join(f, "user_id")
+        .filter(col("pus") > col("first_view"))
+        .groupBy(col("user_id"))
+        .agg((min(col("pus")) - first(col("first_view"))).as("gap_us"))
+      val g = p.join(Tables.load(spark, dir, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("seg")), "user_id")
+      val wS = Window.partitionBy(col("seg"))
+      val r = g.withColumn("rk", row_number().over(
+          wS.orderBy(col("gap_us"), col("user_id"))))
+        .withColumn("n", count(lit(1)).over(wS))
+      r.groupBy(col("seg"))
+        .agg(max(col("n")).cast("long").as("n_converted"),
+          // two separate middle-rank terms so an odd group DOUBLES its
+          // single middle value (the p113 med2 convention); div, not /
+          // (Spark's / on integers yields doubles)
+          (sum(when(col("rk") === expr("(n + 1) div 2"), col("gap_us"))
+            .otherwise(0L))
+            + sum(when(col("rk") === expr("n div 2 + 1"), col("gap_us"))
+              .otherwise(0L))).as("med2_us"),
+          sum(when(col("rk") === expr("(n * 9 + 9) div 10"), col("gap_us"))
+            .otherwise(0L)).as("p90_us"))
+        .orderBy(col("seg"))
     }
   )
 }
