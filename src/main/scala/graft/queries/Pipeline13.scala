@@ -108,15 +108,22 @@ object Pipeline13 {
               JOIN sz zb ON zb.source = pr.sb
       ORDER BY 1, 2""")) { (spark, dir) =>
       val docs = Tables.loadSpread(spark, dir, "documents")
+      // localCheckpoint: sz and pr both consume gc twice — without it
+      // Spark re-tokenizes and re-shingles the corpus once per
+      // consumer (4 full scans); with it the capped gram table
+      // materializes once (the same dedup-of-work the SharedStages
+      // parquet tables buy across queries, here within one plan)
       val g = docs
         .select(col("source"),
           explode(TextOps.shingles(col("text"), 5)).as("gm"))
         .distinct()
+        .localCheckpoint()
       val gc = g.join(
           g.groupBy(col("gm")).agg(count(lit(1)).as("sdf"))
             .filter(col("sdf").between(2, 10)),
           "gm")
         .select(col("source"), col("gm"))
+        .localCheckpoint()
       val sz = gc.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
       val pr = gc.select(col("gm"), col("source").as("sa"))
         .join(gc.select(col("gm"), col("source").as("sb")), "gm")
