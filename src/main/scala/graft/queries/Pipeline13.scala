@@ -1139,6 +1139,203 @@ object Pipeline13 {
           sum(when(col("rk") === expr("(n * 9 + 9) div 10"), col("gap_us"))
             .otherwise(0L)).as("p90_us"))
         .orderBy(col("seg"))
+    },
+
+    // ---- right-to-erasure deletion cascade ---------------------------------
+    // The GDPR/CCPA ops query: given a deletion request list (every
+    // customer with c_custkey % 37 == 5 plays the requesters), size
+    // the cascade across the schema — orders held by those customers,
+    // line items of those orders, events keyed by their user id — and
+    // prove the post-delete referential closure (zero would-be
+    // orphans). One row per table: rows to delete and the fraction of
+    // the table in ppm; the bill and blast radius a deletion pipeline
+    // reports BEFORE it runs.
+    //
+    // Scale shape: the request list is a broadcast left-semi probe
+    // into each fact table (never a materialized join); the two-hop
+    // cascade (lineitem) probes the already-shrunk orders key set.
+    Q("p142_deletion_cascade", Some("""
+      WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 5),
+      o AS (SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM del)),
+      r AS (
+        SELECT 'customer' AS tbl,
+               CAST((SELECT count(*) FROM del) AS BIGINT) AS n_delete,
+               CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total
+        UNION ALL
+        SELECT 'orders', CAST((SELECT count(*) FROM o) AS BIGINT),
+               CAST((SELECT count(*) FROM orders) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem',
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+                 AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+        UNION ALL
+        SELECT 'events',
+               CAST((SELECT count(*) FROM events
+                     WHERE user_id IN (SELECT c_custkey FROM del))
+                 AS BIGINT),
+               CAST((SELECT count(*) FROM events) AS BIGINT))
+      SELECT tbl, n_delete, n_total,
+             CAST(n_delete * 1000000 // n_total AS BIGINT) AS share_ppm
+      FROM r ORDER BY tbl""")) { (spark, dir) =>
+      val del = Tables.load(spark, dir, "customer")
+        .filter(col("c_custkey") % 37 === 5).select(col("c_custkey"))
+      val orders = Tables.load(spark, dir, "orders")
+      val o = orders.join(broadcast(del),
+        orders("o_custkey") === del("c_custkey"), "left_semi")
+        .select(col("o_orderkey"))
+      def row(tbl: String, toDelete: org.apache.spark.sql.DataFrame,
+              total: org.apache.spark.sql.DataFrame) =
+        toDelete.agg(count(lit(1)).as("n_delete"))
+          .crossJoin(total.agg(count(lit(1)).as("n_total")))
+          .select(lit(tbl).as("tbl"), col("n_delete"), col("n_total"))
+      val li = Tables.load(spark, dir, "lineitem")
+      val ev = Tables.load(spark, dir, "events")
+      row("customer", del, Tables.load(spark, dir, "customer"))
+        .union(row("orders", o, orders))
+        .union(row("lineitem",
+          li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"),
+            "left_semi"), li))
+        .union(row("events",
+          ev.join(broadcast(del), ev("user_id") === del("c_custkey"),
+            "left_semi"), ev))
+        .select(col("tbl"), col("n_delete"), col("n_total"),
+          expr("n_delete * 1000000 div n_total").as("share_ppm"))
+        .orderBy(col("tbl"))
+    },
+
+    // ---- point-in-time-correct feature join (feature-store read) -----------
+    // THE training-serving-skew guard: enrich each event with the
+    // customer order-priority that was in effect AT THE EVENT'S OWN
+    // TIME, read from the p65/p104 SCD2 history — never the current
+    // value (future leakage) and never a random version. Interval
+    // containment valid_from <= t < valid_to against the per-customer
+    // history; events before a customer's first version correctly get
+    // the 'none' feature. Rolled up per (priority) census so the
+    // output is bounded.
+    //
+    // Scale shape: the history build is one o_custkey partitioning
+    // (p65's plan); the enrich is a custkey equi-join with the
+    // interval predicate as a residual filter — per-key version fan-
+    // out is bounded by change count, so the join is keyed, never a
+    // range cross. Event times quantize to epoch-us integers.
+    Q("p143_pit_feature_join", Some("""
+      WITH o AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+                 FROM orders),
+      f AS (SELECT *, CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                             OR lag(o_orderpriority) OVER w <> o_orderpriority
+                           THEN 1 ELSE 0 END AS chg
+            FROM o WINDOW w AS (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)),
+      i AS (SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS island
+            FROM f),
+      g AS (SELECT o_custkey, CAST(island AS BIGINT) AS island,
+                   min(o_orderpriority) AS priority,
+                   CAST(epoch_us(min(o_orderdate)) AS BIGINT) AS vf
+            FROM i GROUP BY 1, 2),
+      h AS (SELECT o_custkey, priority, vf,
+                   lead(vf) OVER (PARTITION BY o_custkey ORDER BY island)
+                     AS vt
+            FROM g),
+      e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+      j AS (SELECT e.user_id, e.t, h.priority
+            FROM e LEFT JOIN h ON h.o_custkey = e.user_id
+                   AND h.vf <= e.t AND (h.vt IS NULL OR h.vt > e.t))
+      SELECT coalesce(priority, 'none') AS feature_priority,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM j GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wi = Window.partitionBy(col("o_custkey")).orderBy(col("island"))
+      val chg = when(lag(col("o_orderpriority"), 1).over(w).isNull
+        || lag(col("o_orderpriority"), 1).over(w) =!= col("o_orderpriority"),
+        1).otherwise(0)
+      val hist = Tables.load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate"), col("o_orderkey"))
+        .withColumn("chg", chg)
+        .withColumn("island", sum(col("chg")).over(w).cast("long"))
+        .groupBy(col("o_custkey"), col("island"))
+        .agg(min(col("o_orderpriority")).as("priority"),
+          unix_micros(min(col("o_orderdate"))
+            .cast(org.apache.spark.sql.types.TimestampType)).as("vf"))
+        .select(col("o_custkey"), col("priority"), col("vf"),
+          lead(col("vf"), 1).over(wi).as("vt"))
+      val e = Tables.load(spark, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      e.join(hist,
+          hist("o_custkey") === e("user_id") && hist("vf") <= e("t")
+            && (hist("vt").isNull || hist("vt") > e("t")), "left")
+        .groupBy(coalesce(col("priority"), lit("none"))
+          .as("feature_priority"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("feature_priority"))
+    },
+
+    // ---- importance reweighting toward a target mixture --------------------
+    // Data mixing for training: the corpus's language distribution is
+    // whatever the crawl dealt; training wants a TARGET mixture
+    // (uniform over languages here). Per-language importance weight =
+    // target_share / actual_share in MILLI units (clamped at 10× —
+    // the standard truncated-importance-sampling variance guard,
+    // mirrored exactly), plus a corpus-level '_all' row carrying the
+    // effective sample size ESS = (Σw)²/Σw². Weights and the ESS
+    // numerator/denominator sums are exact integers (milli, not ppm,
+    // keeps every product far inside int64 at any corpus size); the
+    // single final ESS division runs in doubles on those exact sums
+    // and rounds to an integer doc count.
+    //
+    // Scale shape: the language histogram is one partial agg; the
+    // O(langs) weight table broadcasts; the '_all' sums are one more
+    // reduce over that table. Nothing data-sized moves.
+    Q("p144_importance_reweight", Some("""
+      WITH h AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                 FROM documents GROUP BY 1),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS total,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents),
+      w AS (SELECT h.lang, h.n,
+                   least(CAST(t.total * 1000 // (t.n_langs * h.n)
+                     AS BIGINT), 10000) AS w_milli
+            FROM h CROSS JOIN t),
+      a AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(SUM(n * w_milli) AS BIGINT) AS mass,
+                   CAST(SUM(n * w_milli * w_milli) AS BIGINT) AS m2
+            FROM w)
+      SELECT lang, n, w_milli, CAST(n * w_milli AS BIGINT) AS mass
+      FROM w
+      UNION ALL
+      SELECT '_all', n, CAST(round(CAST(mass AS DOUBLE) * CAST(mass AS DOUBLE)
+               / CAST(m2 AS DOUBLE)) AS BIGINT), mass
+      FROM a
+      ORDER BY lang""")) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val h = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val t = docs.agg(count(lit(1)).as("total"),
+        countDistinct(col("lang")).as("n_langs"))
+      val w = h.crossJoin(broadcast(t))
+        .select(col("lang"), col("n"),
+          least(expr("total * 1000 div (n_langs * n)"),
+            lit(10000L)).as("w_milli"))
+      val all = w.agg(sum(col("n")).as("n"),
+          sum(col("n") * col("w_milli")).as("mass"),
+          sum(col("n") * col("w_milli") * col("w_milli")).as("m2"))
+        // ESS rides in the w_milli column of the '_all' row (the p121
+        // '_all' convention): one double division on exact int sums
+        .select(lit("_all").as("lang"), col("n"),
+          round(col("mass").cast("double") * col("mass").cast("double")
+            / col("m2").cast("double"), 0).cast("long").as("w_milli"),
+          col("mass"))
+      w.select(col("lang"), col("n"), col("w_milli"),
+          (col("n") * col("w_milli")).as("mass"))
+        .union(all)
+        .orderBy(col("lang"))
     }
   )
 }
