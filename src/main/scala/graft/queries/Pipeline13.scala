@@ -1336,6 +1336,204 @@ object Pipeline13 {
           (col("n") * col("w_milli")).as("mass"))
         .union(all)
         .orderBy(col("lang"))
+    },
+
+    // ---- two-stage retrieval with rank-agreement audit ---------------------
+    // The production serving shape for embeddings: a CHEAP first stage
+    // (dot over the first 16 matryoshka dims — the p97 convention)
+    // retrieves top-20 candidates per query; the EXPENSIVE second
+    // stage (full-dim exact dot, standing in for a cross-encoder)
+    // reranks only those 20. The audit metric is Kendall's tau
+    // between the two orderings on the candidate set — exact integer
+    // concordant-minus-discordant over the 190 candidate pairs — plus
+    // whether the stages agree on the winner. Low tau per query =
+    // the cheap stage is a bad router for that query.
+    //
+    // Scale shape: stage 1 is the one broadcast-panel partial-agg
+    // pass every ANN entry uses; stage 2 touches 20 rows per query;
+    // the tau self-join is 20×20 per query — candidate-bounded,
+    // corpus-independent.
+    Q("p145_two_stage_rerank", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      cx AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS i,
+                    unnest(v) AS x FROM v),
+      c AS (SELECT vec_id, i - 1 AS j,
+                   CAST(round(x * 1000000) AS BIGINT) AS ri FROM cx),
+      q AS (SELECT vec_id AS qid, j, ri AS qi FROM c WHERE vec_id < 20),
+      d1 AS (SELECT q.qid, c.vec_id AS vid, SUM(q.qi * c.ri) AS dot16
+             FROM c JOIN q ON q.j = c.j AND c.vec_id != q.qid
+             WHERE c.j < 16 GROUP BY 1, 2),
+      cand AS (SELECT qid, vid, dot16,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY dot16 DESC, vid) AS r1
+               FROM d1 QUALIFY r1 <= 20),
+      d2 AS (SELECT cand.qid, cand.vid, cand.r1,
+                    SUM(q.qi * c.ri) AS dotf
+             FROM cand JOIN c ON c.vec_id = cand.vid
+                       JOIN q ON q.qid = cand.qid AND q.j = c.j
+             GROUP BY 1, 2, 3),
+      rr AS (SELECT qid, vid, r1,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY dotf DESC, vid) AS r2
+             FROM d2),
+      tau AS (SELECT a.qid,
+                     CAST(SUM(CASE WHEN (a.r1 - b.r1) * (a.r2 - b.r2) > 0
+                                   THEN 1 ELSE -1 END) AS BIGINT) AS tau_num
+              FROM rr a JOIN rr b ON a.qid = b.qid AND a.vid < b.vid
+              GROUP BY 1),
+      top AS (SELECT qid,
+                     max(CASE WHEN r1 = 1 THEN vid END) AS stage1_top,
+                     max(CASE WHEN r2 = 1 THEN vid END) AS stage2_top
+              FROM rr GROUP BY 1)
+      SELECT t.qid, top.stage1_top, top.stage2_top,
+             CAST(CASE WHEN top.stage1_top = top.stage2_top
+                       THEN 1 ELSE 0 END AS BIGINT) AS top1_agree,
+             t.tau_num, CAST(190 AS BIGINT) AS tau_den
+      FROM tau t JOIN top USING (qid) ORDER BY t.qid""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.loadSpread(spark, dir, "embeddings")
+      val c = emb.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("j", "x")))
+        .select(col("vec_id"), col("j"),
+          round(col("x") * 1000000, 0).cast("long").as("ri"))
+        .localCheckpoint()
+      val q = c.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("j"), col("ri").as("qi"))
+      val cand = c.where(col("j") < 16)
+        .join(broadcast(q.where(col("j") < 16)), "j")
+        .where(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("qi") * col("ri")).as("dot16"))
+        .withColumn("r1", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("dot16").desc, col("vec_id"))))
+        .filter(col("r1") <= 20)
+      val rr = cand.join(c, "vec_id")
+        .join(broadcast(q), Seq("qid", "j"))
+        .groupBy(col("qid"), col("vec_id"), col("r1"))
+        .agg(sum(col("qi") * col("ri")).as("dotf"))
+        .withColumn("r2", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("dotf").desc, col("vec_id"))))
+        .select(col("qid"), col("vec_id").as("vid"), col("r1"), col("r2"))
+        .localCheckpoint()
+      val tau = rr.select(col("qid"), col("vid").as("va"),
+          col("r1").as("r1a"), col("r2").as("r2a"))
+        .join(rr.select(col("qid"), col("vid").as("vb"),
+          col("r1").as("r1b"), col("r2").as("r2b")), "qid")
+        .filter(col("va") < col("vb"))
+        .groupBy(col("qid"))
+        .agg(sum(when((col("r1a") - col("r1b"))
+            * (col("r2a") - col("r2b")) > 0, 1L).otherwise(-1L))
+          .as("tau_num"))
+      val top = rr.groupBy(col("qid"))
+        .agg(max(when(col("r1") === 1, col("vid"))).as("stage1_top"),
+          max(when(col("r2") === 1, col("vid"))).as("stage2_top"))
+      tau.join(top, "qid")
+        .select(col("qid"), col("stage1_top"), col("stage2_top"),
+          when(col("stage1_top") === col("stage2_top"), 1L).otherwise(0L)
+            .as("top1_agree"),
+          col("tau_num"), lit(190L).as("tau_den"))
+        .orderBy(col("qid"))
+    },
+
+    // ---- calendar densify + last-observation-carried-forward ---------------
+    // The feature-pipeline resample: a 20-user panel's daily spend is
+    // densified onto the full calendar (missing days become rows) and
+    // gap-filled by LOCF — the fill every "daily feature as of day d"
+    // table needs so downstream joins never see holes. Exact cents;
+    // filled flag marks carried rows; days before a user's first
+    // observation stay 0 ('no history yet' ≠ 'carried 0').
+    //
+    // Scale shape: the observed grid is one (user, day) partial agg
+    // of the event scan; the calendar is a broadcast cross of the
+    // panel × the O(days) spine; LOCF is a per-user window ordered by
+    // day — partition-parallel across users, never a global window.
+    Q("p146_locf_densify", Some("""
+      WITH pe AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events WHERE user_id < 20),
+      ob AS (SELECT user_id, d, CAST(SUM(cents) AS BIGINT) AS spend
+             FROM pe GROUP BY 1, 2),
+      b AS (SELECT min(d) AS lo, max(d) AS hi FROM ob),
+      u AS (SELECT DISTINCT user_id FROM pe),
+      cal AS (SELECT u.user_id,
+                     CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))
+                       AS DATE) AS d
+              FROM u, b),
+      g AS (SELECT cal.user_id, cal.d, ob.spend
+            FROM cal LEFT JOIN ob USING (user_id, d)),
+      f AS (SELECT user_id, d, spend,
+                   last_value(spend IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS locf
+            FROM g)
+      SELECT user_id, CAST(d AS VARCHAR) AS day,
+             CAST(coalesce(locf, 0) AS BIGINT) AS spend_cents,
+             CAST(CASE WHEN spend IS NULL AND locf IS NOT NULL
+                       THEN 1 ELSE 0 END AS BIGINT) AS filled
+      FROM f ORDER BY user_id, day""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pe = Tables.load(spark, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"),
+          date_trunc("DAY", col("ts")).cast("date").as("d"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val ob = pe.groupBy(col("user_id"), col("d"))
+        .agg(sum(col("cents")).as("spend"))
+      val b = ob.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      val cal = pe.select(col("user_id")).distinct()
+        .crossJoin(broadcast(b))
+        .select(col("user_id"),
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(ob, Seq("user_id", "d"), "left")
+        .withColumn("locf", last(col("spend"), ignoreNulls = true).over(wU))
+        .select(col("user_id"), col("d").cast("string").as("day"),
+          coalesce(col("locf"), lit(0L)).as("spend_cents"),
+          when(col("spend").isNull && col("locf").isNotNull, 1L)
+            .otherwise(0L).as("filled"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
+    // ---- sliding-window rate-limit audit (event-time RANGE frames) ---------
+    // Abuse/quota detection at event time: each user's PEAK events in
+    // any trailing 1-hour window, found with a RANGE frame over epoch
+    // microseconds (count of rows within [t−1h, t] at every event) —
+    // the event-time sliding count that tumbling windows miss when a
+    // burst straddles a boundary. Users whose peak exceeds the quota
+    // are the report; exact integers throughout.
+    //
+    // Scale shape: one user-partitioned window ordered by time —
+    // partition-parallel, state bounded by the frame; the verdict
+    // rollup is a user-keyed agg of the windowed scan. No self-join
+    // (the naive events×events interval join this replaces).
+    Q("p147_rate_limit_audit", Some("""
+      WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+                 FROM events),
+      w AS (SELECT user_id, us,
+                   count(*) OVER (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+                     AS in_hour
+            FROM e),
+      p AS (SELECT user_id, CAST(max(in_hour) AS BIGINT) AS peak_1h,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM w GROUP BY 1)
+      SELECT user_id, peak_1h, n_events
+      FROM p WHERE peak_1h >= 3 ORDER BY user_id""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(spark, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val wT = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3599999999L, 0)
+      e.withColumn("in_hour", count(lit(1)).over(wT))
+        .groupBy(col("user_id"))
+        .agg(max(col("in_hour")).as("peak_1h"),
+          count(lit(1)).as("n_events"))
+        .filter(col("peak_1h") >= 3)
+        .orderBy(col("user_id"))
     }
   )
 }
