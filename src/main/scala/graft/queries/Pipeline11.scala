@@ -377,10 +377,9 @@ object Pipeline11 {
         UNION ALL SELECT n, CAST(4 AS BIGINT) FROM r4
         UNION ALL SELECT n, CAST(0 AS BIGINT) FROM a4)
       ORDER BY doc_id""")) { (spark, dir) =>
-      import graft.ops.DedupOps
-      val docs = Tables.loadSpread(spark, dir, "documents")
-      var edges = DedupOps.simhashPairs(docs, "doc_id", "text",
-          maxHamming = 3, maxBucket = 1000)
+      // SharedStages pairs (the p75 convention): the k-core peel is a
+      // pair-graph consumer, not a dedup anchor — no fixpoint rebuild
+      var edges = SharedStages.spairs(spark, dir)
         .select(col("a"), col("b")).localCheckpoint()
       var active = edges.select(col("a").as("n"))
         .union(edges.select(col("b").as("n"))).distinct()

@@ -236,10 +236,10 @@ object Pipeline9 {
              CAST(tri.t AS BIGINT) AS n_triangles,
              CAST(3 * tri.t * 1000 // wed.w AS BIGINT) AS transitivity_milli
       FROM tri, wed""")) { (spark, dir) =>
-      import graft.ops.DedupOps
-      val docs = Tables.loadSpread(spark, dir, "documents")
-      val e = DedupOps.simhashPairs(docs, "doc_id", "text",
-          maxHamming = 3, maxBucket = 1000)
+      // pairs come from the SharedStages materialized table (p75's
+      // convention — graph forensics consume the published pair graph;
+      // only the dedup anchors p29/p42/p68 rebuild the fixpoint)
+      val e = SharedStages.spairs(spark, dir)
         .select(col("a"), col("b")).localCheckpoint()
       val deg = e.select(col("a").as("n"))
         .union(e.select(col("b").as("n")))
