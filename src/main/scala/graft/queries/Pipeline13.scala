@@ -1534,6 +1534,250 @@ object Pipeline13 {
           count(lit(1)).as("n_events"))
         .filter(col("peak_1h") >= 3)
         .orderBy(col("user_id"))
+    },
+
+    // ---- n-gram novelty histogram (memorization-risk census) ---------------
+    // The pretraining-dedup complement at SUB-document grain: a doc
+    // whose 5-grams mostly appear in ≥3 other docs is boilerplate the
+    // model will memorize even if no whole-document dup fired. Per
+    // doc: distinct 5-grams, how many are corpus-common (df ≥ 4
+    // including self), novelty ppm — rolled up as a per-source decile
+    // histogram so the output stays catalog-sized and the per-source
+    // contrast (which crawl is template farms?) is the readable fact.
+    //
+    // Scale shape: one distinct (doc, gram) collapse, one gram-df
+    // partial agg, one broadcast-back join keyed by gram (df table is
+    // Heaps-bounded), one (source, decile) rollup.
+    Q("p148_ngram_novelty", Some(s"""
+      WITH w AS (SELECT doc_id, source, $wsSql AS ws FROM documents),
+      g AS (SELECT DISTINCT doc_id, source,
+                   unnest(${TextSql.shingles("ws", 5)}) AS gm
+            FROM w),
+      df AS (SELECT gm, COUNT(*) AS df FROM g GROUP BY 1),
+      d AS (SELECT g.doc_id, g.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN df.df >= 4 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_common
+            FROM g JOIN df USING (gm) GROUP BY 1, 2),
+      v AS (SELECT source,
+                   (n_grams - n_common) * 1000000 // n_grams AS nov
+            FROM d WHERE n_grams > 0)
+      SELECT source, CAST(least(nov // 100000, 9) AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM v GROUP BY 1, 2 ORDER BY 1, 2""")) { (spark, dir) =>
+      val g = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.shingles(col("text"), 5)).as("gm"))
+        .distinct()
+        .localCheckpoint()
+      val df = g.groupBy(col("gm")).agg(count(lit(1)).as("df"))
+      g.join(df, "gm")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 4, 1L).otherwise(0L)).as("n_common"))
+        .filter(col("n_grams") > 0)
+        .select(col("source"),
+          expr("(n_grams - n_common) * 1000000 div n_grams").as("nov"))
+        .groupBy(col("source"),
+          least(expr("nov div 100000"), lit(9L)).as("decile"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("decile"))
+    },
+
+    // ---- seasonal (day-of-week) baseline residuals -------------------------
+    // The p117 anomaly gate's seasonal sibling: traffic has a weekly
+    // rhythm, so a Monday is judged against the MEDIAN of Mondays
+    // (per event type), not a trailing window that mixes weekdays
+    // with weekends. Baseline = exact per-(type, dow) median of daily
+    // counts on the DENSIFIED calendar (missing days count 0) via the
+    // doubled-order-statistic trick; a day is flagged when its count
+    // is ≥2× or ≤½× its dow baseline — ratios kept exact by
+    // cross-multiplying in integers (4c vs 2·med2 and 8c vs med2),
+    // never dividing.
+    //
+    // Scale shape: the event stream collapses to the O(types × days)
+    // grid first (the p117 shape); the median rank windows run per
+    // (type, dow) over ~days/7 rows each; the verdict joins grid to
+    // the O(types × 7) baseline table.
+    Q("p149_seasonal_residual", Some("""
+      WITH c AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE)
+                        AS day, CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1, 2),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+      t AS (SELECT DISTINCT event_type FROM events),
+      g AS (SELECT t.event_type,
+                   CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))
+                     AS DATE) AS day
+            FROM t, b),
+      d AS (SELECT g.event_type, g.day, isodow(g.day) AS dow,
+                   coalesce(c.c, 0) AS c
+            FROM g LEFT JOIN c USING (event_type, day)),
+      r AS (SELECT event_type, dow, c,
+                   row_number() OVER (PARTITION BY event_type, dow
+                     ORDER BY c, day) AS rk,
+                   count(*) OVER (PARTITION BY event_type, dow) AS n
+            FROM d),
+      m AS (SELECT event_type, dow,
+                   CAST(sum(CASE WHEN rk = (n + 1) // 2 THEN c ELSE 0 END)
+                        + sum(CASE WHEN rk = n // 2 + 1 THEN c ELSE 0 END)
+                     AS BIGINT) AS med2
+            FROM r GROUP BY 1, 2)
+      SELECT d.event_type, CAST(d.day AS VARCHAR) AS day,
+             CAST(d.dow AS BIGINT) AS dow, d.c, m.med2,
+             CAST(CASE WHEN 4 * d.c > 2 * m.med2
+                         OR (d.c > 0 AND 8 * d.c < m.med2)
+                         OR (d.c = 0 AND m.med2 > 0)
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      FROM d JOIN m USING (event_type, dow)
+      ORDER BY 1, 2""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(spark, dir, "events")
+      val c = ev.groupBy(col("event_type"),
+          date_trunc("DAY", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val b = c.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val d = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(b))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        .join(c, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          dayofweek(col("day")).as("sundow"), // Spark: 1=Sunday
+          coalesce(col("c"), lit(0L)).as("c"))
+        // ISO dow (1=Monday..7=Sunday) to match DuckDB's isodow
+        .withColumn("dow",
+          when(col("sundow") === 1, 7L).otherwise(col("sundow") - 1))
+      val wP = Window.partitionBy(col("event_type"), col("dow"))
+      val r = d.withColumn("rk", row_number().over(
+          wP.orderBy(col("c"), col("day"))))
+        .withColumn("n", count(lit(1)).over(wP))
+      val m = r.groupBy(col("event_type"), col("dow"))
+        .agg((sum(when(col("rk") === expr("(n + 1) div 2"), col("c"))
+          .otherwise(0L))
+          + sum(when(col("rk") === expr("n div 2 + 1"), col("c"))
+            .otherwise(0L))).as("med2"))
+      d.join(m, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("dow"), col("c"), col("med2"),
+          when(lit(4) * col("c") > lit(2) * col("med2")
+              || (col("c") > 0 && lit(8) * col("c") < col("med2"))
+              || (col("c") === 0 && col("med2") > 0), 1L)
+            .otherwise(0L).as("is_anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // ---- label-noise detection via bucket-local kNN voting -----------------
+    // The training-label audit: a vector whose 5 nearest neighbors
+    // (inside its 8-bit SRP-LSH bucket — the p26 blocking key, so the
+    // vote NEVER goes all-pairs) majority-vote a DIFFERENT label is a
+    // suspected mislabel. Scaled-integer dots rank neighbors; the
+    // majority is a (votes desc, label asc) extremum; vectors in
+    // singleton buckets abstain (reported, not flagged). Output per
+    // label: population, voted, flagged, flag ppm — the table that
+    // says WHICH class's labels to re-audit.
+    //
+    // Scale shape: one bucket-forming shuffle (the p26 plan), bucket-
+    // local pair gen bounded by the 200-member cap, one vote rollup
+    // keyed by vector, one label-keyed census. Corpus² never appears.
+    Q("p150_label_noise_knn", Some {
+      val planes = graft.ops.SimilarityOps.srpHyperplanes(8, 64)
+      val bucketSql = planes.zipWithIndex.map { case (h, j) =>
+        val arr = h.map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""
+      WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      b AS (SELECT vec_id, label, v, $bucketSql AS bk FROM v),
+      bc AS (SELECT * FROM b
+             QUALIFY COUNT(*) OVER (PARTITION BY bk) BETWEEN 2 AND 200),
+      cx AS (SELECT vec_id, bk, unnest(generate_series(1, len(v))) AS i,
+                    unnest(v) AS x FROM bc),
+      c AS (SELECT vec_id, bk, i - 1 AS j,
+                   CAST(round(x * 1000000) AS BIGINT) AS ri FROM cx),
+      d AS (SELECT a.vec_id AS x, b2.vec_id AS y,
+                   SUM(a.ri * b2.ri) AS dot
+            FROM c a JOIN c b2 ON a.bk = b2.bk AND a.j = b2.j
+                     AND a.vec_id <> b2.vec_id
+            GROUP BY 1, 2),
+      nn AS (SELECT x, y FROM
+               (SELECT x, y, row_number() OVER (PARTITION BY x
+                  ORDER BY dot DESC, y) AS rk FROM d)
+             WHERE rk <= 5),
+      vote AS (SELECT nn.x, vy.label AS nlab, COUNT(*) AS n
+               FROM nn JOIN v vy ON vy.vec_id = nn.y GROUP BY 1, 2),
+      maj AS (SELECT x, nlab AS maj_label FROM
+                (SELECT x, nlab, row_number() OVER (PARTITION BY x
+                   ORDER BY n DESC, nlab) AS rk FROM vote)
+              WHERE rk = 1),
+      verdict AS (SELECT v.label,
+                         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                         CAST(SUM(CASE WHEN maj.x IS NOT NULL
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_voted,
+                         CAST(SUM(CASE WHEN maj.maj_label IS NOT NULL
+                                         AND maj.maj_label <> v.label
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_flagged
+                  FROM v LEFT JOIN maj ON maj.x = v.vec_id
+                  GROUP BY 1)
+      SELECT label, n_vecs, n_voted, n_flagged,
+             CAST(CASE WHEN n_voted = 0 THEN 0
+                       ELSE n_flagged * 1000000 // n_voted END AS BIGINT)
+               AS flag_ppm
+      FROM verdict ORDER BY label"""
+    }) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.SimilarityOps
+      val planes = SimilarityOps.srpHyperplanes(8, 64)
+      val v = Tables.loadSpread(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val b = v.withColumn("bk", SimilarityOps.srpBucket(col("v"), planes))
+      val bc = b.withColumn("bn", count(lit(1))
+          .over(Window.partitionBy(col("bk"))))
+        .filter(col("bn").between(2, 200))
+      val c = bc.select(col("vec_id"), col("bk"),
+          posexplode(col("v")).as(Seq("j", "x")))
+        .select(col("vec_id"), col("bk"), col("j"),
+          round(col("x") * 1000000, 0).cast("long").as("ri"))
+        .localCheckpoint()
+      val nn = c.select(col("bk"), col("j"), col("vec_id").as("x"),
+          col("ri").as("rx"))
+        .join(c.select(col("bk"), col("j"), col("vec_id").as("y"),
+          col("ri").as("ry")), Seq("bk", "j"))
+        .filter(col("x") =!= col("y"))
+        .groupBy(col("x"), col("y"))
+        .agg(sum(col("rx") * col("ry")).as("dot"))
+        // bucket-bounded top-5: min over (-dot, y), the TopN kernel
+        .groupBy(col("x"))
+        .agg(graft.functions.TopN.minTopN(-col("dot"), col("y"), 5)
+          .as("top"))
+        .select(col("x"), explode(col("top.id")).as("y"))
+      val maj = nn.join(v.select(col("vec_id").as("y"),
+          col("label").as("nlab")), "y")
+        .groupBy(col("x"), col("nlab"))
+        .agg(count(lit(1)).as("n"))
+        // majority: most votes, ties to the SMALLER label = max over
+        // (n, -nlab), mirroring ORDER BY n DESC, nlab
+        .groupBy(col("x"))
+        .agg(max(struct(col("n"), (-col("nlab")).as("neg"))).as("m"))
+        .select(col("x"), (-col("m.neg")).as("maj_label"))
+      v.join(maj.select(col("x").as("vec_id"), col("maj_label")),
+          Seq("vec_id"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("maj_label").isNotNull, 1L).otherwise(0L))
+            .as("n_voted"),
+          sum(when(col("maj_label").isNotNull
+            && col("maj_label") =!= col("label"), 1L).otherwise(0L))
+            .as("n_flagged"))
+        .select(col("label"), col("n_vecs"), col("n_voted"),
+          col("n_flagged"),
+          expr("CASE WHEN n_voted = 0 THEN 0L " +
+            "ELSE n_flagged * 1000000 div n_voted END").as("flag_ppm"))
+        .orderBy(col("label"))
     }
   )
 }
