@@ -60,6 +60,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains((1L, 2L)))
   }
 
+  test("SharedStages materialized pair/label tables equal a fresh " +
+    "computation and are stable across calls") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.loadSpread(spark, dir, "documents")
+    val freshPairs = DedupOps.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucket = 1000)
+    val shared = graft.queries.SharedStages.spairs(spark, dir)
+    assert(shared.except(freshPairs).isEmpty
+      && freshPairs.except(shared).isEmpty,
+      "materialized pairs must equal the fresh computation")
+    val freshLabels = DedupOps.connectedComponents(freshPairs)
+      .select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
+    val sharedLabels = graft.queries.SharedStages.labels(spark, dir)
+    assert(sharedLabels.except(freshLabels).isEmpty
+      && freshLabels.except(sharedLabels).isEmpty,
+      "materialized labels must equal the fresh fixpoint")
+    // second read = same snapshot (memoized, not recomputed state)
+    val again = graft.queries.SharedStages.labels(spark, dir)
+    assert(again.except(sharedLabels).isEmpty
+      && sharedLabels.except(again).isEmpty)
+  }
+
   test("incrementalNearDups screens the batch against the corpus " +
     "asymmetrically: verdict per incoming doc, corpus never self-paired") {
     import spark.implicits._
