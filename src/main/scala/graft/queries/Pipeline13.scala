@@ -15,24 +15,12 @@ object Pipeline13 {
   /** Token capacity of one packed training sequence (p124). */
   private val PackCapacity = 256L
 
-  val all: Seq[Q] = Seq(
-
-    // ---- incremental (ingest-time) near-dup screening ----------------------
-    // The dedup path a LIVE corpus actually runs: a new batch arrives
-    // (doc_id % 3 = 0 plays the batch; the rest is the standing
-    // corpus) and each incoming doc is screened against the corpus
-    // WITHOUT re-pairing the corpus against itself — the asymmetric
-    // form of the p09 banded-SimHash join (DedupOps.incrementalNearDups).
-    // Incoming bands probe the existing bands; the bucket cap guards
-    // the EXISTING side (one degenerate corpus key can never explode
-    // an ingest); the verdict per incoming doc is (n_dups,
-    // min_hamming, is_dup), min_hamming = -1 when nothing matched.
-    //
-    // Scale shape: |batch| × bucket-width band join — at 100 TB the
-    // corpus side is a PRE-banded materialized table (the SharedStages
-    // pattern), so an ingest touches only the probed buckets and the
-    // quadratic corpus×corpus term never exists.
-    Q("p122_incremental_dedup", Some(s"""
+  /** ONE oracle for both faces of ingest dedup — batch (p122) and
+    * streaming foreachBatch (p152). A doc's verdict depends only on
+    * the static corpus, so the two entries must hash-match the same
+    * SQL; sharing the text makes drift impossible.
+    */
+  private val incrementalDedupOracle: String = s"""
       WITH ${Pipeline.simhash64Cte},
       blocks AS (SELECT doc_id, 0 AS q, qk0 AS qk FROM sig
                  UNION ALL SELECT doc_id, 1, qk1 FROM sig
@@ -56,7 +44,26 @@ object Pipeline13 {
              CAST(CASE WHEN a.in_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
                AS is_dup
       FROM documents d LEFT JOIN agg a ON a.in_id = d.doc_id
-      WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""")) { (spark, dir) =>
+      WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id"""
+
+  val all: Seq[Q] = Seq(
+
+    // ---- incremental (ingest-time) near-dup screening ----------------------
+    // The dedup path a LIVE corpus actually runs: a new batch arrives
+    // (doc_id % 3 = 0 plays the batch; the rest is the standing
+    // corpus) and each incoming doc is screened against the corpus
+    // WITHOUT re-pairing the corpus against itself — the asymmetric
+    // form of the p09 banded-SimHash join (DedupOps.incrementalNearDups).
+    // Incoming bands probe the existing bands; the bucket cap guards
+    // the EXISTING side (one degenerate corpus key can never explode
+    // an ingest); the verdict per incoming doc is (n_dups,
+    // min_hamming, is_dup), min_hamming = -1 when nothing matched.
+    //
+    // Scale shape: |batch| × bucket-width band join — at 100 TB the
+    // corpus side is a PRE-banded materialized table (the SharedStages
+    // pattern), so an ingest touches only the probed buckets and the
+    // quadratic corpus×corpus term never exists.
+    Q("p122_incremental_dedup", Some(incrementalDedupOracle)) { (spark, dir) =>
       import graft.ops.DedupOps
       val docs = Tables.loadSpread(spark, dir, "documents")
       DedupOps.incrementalNearDups(
@@ -1778,6 +1785,96 @@ object Pipeline13 {
           expr("CASE WHEN n_voted = 0 THEN 0L " +
             "ELSE n_flagged * 1000000 div n_voted END").as("flag_ppm"))
         .orderBy(col("label"))
+    },
+
+    // ---- exact tie-adjusted AUC of the quality model -----------------------
+    // The p118 calibration table's single-number summary: AUC of the
+    // p82 linear score against the held-out length label, computed
+    // EXACTLY — AUC = (Σ_pos midrank − n⁺(n⁺+1)/2) / (n⁺·n⁻) with
+    // ties given half credit via midranks, all in integers by the
+    // doubling trick: 2·midrank = 2·rank() + tie_count − 1 (rank()
+    // and a per-score count, both windows on the total order), so
+    // auc_ppm = (Σ2mid − n⁺(n⁺+1))·10⁶ // (2·n⁺·n⁻) with zero
+    // floating point. No sampling, no approximation — the oracle can
+    // pin every digit.
+    //
+    // Scale shape: scores come from the broadcast-vocab join (p82's
+    // plan); the rank windows run over the total score order (the
+    // documented statistics shape — sampled at production size); the
+    // final moment rollup is one row.
+    Q("p151_auc_exact", Some(s"""
+      WITH w(tok, wt) AS (VALUES ${Pipeline6.qualityWeights
+        .map { case (t, wt) => s"('$t', $wt)" }.mkString(", ")}),
+      tk AS (SELECT doc_id, unnest($wsSql) AS tok FROM documents),
+      hs AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS hit_sum
+             FROM tk JOIN w USING (tok) GROUP BY doc_id),
+      sc AS (SELECT d.doc_id,
+                    coalesce(hs.hit_sum, 0) + ${Pipeline6.qualityBias}
+                      AS score,
+                    CASE WHEN d.n_chars >= 64 THEN 1 ELSE 0 END AS pos
+             FROM documents d LEFT JOIN hs ON d.doc_id = hs.doc_id),
+      r AS (SELECT pos, score,
+                   rank() OVER (ORDER BY score) AS rk,
+                   count(*) OVER (PARTITION BY score) AS tc
+            FROM sc),
+      m AS (SELECT CAST(SUM(CASE WHEN pos = 1
+                                 THEN 2 * rk + tc - 1 ELSE 0 END)
+                     AS BIGINT) AS s2mid,
+                   CAST(SUM(pos) AS BIGINT) AS np,
+                   CAST(SUM(1 - pos) AS BIGINT) AS nn
+            FROM r)
+      SELECT np AS n_pos, nn AS n_neg, s2mid,
+             CAST((s2mid - np * (np + 1)) * 1000000 // (2 * np * nn)
+               AS BIGINT) AS auc_ppm
+      FROM m""")) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val weights = {
+        import spark.implicits._
+        broadcast(Pipeline6.qualityWeights.toDF("tok", "wt"))
+      }
+      val hs = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .join(weights, "tok")
+        .groupBy(col("doc_id")).agg(sum(col("wt")).as("hit_sum"))
+      val sc = docs.select(col("doc_id"), col("n_chars"))
+        .join(hs, Seq("doc_id"), "left")
+        .select(
+          (coalesce(col("hit_sum"), lit(0L)) + Pipeline6.qualityBias)
+            .as("score"),
+          when(col("n_chars") >= 64, 1L).otherwise(0L).as("pos"))
+      val r = sc
+        .withColumn("rk", rank().over(Window.orderBy(col("score"))))
+        .withColumn("tc", count(lit(1))
+          .over(Window.partitionBy(col("score"))))
+      r.agg(
+          sum(when(col("pos") === 1, lit(2) * col("rk") + col("tc") - 1)
+            .otherwise(0L)).as("s2mid"),
+          sum(col("pos")).as("np"),
+          sum(lit(1) - col("pos")).as("nn"))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"), col("s2mid"),
+          expr("(s2mid - np * (np + 1)) * 1000000 div (2 * np * nn)")
+            .as("auc_ppm"))
+    },
+
+    // ---- STREAMING ingest dedup (the p122 path as a file stream) -----------
+    // The same verdicts as batch p122, produced by the streaming
+    // deployment shape: arriving documents are a file stream, each
+    // micro-batch screened against the static standing corpus inside
+    // `foreachBatch` (per-batch batch semantics — the production
+    // pattern for ingest dedup, since a verdict depends only on the
+    // corpus, not on batching). The oracle is the SAME SQL text as
+    // p122: the hash match is the batch≡stream equivalence proof,
+    // the p83/p107 pattern applied to the dedup path.
+    Q("p152_stream_ingest_dedup", Some(incrementalDedupOracle)) {
+      (spark, dir) =>
+        val root = sinkDir(s"p152_${Integer.toHexString(dir.hashCode)}") +
+          s"/${System.nanoTime()}"
+        graft.streaming.StreamingOps.dedupIngest(spark, dir, root)
+          .select(col("doc_id"), col("n_dups"),
+            col("min_hamming").cast("long").as("min_hamming"),
+            col("is_dup"))
+          .orderBy(col("doc_id"))
     }
   )
 }

@@ -567,6 +567,49 @@ object StreamingOps {
       .getOrElse(spark.emptyDataFrame)
     (out, target)
   }
+
+  /** Streaming ingest-time near-dup screening — the streaming face of
+    * the batch p122 path: arriving documents (a file stream) are
+    * screened per MICRO-BATCH against the static standing corpus via
+    * `foreachBatch` + [[graft.ops.DedupOps.incrementalNearDups]], each
+    * batch's verdicts appended to a parquet result sink. foreachBatch
+    * is the right tool because SimHash banding needs a per-doc
+    * aggregation that pure streaming operators would force into
+    * complete-mode state; per-batch BATCH semantics against a static
+    * corpus is exactly how production ingest dedup runs (and keeps
+    * verdicts independent of batching — a doc's verdict depends only
+    * on the corpus, so stream output ≡ batch output, which the p152
+    * oracle pins).
+    *
+    * At 100 TB the corpus side is the SharedStages-style pre-banded
+    * materialized table; each micro-batch probes only its buckets.
+    */
+  def dedupIngest(spark: SparkSession, dir: String, resultRoot: String,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.ops.DedupOps
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val corpus = graft.queries.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 3 =!= 0)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n))
+    val incoming = reader.parquet(dir).filter(col("doc_id") % 3 === 0)
+    val q = incoming.writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        DedupOps.incrementalNearDups(corpus, batch, "doc_id", "text",
+            maxHamming = 3, maxBucket = 1000)
+          .write.mode("append").parquet(resultRoot))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(resultRoot)
+  }
 }
 
 /** Versioned parquet key-value target for the foreachBatch MERGE
