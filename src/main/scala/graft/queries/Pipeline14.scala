@@ -1,0 +1,364 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Portable, TextOps}
+import graft.functions.TopN
+
+/** Round-9 pipeline entries, second batch: sketch-based corpus
+  * fingerprints (winnowing minimizers, KMV distinct sketches with set
+  * algebra), behavioral sequence modeling (Markov transitions), and the
+  * position-level duplicated-span census that whole-doc and
+  * distinct-gram dedup both miss.
+  */
+object Pipeline14 {
+
+  private val wsSql = TextSql.ws
+
+  /** KMV sketch size (p155). SE ~ 1/sqrt(k-2) ~ 12.7% at k=64. */
+  private val KmvK = 64
+
+  /** h60 hash-space size: hashes are uniform in [0, 2^60). */
+  private val HashSpace = 1L << 60
+
+  val all: Seq[Q] = Seq(
+
+    // ---- winnowing minimizer fingerprints ----------------------------------
+    // The MOSS/sourmash document sketch: hash every 5-gram, slide a
+    // w=8 window over the positions, keep each window's MINIMUM hash.
+    // Any two documents sharing a sufficiently long substring are
+    // GUARANTEED to share a minimizer (winnowing's coverage theorem) —
+    // unlike MinHash, which is probabilistic per-pair. Sketch size is
+    // ~2n/(w+1) positions, so the corpus-wide minimizer index is ~20%
+    // of the gram index p148 builds. Docs with fewer than 8 grams fall
+    // back to one whole-doc window (the standard short-doc rule);
+    // gram-less docs (<5 tokens) carry an empty sketch.
+    //
+    // Per doc: sketch size, how many sketch members are shared with at
+    // least one other doc, and the shared fraction in ppm — the
+    // retrieval-time "how much of this doc is findable elsewhere".
+    //
+    // Scale shape: gram hash + window min run inside the per-doc
+    // partition (bounded by doc length, never corpus-sized); the
+    // minimizer-df table is the sketch union (~corpus/4.5 grams);
+    // the final rollup is doc-keyed. Nothing all-pairs, nothing
+    // driver-side.
+    Q("p154_winnow_minimizers", Some(s"""
+      WITH w AS (SELECT doc_id, ${TextSql.shingles(wsSql, 5)} AS sh
+                 FROM documents),
+      g AS (SELECT doc_id, unnest(generate_series(1, len(sh))) AS pos,
+                   unnest(sh) AS gm FROM w),
+      h AS (SELECT doc_id, pos, ${Portable.h60Sql("gm")} AS h FROM g),
+      wm AS (SELECT doc_id, pos,
+                    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+                    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+             FROM h),
+      sk AS (SELECT DISTINCT doc_id, wmin
+             FROM wm WHERE pos <= greatest(n_grams - 7, 1)),
+      mdf AS (SELECT wmin, CAST(COUNT(*) AS BIGINT) AS df
+              FROM sk GROUP BY 1),
+      st AS (SELECT sk.doc_id,
+                    CAST(COUNT(*) AS BIGINT) AS sketch_size,
+                    CAST(SUM(CASE WHEN mdf.df >= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_shared
+             FROM sk JOIN mdf USING (wmin) GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(st.sketch_size, 0) AS sketch_size,
+             coalesce(st.n_shared, 0) AS n_shared,
+             CAST(CASE WHEN coalesce(st.sketch_size, 0) = 0 THEN 0
+                  ELSE st.n_shared * 1000000 // st.sketch_size END AS BIGINT)
+               AS shared_ppm
+      FROM documents d LEFT JOIN st USING (doc_id)
+      ORDER BY d.doc_id""")) { (spark, dir) =>
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val h = docs
+        .select(col("doc_id"),
+          posexplode(TextOps.shingles(col("text"), 5)).as(Seq("p0", "gm")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"),
+          Portable.h60(col("gm")).as("h"))
+      val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, 7)
+      val winDoc = Window.partitionBy(col("doc_id"))
+      val sk = h
+        .select(col("doc_id"), col("pos"),
+          min(col("h")).over(winMin).as("wmin"),
+          count(lit(1)).over(winDoc).as("n_grams"))
+        .where(col("pos") <= greatest(col("n_grams") - 7, lit(1L)))
+        .select(col("doc_id"), col("wmin")).distinct()
+      val mdf = sk.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
+      val st = sk.join(mdf, "wmin")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("sketch_size"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      docs.select(col("doc_id")).join(st, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("sketch_size"), lit(0L)).as("sketch_size"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          when(coalesce(col("sketch_size"), lit(0L)) === 0, 0L)
+            .otherwise(expr("n_shared * 1000000 div sketch_size"))
+            .cast("long").as("shared_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- KMV distinct sketches with set algebra ----------------------------
+    // The k-minimum-values sketch: per event type, keep the 64 SMALLEST
+    // portable hashes of its distinct users; the k-th smallest estimates
+    // the distinct count as (k-1)·|H|/h_k, and — the property HLL does
+    // NOT have — two sketches MERGE into a sketch of the union while
+    // preserving the members, so intersections fall out too: of the
+    // merged top-k, the fraction present in BOTH input sketches is a
+    // Jaccard estimate, and est_int = c·est_union/k. All arithmetic is
+    // BIGINT (|H|//h_k FIRST, then ×63 — the other order overflows
+    // int64 and DuckDB would silently promote to HUGEINT while Spark
+    // wrapped); estimates land next to their exact counterparts with
+    // the union error in ppm, so the ±1/sqrt(k-2) envelope is visible
+    // per pair.
+    //
+    // The sketched universe is per-type ACTIVE USER-DAYS (user_id,
+    // day) — the engagement unit whose per-type sets genuinely
+    // partially overlap (every user fires every type eventually, so
+    // plain distinct-users would make all five sets identical and the
+    // set algebra vacuous).
+    //
+    // Scale shape: the Spark side computes each sketch with the bounded
+    // MinTopNPairs TypedImperativeAggregate — O(k) state per type,
+    // map-side partials, O(partitions·k) shuffled. The oracle computes
+    // the same sketch the naive way (rank window over all distinct
+    // user-days per type); the hash match is the bounded-kernel ≡
+    // window equivalence proof, the p135 pattern. The exact-
+    // intersection table is a (user, day)-keyed self-join with fan-out
+    // bounded by types² = 25.
+    Q("p155_kmv_sketch", Some(s"""
+      WITH d AS (SELECT DISTINCT event_type, user_id,
+                        CAST(date_trunc('day', ts) AS DATE) AS day
+                 FROM events),
+      h AS (SELECT event_type,
+                   ${Portable.h60Sql(
+                     "concat(CAST(user_id AS VARCHAR), ':', CAST(day AS VARCHAR))")} AS h
+            FROM d),
+      r AS (SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                     AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+            FROM h),
+      sk AS (SELECT event_type, CAST(max(n_exact) AS BIGINT) AS exact_n,
+                    list(h ORDER BY h) AS vals
+             FROM r WHERE rn <= $KmvK GROUP BY 1),
+      i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS exact_int
+            FROM d a JOIN d b USING (user_id, day)
+            WHERE a.event_type < b.event_type GROUP BY 1, 2),
+      p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.exact_n AS exact_a, b.exact_n AS exact_b,
+                   a.vals AS av, b.vals AS bv,
+                   (list_sort(list_distinct(list_concat(a.vals, b.vals))))
+                     [1:$KmvK] AS mg
+            FROM sk a, sk b WHERE a.event_type < b.event_type),
+      e AS (SELECT type_a, type_b, exact_a, exact_b,
+                   CAST(CASE WHEN len(av) = $KmvK
+                        THEN ${KmvK - 1} * ($HashSpace // av[$KmvK])
+                        ELSE exact_a END AS BIGINT) AS est_a,
+                   CAST(CASE WHEN len(bv) = $KmvK
+                        THEN ${KmvK - 1} * ($HashSpace // bv[$KmvK])
+                        ELSE exact_b END AS BIGINT) AS est_b,
+                   CAST(CASE WHEN len(mg) = $KmvK
+                        THEN ${KmvK - 1} * ($HashSpace // mg[$KmvK])
+                        ELSE len(mg) END AS BIGINT) AS est_union,
+                   CAST(len(list_filter(mg, v -> list_contains(av, v)
+                        AND list_contains(bv, v))) AS BIGINT) AS c,
+                   len(mg) AS mglen
+            FROM p)
+      SELECT e.type_a, e.type_b, exact_a, est_a, exact_b, est_b,
+             exact_a + exact_b - coalesce(i.exact_int, 0) AS exact_union,
+             est_union,
+             coalesce(i.exact_int, 0) AS exact_int,
+             CAST(CASE WHEN mglen = $KmvK THEN c * est_union // $KmvK
+                  ELSE c END AS BIGINT) AS est_int,
+             CAST(abs(est_union - (exact_a + exact_b
+                    - coalesce(i.exact_int, 0))) * 1000000
+                  // (exact_a + exact_b - coalesce(i.exact_int, 0))
+               AS BIGINT) AS union_err_ppm
+      FROM e LEFT JOIN i USING (type_a, type_b)
+      ORDER BY 1, 2""")) { (spark, dir) =>
+      val d = Tables.load(spark, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          date_trunc("DAY", col("ts")).cast("date").as("day"))
+        .distinct()
+        .localCheckpoint()
+      val h = d.select(col("event_type"),
+        Portable.h60(concat(col("user_id").cast("string"), lit(":"),
+          col("day").cast("string"))).as("h"))
+      val sk = h.groupBy(col("event_type"))
+        .agg(TopN.minTopN(col("h"), col("h"), KmvK).as("top"),
+          count(lit(1)).as("exact_n"))
+        .select(col("event_type"), col("exact_n"),
+          expr("transform(top, x -> x.h)").as("vals"))
+      val skA = sk.select(col("event_type").as("type_a"),
+        col("exact_n").as("exact_a"), col("vals").as("av"))
+      val skB = sk.select(col("event_type").as("type_b"),
+        col("exact_n").as("exact_b"), col("vals").as("bv"))
+      val dA = d.select(col("event_type").as("type_a"), col("user_id"),
+        col("day"))
+      val dB = d.select(col("event_type").as("type_b"), col("user_id"),
+        col("day"))
+      val exactInt = dA.join(dB, Seq("user_id", "day"))
+        .where(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("exact_int"))
+      val est = skA.crossJoin(skB)
+        .where(col("type_a") < col("type_b"))
+        .withColumn("mg",
+          expr(s"slice(array_sort(array_distinct(concat(av, bv))), 1, $KmvK)"))
+        .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+          expr(s"""CAST(CASE WHEN size(av) = $KmvK
+            THEN ${KmvK - 1} * ($HashSpace div element_at(av, $KmvK))
+            ELSE exact_a END AS BIGINT)""").as("est_a"),
+          expr(s"""CAST(CASE WHEN size(bv) = $KmvK
+            THEN ${KmvK - 1} * ($HashSpace div element_at(bv, $KmvK))
+            ELSE exact_b END AS BIGINT)""").as("est_b"),
+          expr(s"""CAST(CASE WHEN size(mg) = $KmvK
+            THEN ${KmvK - 1} * ($HashSpace div element_at(mg, $KmvK))
+            ELSE size(mg) END AS BIGINT)""").as("est_union"),
+          expr(s"""CAST(size(filter(mg, v -> array_contains(av, v)
+            AND array_contains(bv, v))) AS BIGINT)""").as("c"),
+          size(col("mg")).cast("long").as("mglen"))
+      est.join(broadcast(exactInt), Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"), col("exact_a"), col("est_a"),
+          col("exact_b"), col("est_b"),
+          (col("exact_a") + col("exact_b")
+            - coalesce(col("exact_int"), lit(0L))).as("exact_union"),
+          col("est_union"),
+          coalesce(col("exact_int"), lit(0L)).as("exact_int"),
+          expr(s"""CAST(CASE WHEN mglen = $KmvK
+            THEN c * est_union div $KmvK ELSE c END AS BIGINT)""")
+            .as("est_int"),
+          expr("""CAST(abs(est_union - (exact_a + exact_b
+              - coalesce(exact_int, 0))) * 1000000
+            div (exact_a + exact_b - coalesce(exact_int, 0)) AS BIGINT)""")
+            .as("union_err_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // ---- Markov event-transition matrix ------------------------------------
+    // The behavioral-sequence model: per user, order events by time and
+    // count (from → to) transitions; per from-state, the transition
+    // probability in exact ppm and a flag marking the argmax next
+    // event (ties toward the lexicographically smaller type — the same
+    // deterministic tie rule every argmax entry uses). This is the
+    // one-step Markov chain a product team reads for "what follows a
+    // signup", and the baseline a sequence model must beat.
+    //
+    // Scale shape: the lag window runs per user (bounded by per-user
+    // event count, never corpus-wide); transitions collapse to the
+    // O(types²) matrix map-side; the from-state totals join is
+    // broadcast-sized. Output is types² ≤ 25 rows at any volume.
+    Q("p156_markov_transitions", Some("""
+      WITH t AS (SELECT user_id, event_type AS to_ev,
+                        lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS from_ev
+                 FROM events),
+      c AS (SELECT from_ev, to_ev, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t WHERE from_ev IS NOT NULL GROUP BY 1, 2),
+      f AS (SELECT from_ev, CAST(SUM(n) AS BIGINT) AS n_from
+            FROM c GROUP BY 1)
+      SELECT c.from_ev, c.to_ev, c.n, f.n_from,
+             CAST(c.n * 1000000 // f.n_from AS BIGINT) AS p_ppm,
+             CAST(CASE WHEN row_number() OVER (PARTITION BY c.from_ev
+                    ORDER BY c.n DESC, c.to_ev) = 1
+                  THEN 1 ELSE 0 END AS BIGINT) AS is_top
+      FROM c JOIN f USING (from_ev)
+      ORDER BY 1, 2""")) { (spark, dir) =>
+      val winSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_type").as("to_ev"),
+          lag(col("event_type"), 1).over(winSeq).as("from_ev"))
+        .where(col("from_ev").isNotNull)
+        .groupBy(col("from_ev"), col("to_ev"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("from_ev")).agg(sum(col("n")).as("n_from"))
+      val winTop = Window.partitionBy(col("from_ev"))
+        .orderBy(col("n").desc, col("to_ev"))
+      tr.join(broadcast(tot), "from_ev")
+        .select(col("from_ev"), col("to_ev"), col("n"), col("n_from"),
+          expr("n * 1000000 div n_from").cast("long").as("p_ppm"),
+          when(row_number().over(winTop) === 1, 1L).otherwise(0L)
+            .as("is_top"))
+        .orderBy(col("from_ev"), col("to_ev"))
+    },
+
+    // ---- duplicated-span coverage (position-level dedup census) ------------
+    // The exact-substring view of duplication (Lee et al.'s
+    // "Deduplicating Training Data" granularity): a token POSITION is
+    // duplicated when some 10-gram covering it also appears in another
+    // document. Distinct-gram fractions (p148) over-count interleaved
+    // repeats and under-count long runs; this entry computes the true
+    // covered-token count per doc by interval-union sweep — per doc,
+    // order duplicated gram positions, and each contributes
+    // max(0, end − max(running_prev_end, start−1)) tokens, the classic
+    // merge-overlapping-intervals recurrence as a window aggregate.
+    //
+    // Scale shape: the gram-df table is Heaps-bounded and df ≥ 2
+    // filters it further; the sweep window is per-doc (bounded by doc
+    // length); output is one row per doc. The quadratic all-pairs
+    // substring comparison never exists — df membership IS the
+    // duplication oracle.
+    Q("p157_dup_span_coverage", Some(s"""
+      WITH w AS (SELECT doc_id, source, $wsSql AS ws FROM documents),
+      g AS (SELECT doc_id, unnest(generate_series(1, len(sh))) AS pos,
+                   unnest(sh) AS gm
+            FROM (SELECT doc_id, ${TextSql.shingles("ws", 10)} AS sh
+                  FROM w)),
+      df AS (SELECT gm, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+      dup AS (SELECT g.doc_id, g.pos, g.pos + 9 AS e
+              FROM g JOIN df USING (gm) WHERE df.df >= 2),
+      sweep AS (SELECT doc_id, pos, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prev_e
+                FROM dup),
+      cov AS (SELECT doc_id,
+                     CAST(SUM(greatest(0, e - greatest(coalesce(prev_e, 0),
+                       pos - 1))) AS BIGINT) AS covered
+              FROM sweep GROUP BY 1)
+      SELECT w.doc_id, w.source,
+             CAST(len(w.ws) AS BIGINT) AS n_tokens,
+             coalesce(cov.covered, 0) AS covered_tokens,
+             CAST(CASE WHEN len(w.ws) = 0 THEN 0
+                  ELSE coalesce(cov.covered, 0) * 1000000 // len(w.ws)
+                  END AS BIGINT) AS coverage_ppm
+      FROM w LEFT JOIN cov USING (doc_id)
+      ORDER BY w.doc_id""")) { (spark, dir) =>
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val base = docs.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val g = docs
+        .select(col("doc_id"),
+          posexplode(TextOps.shingles(col("text"), 10)).as(Seq("p0", "gm")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gm"))
+        .localCheckpoint()
+      val gdf = g.select(col("doc_id"), col("gm")).distinct()
+        .groupBy(col("gm")).agg(count(lit(1)).as("df"))
+      val winPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cov = g.join(gdf.where(col("df") >= 2), "gm")
+        .select(col("doc_id"), col("pos"), (col("pos") + 9).as("e"))
+        .withColumn("prev_e", max(col("e")).over(winPrev))
+        .select(col("doc_id"),
+          greatest(lit(0L), col("e")
+            - greatest(coalesce(col("prev_e"), lit(0L)), col("pos") - 1))
+            .as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("covered"))
+      base.join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+          when(col("n_tokens") === 0, 0L)
+            .otherwise(expr(
+              "coalesce(covered, 0) * 1000000 div n_tokens"))
+            .cast("long").as("coverage_ppm"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

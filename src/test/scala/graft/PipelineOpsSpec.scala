@@ -1310,4 +1310,115 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // "perfectly"… has none; "oo"/"tt" collapse only for listed letters
     assert(got(5L) == "perfectlyordinarytext")
   }
+
+  test("p154 winnowing: coverage guarantee (shared 20-token run ⇒ shared " +
+    "minimizer), unrelated doc shares none, density bounds hold") {
+    // A 20-token run shared by docs 1 and 2 exceeds w+n−1 = 12 tokens,
+    // so winnowing's coverage theorem GUARANTEES a common minimizer —
+    // not just with high probability. Doc 3 shares no token with
+    // anyone, so its sketch must be fully private.
+    val run = (1 to 20).map(i => s"r$i").mkString(" ")
+    val dir = docsFixture("p154fix", Seq(
+      (1L, (1 to 5).map(i => s"a$i").mkString(" ") + " " + run),
+      (2L, run + " " + (1 to 7).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" "))))
+    val out = SparkEntry.queries("p154_winnow_minimizers")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("sketch_size"), r.getAs[Long]("n_shared"))).toMap
+    assert(out(1L)._2 >= 1 && out(2L)._2 >= 1,
+      s"coverage guarantee violated: $out")
+    assert(out(3L)._2 == 0)
+    // density: one minimizer per window at most; a single hash serves
+    // at most w = 8 consecutive windows, so sketch ≥ ceil(windows/8)
+    for ((id, nTok) <- Seq(1L -> 25, 2L -> 27, 3L -> 30)) {
+      val grams = nTok - 4
+      val windows = grams - 7
+      assert(out(id)._1 <= grams && out(id)._1 >= (windows + 7) / 8,
+        s"density bound violated for doc $id: $out")
+    }
+  }
+
+  test("p155 KMV: exact set algebra is exact and estimates sit inside " +
+    "the 3-sigma k=64 envelope on planted overlapping sets") {
+    import spark.implicits._
+    // type x: user-days 0..1999; type y: 1500..2999 on the same day →
+    // |x|=2000, |y|=1500, |x∩y|=500, |x∪y|=3000, all on one calendar day
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val rows = (0L until 2000L).map(u => (u, ts, u, "x")) ++
+      (1500L until 3000L).map(u => (2000L + u, ts, u, "y"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p155fix_${queries.runToken}"
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    queries.cleanupAtExit(dir)
+    val r = SparkEntry.queries("p155_kmv_sketch")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("exact_a") == 2000L)
+    assert(row.getAs[Long]("exact_b") == 1500L)
+    assert(row.getAs[Long]("exact_union") == 3000L)
+    assert(row.getAs[Long]("exact_int") == 500L)
+    // SE(KMV) ≈ 1/sqrt(k−2) = 12.7% at k=64; assert the 3σ envelope
+    def within3s(est: Long, exact: Long): Boolean =
+      math.abs(est - exact) <= (3.0 * exact / math.sqrt(62.0)).ceil.toLong
+    assert(within3s(row.getAs[Long]("est_a"), 2000L), row.toString)
+    assert(within3s(row.getAs[Long]("est_b"), 1500L), row.toString)
+    assert(within3s(row.getAs[Long]("est_union"), 3000L), row.toString)
+    // the intersection estimator compounds two estimates; give it 4σ
+    assert(math.abs(row.getAs[Long]("est_int") - 500L) <=
+      (4.0 * 500L / math.sqrt(62.0)).ceil.toLong, row.toString)
+  }
+
+  test("p156 Markov: planted sequences yield the exact transition matrix " +
+    "with per-state ppm and a single deterministic argmax") {
+    import spark.implicits._
+    // user 1: A B A B A (A→B ×2, B→A ×2); user 2: A C (A→C ×1)
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(m: Int) = new java.sql.Timestamp(t0 + m * 60000L)
+    val rows = Seq(
+      (1L, ts(0), 1L, "A"), (2L, ts(1), 1L, "B"), (3L, ts(2), 1L, "A"),
+      (4L, ts(3), 1L, "B"), (5L, ts(4), 1L, "A"),
+      (6L, ts(0), 2L, "A"), (7L, ts(1), 2L, "C"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p156fix_${queries.runToken}"
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p156_markov_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_from"),
+          r.getAs[Long]("p_ppm"), r.getAs[Long]("is_top"))).toMap
+    assert(got(("A", "B")) == ((2L, 3L, 666666L, 1L)))
+    assert(got(("A", "C")) == ((1L, 3L, 333333L, 0L)))
+    assert(got(("B", "A")) == ((2L, 2L, 1000000L, 1L)))
+    assert(got.size == 3)
+  }
+
+  test("p157 span coverage: interval-union sweep is exact on planted " +
+    "full-dup and partial-run overlaps") {
+    import spark.implicits._
+    // docs 1=2: full 15-token copies → covered 15/15. Docs 3/4 share a
+    // 12-token run (3 dup 10-gram positions each) → exactly 12 covered
+    // of 20 — the interval union must merge the overlapping grams, not
+    // triple-count them. Doc 5 is private → 0.
+    val x = (1 to 12).map(i => s"x$i").mkString(" ")
+    val rows = Seq(
+      (1L, "s", (1 to 15).map(i => s"d$i").mkString(" ")),
+      (2L, "s", (1 to 15).map(i => s"d$i").mkString(" ")),
+      (3L, "s", x + " " + (1 to 8).map(i => s"u$i").mkString(" ")),
+      (4L, "s", (1 to 5).map(i => s"v$i").mkString(" ") + " " + x + " " +
+        (1 to 3).map(i => s"w$i").mkString(" ")),
+      (5L, "s", (1 to 25).map(i => s"z$i").mkString(" ")))
+    val dir = s"${sys.props("java.io.tmpdir")}/p157fix_${queries.runToken}"
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p157_dup_span_coverage")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("covered_tokens"),
+          r.getAs[Long]("coverage_ppm"))).toMap
+    assert(got(1L) == ((15L, 15L, 1000000L)))
+    assert(got(2L) == ((15L, 15L, 1000000L)))
+    assert(got(3L) == ((20L, 12L, 600000L)))
+    assert(got(4L) == ((20L, 12L, 600000L)))
+    assert(got(5L) == ((25L, 0L, 0L)))
+  }
 }
