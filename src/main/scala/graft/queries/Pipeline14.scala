@@ -359,6 +359,226 @@ object Pipeline14 {
               "coalesce(covered, 0) * 1000000 div n_tokens"))
             .cast("long").as("coverage_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- market-basket item-item similarity --------------------------------
+    // The co-occurrence recommender baseline: orders are baskets, and
+    // for every part the top-3 most-similar parts by cosine over the
+    // binary basket-membership vectors. cos²(a,b) = co²/(na·nb) stays
+    // in EXACT integer ppm — reporting cos² instead of cos avoids the
+    // sqrt that would put engine libm in the hash path (ranking is
+    // unchanged: x² is monotone on nonnegatives). co ≥ 2 trims the
+    // long co=1 noise tail before any window runs.
+    //
+    // Scale shape: pair generation is a basket-keyed self-join with
+    // fan-out bounded by basket-size² (TPC-H baskets are ~4 items);
+    // the co table is (a, b)-keyed; the top-3 window partitions by
+    // item over its co≥2 neighbor list — popularity-bounded, never
+    // corpus-sized. na/nb attach via a parts-sized broadcast join.
+    Q("p158_basket_similarity", Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem),
+      n AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS nb FROM b GROUP BY 1),
+      co AS (SELECT x.pk AS a, y.pk AS b, CAST(COUNT(*) AS BIGINT) AS co
+             FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      sym AS (SELECT a AS item, b AS neighbor, co FROM co
+              UNION ALL SELECT b, a, co FROM co),
+      s AS (SELECT sym.item, sym.neighbor, sym.co,
+                   ni.nb AS n_item, nn.nb AS n_neighbor,
+                   CAST(sym.co * sym.co * 1000000 // (ni.nb * nn.nb)
+                     AS BIGINT) AS cos2_ppm
+            FROM sym JOIN n ni ON ni.pk = sym.item
+                     JOIN n nn ON nn.pk = sym.neighbor),
+      r AS (SELECT *, row_number() OVER (PARTITION BY item
+                 ORDER BY cos2_ppm DESC, neighbor) AS rk FROM s)
+      SELECT item, CAST(rk AS BIGINT) AS rk, neighbor, co,
+             n_item, n_neighbor, cos2_ppm
+      FROM r WHERE rk <= 3 ORDER BY item, rk""")) { (spark, dir) =>
+      val b = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = b.groupBy(col("pk")).agg(count(lit(1)).as("nb"))
+      val co = b.select(col("ok"), col("pk").as("a"))
+        .join(b.select(col("ok"), col("pk").as("b")), "ok")
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("co"))
+        .where(col("co") >= 2)
+      val sym = co.select(col("a").as("item"), col("b").as("neighbor"),
+          col("co"))
+        .unionAll(co.select(col("b").as("item"), col("a").as("neighbor"),
+          col("co")))
+      val s = sym
+        .join(broadcast(n.select(col("pk").as("item"),
+          col("nb").as("n_item"))), "item")
+        .join(broadcast(n.select(col("pk").as("neighbor"),
+          col("nb").as("n_neighbor"))), "neighbor")
+        .withColumn("cos2_ppm",
+          expr("co * co * 1000000 div (n_item * n_neighbor)").cast("long"))
+      val winTop = Window.partitionBy(col("item"))
+        .orderBy(col("cos2_ppm").desc, col("neighbor"))
+      s.withColumn("rk", row_number().over(winTop).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("item"), col("rk"), col("neighbor"), col("co"),
+          col("n_item"), col("n_neighbor"), col("cos2_ppm"))
+        .orderBy(col("item"), col("rk"))
+    },
+
+    // ---- A/B experiment readout with exact chi-squared gate ----------------
+    // The experimentation-platform primitive: users split into variants
+    // by a deterministic hash rule (parity here), per event type the
+    // user-grain conversion rates, the lift, and a 2×2 chi-squared
+    // independence test at alpha = 0.05 — decided by EXACT
+    // cross-multiplication, never a float: significant iff
+    // 1000·N·(ad−bc)² > 3841·(a+b)(c+d)(a+c)(b+d), both sides in
+    // 128-bit integers (Spark DECIMAL(38,0), oracle HUGEINT — verified
+    // to share floor-division semantics for nonnegative operands), so
+    // the same verdict comes back at ANY user count up to ~1e9 where
+    // 38 digits saturate. chi2_milli = the statistic ×1000, floor-
+    // divided exactly.
+    //
+    // Scale shape: events collapse to the distinct (user, type) grid
+    // map-side; user-variant totals are one distinct-user agg; the
+    // 2×2 per type is an O(types) metadata table. Nothing data-sized
+    // crosses the driver.
+    Q("p159_ab_chi2", Some("""
+      WITH u AS (SELECT DISTINCT user_id, user_id % 2 AS variant
+                 FROM events),
+      tot AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n FROM u
+              GROUP BY 1),
+      c AS (SELECT DISTINCT e.event_type, e.user_id, u.variant
+            FROM events e JOIN u USING (user_id)),
+      k AS (SELECT event_type,
+                   CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS k0,
+                   CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS k1
+            FROM c GROUP BY 1),
+      g AS (SELECT k.event_type, t0.n AS n0, k.k0, t1.n AS n1, k.k1
+            FROM k, (SELECT n FROM tot WHERE variant = 0) t0,
+                    (SELECT n FROM tot WHERE variant = 1) t1),
+      x AS (SELECT event_type, n0, k0, n1, k1,
+                   CAST(k0 AS HUGEINT) * (n1 - k1)
+                     - CAST(k1 AS HUGEINT) * (n0 - k0) AS det,
+                   CAST(n0 AS HUGEINT) * n1 * (k0 + k1)
+                     * (n0 + n1 - k0 - k1) AS den
+            FROM g)
+      SELECT event_type, n0, k0, n1, k1,
+             CAST(k0 * 1000000 // n0 AS BIGINT) AS rate0_ppm,
+             CAST(k1 * 1000000 // n1 AS BIGINT) AS rate1_ppm,
+             CAST(k1 * 1000000 // n1 - k0 * 1000000 // n0 AS BIGINT)
+               AS lift_ppm,
+             CAST(CASE WHEN den = 0 THEN 0
+                  ELSE 1000 * (n0 + n1) * det * det // den
+                  END AS BIGINT) AS chi2_milli,
+             CAST(CASE WHEN den = 0 THEN 0
+                  WHEN 1000 * (n0 + n1) * det * det > 3841 * den THEN 1
+                  ELSE 0 END AS BIGINT) AS significant
+      FROM x ORDER BY event_type""")) { (spark, dir) =>
+      val u = Tables.load(spark, dir, "events")
+        .select(col("user_id"), (col("user_id") % 2).as("variant"))
+        .distinct()
+      val tot = u.groupBy(col("variant")).agg(count(lit(1)).as("n"))
+      val n0 = tot.where(col("variant") === 0)
+        .select(col("n").as("n0"))
+      val n1 = tot.where(col("variant") === 1)
+        .select(col("n").as("n1"))
+      val k = Tables.load(spark, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .join(u, "user_id")
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("k0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("k1"))
+      val d38 = "DECIMAL(38,0)"
+      k.crossJoin(broadcast(n0)).crossJoin(broadcast(n1))
+        .withColumn("det", expr(
+          s"CAST(k0 AS $d38) * (n1 - k1) - CAST(k1 AS $d38) * (n0 - k0)"))
+        .withColumn("den", expr(
+          s"CAST(n0 AS $d38) * n1 * (k0 + k1) * (n0 + n1 - k0 - k1)"))
+        .select(col("event_type"), col("n0"), col("k0"), col("n1"),
+          col("k1"),
+          expr("k0 * 1000000 div n0").cast("long").as("rate0_ppm"),
+          expr("k1 * 1000000 div n1").cast("long").as("rate1_ppm"),
+          expr("k1 * 1000000 div n1 - k0 * 1000000 div n0").cast("long")
+            .as("lift_ppm"),
+          expr("""CAST(CASE WHEN den = 0 THEN 0
+              ELSE 1000 * (n0 + n1) * det * det div den
+              END AS BIGINT)""").as("chi2_milli"),
+          expr("""CAST(CASE WHEN den = 0 THEN 0
+              WHEN 1000 * (n0 + n1) * det * det > 3841 * den THEN 1
+              ELSE 0 END AS BIGINT)""").as("significant"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- per-source length-distribution drift (total-variation) ------------
+    // The distribution-shift monitor a corpus pipeline runs per
+    // ingest source: each source's token-length histogram over 16
+    // fixed-width buckets against the whole-corpus baseline, compared
+    // by total-variation distance TV = ½·Σ|p_d − q_d|. Shares are
+    // floored to ppm FIRST and the TV computed over ppm integers —
+    // bounded ≤ 10⁶ at any corpus size, so the arithmetic never
+    // outgrows BIGINT no matter the scale (the ≤ n_buckets-ppm floor
+    // bias is deterministic and identical in both engines). Also
+    // reports the worst bucket (argmax deviation, ties toward the
+    // smaller bucket) — WHERE the drift lives, not just how much.
+    //
+    // Scale shape: one doc-grain scan collapses to the O(sources × 16)
+    // grid map-side; everything after runs on that metadata table.
+    Q("p160_source_drift_tv", Some(s"""
+      WITH d AS (SELECT source, least(len($wsSql) // 8, 15) AS b
+                 FROM documents),
+      s AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS n_sb
+            FROM d GROUP BY 1, 2),
+      ns AS (SELECT source, CAST(SUM(n_sb) AS BIGINT) AS n_s
+             FROM s GROUP BY 1),
+      c AS (SELECT b, CAST(SUM(n_sb) AS BIGINT) AS n_b FROM s GROUP BY 1),
+      n AS (SELECT CAST(SUM(n_sb) AS BIGINT) AS n_tot FROM s),
+      grid AS (SELECT ns.source, c.b,
+                      coalesce(s.n_sb, 0) AS n_sb, ns.n_s, c.n_b, n.n_tot
+               FROM ns CROSS JOIN c CROSS JOIN n
+               LEFT JOIN s ON s.source = ns.source AND s.b = c.b),
+      dev AS (SELECT source, b, n_s,
+                     abs(n_sb * 1000000 // n_s - n_b * 1000000 // n_tot)
+                       AS dev_ppm
+              FROM grid),
+      tv AS (SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+                    CAST(SUM(dev_ppm) // 2 AS BIGINT) AS tv_ppm
+             FROM dev GROUP BY 1),
+      w AS (SELECT source, CAST(b AS BIGINT) AS worst_bucket,
+                   CAST(dev_ppm AS BIGINT) AS worst_dev_ppm
+            FROM dev QUALIFY row_number() OVER (PARTITION BY source
+              ORDER BY dev_ppm DESC, b) = 1)
+      SELECT source, n_docs, tv_ppm, worst_bucket, worst_dev_ppm
+      FROM tv JOIN w USING (source) ORDER BY source""")) { (spark, dir) =>
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .select(col("source"), expr("least(n_tok div 8, 15)").as("b"))
+      val s = d.groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("n_sb"))
+      val ns = s.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+      val c = s.groupBy(col("b")).agg(sum(col("n_sb")).as("n_b"))
+      val nTot = s.agg(sum(col("n_sb")).as("n_tot"))
+      val grid = ns.crossJoin(broadcast(c)).crossJoin(broadcast(nTot))
+        .join(s, Seq("source", "b"), "left")
+        .select(col("source"), col("b"), col("n_s"), col("n_b"),
+          col("n_tot"), coalesce(col("n_sb"), lit(0L)).as("n_sb"))
+      val dev = grid.select(col("source"), col("b"), col("n_s"),
+        abs(expr("n_sb * 1000000 div n_s")
+          - expr("n_b * 1000000 div n_tot")).as("dev_ppm"))
+      val tv = dev.groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"),
+          expr("sum(dev_ppm) div 2").cast("long").as("tv_ppm"))
+      val winWorst = Window.partitionBy(col("source"))
+        .orderBy(col("dev_ppm").desc, col("b"))
+      val w = dev.withColumn("rk", row_number().over(winWorst))
+        .where(col("rk") === 1)
+        .select(col("source"), col("b").cast("long").as("worst_bucket"),
+          col("dev_ppm").cast("long").as("worst_dev_ppm"))
+      tv.join(w, "source")
+        .select(col("source"), col("n_docs"), col("tv_ppm"),
+          col("worst_bucket"), col("worst_dev_ppm"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -1421,4 +1421,68 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == ((20L, 12L, 600000L)))
     assert(got(5L) == ((25L, 0L, 0L)))
   }
+
+  test("p158 basket similarity: exact cos² ppm on planted baskets; the " +
+    "co=1 noise tail is trimmed; both directions ranked") {
+    import spark.implicits._
+    // baskets: {1,2}×3, {1,3}, {3,4} → only (1,2) reaches co ≥ 2 with
+    // n1=4, n2=3 → cos² = 9/(4·3) = 750000 ppm, symmetric rank 1
+    val rows = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L), (40L, 1L), (40L, 3L), (50L, 3L), (50L, 4L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p158fix_${queries.runToken}"
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p158_basket_similarity")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("item"), r.getAs[Long]("rk")) ->
+        (r.getAs[Long]("neighbor"), r.getAs[Long]("co"),
+          r.getAs[Long]("cos2_ppm"))).toMap
+    assert(got == Map((1L, 1L) -> ((2L, 3L, 750000L)),
+      (2L, 1L) -> ((1L, 3L, 750000L))))
+  }
+
+  test("p159 A/B chi2: planted 20% vs 60% conversion is significant with " +
+    "the exact statistic; a balanced metric is not") {
+    import spark.implicits._
+    // users 0..199 (variant = parity): everyone fires 'base'; 'x' fires
+    // for 20 even and 60 odd users → χ² = 200·(20·40−60·80)²/(100·100·
+    // 80·120) = 33.333, well past 3.841; 'base' is exactly balanced
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val base = (0L until 200L).map(u => (u, ts, u, "base"))
+    val conv = (0L until 40L by 2).map(u => (1000L + u, ts, u, "x")) ++
+      (1L until 120L by 2).map(u => (2000L + u, ts, u, "x"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p159fix_${queries.runToken}"
+    (base ++ conv).toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p159_ab_chi2")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("k0"), r.getAs[Long]("k1"), r.getAs[Long]("lift_ppm"),
+          r.getAs[Long]("chi2_milli"), r.getAs[Long]("significant"))).toMap
+    assert(got("x") == ((20L, 60L, 400000L, 33333L, 1L)))
+    assert(got("base") == ((100L, 100L, 0L, 0L, 0L)))
+  }
+
+  test("p160 drift TV: two disjoint single-bucket sources each sit at " +
+    "TV = 500000 ppm from the pooled corpus, worst bucket tie-broken low") {
+    import spark.implicits._
+    // srcA docs are all 5 tokens (bucket 0), srcB all 10 tokens
+    // (bucket 1) → corpus is 50/50 and each source deviates by half
+    // its mass: TV = ½(500000 + 500000); both buckets deviate equally
+    // so the tie breaks toward bucket 0
+    val five = (1 to 5).map(i => s"t$i").mkString(" ")
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val rows = (0L until 4L).map(i => (i, "srcA", five)) ++
+      (4L until 8L).map(i => (i, "srcB", ten))
+    val dir = s"${sys.props("java.io.tmpdir")}/p160fix_${queries.runToken}"
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p160_source_drift_tv")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tv_ppm"),
+          r.getAs[Long]("worst_bucket"), r.getAs[Long]("worst_dev_ppm"))).toMap
+    assert(got("srcA") == ((4L, 500000L, 0L, 500000L)))
+    assert(got("srcB") == ((4L, 500000L, 0L, 500000L)))
+  }
 }
