@@ -416,9 +416,15 @@ object DedupOps {
     * hamming ≤ maxHamming, min_hamming, is_dup), min_hamming = -1 when
     * no candidate survived.
     */
-  def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
-                          id: String, text: String,
-                          maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+  /** The banded incoming-vs-corpus near-dup EDGE list underlying
+    * [[incrementalNearDups]] — exposed separately so incremental
+    * cluster maintenance (p162) can consume the same edges the ingest
+    * verdict is built from: (in_id, ex_id, hamming), any-surviving-band
+    * deduped, corpus-side buckets capped at `maxBucket`.
+    */
+  def incrementalPairs(existing: DataFrame, incoming: DataFrame,
+                       id: String, text: String,
+                       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     def bands(sh: DataFrame, side: String): DataFrame = {
       val blockArr = array((0 until 4).map(q =>
         struct(lit(q).as("q"), element_at(col("qks"), q + 1).as("qk"))): _*)
@@ -438,13 +444,20 @@ object DedupOps {
           .partitionBy(col("q"), col("qk"))))
       .filter(col("bw") <= maxBucket).drop("bw")
     val in = bands(simhash64(incoming, id, text), "in")
-    val hits = in.join(exCapped, Seq("q", "qk"))
+    in.join(exCapped, Seq("q", "qk"))
       .filter(col("in_id") =!= col("ex_id"))
       .select(col("in_id"), col("ex_id"),
         expr("bit_count(in_sh ^ ex_sh)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      // any-surviving-band dedup, then the per-doc verdict rollup
+      // any-surviving-band dedup
       .distinct()
+  }
+
+  def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
+                          id: String, text: String,
+                          maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val hits = incrementalPairs(existing, incoming, id, text,
+        maxHamming, maxBucket)
       .groupBy(col("in_id"))
       .agg(count(lit(1)).as("n_dups"), min(col("hamming")).as("min_hamming"))
     incoming.select(col(id).as("in_id"))

@@ -579,6 +579,155 @@ object Pipeline14 {
         .select(col("source"), col("n_docs"), col("tv_ppm"),
           col("worst_bucket"), col("worst_dev_ppm"))
         .orderBy(col("source"))
+    },
+
+    // ---- integer-log2 unigram surprisal ------------------------------------
+    // The perplexity-proxy quality score with ZERO floating point: per
+    // token occurrence, surprisal = floor(log2(N/count)) bits, read off
+    // as length(bin(N div count)) − 1 — the bit-length trick p121 uses
+    // for HLL rho, exact and identical in both engines (no libm ln in
+    // the hash path). Rare-vocab documents score high (novel or noisy),
+    // boilerplate scores low; mean milli-bits per doc is the corpus-
+    // relative compressibility estimate a unigram coder would achieve,
+    // floor-quantized.
+    //
+    // Scale shape: the token-count table is Heaps-bounded (vocab, not
+    // corpus, sized) and joins back against the token stream keyed by
+    // token; N is a 1-row broadcast. One scan, one vocab shuffle, one
+    // doc-keyed rollup.
+    Q("p161_unigram_surprisal", Some(s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+      c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),
+      s AS (SELECT t.doc_id,
+                   CAST(length(bin(n.n_total // c.c)) - 1 AS BIGINT) AS bits
+            FROM t JOIN c USING (tok) CROSS JOIN n)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(bits) AS BIGINT) AS total_bits,
+             CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS mean_millibits
+      FROM s GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      val t = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val c = t.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val n = t.agg(count(lit(1)).as("n_total"))
+      t.join(c, "tok").crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          (length(bin(expr("n_total div c"))) - 1).cast("long").as("bits"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"),
+          expr("sum(bits) * 1000 div count(1)").cast("long")
+            .as("mean_millibits"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- incremental connected-component maintenance -----------------------
+    // The ingest-time continuation of the dedup DAG: the standing
+    // corpus (doc_id % 3 ≠ 0) has MATERIALIZED near-dup labels
+    // (SharedStages.corpusLabels — in production a bucketed table); a
+    // new batch arrives and its screening edges (p122's banded
+    // incoming→corpus probes) must be folded into the clustering
+    // WITHOUT rerunning the corpus fixpoint. The fold is the classic
+    // label-contraction: map each new edge's corpus endpoint to its
+    // old label, run CC on the contracted graph — whose size is
+    // bounded by the BATCH, not the corpus — and relabel only the
+    // touched components via one broadcast-sized remap join. The
+    // oracle recomputes CC from scratch over old-pairs ∪ new-edges;
+    // the hash match is the incremental ≡ full-recompute proof.
+    //
+    // Output: every doc in a component containing ≥1 incoming doc
+    // (incoming singletons as their own cluster), with the cluster id
+    // = min doc_id of the merged component — identical under both
+    // computations by construction of min-label contraction.
+    //
+    // Scale shape: old labels are a parquet scan; new edges are the
+    // |batch|×bucket-width banded join; the contracted CC fixpoint
+    // runs on O(|batch|) nodes; the remap join fans out only into the
+    // touched components. The corpus×corpus term exists only in the
+    // oracle.
+    Q("p162_incremental_cc", Some {
+      def bands(pred: String): String =
+        (0 until 4).map(q =>
+          s"SELECT doc_id, $q AS q, qk$q AS qk FROM sig WHERE $pred")
+          .mkString(" UNION ALL ")
+      s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      cb AS (${bands("doc_id % 3 <> 0")}),
+      ib AS (${bands("doc_id % 3 = 0")}),
+      oldcap AS (SELECT * FROM cb
+                 QUALIFY COUNT(*) OVER (PARTITION BY q, qk)
+                   BETWEEN 2 AND 1000),
+      old_pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM oldcap x JOIN oldcap y
+                      ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id
+                    JOIN sig sa ON sa.doc_id = x.doc_id
+                    JOIN sig sb ON sb.doc_id = y.doc_id
+                    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+      exb AS (SELECT * FROM cb
+              QUALIFY COUNT(*) OVER (PARTITION BY q, qk) <= 1000),
+      new_pairs AS (SELECT DISTINCT i.doc_id AS a, e.doc_id AS b
+                    FROM ib i JOIN exb e ON i.q = e.q AND i.qk = e.qk
+                    JOIN sig si ON si.doc_id = i.doc_id
+                    JOIN sig se ON se.doc_id = e.doc_id
+                    WHERE bit_count(xor(si.simhash, se.simhash)) <= 3),
+      edges AS (SELECT a, b FROM old_pairs
+                UNION SELECT a, b FROM new_pairs),
+      esym AS (SELECT a AS u, b AS v FROM edges
+               UNION SELECT b, a FROM edges),
+      walk(u, v) AS (SELECT u, v FROM esym
+                     UNION
+                     SELECT wk.u, e.v FROM walk wk
+                     JOIN esym e ON wk.v = e.u),
+      lbl AS (SELECT u AS n, least(u, min(v)) AS cluster_id
+              FROM walk GROUP BY u),
+      aff AS (SELECT DISTINCT cluster_id FROM lbl WHERE n % 3 = 0),
+      members AS (SELECT n AS doc_id, cluster_id FROM lbl
+                  WHERE cluster_id IN (SELECT cluster_id FROM aff)
+                  UNION ALL
+                  SELECT d.doc_id, d.doc_id FROM documents d
+                  WHERE d.doc_id % 3 = 0
+                    AND d.doc_id NOT IN (SELECT n FROM lbl))
+      SELECT doc_id, cluster_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'in' ELSE 'corpus' END AS role
+      FROM members ORDER BY doc_id"""
+    }) { (spark, dir) =>
+      import graft.ops.DedupOps
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 3 =!= 0)
+      val inc = docs.where(col("doc_id") % 3 === 0)
+      // materialized standing-corpus state (parquet scan after the
+      // first consumer in the process)
+      val oldr = SharedStages.corpusLabels(spark, dir)
+        .select(col("n").as("doc"), col("lbl").as("old_lbl"))
+      val newE = DedupOps.incrementalPairs(corpus, inc, "doc_id", "text")
+        .select(col("in_id"), col("ex_id"))
+      // contract: corpus endpoint → its old component label (or itself
+      // when unlabeled); the CC that follows runs on batch-bounded nodes
+      val contracted = newE
+        .join(oldr.select(col("doc").as("ex_id"), col("old_lbl")),
+          Seq("ex_id"), "left")
+        .select(col("in_id").as("a"),
+          coalesce(col("old_lbl"), col("ex_id")).as("b"))
+      val cc2 = DedupOps.connectedComponents(contracted)
+        .select(col("n").as("node"), col("lbl").as("new_lbl"))
+      // incoming members of merged components
+      val ccIn = cc2.where(col("node") % 3 === 0)
+        .select(col("node").as("doc_id"), col("new_lbl").as("cluster_id"))
+      // corpus side: a label node expands to its whole old component
+      // (which includes itself); an unlabeled corpus node stands alone
+      val exp = cc2.where(col("node") % 3 =!= 0)
+        .join(oldr, cc2("node") === oldr("old_lbl"), "left")
+        .select(coalesce(col("doc"), col("node")).as("doc_id"),
+          col("new_lbl").as("cluster_id"))
+      // incoming docs with no screening hit: singleton clusters
+      val inSolo = inc.select(col("doc_id"))
+        .join(ccIn.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      ccIn.unionAll(exp).unionAll(inSolo)
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("doc_id") % 3 === 0, "in").otherwise("corpus")
+            .as("role"))
+        .orderBy(col("doc_id"))
     }
   )
 }

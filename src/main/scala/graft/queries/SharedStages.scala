@@ -57,4 +57,30 @@ object SharedStages {
   def labels(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${base(spark, dir)}/labels")
       .select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
+
+  /** The STANDING-corpus variant (docs with doc_id % 3 ≠ 0 — the
+    * corpus side of the p122/p152/p162 ingest split): materialized
+    * pair graph + CC labels of the corpus as it stood BEFORE the
+    * incoming batch. This is the dedup state a production ingest path
+    * maintains incrementally (p162) instead of recomputing — at 100 TB
+    * the labels are a bucketed table updated per batch, and the
+    * fixpoint over the full corpus never reruns.
+    */
+  private def corpusBase(spark: SparkSession, dir: String): String =
+    done.computeIfAbsent(s"corpus:$dir", { _ =>
+      import graft.ops.DedupOps
+      val b = sinkDir(s"sharedc_${Integer.toHexString(dir.hashCode)}")
+      val corpus = Tables.loadSpread(spark, dir, "documents")
+        .where(col("doc_id") % 3 =!= 0)
+      DedupOps.simhashPairs(corpus, "doc_id", "text",
+          maxHamming = 3, maxBucket = 1000)
+        .write.mode("overwrite").parquet(s"$b/spairs")
+      DedupOps.connectedComponents(spark.read.parquet(s"$b/spairs"))
+        .write.mode("overwrite").parquet(s"$b/labels")
+      b
+    })
+
+  /** Standing-corpus CC labels as raw (n, lbl). */
+  def corpusLabels(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${corpusBase(spark, dir)}/labels")
 }

@@ -1485,4 +1485,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("srcA") == ((4L, 500000L, 0L, 500000L)))
     assert(got("srcB") == ((4L, 500000L, 0L, 500000L)))
   }
+
+  test("p161 surprisal: floor-log2 bits are exact on a planted skewed " +
+    "vocabulary") {
+    // corpus: 'a' ×7, 'b' ×1 → N=8; bits(a) = floor(log2(8 div 7)) = 0,
+    // bits(b) = floor(log2 8) = 3. doc2 = a a a b → mean 3000/4 = 750
+    val dir = docsFixture("p161fix", Seq(
+      (1L, "a a a a"), (2L, "a a a b")))
+    val got = SparkEntry.queries("p161_unigram_surprisal")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits"),
+          r.getAs[Long]("mean_millibits"))).toMap
+    assert(got(1L) == ((4L, 0L, 0L)))
+    assert(got(2L) == ((4L, 3L, 750L)))
+  }
+
+  test("p162 incremental CC: batch edges fold into standing labels via " +
+    "contraction — merges, unlabeled-corpus bridge, singletons") {
+    // corpus (id%3≠0): {1,2} share T1 (an old component), {4,5} share
+    // T2 (untouched), 7 is a pair-less corpus doc on T3. incoming
+    // (id%3=0): 3 duplicates T1 (joins component 1), 9 duplicates T3
+    // (forms {7,9} through the UNLABELED corpus endpoint), 0 and 6 are
+    // novel (singletons). Component {4,5} has no incoming doc and must
+    // be absent from the output.
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine ten"
+    val t3 = "red orange yellow green blue indigo violet amber"
+    val dir = docsFixture("p162fix", Seq(
+      (1L, t1), (2L, t1), (4L, t2), (5L, t2), (7L, t3),
+      (0L, "lonely first incoming document with private words"),
+      (3L, t1), (6L, "another unrelated incoming text entirely"),
+      (9L, t3)))
+    val got = SparkEntry.queries("p162_incremental_cc")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cluster_id"), r.getString(2))).toSet
+    assert(got == Set((0L, 0L, "in"), (1L, 1L, "corpus"),
+      (2L, 1L, "corpus"), (3L, 1L, "in"), (6L, 6L, "in"),
+      (7L, 7L, "corpus"), (9L, 7L, "in")))
+  }
 }
