@@ -19,6 +19,58 @@ object Pipeline14 {
   /** KMV sketch size (p155). SE ~ 1/sqrt(k-2) ~ 12.7% at k=64. */
   private val KmvK = 64
 
+  /** ONE oracle for both faces of incremental cluster maintenance —
+    * the batch fold (p162) and the stateful streaming fold (p163).
+    * Full-recompute CC over old-pairs ∪ new-edges; sharing the text
+    * makes the two entries' equivalence claims inseparable.
+    */
+  private val incrementalCcOracle: String = {
+    def bands(pred: String): String =
+      (0 until 4).map(q =>
+        s"SELECT doc_id, $q AS q, qk$q AS qk FROM sig WHERE $pred")
+        .mkString(" UNION ALL ")
+    s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      cb AS (${bands("doc_id % 3 <> 0")}),
+      ib AS (${bands("doc_id % 3 = 0")}),
+      oldcap AS (SELECT * FROM cb
+                 QUALIFY COUNT(*) OVER (PARTITION BY q, qk)
+                   BETWEEN 2 AND 1000),
+      old_pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM oldcap x JOIN oldcap y
+                      ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id
+                    JOIN sig sa ON sa.doc_id = x.doc_id
+                    JOIN sig sb ON sb.doc_id = y.doc_id
+                    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+      exb AS (SELECT * FROM cb
+              QUALIFY COUNT(*) OVER (PARTITION BY q, qk) <= 1000),
+      new_pairs AS (SELECT DISTINCT i.doc_id AS a, e.doc_id AS b
+                    FROM ib i JOIN exb e ON i.q = e.q AND i.qk = e.qk
+                    JOIN sig si ON si.doc_id = i.doc_id
+                    JOIN sig se ON se.doc_id = e.doc_id
+                    WHERE bit_count(xor(si.simhash, se.simhash)) <= 3),
+      edges AS (SELECT a, b FROM old_pairs
+                UNION SELECT a, b FROM new_pairs),
+      esym AS (SELECT a AS u, b AS v FROM edges
+               UNION SELECT b, a FROM edges),
+      walk(u, v) AS (SELECT u, v FROM esym
+                     UNION
+                     SELECT wk.u, e.v FROM walk wk
+                     JOIN esym e ON wk.v = e.u),
+      lbl AS (SELECT u AS n, least(u, min(v)) AS cluster_id
+              FROM walk GROUP BY u),
+      aff AS (SELECT DISTINCT cluster_id FROM lbl WHERE n % 3 = 0),
+      members AS (SELECT n AS doc_id, cluster_id FROM lbl
+                  WHERE cluster_id IN (SELECT cluster_id FROM aff)
+                  UNION ALL
+                  SELECT d.doc_id, d.doc_id FROM documents d
+                  WHERE d.doc_id % 3 = 0
+                    AND d.doc_id NOT IN (SELECT n FROM lbl))
+      SELECT doc_id, cluster_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'in' ELSE 'corpus' END AS role
+      FROM members ORDER BY doc_id"""
+  }
+
   /** h60 hash-space size: hashes are uniform in [0, 2^60). */
   private val HashSpace = 1L << 60
 
@@ -645,52 +697,7 @@ object Pipeline14 {
     // runs on O(|batch|) nodes; the remap join fans out only into the
     // touched components. The corpus×corpus term exists only in the
     // oracle.
-    Q("p162_incremental_cc", Some {
-      def bands(pred: String): String =
-        (0 until 4).map(q =>
-          s"SELECT doc_id, $q AS q, qk$q AS qk FROM sig WHERE $pred")
-          .mkString(" UNION ALL ")
-      s"""
-      WITH RECURSIVE ${Pipeline.simhash64Cte},
-      cb AS (${bands("doc_id % 3 <> 0")}),
-      ib AS (${bands("doc_id % 3 = 0")}),
-      oldcap AS (SELECT * FROM cb
-                 QUALIFY COUNT(*) OVER (PARTITION BY q, qk)
-                   BETWEEN 2 AND 1000),
-      old_pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                    FROM oldcap x JOIN oldcap y
-                      ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id
-                    JOIN sig sa ON sa.doc_id = x.doc_id
-                    JOIN sig sb ON sb.doc_id = y.doc_id
-                    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
-      exb AS (SELECT * FROM cb
-              QUALIFY COUNT(*) OVER (PARTITION BY q, qk) <= 1000),
-      new_pairs AS (SELECT DISTINCT i.doc_id AS a, e.doc_id AS b
-                    FROM ib i JOIN exb e ON i.q = e.q AND i.qk = e.qk
-                    JOIN sig si ON si.doc_id = i.doc_id
-                    JOIN sig se ON se.doc_id = e.doc_id
-                    WHERE bit_count(xor(si.simhash, se.simhash)) <= 3),
-      edges AS (SELECT a, b FROM old_pairs
-                UNION SELECT a, b FROM new_pairs),
-      esym AS (SELECT a AS u, b AS v FROM edges
-               UNION SELECT b, a FROM edges),
-      walk(u, v) AS (SELECT u, v FROM esym
-                     UNION
-                     SELECT wk.u, e.v FROM walk wk
-                     JOIN esym e ON wk.v = e.u),
-      lbl AS (SELECT u AS n, least(u, min(v)) AS cluster_id
-              FROM walk GROUP BY u),
-      aff AS (SELECT DISTINCT cluster_id FROM lbl WHERE n % 3 = 0),
-      members AS (SELECT n AS doc_id, cluster_id FROM lbl
-                  WHERE cluster_id IN (SELECT cluster_id FROM aff)
-                  UNION ALL
-                  SELECT d.doc_id, d.doc_id FROM documents d
-                  WHERE d.doc_id % 3 = 0
-                    AND d.doc_id NOT IN (SELECT n FROM lbl))
-      SELECT doc_id, cluster_id,
-             CASE WHEN doc_id % 3 = 0 THEN 'in' ELSE 'corpus' END AS role
-      FROM members ORDER BY doc_id"""
-    }) { (spark, dir) =>
+    Q("p162_incremental_cc", Some(incrementalCcOracle)) { (spark, dir) =>
       import graft.ops.DedupOps
       val docs = Tables.loadSpread(spark, dir, "documents")
       val corpus = docs.where(col("doc_id") % 3 =!= 0)
@@ -728,6 +735,24 @@ object Pipeline14 {
           when(col("doc_id") % 3 === 0, "in").otherwise("corpus")
             .as("role"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- STREAMING incremental CC maintenance ------------------------------
+    // p162's fold deployed as a stateful stream: incoming docs arrive
+    // over SEVERAL micro-batches (pre-split source, maxFilesPerTrigger
+    // = 1) and foreachBatch folds each batch's screening edges into
+    // versioned remap/inassign state tables — the production shape of
+    // "keep the corpus dedup clustering current as data lands". The
+    // oracle is the SAME SQL text as p162 (full recompute over the
+    // union graph), so the hash match proves the per-batch folds
+    // COMPOSE: state after N batches ≡ one-shot CC, independent of the
+    // batch split — min-label contraction is associative.
+    Q("p163_stream_incremental_cc", Some(incrementalCcOracle)) {
+      (spark, dir) =>
+        val root = sinkDir(s"p163_${Integer.toHexString(dir.hashCode)}") +
+          s"/${System.nanoTime()}"
+        graft.streaming.StreamingOps.incrementalCcIngest(spark, dir, root)
+          .orderBy(col("doc_id"))
     }
   )
 }

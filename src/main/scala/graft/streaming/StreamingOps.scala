@@ -610,6 +610,128 @@ object StreamingOps {
     q.awaitTermination()
     spark.read.parquet(resultRoot)
   }
+
+  /** STREAMING incremental connected-component maintenance — the
+    * stateful continuation of the p162 batch fold. The incoming docs
+    * arrive as a multi-file stream (pre-split so AvailableNow really
+    * delivers several micro-batches); each `foreachBatch` folds the
+    * batch's screening edges into two versioned state tables:
+    *
+    *   remap(key, cur)     — touched standing-corpus component keys
+    *                         (original label, or the corpus doc id
+    *                         itself when pair-less) → current cluster
+    *   inassign(in_id, cur) — incoming docs assigned so far
+    *
+    * Fold = label contraction exactly as p162: edges map their corpus
+    * endpoint through (original label ∘ remap), CC runs on the
+    * BATCH-bounded contracted graph, and both state tables relabel
+    * through the resulting (node → new-min) mapping. Because every
+    * merge takes the min over current cluster ids — themselves min doc
+    * ids of their components — the final state equals one-shot CC over
+    * the union of all edges REGARDLESS of how the stream was batched
+    * or ordered, which is what the shared p162 oracle (full recompute)
+    * verifies.
+    *
+    * State is written as a new versioned dir per batch and the pointer
+    * flips after the write (the UpsertTarget discipline): a crash
+    * mid-batch leaves the previous state readable. Scale: per batch
+    * the probe join is |batch|×bucket-width, the CC fixpoint is over
+    * batch-bounded nodes, and the state tables are touched-component
+    * sized — the standing-corpus fixpoint NEVER reruns.
+    */
+  def incrementalCcIngest(spark: SparkSession, dir: String,
+                          workRoot: String): DataFrame = {
+    import graft.ops.DedupOps
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val docs = graft.queries.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val inc = docs.filter(col("doc_id") % 3 === 0)
+    // pre-split the incoming batch into 3 files so the stream really
+    // exercises cross-batch state composition
+    val srcDir = s"$workRoot/incoming"
+    inc.repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val oldLbl = graft.queries.SharedStages.corpusLabels(s, dir)
+      .select(col("n").as("ex_id"), col("lbl").as("orig"))
+      .localCheckpoint()
+    val emptyState = {
+      import s.implicits._
+      (Seq.empty[(Long, Long)].toDF("key", "cur"),
+        Seq.empty[(Long, Long)].toDF("in_id", "cur"))
+    }
+    @volatile var version = -1L
+    def state(): (DataFrame, DataFrame) =
+      if (version < 0) emptyState
+      else (s.read.parquet(s"$workRoot/state_v$version/remap"),
+        s.read.parquet(s"$workRoot/state_v$version/inassign"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (remap, inassign) = state()
+        val edges = DedupOps.incrementalPairs(corpus, batch,
+            "doc_id", "text", maxHamming = 3, maxBucket = 1000)
+          .select(col("in_id"), col("ex_id"))
+        // corpus endpoint → original label → current cluster id
+        val keyed = edges.join(oldLbl, Seq("ex_id"), "left")
+          .select(col("in_id"),
+            coalesce(col("orig"), col("ex_id")).as("key"))
+        val touched = keyed
+          .join(remap.withColumnRenamed("cur", "rcur"), Seq("key"), "left")
+          .select(col("in_id"), col("key"),
+            coalesce(col("rcur"), col("key")).as("cur"))
+        val cc = DedupOps.connectedComponents(
+            touched.select(col("in_id").as("a"), col("cur").as("b")))
+          .select(col("n").as("node"), col("lbl").as("new_lbl"))
+          .localCheckpoint()
+        // both state tables relabel through (node → new_lbl); rows in
+        // no merged component keep their current id
+        def relabel(df: DataFrame, idCol: String): DataFrame =
+          df.join(cc, df("cur") === cc("node"), "left")
+            .select(col(idCol), coalesce(col("new_lbl"), col("cur"))
+              .as("cur"))
+        val remapNext = relabel(
+          remap.unionByName(touched.select(col("key"), col("cur"))
+            .dropDuplicates("key")
+            .join(remap.select(col("key")), Seq("key"), "left_anti")),
+          "key")
+        val inNext = relabel(
+          inassign.unionByName(touched.select(col("in_id"),
+              col("cur")).dropDuplicates("in_id")
+            .join(inassign.select(col("in_id")), Seq("in_id"),
+              "left_anti")),
+          "in_id")
+        val v = version + 1
+        remapNext.write.mode("overwrite")
+          .parquet(s"$workRoot/state_v$v/remap")
+        inNext.write.mode("overwrite")
+          .parquet(s"$workRoot/state_v$v/inassign")
+        version = v // pointer flips only after both writes committed
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // assemble the p162-shaped output from the final state
+    val (remapF, inassignF) = state()
+    val exp = remapF
+      .join(oldLbl.select(col("orig").as("key"), col("ex_id").as("member")),
+        Seq("key"), "left")
+      .select(coalesce(col("member"), col("key")).as("doc_id"),
+        col("cur").as("cluster_id"))
+    val ccIn = inassignF
+      .select(col("in_id").as("doc_id"), col("cur").as("cluster_id"))
+    val inSolo = inc.select(col("doc_id"))
+      .join(ccIn.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    ccIn.unionAll(exp).unionAll(inSolo)
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("doc_id") % 3 === 0, "in").otherwise("corpus").as("role"))
+  }
 }
 
 /** Versioned parquet key-value target for the foreachBatch MERGE

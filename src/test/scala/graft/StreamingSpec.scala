@@ -688,4 +688,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
   }
+
+  test("p163 streaming CC fold: merges that SPAN micro-batches compose " +
+    "through the remap state (batch N relabels batch N-1's cluster)") {
+    import spark.implicits._
+    // corpus {1,2} share T1; incoming 3 AND 12 both duplicate T1 but
+    // the range split puts them in different micro-batches, so batch 2
+    // must route 12 through the remap entry batch 1 wrote for key 1.
+    // Incoming 0/6/9 are novel singletons.
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = s"${sys.props("java.io.tmpdir")}/p163fix_${queries.runToken}"
+    Seq(
+      (1L, t1), (2L, t1),
+      (0L, "first novel incoming text with private words"),
+      (3L, t1), (6L, "second novel unrelated incoming text"),
+      (9L, "third novel text nothing shared here"), (12L, t1)
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val root = dir + "/work"
+    val got = graft.streaming.StreamingOps
+      .incrementalCcIngest(spark, dir, root)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cluster_id"), r.getString(2))).toSet
+    assert(got == Set((0L, 0L, "in"), (1L, 1L, "corpus"),
+      (2L, 1L, "corpus"), (3L, 1L, "in"), (6L, 6L, "in"),
+      (9L, 9L, "in"), (12L, 1L, "in")))
+    // the pre-split source really produced multiple micro-batches:
+    // the versioned state advanced past v0
+    val versions = new java.io.File(root).list()
+      .count(_.startsWith("state_v"))
+    assert(versions >= 2, s"expected multi-batch fold, got $versions")
+  }
 }
