@@ -584,6 +584,64 @@ object MultimodalQ {
           when(col("timescale") === -1L, -1L)
             .otherwise(expr("duration * 1000 div timescale")))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- REAL ustar (WebDataset-style) shard build + salvage walk ----------
+    // Multimodal training shards ship as tar archives of
+    // (sample, metadata) member pairs; the loader's first pass over a
+    // 100 TB shard store is exactly this header walk. Per doc a
+    // 2-member POSIX ustar archive is BUILT in-query (doc_<id>.txt
+    // with the text payload, meta/<id>.json with a tiny JSON) by the
+    // graft.functions.Tar kernel — real NUL-padded names, octal
+    // sizes, byte-sum checksums, 512-byte blocking, 1024-zero
+    // trailer — and then SALVAGE-walked: members are consumed while
+    // headers verify, and the first malformed header keeps the valid
+    // prefix (the mid-crawl-truncation posture, never all-or-nothing).
+    // doc_id % 13 = 5 archives are cut 256 bytes into the second
+    // header; doc_id % 17 = 3 archives carry a bit-rotted checksum in
+    // the second member — both must salvage exactly member 1. The
+    // oracle never parses bytes: it recomputes every field from the
+    // 512-block algebra (header + ceil(size/512) blocks + trailer),
+    // so the hash match proves the kernel's walk agrees with the
+    // format arithmetic.
+    Q("p164_tar_shard_walk", Some("""
+      WITH p AS (SELECT doc_id,
+                        CAST(length(text) AS BIGINT) AS s1,
+                        CAST(7 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+                          AS s2,
+                        CASE WHEN doc_id % 13 = 5 THEN 1
+                             WHEN doc_id % 17 = 3 THEN 2 ELSE 0 END AS mode
+                 FROM documents),
+      b AS (SELECT doc_id, s1, s2, mode,
+                   512 + ((s1 + 511) // 512) * 512 AS bl1,
+                   512 + ((s2 + 511) // 512) * 512 AS bl2
+            FROM p)
+      SELECT doc_id,
+             CAST(CASE WHEN mode = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_members,
+             CAST(CASE WHEN mode = 0 THEN s1 + s2 ELSE s1 END AS BIGINT)
+               AS payload_bytes,
+             CAST(CASE WHEN mode = 1 THEN bl1 + 256
+                  ELSE bl1 + bl2 + 1024 END AS BIGINT) AS archive_bytes,
+             CAST(CASE WHEN mode = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS trailer_ok
+      FROM b ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.Tar
+      val mode = when(col("doc_id") % 13 === 5, 1)
+        .when(col("doc_id") % 17 === 3, 2).otherwise(0)
+      val blob = Tar.build(
+        concat(lit("doc_"), col("doc_id").cast("string"), lit(".txt")),
+        col("text"),
+        concat(lit("meta/"), col("doc_id").cast("string"), lit(".json")),
+        concat(lit("{\"id\":"), col("doc_id").cast("string"), lit("}")),
+        mode)
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), Tar.walk(blob).as("w"))
+        .select(col("doc_id"), col("w.n_members").as("n_members"),
+          col("w.payload_bytes").as("payload_bytes"),
+          col("w.archive_bytes").as("archive_bytes"),
+          col("w.trailer_ok").as("trailer_ok"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -708,4 +708,45 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map("%02x".format(_)).mkString)
     assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(2))
   }
+
+  test("tar kernel (p164): build/walk round trip, salvage on truncation " +
+    "and bit-rot, lying sizes, record padding, member bomb") {
+    import graft.functions.Tar
+    def walk(b: Array[Byte]): (Long, Long, Long, Long) = {
+      val r = Tar.walkData(b)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val p1 = ("alpha " * 20).trim.getBytes // 119 bytes → 1 block
+    val p2 = """{"id":7}""".getBytes // 8 bytes → 1 block
+    val good = Tar.buildBytes("doc_7.txt", p1, "meta/7.json", p2, 0)
+    assert(good.length == 1024 + 1024 + 1024)
+    assert(walk(good) == ((2L, 127L, 3072L, 1L)))
+    // mid-crawl truncation 256 bytes into the second header: salvage
+    // member 1, no trailer
+    val cut = Tar.buildBytes("doc_7.txt", p1, "meta/7.json", p2, 1)
+    assert(walk(cut) == ((1L, 119L, 1280L, 0L)))
+    // bit-rotted checksum in member 2: salvage member 1, stop
+    val rot = Tar.buildBytes("doc_7.txt", p1, "meta/7.json", p2, 2)
+    assert(walk(rot) == ((1L, 119L, 3072L, 0L)))
+    // lying size field (points past the archive): member rejected
+    val lie = good.clone()
+    lie(124) = '7' // size 119 = octal 167 → 7…167, way out of bounds
+    assert(walk(lie)._1 == 0L)
+    // record padding after the trailer (GNU/python tars pad to 10240)
+    // is a well-formed close
+    val padded = java.util.Arrays.copyOf(good, 10240)
+    assert(walk(padded) == ((2L, 127L, 10240L, 1L)))
+    // zero-member archive: just a trailer
+    assert(walk(new Array[Byte](1024)) == ((0L, 0L, 1024L, 1L)))
+    // garbage never throws, salvages nothing
+    val junk = Array.fill[Byte](2048)(0x41)
+    assert(walk(junk) == ((0L, 0L, 2048L, 0L)))
+    // member bomb: > 64 tiny members stop at the cap
+    val many = (0 until 80).map(i =>
+        Tar.buildBytes(s"a$i", Array[Byte](1), s"b$i", Array[Byte](2), 0)
+          .dropRight(1024)) // strip per-archive trailers
+      .reduce(_ ++ _) ++ new Array[Byte](1024)
+    val bomb = walk(many)
+    assert(bomb._1 == 64L && bomb._4 == 0L)
+  }
 }
