@@ -753,6 +753,94 @@ object Pipeline14 {
           s"/${System.nanoTime()}"
         graft.streaming.StreamingOps.incrementalCcIngest(spark, dir, root)
           .orderBy(col("doc_id"))
+    },
+
+    // ---- greedy max-coverage corpus selection ------------------------------
+    // Submodular data selection (facility location / max-coverage):
+    // pick k = 5 documents greedily maximizing NEWLY covered distinct
+    // 5-grams — the classic (1 − 1/e)-approximate core-set builder a
+    // curation pipeline runs to seed a diverse subset. Ties break
+    // toward the smaller doc_id. Per pick: rank, the marginal gain,
+    // and the cumulative coverage in exact ppm of the corpus gram
+    // universe.
+    //
+    // Scale shape: greedy is inherently k sequential rounds; each
+    // round is ONE anti-join against the covered-gram table (Heaps-
+    // bounded, checkpointed) + one map-side-combined per-doc count,
+    // and the driver reads exactly ONE row (the argmax) — the p99 BPE
+    // bounded-driver-read pattern, k=5 rows total. The oracle unrolls
+    // the SAME five rounds as materialized CTEs (the p116 discipline:
+    // the trajectory is checked, not just the final set).
+    Q("p165_greedy_coverage", Some {
+      val k = 5
+      val rounds = (1 to k).map { i =>
+        s"""r$i AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+             FROM g WHERE doc_id NOT IN (SELECT doc_id FROM picked${i - 1})
+               AND gm NOT IN (SELECT gm FROM cov${i - 1})
+             GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+           cov$i AS (SELECT gm FROM cov${i - 1}
+                     UNION SELECT g.gm FROM g JOIN r$i USING (doc_id)),
+           picked$i AS (SELECT doc_id FROM picked${i - 1}
+                        UNION SELECT doc_id FROM r$i),
+           sel$i AS (SELECT $i AS rk, doc_id, gain FROM r$i)"""
+      }.mkString(",\n      ")
+      val union = (1 to k).map(i => s"SELECT * FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH w AS (SELECT doc_id, ${TextSql.shingles(TextSql.ws, 5)} AS sh
+                 FROM documents),
+      g AS (SELECT DISTINCT doc_id, unnest(sh) AS gm FROM w),
+      tot AS (SELECT CAST(COUNT(DISTINCT gm) AS BIGINT) AS t FROM g),
+      cov0 AS (SELECT gm FROM g WHERE false),
+      picked0 AS (SELECT doc_id FROM g WHERE false),
+      $rounds,
+      sel AS ($union)
+      SELECT CAST(rk AS BIGINT) AS rk, doc_id, gain,
+             CAST(SUM(gain) OVER (ORDER BY rk) AS BIGINT) AS cum_covered,
+             CAST(SUM(gain) OVER (ORDER BY rk) * 1000000 // t AS BIGINT)
+               AS cum_ppm
+      FROM sel CROSS JOIN tot ORDER BY rk"""
+    }) { (spark, dir) =>
+      val g = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), 5)).as("gm"))
+        .distinct().localCheckpoint()
+      // bounded driver reads: the gram-universe size (1 row) and one
+      // argmax row per greedy round — k + 1 single-row actions total
+      val tot = g.agg(countDistinct(col("gm"))).first().getLong(0)
+      var covered = g.select(col("gm")).where(lit(false))
+      var picked = Set.empty[Long]
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var cum = 0L
+      var rk = 1
+      var exhausted = false
+      while (rk <= 5 && !exhausted) {
+        val win = g.where(!col("doc_id").isInCollection(picked))
+          .join(covered, Seq("gm"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id"))
+          .limit(1).collect()
+        // every candidate at gain 0 → the universe is covered; the
+        // oracle's round-i CTE is empty too, so both sides stop short
+        if (win.isEmpty) exhausted = true
+        else {
+          val (id, gain) = (win(0).getLong(0), win(0).getLong(1))
+          picked += id
+          cum += gain
+          sel += ((rk.toLong, id, gain))
+          covered = covered
+            .unionAll(g.where(col("doc_id") === id).select(col("gm")))
+            .distinct().localCheckpoint()
+          rk += 1
+        }
+      }
+      import spark.implicits._
+      var acc = 0L
+      sel.toSeq.map { case (rk, id, gain) =>
+        acc += gain
+        (rk, id, gain, acc, acc * 1000000L / tot)
+      }.toDF("rk", "doc_id", "gain", "cum_covered", "cum_ppm")
+        .orderBy(col("rk"))
     }
   )
 }

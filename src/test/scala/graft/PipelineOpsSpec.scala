@@ -1523,4 +1523,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 1L, "corpus"), (3L, 1L, "in"), (6L, 6L, "in"),
       (7L, 7L, "corpus"), (9L, 7L, "in")))
   }
+
+  test("p165 greedy coverage: marginal gain (not raw size) drives picks — " +
+    "an exact duplicate of the first pick is never selected") {
+    // A and B are identical 20-gram docs; C..F are disjoint and
+    // shrinking. Raw-coverage top-5 would take B second (20 grams);
+    // greedy must skip it forever (marginal gain 0) and walk C, D, E, F
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val dir = docsFixture("p165fix", Seq(
+      (10L, toks("a", 24)), (11L, toks("a", 24)), // 20 grams, B = dup
+      (12L, toks("c", 9)), // 5 grams
+      (13L, toks("d", 7)), // 3
+      (14L, toks("e", 6)), // 2
+      (15L, toks("f", 5)))) // 1
+    val got = SparkEntry.queries("p165_greedy_coverage")(spark, dir)
+      .collect().map(r => r.getAs[Long]("rk") ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("gain"),
+          r.getAs[Long]("cum_covered"), r.getAs[Long]("cum_ppm"))).toMap
+    assert(got(1L) == ((10L, 20L, 20L, 645161L)))
+    assert(got(2L) == ((12L, 5L, 25L, 806451L)))
+    assert(got(3L) == ((13L, 3L, 28L, 903225L)))
+    assert(got(4L) == ((14L, 2L, 30L, 967741L)))
+    assert(got(5L) == ((15L, 1L, 31L, 1000000L)))
+    assert(!got.values.exists(_._1 == 11L))
+  }
 }
