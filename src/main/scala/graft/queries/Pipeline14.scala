@@ -841,6 +841,190 @@ object Pipeline14 {
         (rk, id, gain, acc, acc * 1000000L / tot)
       }.toDF("rk", "doc_id", "gain", "cum_covered", "cum_ppm")
         .orderBy(col("rk"))
+    },
+
+    // ---- bitmap-index set intersection -------------------------------------
+    // The warehouse bitmap-join: per event type, the active (user, day)
+    // universe packed into 60-bit words (idx = user·512 + dayofyear;
+    // 60 not 64 because DuckDB raises on 1::BIGINT << 63, the simhash
+    // lesson) via a map-side bit_or aggregate; pairwise intersection /
+    // union cardinalities then cost ONE word-keyed join + bit_count —
+    // a 60× compression of the row-level join. The row-level counts
+    // are computed in the SAME query and emitted next to the bitmap
+    // counts: the output carries its own exactness proof (agree = 1),
+    // and the oracle hash-pins both paths.
+    //
+    // Scale shape: bitmap tables are |universe|/60 words per type,
+    // bit_or collapses map-side, the pair joins co-partition on the
+    // word key. The row-level path exists only as the in-query proof.
+    Q("p166_bitmap_index", Some("""
+      WITH d AS (SELECT DISTINCT event_type,
+                        user_id * 512 + dayofyear(CAST(date_trunc('day', ts)
+                          AS DATE)) AS idx
+                 FROM events),
+      b AS (SELECT event_type, idx // 60 AS w,
+                   CAST(bit_or(1::BIGINT << CAST(idx % 60 AS INT))
+                     AS BIGINT) AS bm
+            FROM d GROUP BY 1, 2),
+      nb AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_words,
+                    CAST(SUM(bit_count(bm)) AS BIGINT) AS total_bits
+             FROM b GROUP BY 1),
+      pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+                FROM nb a, nb b WHERE a.event_type < b.event_type),
+      -- union over an INNER word join misses words present on one side
+      -- only: add back each side's unmatched bits from the per-type
+      -- bitmap totals (all quantities bitmap-derived)
+      bi AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+                    CAST(SUM(bit_count(x.bm & y.bm)) AS BIGINT) AS n_int,
+                    CAST(SUM(bit_count(x.bm | y.bm)) AS BIGINT) AS u_m,
+                    CAST(SUM(bit_count(x.bm)) AS BIGINT) AS m_a,
+                    CAST(SUM(bit_count(y.bm)) AS BIGINT) AS m_b
+             FROM b x JOIN b y ON x.w = y.w
+               AND x.event_type < y.event_type
+             GROUP BY 1, 2),
+      ri AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                    CAST(COUNT(*) AS BIGINT) AS n_int_rows
+             FROM d a JOIN d b USING (idx)
+             WHERE a.event_type < b.event_type GROUP BY 1, 2),
+      rn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+             FROM d GROUP BY 1)
+      SELECT p.type_a, p.type_b,
+             na.n_words AS n_words_a, nbb.n_words AS n_words_b,
+             coalesce(bi.n_int, 0) AS int_bitmap,
+             coalesce(ri.n_int_rows, 0) AS int_rows,
+             coalesce(bi.u_m, 0) + (na.total_bits - coalesce(bi.m_a, 0))
+               + (nbb.total_bits - coalesce(bi.m_b, 0)) AS union_bitmap,
+             ra.n + rb.n - coalesce(ri.n_int_rows, 0) AS union_rows,
+             CAST(CASE WHEN coalesce(bi.n_int, 0)
+                         = coalesce(ri.n_int_rows, 0)
+                   AND coalesce(bi.u_m, 0)
+                         + (na.total_bits - coalesce(bi.m_a, 0))
+                         + (nbb.total_bits - coalesce(bi.m_b, 0))
+                         = ra.n + rb.n - coalesce(ri.n_int_rows, 0)
+                  THEN 1 ELSE 0 END AS BIGINT) AS agree
+      FROM pairs p
+      JOIN nb na ON na.event_type = p.type_a
+      JOIN nb nbb ON nbb.event_type = p.type_b
+      JOIN rn ra ON ra.event_type = p.type_a
+      JOIN rn rb ON rb.event_type = p.type_b
+      LEFT JOIN bi ON bi.type_a = p.type_a AND bi.type_b = p.type_b
+      LEFT JOIN ri ON ri.type_a = p.type_a AND ri.type_b = p.type_b
+      ORDER BY 1, 2""")) { (spark, dir) =>
+      val d = Tables.load(spark, dir, "events")
+        .select(col("event_type"),
+          (col("user_id") * 512
+            + dayofyear(date_trunc("DAY", col("ts")).cast("date")))
+            .as("idx"))
+        .distinct()
+        .localCheckpoint()
+      val b = d.groupBy(col("event_type"), expr("idx div 60").as("w"))
+        .agg(expr("CAST(bit_or(shiftleft(1L, CAST(idx % 60 AS INT))) " +
+          "AS BIGINT)").as("bm"))
+      val nb = b.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(expr("bit_count(bm)")).as("total_bits"))
+      val rn = d.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val pairs = nb.select(col("event_type").as("type_a"),
+          col("n_words").as("n_words_a"), col("total_bits").as("tba"))
+        .crossJoin(nb.select(col("event_type").as("type_b"),
+          col("n_words").as("n_words_b"), col("total_bits").as("tbb")))
+        .where(col("type_a") < col("type_b"))
+      val bi = b.select(col("event_type").as("type_a"), col("w"),
+          col("bm").as("bma"))
+        .join(b.select(col("event_type").as("type_b"), col("w"),
+          col("bm").as("bmb")), "w")
+        .where(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(sum(expr("bit_count(bma & bmb)")).as("n_int"),
+          sum(expr("bit_count(bma | bmb)")).as("u_m"),
+          sum(expr("bit_count(bma)")).as("m_a"),
+          sum(expr("bit_count(bmb)")).as("m_b"))
+      val ri = d.select(col("event_type").as("type_a"), col("idx"))
+        .join(d.select(col("event_type").as("type_b"), col("idx")), "idx")
+        .where(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_int_rows"))
+      pairs
+        .join(broadcast(rn.select(col("event_type").as("type_a"),
+          col("n").as("na"))), "type_a")
+        .join(broadcast(rn.select(col("event_type").as("type_b"),
+          col("n").as("nb"))), "type_b")
+        .join(broadcast(bi), Seq("type_a", "type_b"), "left")
+        .join(broadcast(ri), Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"), col("n_words_a"),
+          col("n_words_b"),
+          coalesce(col("n_int"), lit(0L)).as("int_bitmap"),
+          coalesce(col("n_int_rows"), lit(0L)).as("int_rows"),
+          (coalesce(col("u_m"), lit(0L))
+            + (col("tba") - coalesce(col("m_a"), lit(0L)))
+            + (col("tbb") - coalesce(col("m_b"), lit(0L))))
+            .as("union_bitmap"),
+          (col("na") + col("nb") - coalesce(col("n_int_rows"), lit(0L)))
+            .as("union_rows"))
+        .withColumn("agree",
+          when(col("int_bitmap") === col("int_rows")
+            && col("union_bitmap") === col("union_rows"), 1L)
+            .otherwise(0L))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // ---- fuzzy join via deletion-neighborhood blocking ---------------------
+    // The entity-resolution primitive: names within Levenshtein
+    // distance 1 found WITHOUT an all-pairs scan. Every name emits its
+    // len+1 deletion variants (drop each position, plus the name
+    // itself); any two names at distance ≤ 1 — substitution, insert,
+    // or delete — provably share a key, so the candidate set is the
+    // union of per-key buckets, verified by an exact levenshtein only
+    // on candidates (both engines run the same textbook DP, so the
+    // distances hash-match). Per customer: how many distance-≤1
+    // neighbors exist — the merge-candidate census a dedup queue
+    // consumes.
+    //
+    // Scale shape: keys per name = O(len); bucket widths are
+    // data-bounded (a key matches only names one edit from a fixed
+    // string); the verify step touches candidates, never the n²
+    // pairs. The classic blocking-join deployment.
+    Q("p167_fuzzy_join", Some("""
+      WITH n AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+      k AS (SELECT id, s, unnest(list_append(
+                   [substr(s, 1, i - 1) || substr(s, i + 1, length(s))
+                    for i in generate_series(1, length(s))], s)) AS key
+            FROM n),
+      cand AS (SELECT DISTINCT a.id AS ida, a.s AS sa,
+                      b.id AS idb, b.s AS sb
+               FROM k a JOIN k b ON a.key = b.key AND a.id < b.id),
+      hits AS (SELECT ida, idb FROM cand WHERE levenshtein(sa, sb) <= 1),
+      sym AS (SELECT ida AS id, idb AS nb FROM hits
+              UNION ALL SELECT idb, ida FROM hits)
+      SELECT n.id AS c_custkey,
+             CAST(coalesce(c.n_nb, 0) AS BIGINT) AS n_neighbors
+      FROM n LEFT JOIN (SELECT id, COUNT(*) AS n_nb FROM sym GROUP BY 1) c
+        ON c.id = n.id
+      ORDER BY 1""")) { (spark, dir) =>
+      val n = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("s"))
+      val k = n.select(col("id"), col("s"),
+        explode(expr("""concat(
+            transform(sequence(1, length(s)),
+              i -> concat(substring(s, 1, i - 1),
+                          substring(s, i + 1, length(s)))),
+            array(s))""")).as("key"))
+      val cand = k.select(col("id").as("ida"), col("s").as("sa"),
+          col("key"))
+        .join(k.select(col("id").as("idb"), col("s").as("sb"),
+          col("key")), "key")
+        .where(col("ida") < col("idb"))
+        .select(col("ida"), col("sa"), col("idb"), col("sb"))
+        .distinct()
+      val hits = cand.where(levenshtein(col("sa"), col("sb")) <= 1)
+        .select(col("ida"), col("idb"))
+      val sym = hits.select(col("ida").as("id"))
+        .unionAll(hits.select(col("idb").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_nb"))
+      n.select(col("id")).join(sym, Seq("id"), "left")
+        .select(col("id").as("c_custkey"),
+          coalesce(col("n_nb"), lit(0L)).as("n_neighbors"))
+        .orderBy(col("c_custkey"))
     }
   )
 }

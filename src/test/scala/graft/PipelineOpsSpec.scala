@@ -1547,4 +1547,43 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == ((15L, 1L, 31L, 1000000L)))
     assert(!got.values.exists(_._1 == 11L))
   }
+
+  test("p166 bitmap index: packed-word set algebra is exact on planted " +
+    "overlapping universes, including one-side-only words") {
+    import spark.implicits._
+    // type x: users 0..9; type y: users 5..14 (same day) → |∩| = 5,
+    // |∪| = 15. Users land ~8 words apart (idx = u·512 + doy), so
+    // most words exist on ONE side only — the case the union formula
+    // must not drop.
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val rows = (0L until 10L).map(u => (u, ts, u, "x")) ++
+      (5L until 15L).map(u => (100L + u, ts, u, "y"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p166fix_${queries.runToken}"
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    queries.cleanupAtExit(dir)
+    val r = SparkEntry.queries("p166_bitmap_index")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("int_bitmap") == 5L)
+    assert(row.getAs[Long]("union_bitmap") == 15L)
+    assert(row.getAs[Long]("agree") == 1L)
+  }
+
+  test("p167 fuzzy join: deletion-neighborhood blocking finds exactly the " +
+    "distance-≤1 pairs (substitution, insert/delete, exact dup)") {
+    import spark.implicits._
+    // abcd~abed (sub), abcd~abc (delete), abcd~abcd (dup, dist 0),
+    // abed~abcd(5) (sub), abc~abcd(5) (insert); xyz is isolated
+    val rows = Seq((1L, "abcd"), (2L, "abed"), (3L, "abc"),
+      (4L, "xyz"), (5L, "abcd"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p167fix_${queries.runToken}"
+    rows.toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p167_fuzzy_join")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_neighbors"))
+      .toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 0L, 5L -> 3L))
+  }
 }
