@@ -422,28 +422,42 @@ object DedupOps {
     * verdict is built from: (in_id, ex_id, hamming), any-surviving-band
     * deduped, corpus-side buckets capped at `maxBucket`.
     */
-  def incrementalPairs(existing: DataFrame, incoming: DataFrame,
-                       id: String, text: String,
-                       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    def bands(sh: DataFrame, side: String): DataFrame = {
-      val blockArr = array((0 until 4).map(q =>
-        struct(lit(q).as("q"), element_at(col("qks"), q + 1).as("qk"))): _*)
-      sh.select(col(id).as(s"${side}_id"), col("simhash").as(s"${side}_sh"),
-          explode(blockArr).as("blk"))
-        .select(col(s"${side}_id"), col(s"${side}_sh"),
-          col("blk.q").as("q"), col("blk.qk").as("qk"))
-    }
-    val ex = bands(simhash64(existing, id, text), "ex")
+  private def ingestBands(sh: DataFrame, id: String,
+                          side: String): DataFrame = {
+    val blockArr = array((0 until 4).map(q =>
+      struct(lit(q).as("q"), element_at(col("qks"), q + 1).as("qk"))): _*)
+    sh.select(col(id).as(s"${side}_id"), col("simhash").as(s"${side}_sh"),
+        explode(blockArr).as("blk"))
+      .select(col(s"${side}_id"), col(s"${side}_sh"),
+        col("blk.q").as("q"), col("blk.qk").as("qk"))
+  }
+
+  /** The standing corpus's capped band table
+    * `(ex_id, ex_sh, q, qk)` — the index an ingest probe hits. At
+    * 100 TB (and in the p163 streaming fold) this is MATERIALIZED
+    * once and every batch probes it; re-banding the corpus per batch
+    * would put the corpus scan back on the per-ingest path.
+    */
+  def corpusBands(existing: DataFrame, id: String, text: String,
+                  maxBucket: Int = 1000): DataFrame = {
+    val ex = ingestBands(simhash64(existing, id, text), id, "ex")
     // skew guard on the corpus side: a (band, key) bucket wider than
     // maxBucket is dropped wholesale (same no-silent-degenerate-key
     // contract as simhashPairs; the 4-band any-bucket dedup below keeps
     // a pair alive if ANY of its equal bands survived)
-    val exCapped = ex
-      .withColumn("bw", count(lit(1))
+    ex.withColumn("bw", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("q"), col("qk"))))
       .filter(col("bw") <= maxBucket).drop("bw")
-    val in = bands(simhash64(incoming, id, text), "in")
+  }
+
+  /** [[incrementalPairs]] against a pre-built (materialized) corpus
+    * band table from [[corpusBands]].
+    */
+  def incrementalPairsPreBanded(exCapped: DataFrame, incoming: DataFrame,
+                                id: String, text: String,
+                                maxHamming: Int = 3): DataFrame = {
+    val in = ingestBands(simhash64(incoming, id, text), id, "in")
     in.join(exCapped, Seq("q", "qk"))
       .filter(col("in_id") =!= col("ex_id"))
       .select(col("in_id"), col("ex_id"),
@@ -452,6 +466,12 @@ object DedupOps {
       // any-surviving-band dedup
       .distinct()
   }
+
+  def incrementalPairs(existing: DataFrame, incoming: DataFrame,
+                       id: String, text: String,
+                       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    incrementalPairsPreBanded(corpusBands(existing, id, text, maxBucket),
+      incoming, id, text, maxHamming)
 
   def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
                           id: String, text: String,

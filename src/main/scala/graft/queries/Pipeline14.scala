@@ -700,13 +700,13 @@ object Pipeline14 {
     Q("p162_incremental_cc", Some(incrementalCcOracle)) { (spark, dir) =>
       import graft.ops.DedupOps
       val docs = Tables.loadSpread(spark, dir, "documents")
-      val corpus = docs.where(col("doc_id") % 3 =!= 0)
       val inc = docs.where(col("doc_id") % 3 === 0)
       // materialized standing-corpus state (parquet scan after the
       // first consumer in the process)
       val oldr = SharedStages.corpusLabels(spark, dir)
         .select(col("n").as("doc"), col("lbl").as("old_lbl"))
-      val newE = DedupOps.incrementalPairs(corpus, inc, "doc_id", "text")
+      val newE = DedupOps.incrementalPairsPreBanded(
+          SharedStages.corpusBands(spark, dir), inc, "doc_id", "text")
         .select(col("in_id"), col("ex_id"))
       // contract: corpus endpoint → its old component label (or itself
       // when unlabeled); the CC that follows runs on batch-bounded nodes

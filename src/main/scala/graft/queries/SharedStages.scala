@@ -77,10 +77,18 @@ object SharedStages {
         .write.mode("overwrite").parquet(s"$b/spairs")
       DedupOps.connectedComponents(spark.read.parquet(s"$b/spairs"))
         .write.mode("overwrite").parquet(s"$b/labels")
+      // the ingest probe index: capped corpus band table — what every
+      // incoming batch (p122/p152/p162/p163) joins against
+      DedupOps.corpusBands(corpus, "doc_id", "text", maxBucket = 1000)
+        .write.mode("overwrite").parquet(s"$b/bands")
       b
     })
 
   /** Standing-corpus CC labels as raw (n, lbl). */
   def corpusLabels(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${corpusBase(spark, dir)}/labels")
+
+  /** Standing-corpus capped band table (ex_id, ex_sh, q, qk). */
+  def corpusBands(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${corpusBase(spark, dir)}/bands")
 }

@@ -646,7 +646,6 @@ object StreamingOps {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val docs = graft.queries.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
     val inc = docs.filter(col("doc_id") % 3 === 0)
     // pre-split the incoming batch into 3 files so the stream really
     // exercises cross-batch state composition
@@ -656,6 +655,10 @@ object StreamingOps {
     val oldLbl = graft.queries.SharedStages.corpusLabels(s, dir)
       .select(col("n").as("ex_id"), col("lbl").as("orig"))
       .localCheckpoint()
+    // the corpus probe index is MATERIALIZED once (at 100 TB: a
+    // bucketed table); each micro-batch probes it instead of
+    // re-banding the whole corpus per batch
+    val corpusIdx = graft.queries.SharedStages.corpusBands(s, dir)
     val emptyState = {
       import s.implicits._
       (Seq.empty[(Long, Long)].toDF("key", "cur"),
@@ -673,8 +676,8 @@ object StreamingOps {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (remap, inassign) = state()
-        val edges = DedupOps.incrementalPairs(corpus, batch,
-            "doc_id", "text", maxHamming = 3, maxBucket = 1000)
+        val edges = DedupOps.incrementalPairsPreBanded(corpusIdx, batch,
+            "doc_id", "text", maxHamming = 3)
           .select(col("in_id"), col("ex_id"))
         // corpus endpoint → original label → current cluster id
         val keyed = edges.join(oldLbl, Seq("ex_id"), "left")
