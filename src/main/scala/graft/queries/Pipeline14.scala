@@ -1025,6 +1025,118 @@ object Pipeline14 {
         .select(col("id").as("c_custkey"),
           coalesce(col("n_nb"), lit(0L)).as("n_neighbors"))
         .orderBy(col("c_custkey"))
+    },
+
+    // ---- Pareto frontier (skyline) -----------------------------------------
+    // The non-dominated set over (activity, spend): a user is on the
+    // frontier iff no other user has ≥ events AND ≥ cents with one
+    // strict — the multi-objective "best customers" query relational
+    // engines lack as a primitive. Over DISTINCT (n, c) points sorted
+    // (n DESC, c DESC), a point survives iff its c strictly exceeds
+    // the running max of all preceding c — one pass, no pairwise
+    // dominance join.
+    //
+    // Scale shape: the running max is the p135 two-phase split:
+    // per-n-bucket partial maxes → exclusive prefix over the
+    // O(distinct n) metadata table → per-bucket windows. The oracle
+    // runs the naive single-window form; the hash match is the
+    // two-phase ≡ naive equivalence proof. Users collapse to the
+    // distinct point set before anything orders.
+    Q("p168_pareto_frontier", Some("""
+      WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS c
+                 FROM events GROUP BY 1),
+      p AS (SELECT DISTINCT n, c FROM u),
+      r AS (SELECT n, c,
+                   max(c) OVER (ORDER BY n DESC, c DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS pm
+            FROM p),
+      f AS (SELECT n, c FROM r WHERE pm IS NULL OR c > pm)
+      SELECT u.user_id, u.n AS n_events, u.c AS cents
+      FROM u JOIN f USING (n, c) ORDER BY u.user_id""")) { (spark, dir) =>
+      val u = Tables.load(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+      val p = u.select(col("n"), col("c")).distinct()
+      // two-phase running max: bucket = the n value itself (the
+      // metadata table is O(distinct n)); exclusive prefix over
+      // buckets in n-DESC order, then per-bucket c-DESC windows
+      val offs = p.groupBy(col("n")).agg(max(col("c")).as("bmax"))
+        .withColumn("prev", max(col("bmax")).over(
+          Window.orderBy(col("n").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("n"), col("prev"))
+      val inBucket = Window.partitionBy(col("n")).orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val f = p.join(broadcast(offs), "n")
+        .withColumn("pm",
+          greatest(coalesce(max(col("c")).over(inBucket),
+            lit(Long.MinValue)),
+            coalesce(col("prev"), lit(Long.MinValue))))
+        .where(col("pm") === Long.MinValue || col("c") > col("pm"))
+        .select(col("n"), col("c"))
+      u.join(f, Seq("n", "c"))
+        .select(col("user_id"), col("n").as("n_events"),
+          col("c").as("cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- Benford first-digit audit -----------------------------------------
+    // The forensic-accounting screen: natural multiplicative data
+    // follows Benford's law (P(d) = log10(1+1/d)); fabricated or
+    // truncated feeds don't. Expected shares are PRE-COMPUTED ppm
+    // literals embedded identically in both engines (the p153
+    // lc-table discipline — no engine runs log10), and the first
+    // significant digit is read off the EXACT-cents integer's decimal
+    // string, so no float formatting difference can split the hash.
+    //
+    // Scale shape: one scan collapses to 9 digit rows map-side;
+    // everything downstream is a constants join.
+    Q("p169_benford_audit", Some {
+      val exp = (1 to 9).map(d =>
+        s"($d, ${math.round(1e6 * math.log10(1.0 + 1.0 / d))})")
+        .mkString(", ")
+      s"""
+      WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS cents FROM orders),
+      d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit FROM c WHERE cents > 0),
+      o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+            GROUP BY 1),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM o),
+      e(digit, exp_ppm) AS (VALUES $exp)
+      SELECT e.digit, coalesce(o.n, 0) AS n,
+             CAST(coalesce(o.n, 0) * 1000000 // t.tot AS BIGINT)
+               AS obs_ppm,
+             CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+             CAST(abs(coalesce(o.n, 0) * 1000000 // t.tot - e.exp_ppm)
+               AS BIGINT) AS dev_ppm
+      FROM e LEFT JOIN o USING (digit) CROSS JOIN t
+      ORDER BY e.digit"""
+    }) { (spark, dir) =>
+      val expRows = (1 to 9).map(d =>
+        (d.toLong, math.round(1e6 * math.log10(1.0 + 1.0 / d))))
+      import spark.implicits._
+      val e = expRows.toDF("digit", "exp_ppm")
+      val o = Tables.load(spark, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          .as("cents"))
+        .where(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val t = o.agg(sum(col("n")).as("tot"))
+      broadcast(e).join(o, Seq("digit"), "left").crossJoin(broadcast(t))
+        .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+          expr("coalesce(n, 0) * 1000000 div tot").cast("long")
+            .as("obs_ppm"),
+          col("exp_ppm"),
+          abs(expr("coalesce(n, 0) * 1000000 div tot")
+            - col("exp_ppm")).cast("long").as("dev_ppm"))
+        .orderBy(col("digit"))
     }
   )
 }

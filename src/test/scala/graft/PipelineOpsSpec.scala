@@ -1586,4 +1586,48 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap
     assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 0L, 5L -> 3L))
   }
+
+  test("p168 Pareto frontier: dominated points drop, incomparable points " +
+    "stay, coincident points both survive") {
+    import spark.implicits._
+    // (n, cents): A(3,300) B(3,200) C(2,400) D(2,400) E(1,100)
+    // frontier = {A, C, D}: B loses to A on cents at equal n; E is
+    // strictly dominated; C and D share a point — neither dominates
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val rows = Seq(
+      (1L, 1L, 1.00), (2L, 1L, 1.00), (3L, 1L, 1.00),
+      (4L, 2L, 0.50), (5L, 2L, 0.75), (6L, 2L, 0.75),
+      (7L, 3L, 2.00), (8L, 3L, 2.00),
+      (9L, 4L, 1.50), (10L, 4L, 2.50),
+      (11L, 5L, 1.00)
+    ).map { case (e, u, v) => (e, ts, u, "x", v) }
+    val dir = s"${sys.props("java.io.tmpdir")}/p168fix_${queries.runToken}"
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p168_pareto_frontier")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("cents"))).toSet
+    assert(got == Set((1L, 3L, 300L), (3L, 2L, 400L), (4L, 2L, 400L)))
+  }
+
+  test("p169 Benford: first significant digit from exact cents, including " +
+    "sub-unit amounts; absent digits emit zero rows") {
+    import spark.implicits._
+    // 1.00 → 1, 19.99 → 1, 2.50 → 2, 0.95 → cents 95 → digit 9 (the
+    // sub-1 case the cents representation must get right)
+    val rows = Seq((1L, 1.00), (2L, 19.99), (3L, 2.50), (4L, 0.95))
+    val dir = s"${sys.props("java.io.tmpdir")}/p169fix_${queries.runToken}"
+    rows.toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p169_benford_audit")(spark, dir)
+      .collect().map(r => r.getAs[Long]("digit") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("obs_ppm"))).toMap
+    assert(got.size == 9)
+    assert(got(1L) == ((2L, 500000L)))
+    assert(got(2L) == ((1L, 250000L)))
+    assert(got(9L) == ((1L, 250000L)))
+    assert(got(3L) == ((0L, 0L)))
+  }
 }
