@@ -1137,6 +1137,100 @@ object Pipeline14 {
           abs(expr("coalesce(n, 0) * 1000000 div tot")
             - col("exp_ppm")).cast("long").as("dev_ppm"))
         .orderBy(col("digit"))
+    },
+
+    // ---- largest-remainder (Hamilton) sample apportionment -----------------
+    // The exact way to split a fixed 10000-sample budget across
+    // sources proportionally to token mass: floor quotas first
+    // (B·w div W), then the leftover R = B − Σfloor seats go one each
+    // to the R largest remainders (B·w mod W), ties toward the
+    // lexicographically smaller source. Unlike per-source rounding,
+    // the allocations sum to EXACTLY B by construction — the
+    // invariant a downstream loader depends on — and everything is
+    // integer arithmetic, so both engines agree digit-for-digit.
+    //
+    // Scale shape: token mass collapses per source map-side; the
+    // apportionment runs on the O(sources) metadata table.
+    Q("p170_sample_apportionment", Some(s"""
+      WITH w AS (SELECT source, CAST(SUM(len($wsSql)) AS BIGINT) AS tokens
+                 FROM documents GROUP BY 1),
+      t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS wt FROM w),
+      q AS (SELECT source, tokens,
+                   CAST(10000 * tokens // t.wt AS BIGINT) AS fl,
+                   CAST(10000 * tokens % t.wt AS BIGINT) AS rem
+            FROM w CROSS JOIN t),
+      s AS (SELECT CAST(10000 - SUM(fl) AS BIGINT) AS r FROM q),
+      rk AS (SELECT source, tokens, fl,
+                    row_number() OVER (ORDER BY rem DESC, source) AS rn
+             FROM q)
+      SELECT rk.source, rk.tokens, rk.fl AS floor_alloc,
+             CAST(CASE WHEN rk.rn <= s.r THEN 1 ELSE 0 END AS BIGINT)
+               AS extra,
+             rk.fl + CASE WHEN rk.rn <= s.r THEN 1 ELSE 0 END
+               AS final_alloc
+      FROM rk CROSS JOIN s ORDER BY rk.source""")) { (spark, dir) =>
+      val w = Tables.loadSpread(spark, dir, "documents")
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("tokens"))
+      val t = w.agg(sum(col("tokens")).as("wt"))
+      val q = w.crossJoin(broadcast(t))
+        .select(col("source"), col("tokens"),
+          expr("10000 * tokens div wt").cast("long").as("fl"),
+          expr("10000 * tokens % wt").cast("long").as("rem"))
+      val s = q.agg((lit(10000L) - sum(col("fl"))).as("r"))
+      val rk = q.withColumn("rn",
+        row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      rk.crossJoin(broadcast(s))
+        .select(col("source"), col("tokens"), col("fl").as("floor_alloc"),
+          when(col("rn") <= col("r"), 1L).otherwise(0L).as("extra"),
+          (col("fl") + when(col("rn") <= col("r"), 1L).otherwise(0L))
+            .as("final_alloc"))
+        .orderBy(col("source"))
+    },
+
+    // ---- gaps and islands (sequence-completeness audit) --------------------
+    // The classic delivery-completeness check: per user, contiguous
+    // runs of event_ids ("islands") found by the id − dense-rank
+    // grouping trick — consecutive ids share a group key, one window
+    // + one agg, no self-join. Per user: island count, the longest
+    // run, and the missing-id volume inside the user's [min, max]
+    // span — the holes an at-least-once pipeline must reconcile.
+    //
+    // Scale shape: the rank window partitions per user (bounded);
+    // islands collapse map-side to the per-user summary.
+    Q("p171_gaps_islands", Some("""
+      WITH e AS (SELECT DISTINCT user_id, event_id FROM events),
+      g AS (SELECT user_id, event_id,
+                   event_id - row_number() OVER (PARTITION BY user_id
+                     ORDER BY event_id) AS grp
+            FROM e),
+      i AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+                   MIN(event_id) AS lo, MAX(event_id) AS hi
+            FROM g GROUP BY 1, 2)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+             CAST(MAX(len) AS BIGINT) AS longest_island,
+             CAST(SUM(len) AS BIGINT) AS n_present,
+             CAST(MAX(hi) - MIN(lo) + 1 - SUM(len) AS BIGINT)
+               AS n_missing
+      FROM i GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_id")).distinct()
+      val winSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+      val i = e
+        .withColumn("grp",
+          col("event_id") - row_number().over(winSeq))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("event_id")).as("lo"),
+          max(col("event_id")).as("hi"))
+      i.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          max(col("len")).as("longest_island"),
+          sum(col("len")).as("n_present"),
+          (max(col("hi")) - min(col("lo")) + 1 - sum(col("len")))
+            .as("n_missing"))
+        .orderBy(col("user_id"))
     }
   )
 }

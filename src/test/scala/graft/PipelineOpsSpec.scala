@@ -1630,4 +1630,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(9L) == ((1L, 250000L)))
     assert(got(3L) == ((0L, 0L)))
   }
+
+  test("p170 apportionment: the 1/3-split case sums to exactly the budget " +
+    "with the leftover seat going to the lexicographically first tie") {
+    // three equal sources: floors 3333 each leave one seat; remainders
+    // tie, so srcA takes it — and the total is exactly 10000, the
+    // invariant per-source rounding violates
+    import spark.implicits._
+    val rows = Seq((1L, "srcA", "a b c d"), (2L, "srcB", "e f g h"),
+      (3L, "srcC", "i j k l"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p170fix_${queries.runToken}"
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p170_sample_apportionment")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("final_alloc"))
+      .toMap
+    assert(got == Map("srcA" -> 3334L, "srcB" -> 3333L, "srcC" -> 3333L))
+  }
+
+  test("p171 gaps and islands: planted runs produce exact island count, " +
+    "longest run and missing-id volume") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    // user 1: ids {1,2,3, 7,8, 10} → 3 islands, longest 3, missing 4;
+    // user 2: {5} → complete singleton
+    val rows = Seq(1L, 2L, 3L, 7L, 8L, 10L).map(i => (i, ts, 1L, "x")) ++
+      Seq((5L, ts, 2L, "x"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p171fix_${queries.runToken}"
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p171_gaps_islands")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_islands"), r.getAs[Long]("longest_island"),
+          r.getAs[Long]("n_present"), r.getAs[Long]("n_missing"))).toMap
+    assert(got(1L) == ((3L, 3L, 6L, 4L)))
+    assert(got(2L) == ((1L, 1L, 1L, 0L)))
+  }
 }
