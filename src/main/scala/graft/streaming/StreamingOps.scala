@@ -709,9 +709,12 @@ object StreamingOps {
               "left_anti")),
           "in_id")
         val v = version + 1
-        remapNext.write.mode("overwrite")
+        // touched-component-sized tables: one file each keeps the
+        // per-batch commit cheap (at 100 TB state graduates to a
+        // bucketed table and this coalesce disappears)
+        remapNext.coalesce(1).write.mode("overwrite")
           .parquet(s"$workRoot/state_v$v/remap")
-        inNext.write.mode("overwrite")
+        inNext.coalesce(1).write.mode("overwrite")
           .parquet(s"$workRoot/state_v$v/inassign")
         version = v // pointer flips only after both writes committed
         ()
