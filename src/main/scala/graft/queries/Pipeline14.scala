@@ -1231,6 +1231,132 @@ object Pipeline14 {
           (max(col("hi")) - min(col("lo")) + 1 - sum(col("len")))
             .as("n_missing"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- strict ordered-pattern funnel (MATCH_RECOGNIZE replacement) -------
+    // The sequence-pattern operator Spark lacks as SQL: count, per
+    // user, COMPLETED view → click → purchase chains where each step
+    // follows the previous STRICTLY and within 1 hour. Instead of a
+    // per-event backward search (quadratic) the state is CARRIED
+    // forward by two running-max windows: at every event, the latest
+    // prior view; a click within the timeout stamps a chain time; the
+    // latest prior chain time then validates purchases — the standard
+    // way to compile a fixed linear pattern into O(events) window
+    // algebra (the p115 last-touch carry, chained twice). p66 keeps
+    // the one-chain-per-user earliest progression; this entry counts
+    // EVERY completion under per-step timeouts.
+    //
+    // Scale shape: both carries are per-user frames over the arrival
+    // order; the rollup is user-keyed. No self-join, no pattern
+    // automaton state beyond two carried columns.
+    Q("p172_pattern_funnel", Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      w AS (SELECT *, max(CASE WHEN event_type = 'view' THEN us END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_view
+            FROM e),
+      x AS (SELECT *, CASE WHEN event_type = 'click'
+                        AND last_view IS NOT NULL
+                        AND us - last_view <= 3600000000
+                      THEN us END AS ab_us
+            FROM w),
+      y AS (SELECT *, max(ab_us)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_chain
+            FROM x)
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                    AND last_chain IS NOT NULL
+                    AND us - last_chain <= 3600000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_funnels
+      FROM y GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      val winSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      e.withColumn("last_view",
+          max(when(col("event_type") === "view", col("us"))).over(winSeq))
+        .withColumn("ab_us",
+          when(col("event_type") === "click"
+            && col("last_view").isNotNull
+            && col("us") - col("last_view") <= 3600000000L, col("us")))
+        .withColumn("last_chain", max(col("ab_us")).over(winSeq))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase"
+            && col("last_chain").isNotNull
+            && col("us") - col("last_chain") <= 3600000000L, 1L)
+          .otherwise(0L)).as("n_funnels"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- functional-dependency discovery -----------------------------------
+    // The data-profiling pass a catalog runs on an unfamiliar table:
+    // for every directed column pair (A → B) of orders, does A
+    // determine B? A group of A violates when it sees >1 distinct B;
+    // the census reports group counts and violating-group counts per
+    // pair (o_orderkey → * must all hold — it is the key; o_custkey →
+    // * must not — customers place many orders). One grouped
+    // aggregate per determinant column computes all its dependents'
+    // distinct counts in a single pass, so the whole 30-pair census
+    // is |columns| scans, not |pairs|.
+    //
+    // Scale shape: per determinant one map-side-combining groupBy;
+    // the violation rollup runs on the group table. Output is the
+    // O(cols²) metadata census.
+    Q("p173_fd_discovery", Some {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "cents", "o_orderdate", "o_orderpriority")
+      val per = cols.map { a =>
+        val deps = cols.filterNot(_ == a)
+        val aggs = deps.map(b => s"COUNT(DISTINCT $b) AS nd_$b")
+          .mkString(", ")
+        val unions = deps.map(b =>
+          s"""SELECT '$a' AS det_col, '$b' AS dep_col,
+              CAST(COUNT(*) AS BIGINT) AS n_groups,
+              CAST(SUM(CASE WHEN nd_$b > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_violating,
+              CAST(CASE WHEN SUM(CASE WHEN nd_$b > 1 THEN 1 ELSE 0 END)
+                   = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+          FROM g_$a""").mkString(" UNION ALL ")
+        (s"g_$a AS (SELECT $a, $aggs FROM o GROUP BY $a)", unions)
+      }
+      s"""
+      WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                        o_orderdate, o_orderpriority
+                 FROM orders),
+      ${per.map(_._1).mkString(",\n      ")}
+      ${per.map(_._2).mkString(" UNION ALL ")}
+      ORDER BY 1, 2"""
+    }) { (spark, dir) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "cents", "o_orderdate", "o_orderpriority")
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val parts = cols.flatMap { a =>
+        val deps = cols.filterNot(_ == a)
+        val g = o.groupBy(col(a))
+          .agg(countDistinct(col(deps.head)).as(s"nd_${deps.head}"),
+            deps.tail.map(b => countDistinct(col(b)).as(s"nd_$b")): _*)
+        deps.map { b =>
+          g.agg(count(lit(1)).as("n_groups"),
+              sum(when(col(s"nd_$b") > 1, 1L).otherwise(0L))
+                .as("n_violating"))
+            .select(lit(a).as("det_col"), lit(b).as("dep_col"),
+              col("n_groups"), col("n_violating"),
+              when(col("n_violating") === 0, 1L).otherwise(0L)
+                .as("holds"))
+        }
+      }
+      parts.reduce(_ unionAll _)
+        .orderBy(col("det_col"), col("dep_col"))
     }
   )
 }

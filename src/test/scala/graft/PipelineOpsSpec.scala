@@ -1668,4 +1668,57 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) == ((3L, 3L, 6L, 4L)))
     assert(got(2L) == ((1L, 1L, 1L, 0L)))
   }
+
+  test("p172 pattern funnel: per-step timeouts enforced, strict order " +
+    "required, one chain validates several purchases") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(m: Int) = new java.sql.Timestamp(t0 + m * 60000L)
+    // u1: view@0 click@30 purchase@50 purchase@80 → both purchases
+    //     within 1h of the chain stamp → 2
+    // u2: view then purchase with no click → 0
+    // u3: click 90min after view (step timeout) → 0
+    // u4: click+purchase with no view → 0
+    val rows = Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(30), 1L, "click"),
+      (3L, ts(50), 1L, "purchase"), (4L, ts(80), 1L, "purchase"),
+      (5L, ts(0), 2L, "view"), (6L, ts(10), 2L, "purchase"),
+      (7L, ts(0), 3L, "view"), (8L, ts(90), 3L, "click"),
+      (9L, ts(100), 3L, "purchase"),
+      (10L, ts(0), 4L, "click"), (11L, ts(10), 4L, "purchase"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p172fix_${queries.runToken}"
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p172_pattern_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_funnels")).toMap
+    assert(got == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("p173 FD discovery: the key column determines everything, a " +
+    "violated dependency is counted per violating group") {
+    import spark.implicits._
+    val d = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val rows = Seq(
+      (1L, 1L, "O", 1.00, d, "1-URGENT"),
+      (2L, 1L, "F", 1.00, d, "1-URGENT"),
+      (3L, 2L, "O", 1.00, d, "1-URGENT"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p173fix_${queries.runToken}"
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p173_fd_discovery")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("n_violating"),
+          r.getAs[Long]("holds"))).toMap
+    assert(got.size == 30)
+    assert(got(("o_orderkey", "o_custkey")) == ((3L, 0L, 1L)))
+    assert(got(("o_orderkey", "o_orderstatus")) == ((3L, 0L, 1L)))
+    // custkey 1 placed orders in two statuses → one violating group
+    assert(got(("o_custkey", "o_orderstatus")) == ((2L, 1L, 0L)))
+    // constant columns: one group, violated by any varying dependent
+    assert(got(("cents", "o_orderkey")) == ((1L, 1L, 0L)))
+    assert(got(("cents", "o_orderpriority")) == ((1L, 0L, 1L)))
+  }
 }
