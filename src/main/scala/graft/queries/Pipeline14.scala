@@ -1357,6 +1357,193 @@ object Pipeline14 {
       }
       parts.reduce(_ unionAll _)
         .orderBy(col("det_col"), col("dep_col"))
+    },
+
+    // ---- multi-model attribution with exact credit splitting ---------------
+    // Marketing attribution compared across models in ONE pass: each
+    // purchase distributes EXACTLY 1e6 credit units over the view /
+    // click touches in its trailing 7-day window (strictly before) —
+    // first-touch (earliest gets all), last-touch (latest gets all,
+    // the p115 model), and linear (proportional by touch count, the
+    // ±1 floor leftover going to the channel of the most recent touch
+    // — the p170 largest-remainder discipline, so every purchase's
+    // credits sum to exactly 1e6 under every model). Touch identity
+    // rides inside the window as the integer us·8 + code·2, so the
+    // frame min/max IS the first/last-touch argreduce — no join back,
+    // deterministic even under timestamp ties. No-touch purchases
+    // credit 'direct'.
+    //
+    // Scale shape: three RANGE-frame windows per user over arrival
+    // order (the only shuffle is the user key); the model×channel
+    // rollup is a metadata table. No purchases×touches self-join.
+    Q("p174_attribution_models", Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      t AS (SELECT *, CASE WHEN event_type = 'view' THEN us * 8
+                           WHEN event_type = 'click' THEN us * 8 + 2
+                      END AS code FROM e),
+      w AS (SELECT *,
+              min(code) OVER fr AS first_code,
+              max(code) OVER fr AS last_code,
+              SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                OVER fr AS nv,
+              SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                OVER fr AS nc
+            FROM t
+            WINDOW fr AS (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)),
+      p AS (SELECT coalesce(nv, 0) AS nv, coalesce(nc, 0) AS nc,
+                   CASE WHEN first_code IS NULL THEN 'direct'
+                        WHEN first_code % 8 = 0 THEN 'view'
+                        ELSE 'click' END AS first_ch,
+                   CASE WHEN last_code IS NULL THEN 'direct'
+                        WHEN last_code % 8 = 0 THEN 'view'
+                        ELSE 'click' END AS last_ch
+            FROM w WHERE event_type = 'purchase'),
+      l AS (SELECT nv, nc, first_ch, last_ch,
+                   CASE WHEN nv + nc = 0 THEN 0
+                        ELSE 1000000 * nv // (nv + nc) END AS lv,
+                   CASE WHEN nv + nc = 0 THEN 0
+                        ELSE 1000000 * nc // (nv + nc) END AS lc
+            FROM p),
+      u AS (SELECT 'first_touch' AS model, first_ch AS channel,
+                   CAST(1000000 AS BIGINT) AS credit FROM l
+            UNION ALL
+            SELECT 'last_touch', last_ch, 1000000 FROM l
+            UNION ALL
+            SELECT 'linear', 'direct',
+                   CASE WHEN nv + nc = 0 THEN 1000000 ELSE 0 END FROM l
+            UNION ALL
+            SELECT 'linear', 'view',
+                   lv + CASE WHEN last_ch = 'view'
+                        THEN 1000000 - lv - lc ELSE 0 END FROM l
+            UNION ALL
+            SELECT 'linear', 'click',
+                   lc + CASE WHEN last_ch = 'click'
+                        THEN 1000000 - lv - lc ELSE 0 END FROM l)
+      SELECT model, channel, CAST(SUM(credit) AS BIGINT) AS credit,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM u WHERE credit > 0
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (spark, dir) =>
+      val fr = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-604800000000L, -1L)
+      val t = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("code",
+          when(col("event_type") === "view", col("us") * 8)
+            .when(col("event_type") === "click", col("us") * 8 + 2))
+      def ch(c: org.apache.spark.sql.Column) =
+        when(c.isNull, "direct")
+          .when(c % 8 === 0, "view").otherwise("click")
+      val p = t
+        .withColumn("first_code", min(col("code")).over(fr))
+        .withColumn("last_code", max(col("code")).over(fr))
+        .withColumn("nv", coalesce(sum(
+          when(col("event_type") === "view", 1L).otherwise(0L)).over(fr),
+          lit(0L)))
+        .withColumn("nc", coalesce(sum(
+          when(col("event_type") === "click", 1L).otherwise(0L)).over(fr),
+          lit(0L)))
+        .where(col("event_type") === "purchase")
+        .select(col("nv"), col("nc"),
+          ch(col("first_code")).as("first_ch"),
+          ch(col("last_code")).as("last_ch"))
+        .withColumn("lv", when(col("nv") + col("nc") === 0, 0L)
+          .otherwise(expr("1000000 * nv div (nv + nc)")))
+        .withColumn("lc", when(col("nv") + col("nc") === 0, 0L)
+          .otherwise(expr("1000000 * nc div (nv + nc)")))
+      val u = p.select(lit("first_touch").as("model"),
+          col("first_ch").as("channel"), lit(1000000L).as("credit"))
+        .unionAll(p.select(lit("last_touch"), col("last_ch"),
+          lit(1000000L)))
+        .unionAll(p.select(lit("linear"), lit("direct"),
+          when(col("nv") + col("nc") === 0, 1000000L).otherwise(0L)))
+        .unionAll(p.select(lit("linear"), lit("view"),
+          col("lv") + when(col("last_ch") === "view",
+            lit(1000000L) - col("lv") - col("lc")).otherwise(0L)))
+        .unionAll(p.select(lit("linear"), lit("click"),
+          col("lc") + when(col("last_ch") === "click",
+            lit(1000000L) - col("lv") - col("lc")).otherwise(0L)))
+      u.where(col("credit") > 0)
+        .groupBy(col("model"), col("channel"))
+        .agg(sum(col("credit")).as("credit"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("model"), col("channel"))
+    },
+
+    // ---- hash-seeded subsample stability diagnostic ------------------------
+    // Uncertainty quantification with NO randomness: 32 deterministic
+    // half-samples of orders (membership = h60('b:' || key) parity, a
+    // different salt per replicate) each yield an exact milli-cent
+    // mean; the spread of the 32 means is the subsample-stability
+    // interval a bootstrap would estimate, reproducible bit-for-bit
+    // on any engine. Computed in ONE pass as 64 conditional aggregates
+    // — never a ×32 row fan-out — then the order statistics of the
+    // 32-long means array (2nd / 16th / 31st = the ~5/50/95 points).
+    //
+    // Scale shape: one map-side-combining aggregate over the scan;
+    // everything after runs on a 1-row frame.
+    Q("p175_subsample_stability", Some {
+      val b = 32
+      val aggs = (0 until b).map(i =>
+        s"""CAST(SUM(CASE WHEN ${Portable.h60Sql(
+             s"concat('$i:', CAST(o_orderkey AS VARCHAR))")} % 2 = 0
+               THEN cents END) AS BIGINT) AS s$i,
+            CAST(SUM(CASE WHEN ${Portable.h60Sql(
+             s"concat('$i:', CAST(o_orderkey AS VARCHAR))")} % 2 = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS c$i""").mkString(",\n")
+      val means = (0 until b).map(i =>
+        s"CASE WHEN c$i = 0 THEN 0 ELSE 1000 * s$i // c$i END")
+        .mkString(", ")
+      s"""
+      WITH o AS (SELECT o_orderkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS tot,
+                   $aggs
+            FROM o),
+      m AS (SELECT n_rows, CAST(1000 * tot // n_rows AS BIGINT)
+                     AS mean_milli,
+                   list_sort([$means]) AS ms
+            FROM a)
+      SELECT n_rows, mean_milli,
+             CAST(ms[1] AS BIGINT) AS sub_min,
+             CAST(ms[2] AS BIGINT) AS sub_p05,
+             CAST(ms[16] AS BIGINT) AS sub_med,
+             CAST(ms[31] AS BIGINT) AS sub_p95,
+             CAST(ms[$b] AS BIGINT) AS sub_max,
+             CAST((ms[$b] - ms[1]) * 1000000 // mean_milli AS BIGINT)
+               AS spread_ppm
+      FROM m"""
+    }) { (spark, dir) =>
+      val b = 32
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val inRep = (0 until b).map(i =>
+        Portable.h60(concat(lit(s"$i:"),
+          col("o_orderkey").cast("string"))) % 2 === 0)
+      val aggExprs =
+        Seq(count(lit(1)).as("n_rows"), sum(col("cents")).as("tot")) ++
+          (0 until b).flatMap(i => Seq(
+            sum(when(inRep(i), col("cents"))).as(s"s$i"),
+            sum(when(inRep(i), 1L).otherwise(0L)).as(s"c$i")))
+      val meansExpr = (0 until b).map(i =>
+        s"CASE WHEN c$i = 0 THEN 0L ELSE 1000 * s$i div c$i END")
+        .mkString("array_sort(array(", ", ", "))")
+      o.agg(aggExprs.head, aggExprs.tail: _*)
+        .withColumn("mean_milli", expr("1000 * tot div n_rows"))
+        .withColumn("ms", expr(meansExpr))
+        .select(col("n_rows"), col("mean_milli"),
+          expr("element_at(ms, 1)").as("sub_min"),
+          expr("element_at(ms, 2)").as("sub_p05"),
+          expr("element_at(ms, 16)").as("sub_med"),
+          expr("element_at(ms, 31)").as("sub_p95"),
+          expr(s"element_at(ms, $b)").as("sub_max"),
+          expr(s"CAST((element_at(ms, $b) - element_at(ms, 1)) * 1000000" +
+            s" div mean_milli AS BIGINT)").as("spread_ppm"))
     }
   )
 }

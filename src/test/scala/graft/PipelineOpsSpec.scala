@@ -1721,4 +1721,60 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(("cents", "o_orderkey")) == ((1L, 1L, 0L)))
     assert(got(("cents", "o_orderpriority")) == ((1L, 0L, 1L)))
   }
+
+  test("p174 attribution: every model distributes exactly 1e6 per " +
+    "purchase; the linear leftover unit goes to the last touch") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(m: Int) = new java.sql.Timestamp(t0 + m * 60000L)
+    val rows = Seq(
+      // u1: view, click → purchase: linear splits 500000/500000
+      (1L, ts(0), 1L, "view"), (2L, ts(30), 1L, "click"),
+      (3L, ts(60), 1L, "purchase"),
+      // u2: view view click → purchase: 666666/333333 floors leave one
+      // unit; last touch is the click → click gets 333334
+      (4L, ts(0), 2L, "view"), (5L, ts(10), 2L, "view"),
+      (6L, ts(20), 2L, "click"), (7L, ts(40), 2L, "purchase"),
+      // u3: bare purchase → direct
+      (8L, ts(0), 3L, "purchase"),
+      // u4: the only view is 8 days before the purchase → outside the
+      // 7-day window → direct
+      (9L, ts(0), 4L, "view"), (10L, ts(8 * 24 * 60), 4L, "purchase"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p174fix_${queries.runToken}"
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p174_attribution_models")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("credit")).toMap
+    assert(got(("first_touch", "view")) == 2000000L)
+    assert(got(("first_touch", "direct")) == 2000000L)
+    assert(got(("last_touch", "click")) == 2000000L)
+    assert(got(("last_touch", "direct")) == 2000000L)
+    assert(got(("linear", "view")) == 1166666L)
+    assert(got(("linear", "click")) == 833334L)
+    assert(got(("linear", "direct")) == 2000000L)
+    // the conservation law: each model distributed purchases × 1e6
+    val sums = got.groupBy(_._1._1).view.mapValues(_.values.sum)
+    assert(sums.values.toSet == Set(4000000L))
+  }
+
+  test("p175 subsample stability: order statistics are monotone, the " +
+    "spread brackets the full mean, and reruns are bit-identical") {
+    val run = () => SparkEntry.queries("p175_subsample_stability")(
+      spark, "/root/testdata/sf0.001").collect().head
+    val r = run()
+    val (mn, p05, med, p95, mx) = (r.getAs[Long]("sub_min"),
+      r.getAs[Long]("sub_p05"), r.getAs[Long]("sub_med"),
+      r.getAs[Long]("sub_p95"), r.getAs[Long]("sub_max"))
+    assert(mn <= p05 && p05 <= med && med <= p95 && p95 <= mx)
+    // 32 half-samples of 1500 orders: the full mean sits inside the
+    // subsample envelope and the spread stays moderate
+    val mean = r.getAs[Long]("mean_milli")
+    assert(mn <= mean && mean <= mx)
+    assert(r.getAs[Long]("spread_ppm") < 200000L)
+    // hash-seeded means deterministic: a second run is IDENTICAL —
+    // the property an RNG-based bootstrap cannot give
+    assert(run().toSeq == r.toSeq)
+  }
 }
