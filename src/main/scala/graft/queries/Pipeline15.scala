@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Portable, TextOps}
+
+/** Round-9 pipeline entries, third batch: corpus-rewrite boilerplate
+  * removal (the CCNet/RefinedWeb segment-df pass), probabilistic record
+  * linkage (sorted-neighborhood blocking + Fellegi–Sunter log-odds),
+  * distributed exact order statistics (the two-pass selection
+  * algorithm), and cross-source score normalization by rank matching.
+  */
+object Pipeline15 {
+
+  private val wsSql = TextSql.ws
+
+  /** p176 segment width (tokens) and the df threshold above which a
+    * segment counts as corpus boilerplate.
+    */
+  private val SegN = 8
+  private val BoilerDf = 3
+
+  /** p178 bucket width for the first (histogram) pass: cents div 2^16
+    * keeps the fixture's price range in ~150 buckets — wide enough
+    * that the histogram is metadata-sized, narrow enough that the
+    * second pass touches a small slice of the scan.
+    */
+  private val SelBucket = 1L << 16
+
+  val all: Seq[Q] = Seq(
+
+    // ---- corpus boilerplate removal (segment-df rewrite) -------------------
+    // The CCNet/RefinedWeb cleaning pass: hash every fixed-width text
+    // segment (the fixture's stand-in for lines/paragraphs), count per
+    // segment how many DISTINCT documents contain it, and REWRITE each
+    // document with segments present in >= 3 docs removed — nav bars,
+    // cookie banners, license footers vanish; unique prose stays. The
+    // output is the per-doc rewrite audit: segment counts, removed
+    // fraction in ppm, and the portable hash of the cleaned text (the
+    // downstream exact-dedup key — cleaning FIRST is what lets exact
+    // dedup catch docs that differed only in boilerplate).
+    //
+    // Scale shape: one segment pass over the scan (codegen kernel), one
+    // seg-keyed map-side-combining df agg, one seg-keyed join back, one
+    // doc-keyed rebuild. The rebuild's collect_list is bounded by doc
+    // length (collect_list skips the NULLed-out boilerplate entries).
+    // Nothing all-pairs, nothing driver-side; at 100 TB the df table is
+    // the only corpus-wide state and it shrinks with the df>=3 skew cap
+    // a production run would publish as a broadcast blocklist.
+    Q("p176_segment_boilerplate", Some(s"""
+      WITH ws AS (SELECT doc_id, $wsSql AS w FROM documents),
+      s AS (SELECT doc_id, ${TextSql.segments("w", SegN)} AS segs FROM ws),
+      e AS (SELECT doc_id, unnest(generate_series(1, len(segs))) AS i,
+                   unnest(segs) AS seg FROM s),
+      df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM e GROUP BY 1),
+      j AS (SELECT e.doc_id, e.i, e.seg, df.df FROM e JOIN df USING (seg)),
+      r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+                   CAST(sum(CASE WHEN df >= $BoilerDf THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_removed,
+                   coalesce(string_agg(CASE WHEN df < $BoilerDf THEN seg END,
+                     ' ' ORDER BY i), '') AS cleaned
+            FROM j GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(r.n_segs, 0) AS n_segs,
+             coalesce(r.n_removed, 0) AS n_removed,
+             CAST(CASE WHEN coalesce(r.n_segs, 0) = 0 THEN 0
+                  ELSE r.n_removed * 1000000 // r.n_segs END AS BIGINT)
+               AS removed_ppm,
+             ${Portable.h60Sql("coalesce(r.cleaned, '')")} AS clean_hash
+      FROM documents d LEFT JOIN r USING (doc_id)
+      ORDER BY d.doc_id""")) { (spark, dir) =>
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val e = docs
+        .select(col("doc_id"),
+          posexplode(TextOps.segments(col("text"), SegN)).as(Seq("i", "seg")))
+      val df = e.groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val r = e.join(df, "seg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("df") >= BoilerDf, 1L).otherwise(0L)).as("n_removed"),
+          array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("df") < BoilerDf, struct(col("i"), col("seg"))))),
+              x => x.getField("seg")),
+            " ").as("cleaned"))
+      docs.select(col("doc_id")).join(r, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          when(coalesce(col("n_segs"), lit(0L)) === 0, 0L)
+            .otherwise(expr("n_removed * 1000000 div n_segs"))
+            .as("removed_ppm"),
+          Portable.h60(coalesce(col("cleaned"), lit(""))).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- sorted-neighborhood record linkage (Fellegi–Sunter) ---------------
+    // Probabilistic entity resolution across two record sets (customers
+    // vs suppliers standing in for two ingest feeds): SORTED-
+    // NEIGHBORHOOD blocking — order the union by the fuzzy blocking key
+    // (account cents) and pair only records within rank distance 3 —
+    // then the Fellegi–Sunter linkage score: each field comparison
+    // (nation, key check digit, balance-within-$20) contributes a
+    // fixed integer milli-log2-odds weight, agree = log2(m/u) > 0,
+    // disagree = log2((1-m)/(1-u)) < 0 (weights stated from assumed
+    // m/u, the standard bootstrap before EM refinement), and the total
+    // classifies match / possible / nonmatch by threshold. Output is
+    // the decision census with score extremes.
+    //
+    // Scale shape: the global rank is the documented total-order
+    // statistics shape — at 100 TB the sort is range-partitioned and
+    // each partition pairs internally, exchanging only a w-row boundary
+    // strip with its neighbor (the whole point of SNM: candidate count
+    // is w*n, never n²). Here the pairing is a rank-shifted EQUI-join
+    // (explode d in 1..w, join on rn + d = rn), not a range join.
+    Q("p177_record_linkage", Some("""
+      WITH u AS (SELECT 'c' AS role, c_custkey AS k, c_nationkey AS nation,
+                        c_custkey % 10 AS dig,
+                        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                 FROM customer
+                 UNION ALL
+                 SELECT 's', s_suppkey, s_nationkey, s_suppkey % 10,
+                        CAST(round(s_acctbal * 100) AS BIGINT)
+                 FROM supplier),
+      r AS (SELECT *, row_number() OVER (ORDER BY cents, role, k) AS rn
+            FROM u),
+      p AS (SELECT a.nation AS na, b.nation AS nb, a.dig AS da, b.dig AS db,
+                   a.cents AS xa, b.cents AS xb
+            FROM r a JOIN r b
+              ON b.rn - a.rn BETWEEN 1 AND 3 AND a.role <> b.role),
+      s AS (SELECT (CASE WHEN na = nb THEN 1800 ELSE -400 END)
+                 + (CASE WHEN da = db THEN 1200 ELSE -500 END)
+                 + (CASE WHEN abs(xa - xb) <= 2000 THEN 900 ELSE -700 END)
+                   AS score
+            FROM p),
+      d AS (SELECT CASE WHEN score >= 2500 THEN 'match'
+                        WHEN score <= -500 THEN 'nonmatch'
+                        ELSE 'possible' END AS decision,
+                   score
+            FROM s)
+      SELECT decision, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(min(score) AS BIGINT) AS min_score,
+             CAST(max(score) AS BIGINT) AS max_score,
+             CAST(sum(score) AS BIGINT) AS sum_score
+      FROM d GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      import spark.implicits._
+      val cust = Tables.load(spark, dir, "customer")
+        .select(lit("c").as("role"), col("c_custkey").as("k"),
+          col("c_nationkey").cast("long").as("nation"),
+          (col("c_custkey") % 10).as("dig"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val supp = Tables.load(spark, dir, "supplier")
+        .select(lit("s").as("role"), col("s_suppkey").as("k"),
+          col("s_nationkey").cast("long").as("nation"),
+          (col("s_suppkey") % 10).as("dig"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("cents"))
+      val r = cust.unionAll(supp)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cents"), col("role"), col("k"))))
+      val a = r.select(col("role").as("role_a"), col("nation").as("na"),
+          col("dig").as("da"), col("cents").as("xa"), col("rn"))
+        .withColumn("d", explode(lit(Array(1, 2, 3))))
+        .withColumn("rn_b", col("rn") + col("d"))
+      val b = r.select(col("role").as("role_b"), col("nation").as("nb"),
+        col("dig").as("db"), col("cents").as("xb"), col("rn").as("rn_b"))
+      val score =
+        when(col("na") === col("nb"), 1800).otherwise(-400) +
+          when(col("da") === col("db"), 1200).otherwise(-500) +
+          when(abs(col("xa") - col("xb")) <= 2000, 900).otherwise(-700)
+      a.join(b, "rn_b")
+        .where(col("role_a") =!= col("role_b"))
+        .select(score.as("score"))
+        .select(when(col("score") >= 2500, "match")
+          .when(col("score") <= -500, "nonmatch")
+          .otherwise("possible").as("decision"), col("score"))
+        .groupBy(col("decision"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("score")).cast("long").as("min_score"),
+          max(col("score")).cast("long").as("max_score"),
+          sum(col("score")).cast("long").as("sum_score"))
+        .orderBy(col("decision"))
+    },
+
+    // ---- two-pass distributed exact selection (order statistics) -----------
+    // The exact median of 100 TB, no sort: pass 1 histograms the cents
+    // into 2^16-wide buckets (map-side-combining agg, metadata-sized
+    // output); a cumulative walk over the histogram locates, for each
+    // target rank k (p25/p50/p75, k = ceil(n*q/100), the lower
+    // quantile), the ONE bucket containing the k-th smallest; pass 2
+    // re-scans ONLY that bucket's rows (a pushed-down range predicate)
+    // and finds the exact value by grouped-value cumulative counts —
+    // never a global sort, never a data-sized window. The oracle
+    // computes the same ranks by brute-force row_number, so the
+    // equality IS the proof the two-pass selection is exact.
+    //
+    // Scale shape: pass 1 output is O(#buckets); the rank location
+    // math runs on that metadata frame; pass 2 reads ~1/#buckets of
+    // the data (with min/max zone maps: only the stripes whose range
+    // intersects the bucket) and aggregates by distinct value before
+    // the tiny cumulative window. This is the textbook two-phase
+    // selection that replaces ORDER BY for exact percentiles at scale.
+    Q("p178_twopass_quantiles", Some(s"""
+      WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                 FROM lineitem),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      r AS (SELECT t.q AS pct, n.n AS n_rows,
+                   CAST((n.n * t.q + 99) // 100 AS BIGINT) AS k
+            FROM n, (VALUES (25), (50), (75)) AS t(q)),
+      s AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c)
+      SELECT r.pct, r.n_rows, r.k, s.cents AS value
+      FROM r JOIN s ON s.rn = r.k ORDER BY r.pct""")) { (spark, dir) =>
+      import spark.implicits._
+      val c = Tables.load(spark, dir, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+          .as("cents"))
+      val hist = c.groupBy(expr(s"cents div $SelBucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      // the cumulative walk runs on the metadata-sized histogram only
+      val wb = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(wb))
+        .withColumn("cum_before", col("cum") - col("cnt"))
+      val n = hist.agg(sum(col("cnt")).as("n"))
+      val ranks = Seq(25, 50, 75).toDF("pct")
+        .crossJoin(broadcast(n))
+        .withColumn("k", expr("(n * pct + 99) div 100"))
+      val sel = ranks.join(broadcast(cum),
+        col("cum_before") < col("k") && col("k") <= col("cum"))
+        .select(col("pct"), col("n"), col("k"), col("bucket"),
+          col("cum_before"))
+      // pass 2: only the selected buckets' rows, grouped by value so the
+      // final cumulative window runs over distinct values, not rows
+      val g = c.join(broadcast(sel),
+          expr(s"cents div $SelBucket") === col("bucket"))
+        .groupBy(col("pct"), col("n"), col("k"), col("cum_before"),
+          col("cents"))
+        .agg(count(lit(1)).as("cnt2"))
+      val wv = Window.partitionBy(col("pct")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum2", sum(col("cnt2")).over(wv))
+        .where(col("cum2") >= col("k") - col("cum_before")
+          && col("cum2") - col("cnt2") < col("k") - col("cum_before"))
+        .select(col("pct"), col("n").as("n_rows"), col("k"),
+          col("cents").as("value"))
+        .orderBy(col("pct"))
+    },
+
+    // ---- cross-source quantile normalization (rank matching) ---------------
+    // Quality scores from different sources aren't comparable (one
+    // crawler's "50 tokens" is another's boilerplate): quantile
+    // normalization maps each source's score distribution onto the
+    // GLOBAL distribution by rank — the i-th of n_s source docs gets
+    // the value at the matching global rank 1 + (i-1)(N-1)/(n_s-1)
+    // (integer floor; a singleton source maps to the global median).
+    // After normalization every source's scores follow the same
+    // distribution, so one global threshold curates all sources
+    // without per-source bias — the microarray-normalization trick
+    // applied to corpus curation.
+    //
+    // Scale shape: the global rank is the documented total-order
+    // statistics shape (production: the global side is a quantile
+    // sketch — this entry is its exact form, and the oracle equality
+    // pins the exact semantics a sketch would approximate); the
+    // per-source ranks partition by source; the rank-matching step is
+    // one equi-join on the computed global index.
+    Q("p179_quantile_normalize", Some(s"""
+      WITH d AS (SELECT doc_id, source,
+                        CAST(len($wsSql) AS BIGINT) AS raw
+                 FROM documents),
+      g AS (SELECT raw AS gval,
+                   row_number() OVER (ORDER BY raw, doc_id) AS gi,
+                   count(*) OVER () AS nn
+            FROM d),
+      s AS (SELECT doc_id, source, raw,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY raw, doc_id) AS si,
+                   count(*) OVER (PARTITION BY source) AS ns
+            FROM d),
+      t AS (SELECT doc_id, source, raw,
+                   CASE WHEN ns > 1
+                        THEN 1 + ((si - 1) * (nn - 1)) // (ns - 1)
+                        ELSE (nn + 1) // 2 END AS tgt
+            FROM s, (SELECT DISTINCT nn FROM g) x)
+      SELECT t.doc_id, t.source, t.raw, CAST(g.gval AS BIGINT) AS norm
+      FROM t JOIN g ON g.gi = t.tgt
+      ORDER BY t.doc_id""")) { (spark, dir) =>
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("raw"))
+      val g = d.select(col("raw").as("gval"),
+        row_number().over(Window.orderBy(col("raw"), col("doc_id")))
+          .as("gi"))
+      val nn = d.agg(count(lit(1)).as("nn"))
+      val s = d
+        .withColumn("si", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("raw"), col("doc_id"))))
+        .withColumn("ns", count(lit(1)).over(
+          Window.partitionBy(col("source"))))
+        .crossJoin(broadcast(nn))
+        .withColumn("tgt", when(col("ns") > 1,
+            lit(1) + expr("((si - 1) * (nn - 1)) div (ns - 1)"))
+          .otherwise(expr("(nn + 1) div 2")))
+      s.join(g, col("gi") === col("tgt"))
+        .select(col("doc_id"), col("source"), col("raw"),
+          col("gval").cast("long").as("norm"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

@@ -1777,4 +1777,96 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the property an RNG-based bootstrap cannot give
     assert(run().toSeq == r.toSeq)
   }
+
+  test("p176 boilerplate rewrite: the shared segment (df=3) is removed, " +
+    "unique segments survive, short docs carry the empty-text hash") {
+    import spark.implicits._
+    val common = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val rows = Seq(
+      (1L, s"$common u1 u2 u3 u4 u5 u6 u7 u8", "en", "web", 0L),
+      (2L, s"$common v1 v2 v3 v4 v5 v6 v7 v8", "en", "web", 0L),
+      (3L, s"$common w1 w2 w3 w4 w5 w6 w7 w8", "en", "web", 0L),
+      (4L, "tiny doc", "en", "web", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p176fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p176_segment_boilerplate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_segs"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("removed_ppm"),
+        r.getAs[Long]("clean_hash"))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2 == 1L && got(1L)._3 == 500000L)
+    assert(got(2L)._2 == 1L && got(3L)._2 == 1L)
+    // cleaned texts are the per-doc unique tails, so the hashes differ
+    assert(Set(got(1L)._4, got(2L)._4, got(3L)._4).size == 3)
+    // the short doc has no segments: empty cleaned text, hash of ''
+    val emptyHash = spark.range(1)
+      .select(graft.ops.Portable.h60(lit(""))).head.getLong(0)
+    assert(got(4L) == ((0L, 0L, 0L, emptyHash)))
+  }
+
+  test("p177 sorted-neighborhood linkage: the planted near-pair scores " +
+    "match, far cross-role pairs nonmatch, mid scores stay possible") {
+    import spark.implicits._
+    // sorted by cents: c1(1000) s11(1005) c3(1020) s2(20000) — pairs at
+    // rank distance <=3 with different roles score: (c1,s11) 3900 match,
+    // (s11,c3) 0 possible, (c3,s2) 600 possible, (c1,s2) -1600 nonmatch
+    val cust = Seq((1L, "Customer#1", 1L, 10.00, "B"),
+      (3L, "Customer#3", 2L, 10.20, "B"))
+    val supp = Seq((11L, "Supplier#11", 1L, 10.05),
+      (2L, "Supplier#2", 2L, 200.00))
+    val dir = s"${sys.props("java.io.tmpdir")}/p177fix_${queries.runToken}"
+    cust.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    supp.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p177_record_linkage")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("min_score"), r.getAs[Long]("max_score"))).toMap
+    assert(got("match") == ((1L, 3900L, 3900L)))
+    assert(got("nonmatch") == ((1L, -1600L, -1600L)))
+    assert(got("possible") == ((2L, 0L, 600L)))
+  }
+
+  test("p178 two-pass selection: exact k-th smallest across bucket " +
+    "boundaries, duplicates counted, ranks = ceil(n*q/100)") {
+    import spark.implicits._
+    // cents sorted: 100x3 200x2 | 70000x4 100000 — n=10, so k=3/5/8
+    // land on 100, 200 (bucket 0) and 70000 (bucket 1): the quantile
+    // walk must cross the 2^16 bucket boundary to be right
+    val prices = Seq(1.00, 1.00, 1.00, 2.00, 2.00,
+      700.00, 700.00, 700.00, 700.00, 1000.00)
+    val dir = s"${sys.props("java.io.tmpdir")}/p178fix_${queries.runToken}"
+    prices.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p178_twopass_quantiles")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("k"), r.getAs[Long]("value"))).toMap
+    assert(got(25) == ((10L, 3L, 100L)))
+    assert(got(50) == ((10L, 5L, 200L)))
+    assert(got(75) == ((10L, 8L, 70000L)))
+  }
+
+  test("p179 quantile normalization: ranks map onto the global value " +
+    "ladder, endpoints meet, every source spans the global range") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // global sorted raw = [1,2,3,10,20]; source A (n=3) maps ranks to
+    // global indices 1,3,5; source B (n=2) to 1,5
+    val rows = Seq(
+      (1L, words(1), "en", "A", 0L), (2L, words(2), "en", "A", 0L),
+      (3L, words(3), "en", "A", 0L), (4L, words(10), "en", "B", 0L),
+      (5L, words(20), "en", "B", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p179fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p179_quantile_normalize")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("norm")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 20L, 4L -> 1L, 5L -> 20L))
+  }
 }
