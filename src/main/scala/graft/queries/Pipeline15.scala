@@ -307,6 +307,269 @@ object Pipeline15 {
         .select(col("doc_id"), col("source"), col("raw"),
           col("gval").cast("long").as("norm"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Unicode script-mix census / homoglyph spoof detection -------------
+    // The multilingual-corpus triage pass: per doc, character counts by
+    // script class (Latin, Cyrillic, digits), the dominant script, a
+    // mixed-script flag, and the CONFUSABLE flag — some TOKEN mixes
+    // Latin and Cyrillic letters, the homoglyph trick ('а' U+0430 for
+    // 'a') that defeats naive blocklists and poisons tokenizers. The
+    // fixture corpus is ASCII, so the query plants both failure modes
+    // deterministically first (doc_id%7: in-word homoglyph swap;
+    // doc_id%11: genuine appended Cyrillic words) — the planted docs
+    // must separate: appended-Cyrillic is mixed but NOT confusable,
+    // homoglyph-swapped is both.
+    //
+    // Scale shape: all classification is regex-class counting
+    // (length minus class-stripped length) and a token-level exists()
+    // — codegen string kernels in the scan stage, zero shuffle, zero
+    // explode; output is doc-keyed.
+    Q("p180_script_census", Some(s"""
+      WITH m AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN replace(text, 'a', 'а')
+                        WHEN doc_id % 11 = 0 THEN concat(text, ' код 42')
+                        ELSE text END AS mut
+                 FROM documents),
+      c AS (SELECT doc_id, mut,
+                   CAST(length(mut)
+                     - length(regexp_replace(mut, '[a-z]', '', 'g'))
+                     AS BIGINT) AS n_latin,
+                   CAST(length(mut)
+                     - length(regexp_replace(mut, '[а-яё]', '', 'g'))
+                     AS BIGINT) AS n_cyr,
+                   CAST(length(mut)
+                     - length(regexp_replace(mut, '[0-9]', '', 'g'))
+                     AS BIGINT) AS n_digit
+            FROM m)
+      SELECT doc_id, n_latin, n_cyr, n_digit,
+             CASE WHEN n_latin >= n_cyr THEN 'latin' ELSE 'cyrillic' END
+               AS dominant,
+             n_latin > 0 AND n_cyr > 0 AS mixed,
+             len(list_filter(string_split_regex(mut, '\\s+'),
+               t -> regexp_matches(t, '[a-z]')
+                 AND regexp_matches(t, '[а-яё]'))) > 0 AS confusable
+      FROM c ORDER BY doc_id""")) { (spark, dir) =>
+      val m = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, regexp_replace(col("text"), "a", "а"))
+            .when(col("doc_id") % 11 === 0, concat(col("text"), lit(" код 42")))
+            .otherwise(col("text")).as("mut"))
+      def classCount(c: org.apache.spark.sql.Column, cls: String) =
+        (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+      m.select(col("doc_id"),
+          classCount(col("mut"), "[a-z]").as("n_latin"),
+          classCount(col("mut"), "[а-яё]").as("n_cyr"),
+          classCount(col("mut"), "[0-9]").as("n_digit"),
+          col("mut"))
+        .select(col("doc_id"), col("n_latin"), col("n_cyr"), col("n_digit"),
+          when(col("n_latin") >= col("n_cyr"), "latin").otherwise("cyrillic")
+            .as("dominant"),
+          (col("n_latin") > 0 && col("n_cyr") > 0).as("mixed"),
+          exists(split(col("mut"), "\\s+"),
+            t => t.rlike("[a-z]") && t.rlike("[а-яё]")).as("confusable"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- symmetric int8 vector quantization + reconstruction audit ---------
+    // The embedding-compression step before ANN serving: per vector,
+    // symmetric int8 quantization (scale = amax/127, q_i =
+    // round(x_i·127/amax)) — 4× smaller than float32, the standard
+    // serving format. Everything runs in the micro-int convention
+    // (ri = round(x·1e6), the p88/p92/p97 contract) so both engines
+    // do EXACT integer arithmetic: the round-half-up is the shifted
+    // floor ((ri+amax)·254 + amax) div (2·amax) − 127 (nonnegative
+    // dividends only — floor vs truncate never diverges), and the
+    // reconstruction error per dimension is |127·ri − q_i·amax| with
+    // NO division at all. Output per vector: amax, total/max error,
+    // and the L1-relative error in ppm — the table that decides which
+    // vectors are too quantization-fragile to serve from int8.
+    //
+    // Scale shape: one posexplode + a vec-keyed two-pass (amax agg,
+    // then the quantize/error agg) — map-side combining both times,
+    // never a matrix in driver memory; at 100 TB this is the same
+    // shape as the p88 PQ encode pass.
+    Q("p181_int8_quantize", Some("""
+      WITH c AS (SELECT vec_id,
+                        unnest(generate_series(1, len(embedding))) AS j,
+                        CAST(round(unnest(CAST(embedding AS DOUBLE[]))
+                          * 1000000) AS BIGINT) AS ri
+                 FROM embeddings),
+      a AS (SELECT vec_id, CAST(max(abs(ri)) AS BIGINT) AS amax
+            FROM c GROUP BY 1),
+      q AS (SELECT c.vec_id, a.amax, c.ri,
+                   CASE WHEN a.amax = 0 THEN 0
+                        ELSE ((c.ri + a.amax) * 254 + a.amax)
+                             // (2 * a.amax) - 127 END AS qi
+            FROM c JOIN a USING (vec_id)),
+      e AS (SELECT vec_id, amax,
+                   CAST(sum(abs(127 * ri - qi * amax)) AS BIGINT) AS sum_err,
+                   CAST(max(abs(127 * ri - qi * amax)) AS BIGINT) AS max_err,
+                   CAST(sum(abs(ri)) AS BIGINT) AS l1
+            FROM q GROUP BY 1, 2)
+      SELECT vec_id, amax, sum_err, max_err,
+             CAST(CASE WHEN l1 = 0 THEN 0
+                  ELSE sum_err * 1000000 // (127 * l1) END AS BIGINT)
+               AS err_ppm
+      FROM e ORDER BY vec_id""")) { (spark, dir) =>
+      val c = Tables.loadSpread(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("j", "x")))
+        .select(col("vec_id"),
+          round(col("x") * 1000000, 0).cast("long").as("ri"))
+      val a = c.groupBy(col("vec_id")).agg(max(abs(col("ri"))).as("amax"))
+      val q = c.join(a, "vec_id")
+        .withColumn("qi", when(col("amax") === 0, 0L)
+          .otherwise(expr("((ri + amax) * 254 + amax) div (2 * amax) - 127")))
+      q.groupBy(col("vec_id"), col("amax"))
+        .agg(sum(abs(lit(127) * col("ri") - col("qi") * col("amax")))
+            .as("sum_err"),
+          max(abs(lit(127) * col("ri") - col("qi") * col("amax")))
+            .as("max_err"),
+          sum(abs(col("ri"))).as("l1"))
+        .select(col("vec_id"), col("amax"), col("sum_err"), col("max_err"),
+          when(col("l1") === 0, 0L)
+            .otherwise(expr("sum_err * 1000000 div (127 * l1)"))
+            .as("err_ppm"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- CMS-guided two-phase exact heavy hitters --------------------------
+    // The sketch-then-verify pattern that makes EXACT heavy hitters
+    // affordable at 100 TB: phase 1 builds the portable 4×512
+    // Count-Min sketch (ONE mergeable array per partition, p111's
+    // aggregate) plus the total token count; phase 2 probes the
+    // broadcast sketch PER TOKEN OCCURRENCE in the scan (4 md5s + a
+    // least()) and ships ONLY occurrences whose estimate clears the
+    // threshold into the exact count shuffle — the long tail (the
+    // overwhelming mass of a token distribution) never shuffles and
+    // never inflates map-side combiner state. CMS never
+    // underestimates, so no true heavy hitter is pruned: the output
+    // is EXACT, and the oracle — which rebuilds the identical counter
+    // matrix in SQL and runs the same two phases — hash-matching is
+    // the losslessness proof. est_slack = cms_est − exact is the
+    // published collision overshoot per survivor.
+    //
+    // Scale shape: phase 1 state is O(depth·width) per partition;
+    // phase 2's filter runs scan-side against a broadcast ~16 KB
+    // array; the exact agg shuffles only candidate occurrences.
+    Q("p182_hh_twophase", Some {
+      val (depth, width) = (4, 512)
+      val rr = (0 until depth).map(r => s"($r)").mkString(", ")
+      s"""
+      WITH t AS (SELECT unnest($wsSql) AS token FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM t),
+      cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+              FROM t GROUP BY 1),
+      rr(r) AS (VALUES $rr),
+      cms AS (SELECT r,
+                     ${Portable.h60Sql("concat(CAST(r AS VARCHAR), ':', token)")}
+                       % $width AS slot,
+                     CAST(sum(c) AS BIGINT) AS ctr
+              FROM cnt, rr GROUP BY 1, 2),
+      est AS (SELECT cnt.token, cnt.c, min(coalesce(cms.ctr, 0)) AS cms_est
+              FROM cnt CROSS JOIN rr
+              LEFT JOIN cms ON cms.r = rr.r
+                AND cms.slot = ${Portable.h60Sql(
+                  "concat(CAST(rr.r AS VARCHAR), ':', cnt.token)")} % $width
+              GROUP BY 1, 2)
+      SELECT e.token, e.c AS n, CAST(e.cms_est AS BIGINT) AS cms_est,
+             CAST(e.cms_est - e.c AS BIGINT) AS est_slack
+      FROM est e, tot
+      WHERE e.cms_est >= tot.tot // 500 AND e.c >= tot.tot // 500
+      ORDER BY n DESC, token"""
+    }) { (spark, dir) =>
+      import graft.functions.Cms
+      val (depth, width) = (4, 512)
+      val toks = Tables.loadSpread(spark, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val sk = toks.agg(Cms.sketch(col("token"), depth, width).as("cms"),
+        count(lit(1)).as("tot"))
+      val est = (0 until depth).map(r =>
+        element_at(col("cms"),
+          (pmod(Portable.h60(concat(lit(s"$r:"), col("token"))), lit(width))
+            + lit(r * width) + lit(1)).cast("int")))
+        .reduce(least(_, _))
+      toks.crossJoin(broadcast(sk))
+        .withColumn("cms_est", est)
+        .where(col("cms_est") >= expr("tot div 500"))
+        .groupBy(col("token"), col("cms_est"), col("tot"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= expr("tot div 500"))
+        .select(col("token"), col("n"), col("cms_est"),
+          (col("cms_est") - col("n")).as("est_slack"))
+        .orderBy(col("n").desc, col("token"))
+    },
+
+    // ---- incremental view maintenance for a join view (delta rules) --------
+    // The materialized-view refresh algebra: for V = A ⋈ B aggregated,
+    // applying inserts ΔA and ΔB costs Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪
+    // ΔA⋈ΔB — three joins each sized by a DELTA, never a re-scan of
+    // A⋈B. The query splits orders (key%5=0 = ΔA) and customers
+    // (key%7=0 = ΔB), maintains the per-nation revenue view
+    // incrementally, AND recomputes it from scratch in the same
+    // query: the output carries both sums and the agree flag per
+    // nation — self-proving, like p166's bitmap-vs-row audit. p73
+    // maintains a single-table aggregate; this entry extends the
+    // delta rules across a JOIN, the case where naive refresh
+    // re-shuffles the whole fact table.
+    //
+    // Scale shape: the base view is maintained state (at 100 TB: a
+    // nation-keyed table); each refresh shuffles only delta-sized
+    // inputs — ΔA⋈B_old broadcasts B's join column, A_old⋈ΔB
+    // broadcasts the ΔB keys, ΔA⋈ΔB is tiny×tiny.
+    Q("p183_ivm_join_view", Some("""
+      WITH a AS (SELECT o_orderkey, o_custkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      b AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation
+            FROM customer),
+      ao AS (SELECT * FROM a WHERE o_orderkey % 5 <> 0),
+      da AS (SELECT * FROM a WHERE o_orderkey % 5 = 0),
+      bo AS (SELECT * FROM b WHERE c_custkey % 7 <> 0),
+      db AS (SELECT * FROM b WHERE c_custkey % 7 = 0),
+      base AS (SELECT nation, sum(cents) AS s FROM ao
+               JOIN bo ON o_custkey = c_custkey GROUP BY 1),
+      d1 AS (SELECT nation, sum(cents) AS s FROM da
+             JOIN bo ON o_custkey = c_custkey GROUP BY 1),
+      d2 AS (SELECT nation, sum(cents) AS s FROM ao
+             JOIN db ON o_custkey = c_custkey GROUP BY 1),
+      d3 AS (SELECT nation, sum(cents) AS s FROM da
+             JOIN db ON o_custkey = c_custkey GROUP BY 1),
+      ivm AS (SELECT nation, CAST(sum(s) AS BIGINT) AS ivm_cents FROM (
+                SELECT * FROM base UNION ALL SELECT * FROM d1
+                UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+              GROUP BY 1),
+      fv AS (SELECT nation, CAST(sum(cents) AS BIGINT) AS full_cents
+             FROM a JOIN b ON o_custkey = c_custkey GROUP BY 1)
+      SELECT f.nation, f.full_cents, i.ivm_cents,
+             f.full_cents = i.ivm_cents AS agree
+      FROM fv f JOIN ivm i USING (nation)
+      ORDER BY f.nation""")) { (spark, dir) =>
+      val a = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val b = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long")
+          .as("nation"))
+      val ao = a.where(col("o_orderkey") % 5 =!= 0)
+      val da = a.where(col("o_orderkey") % 5 === 0)
+      val bo = b.where(col("c_custkey") % 7 =!= 0)
+      val db = b.where(col("c_custkey") % 7 === 0)
+      def view(x: org.apache.spark.sql.DataFrame,
+          y: org.apache.spark.sql.DataFrame) =
+        x.join(y, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("nation")).agg(sum(col("cents")).as("s"))
+      val ivm = view(ao, bo).unionAll(view(da, broadcast(bo)))
+        .unionAll(view(ao, broadcast(db)))
+        .unionAll(view(da, broadcast(db)))
+        .groupBy(col("nation")).agg(sum(col("s")).as("ivm_cents"))
+      val full = a.join(b, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("nation")).agg(sum(col("cents")).as("full_cents"))
+      full.join(ivm, "nation")
+        .select(col("nation"), col("full_cents"), col("ivm_cents"),
+          (col("full_cents") === col("ivm_cents")).as("agree"))
+        .orderBy(col("nation"))
     }
   )
 }

@@ -1869,4 +1869,92 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("norm")).toMap
     assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 20L, 4L -> 1L, 5L -> 20L))
   }
+
+  test("p180 script census: homoglyph-swapped docs are confusable, " +
+    "appended-Cyrillic docs are mixed but NOT confusable") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "plain text", "en", "web", 0L),       // pure latin
+      (7L, "abc abc", "en", "web", 0L),          // %7: a → Cyrillic а
+      (11L, "hello world", "en", "web", 0L),     // %11: append ' код 42'
+      (77L, "aaa", "en", "web", 0L))             // %7 swap of an all-a doc
+    val dir = s"${sys.props("java.io.tmpdir")}/p180fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p180_script_census")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_latin"),
+        r.getAs[Long]("n_cyr"), r.getAs[Long]("n_digit"),
+        r.getAs[String]("dominant"), r.getAs[Boolean]("mixed"),
+        r.getAs[Boolean]("confusable"))).toMap
+    assert(got(1L) == ((9L, 0L, 0L, "latin", false, false)))
+    // 'аbc аbc': per token one Cyrillic а + latin b,c → confusable
+    assert(got(7L) == ((4L, 2L, 0L, "latin", true, true)))
+    // appended Cyrillic is a separate pure-Cyrillic token: mixed only
+    assert(got(11L) == ((10L, 3L, 2L, "latin", true, false)))
+    // all-a doc becomes pure Cyrillic: dominant flips, nothing mixes
+    assert(got(77L) == ((0L, 3L, 0L, "cyrillic", false, false)))
+  }
+
+  test("p181 int8 quantization: hand-computed q/error ladder, zero " +
+    "vector hits the amax=0 guard") {
+    import spark.implicits._
+    val rows = Seq((1L, Seq(1.0f, -0.5f, 0.25f), 0),
+      (2L, Seq(0.0f, 0.0f), 0))
+    val dir = s"${sys.props("java.io.tmpdir")}/p181fix_${queries.runToken}"
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p181_int8_quantize")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("amax"),
+        r.getAs[Long]("sum_err"), r.getAs[Long]("max_err"),
+        r.getAs[Long]("err_ppm"))).toMap
+    // ri = [1e6, -5e5, 2.5e5]: q = [127, -63, 32] →
+    // errs |127·ri − q·amax| = [0, 5e5, 2.5e5]; l1 = 1.75e6
+    assert(got(1L) == ((1000000L, 750000L, 500000L, 3374L)))
+    assert(got(2L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("p182 two-phase heavy hitters: exact counts above tot/500, " +
+    "singletons pruned, CMS estimate never below truth") {
+    import spark.implicits._
+    // 500 hots + 499 distinct singletons + 2 warms → tot=1001, thr=2
+    val rows = Seq(
+      (1L, Seq.fill(500)("hot").mkString(" "), "en", "web", 0L),
+      (2L, (1 to 499).map(i => s"u$i").mkString(" "), "en", "web", 0L),
+      (3L, "warm warm", "en", "web", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p182fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p182_hh_twophase")(spark, dir).collect()
+    val byTok = got.map(r => r.getString(0) -> (r.getAs[Long]("n"),
+      r.getAs[Long]("cms_est"), r.getAs[Long]("est_slack"))).toMap
+    assert(byTok.keySet == Set("hot", "warm"))
+    assert(byTok("hot")._1 == 500L && byTok("warm")._1 == 2L)
+    // the CMS overestimate-only guarantee, per survivor
+    assert(got.forall(r => r.getAs[Long]("est_slack") >= 0L))
+  }
+
+  test("p183 IVM join view: all four delta quadrants contribute and " +
+    "the incremental sum equals the full recompute") {
+    import spark.implicits._
+    // quadrants: (old,old) (ΔA,old) (old,ΔB) (ΔA,ΔB)
+    val orders = Seq((1L, 1L, 10.00), (10L, 1L, 7.00),
+      (2L, 7L, 5.00), (5L, 7L, 20.00))
+    val cust = Seq((1L, "Customer#1", 1L, 0.0, "B"),
+      (7L, "Customer#7", 2L, 0.0, "B"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p183fix_${queries.runToken}"
+    orders.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    cust.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p183_ivm_join_view")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("full_cents"),
+        r.getAs[Long]("ivm_cents"), r.getAs[Boolean]("agree"))).toMap
+    assert(got(1L) == ((1700L, 1700L, true)))
+    assert(got(2L) == ((2500L, 2500L, true)))
+  }
 }
