@@ -570,6 +570,187 @@ object Pipeline15 {
         .select(col("nation"), col("full_cents"), col("ivm_cents"),
           (col("full_cents") === col("ivm_cents")).as("agree"))
         .orderBy(col("nation"))
+    },
+
+    // ---- xor replica digest / fleet integrity diff -------------------------
+    // Replica verification for a 100 TB table in 16 numbers: per hash
+    // bucket, the bit_xor of every row's portable content hash is an
+    // order- and partitioning-independent digest (xor is commutative
+    // and associative → map-side combine; ANY single-row difference
+    // flips its bucket's digest). The query builds a second "replica"
+    // with planted corruption (cents+1 where o_orderkey % 997 = 0) and
+    // diffs the two digest vectors — exactly the cross-region
+    // consistency check a fleet runs nightly without moving data: ship
+    // 16 longs, not 10^9 rows, and re-sync only mismatched buckets.
+    //
+    // Scale shape: one scan per replica, map-side xor partials, output
+    // is O(#buckets) metadata. The bucket count is the re-sync
+    // granularity knob (production: 2^12+ buckets so a repair touches
+    // 1/4096 of the table).
+    Q("p184_replica_digest", Some(s"""
+      WITH a AS (SELECT o_orderkey AS k,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                        o_orderstatus AS st FROM orders),
+      b AS (SELECT k, CASE WHEN k % 997 = 0 THEN cents + 1 ELSE cents END
+                   AS cents, st FROM a),
+      ha AS (SELECT ${Portable.h60Sql("CAST(k AS VARCHAR)")} % 16 AS bucket,
+                    ${Portable.h60Sql(
+                      "concat(CAST(k AS VARCHAR), '|', CAST(cents AS VARCHAR), '|', st)")}
+                      AS h, k FROM a),
+      hb AS (SELECT ${Portable.h60Sql("CAST(k AS VARCHAR)")} % 16 AS bucket,
+                    ${Portable.h60Sql(
+                      "concat(CAST(k AS VARCHAR), '|', CAST(cents AS VARCHAR), '|', st)")}
+                      AS h, k FROM b),
+      da AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(CASE WHEN k % 997 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_corrupt,
+                    bit_xor(h) AS dig_a FROM ha GROUP BY 1),
+      db AS (SELECT bucket, bit_xor(h) AS dig_b FROM hb GROUP BY 1)
+      SELECT da.bucket, da.n_rows, da.n_corrupt,
+             CAST(da.dig_a AS BIGINT) AS dig_a,
+             CAST(db.dig_b AS BIGINT) AS dig_b,
+             da.dig_a = db.dig_b AS agree
+      FROM da JOIN db USING (bucket)
+      ORDER BY da.bucket""")) { (spark, dir) =>
+      val a = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus").as("st"))
+      val b = a.withColumn("cents",
+        when(col("k") % 997 === 0, col("cents") + 1).otherwise(col("cents")))
+      def digest(df: org.apache.spark.sql.DataFrame) = df
+        .select(pmod(Portable.h60(col("k").cast("string")), lit(16))
+            .as("bucket"),
+          Portable.h60(concat_ws("|", col("k").cast("string"),
+            col("cents").cast("string"), col("st"))).as("h"),
+          col("k"))
+      val da = digest(a).groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("k") % 997 === 0, 1L).otherwise(0L)).as("n_corrupt"),
+          expr("bit_xor(h)").as("dig_a"))
+      val db = digest(b).groupBy(col("bucket"))
+        .agg(expr("bit_xor(h)").as("dig_b"))
+      da.join(db, "bucket")
+        .select(col("bucket"), col("n_rows"), col("n_corrupt"),
+          col("dig_a"), col("dig_b"),
+          (col("dig_a") === col("dig_b")).as("agree"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- group-aware serpentine k-fold split -------------------------------
+    // Leakage-safe cross-validation folds balanced by MASS, not count:
+    // the unit of assignment is the exact-dup group (all byte-twins
+    // land in one fold by construction — the leakage guarantee p101
+    // gives by cluster hash), but instead of hashing groups to folds
+    // (balanced only in expectation) the groups are ranked by token
+    // mass and dealt in SERPENTINE order (0..k-1, k-1..0, ...) — the
+    // deterministic near-LPT heuristic that bounds fold imbalance by
+    // one group's mass per serpentine cycle. Output is the per-fold
+    // census the trainer reads: group/doc counts and token mass.
+    //
+    // Scale shape: group rollup is one content-hash-keyed agg; the
+    // rank is a window over GROUPS (corpus/dup-factor rows, the
+    // documented total-order statistics shape — production uses a
+    // range-partitioned sort); the deal is pure modular arithmetic on
+    // the rank; the census is a k-row agg.
+    Q("p185_group_kfold", Some(s"""
+      WITH g AS (SELECT ${Portable.h60Sql(
+                   raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')")}
+                   AS gkey,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len($wsSql)) AS BIGINT) AS mass
+            FROM documents GROUP BY 1),
+      r AS (SELECT *, row_number() OVER (ORDER BY mass DESC, gkey) - 1
+                   AS rk FROM g),
+      f AS (SELECT *, CASE WHEN rk % 10 < 5 THEN rk % 10
+                           ELSE 9 - rk % 10 END AS fold FROM r)
+      SELECT CAST(fold AS BIGINT) AS fold,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(mass) AS BIGINT) AS mass
+      FROM f GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      val g = Tables.loadSpread(spark, dir, "documents")
+        .select(Portable.h60(regexp_replace(trim(lower(col("text"))),
+            "\\s+", " ")).as("gkey"),
+          size(TextOps.tokens(col("text"))).cast("long").as("toks"))
+        .groupBy(col("gkey"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("mass"))
+      val r = g.withColumn("rk",
+        row_number().over(Window.orderBy(col("mass").desc, col("gkey")))
+          - 1)
+      r.withColumn("fold",
+          when(col("rk") % 10 < 5, col("rk") % 10)
+            .otherwise(lit(9) - col("rk") % 10).cast("long"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n_docs")).as("n_docs"),
+          sum(col("mass")).as("mass"))
+        .orderBy(col("fold"))
+    },
+
+    // ---- seeded label propagation over the near-dup graph ------------------
+    // Semi-supervised label spread: 20% of graph nodes carry a seed
+    // class (doc_id%5=0 → class doc_id%3); three SYNCHRONOUS rounds
+    // propagate labels to unlabeled neighbors by majority vote (ties →
+    // smallest class), seeds stay clamped — the cheap transductive
+    // classifier that turns a handful of human labels plus the dedup
+    // pair graph into cluster-level labels (CC says "same family",
+    // LPA says WHICH family). Unreached nodes report -1. Deterministic
+    // because rounds are synchronous and the tie-break is total.
+    //
+    // Scale shape: pairs come from the SharedStages materialized table
+    // (the p75/p101 amortization); each round is one edge-keyed join +
+    // two bounded aggs — the vote argmax is a conditional struct
+    // extremum, never a window. Three rounds = three bounded shuffles;
+    // the oracle unrolls the SAME three rounds as CTEs, so the hash
+    // match pins the synchronous-update semantics exactly.
+    Q("p186_label_propagation", Some {
+      def voteCte(prev: String, out: String): String =
+        s"""v$out AS (SELECT e.u AS n, l.lbl AS cand,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM esym e JOIN $prev l ON l.n = e.v
+           WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+      w$out AS (SELECT n, cand FROM (SELECT *, row_number() OVER (
+                  PARTITION BY n ORDER BY cnt DESC, cand) AS rw FROM v$out)
+                WHERE rw = 1),
+      $out AS (SELECT l.n, coalesce(l.lbl, w.cand) AS lbl
+               FROM $prev l LEFT JOIN w$out w ON w.n = l.n)"""
+      s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      esym AS (SELECT a AS u, b AS v FROM spairs
+               UNION ALL SELECT b, a FROM spairs),
+      l0 AS (SELECT DISTINCT u AS n,
+                    CASE WHEN u % 5 = 0 THEN u % 3 END AS lbl FROM esym),
+      ${voteCte("l0", "l1")},
+      ${voteCte("l1", "l2")},
+      ${voteCte("l2", "l3")}
+      SELECT n AS doc_id, CAST(coalesce(lbl, -1) AS BIGINT) AS label,
+             n % 5 = 0 AS seeded
+      FROM l3 ORDER BY n"""
+    }) { (spark, dir) =>
+      val sp = SharedStages.spairs(spark, dir)
+      val esym = sp.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(sp.select(col("b"), col("a")))
+        .localCheckpoint()
+      val l0 = esym.select(col("u").as("n")).distinct()
+        .withColumn("lbl", when(col("n") % 5 === 0, col("n") % 3))
+      def round(lbls: org.apache.spark.sql.DataFrame) = {
+        val votes = esym
+          .join(lbls.where(col("lbl").isNotNull)
+            .select(col("n").as("v"), col("lbl").as("nl")), "v")
+          .groupBy(col("u"), col("nl"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("u"))
+          .agg(max(struct(col("cnt"), (-col("nl")).as("neg"))).as("m"))
+          .select(col("u").as("n"), (-col("m.neg")).as("vote"))
+        lbls.join(votes, Seq("n"), "left")
+          .select(col("n"), coalesce(col("lbl"), col("vote")).as("lbl"))
+      }
+      val l3 = round(round(round(l0)))
+      l3.select(col("n").as("doc_id"),
+          coalesce(col("lbl"), lit(-1L)).cast("long").as("label"),
+          (col("n") % 5 === 0).as("seeded"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -1957,4 +1957,77 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) == ((1700L, 1700L, true)))
     assert(got(2L) == ((2500L, 2500L, true)))
   }
+
+  test("p184 replica digest: exactly the corrupted row's bucket " +
+    "mismatches; clean buckets agree") {
+    import spark.implicits._
+    val rows = Seq((997L, 10.00, "O"), (1L, 5.00, "F"), (2L, 7.00, "O"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p184fix_${queries.runToken}"
+    rows.toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p184_replica_digest")(spark, dir)
+      .collect()
+    assert(got.map(_.getAs[Long]("n_rows")).sum == 3L)
+    assert(got.map(_.getAs[Long]("n_corrupt")).sum == 1L)
+    // agree is false exactly where the corrupt row lives: a one-bit
+    // change can never cancel in an xor of distinct-keyed hashes
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("agree") == (r.getAs[Long]("n_corrupt") == 0L))
+    }
+  }
+
+  test("p185 serpentine k-fold: exact-dup twins share a fold, the deal " +
+    "balances mass within one group per cycle") {
+    import spark.implicits._
+    def words(pfx: String, n: Int) =
+      (1 to n).map(i => s"$pfx$i").mkString(" ")
+    // masses desc: 10 9 8 7 6 5 (singletons) 4 (the dup-pair group:
+    // 'a b' twice, whitespace/case variants) → serpentine over k=5:
+    // ranks 0..6 → folds 0 1 2 3 4 4 3
+    val rows = Seq(
+      (1L, words("a", 10), "en", "w", 0L), (2L, words("b", 9), "en", "w", 0L),
+      (3L, words("c", 8), "en", "w", 0L), (4L, words("d", 7), "en", "w", 0L),
+      (5L, words("e", 6), "en", "w", 0L), (6L, words("f", 5), "en", "w", 0L),
+      (7L, "dup tok", "en", "w", 0L), (8L, "DUP   tok", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p185fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p185_group_kfold")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_groups"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("mass"))).toMap
+    assert(got(0L) == ((1L, 1L, 10L)))
+    assert(got(1L) == ((1L, 1L, 9L)))
+    assert(got(2L) == ((1L, 1L, 8L)))
+    // the serpentine turn: folds 3 and 4 each take two groups and end
+    // mass-balanced at 11 — and the dup pair (2 docs) lands whole
+    assert(got(3L) == ((2L, 3L, 11L)))
+    assert(got(4L) == ((2L, 2L, 11L)))
+  }
+
+  test("p186 label propagation: conflicting seeds tie-break to the " +
+    "smallest class, seeds stay clamped, seedless components stay -1") {
+    import spark.implicits._
+    // clique {5,7,10} via identical text: seeds 5→2, 10→1; node 7
+    // sees one vote each → smallest class 1 wins. clique {3,4} has no
+    // seed → both report -1.
+    val rows = Seq(
+      (5L, "alpha beta gamma delta", "en", "w", 0L),
+      (7L, "alpha beta gamma delta", "en", "w", 0L),
+      (10L, "alpha beta gamma delta", "en", "w", 0L),
+      (3L, "omega psi chi phi", "en", "w", 0L),
+      (4L, "omega psi chi phi", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p186fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p186_label_propagation")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("label"), r.getAs[Boolean]("seeded"))).toMap
+    assert(got(5L) == ((2L, true)))
+    assert(got(10L) == ((1L, true)))
+    assert(got(7L) == ((1L, false)))
+    assert(got(3L) == ((-1L, false)) && got(4L) == ((-1L, false)))
+  }
 }
