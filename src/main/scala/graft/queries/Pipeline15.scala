@@ -751,6 +751,290 @@ object Pipeline15 {
           coalesce(col("lbl"), lit(-1L)).cast("long").as("label"),
           (col("n") % 5 === 0).as("seeded"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- exact two-sample Kolmogorov–Smirnov census ------------------------
+    // Distribution drift between every source pair, exactly: D = max
+    // |F1 − F2| over the merged token-count CDFs, computed in integer
+    // cross-multiplied form |c1·n2 − c2·n1| so no engine ever divides
+    // early. The α=0.05 decision uses the squared form of the
+    // classical critical value D > c(α)·sqrt((n1+n2)/(n1·n2)) —
+    // D_milli²·n1·n2 > c²·10³·(n1+n2) with c²(0.05)=1.844 embedded as
+    // the precomputed 1844 milli-constant (the lc-table discipline: no
+    // engine runs sqrt or log). p160's TV distance needs binning; KS
+    // is bin-free and catches location shifts TV smears out.
+    //
+    // Scale shape: the per-(source, value) rollup is one agg; source
+    // pairs are S² metadata rows (production: each source vs one
+    // global reference = S rows); each pair's CDF walk is a window
+    // over its own distinct VALUES, not rows. Outputs S(S−1)/2 rows.
+    Q("p187_ks_census", Some(s"""
+      WITH d AS (SELECT source, CAST(len($wsSql) AS BIGINT) AS raw
+                 FROM documents),
+      v AS (SELECT source, raw, CAST(count(*) AS BIGINT) AS cnt
+            FROM d GROUP BY 1, 2),
+      sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      pr AS (SELECT a.source AS src1, b.source AS src2,
+                    a.n AS n1, b.n AS n2
+             FROM sz a JOIN sz b ON a.source < b.source),
+      m AS (SELECT pr.src1, pr.src2, pr.n1, pr.n2, v.raw,
+                   CASE WHEN v.source = pr.src1 THEN v.cnt ELSE 0 END AS c1,
+                   CASE WHEN v.source = pr.src2 THEN v.cnt ELSE 0 END AS c2
+            FROM pr JOIN v ON v.source = pr.src1 OR v.source = pr.src2),
+      g AS (SELECT src1, src2, n1, n2, raw, sum(c1) AS c1, sum(c2) AS c2
+            FROM m GROUP BY 1, 2, 3, 4, 5),
+      w AS (SELECT src1, src2, n1, n2,
+                   sum(c1) OVER (PARTITION BY src1, src2 ORDER BY raw
+                     ROWS UNBOUNDED PRECEDING) AS f1,
+                   sum(c2) OVER (PARTITION BY src1, src2 ORDER BY raw
+                     ROWS UNBOUNDED PRECEDING) AS f2
+            FROM g),
+      k AS (SELECT src1, src2, n1, n2,
+                   CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS dx
+            FROM w GROUP BY 1, 2, 3, 4)
+      SELECT src1, src2, n1, n2,
+             CAST(dx * 1000000 // (n1 * n2) AS BIGINT) AS d_ppm,
+             (dx * 1000 // (n1 * n2)) * (dx * 1000 // (n1 * n2)) * n1 * n2
+               > 1844 * 1000 * (n1 + n2) AS reject
+      FROM k ORDER BY src1, src2""")) { (spark, dir) =>
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("raw"))
+      val v = d.groupBy(col("source"), col("raw"))
+        .agg(count(lit(1)).as("cnt"))
+      val sz = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val pr = sz.select(col("source").as("src1"), col("n").as("n1"))
+        .join(sz.select(col("source").as("src2"), col("n").as("n2")),
+          col("src1") < col("src2"))
+      val m = broadcast(pr).join(v,
+          col("source") === col("src1") || col("source") === col("src2"))
+        .select(col("src1"), col("src2"), col("n1"), col("n2"), col("raw"),
+          when(col("source") === col("src1"), col("cnt")).otherwise(0L)
+            .as("c1"),
+          when(col("source") === col("src2"), col("cnt")).otherwise(0L)
+            .as("c2"))
+      val g = m.groupBy(col("src1"), col("src2"), col("n1"), col("n2"),
+          col("raw"))
+        .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+      val wc = Window.partitionBy(col("src1"), col("src2"))
+        .orderBy(col("raw"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val k = g
+        .withColumn("f1", sum(col("c1")).over(wc))
+        .withColumn("f2", sum(col("c2")).over(wc))
+        .groupBy(col("src1"), col("src2"), col("n1"), col("n2"))
+        .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1")))
+          .as("dx"))
+      k.select(col("src1"), col("src2"), col("n1"), col("n2"),
+          expr("dx * 1000000 div (n1 * n2)").as("d_ppm"),
+          (expr("(dx * 1000 div (n1 * n2)) * (dx * 1000 div (n1 * n2))")
+            * col("n1") * col("n2")
+            > lit(1844L) * 1000L * (col("n1") + col("n2"))).as("reject"))
+        .orderBy(col("src1"), col("src2"))
+    },
+
+    // ---- shuffle-skew advisor (salt-factor recommendation) -----------------
+    // The pre-flight check before any key-partitioned shuffle: the
+    // per-key frequency profile of the join/agg key, reduced to the
+    // decision numbers — hottest key's share, whether one partition
+    // would exceed 2× the fair share at the session's 32 partitions,
+    // and the RECOMMENDED salt factor ceil(top_cnt·P/N) (the spread
+    // that brings the hot key back to fair share; 1 = no salting
+    // needed). p136 proves the salted rewrite correct; this advisor
+    // DECIDES when and how much to salt — together they close the
+    // loop AQE's skew handling closes only for sort-merge joins.
+    //
+    // Scale shape: one map-side-combining key rollup, then single-row
+    // extrema — the hottest key via conditional struct max, never a
+    // sort. Output is one metadata row.
+    Q("p188_skew_advisor", Some("""
+      WITH k AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS c
+                 FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(c) AS BIGINT) AS top_cnt,
+                   CAST(min(CASE WHEN c = (SELECT max(c) FROM k)
+                            THEN key END) AS BIGINT) AS top_key
+            FROM k)
+      SELECT n_rows, n_keys, top_key, top_cnt,
+             CAST(top_cnt * 1000000 // n_rows AS BIGINT) AS top_ppm,
+             top_cnt > 2 * (n_rows // 32) AS skewed,
+             CAST((top_cnt * 32 + n_rows - 1) // n_rows AS BIGINT)
+               AS rec_salt
+      FROM t""")) { (spark, dir) =>
+      val k = Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).as("c"))
+      k.agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(struct(col("c"), (-col("key")).as("nk"))).as("m"))
+        .select(col("n_rows"), col("n_keys"),
+          (-col("m.nk")).cast("long").as("top_key"),
+          col("m.c").as("top_cnt"),
+          expr("m.c * 1000000 div n_rows").as("top_ppm"),
+          (col("m.c") > lit(2) * expr("n_rows div 32")).as("skewed"),
+          expr("(m.c * 32 + n_rows - 1) div n_rows").as("rec_salt"))
+    },
+
+    // ---- weighted two-pass exact selection ---------------------------------
+    // p178 with mass instead of count: the exact WEIGHTED median /
+    // quartiles of price weighted by quantity — the "half the VOLUME
+    // ships below this price" statistic, which is what a cost model
+    // wants (the unweighted median over-weights small orders). Same
+    // two-pass shape: bucket histogram now accumulates WEIGHT, the
+    // cumulative walk locates each weighted rank k = ceil(W·q/100),
+    // pass 2 touches one bucket and resolves by grouped-value weight
+    // cumsum. The oracle brute-forces the weight prefix over all
+    // values; hash equality again proves the selection exact.
+    //
+    // Scale shape: identical to p178 — O(#buckets) metadata between
+    // two scans, second scan range-pruned to the selected buckets.
+    Q("p189_weighted_quantiles", Some(s"""
+      WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS cents,
+                        CAST(l_quantity AS BIGINT) AS w
+                 FROM lineitem),
+      n AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM c),
+      r AS (SELECT t.q AS pct, n.tw,
+                   CAST((n.tw * t.q + 99) // 100 AS BIGINT) AS k
+            FROM n, (VALUES (25), (50), (75)) AS t(q)),
+      s AS (SELECT cents, sum(w) OVER (ORDER BY cents
+                     ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(w) OVER (ORDER BY cents
+                     ROWS UNBOUNDED PRECEDING) - w AS cwb
+            FROM (SELECT cents, CAST(sum(w) AS BIGINT) AS w FROM c
+                  GROUP BY 1)),
+      p AS (SELECT r.pct, r.tw, r.k, min(s.cents) AS value
+            FROM r JOIN s ON s.cw >= r.k AND s.cwb < r.k
+            GROUP BY 1, 2, 3)
+      SELECT pct, tw AS total_weight, k, CAST(value AS BIGINT) AS value
+      FROM p ORDER BY pct""")) { (spark, dir) =>
+      import spark.implicits._
+      val c = Tables.load(spark, dir, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+          .as("cents"), col("l_quantity").cast("long").as("w"))
+      val hist = c.groupBy(expr(s"cents div $SelBucket").as("bucket"))
+        .agg(sum(col("w")).as("bw"))
+      val wb = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("bw")).over(wb))
+        .withColumn("cum_before", col("cum") - col("bw"))
+      val n = hist.agg(sum(col("bw")).as("tw"))
+      val ranks = Seq(25, 50, 75).toDF("pct")
+        .crossJoin(broadcast(n))
+        .withColumn("k", expr("(tw * pct + 99) div 100"))
+      val sel = ranks.join(broadcast(cum),
+          col("cum_before") < col("k") && col("k") <= col("cum"))
+        .select(col("pct"), col("tw"), col("k"), col("bucket"),
+          col("cum_before"))
+      val g = c.join(broadcast(sel),
+          expr(s"cents div $SelBucket") === col("bucket"))
+        .groupBy(col("pct"), col("tw"), col("k"), col("cum_before"),
+          col("cents"))
+        .agg(sum(col("w")).as("vw"))
+      val wv = Window.partitionBy(col("pct")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cw", sum(col("vw")).over(wv))
+        .where(col("cw") >= col("k") - col("cum_before")
+          && col("cw") - col("vw") < col("k") - col("cum_before"))
+        .select(col("pct"), col("tw").as("total_weight"), col("k"),
+          col("cents").as("value"))
+        .orderBy(col("pct"))
+    },
+
+    // ---- bigram surprisal with backoff (train/eval split) ------------------
+    // The stronger LM behind curriculum ordering: an integer-bits
+    // bigram model TRAINED on doc_id%3≠0 docs scores the HELD-OUT
+    // %3=0 docs — so unseen bigrams and OOV tokens actually occur
+    // (scoring the training corpus with itself can never back off).
+    // Per eval token: seen bigram → floor(log2(C(prev)/C(prev,cur)));
+    // unseen bigram → unigram bits + 2 (the fixed backoff penalty);
+    // OOV token → floor(log2(N)) + 4. All logs are the p161
+    // length(bin(x))−1 integer kernel — no engine runs log. Output
+    // per eval doc: token/backoff/OOV counts and mean millibits, the
+    // curriculum key (low = easy/common, high = rare/novel).
+    //
+    // Scale shape: counts are two map-side-combining aggs over the
+    // train scan; scoring is two keyed joins (bigram, unigram) against
+    // the eval tokens — at 100 TB both count tables are bucketed
+    // broadcast-or-shuffle joins, and prev-alignment is a per-doc
+    // window (doc-bounded, never corpus-wide).
+    Q("p190_bigram_surprisal", Some(s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      t AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos,
+                   unnest(ws) AS tok FROM w),
+      seq AS (SELECT doc_id, pos, tok,
+                     lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS prev FROM t),
+      tru AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM seq
+              WHERE doc_id % 3 <> 0 GROUP BY 1),
+      trb AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cb FROM seq
+              WHERE doc_id % 3 <> 0 AND prev IS NOT NULL GROUP BY 1, 2),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM seq
+            WHERE doc_id % 3 <> 0),
+      ev AS (SELECT s.doc_id, s.pos, s.tok, s.prev,
+                    u.cu, b.cb, pu.cu AS cp
+             FROM seq s
+             LEFT JOIN tru u ON u.tok = s.tok
+             LEFT JOIN trb b ON b.prev = s.prev AND b.tok = s.tok
+             LEFT JOIN tru pu ON pu.tok = s.prev
+             WHERE s.doc_id % 3 = 0),
+      sc AS (SELECT doc_id,
+                    CASE WHEN cu IS NULL THEN 1 ELSE 0 END AS oov,
+                    CASE WHEN prev IS NOT NULL AND cb IS NULL
+                         THEN 1 ELSE 0 END AS backoff,
+                    CASE
+                      WHEN prev IS NOT NULL AND cb IS NOT NULL
+                        THEN length(bin(cp // cb)) - 1
+                      WHEN cu IS NULL
+                        THEN length(bin((SELECT nt FROM n))) - 1 + 4
+                      WHEN prev IS NULL
+                        THEN length(bin((SELECT nt FROM n) // cu)) - 1
+                      ELSE length(bin((SELECT nt FROM n) // cu)) - 1 + 2
+                    END AS bits
+             FROM ev)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(oov) AS BIGINT) AS n_oov,
+             CAST(sum(backoff) AS BIGINT) AS n_backoff,
+             CAST(sum(bits) AS BIGINT) AS total_bits,
+             CAST(sum(bits) * 1000 // count(*) AS BIGINT)
+               AS mean_millibits
+      FROM sc GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      val seq = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("prev", lag(col("tok"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      val train = seq.where(col("doc_id") % 3 =!= 0)
+      val tru = train.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      val trb = train.where(col("prev").isNotNull)
+        .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb"))
+      val n = train.agg(count(lit(1)).as("nt"))
+      def ilog2(c: org.apache.spark.sql.Column) =
+        (length(bin(c)) - 1).cast("long")
+      val ev = seq.where(col("doc_id") % 3 === 0)
+        .join(tru, Seq("tok"), "left")
+        .join(trb, Seq("prev", "tok"), "left")
+        .join(tru.select(col("tok").as("prev"), col("cu").as("cp")),
+          Seq("prev"), "left")
+        .crossJoin(broadcast(n))
+      val bits =
+        when(col("prev").isNotNull && col("cb").isNotNull,
+          ilog2(expr("cp div cb")))
+        .when(col("cu").isNull, ilog2(col("nt")) + 4)
+        .when(col("prev").isNull, ilog2(expr("nt div cu")))
+        .otherwise(ilog2(expr("nt div cu")) + 2)
+      ev.select(col("doc_id"),
+          when(col("cu").isNull, 1L).otherwise(0L).as("oov"),
+          when(col("prev").isNotNull && col("cb").isNull, 1L).otherwise(0L)
+            .as("backoff"),
+          bits.as("bits"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"),
+          sum(col("backoff")).as("n_backoff"),
+          sum(col("bits")).as("total_bits"),
+          expr("sum(bits) * 1000 div count(1)").cast("long")
+            .as("mean_millibits"))
+        .orderBy(col("doc_id"))
     }
   )
 }

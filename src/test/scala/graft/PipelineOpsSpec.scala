@@ -2030,4 +2030,84 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(7L) == ((1L, false)))
     assert(got(3L) == ((-1L, false)) && got(4L) == ((-1L, false)))
   }
+
+  test("p187 KS census: identical distributions D=0 no reject; fully " +
+    "separated distributions D=1e6 ppm reject") {
+    import spark.implicits._
+    def mk(src: String, ids: Range, n: Int) =
+      ids.map(i => (i.toLong, (1 to n).map(j => s"t$j").mkString(" "),
+        "en", src, 0L))
+    val rows = mk("A", 1 to 5, 3) ++ mk("B", 6 to 10, 3) ++
+      mk("C", 11 to 15, 10)
+    val dir = s"${sys.props("java.io.tmpdir")}/p187fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p187_ks_census")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("d_ppm"), r.getAs[Boolean]("reject"))).toMap
+    assert(got(("A", "B")) == ((0L, false)))
+    assert(got(("A", "C")) == ((1000000L, true)))
+    assert(got(("B", "C")) == ((1000000L, true)))
+  }
+
+  test("p188 skew advisor: hottest-key tie breaks to the smaller key, " +
+    "salt factor is the fair-share ceiling") {
+    import spark.implicits._
+    val rows = Seq.fill(6)(1L) ++ Seq.fill(6)(2L) ++ Seq(3L)
+    val dir = s"${sys.props("java.io.tmpdir")}/p188fix_${queries.runToken}"
+    rows.zipWithIndex.map { case (k, i) => (i.toLong, k, 1.0) }
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    queries.cleanupAtExit(dir)
+    val r = SparkEntry.queries("p188_skew_advisor")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 13L)
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("top_key") == 1L)   // tie 6=6 → smaller key
+    assert(r.getAs[Long]("top_cnt") == 6L)
+    assert(r.getAs[Long]("top_ppm") == 461538L)
+    assert(r.getAs[Boolean]("skewed"))
+    assert(r.getAs[Long]("rec_salt") == 15L) // ceil(6·32/13)
+  }
+
+  test("p189 weighted quantiles: weight mass, not row count, drives " +
+    "the ranks; selection crosses the bucket boundary") {
+    import spark.implicits._
+    // (cents, weight): 100·3 200·2 | 70000·4 100000·1 → W=10, k=3/5/8
+    val rows = Seq((1L, 1.00, 3.0), (2L, 2.00, 2.0),
+      (3L, 700.00, 4.0), (4L, 1000.00, 1.0))
+    val dir = s"${sys.props("java.io.tmpdir")}/p189fix_${queries.runToken}"
+    rows.toDF("l_orderkey", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p189_weighted_quantiles")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getAs[Long]("total_weight"),
+        r.getAs[Long]("k"), r.getAs[Long]("value"))).toMap
+    assert(got(25) == ((10L, 3L, 100L)))
+    assert(got(50) == ((10L, 5L, 200L)))
+    assert(got(75) == ((10L, 8L, 70000L)))
+  }
+
+  test("p190 bigram surprisal: hand-computed bits for seen bigram, " +
+    "backoff, and OOV on a held-out doc") {
+    import spark.implicits._
+    // train (%3≠0): docs 1,2 = 'a b' → N=4, cu(a)=cu(b)=2, cb(a,b)=2
+    // eval doc 3 'a b b c': a:first→ilog2(4/2)=1; b:seen (a,b)→
+    // ilog2(2/2)=0; b:(b,b) unseen→1+2=3; c:OOV→ilog2(4)+4=6 → 10 bits
+    val rows = Seq((1L, "a b", "en", "w", 0L), (2L, "a b", "en", "w", 0L),
+      (3L, "a b b c", "en", "w", 0L), (6L, "a b", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p190fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p190_bigram_surprisal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_oov"), r.getAs[Long]("n_backoff"),
+        r.getAs[Long]("total_bits"), r.getAs[Long]("mean_millibits")))
+      .toMap
+    assert(got(3L) == ((4L, 1L, 2L, 10L, 2500L)))
+    assert(got(6L) == ((2L, 0L, 0L, 1L, 500L)))
+    assert(!got.contains(1L)) // train docs are not scored
+  }
 }
