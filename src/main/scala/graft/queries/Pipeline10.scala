@@ -12,6 +12,79 @@ object Pipeline10 {
   private def h60VecSql(salt: String) =
     Portable.h60Sql(s"concat('$salt:', CAST(vec_id AS VARCHAR))")
 
+
+  /** p111's probe terms — compile-time constants shared by the batch
+    * entry, the streaming entry (p191), and the oracle text.
+    */
+  private[queries] val cmsProbes = Seq("scan", "batch", "zzzmissing")
+
+  /** ONE oracle for both faces of the mergeable CMS: the batch
+    * aggregate (p111) and the streaming-state aggregate (p191). The
+    * SQL rebuilds the identical 4x256 counter matrix; sharing the text
+    * makes the batch=stream equivalence claims inseparable.
+    */
+  private[queries] val cmsOracle: String = {
+      val probes = cmsProbes
+      val probeVals = probes.map(t => s"('$t')").mkString(", ")
+      s"""
+      WITH t AS (SELECT source, unnest(${TextSql.ws}) AS term FROM documents),
+      cnt AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+              FROM t GROUP BY 1, 2),
+      rr(r) AS (VALUES (0), (1), (2), (3)),
+      cms AS (SELECT source, r,
+                     ${Portable.h60Sql("concat(CAST(r AS VARCHAR), ':', term)")}
+                       % 256 AS slot,
+                     CAST(sum(c) AS BIGINT) AS ctr
+              FROM cnt, rr GROUP BY 1, 2, 3),
+      p(term) AS (VALUES $probeVals),
+      ps AS (SELECT p.term, rr.r,
+                    ${Portable.h60Sql("concat(CAST(rr.r AS VARCHAR), ':', p.term)")}
+                      % 256 AS slot
+             FROM p, rr),
+      src AS (SELECT DISTINCT source FROM documents),
+      est AS (SELECT s.source, ps.term, min(coalesce(cms.ctr, 0)) AS cms_est
+              FROM src s CROSS JOIN ps
+              LEFT JOIN cms ON cms.source = s.source AND cms.r = ps.r
+                           AND cms.slot = ps.slot
+              GROUP BY 1, 2)
+      SELECT e.source, e.term,
+             CAST(coalesce(cnt.c, 0) AS BIGINT) AS true_count,
+             CAST(e.cms_est AS BIGINT) AS cms_est,
+             CAST(e.cms_est - coalesce(cnt.c, 0) AS BIGINT) AS overestimate
+      FROM est e LEFT JOIN cnt ON cnt.source = e.source AND cnt.term = e.term
+      ORDER BY 1, 2"""
+  }
+
+  /** The probe tail over a per-source CMS sketch frame `sk` (columns
+    * source, cms) and the raw term stream: estimates for the probe
+    * terms next to true counts — p111's output, reused verbatim by the
+    * streaming entry so both faces emit the same schema.
+    */
+  private[queries] def cmsProbeOutput(
+      sk: org.apache.spark.sql.DataFrame,
+      terms: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.Cms
+    val probeStructs = cmsProbes.map { t =>
+      val est = (0 until 4).map(r =>
+        element_at(col("cms"), r * 256 + Cms.slot(r, t, 256) + 1))
+        .reduce(least(_, _))
+      struct(lit(t).as("term"), est.as("cms_est"))
+    }
+    val tc = terms.where(col("term").isin(cmsProbes: _*))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("true_count"))
+    sk.select(col("source"), explode(array(probeStructs: _*)).as("p"))
+      .select(col("source"), col("p.term").as("term"),
+        col("p.cms_est").as("cms_est"))
+      .join(tc, Seq("source", "term"), "left")
+      .select(col("source"), col("term"),
+        coalesce(col("true_count"), lit(0L)).as("true_count"),
+        col("cms_est"),
+        (col("cms_est") - coalesce(col("true_count"), lit(0L)))
+          .as("overestimate"))
+      .orderBy(col("source"), col("term"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- IVF-PQ with residual quantization (the FAISS architecture) --------
@@ -187,63 +260,14 @@ object Pipeline10 {
     // shuffle regardless of vocabulary size; merges are elementwise
     // adds (commutative — partitioning can't change the state). This
     // is the p73/p77 incremental-rollup state for frequencies.
-    Q("p111_cms_sketch", Some {
-      val probes = Seq("scan", "batch", "zzzmissing")
-      val probeVals = probes.map(t => s"('$t')").mkString(", ")
-      s"""
-      WITH t AS (SELECT source, unnest(${TextSql.ws}) AS term FROM documents),
-      cnt AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
-              FROM t GROUP BY 1, 2),
-      rr(r) AS (VALUES (0), (1), (2), (3)),
-      cms AS (SELECT source, r,
-                     ${Portable.h60Sql("concat(CAST(r AS VARCHAR), ':', term)")}
-                       % 256 AS slot,
-                     CAST(sum(c) AS BIGINT) AS ctr
-              FROM cnt, rr GROUP BY 1, 2, 3),
-      p(term) AS (VALUES $probeVals),
-      ps AS (SELECT p.term, rr.r,
-                    ${Portable.h60Sql("concat(CAST(rr.r AS VARCHAR), ':', p.term)")}
-                      % 256 AS slot
-             FROM p, rr),
-      src AS (SELECT DISTINCT source FROM documents),
-      est AS (SELECT s.source, ps.term, min(coalesce(cms.ctr, 0)) AS cms_est
-              FROM src s CROSS JOIN ps
-              LEFT JOIN cms ON cms.source = s.source AND cms.r = ps.r
-                           AND cms.slot = ps.slot
-              GROUP BY 1, 2)
-      SELECT e.source, e.term,
-             CAST(coalesce(cnt.c, 0) AS BIGINT) AS true_count,
-             CAST(e.cms_est AS BIGINT) AS cms_est,
-             CAST(e.cms_est - coalesce(cnt.c, 0) AS BIGINT) AS overestimate
-      FROM est e LEFT JOIN cnt ON cnt.source = e.source AND cnt.term = e.term
-      ORDER BY 1, 2"""
-    }) { (spark, dir) =>
+    Q("p111_cms_sketch", Some(cmsOracle)) { (spark, dir) =>
       import graft.functions.Cms
       import graft.ops.TextOps
-      val probes = Seq("scan", "batch", "zzzmissing")
       val terms = Tables.loadSpread(spark, dir, "documents")
         .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
       val sk = terms.groupBy(col("source"))
         .agg(Cms.sketch(col("term"), 4, 256).as("cms"))
-      val probeStructs = probes.map { t =>
-        val est = (0 until 4).map(r =>
-          element_at(col("cms"), r * 256 + Cms.slot(r, t, 256) + 1))
-          .reduce(least(_, _))
-        struct(lit(t).as("term"), est.as("cms_est"))
-      }
-      val tc = terms.where(col("term").isin(probes: _*))
-        .groupBy(col("source"), col("term"))
-        .agg(count(lit(1)).as("true_count"))
-      sk.select(col("source"), explode(array(probeStructs: _*)).as("p"))
-        .select(col("source"), col("p.term").as("term"),
-          col("p.cms_est").as("cms_est"))
-        .join(tc, Seq("source", "term"), "left")
-        .select(col("source"), col("term"),
-          coalesce(col("true_count"), lit(0L)).as("true_count"),
-          col("cms_est"),
-          (col("cms_est") - coalesce(col("true_count"), lit(0L)))
-            .as("overestimate"))
-        .orderBy(col("source"), col("term"))
+      cmsProbeOutput(sk, terms)
     }
   )
 }

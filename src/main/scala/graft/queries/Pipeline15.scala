@@ -28,7 +28,45 @@ object Pipeline15 {
     */
   private val SelBucket = 1L << 16
 
-  val all: Seq[Q] = Seq(
+
+  /** ONE oracle for both faces of the KS drift census — the batch
+    * entry (p187) and the streaming-state entry (p193): the exact
+    * two-sample D over merged token-count CDFs per source pair.
+    * Sharing the text makes the batch=stream equivalence inseparable.
+    */
+  private[queries] val ksOracle: String = s"""
+      WITH d AS (SELECT source, CAST(len($wsSql) AS BIGINT) AS raw
+                 FROM documents),
+      v AS (SELECT source, raw, CAST(count(*) AS BIGINT) AS cnt
+            FROM d GROUP BY 1, 2),
+      sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      pr AS (SELECT a.source AS src1, b.source AS src2,
+                    a.n AS n1, b.n AS n2
+             FROM sz a JOIN sz b ON a.source < b.source),
+      m AS (SELECT pr.src1, pr.src2, pr.n1, pr.n2, v.raw,
+                   CASE WHEN v.source = pr.src1 THEN v.cnt ELSE 0 END AS c1,
+                   CASE WHEN v.source = pr.src2 THEN v.cnt ELSE 0 END AS c2
+            FROM pr JOIN v ON v.source = pr.src1 OR v.source = pr.src2),
+      g AS (SELECT src1, src2, n1, n2, raw, sum(c1) AS c1, sum(c2) AS c2
+            FROM m GROUP BY 1, 2, 3, 4, 5),
+      w AS (SELECT src1, src2, n1, n2,
+                   sum(c1) OVER (PARTITION BY src1, src2 ORDER BY raw
+                     ROWS UNBOUNDED PRECEDING) AS f1,
+                   sum(c2) OVER (PARTITION BY src1, src2 ORDER BY raw
+                     ROWS UNBOUNDED PRECEDING) AS f2
+            FROM g),
+      k AS (SELECT src1, src2, n1, n2,
+                   CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS dx
+            FROM w GROUP BY 1, 2, 3, 4)
+      SELECT src1, src2, n1, n2,
+             CAST(dx * 1000000 // (n1 * n2) AS BIGINT) AS d_ppm,
+             (dx * 1000 // (n1 * n2)) * (dx * 1000 // (n1 * n2)) * n1 * n2
+               > 1844 * 1000 * (n1 + n2) AS reject
+      FROM k ORDER BY src1, src2"""
+
+  val all: Seq[Q] = firstQ ++ restQ
+
+  private def firstQ: Seq[Q] = Seq(
 
     // ---- corpus boilerplate removal (segment-df rewrite) -------------------
     // The CCNet/RefinedWeb cleaning pass: hash every fixed-width text
@@ -768,41 +806,76 @@ object Pipeline15 {
     // pairs are S² metadata rows (production: each source vs one
     // global reference = S rows); each pair's CDF walk is a window
     // over its own distinct VALUES, not rows. Outputs S(S−1)/2 rows.
-    Q("p187_ks_census", Some(s"""
-      WITH d AS (SELECT source, CAST(len($wsSql) AS BIGINT) AS raw
-                 FROM documents),
-      v AS (SELECT source, raw, CAST(count(*) AS BIGINT) AS cnt
-            FROM d GROUP BY 1, 2),
-      sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
-      pr AS (SELECT a.source AS src1, b.source AS src2,
-                    a.n AS n1, b.n AS n2
-             FROM sz a JOIN sz b ON a.source < b.source),
-      m AS (SELECT pr.src1, pr.src2, pr.n1, pr.n2, v.raw,
-                   CASE WHEN v.source = pr.src1 THEN v.cnt ELSE 0 END AS c1,
-                   CASE WHEN v.source = pr.src2 THEN v.cnt ELSE 0 END AS c2
-            FROM pr JOIN v ON v.source = pr.src1 OR v.source = pr.src2),
-      g AS (SELECT src1, src2, n1, n2, raw, sum(c1) AS c1, sum(c2) AS c2
-            FROM m GROUP BY 1, 2, 3, 4, 5),
-      w AS (SELECT src1, src2, n1, n2,
-                   sum(c1) OVER (PARTITION BY src1, src2 ORDER BY raw
-                     ROWS UNBOUNDED PRECEDING) AS f1,
-                   sum(c2) OVER (PARTITION BY src1, src2 ORDER BY raw
-                     ROWS UNBOUNDED PRECEDING) AS f2
-            FROM g),
-      k AS (SELECT src1, src2, n1, n2,
-                   CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS dx
-            FROM w GROUP BY 1, 2, 3, 4)
-      SELECT src1, src2, n1, n2,
-             CAST(dx * 1000000 // (n1 * n2) AS BIGINT) AS d_ppm,
-             (dx * 1000 // (n1 * n2)) * (dx * 1000 // (n1 * n2)) * n1 * n2
-               > 1844 * 1000 * (n1 + n2) AS reject
-      FROM k ORDER BY src1, src2""")) { (spark, dir) =>
+    Q("p187_ks_census", Some(ksOracle)) { (spark, dir) =>
       val d = Tables.loadSpread(spark, dir, "documents")
         .select(col("source"),
           size(TextOps.tokens(col("text"))).cast("long").as("raw"))
-      val v = d.groupBy(col("source"), col("raw"))
-        .agg(count(lit(1)).as("cnt"))
-      val sz = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      ksFromCounts(d.groupBy(col("source"), col("raw"))
+        .agg(count(lit(1)).as("cnt")))
+    },
+    ksStreamEntry
+  )
+
+  /** The documents fixture schema, declared up front for file streams
+    * (a stream source cannot infer).
+    */
+  private def docsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType)))
+
+  /** `documents.parquet` as a file stream. The driver fixture ships it
+    * as a single FILE (stream at the parent dir with a glob filter —
+    * a file basePath is rejected), spec fixtures as a DIRECTORY of
+    * part files (stream the directory itself — the glob filter would
+    * match nothing). Detect and do the right one.
+    */
+  private def docsStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val p = new java.io.File(dir, "documents.parquet")
+    val r = s.readStream.schema(docsSchema)
+    if (p.isDirectory) r.parquet(p.getPath)
+    else r.option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  // ---- STREAMING KS drift census (stateful per-(source,value) counts) ----
+  // The p187 drift monitor as a streaming deployment: the per-
+  // (source, token-count) frequency table is a STREAMING aggregation
+  // (complete mode — the state the monitor keeps between micro-
+  // batches), and the KS tail runs on the final state exactly as the
+  // batch face does. The oracle is the SAME SQL text as p187: the
+  // hash match is the batch≡stream equivalence proof (the p152/p163
+  // discipline applied to drift monitoring).
+  //
+  // Scale shape: streaming state is one row per (source, distinct
+  // value) — the CDF support, not the stream; the KS tail is the
+  // p187 metadata computation.
+  private def ksStreamEntry: Q =
+    Q("p193_stream_ks", Some(ksOracle)) { (spark, dir) =>
+      import graft.streaming.StreamingOps
+      val v = StreamingOps.runToMemory(spark, mode = "complete") { s =>
+        docsStream(s, dir)
+          .select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("raw"))
+          .groupBy(col("source"), col("raw"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      ksFromCounts(v)
+    }
+
+  /** The KS computation from per-(source, value) counts onward —
+    * shared by the batch (p187) and streaming (p193) faces.
+    */
+  private def ksFromCounts(
+      v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val sz = v.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
       val pr = sz.select(col("source").as("src1"), col("n").as("n1"))
         .join(sz.select(col("source").as("src2"), col("n").as("n2")),
           col("src1") < col("src2"))
@@ -831,7 +904,9 @@ object Pipeline15 {
             * col("n1") * col("n2")
             > lit(1844L) * 1000L * (col("n1") + col("n2"))).as("reject"))
         .orderBy(col("src1"), col("src2"))
-    },
+  }
+
+  private def restQ: Seq[Q] = Seq(
 
     // ---- shuffle-skew advisor (salt-factor recommendation) -----------------
     // The pre-flight check before any key-partitioned shuffle: the
@@ -1035,6 +1110,165 @@ object Pipeline15 {
           expr("sum(bits) * 1000 div count(1)").cast("long")
             .as("mean_millibits"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- STREAMING mergeable CMS (custom aggregate as stream state) --------
+    // p111's portable Count-Min sketch driven by the STREAMING engine:
+    // the per-source 4×256 counter matrix is built by the SAME
+    // TypedImperativeAggregate, but as streaming-aggregation state —
+    // each micro-batch's partials merge into the state store through
+    // the aggregate's own serialize/merge path (elementwise add,
+    // commutative, so micro-batch boundaries cannot change the state).
+    // The probe tail and the oracle are p111's, verbatim: matching
+    // hashes prove the custom sketch aggregate is micro-batch-
+    // invariant, the last leg of the p77 mergeability story.
+    //
+    // Scale shape: streaming state is one 1 KB array per source
+    // regardless of vocabulary; probes run on the final frame.
+    Q("p191_stream_cms", Some(Pipeline10.cmsOracle)) { (spark, dir) =>
+      import graft.functions.Cms
+      import graft.streaming.StreamingOps
+      val sk = StreamingOps.runToMemory(spark, mode = "complete") { s =>
+        docsStream(s, dir)
+          .select(col("source"),
+            explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("source"))
+          .agg(Cms.sketch(col("term"), 4, 256).as("cms"))
+      }
+      val terms = Tables.loadSpread(spark, dir, "documents")
+        .select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+      Pipeline10.cmsProbeOutput(sk, terms)
+    },
+
+    // ---- columnar encoding advisor (dict / RLE / plain) --------------------
+    // The layout decision a parquet writer makes per column, surfaced
+    // as a census: for each column of the fact table (in the stable
+    // (orderkey, linenumber) row order a sorted write would produce),
+    // the distinct-value ratio and the value-run profile, reduced to
+    // the encoding recommendation — RLE when the mean run length
+    // clears 4 (runs·4 ≤ n), dictionary when NDV ≤ 1% of rows, plain
+    // otherwise. Complements p138's zone-map advisor (row-group
+    // pruning) and p89's Z-order layout (clustering): together they
+    // are the physical-design loop. One melt (×5 columns) feeds both
+    // profiles; run detection is a lag-inequality per column. The
+    // declared order tie-breaks on the value itself because the
+    // fixture's (orderkey, linenumber) is not unique — equal-value
+    // ties can't move run boundaries, so the order stays total AND
+    // run-neutral.
+    //
+    // Scale shape: the melt is deliberate ×5 (like p106); each
+    // column's run walk is a window over ITS rows in the declared
+    // order (the documented total-order statistics shape — production
+    // profiles per row group, which is exactly how parquet decides);
+    // output is one row per column.
+    Q("p192_encoding_advisor", Some {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_shipdate")
+      val melts = cols.map(c =>
+        s"""SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v,
+            l_orderkey AS ok, l_linenumber AS ln FROM lineitem""")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH m AS ($melts),
+      w AS (SELECT col_name, v,
+                   CASE WHEN lag(v) OVER (PARTITION BY col_name
+                          ORDER BY ok, ln, v) IS DISTINCT FROM v
+                        THEN 1 ELSE 0 END AS chg
+            FROM m),
+      s AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+                   CAST(sum(chg) AS BIGINT) AS n_runs
+            FROM w GROUP BY 1)
+      SELECT col_name, n, ndv, n_runs,
+             CAST(n * 1000 // n_runs AS BIGINT) AS avg_run_milli,
+             CASE WHEN n_runs * 4 <= n THEN 'rle'
+                  WHEN ndv * 100 <= n THEN 'dict'
+                  ELSE 'plain' END AS recommendation
+      FROM s ORDER BY col_name"""
+    }) { (spark, dir) =>
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_shipdate")
+      val li = Tables.load(spark, dir, "lineitem")
+      val m = cols.map(c => li.select(lit(c).as("col_name"),
+          col(c).cast("string").as("v"), col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln")))
+        .reduce(_ unionAll _)
+      val wr = Window.partitionBy(col("col_name"))
+        .orderBy(col("ok"), col("ln"), col("v"))
+      m.withColumn("chg",
+          when(not(lag(col("v"), 1).over(wr) <=> col("v")), 1L)
+            .otherwise(0L))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("ndv"),
+          sum(col("chg")).as("n_runs"))
+        .select(col("col_name"), col("n"), col("ndv"), col("n_runs"),
+          expr("n * 1000 div n_runs").as("avg_run_milli"),
+          when(col("n_runs") * 4 <= col("n"), "rle")
+            .when(col("ndv") * 100 <= col("n"), "dict")
+            .otherwise("plain").as("recommendation"))
+        .orderBy(col("col_name"))
+    },
+
+    // ---- Markov next-event prediction eval (train/eval split) --------------
+    // The p156 transition model closed into an EVALUATED predictor:
+    // transitions counted on train users (user_id%3≠0) yield the
+    // argmax next-event per current event (ties → lexicographically
+    // smaller); held-out users' actual transitions score it. Output
+    // per current-event type: the prediction, eval volume, hits, and
+    // accuracy ppm — the baseline any sequence model must beat, and
+    // the same train/eval discipline as p190 (a model scored on its
+    // own training stream can only flatter itself).
+    //
+    // Scale shape: transition counts are one map-side agg over lag
+    // pairs (per-user windows, user-bounded); the predictor is an
+    // |event-types|² metadata table; scoring is one broadcast join.
+    Q("p194_markov_eval", Some("""
+      WITH e AS (SELECT user_id, event_type, ts, event_id FROM events),
+      seq AS (SELECT user_id, event_type AS cur,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+              FROM e),
+      tr AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c FROM seq
+             WHERE user_id % 3 <> 0 AND nxt IS NOT NULL GROUP BY 1, 2),
+      pred AS (SELECT cur, nxt AS predicted FROM
+                 (SELECT *, row_number() OVER (PARTITION BY cur
+                    ORDER BY c DESC, nxt) AS rn FROM tr)
+               WHERE rn = 1),
+      ev AS (SELECT cur, nxt FROM seq
+             WHERE user_id % 3 = 0 AND nxt IS NOT NULL)
+      SELECT ev.cur, p.predicted,
+             CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(sum(CASE WHEN ev.nxt = p.predicted THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+             CAST(sum(CASE WHEN ev.nxt = p.predicted THEN 1 ELSE 0 END)
+               * 1000000 // count(*) AS BIGINT) AS acc_ppm
+      FROM ev JOIN pred p USING (cur)
+      GROUP BY 1, 2 ORDER BY 1""")) { (spark, dir) =>
+      val seq = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))).as("nxt"))
+      val tr = seq.where(col("user_id") % 3 =!= 0 && col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("c"))
+      // lexicographic argmin at max count: a struct extremum can't
+      // invert string order, so two steps — max count per cur, then
+      // the min label among transitions at that count
+      val pred = tr
+        .groupBy(col("cur")).agg(max(col("c")).as("cmax"))
+        .join(tr, Seq("cur"))
+        .where(col("c") === col("cmax"))
+        .groupBy(col("cur")).agg(min(col("nxt")).as("predicted"))
+      seq.where(col("user_id") % 3 === 0 && col("nxt").isNotNull)
+        .join(broadcast(pred), "cur")
+        .groupBy(col("cur"), col("predicted"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("nxt") === col("predicted"), 1L).otherwise(0L))
+            .as("n_hit"))
+        .select(col("cur"), col("predicted"), col("n_eval"), col("n_hit"),
+          expr("n_hit * 1000000 div n_eval").as("acc_ppm"))
+        .orderBy(col("cur"))
     }
   )
 }

@@ -2110,4 +2110,92 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(6L) == ((2L, 0L, 0L, 1L, 500L)))
     assert(!got.contains(1L)) // train docs are not scored
   }
+
+  test("p191 streaming CMS: the custom aggregate's state-store path " +
+    "reproduces exact probe counts per source") {
+    import spark.implicits._
+    val rows = Seq((1L, "scan scan batch", "en", "s1", 0L),
+      (2L, "other stuff here", "en", "s2", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p191fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p191_stream_cms")(spark, dir).collect()
+    assert(got.length == 6) // 2 sources x 3 probes
+    val m = got.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("true_count"), r.getAs[Long]("cms_est"))).toMap
+    assert(m(("s1", "scan"))._1 == 2L && m(("s1", "batch"))._1 == 1L)
+    assert(m(("s2", "scan"))._1 == 0L)
+    // CMS can only overestimate — through the streaming state path too
+    assert(got.forall(r => r.getAs[Long]("overestimate") >= 0L))
+  }
+
+  test("p192 encoding advisor: constant columns → rle, alternating " +
+    "low-cardinality → plain, distinct-per-row → plain") {
+    import spark.implicits._
+    val d = java.sql.Date.valueOf("1995-01-01")
+    val rows = (1 to 8).map { i =>
+      (i.toLong, i, 100.0 + i, if (i % 2 == 1) 1.0 else 2.0,
+        "A", if (i <= 4) "F" else "O", d)
+    }
+    val dir = s"${sys.props("java.io.tmpdir")}/p192fix_${queries.runToken}"
+    rows.toDF("l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p192_encoding_advisor")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_runs"),
+        r.getAs[Long]("avg_run_milli"), r.getAs[String]("recommendation")))
+      .toMap
+    assert(got("l_returnflag") == ((1L, 8000L, "rle")))
+    assert(got("l_shipdate") == ((1L, 8000L, "rle")))
+    assert(got("l_linestatus") == ((2L, 4000L, "rle")))
+    assert(got("l_quantity") == ((8L, 1000L, "plain")))
+    assert(got("l_extendedprice") == ((8L, 1000L, "plain")))
+  }
+
+  test("p193 streaming KS: the stateful count face reproduces the " +
+    "batch face's D and decisions") {
+    import spark.implicits._
+    def mk(src: String, ids: Range, n: Int) =
+      ids.map(i => (i.toLong, (1 to n).map(j => s"t$j").mkString(" "),
+        "en", src, 0L))
+    val rows = mk("A", 1 to 5, 3) ++ mk("B", 6 to 10, 3) ++
+      mk("C", 11 to 15, 10)
+    val dir = s"${sys.props("java.io.tmpdir")}/p193fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p193_stream_ks")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("d_ppm"), r.getAs[Boolean]("reject"))).toMap
+    assert(got(("A", "B")) == ((0L, false)))
+    assert(got(("A", "C")) == ((1000000L, true)))
+  }
+
+  test("p194 Markov eval: held-out users score the train-side argmax; " +
+    "hits and misses count exactly") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(m: Int) = new java.sql.Timestamp(t0 + m * 60000L)
+    // train u1/u2: view→click x3, click→view x1 → pred: view→click,
+    // click→view. eval u3: v,c,v (both hit); u6: c,c (miss for click)
+    val rows = Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "click"),
+      (3L, ts(2), 1L, "view"), (4L, ts(3), 1L, "click"),
+      (5L, ts(0), 2L, "view"), (6L, ts(1), 2L, "click"),
+      (7L, ts(0), 3L, "view"), (8L, ts(1), 3L, "click"),
+      (9L, ts(2), 3L, "view"),
+      (10L, ts(0), 6L, "click"), (11L, ts(1), 6L, "click"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p194fix_${queries.runToken}"
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p194_markov_eval")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getAs[String]("predicted"),
+        r.getAs[Long]("n_eval"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("acc_ppm"))).toMap
+    assert(got("view") == (("click", 1L, 1L, 1000000L)))
+    assert(got("click") == (("view", 2L, 1L, 500000L)))
+  }
 }
