@@ -1269,6 +1269,208 @@ object Pipeline15 {
         .select(col("cur"), col("predicted"), col("n_eval"), col("n_hit"),
           expr("n_hit * 1000000 div n_eval").as("acc_ppm"))
         .orderBy(col("cur"))
+    },
+
+    // ---- retrieval metrics: MRR@5 / DCG@5 / nDCG@5 in exact integers -------
+    // The eval harness for the ANN family (p10/p11/p26/p76): rank the
+    // corpus per query by scaled-integer dot product (the p103
+    // convention — exact cross-engine), mark relevance by label match,
+    // and score the top-5 with the standard retrieval metrics — all in
+    // integer fixed point: MRR as 1000//first_rel_rank, DCG with the
+    // per-position 1/log2(pos+1) discounts EMBEDDED as precomputed
+    // milli-constants (1000, 631, 500, 431, 387 — the lc-table
+    // discipline, no engine runs log), ideal DCG from the query's true
+    // relevant count, nDCG in ppm. This is what turns "we built ANN"
+    // into "we can MEASURE ranking quality" — the eval every recall
+    // tradeoff (IVF probes, LSH tables, PQ bits) is judged against.
+    //
+    // Scale shape: the panel is 10 queries broadcast; dots are ONE
+    // partial-agg pass (p103's shape); the per-query rank is panel-
+    // bounded; metrics are conditional aggregates over top-5 rows.
+    Q("p195_retrieval_metrics", Some("""
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      cx AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS i,
+                    unnest(v) AS x FROM v),
+      c AS (SELECT vec_id, i - 1 AS j,
+                   CAST(round(x * 1000000) AS BIGINT) AS ri FROM cx),
+      q AS (SELECT vec_id AS qid, j, ri AS qi FROM c WHERE vec_id < 10),
+      d AS (SELECT q.qid, c.vec_id AS vid, sum(q.qi * c.ri) AS dot
+            FROM c JOIN q ON q.j = c.j AND c.vec_id != q.qid GROUP BY 1, 2),
+      l AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+      j2 AS (SELECT d.qid, d.vid, d.dot,
+                    CASE WHEN vl.label = ql.label THEN 1 ELSE 0 END AS rel
+             FROM d JOIN l ql ON ql.vec_id = d.qid
+                    JOIN l vl ON vl.vec_id = d.vid),
+      rc AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel_total
+             FROM j2 GROUP BY 1),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY dot DESC, vid) AS rk FROM j2),
+      disc(pos, dm) AS (VALUES (1, 1000), (2, 631), (3, 500), (4, 431),
+                               (5, 387)),
+      t5 AS (SELECT r.qid, r.rel, r.rk, disc.dm
+             FROM r JOIN disc ON disc.pos = r.rk WHERE r.rk <= 5),
+      agg AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel5,
+                     CAST(max(CASE WHEN rel = 1 THEN 1000 // rk
+                              ELSE 0 END) AS BIGINT) AS mrr_milli,
+                     CAST(sum(rel * dm) AS BIGINT) AS dcg_milli
+              FROM t5 GROUP BY 1),
+      ideal AS (SELECT rc.qid, CAST(sum(disc.dm) AS BIGINT) AS idcg_milli
+                FROM rc JOIN disc
+                  ON disc.pos <= least(5, rc.n_rel_total)
+                GROUP BY 1)
+      SELECT a.qid AS query_id, a.n_rel5, a.n_rel5 > 0 AS hit5,
+             a.mrr_milli, a.dcg_milli,
+             coalesce(i.idcg_milli, 0) AS idcg_milli,
+             CAST(CASE WHEN coalesce(i.idcg_milli, 0) = 0 THEN 0
+                  ELSE a.dcg_milli * 1000000 // i.idcg_milli END
+               AS BIGINT) AS ndcg_ppm
+      FROM agg a LEFT JOIN ideal i ON i.qid = a.qid
+      ORDER BY a.qid""")) { (spark, dir) =>
+      import spark.implicits._
+      val emb = Tables.loadSpread(spark, dir, "embeddings")
+      val c = emb.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("j", "x")))
+        .select(col("vec_id"), col("j"),
+          round(col("x") * 1000000, 0).cast("long").as("ri"))
+      val q = c.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("j"), col("ri").as("qi"))
+      val labels = emb.select(col("vec_id"), col("label").cast("long"))
+      val j2 = c.join(broadcast(q), "j")
+        .where(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("qi") * col("ri")).as("dot"))
+        .join(broadcast(labels.select(col("vec_id").as("qid"),
+          col("label").as("qlabel"))), "qid")
+        .join(labels.select(col("vec_id"), col("label").as("vlabel")),
+          "vec_id")
+        .withColumn("rel",
+          when(col("vlabel") === col("qlabel"), 1L).otherwise(0L))
+      val rc = j2.groupBy(col("qid")).agg(sum(col("rel")).as("n_rel_total"))
+      val r = j2.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dot").desc,
+          col("vec_id"))))
+      val disc = Seq((1, 1000), (2, 631), (3, 500), (4, 431), (5, 387))
+        .toDF("pos", "dm")
+      val agg = r.where(col("rk") <= 5)
+        .join(broadcast(disc), col("pos") === col("rk"))
+        .groupBy(col("qid"))
+        .agg(sum(col("rel")).as("n_rel5"),
+          max(when(col("rel") === 1, expr("1000 div rk")).otherwise(0L))
+            .cast("long").as("mrr_milli"),
+          sum(col("rel") * col("dm")).as("dcg_milli"))
+      val ideal = rc.join(broadcast(disc),
+          col("pos") <= least(lit(5), col("n_rel_total")))
+        .groupBy(col("qid")).agg(sum(col("dm")).cast("long")
+          .as("idcg_milli"))
+      agg.join(ideal, Seq("qid"), "left")
+        .select(col("qid").as("query_id"), col("n_rel5"),
+          (col("n_rel5") > 0).as("hit5"), col("mrr_milli"),
+          col("dcg_milli"),
+          coalesce(col("idcg_milli"), lit(0L)).as("idcg_milli"),
+          when(coalesce(col("idcg_milli"), lit(0L)) === 0, 0L)
+            .otherwise(expr("dcg_milli * 1000000 div idcg_milli"))
+            .as("ndcg_ppm"))
+        .orderBy(col("query_id"))
+    },
+
+    // ---- near-dup operating curve over Hamming thresholds ------------------
+    // Parameter selection for the dedup gate WITHOUT re-running it per
+    // setting: compute each banded candidate pair's exact Hamming
+    // distance ONCE (widened capture ≤ 8), then read the whole
+    // operating curve — pairs captured and docs touched at every
+    // threshold 0..8 — off two bounded histograms (per-distance pair
+    // counts; per-doc MIN distance). The curve is what picks p09's
+    // production threshold: the knee where pairs explode is visible in
+    // one query instead of nine reruns.
+    //
+    // Scale shape: one banded pair pass (the p09 machinery, wider
+    // capture); the curve derives from histograms of size ≤ 9 and
+    // ≤ docs — prefix sums over metadata, not re-scans.
+    Q("p196_hamming_curve", Some {
+      val pairs8 = Pipeline.simhashPairsCte.replace("<= 3", "<= 8")
+      val th = (0 to 8).map(t => s"($t)").mkString(", ")
+      s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      $pairs8,
+      ph AS (SELECT hamming, CAST(count(*) AS BIGINT) AS np
+             FROM spairs GROUP BY 1),
+      nodes AS (SELECT a AS n, hamming FROM spairs
+                UNION ALL SELECT b, hamming FROM spairs),
+      nh AS (SELECT n, min(hamming) AS mh FROM nodes GROUP BY 1),
+      nhh AS (SELECT mh, CAST(count(*) AS BIGINT) AS nn FROM nh GROUP BY 1),
+      t(th) AS (VALUES $th)
+      SELECT t.th,
+             CAST(coalesce((SELECT sum(np) FROM ph WHERE hamming <= t.th),
+               0) AS BIGINT) AS n_pairs,
+             CAST(coalesce((SELECT sum(nn) FROM nhh WHERE mh <= t.th),
+               0) AS BIGINT) AS n_docs
+      FROM t ORDER BY t.th"""
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.ops.DedupOps
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val pairs = DedupOps.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 8, maxBucket = 1000).localCheckpoint()
+      val ph = pairs.groupBy(col("hamming")).agg(count(lit(1)).as("np"))
+      val nh = pairs.select(col("a").as("n"), col("hamming"))
+        .unionAll(pairs.select(col("b"), col("hamming")))
+        .groupBy(col("n")).agg(min(col("hamming")).as("mh"))
+        .groupBy(col("mh")).agg(count(lit(1)).as("nn"))
+      val t = (0 to 8).toDF("th")
+      t.join(broadcast(ph), col("hamming") <= col("th"), "left")
+        .groupBy(col("th"))
+        .agg(coalesce(sum(col("np")), lit(0L)).as("n_pairs"))
+        .join(t.join(broadcast(nh), col("mh") <= col("th"), "left")
+          .groupBy(col("th"))
+          .agg(coalesce(sum(col("nn")), lit(0L)).as("n_docs")), "th")
+        .orderBy(col("th"))
+    },
+
+    // ---- REAL TFRecord shard build + salvage walk --------------------------
+    // TensorFlow's native training-shard format, with REAL CRC32C
+    // (JDK Castagnoli + TF's bit-rotate-and-offset masking): per doc a
+    // 2-record shard (sample text + metadata record) is framed by the
+    // graft.functions.TfRecord kernel and immediately salvage-walked —
+    // length-CRC, bounds, and data-CRC verify per record, the first
+    // failure keeps the valid prefix (the p164 tar posture, applied to
+    // the length-framed format where a single flipped bit is INVISIBLE
+    // without the checksum — exactly why TFRecord frames carry them).
+    // Planted failure modes by doc: mode 1 truncates mid-frame (bounds
+    // check catches), mode 2 flips a data-CRC bit (checksum catches).
+    // The oracle recomputes every count from frame ALGEBRA (16 bytes +
+    // payload per record) — it never parses bytes, so the hash match
+    // proves the walk's arithmetic.
+    //
+    // Scale shape: build + walk are codegen-stage byte work per row,
+    // zero shuffle; the census is one doc-keyed projection.
+    Q("p197_tfrecord_shards", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 3 AS mode,
+                        CAST(length(text) AS BIGINT) AS l1,
+                        CAST(length(concat('meta:', CAST(doc_id AS VARCHAR)))
+                          AS BIGINT) AS l2
+                 FROM documents)
+      SELECT doc_id, CAST(mode AS BIGINT) AS mode,
+             CAST(CASE WHEN mode = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_records,
+             CAST(CASE WHEN mode = 0 THEN l1 + l2 ELSE l1 END AS BIGINT)
+               AS payload_bytes,
+             CAST(CASE WHEN mode = 1 THEN 28 + l1
+                  ELSE 32 + l1 + l2 END AS BIGINT) AS blob_bytes,
+             mode = 0 AS clean
+      FROM d ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.TfRecord
+      val w = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 3).as("mode"),
+          TfRecord.walk(TfRecord.build(col("text"),
+            concat(lit("meta:"), col("doc_id").cast("string")),
+            (col("doc_id") % 3).cast("int"))).as("w"))
+      w.select(col("doc_id"), col("mode"),
+          col("w.n_records").as("n_records"),
+          col("w.payload_bytes").as("payload_bytes"),
+          col("w.blob_bytes").as("blob_bytes"),
+          col("w.clean").as("clean"))
+        .orderBy(col("doc_id"))
     }
   )
 }

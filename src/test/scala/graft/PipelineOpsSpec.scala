@@ -2198,4 +2198,72 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("view") == (("click", 1L, 1L, 1000000L)))
     assert(got("click") == (("view", 2L, 1L, 500000L)))
   }
+
+  test("p195 retrieval metrics: hand-computed MRR/DCG/nDCG ladder; a " +
+    "query with no relevant corpus scores zeros") {
+    import spark.implicits._
+    // query 0 (label 1) ranks: v2 (label 0) > v1 (label 1) > v3
+    // (label 1) → rel at ranks 2,3: mrr=500, dcg=631+500=1131,
+    // idcg=1000+631=1631. query 2 is the only label-0 vector → no
+    // relevant exists → all-zero metrics.
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.9f, 0.0f), 1),
+      (2L, Seq(0.95f, 0.0f), 0), (3L, Seq(0.1f, 0.0f), 1))
+    val dir = s"${sys.props("java.io.tmpdir")}/p195fix_${queries.runToken}"
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p195_retrieval_metrics")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_rel5"),
+        r.getAs[Boolean]("hit5"), r.getAs[Long]("mrr_milli"),
+        r.getAs[Long]("dcg_milli"), r.getAs[Long]("idcg_milli"),
+        r.getAs[Long]("ndcg_ppm"))).toMap
+    assert(got(0L) == ((2L, true, 500L, 1131L, 1631L, 693439L)))
+    assert(got(2L) == ((0L, false, 0L, 0L, 0L, 0L)))
+  }
+
+  test("p196 hamming operating curve: exact-dup pair present at every " +
+    "threshold, curves monotone non-decreasing") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "w", 0L),
+      (2L, "alpha beta gamma delta epsilon", "en", "w", 0L),
+      (3L, "utterly unrelated content entirely elsewhere", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p196fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p196_hamming_curve")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs")))
+    assert(got.length == 9)
+    // the identical pair sits at distance 0, so every threshold sees it
+    assert(got.head._2 == 1L && got.head._3 == 2L)
+    assert(got.sliding(2).forall(w =>
+      w(0)._2 <= w(1)._2 && w(0)._3 <= w(1)._3))
+  }
+
+  test("p197 TFRecord shards: frame algebra per mode; garbage bytes " +
+    "salvage zero records") {
+    import spark.implicits._
+    val rows = Seq((0L, "hello", "en", "w", 0L),
+      (1L, "abc", "en", "w", 0L), (2L, "xy", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p197fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p197_tfrecord_shards")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_records"),
+        r.getAs[Long]("payload_bytes"), r.getAs[Long]("blob_bytes"),
+        r.getAs[Boolean]("clean"))).toMap
+    assert(got(0L) == ((2L, 11L, 43L, true)))   // 32 + 5 + 6, both CRCs ok
+    assert(got(1L) == ((1L, 3L, 31L, false)))   // truncated mid-frame
+    assert(got(2L) == ((1L, 2L, 40L, false)))   // data-CRC bit flipped
+    // raw kernel: garbage bytes can never parse as a record
+    val g = spark.range(1)
+      .select(graft.functions.TfRecord.walk(
+        lit(Array[Byte](1, 2, 3, 4, 5))).as("w"))
+      .select(col("w.n_records"), col("w.clean")).head
+    assert(g.getLong(0) == 0L && !g.getBoolean(1))
+  }
 }
