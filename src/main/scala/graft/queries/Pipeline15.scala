@@ -1471,6 +1471,178 @@ object Pipeline15 {
           col("w.blob_bytes").as("blob_bytes"),
           col("w.clean").as("clean"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- late-interaction (MaxSim) retrieval -------------------------------
+    // ColBERT's scoring re-expressed relationally: each 64-dim vector
+    // is treated as FOUR 16-dim sub-vectors (the multi-vector document
+    // representation); score(q, d) = Σ over query sub-vectors of the
+    // MAX dot against any document sub-vector — the late-interaction
+    // sum-of-maxes that beats single-vector cosine on partial matches
+    // (one strong sub-match counts even when the rest disagree).
+    // Scaled-integer dots (the p103 convention) keep both engines
+    // exact; top-3 per query by (score, vec_id).
+    //
+    // Scale shape: sub-dots are ONE partial agg keyed (qid, did,
+    // qsub, dsub) — a 16× bounded fan-out over the component join,
+    // panel side broadcast; the max and the sum are two further
+    // bounded aggs; the rank is panel-bounded. Never a per-pair UDF
+    // loop, never a matrix on the driver.
+    Q("p198_maxsim_retrieval", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      cx AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS i,
+                    unnest(v) AS x FROM v),
+      c AS (SELECT vec_id, (i - 1) // 16 AS sub, (i - 1) % 16 AS off,
+                   CAST(round(x * 1000000) AS BIGINT) AS ri FROM cx),
+      q AS (SELECT vec_id AS qid, sub AS qsub, off, ri AS qi
+            FROM c WHERE vec_id < 10),
+      sd AS (SELECT q.qid, c.vec_id AS did, q.qsub, c.sub AS dsub,
+                    CAST(sum(q.qi * c.ri) AS BIGINT) AS dot
+             FROM c JOIN q ON q.off = c.off AND c.vec_id != q.qid
+             GROUP BY 1, 2, 3, 4),
+      mx AS (SELECT qid, did, qsub, max(dot) AS m FROM sd
+             GROUP BY 1, 2, 3),
+      sc AS (SELECT qid, did, CAST(sum(m) AS BIGINT) AS maxsim FROM mx
+             GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY maxsim DESC, did) AS rk FROM sc)
+      SELECT qid AS query_id, CAST(rk AS BIGINT) AS rk, did AS vec_id,
+             maxsim
+      FROM r WHERE rk <= 3 ORDER BY query_id, rk""")) { (spark, dir) =>
+      val c = Tables.loadSpread(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+        .select(col("vec_id"), expr("i div 16").as("sub"),
+          (col("i") % 16).as("off"),
+          round(col("x") * 1000000, 0).cast("long").as("ri"))
+      val q = c.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("sub").as("qsub"),
+          col("off"), col("ri").as("qi"))
+      val sc = c.join(broadcast(q), "off")
+        .where(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id"), col("qsub"), col("sub"))
+        .agg(sum(col("qi") * col("ri")).as("dot"))
+        .groupBy(col("qid"), col("vec_id"), col("qsub"))
+        .agg(max(col("dot")).as("m"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("m")).as("maxsim"))
+      sc.withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("maxsim").desc, col("vec_id"))))
+        .where(col("rk") <= 3)
+        .select(col("qid").as("query_id"), col("rk").cast("long").as("rk"),
+          col("vec_id"), col("maxsim"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- near-dup pair evidence (dedup explainability) ---------------------
+    // WHY did the gate pair these two docs? For every banded near-dup
+    // pair, the shared-shingle evidence: how many 3-gram shingles the
+    // two sides share, and the RAREST shared shingle (minimum corpus
+    // df, ties → lexicographic) with its df — the single strongest
+    // piece of evidence a reviewer reads first. Rare shared shingles
+    // indicate genuine duplication; evidence limited to high-df
+    // shingles marks boilerplate-driven pairs the p176 rewrite would
+    // dissolve. The audit trail deduplication needs before anyone
+    // deletes 100 TB of "duplicates".
+    //
+    // Scale shape: pairs come from the SharedStages materialized
+    // table; the shingle inverted index is one pass + a df agg; the
+    // evidence join is pair-keyed through the index (bounded by doc
+    // shingle counts), and the argmin is a conditional struct
+    // extremum — no window, no all-pairs.
+    Q("p199_pair_evidence", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               ${TextSql.shingles(wsSql, 3)})) AS s FROM documents),
+      df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+      ev AS (SELECT p.a, p.b, sh1.s, df.df
+             FROM spairs p
+             JOIN sh sh1 ON sh1.doc_id = p.a
+             JOIN sh sh2 ON sh2.doc_id = p.b AND sh2.s = sh1.s
+             JOIN df ON df.s = sh1.s),
+      ev2 AS (SELECT *, row_number() OVER (PARTITION BY a, b
+                        ORDER BY df, s) AS rn FROM ev),
+      agg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared
+              FROM ev GROUP BY 1, 2)
+      SELECT agg.a, agg.b, agg.n_shared, e.s AS rare_shingle,
+             CAST(e.df AS BIGINT) AS rare_df
+      FROM agg JOIN ev2 e ON e.a = agg.a AND e.b = agg.b AND e.rn = 1
+      ORDER BY 1, 2""")) { (spark, dir) =>
+      val sh = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.shingles(col("text"), 3)))
+            .as("s"))
+      val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val pairs = SharedStages.spairs(spark, dir)
+        .select(col("a"), col("b"))
+      val ev = pairs
+        .join(sh.select(col("doc_id").as("a"), col("s")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+        .join(df, "s")
+      ev.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_shared"),
+          min(struct(col("df"), col("s"))).as("m"))
+        .select(col("a"), col("b"), col("n_shared"),
+          col("m.s").as("rare_shingle"), col("m.df").as("rare_df"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // ---- reproducible epoch shuffle + permutation distance -----------------
+    // Training-data shuffling without an RNG: epoch e's order is the
+    // rank of h60('e:' || doc_id) — bit-reproducible on any engine,
+    // different per epoch, and rerunnable mid-training after a crash
+    // (THE reason hash-ordered shuffles beat seeded Fisher–Yates in a
+    // distributed loader: no state to checkpoint, any worker can
+    // compute any slice). The census: the first-3 head of each
+    // epoch's order (the spot check), plus Spearman's footrule
+    // Σ|rank₀ − rank₁| and the max displacement between the two
+    // epochs — the exact integer evidence that consecutive epochs are
+    // genuinely decorrelated, not just rotated.
+    //
+    // Scale shape: ranks are the documented total-order statistics
+    // shape (production: range-partition by the hash — the hash IS
+    // uniform, so ranges balance by construction); the distance
+    // metrics are one join on doc_id + one 1-row agg.
+    Q("p200_epoch_shuffle", Some(s"""
+      WITH r0 AS (SELECT doc_id, row_number() OVER (ORDER BY
+                    ${Portable.h60Sql("concat('0:', CAST(doc_id AS VARCHAR))")},
+                    doc_id) AS rk FROM documents),
+      r1 AS (SELECT doc_id, row_number() OVER (ORDER BY
+                    ${Portable.h60Sql("concat('1:', CAST(doc_id AS VARCHAR))")},
+                    doc_id) AS rk FROM documents),
+      j AS (SELECT r0.doc_id, r0.rk AS k0, r1.rk AS k1
+            FROM r0 JOIN r1 USING (doc_id)),
+      h0 AS (SELECT string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY rk) AS h FROM r0 WHERE rk <= 3),
+      h1 AS (SELECT string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY rk) AS h FROM r1 WHERE rk <= 3)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(abs(k0 - k1)) AS BIGINT) AS footrule,
+             CAST(max(abs(k0 - k1)) AS BIGINT) AS max_disp,
+             (SELECT h FROM h0) AS head_epoch0,
+             (SELECT h FROM h1) AS head_epoch1
+      FROM j""")) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      def ranked(e: Int) = docs.withColumn("rk",
+        row_number().over(Window.orderBy(
+          Portable.h60(concat(lit(s"$e:"), col("doc_id").cast("string"))),
+          col("doc_id"))))
+      val r0 = ranked(0)
+      val r1 = ranked(1)
+      def head(r: org.apache.spark.sql.DataFrame) = r.where(col("rk") <= 3)
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rk"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")), ",").as("h"))
+      val j = r0.select(col("doc_id"), col("rk").as("k0"))
+        .join(r1.select(col("doc_id"), col("rk").as("k1")), "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(abs(col("k0") - col("k1"))).cast("long").as("footrule"),
+          max(abs(col("k0") - col("k1"))).cast("long").as("max_disp"))
+      j.crossJoin(head(r0).select(col("h").as("head_epoch0")))
+        .crossJoin(head(r1).select(col("h").as("head_epoch1")))
     }
   )
 }

@@ -2266,4 +2266,64 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("w.n_records"), col("w.clean")).head
     assert(g.getLong(0) == 0L && !g.getBoolean(1))
   }
+
+  test("p198 MaxSim: a sub-vector match in a DIFFERENT slot scores — " +
+    "the late-interaction property single-vector cosine lacks") {
+    import spark.implicits._
+    def oneHot(pos: Int) =
+      (0 until 64).map(i => if (i == pos) 1.0f else 0.0f)
+    // q0 lights sub0/off0; v1 lights sub2/off0 (cosine(q0,v1)=0 but
+    // MaxSim pairs q's sub0 with v1's sub2 → full score); v2 lights
+    // sub0/off1 (no aligned offset anywhere → zero)
+    val rows = Seq((0L, oneHot(0), 0), (1L, oneHot(32), 0),
+      (2L, oneHot(1), 0))
+    val dir = s"${sys.props("java.io.tmpdir")}/p198fix_${queries.runToken}"
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p198_maxsim_retrieval")(spark, dir)
+      .collect().filter(_.getLong(0) == 0L)
+      .map(r => r.getAs[Long]("rk") ->
+        (r.getAs[Long]("vec_id"), r.getAs[Long]("maxsim"))).toMap
+    assert(got(1L) == ((1L, 1000000000000L)))
+    assert(got(2L) == ((2L, 0L)))
+  }
+
+  test("p199 pair evidence: shared shingles counted, rarest tie-breaks " +
+    "lexicographically") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "alpha beta gamma delta", "en", "w", 0L),
+      (2L, "alpha beta gamma delta", "en", "w", 0L),
+      (3L, "totally different words everywhere here", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p199fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p199_pair_evidence")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_shared"), r.getAs[String]("rare_shingle"),
+          r.getAs[Long]("rare_df"))).toMap
+    assert(got((1L, 2L)) == ((2L, "alpha beta gamma", 2L)))
+  }
+
+  test("p200 epoch shuffle: deterministic across reruns, heads are " +
+    "3-long, epochs decorrelate") {
+    import spark.implicits._
+    val rows = (1L to 5L).map(i => (i, s"doc number $i", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p200fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val run = () => SparkEntry.queries("p200_epoch_shuffle")(spark, dir)
+      .collect().head
+    val r = run()
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[String]("head_epoch0").split(",").length == 3)
+    assert(r.getAs[String]("head_epoch1").split(",").length == 3)
+    // different salts produce different orders for this fixture
+    assert(r.getAs[Long]("footrule") > 0L)
+    // and the whole thing is bit-reproducible — the loader-crash story
+    assert(run().toSeq == r.toSeq)
+  }
 }
