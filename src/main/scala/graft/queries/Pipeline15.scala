@@ -1643,6 +1643,201 @@ object Pipeline15 {
           max(abs(col("k0") - col("k1"))).cast("long").as("max_disp"))
       j.crossJoin(head(r0).select(col("h").as("head_epoch0")))
         .crossJoin(head(r1).select(col("h").as("head_epoch1")))
+    },
+
+    // ---- cluster medoid selection (most-central representative) ------------
+    // p68 keeps the highest-QUALITY member of each near-dup cluster;
+    // this entry keeps the most CENTRAL one — the medoid, the member
+    // minimizing summed Hamming distance to its in-cluster pair
+    // neighbors (ties → smaller id). Quality-survivor answers "which
+    // copy is best written"; the medoid answers "which copy is the
+    // canonical variant the others drifted from" — the right
+    // representative when the cluster is one template with noisy
+    // edits. Mean intra-pair distance (milli) per cluster is the
+    // tightness diagnostic that separates true families from chains.
+    //
+    // Scale shape: pairs and labels come from the SharedStages
+    // materialized tables; per-node distance sums are one union +
+    // rollup over the BOUNDED pair list; the medoid is a conditional
+    // struct extremum per cluster. Nothing rescans the corpus.
+    Q("p201_cluster_medoid", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      ${Pipeline.clusterLabelsCte},
+      pc AS (SELECT p.a, p.b, p.hamming, l.cluster_id
+             FROM spairs p JOIN lbl l ON l.n = p.a),
+      nodes AS (SELECT cluster_id, a AS n, hamming FROM pc
+                UNION ALL SELECT cluster_id, b, hamming FROM pc),
+      ns AS (SELECT cluster_id, n, CAST(sum(hamming) AS BIGINT) AS sh
+             FROM nodes GROUP BY 1, 2),
+      med AS (SELECT cluster_id, n AS medoid FROM
+                (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY sh, n) AS rn FROM ns)
+              WHERE rn = 1),
+      cs AS (SELECT cluster_id, CAST(count(DISTINCT n) AS BIGINT)
+                      AS n_members
+             FROM nodes GROUP BY 1),
+      ps AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                    CAST(sum(hamming) AS BIGINT) AS sum_h
+             FROM pc GROUP BY 1)
+      SELECT cs.cluster_id, cs.n_members, med.medoid,
+             ps.n_pairs,
+             CAST(ps.sum_h * 1000 // ps.n_pairs AS BIGINT)
+               AS mean_hamming_milli
+      FROM cs JOIN med USING (cluster_id) JOIN ps USING (cluster_id)
+      ORDER BY cs.cluster_id""")) { (spark, dir) =>
+      val labels = SharedStages.labels(spark, dir)
+      val pc = SharedStages.spairs(spark, dir)
+        .join(labels.select(col("doc_id").as("a"), col("cluster_id")), "a")
+      val nodes = pc.select(col("cluster_id"), col("a").as("n"),
+          col("hamming"))
+        .unionAll(pc.select(col("cluster_id"), col("b"), col("hamming")))
+      val med = nodes.groupBy(col("cluster_id"), col("n"))
+        .agg(sum(col("hamming")).as("sh"))
+        .groupBy(col("cluster_id"))
+        .agg(min(struct(col("sh"), col("n"))).as("m"))
+        .select(col("cluster_id"), col("m.n").as("medoid"))
+      val cs = nodes.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("n")).as("n_members"))
+      val ps = pc.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("hamming")).as("sum_h"))
+      cs.join(med, "cluster_id").join(ps, "cluster_id")
+        .select(col("cluster_id"), col("n_members"), col("medoid"),
+          col("n_pairs"),
+          expr("sum_h * 1000 div n_pairs").as("mean_hamming_milli"))
+        .orderBy(col("cluster_id"))
+    },
+
+    // ---- context-window truncation policy evaluation -----------------------
+    // Which truncation strategy loses the least information when docs
+    // exceed a 128-token context: HEAD (keep first 128), TAIL (keep
+    // last 128), or MIDDLE-DROP (keep first+last 64 — the
+    // lost-in-the-middle mitigation)? Information loss is IDF-
+    // weighted: each occurrence carries 1e6//df integer information
+    // value (rare tokens carry document identity; common tokens are
+    // recoverable from context). One pass over token positions scores
+    // all three policies: per policy, docs truncated, tokens dropped,
+    // information dropped, and the loss in ppm of the corpus
+    // information total — the number that picks the default
+    // truncation for a training pipeline.
+    //
+    // Scale shape: positions come from the existing token explode;
+    // the ×3 policy fan-out is a bounded literal explode; rarity is
+    // one df agg joined back; everything rolls up map-side.
+    Q("p202_truncation_policies", Some(s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      t AS (SELECT doc_id, len(ws) AS n,
+                   unnest(generate_series(1, len(ws))) AS pos,
+                   unnest(ws) AS tok FROM w),
+      df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
+      r AS (SELECT t.doc_id, t.n, t.pos, t.tok,
+                   1000000 // df.df AS iv
+            FROM t JOIN df USING (tok)),
+      tot AS (SELECT CAST(sum(iv) AS BIGINT) AS info_total FROM r),
+      pol AS (SELECT * FROM (VALUES ('head'), ('mid'), ('tail')) p(policy)),
+      k AS (SELECT r.*, pol.policy,
+                   CASE pol.policy
+                     WHEN 'head' THEN r.pos <= 128
+                     WHEN 'tail' THEN r.pos > r.n - 128
+                     ELSE r.pos <= 64 OR r.pos > r.n - 64
+                   END AS kept
+            FROM r, pol)
+      SELECT k.policy,
+             CAST(count(DISTINCT CASE WHEN NOT kept THEN doc_id END)
+               AS BIGINT) AS n_docs_cut,
+             CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS tokens_dropped,
+             CAST(sum(CASE WHEN NOT kept THEN iv ELSE 0 END) AS BIGINT)
+               AS info_dropped,
+             CAST(sum(CASE WHEN NOT kept THEN iv ELSE 0 END) * 1000000
+               // (SELECT info_total FROM tot) AS BIGINT)
+               AS info_lost_ppm
+      FROM k GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      val t = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), size(col("ws")).as("n"),
+          posexplode(col("ws")).as(Seq("p0", "tok")))
+        .withColumn("pos", col("p0") + 1)
+      val df = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val r = t.join(df, "tok")
+        .withColumn("iv", expr("1000000 div df"))
+      val tot = r.agg(sum(col("iv")).as("info_total"))
+      val k = r.withColumn("policy",
+          explode(lit(Array("head", "mid", "tail"))))
+        .withColumn("kept",
+          when(col("policy") === "head", col("pos") <= 128)
+            .when(col("policy") === "tail", col("pos") > col("n") - 128)
+            .otherwise(col("pos") <= 64 || col("pos") > col("n") - 64))
+      k.crossJoin(broadcast(tot))
+        .groupBy(col("policy"), col("info_total"))
+        .agg(
+          countDistinct(when(!col("kept"), col("doc_id"))).as("n_docs_cut"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("tokens_dropped"),
+          sum(when(!col("kept"), col("iv")).otherwise(0L))
+            .as("info_dropped"))
+        .select(col("policy"), col("n_docs_cut"), col("tokens_dropped"),
+          col("info_dropped"),
+          expr("info_dropped * 1000000 div info_total").as("info_lost_ppm"))
+        .orderBy(col("policy"))
+    },
+
+    // ---- balanced range-partition splitter design --------------------------
+    // The custom-range-partitioner boundary table: split the corpus
+    // into 8 doc_id ranges carrying (as close as integer arithmetic
+    // allows) EQUAL token mass — the layout that makes a downstream
+    // per-range scan embarrassingly parallel even when document sizes
+    // skew. Assignment is the exact weighted rule part =
+    // (cum − 1)·8 // W over the doc_id-ordered mass prefix; output
+    // per partition: its doc_id range, doc count, mass, and the
+    // signed skew vs the ideal W/8 in ppm — the table a writer feeds
+    // to repartitionByRange (and the proof the boundaries balance).
+    //
+    // Scale shape: the mass prefix is the documented total-order
+    // statistics shape (production: two-phase per-bucket partials
+    // like p135/p168 — or a sampled sketch, of which this is the
+    // exact form); the census is an 8-row rollup.
+    Q("p203_range_splitters", Some(s"""
+      WITH d AS (SELECT doc_id, CAST(len($wsSql) AS BIGINT) AS w
+                 FROM documents),
+      n AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d),
+      c AS (SELECT doc_id, w, sum(w) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+      p AS (SELECT doc_id, w,
+                   CAST(CASE WHEN cum = 0 THEN 0
+                        ELSE (cum - 1) * 8 // (SELECT tw FROM n) END
+                     AS BIGINT) AS part
+            FROM c)
+      SELECT part, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS lo,
+             CAST(max(doc_id) AS BIGINT) AS hi,
+             CAST(sum(w) AS BIGINT) AS mass,
+             CAST(CASE WHEN sum(w) >= (SELECT tw FROM n) // 8
+                  THEN (sum(w) - (SELECT tw FROM n) // 8) * 1000000
+                       // ((SELECT tw FROM n) // 8)
+                  ELSE -(((SELECT tw FROM n) // 8 - sum(w)) * 1000000
+                       // ((SELECT tw FROM n) // 8)) END AS BIGINT)
+               AS skew_ppm
+      FROM p GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("w"))
+      val n = d.agg(sum(col("w")).as("tw"))
+      val c = d.withColumn("cum", sum(col("w")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      c.crossJoin(broadcast(n))
+        .withColumn("part", when(col("cum") === 0, 0L)
+          .otherwise(expr("(cum - 1) * 8 div tw")))
+        .groupBy(col("part"), col("tw"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("lo"),
+          max(col("doc_id")).as("hi"), sum(col("w")).as("mass"))
+        .select(col("part"), col("n_docs"), col("lo"), col("hi"),
+          col("mass"),
+          when(col("mass") >= expr("tw div 8"),
+            expr("(mass - tw div 8) * 1000000 div (tw div 8)"))
+            .otherwise(-expr("(tw div 8 - mass) * 1000000 div (tw div 8)"))
+            .as("skew_ppm"))
+        .orderBy(col("part"))
     }
   )
 }

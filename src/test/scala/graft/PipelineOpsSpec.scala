@@ -2326,4 +2326,62 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the whole thing is bit-reproducible — the loader-crash story
     assert(run().toSeq == r.toSeq)
   }
+
+  test("p201 cluster medoid: a zero-distance clique tie-breaks to the " +
+    "smallest id; counts and mean distance are exact") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "same text for all three", "en", "w", 0L),
+      (2L, "same text for all three", "en", "w", 0L),
+      (3L, "same text for all three", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p201fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p201_cluster_medoid")(spark, dir)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("cluster_id") == 1L)
+    assert(r.getAs[Long]("n_members") == 3L)
+    assert(r.getAs[Long]("medoid") == 1L)
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("mean_hamming_milli") == 0L)
+  }
+
+  test("p202 truncation policies: each policy drops exactly the " +
+    "designed positions of an over-limit doc") {
+    import spark.implicits._
+    // 130 distinct tokens: head drops 2 (pos 129,130), tail drops 2
+    // (pos 1,2), mid drops 2 (pos 65,66); the 2-token doc is untouched
+    val long = (1 to 130).map(i => s"w$i").mkString(" ")
+    val rows = Seq((1L, long, "en", "w", 0L), (2L, "x y", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p202fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p202_truncation_policies")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_docs_cut"),
+        r.getAs[Long]("tokens_dropped"), r.getAs[Long]("info_dropped"),
+        r.getAs[Long]("info_lost_ppm"))).toMap
+    // all 132 tokens are df=1 → iv=1e6 each; total info 132e6
+    for (p <- Seq("head", "mid", "tail"))
+      assert(got(p) == ((1L, 2L, 2000000L, 15151L)))
+  }
+
+  test("p203 range splitters: equal-mass docs land in the exact " +
+    "weighted-rule partitions with the granularity skew visible") {
+    import spark.implicits._
+    val rows = (1L to 4L).map(i => (i, "a b c d", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p203fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p203_range_splitters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("mass"), r.getAs[Long]("skew_ppm"))).toMap
+    // W=16, ideal=2: cum 4/8/12/16 → parts (cum-1)·8//16 = 1,3,5,7
+    assert(got.keySet == Set(1L, 3L, 5L, 7L))
+    assert(got.values.forall(_ == ((1L, 4L, 1000000L))))
+  }
 }
