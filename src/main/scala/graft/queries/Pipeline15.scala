@@ -1838,6 +1838,187 @@ object Pipeline15 {
             .otherwise(-expr("(tw div 8 - mass) * 1000000 div (tw div 8)"))
             .as("skew_ppm"))
         .orderBy(col("part"))
+    },
+
+    // ---- dataset card (per-source corpus summary) --------------------------
+    // The one-query dataset card: per source, the numbers a data
+    // sheet publishes — document and token volume, language count,
+    // the mean quality score in exact integer micros (summing
+    // per-doc micro-ints keeps the mean order-independent; averaging
+    // raw doubles would be partitioning-dependent), and the near-dup
+    // exposure: how many of the source's docs sit in the corpus pair
+    // graph, in ppm. The join of the curation facets (p01 quality,
+    // p02 langs, p09 pairs) into the table a consumer reads FIRST.
+    //
+    // Scale shape: one doc-keyed pass for the per-doc facts; dup
+    // membership is a semi-join against the SharedStages pair-graph
+    // node list (no CC needed — membership IS being in a pair); the
+    // card is a per-source rollup of bounded width.
+    Q("p204_dataset_card", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      dup AS (SELECT DISTINCT n FROM
+                (SELECT a AS n FROM spairs UNION ALL SELECT b FROM spairs)),
+      d AS (SELECT doc_id, source, lang,
+                   CAST(len($wsSql) AS BIGINT) AS toks,
+                   CAST(round(${TextSql.quality(wsSql)} * 1000000)
+                     AS BIGINT) AS qmicro,
+                   CASE WHEN doc_id IN (SELECT n FROM dup)
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM documents)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(qmicro) // count(*) AS BIGINT)
+               AS mean_quality_micro,
+             CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+             CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT)
+               AS dup_ppm
+      FROM d GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      import graft.ops.TextOps
+      val sp = SharedStages.spairs(spark, dir)
+      val dup = sp.select(col("a").as("doc_id"))
+        .unionAll(sp.select(col("b"))).distinct()
+        .withColumn("is_dup", lit(1L))
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("toks"),
+          round(TextOps.qualityScore(col("text")) * 1000000, 0)
+            .cast("long").as("qmicro"))
+        .join(dup, Seq("doc_id"), "left")
+        .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          expr("sum(qmicro) div count(1)").as("mean_quality_micro"),
+          sum(col("is_dup")).as("dup_docs"),
+          expr("sum(is_dup) * 1000000 div count(1)").as("dup_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // ---- integer Zipf fit over the token frequency spectrum ----------------
+    // Does the corpus look like natural language? Zipf's law says
+    // log(freq) falls linearly in log(rank) with slope ≈ −1; a
+    // synthetic or template-heavy corpus bends away from it. The fit
+    // is EXACT integer least squares over (floor(log2 rank),
+    // floor(log2 freq)) — the p161 length(bin(x))−1 kernel supplies
+    // both logs, the slope comes out in sign-split milli units (no
+    // engine runs a float regression), and the spectrum head
+    // (top token + its count) anchors the curve. The corpus-level
+    // smoke alarm for generator drift in synthetic-data pipelines.
+    //
+    // Scale shape: the frequency table is one map-side agg; the rank
+    // is a window over the VOCABULARY (the documented total-order
+    // stats shape — Heaps' law keeps the vocab sublinear in corpus
+    // size); the regression is a 1-row sum rollup.
+    Q("p205_zipf_fit", Some(s"""
+      WITH t AS (SELECT unnest($wsSql) AS tok FROM documents),
+      f AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+      r AS (SELECT tok, c,
+                   row_number() OVER (ORDER BY c DESC, tok) AS rk FROM f),
+      xy AS (SELECT length(bin(rk)) - 1 AS x, length(bin(c)) - 1 AS y,
+                    tok, c, rk FROM r),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   min(CASE WHEN rk = 1 THEN tok END) AS top_token,
+                   CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT)
+                     AS top_freq
+            FROM xy)
+      SELECT n AS vocab, n_tokens, top_token, top_freq,
+             CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                  WHEN n * sxy - sx * sy >= 0
+                  THEN (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)
+                  ELSE -((sx * sy - n * sxy) * 1000
+                         // (n * sxx - sx * sx)) END AS BIGINT)
+               AS slope_milli
+      FROM s""")) { (spark, dir) =>
+      val f = Tables.loadSpread(spark, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val r = f.withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))))
+      val xy = r.select((length(bin(col("rk"))) - 1).cast("long").as("x"),
+        (length(bin(col("c"))) - 1).cast("long").as("y"),
+        col("tok"), col("c"), col("rk"))
+      xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("c")).as("n_tokens"),
+          min(when(col("rk") === 1, col("tok"))).as("top_token"),
+          max(when(col("rk") === 1, col("c"))).as("top_freq"))
+        .select(col("n").as("vocab"), col("n_tokens"), col("top_token"),
+          col("top_freq"),
+          when(expr("n * sxx - sx * sx") === 0, 0L)
+            .when(expr("n * sxy - sx * sy") >= 0,
+              expr("(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)"))
+            .otherwise(-expr(
+              "(sx * sy - n * sxy) * 1000 div (n * sxx - sx * sx)"))
+            .as("slope_milli"))
+    },
+
+    // ---- KV prefix-cache sharing analysis ----------------------------------
+    // How much serving/training compute would a prefix cache save?
+    // For prefix lengths k ∈ {2, 4, 8, 16}, group documents by the
+    // hash of their FIRST k tokens: groups with ≥ 2 members share a
+    // KV-cache prefix, and every member past the first saves k
+    // tokens of prefill. Per k: shared-prefix groups, docs covered,
+    // and total tokens saved — the curve that decides whether
+    // template-heavy corpora justify prefix-cache infrastructure
+    // (and, inverted, a template-detection signal: high sharing at
+    // k=16 means boilerplate openings the p176 rewrite should see).
+    //
+    // Scale shape: one token pass; the ×4 prefix fan-out is a
+    // bounded literal explode over array slices (row-local); each k
+    // is a key-grouped count — map-side combining, output is 4 rows.
+    Q("p206_prefix_cache", Some {
+      val ks = Seq(2, 4, 8, 16)
+      val per = ks.map(k => s"""
+        SELECT $k AS k, ${Portable.h60Sql(
+          s"array_to_string(w[1:$k], ' ')")} AS pk
+        FROM ws WHERE len(w) >= $k""").mkString(" UNION ALL ")
+      s"""
+      WITH ws AS (SELECT doc_id, $wsSql AS w FROM documents),
+      pre AS ($per),
+      g AS (SELECT k, pk, CAST(count(*) AS BIGINT) AS cnt
+            FROM pre GROUP BY 1, 2),
+      sh AS (SELECT k, CAST(count(*) AS BIGINT) AS n_shared_groups,
+                    CAST(sum(cnt) AS BIGINT) AS docs_in_shared,
+                    CAST(sum((cnt - 1) * k) AS BIGINT) AS tokens_saved
+             FROM g WHERE cnt >= 2 GROUP BY 1)
+      SELECT t.k, coalesce(sh.n_shared_groups, 0) AS n_shared_groups,
+             coalesce(sh.docs_in_shared, 0) AS docs_in_shared,
+             coalesce(sh.tokens_saved, 0) AS tokens_saved
+      FROM (VALUES (2), (4), (8), (16)) t(k)
+      LEFT JOIN sh ON sh.k = t.k
+      ORDER BY t.k"""
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val ws = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      val pre = ws
+        .withColumn("k", explode(lit(Array(2, 4, 8, 16))))
+        .where(size(col("w")) >= col("k"))
+        .select(col("k"),
+          Portable.h60(array_join(slice(col("w"), lit(1), col("k")), " "))
+            .as("pk"))
+      val sh = pre.groupBy(col("k"), col("pk"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_shared_groups"),
+          sum(col("cnt")).as("docs_in_shared"),
+          sum((col("cnt") - 1) * col("k")).as("tokens_saved"))
+      Seq(2, 4, 8, 16).toDF("k")
+        .join(sh, Seq("k"), "left")
+        .select(col("k"),
+          coalesce(col("n_shared_groups"), lit(0L)).as("n_shared_groups"),
+          coalesce(col("docs_in_shared"), lit(0L)).as("docs_in_shared"),
+          coalesce(col("tokens_saved"), lit(0L)).as("tokens_saved"))
+        .orderBy(col("k"))
     }
   )
 }

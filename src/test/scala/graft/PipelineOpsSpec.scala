@@ -2384,4 +2384,65 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet == Set(1L, 3L, 5L, 7L))
     assert(got.values.forall(_ == ((1L, 4L, 1000000L))))
   }
+
+  test("p204 dataset card: dup exposure counts pair-graph membership " +
+    "per source; token volumes exact") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "identical twin text here", "en", "srcA", 0L),
+      (2L, "identical twin text here", "en", "srcA", 0L),
+      (3L, "a unique document of its own", "de", "srcB", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p204fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p204_dataset_card")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_langs"),
+        r.getAs[Long]("dup_docs"), r.getAs[Long]("dup_ppm"))).toMap
+    assert(got("srcA") == ((2L, 8L, 1L, 2L, 1000000L)))
+    assert(got("srcB") == ((1L, 6L, 1L, 0L, 0L)))
+  }
+
+  test("p205 Zipf fit: hand-computed integer regression over a planted " +
+    "frequency ladder") {
+    import spark.implicits._
+    // freqs 8,4,2,1 → (x,y) = (0,3)(1,2)(1,1)(2,0): slope = -12/8 =
+    // -1.5 → -1500 milli
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val rows = Seq((1L, text, "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p205fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val r = SparkEntry.queries("p205_zipf_fit")(spark, dir).collect().head
+    assert(r.getAs[Long]("vocab") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 15L)
+    assert(r.getAs[String]("top_token") == "a")
+    assert(r.getAs[Long]("top_freq") == 8L)
+    assert(r.getAs[Long]("slope_milli") == -1500L)
+  }
+
+  test("p206 prefix cache: sharing decays with k exactly where the " +
+    "planted prefixes diverge") {
+    import spark.implicits._
+    def tail(p: String) = (1 to 12).map(i => s"$p$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"p q r s ${tail("x")}", "en", "w", 0L),
+      (2L, s"p q r s ${tail("y")}", "en", "w", 0L),
+      (3L, "z1 z2 z3", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p206fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p206_prefix_cache")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getAs[Long]("n_shared_groups"),
+        r.getAs[Long]("docs_in_shared"), r.getAs[Long]("tokens_saved")))
+      .toMap
+    assert(got(2) == ((1L, 2L, 2L)))
+    assert(got(4) == ((1L, 2L, 4L)))
+    assert(got(8) == ((0L, 0L, 0L)))   // diverged at token 5
+    assert(got(16) == ((0L, 0L, 0L)))
+  }
 }
