@@ -642,6 +642,77 @@ object MultimodalQ {
           col("w.archive_bytes").as("archive_bytes"),
           col("w.trailer_ok").as("trailer_ok"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- histogram equalization over REALLY-parsed pixels ------------------
+    // The classic contrast-stretch, end to end on bytes the engine
+    // PARSED (the p54 BMP build → Bmp.resample 4×3 thumbnail): per
+    // image, integer luminance gray = (299r + 587g + 114b) // 1000,
+    // the per-image luminance CDF, and the standard equalization
+    // remap eq = (cdf(v) − cdf_min)·255 // (n − cdf_min) (flat images
+    // hit the n = cdf_min guard → 0). The oracle recomputes every
+    // pixel ARITHMETICALLY from the p54 formula and runs the same
+    // CDF algebra — so header parsing, BGR order, bottom-up rows,
+    // the resample index math AND the equalization all sit under one
+    // hash. The per-image histogram work is the shape of every
+    // per-sample image transform in a multimodal pipeline: bounded
+    // by the image, never corpus-wide.
+    //
+    // Scale shape: decode+resample is a scan-stage codegen kernel;
+    // the CDF is a per-(doc, gray) rollup + a doc-bounded window;
+    // the remap is a keyed join back to the pixel rows.
+    Q("p207_histogram_equalize", Some("""
+      WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+                 FROM documents),
+      g AS (SELECT doc_id, w, h, unnest(generate_series(0, 11)) AS i FROM d),
+      m AS (SELECT doc_id, i,
+                   ((i % 4) * w) // 4 AS sx, ((i // 4) * h) // 3 AS sy
+            FROM g),
+      px AS (SELECT doc_id, i,
+                    ((doc_id*7 + sx*3 + sy*5) % 256 * 299
+                     + (doc_id*7 + sx*3 + sy*5 + 11) % 256 * 587
+                     + (doc_id*7 + sx*3 + sy*5 + 22) % 256 * 114) // 1000
+                      AS gray
+             FROM m),
+      hg AS (SELECT doc_id, gray, CAST(count(*) AS BIGINT) AS cnt
+             FROM px GROUP BY 1, 2),
+      cd AS (SELECT doc_id, gray, cnt,
+                    sum(cnt) OVER (PARTITION BY doc_id ORDER BY gray
+                      ROWS UNBOUNDED PRECEDING) AS cdf
+             FROM hg),
+      mn AS (SELECT doc_id, min(cdf) AS cdfmin FROM cd GROUP BY 1)
+      SELECT px.doc_id, CAST(px.i AS BIGINT) AS i,
+             CAST(px.gray AS BIGINT) AS gray,
+             CAST(CASE WHEN 12 = mn.cdfmin THEN 0
+                  ELSE (cd.cdf - mn.cdfmin) * 255 // (12 - mn.cdfmin) END
+               AS BIGINT) AS eq
+      FROM px JOIN cd ON cd.doc_id = px.doc_id AND cd.gray = px.gray
+              JOIN mn ON mn.doc_id = px.doc_id
+      ORDER BY px.doc_id, px.i""")) { (spark, dir) =>
+      import graft.functions.Bmp
+      val px = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), posexplode(Bmp.resample(bmpBlob, 4, 3))
+          .as(Seq("i", "p")))
+        .select(col("doc_id"), col("i").cast("long").as("i"),
+          ((shiftright(col("p"), 16) * 299
+            + (shiftright(col("p"), 8) % 256) * 587
+            + (col("p") % 256) * 114) / lit(1000)).cast("long").as("gray"))
+      val cd = px.groupBy(col("doc_id"), col("gray"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cdf", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("gray"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+      val mn = cd.groupBy(col("doc_id")).agg(min(col("cdf")).as("cdfmin"))
+      px.join(cd.select(col("doc_id"), col("gray"), col("cdf")),
+          Seq("doc_id", "gray"))
+        .join(mn, "doc_id")
+        .select(col("doc_id"), col("i"), col("gray"),
+          when(col("cdfmin") === 12, 0L)
+            .otherwise(expr("(cdf - cdfmin) * 255 div (12 - cdfmin)"))
+            .as("eq"))
+        .orderBy(col("doc_id"), col("i"))
     }
   )
 

@@ -2019,6 +2019,127 @@ object Pipeline15 {
           coalesce(col("docs_in_shared"), lit(0L)).as("docs_in_shared"),
           coalesce(col("tokens_saved"), lit(0L)).as("tokens_saved"))
         .orderBy(col("k"))
+    },
+
+    // ---- curriculum mixing schedule (uniform → quality annealing) ----------
+    // The 4-epoch data-mixing plan: epoch 0 samples sources UNIFORMLY
+    // (exploration), epoch 3 proportional to QUALITY MASS (the p204
+    // per-source quality micros), epochs between interpolate linearly
+    // — the curriculum annealing a trainer follows from broad
+    // coverage to concentrated quality. Each epoch's 10000-sample
+    // budget is apportioned by p170's largest-remainder rule
+    // (ties → source asc), so per-epoch allocations sum to EXACTLY
+    // the budget — the invariant naive per-source rounding breaks.
+    //
+    // Scale shape: the per-source quality mass is one rollup; the
+    // schedule math runs entirely on the S×4 metadata grid (windows
+    // partitioned per epoch over S rows).
+    Q("p208_curriculum_mixing", Some(s"""
+      WITH q AS (SELECT source,
+                   CAST(sum(round(${TextSql.quality(wsSql)} * 1000000))
+                     AS BIGINT) AS qm
+            FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(qm) AS BIGINT) AS tq,
+                   CAST(count(*) AS BIGINT) AS s FROM q),
+      w AS (SELECT q.source, e.e,
+                   (3 - e.e) * (t.tq // t.s) + e.e * q.qm AS wt
+            FROM q, t, (VALUES (0), (1), (2), (3)) e(e)),
+      tw AS (SELECT e, CAST(sum(wt) AS BIGINT) AS sw FROM w GROUP BY 1),
+      f AS (SELECT w.source, w.e, w.wt, tw.sw,
+                   10000 * w.wt // tw.sw AS fl,
+                   10000 * w.wt % tw.sw AS rem
+            FROM w JOIN tw USING (e)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY e
+                        ORDER BY rem DESC, source) AS rk,
+                   10000 - sum(fl) OVER (PARTITION BY e) AS left_seats
+            FROM f)
+      SELECT CAST(e AS BIGINT) AS epoch, source,
+             CAST(fl + CASE WHEN rk <= left_seats THEN 1 ELSE 0 END
+               AS BIGINT) AS alloc
+      FROM r ORDER BY epoch, source""")) { (spark, dir) =>
+      import spark.implicits._
+      import graft.ops.TextOps
+      val q = Tables.loadSpread(spark, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(round(TextOps.qualityScore(col("text")) * 1000000, 0))
+          .cast("long").as("qm"))
+      val t = q.agg(sum(col("qm")).as("tq"), count(lit(1)).as("s"))
+      val w = q.crossJoin(broadcast(t))
+        .crossJoin(broadcast(Seq(0, 1, 2, 3).toDF("e")))
+        .withColumn("wt",
+          (lit(3) - col("e")) * expr("tq div s") + col("e") * col("qm"))
+      val we = Window.partitionBy(col("e"))
+      val r = w
+        .withColumn("sw", sum(col("wt")).over(we))
+        .withColumn("fl", expr("10000 * wt div sw"))
+        .withColumn("rem", expr("10000 * wt % sw"))
+        .withColumn("rk", row_number().over(
+          we.orderBy(col("rem").desc, col("source"))))
+        .withColumn("left_seats", lit(10000) - sum(col("fl")).over(we))
+      r.select(col("e").cast("long").as("epoch"), col("source"),
+          (col("fl") + when(col("rk") <= col("left_seats"), 1L)
+            .otherwise(0L)).as("alloc"))
+        .orderBy(col("epoch"), col("source"))
+    },
+
+    // ---- cluster template mining (segments shared by ALL members) ----------
+    // What do a near-dup cluster's members have in COMMON? The
+    // template: 8-token segments present in every member — the
+    // boilerplate skeleton the variants were stamped from. Per
+    // cluster: member count, distinct segments seen, and how many are
+    // template (all-member) segments — full-template clusters are
+    // byte-twins, zero-template clusters are hash-collision chains
+    // worth re-reviewing. The cluster-level complement of p176's
+    // corpus-level segment df (and the evidence p199 summarizes
+    // per pair, lifted to the cluster).
+    //
+    // Scale shape: labels from SharedStages; one segment explode over
+    // MEMBER docs only (semi-join prunes the corpus scan); the
+    // all-member test is a (cluster, segment)-keyed distinct count
+    // compared to the cluster size — bounded rollups throughout.
+    Q("p209_template_mining", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      ${Pipeline.clusterLabelsCte},
+      cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+             FROM lbl GROUP BY 1),
+      seg AS (SELECT l.cluster_id, d.doc_id, unnest(list_distinct(
+                ${TextSql.segments(wsSql, 8)})) AS seg
+              FROM documents d JOIN lbl l ON l.n = d.doc_id),
+      sc AS (SELECT cluster_id, seg,
+                    CAST(count(DISTINCT doc_id) AS BIGINT) AS mc
+             FROM seg GROUP BY 1, 2),
+      agg AS (SELECT sc.cluster_id,
+                     CAST(count(*) AS BIGINT) AS n_distinct_segs,
+                     CAST(sum(CASE WHEN sc.mc = cs.n_members
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_template_segs
+              FROM sc JOIN cs USING (cluster_id) GROUP BY 1)
+      SELECT cs.cluster_id, cs.n_members,
+             coalesce(a.n_distinct_segs, 0) AS n_distinct_segs,
+             coalesce(a.n_template_segs, 0) AS n_template_segs
+      FROM cs LEFT JOIN agg a ON a.cluster_id = cs.cluster_id
+      ORDER BY cs.cluster_id""")) { (spark, dir) =>
+      val labels = SharedStages.labels(spark, dir)
+      val cs = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      val seg = Tables.loadSpread(spark, dir, "documents")
+        .join(labels, "doc_id")
+        .select(col("cluster_id"), col("doc_id"),
+          explode(array_distinct(TextOps.segments(col("text"), SegN)))
+            .as("seg"))
+      val sc = seg.groupBy(col("cluster_id"), col("seg"))
+        .agg(countDistinct(col("doc_id")).as("mc"))
+      val agg = sc.join(cs, "cluster_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_distinct_segs"),
+          sum(when(col("mc") === col("n_members"), 1L).otherwise(0L))
+            .as("n_template_segs"))
+      cs.join(agg, Seq("cluster_id"), "left")
+        .select(col("cluster_id"), col("n_members"),
+          coalesce(col("n_distinct_segs"), lit(0L)).as("n_distinct_segs"),
+          coalesce(col("n_template_segs"), lit(0L)).as("n_template_segs"))
+        .orderBy(col("cluster_id"))
     }
   )
 }

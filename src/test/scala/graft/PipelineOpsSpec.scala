@@ -2445,4 +2445,69 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(8) == ((0L, 0L, 0L)))   // diverged at token 5
     assert(got(16) == ((0L, 0L, 0L)))
   }
+
+  test("p207 histogram equalization: lowest gray maps to 0, highest to " +
+    "255, remap preserves order — per image") {
+    val got = SparkEntry.queries("p207_histogram_equalize")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("gray"), r.getAs[Long]("eq")))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { px =>
+      assert(px.length == 12)
+      if (px.map(_._2).distinct.length >= 2) {
+        assert(px.minBy(_._2)._3 == 0L)
+        assert(px.maxBy(_._2)._3 == 255L)
+      }
+      // equalization is monotone in gray
+      val sorted = px.sortBy(_._2)
+      assert(sorted.sliding(2).forall(w => w(0)._3 <= w(1)._3))
+    }
+  }
+
+  test("p208 curriculum mixing: epoch sums are exactly the budget, " +
+    "epoch 0 is uniform, epoch 3 follows quality mass") {
+    import spark.implicits._
+    val good = "a solid document with enough reasonable tokens of " +
+      "substance and the usual stopwords in it for a fair score"
+    val rows = Seq(
+      (1L, good, "en", "A", 0L), (2L, good, "en", "A", 0L),
+      (3L, good, "en", "A", 0L), (4L, "tiny", "en", "B", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p208fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p208_curriculum_mixing")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        r.getAs[Long]("alloc")).toMap
+    for (e <- 0L to 3L)
+      assert(got((e, "A")) + got((e, "B")) == 10000L)
+    assert(got((0L, "A")) == 5000L && got((0L, "B")) == 5000L)
+    // A carries ~3 good docs of quality mass vs B's one tiny doc
+    assert(got((3L, "A")) > got((3L, "B")))
+    // annealing is monotone toward the quality-heavy source
+    assert((0L to 2L).forall(e => got((e, "A")) <= got((e + 1L, "A"))))
+  }
+
+  test("p209 template mining: byte-twin clusters are all-template; " +
+    "counts are exact per cluster") {
+    import spark.implicits._
+    def seg(p: String) = (1 to 8).map(i => s"$p$i").mkString(" ")
+    val t1 = s"${seg("a")} ${seg("b")}"   // 2 segments
+    val t2 = s"${seg("z")}"               // 1 segment
+    val rows = Seq(
+      (1L, t1, "en", "w", 0L), (2L, t1, "en", "w", 0L),
+      (5L, t2, "en", "w", 0L), (6L, t2, "en", "w", 0L),
+      (7L, t2, "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p209fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p209_template_mining")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_distinct_segs"), r.getAs[Long]("n_template_segs")))
+      .toMap
+    assert(got(1L) == ((2L, 2L, 2L)))
+    assert(got(5L) == ((3L, 1L, 1L)))
+  }
 }
