@@ -2140,6 +2140,192 @@ object Pipeline15 {
           coalesce(col("n_distinct_segs"), lit(0L)).as("n_distinct_segs"),
           coalesce(col("n_template_segs"), lit(0L)).as("n_template_segs"))
         .orderBy(col("cluster_id"))
+    },
+
+    // ---- truncated harmonic centrality (radius 3) --------------------------
+    // Which docs sit at the CENTER of the near-dup graph? Harmonic
+    // centrality Σ 1/d, truncated at radius 3 (at radius r the milli
+    // weights are the precomputed 1000/500/333 — lc-table discipline)
+    // — hubs here are the templates/boilerplate sources whose
+    // neighborhoods the p68/p201 representatives should be drawn
+    // from, and truncation is what keeps the computation to three
+    // BOUNDED frontier expansions instead of an all-pairs BFS (on a
+    // banded pair graph the 3-ball covers most components anyway).
+    // Exact set semantics: each frontier is deduplicated and
+    // anti-joined against the closer balls, so a node is counted at
+    // its SHORTEST distance only.
+    //
+    // Scale shape: three edge-keyed joins with distinct + anti-join
+    // between rounds (the p116 bounded-unrolling pattern); per-node
+    // rollups; nothing materializes beyond the (node, reached) pair
+    // lists the banded graph bounds.
+    Q("p210_harmonic_centrality", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      e AS (SELECT a AS u, b AS v FROM spairs
+            UNION SELECT b, a FROM spairs),
+      h1 AS (SELECT DISTINCT u, v FROM e),
+      h2 AS (SELECT DISTINCT a.u, b.v FROM h1 a JOIN e b ON b.u = a.v
+             WHERE b.v <> a.u
+               AND NOT EXISTS (SELECT 1 FROM h1 x
+                               WHERE x.u = a.u AND x.v = b.v)),
+      h3 AS (SELECT DISTINCT a.u, b.v FROM h2 a JOIN e b ON b.u = a.v
+             WHERE b.v <> a.u
+               AND NOT EXISTS (SELECT 1 FROM h1 x
+                               WHERE x.u = a.u AND x.v = b.v)
+               AND NOT EXISTS (SELECT 1 FROM h2 y
+                               WHERE y.u = a.u AND y.v = b.v)),
+      c1 AS (SELECT u, CAST(count(*) AS BIGINT) AS d1 FROM h1 GROUP BY 1),
+      c2 AS (SELECT u, CAST(count(*) AS BIGINT) AS d2 FROM h2 GROUP BY 1),
+      c3 AS (SELECT u, CAST(count(*) AS BIGINT) AS d3 FROM h3 GROUP BY 1)
+      SELECT c1.u AS doc_id, c1.d1,
+             coalesce(c2.d2, 0) AS d2, coalesce(c3.d3, 0) AS d3,
+             CAST(c1.d1 * 1000 + coalesce(c2.d2, 0) * 500
+               + coalesce(c3.d3, 0) * 333 AS BIGINT) AS harmonic_milli
+      FROM c1 LEFT JOIN c2 ON c2.u = c1.u LEFT JOIN c3 ON c3.u = c1.u
+      ORDER BY doc_id""")) { (spark, dir) =>
+      val sp = SharedStages.spairs(spark, dir)
+      val e = sp.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(sp.select(col("b"), col("a"))).distinct()
+        .localCheckpoint()
+      val h1 = e
+      def expand(h: org.apache.spark.sql.DataFrame) = h.select(col("u"),
+          col("v").as("m"))
+        .join(e.select(col("u").as("m"), col("v").as("w")), "m")
+        .where(col("w") =!= col("u"))
+        .select(col("u"), col("w").as("v")).distinct()
+      val h2 = expand(h1).join(h1, Seq("u", "v"), "left_anti")
+        .localCheckpoint()
+      val h3 = expand(h2).join(h1, Seq("u", "v"), "left_anti")
+        .join(h2, Seq("u", "v"), "left_anti")
+      def cnt(h: org.apache.spark.sql.DataFrame, nm: String) =
+        h.groupBy(col("u")).agg(count(lit(1)).as(nm))
+      cnt(h1, "d1")
+        .join(cnt(h2, "d2"), Seq("u"), "left")
+        .join(cnt(h3, "d3"), Seq("u"), "left")
+        .select(col("u").as("doc_id"), col("d1"),
+          coalesce(col("d2"), lit(0L)).as("d2"),
+          coalesce(col("d3"), lit(0L)).as("d3"),
+          (col("d1") * 1000 + coalesce(col("d2"), lit(0L)) * 500
+            + coalesce(col("d3"), lit(0L)) * 333).as("harmonic_milli"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- CDC chunking parameter sweep --------------------------------------
+    // The p196 one-pass-operating-curve pattern applied to
+    // content-defined chunking: boundary modulus ∈ {16, 64, 256}
+    // trades chunk granularity (small chunks → more dedup, more
+    // per-chunk overhead) against index size. Per modulus, over the
+    // p91 ad-footer corpus: chunk count, distinct chunks, mean chunk
+    // length (milli), and the duplicated-byte fraction — the curve
+    // that picks the production modulus from ONE query. Each doc is
+    // chunked three times by the same codegen kernel (row-local);
+    // nothing else triples.
+    //
+    // Scale shape: three kernel calls in the scan stage; per-modulus
+    // chunk-keyed rollups; 3-row output.
+    Q("p211_cdc_param_sweep", Some {
+      def per(m: Int): String = s"""
+        SELECT $m AS modulus, doc_id, chunk FROM (
+          SELECT doc_id,
+                 unnest([substr(payload, CAST(pos[k] + 1 AS INT),
+                                CAST(pos[k+1] - pos[k] AS INT))
+                         for k in generate_series(1, len(pos) - 1)]) AS chunk
+          FROM (SELECT doc_id, payload,
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_append(bs, n)) AS pos
+                FROM (SELECT doc_id, payload,
+                             CAST(length(payload) AS BIGINT) AS n,
+                             [CAST(i AS BIGINT)
+                              for i in generate_series(8, length(payload))
+                              if ${graft.functions.Cdc.boundarySql(
+                                "payload", 8, m)}] AS bs
+                      FROM d)))
+        WHERE length(chunk) > 0"""
+      s"""
+      WITH d AS (SELECT doc_id,
+                        text || ' ' || repeat('ad unit for ' || source
+                          || ' visit now ', 4) AS payload
+                 FROM documents),
+      c AS (${Seq(16, 64, 256).map(per).mkString(" UNION ALL ")}),
+      g AS (SELECT modulus, chunk, CAST(count(*) AS BIGINT) AS occ,
+                   CAST(length(chunk) AS BIGINT) AS clen
+            FROM c GROUP BY 1, 2)
+      SELECT CAST(modulus AS BIGINT) AS modulus,
+             CAST(sum(occ) AS BIGINT) AS n_chunks,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(occ * clen) * 1000 // sum(occ) AS BIGINT)
+               AS mean_len_milli,
+             CAST(sum(CASE WHEN occ > 1 THEN occ * clen ELSE 0 END)
+               * 1000000 // sum(occ * clen) AS BIGINT) AS dup_char_ppm
+      FROM g GROUP BY 1 ORDER BY 1"""
+    }) { (spark, dir) =>
+      val payload = concat(col("text"), lit(" "),
+        repeat(concat(lit("ad unit for "), col("source"),
+          lit(" visit now ")), 4))
+      val base = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), payload.as("payload"))
+      val c = Seq(16, 64, 256).map(m =>
+        base.select(lit(m).as("modulus"), col("doc_id"),
+          explode(graft.functions.Cdc.chunks(col("payload"), 8, m))
+            .as("chunk")))
+        .reduce(_ unionAll _)
+      c.groupBy(col("modulus"), col("chunk"))
+        .agg(count(lit(1)).as("occ"))
+        .withColumn("clen", length(col("chunk")).cast("long"))
+        .groupBy(col("modulus"))
+        .agg(sum(col("occ")).as("n_chunks"),
+          count(lit(1)).as("n_distinct"),
+          expr("sum(occ * clen) * 1000 div sum(occ)").as("mean_len_milli"),
+          expr("sum(CASE WHEN occ > 1 THEN occ * clen ELSE 0 END)" +
+            " * 1000000 div sum(occ * clen)").as("dup_char_ppm"))
+        .select(col("modulus").cast("long").as("modulus"), col("n_chunks"),
+          col("n_distinct"), col("mean_len_milli"), col("dup_char_ppm"))
+        .orderBy(col("modulus"))
+    },
+
+    // ---- normalization-evasion census (hash-busting detector) --------------
+    // Spam that defeats exact dedup by sprinkling punctuation: docs
+    // that are IDENTICAL after aggressive normalization (lowercase,
+    // strip every non-alphanumeric) but DISTINCT under the standard
+    // p04 normalization (case/whitespace only). Each such group is a
+    // hash-busting family the p04 gate misses and the p100
+    // obfuscation gate should see; the census lists every family
+    // with its size and raw-variant count — the feed for a
+    // strip-then-rehash second dedup pass.
+    //
+    // Scale shape: two hash projections in the scan, one
+    // aggressive-hash-keyed rollup; evasive families only (standard
+    // groups collapse upstream) — output is attack-sized, not
+    // corpus-sized.
+    Q("p212_evasion_census", Some(s"""
+      WITH d AS (SELECT doc_id,
+                   ${Portable.h60Sql(
+                     raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')")}
+                     AS std_h,
+                   ${Portable.h60Sql(
+                     "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')")}
+                     AS agg_h
+            FROM documents),
+      g AS (SELECT agg_h, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT std_h) AS BIGINT) AS n_raw_variants,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc
+            FROM d GROUP BY 1)
+      SELECT agg_h, n_docs, n_raw_variants, min_doc
+      FROM g WHERE n_raw_variants >= 2
+      ORDER BY agg_h""")) { (spark, dir) =>
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          Portable.h60(regexp_replace(trim(lower(col("text"))),
+            "\\s+", " ")).as("std_h"),
+          Portable.h60(regexp_replace(lower(col("text")),
+            "[^a-z0-9]", "")).as("agg_h"))
+      d.groupBy(col("agg_h"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("std_h")).as("n_raw_variants"),
+          min(col("doc_id")).as("min_doc"))
+        .where(col("n_raw_variants") >= 2)
+        .orderBy(col("agg_h"))
     }
   )
 }

@@ -2510,4 +2510,59 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) == ((2L, 2L, 2L)))
     assert(got(5L) == ((3L, 1L, 1L)))
   }
+
+  test("p210 harmonic centrality: clique members see the full clique " +
+    "at distance 1; a lone pair scores one neighbor") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "clique text one two three", "en", "w", 0L),
+      (2L, "clique text one two three", "en", "w", 0L),
+      (3L, "clique text one two three", "en", "w", 0L),
+      (8L, "pair text other entirely", "en", "w", 0L),
+      (9L, "pair text other entirely", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p210fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p210_harmonic_centrality")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("d1"),
+        r.getAs[Long]("d2"), r.getAs[Long]("d3"),
+        r.getAs[Long]("harmonic_milli"))).toMap
+    for (n <- Seq(1L, 2L, 3L)) assert(got(n) == ((2L, 0L, 0L, 2000L)))
+    for (n <- Seq(8L, 9L)) assert(got(n) == ((1L, 0L, 0L, 1000L)))
+  }
+
+  test("p211 CDC sweep: a larger modulus means fewer, longer chunks — " +
+    "the curve is monotone and the planted footer dedups") {
+    val got = SparkEntry.queries("p211_cdc_param_sweep")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("mean_len_milli"), r.getAs[Long]("dup_char_ppm")))
+      .toMap
+    assert(got(16L)._1 >= got(64L)._1 && got(64L)._1 >= got(256L)._1)
+    assert(got(16L)._2 <= got(64L)._2 && got(64L)._2 <= got(256L)._2)
+    // the planted per-source ad footer dedups at every modulus
+    assert(got.values.forall(_._3 > 0L))
+  }
+
+  test("p212 evasion census: punctuation-sprinkled twins surface as a " +
+    "family; standard-normal twins alone do not") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "buy now", "en", "w", 0L),
+      (2L, "b.u.y n.o.w!", "en", "w", 0L),
+      (3L, "BUY   NOW", "en", "w", 0L),     // std-equal to doc 1
+      (4L, "something else", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p212fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p212_evasion_census")(spark, dir)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_raw_variants") == 2L)
+    assert(r.getAs[Long]("min_doc") == 1L)
+  }
 }
