@@ -2142,40 +2142,45 @@ object Pipeline15 {
         .orderBy(col("cluster_id"))
     },
 
-    // ---- truncated harmonic centrality (radius 3) --------------------------
+    // ---- truncated harmonic centrality (radius 3, bounded adjacency) -------
     // Which docs sit at the CENTER of the near-dup graph? Harmonic
-    // centrality Σ 1/d, truncated at radius 3 (at radius r the milli
-    // weights are the precomputed 1000/500/333 — lc-table discipline)
-    // — hubs here are the templates/boilerplate sources whose
-    // neighborhoods the p68/p201 representatives should be drawn
-    // from, and truncation is what keeps the computation to three
-    // BOUNDED frontier expansions instead of an all-pairs BFS (on a
-    // banded pair graph the 3-ball covers most components anyway).
-    // Exact set semantics: each frontier is deduplicated and
-    // anti-joined against the closer balls, so a node is counted at
-    // its SHORTEST distance only.
+    // centrality Σ 1/d, truncated at radius 3 (milli weights
+    // 1000/500/333 — lc-table discipline). Near-dup graphs contain
+    // near-CLIQUES (banded buckets), where materializing exact 2- and
+    // 3-balls is quadratic in clique size — measured: 0.8 s → 21 s
+    // under 10× data. So expansion runs over a BOUNDED adjacency: per
+    // node, only the 64 smallest neighbor ids expand (deterministic,
+    // mirrored bit-for-bit in the oracle via the same row_number cap;
+    // the no-silent-caps discipline — d1 is still the EXACT degree,
+    // d2/d3 are the bounded-expansion counts). Per-node candidate
+    // work is ≤ 64² per round, independent of hub size — the
+    // difference between a diagnostic that survives 100× and one
+    // that melts on the first big cluster.
     //
-    // Scale shape: three edge-keyed joins with distinct + anti-join
-    // between rounds (the p116 bounded-unrolling pattern); per-node
-    // rollups; nothing materializes beyond the (node, reached) pair
-    // lists the banded graph bounds.
+    // Scale shape: three edge-keyed joins over the capped adjacency
+    // with distinct + anti-join between rounds (the p116 bounded-
+    // unrolling pattern); per-node rollups; every intermediate is
+    // O(nodes × 64²) worst case.
     Q("p210_harmonic_centrality", Some(s"""
       WITH RECURSIVE ${Pipeline.simhash64Cte},
       ${Pipeline.simhashPairsCte},
       e AS (SELECT a AS u, b AS v FROM spairs
             UNION SELECT b, a FROM spairs),
-      h1 AS (SELECT DISTINCT u, v FROM e),
-      h2 AS (SELECT DISTINCT a.u, b.v FROM h1 a JOIN e b ON b.u = a.v
+      f AS (SELECT u, v FROM e
+            QUALIFY row_number() OVER (PARTITION BY u ORDER BY v) <= 64),
+      h2 AS (SELECT DISTINCT a.u, b.v FROM f a JOIN f b ON b.u = a.v
              WHERE b.v <> a.u
-               AND NOT EXISTS (SELECT 1 FROM h1 x
+               AND NOT EXISTS (SELECT 1 FROM e x
                                WHERE x.u = a.u AND x.v = b.v)),
-      h3 AS (SELECT DISTINCT a.u, b.v FROM h2 a JOIN e b ON b.u = a.v
+      h2c AS (SELECT u, v FROM h2
+              QUALIFY row_number() OVER (PARTITION BY u ORDER BY v) <= 64),
+      h3 AS (SELECT DISTINCT a.u, b.v FROM h2c a JOIN f b ON b.u = a.v
              WHERE b.v <> a.u
-               AND NOT EXISTS (SELECT 1 FROM h1 x
+               AND NOT EXISTS (SELECT 1 FROM e x
                                WHERE x.u = a.u AND x.v = b.v)
                AND NOT EXISTS (SELECT 1 FROM h2 y
                                WHERE y.u = a.u AND y.v = b.v)),
-      c1 AS (SELECT u, CAST(count(*) AS BIGINT) AS d1 FROM h1 GROUP BY 1),
+      c1 AS (SELECT u, CAST(count(*) AS BIGINT) AS d1 FROM e GROUP BY 1),
       c2 AS (SELECT u, CAST(count(*) AS BIGINT) AS d2 FROM h2 GROUP BY 1),
       c3 AS (SELECT u, CAST(count(*) AS BIGINT) AS d3 FROM h3 GROUP BY 1)
       SELECT c1.u AS doc_id, c1.d1,
@@ -2188,19 +2193,23 @@ object Pipeline15 {
       val e = sp.select(col("a").as("u"), col("b").as("v"))
         .unionAll(sp.select(col("b"), col("a"))).distinct()
         .localCheckpoint()
-      val h1 = e
+      def cap(h: org.apache.spark.sql.DataFrame) = h
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("u")).orderBy(col("v"))))
+        .where(col("rn") <= 64).drop("rn")
+      val f = cap(e).localCheckpoint()
       def expand(h: org.apache.spark.sql.DataFrame) = h.select(col("u"),
           col("v").as("m"))
-        .join(e.select(col("u").as("m"), col("v").as("w")), "m")
+        .join(f.select(col("u").as("m"), col("v").as("w")), "m")
         .where(col("w") =!= col("u"))
         .select(col("u"), col("w").as("v")).distinct()
-      val h2 = expand(h1).join(h1, Seq("u", "v"), "left_anti")
+      val h2 = expand(f).join(e, Seq("u", "v"), "left_anti")
         .localCheckpoint()
-      val h3 = expand(h2).join(h1, Seq("u", "v"), "left_anti")
+      val h3 = expand(cap(h2)).join(e, Seq("u", "v"), "left_anti")
         .join(h2, Seq("u", "v"), "left_anti")
       def cnt(h: org.apache.spark.sql.DataFrame, nm: String) =
         h.groupBy(col("u")).agg(count(lit(1)).as(nm))
-      cnt(h1, "d1")
+      cnt(e, "d1")
         .join(cnt(h2, "d2"), Seq("u"), "left")
         .join(cnt(h3, "d3"), Seq("u"), "left")
         .select(col("u").as("doc_id"), col("d1"),
