@@ -2335,6 +2335,146 @@ object Pipeline15 {
           min(col("doc_id")).as("min_doc"))
         .where(col("n_raw_variants") >= 2)
         .orderBy(col("agg_h"))
+    },
+
+    // ---- MinHash LSH band-layout operating curve ---------------------------
+    // The (bands × rows) S-curve tuned from ONE signature pass: the
+    // SAME 12 minhash components are re-bucketed under four layouts
+    // (r ∈ {2,3,4,6} rows/band → 6/4/3/2 bands); per layout, the
+    // candidate-pair count and how many candidates clear estimated
+    // Jaccard ≥ 1/2 (6 of 12 components equal — exact, no float
+    // threshold ambiguity). More bands → higher recall, lower
+    // precision; the curve makes the tradeoff a table instead of
+    // folklore. Complements p196 (the SimHash threshold curve) on
+    // the MinHash side.
+    //
+    // Scale shape: signatures computed ONCE (one shingle pass); each
+    // layout is a banded bucket shuffle over the same 12 longs; the
+    // verdict per candidate reads the ride-along signatures — no
+    // re-join, no exact-Jaccard pass.
+    Q("p213_lsh_band_curve", Some {
+      def cfg(r: Int): String = {
+        val bandSelects = (0 until 12 / r).map { b =>
+          val cols = (0 until r)
+            .map(x => s"CAST(m${b * r + x} AS VARCHAR)").mkString(", ")
+          s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bh " +
+            "FROM sig"
+        }.mkString(" UNION ALL ")
+        val eq = (0 until 12)
+          .map(j => s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        SELECT $r AS r, a, b, ($eq) AS eq
+        FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM ($bandSelects) x JOIN ($bandSelects) y
+                ON x.band = y.band AND x.bh = y.bh
+                AND x.doc_id < y.doc_id) p
+        JOIN sig sa ON sa.doc_id = p.a JOIN sig sb ON sb.doc_id = p.b"""
+      }
+      val mins = (0 until 12).map(j =>
+        s"min(${Portable.minhashJSql(j, Portable.h32Sql("s"))}) AS m$j")
+        .mkString(", ")
+      s"""
+      WITH ${Pipeline.distinctShinglesCte},
+      sig AS (SELECT doc_id, $mins FROM ds GROUP BY doc_id),
+      c AS (${Seq(2, 3, 4, 6).map(cfg).mkString(" UNION ALL ")})
+      SELECT CAST(12 // r AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN eq >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_good,
+             CAST(CASE WHEN count(*) = 0 THEN 0
+                  ELSE sum(CASE WHEN eq >= 6 THEN 1 ELSE 0 END)
+                       * 1000000 // count(*) END AS BIGINT)
+               AS precision_ppm
+      FROM c GROUP BY r ORDER BY rows_per_band"""
+    }) { (spark, dir) =>
+      import graft.ops.DedupOps
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val sig = DedupOps.minhashSignatures(docs, "doc_id", "text", 12)
+        .localCheckpoint()
+      val curves = Seq(2, 3, 4, 6).map { r =>
+        val cand = DedupOps.lshCandidates(docs, "doc_id", "text", 12, r)
+        cand.agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L))
+              .as("n_good"))
+          .select(lit(12L / r).as("bands"), lit(r.toLong).as("rows_per_band"),
+            col("n_candidates"), col("n_good"),
+            when(col("n_candidates") === 0, 0L)
+              .otherwise(expr("n_good * 1000000 div n_candidates"))
+              .as("precision_ppm"))
+      }
+      // note: lshCandidates recomputes signatures per layout here for
+      // API simplicity; the oracle (and a production run) shares ONE
+      // sig table — the signature pass is the cheap part (sig is
+      // checkpointed above for the production-shaped variant)
+      curves.reduce(_ unionAll _).orderBy(col("rows_per_band"))
+    },
+
+    // ---- bitext candidate mining (cross-language pairing) ------------------
+    // The first pass of parallel-corpus construction: for every
+    // non-English document, the best English partner by shared RARE
+    // anchors (3-gram shingles with corpus df ≤ 8 — numbers, names,
+    // code spans survive translation) subject to the Gale–Church length
+    // gate (token ratio within [3/4, 4/3] in exact cross-multiplied
+    // integers). Anchor blocking is the p05 inverted-index discipline
+    // — df-capped so no anchor fans out corpus-wide; the best partner
+    // is a conditional struct extremum (anchors desc, id asc).
+    //
+    // Scale shape: one distinct-token pass + df agg; the pair join
+    // goes through the capped anchor index (bounded buckets); the
+    // argmax is per-xx-doc. Never a cross-language cartesian.
+    Q("p214_bitext_candidates", Some(s"""
+      WITH w AS (SELECT doc_id, lang, $wsSql AS ws FROM documents),
+      n AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS nt FROM w),
+      t AS (SELECT doc_id, unnest(list_distinct(
+              ${TextSql.shingles("ws", 3)})) AS tok FROM w),
+      df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
+      anch AS (SELECT t.doc_id, t.tok FROM t JOIN df USING (tok)
+               WHERE df.df <= 8),
+      xx AS (SELECT a.doc_id, a.tok, n.lang, n.nt FROM anch a
+             JOIN n ON n.doc_id = a.doc_id WHERE n.lang <> 'en'),
+      en AS (SELECT a.doc_id AS en_id, a.tok, n.nt AS en_nt FROM anch a
+             JOIN n ON n.doc_id = a.doc_id WHERE n.lang = 'en'),
+      p AS (SELECT xx.doc_id, xx.lang, xx.nt, en.en_id, en.en_nt,
+                   CAST(count(*) AS BIGINT) AS n_anchors
+            FROM xx JOIN en USING (tok)
+            WHERE en.en_nt * 4 >= xx.nt * 3 AND en.en_nt * 3 <= xx.nt * 4
+            GROUP BY 1, 2, 3, 4, 5),
+      best AS (SELECT doc_id, lang, nt, en_id, en_nt, n_anchors FROM
+                 (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY n_anchors DESC, en_id) AS rn FROM p)
+               WHERE rn = 1)
+      SELECT doc_id, lang, en_id AS best_en, n_anchors,
+             CAST(en_nt * 1000 // nt AS BIGINT) AS len_ratio_milli
+      FROM best ORDER BY doc_id""")) { (spark, dir) =>
+      val w = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextOps.tokens(col("text")).as("ws"))
+      val n = w.select(col("doc_id"), col("lang"),
+        size(col("ws")).cast("long").as("nt"))
+      val t = w.select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(col("text"), 3)))
+          .as("tok"))
+      val df = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val anch = t.join(df.where(col("df") <= 8), "tok")
+      val xx = anch.join(n.where(col("lang") =!= "en"), "doc_id")
+      val en = anch.select(col("doc_id").as("en_id"), col("tok"))
+        .join(n.where(col("lang") === "en")
+          .select(col("doc_id").as("en_id"), col("nt").as("en_nt")),
+          "en_id")
+      val p = xx.join(en, "tok")
+        .where(col("en_nt") * 4 >= col("nt") * 3
+          && col("en_nt") * 3 <= col("nt") * 4)
+        .groupBy(col("doc_id"), col("lang"), col("nt"), col("en_id"),
+          col("en_nt"))
+        .agg(count(lit(1)).as("n_anchors"))
+      p.groupBy(col("doc_id"), col("lang"), col("nt"))
+        .agg(max(struct(col("n_anchors"), (-col("en_id")).as("ne"),
+          col("en_nt").as("ent"))).as("m"))
+        .select(col("doc_id"), col("lang"), (-col("m.ne")).as("best_en"),
+          col("m.n_anchors").as("n_anchors"),
+          expr("m.ent * 1000 div nt").as("len_ratio_milli"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -2565,4 +2565,50 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_raw_variants") == 2L)
     assert(r.getAs[Long]("min_doc") == 1L)
   }
+
+  test("p213 LSH band curve: byte-twins are caught with full precision " +
+    "under every layout; candidate recall never rises with rows/band") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "w", 0L),
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "w", 0L),
+      (3L, "utterly different content in every way", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p213fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p213_lsh_band_curve")(spark, dir)
+      .collect().map(r => r.getLong(1) -> (r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_good"), r.getAs[Long]("precision_ppm"))).toMap
+    assert(got.keySet == Set(2L, 3L, 4L, 6L))
+    assert(got.values.forall(_ == ((1L, 1L, 1000000L))))
+    // on real data: more rows per band → no more candidates
+    val real = SparkEntry.queries("p213_lsh_band_curve")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(1) -> r.getAs[Long]("n_candidates")).toMap
+    assert(real(2L) >= real(3L) && real(3L) >= real(4L)
+      && real(4L) >= real(6L))
+  }
+
+  test("p214 bitext candidates: shared rare shingles pair across " +
+    "languages; the length gate blocks inflated partners") {
+    import spark.implicits._
+    val core = "alpha beta gamma delta epsilon zeta"
+    val rows = Seq(
+      (1L, core, "en", "w", 0L),
+      (2L, core, "fr", "w", 0L),                      // perfect partner
+      (3L, s"$core u1 u2 u3 u4 u5 u6", "es", "w", 0L), // 2x length: gated
+      (4L, "nothing shared here at all ever", "de", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p214fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p214_bitext_candidates")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[String]("lang"),
+        r.getAs[Long]("best_en"), r.getAs[Long]("n_anchors"),
+        r.getAs[Long]("len_ratio_milli"))).toMap
+    assert(got(2L) == (("fr", 1L, 4L, 1000L)))
+    assert(!got.contains(3L)) // 6-vs-12 tokens fails the 4/3 gate
+    assert(!got.contains(4L)) // no shared anchors
+  }
 }
