@@ -2475,6 +2475,251 @@ object Pipeline15 {
           col("m.n_anchors").as("n_anchors"),
           expr("m.ent * 1000 div nt").as("len_ratio_milli"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- referential-integrity audit across the catalog --------------------
+    // The nightly FK sweep: for each declared parent-child
+    // relationship (orders→customer, lineitem→orders,
+    // embeddings→documents), the
+    // orphan census — child rows whose parent key does not exist —
+    // plus the reverse coverage gap (parents with no children: not a
+    // violation, but the signal an asset pipeline half-ran). Clean
+    // fixtures produce all-zero orphan rows; the SPEC plants orphans
+    // to prove the detector. The audit every multi-asset 100 TB lake
+    // runs before publishing a snapshot.
+    //
+    // Scale shape: each relationship is one left-anti (orphans) and
+    // one right-side anti (childless) — both key-only joins on
+    // pruned single-column scans; output is 4 metadata rows.
+    Q("p215_referential_audit", Some("""
+      WITH r1 AS (SELECT 'orders->customer' AS rel,
+                    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child,
+                    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+                    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_parents,
+                    (SELECT CAST(count(*) AS BIGINT) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey)) AS n_childless),
+      r2 AS (SELECT 'lineitem->orders',
+                    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_orderkey = l.l_orderkey)),
+                    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+                    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey))),
+      r3 AS (SELECT 'embeddings->documents',
+                    (SELECT CAST(count(*) AS BIGINT) FROM embeddings),
+                    (SELECT CAST(count(*) AS BIGINT) FROM embeddings e
+                     WHERE NOT EXISTS (SELECT 1 FROM documents d
+                       WHERE d.doc_id = e.vec_id)),
+                    (SELECT CAST(count(*) AS BIGINT) FROM documents),
+                    (SELECT CAST(count(*) AS BIGINT) FROM documents d
+                     WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                       WHERE e.vec_id = d.doc_id)))
+      SELECT rel, n_child, n_orphans,
+             CAST(CASE WHEN n_child = 0 THEN 0
+                  ELSE n_orphans * 1000000 // n_child END AS BIGINT)
+               AS orphan_ppm,
+             n_parents, n_childless
+      FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+            UNION ALL SELECT * FROM r3)
+      ORDER BY rel""")) { (spark, dir) =>
+      import spark.implicits._
+      def audit(relName: String, child: org.apache.spark.sql.DataFrame,
+          ck: String, parent: org.apache.spark.sql.DataFrame,
+          pk: String) = {
+        val orphans = child.join(parent,
+          child(ck) === parent(pk), "left_anti").count()
+        val childless = parent.join(child,
+          child(ck) === parent(pk), "left_anti").count()
+        val nc = child.count()
+        (relName, nc, orphans,
+          if (nc == 0) 0L else orphans * 1000000L / nc,
+          parent.count(), childless)
+      }
+      // driver-side: 4 counts per relationship — each a distributed
+      // anti-join reduced to ONE number (the documented 1-row-read
+      // pattern); the audit table itself is metadata-sized
+      val orders = Tables.load(spark, dir, "orders")
+      val cust = Tables.load(spark, dir, "customer")
+      val li = Tables.load(spark, dir, "lineitem")
+      val emb = Tables.load(spark, dir, "embeddings")
+      val docs = Tables.load(spark, dir, "documents")
+      Seq(
+        audit("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        audit("embeddings->documents", emb, "vec_id", docs, "doc_id"))
+        .toDF("rel", "n_child", "n_orphans", "orphan_ppm", "n_parents",
+          "n_childless")
+        .orderBy(col("rel"))
+    },
+
+    // ---- embedding outlier score (capped-panel 3-NN distance) --------------
+    // The mislabel/garbage detector for the vector corpus: per IVF
+    // cell (= label), every vector's distance to its 3rd-nearest
+    // PANEL member — vectors far from even their closest cell-mates
+    // are dirty. The panel is the p210 lesson applied from the start:
+    // the 32 smallest vec_ids per cell serve as candidate neighbors
+    // (deterministic, oracle-mirrored), so the distance computation
+    // is |cell|×32 — never the |cell|² all-pairs that melts at 10×.
+    // Distances are exact micro²-integers via |u|²+|v|²−2u·v with
+    // scaled-integer dots. Output: each cell's WORST member (max
+    // 3NN-distance, ties → smaller id) — the review queue.
+    //
+    // Scale shape: norms are one per-vector agg; dots are one
+    // (label, j)-keyed partial agg against the broadcast panel;
+    // per-vector 3rd-smallest is a size-capped sorted-array extract,
+    // the cell argmax a struct extremum.
+    Q("p216_embedding_outliers", Some("""
+      WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cx AS (SELECT vec_id, label,
+                    unnest(generate_series(1, len(v))) AS i,
+                    unnest(v) AS x FROM v),
+      c AS (SELECT vec_id, label, i - 1 AS j,
+                   CAST(round(x * 1000000) AS BIGINT) AS ri FROM cx),
+      pn AS (SELECT vec_id, label FROM v
+             QUALIFY row_number() OVER (PARTITION BY label
+               ORDER BY vec_id) <= 32),
+      nrm AS (SELECT vec_id, CAST(sum(ri * ri) AS BIGINT) AS n2
+              FROM c GROUP BY 1),
+      d AS (SELECT a.vec_id, a.label, p.vec_id AS pid,
+                   CAST(sum(a.ri * b.ri) AS BIGINT) AS dot
+            FROM c a JOIN pn p ON p.label = a.label
+            JOIN c b ON b.vec_id = p.vec_id AND b.j = a.j
+            WHERE p.vec_id <> a.vec_id
+            GROUP BY 1, 2, 3),
+      dist AS (SELECT d.vec_id, d.label,
+                      na.n2 + nb.n2 - 2 * d.dot AS d2
+               FROM d JOIN nrm na ON na.vec_id = d.vec_id
+                      JOIN nrm nb ON nb.vec_id = d.pid),
+      k3 AS (SELECT vec_id, label, d2 FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY d2, label) AS rn FROM dist)
+             WHERE rn = 3),
+      w AS (SELECT label, vec_id, d2 FROM
+              (SELECT *, row_number() OVER (PARTITION BY label
+                 ORDER BY d2 DESC, vec_id) AS rw FROM k3)
+            WHERE rw = 1)
+      SELECT label, vec_id AS worst_vec, CAST(d2 AS BIGINT) AS knn3_d2
+      FROM w ORDER BY label""")) { (spark, dir) =>
+      val v = Tables.loadSpread(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val c = v.select(col("vec_id"), col("label"),
+          posexplode(col("v")).as(Seq("j", "x")))
+        .select(col("vec_id"), col("label"), col("j"),
+          round(col("x") * 1000000, 0).cast("long").as("ri"))
+      val pn = v.withColumn("rn", row_number().over(
+          Window.partitionBy(col("label")).orderBy(col("vec_id"))))
+        .where(col("rn") <= 32)
+        .select(col("vec_id").as("pid"), col("label").as("plabel"))
+        .localCheckpoint() // break lineage off v before rejoining c
+
+      val nrm = c.groupBy(col("vec_id"))
+        .agg(sum(col("ri") * col("ri")).as("n2"))
+      val pc = c.join(broadcast(pn), col("vec_id") === col("pid"))
+        .select(col("pid"), col("plabel"), col("j").as("pj"),
+          col("ri").as("pri"))
+        .localCheckpoint() // break lineage: pc joins back against c
+      val d = c.join(broadcast(pc),
+          col("label") === col("plabel") && col("j") === col("pj")
+            && col("vec_id") =!= col("pid"))
+        .groupBy(col("vec_id"), col("label"), col("pid"))
+        .agg(sum(col("ri") * col("pri")).as("dot"))
+      val dist = d
+        .join(nrm.select(col("vec_id"), col("n2").as("na")), "vec_id")
+        .join(broadcast(nrm.select(col("vec_id").as("pid"),
+          col("n2").as("nb"))), "pid")
+        .select(col("vec_id"), col("label"),
+          (col("na") + col("nb") - lit(2) * col("dot")).as("d2"))
+      val k3 = dist.withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("d2"), col("label"))))
+        .where(col("rn") === 3)
+      k3.withColumn("rw", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(col("d2").desc, col("vec_id"))))
+        .where(col("rw") === 1)
+        .select(col("label"), col("vec_id").as("worst_vec"),
+          col("d2").as("knn3_d2"))
+        .orderBy(col("label"))
+    },
+
+    // ---- exact integer autocorrelation of the daily event series -----------
+    // Is the event stream periodic? The lag-1 and lag-7
+    // autocorrelation of the daily event counts, computed EXACTLY:
+    // scale the centered series by n (n·x_t − S is an integer), so
+    // r = Σ(n·x_t − S)(n·x_{t+l} − S) / Σ(n·x_t − S)² needs no float
+    // anywhere — the milli result divides once, sign-split so
+    // floor-vs-truncate cannot diverge. Missing days count as zero
+    // via the p153 day-grid expansion (silently skipping them would
+    // fake periodicity). The seasonality detector behind p149's
+    // residual decomposition.
+    //
+    // Scale shape: the day series is a bounded aggregate of the
+    // stream; the lag join is day-keyed on the metadata-sized grid;
+    // the sums are 1-row rollups.
+    Q("p217_autocorr", Some("""
+      WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                        CAST(count(*) AS BIGINT) AS x
+                 FROM events GROUP BY 1),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+      days AS (SELECT b.lo + CAST(u.i AS INTEGER) AS day FROM b,
+                 (SELECT unnest(generate_series(0,
+                    (SELECT CAST(hi - lo AS BIGINT) FROM b))) AS i) u),
+      g AS (SELECT d.day, coalesce(e.x, 0) AS x
+            FROM days d LEFT JOIN e ON e.day = d.day),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx FROM g),
+      cz AS (SELECT g.day, g.x * s.n - s.sx AS z FROM g, s),
+      den AS (SELECT CAST(sum(z * z) AS BIGINT) AS den FROM cz),
+      l(lag) AS (VALUES (1), (7)),
+      num AS (SELECT l.lag,
+                     CAST(sum(a.z * b.z) AS BIGINT) AS num,
+                     CAST(count(*) AS BIGINT) AS n_pairs
+              FROM l, cz a, cz b
+              WHERE b.day = a.day + l.lag
+              GROUP BY 1)
+      SELECT CAST(num.lag AS BIGINT) AS lag, s.n AS n_days, num.n_pairs,
+             CAST(CASE WHEN den.den = 0 THEN 0
+                  WHEN num.num >= 0 THEN num.num * 1000 // den.den
+                  ELSE -((-num.num) * 1000 // den.den) END AS BIGINT)
+               AS r_milli
+      FROM num, den, s ORDER BY lag""")) { (spark, dir) =>
+      import spark.implicits._
+      val e = Tables.load(spark, dir, "events")
+        .groupBy(date_trunc("DAY", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val b = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val days = b.select(explode(
+        expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val g = days.join(e, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+        .localCheckpoint()
+      val s = g.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val cz = g.crossJoin(broadcast(s))
+        .select(col("day"), (col("x") * col("n") - col("sx")).as("z"),
+          col("n"))
+      val den = cz.agg(sum(col("z") * col("z")).as("den"))
+      val lags = Seq(1, 7).toDF("lag")
+      val shifted = cz.select(col("day"), col("z").as("zb"))
+      val num = cz.crossJoin(broadcast(lags))
+        .withColumn("tday", expr("date_add(day, lag)"))
+        .join(shifted.select(col("day").as("tday"), col("zb")), "tday")
+        .groupBy(col("lag"), col("n"))
+        .agg(sum(col("z") * col("zb")).as("num"),
+          count(lit(1)).as("n_pairs"))
+      num.crossJoin(broadcast(den))
+        .select(col("lag").cast("long").as("lag"),
+          col("n").as("n_days"), col("n_pairs"),
+          when(col("den") === 0, 0L)
+            .when(col("num") >= 0, expr("num * 1000 div den"))
+            .otherwise(-expr("(-num) * 1000 div den")).as("r_milli"))
+        .orderBy(col("lag"))
     }
   )
 }

@@ -2611,4 +2611,78 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.contains(3L)) // 6-vs-12 tokens fails the 4/3 gate
     assert(!got.contains(4L)) // no shared anchors
   }
+
+  test("p215 referential audit: planted orphans and childless parents " +
+    "are counted per relationship") {
+    import spark.implicits._
+    val d = java.sql.Date.valueOf("1995-01-01")
+    val dir = s"${sys.props("java.io.tmpdir")}/p215fix_${queries.runToken}"
+    Seq((1L, "Customer#1", 1L, 0.0, "B"), (7L, "Customer#7", 1L, 0.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, 5.0), (11L, 99L, 5.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1, 1.0), (555L, 1, 1.0))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, Seq(1.0f), 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq((1L, "x", "en", "w", 0L), (2L, "y", "en", "w", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p215_referential_audit")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_child"),
+        r.getAs[Long]("n_orphans"), r.getAs[Long]("orphan_ppm"),
+        r.getAs[Long]("n_parents"), r.getAs[Long]("n_childless"))).toMap
+    assert(got("orders->customer") == ((2L, 1L, 500000L, 2L, 1L)))
+    assert(got("lineitem->orders") == ((2L, 1L, 500000L, 2L, 1L)))
+    assert(got("embeddings->documents") == ((1L, 0L, 0L, 2L, 1L)))
+  }
+
+  test("p216 embedding outliers: the planted far vector owns the " +
+    "cell's worst 3-NN distance") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 0), (4L, Seq(1.0f, 0.0f), 0),
+      (5L, Seq(0.0f, 5.0f), 0))
+    val dir = s"${sys.props("java.io.tmpdir")}/p216fix_${queries.runToken}"
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p216_embedding_outliers")(spark, dir)
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("worst_vec") == 5L)
+    // d² = (1e6)² + (5e6)² in micro²-units
+    assert(got.head.getAs[Long]("knn3_d2") == 26000000000000L)
+  }
+
+  test("p217 autocorrelation: an alternating daily series scores the " +
+    "hand-computed negative lag-1 r; too-short lags drop out") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00").getTime
+    def ts(day: Int) = new java.sql.Timestamp(t0 + day * 86400000L)
+    // counts per day: 2,0,2,0,2,0 (zeros come from the day grid)
+    val rows = Seq(0, 2, 4).flatMap(d =>
+      Seq((d * 10L, ts(d), 1L, "x"), (d * 10L + 1, ts(d), 2L, "x"))) ++
+      Seq((100L, ts(5), 3L, "x"), (101L, ts(5), 3L, "x"))
+    // make day 5 carry 2 events and day 4 none: adjust — use days
+    // 0,2,4 with 2 events and day 5 with 2 → recompute below
+    val dir = s"${sys.props("java.io.tmpdir")}/p217fix_${queries.runToken}"
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p217_autocorr")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_days"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("r_milli"))).toMap
+    // series over days 0..5 = [2,0,2,0,2,2]: n=6, S=8, z=6x-8 =
+    // [4,-8,4,-8,4,4]; den=4·16+2·64=192; lag1 num = -32-32-32-32+16
+    // = -112 → r = -(112000//192) = -583
+    assert(got(1L) == ((6L, 5L, -583L)))
+    assert(!got.contains(7L)) // only 6 days: no lag-7 pairs
+  }
 }
