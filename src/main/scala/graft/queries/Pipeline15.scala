@@ -2720,6 +2720,198 @@ object Pipeline15 {
             .when(col("num") >= 0, expr("num * 1000 div den"))
             .otherwise(-expr("(-num) * 1000 div den")).as("r_milli"))
         .orderBy(col("lag"))
+    },
+
+    // ---- shuffle-fairness audit (exact Spearman vs quality) ----------------
+    // Is the epoch shuffle secretly a curriculum? The p200 hash order
+    // must be UNCORRELATED with quality — a biased loader trains on
+    // easy docs first and nobody notices. Exact integer Spearman
+    // between the epoch-0 shuffle rank and the quality rank (both
+    // tie-broken by doc_id, so both are permutations): ρ = 1 −
+    // 6Σd²/(n(n²−1)), emitted in sign-split milli with zero floats.
+    // |ρ| near 0 certifies the shuffle; the same audit pointed at a
+    // DELIBERATE curriculum order (p161's surprisal sort) should show
+    // |ρ| near 1000 — both directions pinned in the spec.
+    //
+    // Scale shape: two total-order ranks (the documented statistics
+    // shape), one doc-keyed join, a 1-row sum. n(n²−1) fits int64 to
+    // ~2 M docs; beyond that the production form buckets ranks first
+    // (the same two-phase split as p135).
+    Q("p218_shuffle_fairness", Some(s"""
+      WITH q AS (SELECT doc_id,
+                   CAST(round(${TextSql.quality(wsSql)} * 1000000)
+                     AS BIGINT) AS qm
+            FROM documents),
+      r0 AS (SELECT doc_id, row_number() OVER (ORDER BY
+                    ${Portable.h60Sql("concat('0:', CAST(doc_id AS VARCHAR))")},
+                    doc_id) AS rs FROM documents),
+      rq AS (SELECT doc_id, row_number() OVER (ORDER BY qm, doc_id) AS rq
+             FROM q),
+      j AS (SELECT r0.doc_id, r0.rs, rq.rq FROM r0 JOIN rq USING (doc_id)),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum((rs - rq) * (rs - rq)) AS BIGINT) AS sd2
+            FROM j)
+      SELECT n AS n_docs, sd2 AS sum_d2,
+             CAST(CASE WHEN n < 2 THEN 0
+                  WHEN n * (n * n - 1) - 6 * sd2 >= 0
+                  THEN (n * (n * n - 1) - 6 * sd2) * 1000
+                       // (n * (n * n - 1))
+                  ELSE -((6 * sd2 - n * (n * n - 1)) * 1000
+                       // (n * (n * n - 1))) END AS BIGINT) AS rho_milli
+      FROM s""")) { (spark, dir) =>
+      import graft.ops.TextOps
+      val docs = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.qualityScore(col("text")) * 1000000, 0)
+            .cast("long").as("qm"))
+      val r0 = docs.withColumn("rs", row_number().over(Window.orderBy(
+        Portable.h60(concat(lit("0:"), col("doc_id").cast("string"))),
+        col("doc_id"))))
+      val rq = docs.withColumn("rq", row_number().over(
+        Window.orderBy(col("qm"), col("doc_id"))))
+      r0.select(col("doc_id"), col("rs"))
+        .join(rq.select(col("doc_id"), col("rq")), "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum((col("rs") - col("rq")) * (col("rs") - col("rq")))
+            .cast("long").as("sd2"))
+        .select(col("n").as("n_docs"), col("sd2").as("sum_d2"),
+          when(col("n") < 2, 0L)
+            .when(expr("n * (n * n - 1) - 6 * sd2") >= 0,
+              expr("(n * (n * n - 1) - 6 * sd2) * 1000" +
+                " div (n * (n * n - 1))"))
+            .otherwise(-expr("(6 * sd2 - n * (n * n - 1)) * 1000" +
+              " div (n * (n * n - 1))")).as("rho_milli"))
+    },
+
+    // ---- dedup budget report (what deduplication costs per source) ---------
+    // The number a data owner asks first: how many of MY tokens does
+    // dedup delete? Per source: docs and tokens before, docs and
+    // tokens after survivor selection (cluster members lose to the
+    // min-id canonical — membership from the SharedStages labels,
+    // singletons survive by construction), and the removed fractions
+    // in ppm. The per-source bill for the p29/p68 pipeline — the
+    // report that turns "dedup helps" into a negotiation each source
+    // team can audit.
+    //
+    // Scale shape: one doc-keyed pass for tokens; survivor status is
+    // a broadcast-sized labels join + a min-per-cluster extremum;
+    // the report is a per-source rollup.
+    Q("p219_dedup_budget", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      ${Pipeline.clusterLabelsCte},
+      keep AS (SELECT cluster_id, min(n) AS keeper FROM lbl GROUP BY 1),
+      d AS (SELECT doc_id, source, CAST(len($wsSql) AS BIGINT) AS toks,
+                   CASE WHEN l.n IS NULL THEN 1
+                        WHEN k.keeper = doc_id THEN 1 ELSE 0 END AS kept
+            FROM documents
+            LEFT JOIN lbl l ON l.n = doc_id
+            LEFT JOIN keep k ON k.cluster_id = l.cluster_id)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             CAST(sum(kept) AS BIGINT) AS kept_docs,
+             CAST(sum(CASE WHEN kept = 1 THEN toks ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+             CAST(sum(1 - kept) * 1000000 // count(*) AS BIGINT)
+               AS doc_removed_ppm,
+             CAST(CASE WHEN sum(toks) = 0 THEN 0
+                  ELSE sum(CASE WHEN kept = 0 THEN toks ELSE 0 END)
+                       * 1000000 // sum(toks) END AS BIGINT)
+               AS token_removed_ppm
+      FROM d GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      import graft.ops.TextOps
+      val labels = SharedStages.labels(spark, dir)
+      val keep = labels.groupBy(col("cluster_id"))
+        .agg(min(col("doc_id")).as("keeper"))
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("toks"))
+        .join(labels, Seq("doc_id"), "left")
+        .join(keep, Seq("cluster_id"), "left")
+        .withColumn("kept",
+          when(col("cluster_id").isNull, 1L)
+            .when(col("keeper") === col("doc_id"), 1L).otherwise(0L))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          sum(col("kept")).as("kept_docs"),
+          sum(when(col("kept") === 1, col("toks")).otherwise(0L))
+            .as("kept_tokens"),
+          expr("sum(1 - kept) * 1000000 div count(1)")
+            .as("doc_removed_ppm"),
+          expr("CASE WHEN sum(toks) = 0 THEN 0 ELSE " +
+            "sum(CASE WHEN kept = 0 THEN toks ELSE 0 END) * 1000000" +
+            " div sum(toks) END").as("token_removed_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // ---- longest shared token span per near-dup pair -----------------------
+    // The strongest dedup evidence of all: the LONGEST contiguous
+    // token run two paired docs share. Computed without alignment
+    // DP: shared 3-shingles carry their positions on both sides;
+    // matches on the same DIAGONAL (i − j constant) that sit at
+    // CONSECUTIVE positions form one run (the p171 gaps-and-islands
+    // key, i − row_number, applied per (pair, diagonal)); the longest
+    // island + 2 is the span length in tokens. A span near min(len)
+    // is wholesale copying; a short span with many scattered matches
+    // is template noise — p199 counts the evidence, this entry
+    // measures its contiguity.
+    //
+    // Scale shape: pairs from SharedStages; position pairs flow
+    // through the shingle inverted index (bounded by doc shingle
+    // counts); islands are per-(pair, diagonal) windows — bounded by
+    // the pair's match count, never corpus-wide.
+    Q("p220_longest_shared_span", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      ww AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      sh AS (SELECT doc_id,
+                    unnest(generate_series(1, greatest(len(ws) - 2, 0)))
+                      AS i,
+                    unnest(CASE WHEN len(ws) >= 3 THEN
+                      [array_to_string(ws[k:k+2], ' ')
+                       for k in generate_series(1, len(ws) - 2)]
+                      ELSE [] END) AS s
+             FROM ww),
+      m AS (SELECT p.a, p.b, sa.i AS ia, sb.i AS ib
+            FROM spairs p
+            JOIN sh sa ON sa.doc_id = p.a
+            JOIN sh sb ON sb.doc_id = p.b AND sb.s = sa.s),
+      g AS (SELECT a, b, ia - ib AS diag, ia,
+                   ia - row_number() OVER (PARTITION BY a, b, ia - ib
+                     ORDER BY ia) AS grp
+            FROM (SELECT DISTINCT a, b, ia, ib FROM m)),
+      runs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS run_len
+               FROM g GROUP BY a, b, diag, grp),
+      best AS (SELECT a, b, CAST(max(run_len) AS BIGINT) AS max_run,
+                      CAST(count(*) AS BIGINT) AS n_runs
+               FROM runs GROUP BY 1, 2)
+      SELECT a, b, max_run + 2 AS span_tokens, n_runs
+      FROM best ORDER BY a, b""")) { (spark, dir) =>
+      import graft.ops.TextOps
+      val sh = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.shingles(col("text"), 3)).as(Seq("i0", "s")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("s"))
+      val pairs = SharedStages.spairs(spark, dir)
+        .select(col("a"), col("b"))
+      val m = pairs
+        .join(sh.select(col("doc_id").as("a"), col("i").as("ia"),
+          col("s")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("i").as("ib"),
+          col("s")), Seq("b", "s"))
+        .select(col("a"), col("b"), col("ia"), col("ib")).distinct()
+      val g = m.withColumn("diag", col("ia") - col("ib"))
+        .withColumn("grp", col("ia") - row_number().over(
+          Window.partitionBy(col("a"), col("b"), col("diag"))
+            .orderBy(col("ia"))))
+      g.groupBy(col("a"), col("b"), col("diag"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("a"), col("b"))
+        .agg(max(col("run_len")).as("max_run"),
+          count(lit(1)).as("n_runs"))
+        .select(col("a"), col("b"), (col("max_run") + 2).as("span_tokens"),
+          col("n_runs"))
+        .orderBy(col("a"), col("b"))
     }
   )
 }

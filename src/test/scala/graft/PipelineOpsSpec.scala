@@ -2685,4 +2685,58 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) == ((6L, 5L, -583L)))
     assert(!got.contains(7L)) // only 6 days: no lag-7 pairs
   }
+
+  test("p218 shuffle fairness: a 2-doc corpus yields exactly ±1000 " +
+    "milli, consistent with its sum of squared rank gaps") {
+    import spark.implicits._
+    val rows = Seq((1L, "a b", "en", "w", 0L),
+      (2L, "c d e f g h i j k l m n o p q r s t u v w x y z a1 a2",
+        "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p218fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val r = SparkEntry.queries("p218_shuffle_fairness")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 2L)
+    val (sd2, rho) = (r.getAs[Long]("sum_d2"), r.getAs[Long]("rho_milli"))
+    // two permutations of 2 elements: identical (sd2=0, ρ=1000) or
+    // swapped (sd2=2, ρ=-1000)
+    assert((sd2 == 0L && rho == 1000L) || (sd2 == 2L && rho == -1000L))
+  }
+
+  test("p219 dedup budget: the duplicated source pays, the unique " +
+    "source doesn't") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "twin content here now", "en", "srcA", 0L),
+      (2L, "twin content here now", "en", "srcA", 0L),
+      (3L, "wholly original text of srcB", "en", "srcB", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p219fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p219_dedup_budget")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("kept_docs"), r.getAs[Long]("doc_removed_ppm"),
+        r.getAs[Long]("token_removed_ppm"))).toMap
+    assert(got("srcA") == ((2L, 1L, 500000L, 500000L)))
+    assert(got("srcB") == ((1L, 1L, 0L, 0L)))
+  }
+
+  test("p220 longest shared span: byte-twins share a span equal to " +
+    "their full token length in one run") {
+    import spark.implicits._
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val rows = Seq((1L, text, "en", "w", 0L), (2L, text, "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p220fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p220_longest_shared_span")(spark, dir)
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("span_tokens") == 10L)
+    assert(got.head.getAs[Long]("n_runs") == 1L)
+  }
 }
