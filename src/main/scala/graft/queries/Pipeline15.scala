@@ -2912,6 +2912,172 @@ object Pipeline15 {
         .select(col("a"), col("b"), (col("max_run") + 2).as("span_tokens"),
           col("n_runs"))
         .orderBy(col("a"), col("b"))
+    },
+
+    // ---- hybrid retrieval via Reciprocal Rank Fusion -----------------------
+    // The modern retrieval stack in one query: a LEXICAL leg (distinct
+    // -token overlap with the query doc, the integer core of BM25
+    // matching) and a SEMANTIC leg (scaled-integer dot ranking, the
+    // p103 convention) each produce a top-20 list per query; RRF fuses
+    // them with score = Σ 1e6//(60+rank) — the fusion that needs no
+    // score calibration between legs, which is exactly why it's the
+    // default in hybrid search. Integer throughout; per fused hit the
+    // leg-membership flags show WHERE the evidence came from. Top-5
+    // fused per query.
+    //
+    // Scale shape: the lexical leg flows through the token inverted
+    // index with the query panel broadcast; the semantic leg is the
+    // one-pass component join; ranks are panel-bounded windows; the
+    // fusion is a (query, doc)-keyed rollup of two 20-row lists.
+    Q("p221_hybrid_rrf", Some(s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      t AS (SELECT doc_id, unnest(list_distinct(ws)) AS tok FROM w),
+      qt AS (SELECT doc_id AS qid, tok FROM t WHERE doc_id < 5),
+      lex AS (SELECT qt.qid, t.doc_id, CAST(count(*) AS BIGINT) AS ov
+              FROM qt JOIN t ON t.tok = qt.tok AND t.doc_id <> qt.qid
+              GROUP BY 1, 2),
+      lrk AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+                ORDER BY ov DESC, doc_id) AS rk FROM lex),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+      cx AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS i,
+                    unnest(v) AS x FROM v),
+      c AS (SELECT vec_id, i - 1 AS j,
+                   CAST(round(x * 1000000) AS BIGINT) AS ri FROM cx),
+      q AS (SELECT vec_id AS qid, j, ri AS qi FROM c WHERE vec_id < 5),
+      d AS (SELECT q.qid, c.vec_id AS doc_id, sum(q.qi * c.ri) AS dot
+            FROM c JOIN q ON q.j = c.j AND c.vec_id != q.qid
+            GROUP BY 1, 2),
+      ark AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+                ORDER BY dot DESC, doc_id) AS rk FROM d),
+      u AS (SELECT qid, doc_id, 1000000 // (60 + rk) AS pts,
+                   1 AS lexf, 0 AS annf
+            FROM lrk WHERE rk <= 20
+            UNION ALL
+            SELECT qid, doc_id, 1000000 // (60 + rk), 0, 1
+            FROM ark WHERE rk <= 20),
+      f AS (SELECT qid, doc_id, CAST(sum(pts) AS BIGINT) AS rrf,
+                   CAST(max(lexf) AS BIGINT) AS in_lex,
+                   CAST(max(annf) AS BIGINT) AS in_ann
+            FROM u GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY rrf DESC, doc_id) AS frank FROM f)
+      SELECT qid AS query_id, CAST(frank AS BIGINT) AS frank, doc_id,
+             rrf, in_lex = 1 AS in_lex, in_ann = 1 AS in_ann
+      FROM r WHERE frank <= 5 ORDER BY query_id, frank""")) { (spark, dir) =>
+      import graft.ops.TextOps
+      val t = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      val qt = t.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("tok"))
+      val lrk = t.join(broadcast(qt), "tok")
+        .where(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("ov"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("ov").desc, col("doc_id"))))
+        .where(col("rk") <= 20)
+      val c = Tables.loadSpread(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("j", "x")))
+        .select(col("vec_id"), col("j"),
+          round(col("x") * 1000000, 0).cast("long").as("ri"))
+      val q = c.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("j"), col("ri").as("qi"))
+      val ark = c.join(broadcast(q), "j")
+        .where(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id").as("doc_id"))
+        .agg(sum(col("qi") * col("ri")).as("dot"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("doc_id"))))
+        .where(col("rk") <= 20)
+      val u = lrk.select(col("qid"), col("doc_id"),
+          expr("1000000 div (60 + rk)").as("pts"),
+          lit(1).as("lexf"), lit(0).as("annf"))
+        .unionAll(ark.select(col("qid"), col("doc_id"),
+          expr("1000000 div (60 + rk)"), lit(0), lit(1)))
+      u.groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("pts")).as("rrf"),
+          max(col("lexf")).cast("long").as("in_lex"),
+          max(col("annf")).cast("long").as("in_ann"))
+        .withColumn("frank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("rrf").desc, col("doc_id"))))
+        .where(col("frank") <= 5)
+        .select(col("qid").as("query_id"),
+          col("frank").cast("long").as("frank"), col("doc_id"),
+          col("rrf"), (col("in_lex") === 1).as("in_lex"),
+          (col("in_ann") === 1).as("in_ann"))
+        .orderBy(col("query_id"), col("frank"))
+    },
+
+    // ---- digest-guided corruption repair (Merkle localization) -------------
+    // p184 DETECTS a corrupt replica in 16 numbers; this entry
+    // LOCATES the damage: the bucket digests that disagree name the
+    // buckets to re-scan, and only those buckets' rows are compared
+    // hash-by-hash to emit the exact corrupted keys — the two-level
+    // Merkle walk that turns "replicas differ" into "re-sync THESE
+    // rows" while reading 1/16th of the table (production: 2^12+
+    // buckets → 1/4096). The re-scan's bucket predicate is the
+    // pushdown the layout was designed for.
+    //
+    // Scale shape: digests are map-side xor partials; the bad-bucket
+    // list broadcasts; the repair scan filters to flagged buckets
+    // BEFORE the row-hash compare join.
+    Q("p222_digest_repair", Some(s"""
+      WITH a AS (SELECT o_orderkey AS k,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                        o_orderstatus AS st FROM orders),
+      b AS (SELECT k, CASE WHEN k % 997 = 0 THEN cents + 1 ELSE cents END
+                   AS cents, st FROM a),
+      ha AS (SELECT ${Portable.h60Sql("CAST(k AS VARCHAR)")} % 16 AS bucket,
+                    ${Portable.h60Sql(
+                      "concat(CAST(k AS VARCHAR), '|', CAST(cents AS VARCHAR), '|', st)")}
+                      AS h, k FROM a),
+      hb AS (SELECT ${Portable.h60Sql("CAST(k AS VARCHAR)")} % 16 AS bucket,
+                    ${Portable.h60Sql(
+                      "concat(CAST(k AS VARCHAR), '|', CAST(cents AS VARCHAR), '|', st)")}
+                      AS h, k FROM b),
+      da AS (SELECT bucket, bit_xor(h) AS dig FROM ha GROUP BY 1),
+      db AS (SELECT bucket, bit_xor(h) AS dig FROM hb GROUP BY 1),
+      bad AS (SELECT da.bucket FROM da JOIN db USING (bucket)
+              WHERE da.dig <> db.dig),
+      rep AS (SELECT ha.k, ha.bucket FROM ha
+              JOIN hb ON hb.k = ha.k
+              WHERE ha.bucket IN (SELECT bucket FROM bad)
+                AND ha.h <> hb.h)
+      SELECT k, CAST(bucket AS BIGINT) AS bucket,
+             (SELECT CAST(count(*) AS BIGINT) FROM bad) AS n_bad_buckets
+      FROM rep ORDER BY k""")) { (spark, dir) =>
+      val a = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus").as("st"))
+      val b = a.withColumn("cents",
+        when(col("k") % 997 === 0, col("cents") + 1).otherwise(col("cents")))
+      def hashed(df: org.apache.spark.sql.DataFrame, hn: String) = df
+        .select(pmod(Portable.h60(col("k").cast("string")), lit(16))
+            .as("bucket"),
+          Portable.h60(concat_ws("|", col("k").cast("string"),
+            col("cents").cast("string"), col("st"))).as(hn),
+          col("k"))
+      val ha = hashed(a, "h_a")
+      val hb = hashed(b, "h_b")
+      val bad = ha.groupBy(col("bucket"))
+        .agg(expr("bit_xor(h_a)").as("dig_a"))
+        .join(hb.groupBy(col("bucket"))
+          .agg(expr("bit_xor(h_b)").as("dig_b")), "bucket")
+        .where(col("dig_a") =!= col("dig_b"))
+        .select(col("bucket"))
+      val nBad = bad.agg(count(lit(1)).as("n_bad_buckets"))
+      ha.join(broadcast(bad), "bucket") // repair scan: flagged buckets only
+        .join(hb.select(col("k"), col("h_b")), "k")
+        .where(col("h_a") =!= col("h_b"))
+        .crossJoin(broadcast(nBad))
+        .select(col("k"), col("bucket").cast("long").as("bucket"),
+          col("n_bad_buckets"))
+        .orderBy(col("k"))
     }
   )
 }

@@ -2739,4 +2739,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.head.getAs[Long]("span_tokens") == 10L)
     assert(got.head.getAs[Long]("n_runs") == 1L)
   }
+
+  test("p221 hybrid RRF: the doc that wins both legs fuses above the " +
+    "doc that runs second in both; exact RRF point arithmetic") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "w", 0L),     // the query
+      (10L, "alpha beta gamma", "en", "w", 0L),    // rank 1 both legs
+      (11L, "alpha beta zeta", "en", "w", 0L))     // rank 2 both legs
+    val embs = Seq((0L, Seq(1.0f, 0.0f), 0), (10L, Seq(1.0f, 0.0f), 0),
+      (11L, Seq(0.0f, 1.0f), 0))
+    val dir = s"${sys.props("java.io.tmpdir")}/p221fix_${queries.runToken}"
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    embs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p221_hybrid_rrf")(spark, dir)
+      .collect().filter(_.getLong(0) == 0L)
+      .map(r => r.getAs[Long]("frank") -> (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rrf"), r.getAs[Boolean]("in_lex"),
+        r.getAs[Boolean]("in_ann"))).toMap
+    // 2·(1e6//61) = 32786 vs 2·(1e6//62) = 32258
+    assert(got(1L) == ((10L, 32786L, true, true)))
+    assert(got(2L) == ((11L, 32258L, true, true)))
+  }
+
+  test("p222 digest repair: exactly the planted corrupt keys surface, " +
+    "and only their buckets were flagged") {
+    import spark.implicits._
+    val rows = Seq((997L, 10.0, "O"), (1994L, 20.0, "F"), (5L, 7.0, "O"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p222fix_${queries.runToken}"
+    rows.toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p222_digest_repair")(spark, dir)
+      .collect()
+    assert(got.map(_.getLong(0)).toSet == Set(997L, 1994L))
+    val buckets = got.map(_.getAs[Long]("bucket")).toSet
+    assert(got.head.getAs[Long]("n_bad_buckets") == buckets.size.toLong)
+  }
 }
