@@ -3078,6 +3078,177 @@ object Pipeline15 {
         .select(col("k"), col("bucket").cast("long").as("bucket"),
           col("n_bad_buckets"))
         .orderBy(col("k"))
+    },
+
+    // ---- per-document salient terms (forward-index compaction) -------------
+    // The doc → keywords summary a search/labeling UI shows: each
+    // doc's top-3 terms by integer salience tf · floor(log2(N/df))
+    // (term frequency × the p161 integer IDF — no float tf-idf
+    // anywhere), ties → lexicographic. The forward index compacted
+    // to 3 terms/doc is ALSO the cheap doc-similarity key a triage
+    // tool joins on when full shingling is overkill.
+    //
+    // Scale shape: one (doc, term) tf agg + a broadcast df join; the
+    // top-3 is a window partitioned BY DOC (doc-vocabulary-bounded,
+    // never a global sort).
+    Q("p223_salient_terms", Some(s"""
+      WITH t AS (SELECT doc_id, unnest($wsSql) AS term FROM documents),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM t GROUP BY 1, 2),
+      df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             FROM t GROUP BY 1),
+      n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM t),
+      s AS (SELECT tf.doc_id, tf.term,
+                   tf.tf * (length(bin((SELECT n FROM n) // df.df)) - 1)
+                     AS sal
+            FROM tf JOIN df USING (term)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY sal DESC, term) AS rk FROM s)
+      SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
+             CAST(sal AS BIGINT) AS salience
+      FROM r WHERE rk <= 3 AND sal > 0
+      ORDER BY doc_id, rk""")) { (spark, dir) =>
+      import graft.ops.TextOps
+      val t = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+          .as("term"))
+      val tf = t.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = t.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = t.agg(countDistinct(col("doc_id")).as("n"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("sal",
+          col("tf") * (length(bin(expr("n div df"))) - 1).cast("long"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("sal").desc, col("term"))))
+        .where(col("rk") <= 3 && col("sal") > 0)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          col("term"), col("sal").as("salience"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // ---- incremental maintenance of the signature asset --------------------
+    // The dedup pipeline's signatures are a MAINTAINED TABLE, not a
+    // per-run computation: when docs change (here: doc_id%7 gets an
+    // appended edit), only the TOUCHED rows re-hash and splice into
+    // the standing signature table — the p73/p183 IVM discipline
+    // applied to the minhash asset. The proof is self-carried by the
+    // p184 trick: the spliced table and a from-scratch recompute are
+    // digested per hash bucket (xor of row-content hashes) and every
+    // bucket must agree — the output IS the maintenance-correctness
+    // certificate, plus the touched-row accounting that shows the
+    // incremental path did 1/7th of the hashing.
+    //
+    // Scale shape: the splice is one anti-join (standing minus
+    // touched) + union (touched re-hash); digests are map-side xor
+    // partials; output is 16 metadata rows.
+    Q("p224_signature_ivm", Some {
+      val mins = (0 until 12).map(j =>
+        s"min(${Portable.minhashJSql(j, Portable.h32Sql("s"))}) AS m$j")
+        .mkString(", ")
+      val sigCat = (0 until 12).map(j => s"CAST(m$j AS VARCHAR)")
+        .mkString("concat_ws('|', CAST(doc_id AS VARCHAR), ", ", ", ")")
+      s"""
+      WITH base AS (SELECT doc_id,
+                      CASE WHEN doc_id % 7 = 0
+                           THEN text || ' edited revision marker'
+                           ELSE text END AS text
+                    FROM documents),
+      ws0 AS (SELECT doc_id, ${TextSql.ws} AS ws FROM base),
+      ds AS (SELECT doc_id, unnest(list_distinct(
+               ${TextSql.shingles("ws", 3)})) AS s FROM ws0),
+      sig AS (SELECT doc_id, $mins FROM ds GROUP BY doc_id),
+      h AS (SELECT doc_id,
+                   ${Portable.h60Sql("CAST(doc_id AS VARCHAR)")} % 16
+                     AS bucket,
+                   ${Portable.h60Sql(sigCat)} AS rh
+            FROM sig)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(bit_xor(rh) AS BIGINT) AS digest,
+             CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS touched
+      FROM h GROUP BY 1 ORDER BY 1"""
+    }) { (spark, dir) =>
+      import graft.ops.{DedupOps, TextOps}
+      val docs = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      // standing signatures: the PRE-EDIT asset (computed once here;
+      // in production a table on the shared store)
+      val standing = DedupOps.minhashSignatures(docs, "doc_id", "text", 12)
+      // the edit arrives: only %7 docs change
+      val edited = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" edited revision marker")).as("text"))
+      val touched = DedupOps.minhashSignatures(edited, "doc_id", "text", 12)
+      // SPLICE: standing minus touched ids, plus the re-hashed rows —
+      // the incremental path hashes 1/7th of the corpus
+      val spliced = standing.join(edited.select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .unionByName(touched)
+      val sigCat = concat_ws("|",
+        (col("doc_id").cast("string") +:
+          (0 until 12).map(j => col(s"m$j").cast("string"))): _*)
+      spliced
+        .select(col("doc_id"),
+          pmod(Portable.h60(col("doc_id").cast("string")), lit(16))
+            .as("bucket"),
+          Portable.h60(sigCat).as("rh"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(rh)").as("digest"),
+          sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L))
+            .as("touched"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- edge support census (truss-ness of the pair graph) ----------------
+    // How LOAD-BEARING is each near-dup edge? Its support = the
+    // number of common neighbors (triangles through it). Support-0
+    // edges are chain links — the likeliest false positives, since
+    // real duplicate families close triangles (if a~b and b~c are
+    // true dups, a~c should be too); the census of weak edges is the
+    // review queue BEFORE transitive CC merges whole chains. The
+    // per-edge refinement of p105's global triangle count, and the
+    // edge-level complement of p199's content evidence.
+    //
+    // Scale shape: adjacency capped at 64 like p210 (support counts
+    // are then lower bounds on hubs — documented); one wedge join +
+    // one edge-keyed rollup, all bounded by cap × degree.
+    Q("p225_edge_support", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      e AS (SELECT a, b FROM spairs),
+      sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+      f AS (SELECT u, v FROM sym
+            QUALIFY row_number() OVER (PARTITION BY u ORDER BY v) <= 64),
+      tri AS (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+              FROM e JOIN f fa ON fa.u = e.a
+                     JOIN f fb ON fb.u = e.b AND fb.v = fa.v
+              GROUP BY 1, 2),
+      s AS (SELECT e.a, e.b, coalesce(t.support, 0) AS support
+            FROM e LEFT JOIN tri t ON t.a = e.a AND t.b = e.b)
+      SELECT CAST(support AS BIGINT) AS support,
+             CAST(count(*) AS BIGINT) AS n_edges
+      FROM s GROUP BY 1 ORDER BY 1""")) { (spark, dir) =>
+      val e = SharedStages.spairs(spark, dir).select(col("a"), col("b"))
+        .localCheckpoint()
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b"), col("a"))).distinct()
+      val f = sym.withColumn("rn", row_number().over(
+          Window.partitionBy(col("u")).orderBy(col("v"))))
+        .where(col("rn") <= 64).drop("rn").localCheckpoint()
+      val tri = e
+        .join(f.select(col("u").as("a"), col("v").as("w")), "a")
+        .join(f.select(col("u").as("b"), col("v").as("w")), Seq("b", "w"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("support"))
+      e.join(tri, Seq("a", "b"), "left")
+        .select(coalesce(col("support"), lit(0L)).as("support"))
+        .groupBy(col("support"))
+        .agg(count(lit(1)).as("n_edges"))
+        .orderBy(col("support"))
     }
   )
 }

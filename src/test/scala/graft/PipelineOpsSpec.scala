@@ -2779,4 +2779,62 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val buckets = got.map(_.getAs[Long]("bucket")).toSet
     assert(got.head.getAs[Long]("n_bad_buckets") == buckets.size.toLong)
   }
+
+  test("p223 salient terms: rare terms beat common ones, zero-salience " +
+    "ubiquitous terms drop, ties go lexicographic") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "rare rare common", "en", "w", 0L),
+      (2L, "common other words here", "en", "w", 0L),
+      (3L, "common misc stuff today", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p223fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p223_salient_terms")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("rk")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("salience"))).toMap
+    // 'common' has df=3 → ilog2(1)=0 salience → excluded everywhere
+    assert(got((1L, 1L)) == (("rare", 2L)))
+    assert(!got.contains((1L, 2L)))
+    assert(got((2L, 1L)) == (("here", 1L)))
+    assert(got((2L, 2L)) == (("other", 1L)))
+    assert(got((2L, 3L)) == (("words", 1L)))
+  }
+
+  test("p224 signature IVM: touched accounting matches the %7 edit set " +
+    "and the spliced digests are rerun-stable") {
+    import spark.implicits._
+    val rows = (0L to 9L).map(i =>
+      (i, s"document number $i with some body tokens t$i u$i v$i",
+        "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p224fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val run = () => SparkEntry.queries("p224_signature_ivm")(spark, dir)
+      .collect()
+    val got = run()
+    assert(got.map(_.getAs[Long]("n_rows")).sum == 10L)
+    assert(got.map(_.getAs[Long]("touched")).sum == 2L) // docs 0 and 7
+    assert(run().map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
+
+  test("p225 edge support: clique edges carry one triangle each, a " +
+    "lone pair's edge carries none") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "clique body one two three", "en", "w", 0L),
+      (2L, "clique body one two three", "en", "w", 0L),
+      (3L, "clique body one two three", "en", "w", 0L),
+      (8L, "pair body other entirely", "en", "w", 0L),
+      (9L, "pair body other entirely", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p225fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p225_edge_support")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_edges")).toMap
+    assert(got == Map(0L -> 1L, 1L -> 3L))
+  }
 }
