@@ -3249,6 +3249,212 @@ object Pipeline15 {
         .groupBy(col("support"))
         .agg(count(lit(1)).as("n_edges"))
         .orderBy(col("support"))
+    },
+
+    // ---- quality-vs-duplication curve (decile monotonicity audit) ----------
+    // The assumption every curation pipeline rests on — lower-quality
+    // docs duplicate more — made measurable: docs are cut into 10
+    // quality deciles (exact integer micro-quality ranks, ntile), and
+    // each decile reports its pair-graph membership rate in ppm plus
+    // an INVERSION flag (dup rate rose vs the previous decile — the
+    // places the assumption breaks). Many inversions mean quality
+    // and duplication decouple in this corpus and the p68 survivor
+    // rule needs both signals, not one.
+    //
+    // Scale shape: quality is scan-stage; the decile cut is one
+    // total-order ntile (the documented stats shape); dup membership
+    // is the p204 semi-join; the curve is a 10-row rollup + lag.
+    Q("p226_quality_dup_curve", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      dup AS (SELECT DISTINCT n FROM
+                (SELECT a AS n FROM spairs UNION ALL SELECT b FROM spairs)),
+      d AS (SELECT doc_id,
+                   CAST(round(${TextSql.quality(wsSql)} * 1000000)
+                     AS BIGINT) AS qm,
+                   CASE WHEN doc_id IN (SELECT n FROM dup)
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM documents),
+      t AS (SELECT *, ntile(10) OVER (ORDER BY qm, doc_id) AS decile
+            FROM d),
+      g AS (SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT)
+                     AS dup_ppm
+            FROM t GROUP BY 1)
+      SELECT decile, n_docs, dup_ppm,
+             coalesce(dup_ppm > lag(dup_ppm) OVER (ORDER BY decile),
+               FALSE) AS inversion
+      FROM g ORDER BY decile""")) { (spark, dir) =>
+      import graft.ops.TextOps
+      val sp = SharedStages.spairs(spark, dir)
+      val dup = sp.select(col("a").as("doc_id"))
+        .unionAll(sp.select(col("b"))).distinct()
+        .withColumn("is_dup", lit(1L))
+      val g = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.qualityScore(col("text")) * 1000000, 0)
+            .cast("long").as("qm"))
+        .join(dup, Seq("doc_id"), "left")
+        .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("qm"), col("doc_id"))).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(is_dup) * 1000000 div count(1)").as("dup_ppm"))
+      g.withColumn("inversion",
+          coalesce(col("dup_ppm") > lag(col("dup_ppm"), 1).over(
+            Window.orderBy(col("decile"))), lit(false)))
+        .orderBy(col("decile"))
+    },
+
+    // ---- single-link dendrogram profile (CC per Hamming threshold) ---------
+    // Hierarchical agglomerative clustering, distributed: single-link
+    // clustering at threshold t IS connected components over edges of
+    // weight ≤ t, so running the bounded CC fold on the ≤4-capture
+    // pair set filtered at t ∈ 0..4 reads the whole DENDROGRAM
+    // profile — components, clustered docs, and the largest family at
+    // every cut — without ever building a dendrogram structure. The
+    // t where the largest component explodes is the over-merge point
+    // the production threshold must stay under; p196 counts pairs per
+    // threshold, this entry shows what those pairs MERGE into.
+    //
+    // Scale shape: one banded pair pass (≤4 capture); per threshold a
+    // bounded min-label CC fold over the FILTERED pairs (5 bounded
+    // fixpoints over strictly shrinking edge sets); per-threshold
+    // 3-number rollups.
+    Q("p227_dendrogram_profile", Some {
+      def level(t: Int): String = {
+        s"""
+        SELECT $t AS th,
+               CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_components,
+               CAST(count(*) AS BIGINT) AS n_clustered_docs,
+               CAST(coalesce(max(cnt), 0) AS BIGINT) AS largest
+        FROM (SELECT l.cluster_id, count(*) OVER (PARTITION BY l.cluster_id)
+                       AS cnt
+              FROM lbl$t l)"""
+      }
+      def lblCte(t: Int): String =
+        s"""e$t AS (SELECT a, b FROM spairs WHERE hamming <= $t),
+        esym$t AS (SELECT a AS u, b AS v FROM e$t
+                   UNION SELECT b, a FROM e$t),
+        walk$t(u, v) AS (SELECT u, v FROM esym$t
+                         UNION
+                         SELECT wk.u, e.v FROM walk$t wk
+                         JOIN esym$t e ON wk.v = e.u),
+        lbl$t AS (SELECT u AS n, least(u, min(v)) AS cluster_id
+                  FROM walk$t GROUP BY u)"""
+      s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte.replace("<= 3", "<= 4")},
+      ${(0 to 4).map(lblCte).mkString(",\n")}
+      ${(0 to 4).map(level).mkString(" UNION ALL ")}
+      ORDER BY th"""
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.ops.DedupOps
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val pairs = DedupOps.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 4, maxBucket = 1000).localCheckpoint()
+      val levels = (0 to 4).map { t =>
+        val lbl = DedupOps.connectedComponents(
+          pairs.where(col("hamming") <= t).select(col("a"), col("b")))
+        val sizes = lbl.groupBy(col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+        sizes.agg(count(lit(1)).as("n_components"),
+            sum(col("cnt")).as("n_clustered_docs"),
+            max(col("cnt")).as("largest"))
+          .select(lit(t.toLong).as("th"),
+            coalesce(col("n_components"), lit(0L)).as("n_components"),
+            coalesce(col("n_clustered_docs"), lit(0L))
+              .as("n_clustered_docs"),
+            coalesce(col("largest"), lit(0L)).as("largest"))
+      }
+      levels.reduce(_ unionAll _).orderBy(col("th"))
+    },
+
+    // ---- nearest-event join (bidirectional as-of with tolerance) -----------
+    // q33's as-of join looks only BACKWARD; sensor fusion and session
+    // stitching need the NEAREST event either direction (pandas
+    // merge_asof direction='nearest'): for every purchase, the
+    // closest click of the same user within ±1 h, ties → the earlier
+    // (backward) click. Composed as a backward running-max and a
+    // forward running-min carry over the user's ordered stream (two
+    // O(events) windows — no per-row range scan, no raw-stream
+    // self-join), then ONE user+timestamp join recovers the click id
+    // (min id on timestamp ties).
+    //
+    // Scale shape: two per-user ordered windows + a user-keyed join
+    // against the (user, us)-grouped click table.
+    Q("p228_nearest_join", Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      w AS (SELECT *,
+              max(CASE WHEN event_type = 'click' THEN us END)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS back_us,
+              min(CASE WHEN event_type = 'click' THEN us END)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                AS fwd_us
+            FROM e),
+      p AS (SELECT user_id, event_id, us,
+              CASE WHEN back_us IS NOT NULL AND us - back_us <= 3600000000
+                   THEN us - back_us END AS bd,
+              CASE WHEN fwd_us IS NOT NULL AND fwd_us - us <= 3600000000
+                   THEN fwd_us - us END AS fd,
+              back_us, fwd_us
+            FROM w WHERE event_type = 'purchase'),
+      sel AS (SELECT user_id, event_id, us,
+                CASE WHEN bd IS NOT NULL AND (fd IS NULL OR bd <= fd)
+                     THEN back_us ELSE fwd_us END AS cus,
+                CASE WHEN bd IS NOT NULL AND (fd IS NULL OR bd <= fd)
+                     THEN bd ELSE fd END AS gap_us
+              FROM p WHERE bd IS NOT NULL OR fd IS NOT NULL),
+      ck AS (SELECT user_id, us AS cus, CAST(min(event_id) AS BIGINT)
+                      AS click_id
+             FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT sel.user_id, sel.event_id AS purchase_id, ck.click_id,
+             CAST(sel.gap_us AS BIGINT) AS gap_us
+      FROM sel JOIN ck ON ck.user_id = sel.user_id AND ck.cus = sel.cus
+      ORDER BY sel.user_id, purchase_id""")) { (spark, dir) =>
+      val wb = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wf = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val clickUs = when(col("event_type") === "click", col("us"))
+      val e = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .localCheckpoint()
+      val sel = e
+        .withColumn("back_us", max(clickUs).over(wb))
+        .withColumn("fwd_us", min(clickUs).over(wf))
+        .where(col("event_type") === "purchase")
+        .withColumn("bd", when(col("back_us").isNotNull
+          && col("us") - col("back_us") <= 3600000000L,
+          col("us") - col("back_us")))
+        .withColumn("fd", when(col("fwd_us").isNotNull
+          && col("fwd_us") - col("us") <= 3600000000L,
+          col("fwd_us") - col("us")))
+        .where(col("bd").isNotNull || col("fd").isNotNull)
+        .withColumn("back_wins",
+          col("bd").isNotNull && (col("fd").isNull || col("bd") <= col("fd")))
+        .select(col("user_id"), col("event_id"), 
+          when(col("back_wins"), col("back_us")).otherwise(col("fwd_us"))
+            .as("cus"),
+          when(col("back_wins"), col("bd")).otherwise(col("fd"))
+            .as("gap_us"))
+      val ck = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us").as("cus"))
+        .agg(min(col("event_id")).as("click_id"))
+      sel.join(ck, Seq("user_id", "cus"))
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("click_id"), col("gap_us"))
+        .orderBy(col("user_id"), col("purchase_id"))
     }
   )
 }

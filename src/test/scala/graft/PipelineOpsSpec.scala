@@ -2837,4 +2837,74 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_edges")).toMap
     assert(got == Map(0L -> 1L, 1L -> 3L))
   }
+
+  test("p226 quality-dup curve: low-quality dups fill the bottom " +
+    "deciles, a planted high-quality dup pair trips the inversion") {
+    import spark.implicits._
+    val bad = "zz zz"
+    val good = ("the quick brown fox and the lazy dog is running with " +
+      "many fine words here now")
+    val rows =
+      (1L to 4L).map(i => (i, bad, "en", "w", 0L)) ++
+        (5L to 8L).map(i => (i, (1 to 10).map(j => s"u${i}x$j")
+          .mkString(" "), "en", "w", 0L)) ++
+        Seq((9L, good, "en", "w", 0L), (10L, good, "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p226fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p226_quality_dup_curve")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("dup_ppm"),
+        r.getAs[Boolean]("inversion"))).toMap
+    for (d <- 1L to 4L) assert(got(d) == ((1000000L, false)))
+    for (d <- 5L to 8L) assert(got(d)._1 == 0L)
+    assert(got(9L) == ((1000000L, true))) // the assumption breaks HERE
+    assert(got(10L) == ((1000000L, false)))
+  }
+
+  test("p227 dendrogram profile: identical-doc families are stable " +
+    "across every threshold cut") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "family one body text", "en", "w", 0L),
+      (2L, "family one body text", "en", "w", 0L),
+      (3L, "family one body text", "en", "w", 0L),
+      (8L, "family two other words", "en", "w", 0L),
+      (9L, "family two other words", "en", "w", 0L),
+      (20L, "a loner document apart", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p227fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p227_dendrogram_profile")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_components"),
+        r.getAs[Long]("n_clustered_docs"), r.getAs[Long]("largest")))
+    assert(got.length == 5)
+    got.foreach { case (_, nc, nd, lg) =>
+      assert(nc == 2L && nd == 5L && lg == 3L)
+    }
+  }
+
+  test("p228 nearest join: forward click wins when closer, exact tie " +
+    "prefers the backward click, out-of-tolerance drops") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(m: Int) = new java.sql.Timestamp(t0 + m * 60000L)
+    val rows = Seq(
+      (1L, ts(0), 1L, "click"), (2L, ts(30), 1L, "purchase"),
+      (3L, ts(40), 1L, "click"),
+      (4L, ts(0), 2L, "click"), (5L, ts(150), 2L, "purchase"),
+      (7L, ts(0), 3L, "click"), (6L, ts(60), 3L, "purchase"),
+      (8L, ts(120), 3L, "click"))
+    val dir = s"${sys.props("java.io.tmpdir")}/p228fix_${queries.runToken}"
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p228_nearest_join")(spark, dir)
+      .collect().map(r => r.getAs[Long]("purchase_id") ->
+        (r.getAs[Long]("click_id"), r.getAs[Long]("gap_us"))).toMap
+    assert(got(2L) == ((3L, 600000000L)))  // forward 10 min beats back 30
+    assert(!got.contains(5L))              // 150 min: out of tolerance
+    assert(got(6L) == ((7L, 3600000000L))) // 60-min tie → backward
+  }
 }
