@@ -3455,6 +3455,239 @@ object Pipeline15 {
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("click_id"), col("gap_us"))
         .orderBy(col("user_id"), col("purchase_id"))
+    },
+
+    // ---- int8 retrieval fidelity (quantization impact, end to end) ---------
+    // Does p181's int8 quantization change what retrieval RETURNS?
+    // Per query: the top-5 by full-precision integer dots vs the
+    // top-5 by dots over the QUANTIZED vectors (q_i ∈ [−127,127]
+    // from the p181 shifted-floor rule, query side kept full — the
+    // asymmetric scoring serving actually uses), then the overlap
+    // count and whether the #1 result survived. Both rankings are
+    // exact integer; the oracle replays the quantization and both
+    // rankings, so the fidelity numbers are bit-pinned — the
+    // measured answer to "can we serve int8", per query, not on
+    // average.
+    //
+    // Scale shape: one component pass computes both dot kinds
+    // simultaneously (the quantized component rides next to the full
+    // one); two panel-bounded rank windows; a per-query overlap
+    // rollup.
+    Q("p229_int8_fidelity", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      cx AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS i,
+                    unnest(v) AS x FROM v),
+      c AS (SELECT vec_id, i - 1 AS j,
+                   CAST(round(x * 1000000) AS BIGINT) AS ri FROM cx),
+      am AS (SELECT vec_id, CAST(max(abs(ri)) AS BIGINT) AS amax
+             FROM c GROUP BY 1),
+      qz AS (SELECT c.vec_id, c.j,
+                    CASE WHEN am.amax = 0 THEN 0
+                         ELSE ((c.ri + am.amax) * 254 + am.amax)
+                              // (2 * am.amax) - 127 END AS qi,
+                    am.amax
+             FROM c JOIN am USING (vec_id)),
+      q AS (SELECT vec_id AS qid, j, ri AS qri FROM c WHERE vec_id < 10),
+      d AS (SELECT q.qid, c.vec_id AS did,
+                   CAST(sum(q.qri * c.ri) AS BIGINT) AS fdot,
+                   CAST(sum(q.qri * z.qi) AS BIGINT) AS qdot
+            FROM c JOIN qz z ON z.vec_id = c.vec_id AND z.j = c.j
+                   JOIN q ON q.j = c.j AND c.vec_id != q.qid
+            GROUP BY 1, 2),
+      fr AS (SELECT qid, did, row_number() OVER (PARTITION BY qid
+               ORDER BY fdot DESC, did) AS rk FROM d),
+      qr AS (SELECT qid, did, row_number() OVER (PARTITION BY qid
+               ORDER BY qdot DESC, did) AS rk FROM d),
+      f5 AS (SELECT qid, did, rk FROM fr WHERE rk <= 5),
+      q5 AS (SELECT qid, did, rk FROM qr WHERE rk <= 5),
+      ov AS (SELECT f5.qid, CAST(count(*) AS BIGINT) AS n_overlap
+             FROM f5 JOIN q5 ON q5.qid = f5.qid AND q5.did = f5.did
+             GROUP BY 1),
+      t1 AS (SELECT f5.qid,
+                    max(CASE WHEN q5.rk = 1 THEN 1 ELSE 0 END) AS top1_kept
+             FROM f5 LEFT JOIN q5 ON q5.qid = f5.qid AND q5.did = f5.did
+             WHERE f5.rk = 1 GROUP BY 1)
+      SELECT ov.qid AS query_id, ov.n_overlap,
+             t1.top1_kept = 1 AS top1_kept
+      FROM ov JOIN t1 ON t1.qid = ov.qid
+      ORDER BY query_id""")) { (spark, dir) =>
+      val c = Tables.loadSpread(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("j", "x")))
+        .select(col("vec_id"), col("j"),
+          round(col("x") * 1000000, 0).cast("long").as("ri"))
+        .localCheckpoint()
+      val am = c.groupBy(col("vec_id")).agg(max(abs(col("ri"))).as("amax"))
+      val qz = c.join(am, "vec_id")
+        .select(col("vec_id").as("zv"), col("j").as("zj"),
+          when(col("amax") === 0, 0L)
+            .otherwise(expr("((ri + amax) * 254 + amax) div (2 * amax)" +
+              " - 127")).as("qi"))
+        .localCheckpoint() // break lineage before rejoining c
+      val q = c.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("j"), col("ri").as("qri"))
+      val d = c.join(qz,
+          col("vec_id") === col("zv") && col("j") === col("zj"))
+        .select(col("vec_id"), col("j"), col("ri"), col("qi"))
+        .join(broadcast(q), "j")
+        .where(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id").as("did"))
+        .agg(sum(col("qri") * col("ri")).as("fdot"),
+          sum(col("qri") * col("qi")).as("qdot"))
+        .localCheckpoint()
+      def top5(ord: org.apache.spark.sql.Column) = d
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(ord, col("did"))))
+        .where(col("rk") <= 5)
+      val f5 = top5(col("fdot").desc)
+      val q5 = top5(col("qdot").desc)
+        .select(col("qid"), col("did"), col("rk").as("qrk"))
+      val ov = f5.join(q5, Seq("qid", "did"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+      val t1 = f5.where(col("rk") === 1)
+        .join(q5.where(col("qrk") === 1), Seq("qid", "did"), "left")
+        .groupBy(col("qid"))
+        .agg(max(when(col("qrk").isNotNull, 1).otherwise(0)).as("k"))
+      ov.join(t1, "qid")
+        .select(col("qid").as("query_id"), col("n_overlap"),
+          (col("k") === 1).as("top1_kept"))
+        .orderBy(col("query_id"))
+    },
+
+    // ---- padding-waste planner (length bucketing for batch shapes) ---------
+    // The GPU batch-shape decision: pad every doc to the global max
+    // (one batch shape, maximal waste) or to power-of-two length
+    // buckets (pad-to-bucket-max)? Per bucket: docs, real tokens,
+    // padded slots, waste ppm — plus the single global-max row for
+    // comparison. The table that justifies length bucketing in a
+    // training dataloader, in exact integers (waste = Σ(bucket_max −
+    // len) against Σbucket_max slots).
+    //
+    // Scale shape: bucket = bit_length of the token count (scan-
+    // stage); per-bucket maxima and sums are one rollup; the global
+    // row is a 1-row agg unioned on.
+    Q("p230_padding_waste", Some(s"""
+      WITH d AS (SELECT doc_id, CAST(len($wsSql) AS BIGINT) AS n
+                 FROM documents WHERE len($wsSql) > 0),
+      b AS (SELECT doc_id, n, CAST(length(bin(n)) AS BIGINT) AS bucket,
+                   CAST((CAST(1 AS BIGINT) << CAST(length(bin(n)) AS INT))
+                     - 1 AS BIGINT) AS cap
+            FROM d),
+      per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n) AS BIGINT) AS real_tokens,
+                     CAST(max(cap) AS BIGINT) AS pad_to,
+                     CAST(count(*) * max(cap) - sum(n) AS BIGINT)
+                       AS padding,
+                     CAST((count(*) * max(cap) - sum(n)) * 1000000
+                       // (count(*) * max(cap)) AS BIGINT) AS waste_ppm
+              FROM b GROUP BY 1),
+      gall AS (SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+                      CAST(sum(n) AS BIGINT), CAST(max(n) AS BIGINT),
+                      CAST(count(*) * max(n) - sum(n) AS BIGINT),
+                      CAST((count(*) * max(n) - sum(n)) * 1000000
+                        // (count(*) * max(n)) AS BIGINT)
+               FROM d)
+      SELECT * FROM per UNION ALL SELECT * FROM gall
+      ORDER BY bucket""")) { (spark, dir) =>
+      import graft.ops.TextOps
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        .where(col("n") > 0)
+      val b = d
+        .withColumn("bucket", length(bin(col("n"))).cast("long"))
+        .withColumn("cap",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n)) AS INT))")
+            - 1)
+      val per = b.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("real_tokens"),
+          max(col("cap")).as("pad_to"),
+          (count(lit(1)) * max(col("cap")) - sum(col("n"))).as("padding"),
+          expr("(count(1) * max(cap) - sum(n)) * 1000000" +
+            " div (count(1) * max(cap))").as("waste_ppm"))
+      val glob = d.agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("real_tokens"), max(col("n")).as("pad_to"),
+          (count(lit(1)) * max(col("n")) - sum(col("n"))).as("padding"),
+          expr("(count(1) * max(n) - sum(n)) * 1000000" +
+            " div (count(1) * max(n))").as("waste_ppm"))
+        .select(lit(-1L).as("bucket"), col("n_docs"), col("real_tokens"),
+          col("pad_to"), col("padding"), col("waste_ppm"))
+      per.unionByName(glob).orderBy(col("bucket"))
+    },
+
+    // ---- dedup canary probe (pipeline self-test via injected twins) --------
+    // The end-to-end health check a production dedup DAG runs every
+    // cycle: INJECT synthetic canary families with known structure
+    // (per source: two byte-twins built from the source name — the
+    // pipeline has never seen them), run the REAL banded pipeline
+    // over corpus ∪ canaries, and report per family whether its pair
+    // was recovered. A canary miss means a regression somewhere in
+    // tokenize→shingle→simhash→band→pair — caught by the probe, not
+    // by a user. Output: per source, the expected and found canary
+    // pairs and the recovered flag; real-corpus pairs are untouched
+    // (canary ids live above 10^9).
+    //
+    // Scale shape: canaries are a tiny generated frame unioned onto
+    // the scan; the pipeline is the standard banded pass; the probe
+    // rollup filters to canary ids only.
+    Q("p231_canary_probe", Some {
+      val base = 1000000000L
+      s"""
+      WITH RECURSIVE srcs AS (SELECT DISTINCT source FROM documents),
+      canary AS (SELECT $base + 2 * row_number() OVER (ORDER BY source)
+                          AS doc_id,
+                        source,
+                        'canary probe family for ' || source
+                          || ' alpha beta gamma delta' AS text
+                 FROM srcs
+                 UNION ALL
+                 SELECT $base + 2 * row_number() OVER (ORDER BY source) + 1,
+                        source,
+                        'canary probe family for ' || source
+                          || ' alpha beta gamma delta'
+                 FROM srcs),
+      docs2 AS (SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM canary),
+      ${Pipeline.simhash64Cte.replace("FROM documents", "FROM docs2")},
+      ${Pipeline.simhashPairsCte},
+      cp AS (SELECT a, b FROM spairs
+             WHERE a >= $base AND b >= $base),
+      fam AS (SELECT source, min(doc_id) AS lo, max(doc_id) AS hi
+              FROM canary GROUP BY 1)
+      SELECT fam.source, 1 AS expected_pairs,
+             CAST(count(cp.a) AS BIGINT) AS found_pairs,
+             count(cp.a) = 1 AS recovered
+      FROM fam LEFT JOIN cp ON cp.a = fam.lo AND cp.b = fam.hi
+      GROUP BY 1 ORDER BY 1"""
+    }) { (spark, dir) =>
+      import graft.ops.DedupOps
+      val base = 1000000000L
+      val srcs = Tables.load(spark, dir, "documents")
+        .select(col("source")).distinct()
+        .withColumn("fid", row_number().over(Window.orderBy(col("source")))
+          .cast("long"))
+      val canary = srcs.select(col("source"), col("fid"),
+          explode(lit(Array(0, 1))).as("off"))
+        .select(col("source"),
+          (lit(base) + lit(2) * col("fid") + col("off")).as("doc_id"),
+          concat(lit("canary probe family for "), col("source"),
+            lit(" alpha beta gamma delta")).as("text"))
+      val docs2 = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .unionByName(canary.select(col("doc_id"), col("text")))
+      val pairs = DedupOps.simhashPairs(docs2, "doc_id", "text",
+          maxHamming = 3, maxBucket = 1000)
+        .where(col("a") >= base && col("b") >= base)
+      val fam = canary.groupBy(col("source"))
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      fam.join(pairs,
+          col("a") === col("lo") && col("b") === col("hi"), "left")
+        .groupBy(col("source"))
+        .agg(count(col("a")).as("found_pairs"))
+        .select(col("source"), lit(1).as("expected_pairs"),
+          col("found_pairs"), (col("found_pairs") === 1).as("recovered"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -2907,4 +2907,57 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.contains(5L))              // 150 min: out of tolerance
     assert(got(6L) == ((7L, 3600000000L))) // 60-min tie → backward
   }
+
+  test("p229 int8 fidelity: well-separated candidates keep the full " +
+    "top-5 and the top-1 through quantization") {
+    import spark.implicits._
+    val rows = (0 to 5).map { i =>
+      (i.toLong, (0 until 8).map(j =>
+        if (j == i) 1.0f else 0.05f * (j + 1)), 0)
+    }
+    val dir = s"${sys.props("java.io.tmpdir")}/p229fix_${queries.runToken}"
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p229_int8_fidelity")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_overlap"),
+        r.getAs[Boolean]("top1_kept"))).toMap
+    assert(got(0L) == ((5L, true)))
+    assert(got.values.forall(_._1 >= 4L)) // int8 may reorder the tail
+  }
+
+  test("p230 padding waste: per-bucket caps and the global-max row " +
+    "carry exact padding arithmetic") {
+    import spark.implicits._
+    val rows = Seq((1L, "a b c", "en", "w", 0L),
+      (2L, "a b c d e", "en", "w", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p230fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p230_padding_waste")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("real_tokens"), r.getAs[Long]("pad_to"),
+        r.getAs[Long]("padding"), r.getAs[Long]("waste_ppm"))).toMap
+    assert(got(2L) == ((1L, 3L, 3L, 0L, 0L)))      // len 3 → cap 3
+    assert(got(3L) == ((1L, 5L, 7L, 2L, 285714L))) // len 5 → cap 7
+    assert(got(-1L) == ((2L, 8L, 5L, 2L, 200000L))) // pad all to max 5
+  }
+
+  test("p231 canary probe: every source's injected twin pair is " +
+    "recovered by the real banded pipeline") {
+    import spark.implicits._
+    val rows = Seq((1L, "organic doc for x", "en", "srcX", 0L),
+      (2L, "organic doc for y", "en", "srcY", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p231fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p231_canary_probe")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("found_pairs"), r.getAs[Boolean]("recovered")))
+      .toMap
+    assert(got.keySet == Set("srcX", "srcY"))
+    assert(got.values.forall(_ == ((1L, true))))
+  }
 }
