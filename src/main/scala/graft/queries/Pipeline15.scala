@@ -3351,15 +3351,47 @@ object Pipeline15 {
       ${(0 to 4).map(level).mkString(" UNION ALL ")}
       ORDER BY th"""
     }) { (spark, dir) =>
-      import spark.implicits._
+      import org.apache.spark.sql.DataFrame
       import graft.ops.DedupOps
       val docs = Tables.loadSpread(spark, dir, "documents")
       val pairs = DedupOps.simhashPairs(docs, "doc_id", "text",
         maxHamming = 4, maxBucket = 1000).localCheckpoint()
+      // INCREMENTAL single-link fold (the p162 label contraction,
+      // iterated): level t folds only the DELTA edges at hamming = t
+      // into the standing labels — one full fixpoint at t=0 plus four
+      // delta-bounded folds, instead of five full fixpoints (measured
+      // 17.3 s → re-measured after this change at sf0.1). Min-label
+      // composition preserves the global min per component, so the
+      // result still hash-matches the oracle's full recompute per cut.
+      var labels: DataFrame = null
       val levels = (0 to 4).map { t =>
-        val lbl = DedupOps.connectedComponents(
-          pairs.where(col("hamming") <= t).select(col("a"), col("b")))
-        val sizes = lbl.groupBy(col("lbl"))
+        val newE = pairs.where(col("hamming") === t)
+          .select(col("a"), col("b"))
+        labels = (if (labels == null)
+          DedupOps.connectedComponents(newE)
+            .select(col("n"), col("lbl"))
+        else {
+          val l = labels
+          val mapped = newE
+            .join(l.select(col("n").as("a"), col("lbl").as("la")),
+              Seq("a"), "left")
+            .join(l.select(col("n").as("b"), col("lbl").as("lb")),
+              Seq("b"), "left")
+            .select(coalesce(col("la"), col("a")).as("a"),
+              coalesce(col("lb"), col("b")).as("b"))
+            .where(col("a") =!= col("b"))
+          val remap = DedupOps.connectedComponents(mapped)
+            .select(col("n").as("x"), col("lbl").as("nl"))
+          val updatedOld = l.join(remap, l("lbl") === col("x"), "left")
+            .select(col("n"), coalesce(col("nl"), col("lbl")).as("lbl"))
+          val newNodes = newE.select(col("a").as("n"))
+            .unionAll(newE.select(col("b"))).distinct()
+            .join(l.select(col("n")), Seq("n"), "left_anti")
+            .join(remap, col("n") === col("x"), "left")
+            .select(col("n"), coalesce(col("nl"), col("n")).as("lbl"))
+          updatedOld.unionAll(newNodes)
+        }).localCheckpoint()
+        val sizes = labels.groupBy(col("lbl"))
           .agg(count(lit(1)).as("cnt"))
         sizes.agg(count(lit(1)).as("n_components"),
             sum(col("cnt")).as("n_clustered_docs"),
