@@ -3720,6 +3720,204 @@ object Pipeline15 {
         .select(col("source"), lit(1).as("expected_pairs"),
           col("found_pairs"), (col("found_pairs") === 1).as("recovered"))
         .orderBy(col("source"))
+    },
+
+    // ---- hash uniformity audit (chi-squared over 64 buckets) ---------------
+    // Every balance claim in this library — p184's digest buckets,
+    // p200's shuffle, p203's range design — rests on h60 being
+    // uniform. This entry AUDITS it: doc ids hash into 64 buckets,
+    // and the exact-integer chi-squared statistic Σ(64·oᵢ − N)² /
+    // (64·N) (the multiply-through form — no fractional expected
+    // counts) is compared against the precomputed χ²(63, 0.99)
+    // critical value 92.01 embedded as 92010 milli (the lc-table
+    // discipline). A failing audit here would invalidate half the
+    // scale arguments above — which is exactly why it's a standing
+    // query, not a one-off notebook check.
+    //
+    // Scale shape: one map-side bucket rollup joined onto the 64-row
+    // grid; the statistic is a 1-row sum.
+    Q("p232_hash_uniformity", Some(s"""
+      WITH h AS (SELECT ${Portable.h60Sql("CAST(doc_id AS VARCHAR)")} % 64
+                   AS bucket
+                 FROM documents),
+      o AS (SELECT bucket, CAST(count(*) AS BIGINT) AS o FROM h
+            GROUP BY 1),
+      grid AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+      g AS (SELECT grid.bucket, coalesce(o.o, 0) AS o
+            FROM grid LEFT JOIN o ON o.bucket = grid.bucket),
+      n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM g),
+      x AS (SELECT CAST(sum((64 * g.o - n.n) * (64 * g.o - n.n))
+                     AS BIGINT) AS xs, n.n
+            FROM g, n GROUP BY n.n)
+      SELECT n AS n_rows, CAST(64 AS BIGINT) AS n_buckets,
+             CAST(xs * 1000 // (64 * n) AS BIGINT) AS chi2_milli,
+             xs * 1000 // (64 * n) <= 92010 AS uniform_ok
+      FROM x""")) { (spark, dir) =>
+      import spark.implicits._
+      val o = Tables.load(spark, dir, "documents")
+        .select(pmod(Portable.h60(col("doc_id").cast("string")), lit(64))
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("o"))
+      val g = spark.range(0, 64).select(col("id").as("bucket"))
+        .join(o, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("o"), lit(0L)).as("o"))
+      val n = g.agg(sum(col("o")).as("n"))
+      g.crossJoin(broadcast(n))
+        .agg(sum((lit(64) * col("o") - col("n"))
+          * (lit(64) * col("o") - col("n"))).as("xs"),
+          first(col("n")).as("n"))
+        .select(col("n").as("n_rows"), lit(64L).as("n_buckets"),
+          expr("xs * 1000 div (64 * n)").as("chi2_milli"),
+          (expr("xs * 1000 div (64 * n)") <= 92010L).as("uniform_ok"))
+    },
+
+    // ---- source scorecard (Borda rank fusion) ------------------------------
+    // One defensible ordering over sources from three incomparable
+    // metrics: mean quality (higher better), dup exposure (lower
+    // better), and token-length drift from the corpus mean (lower
+    // better — the location term of p187's distribution drift). Each
+    // metric contributes a RANK (ties → source name), Borda sums the
+    // ranks, and the final ordering is the fused scorecard — rank
+    // fusion needs no cross-metric calibration, same reason p221
+    // fuses retrieval legs with RRF. The table a curation review
+    // starts from when sources are argued over.
+    //
+    // Scale shape: one per-source rollup; three S-row rank windows;
+    // a metadata-sized fuse.
+    Q("p233_source_scorecard", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      dup AS (SELECT DISTINCT n FROM
+                (SELECT a AS n FROM spairs UNION ALL SELECT b FROM spairs)),
+      d AS (SELECT doc_id, source,
+                   CAST(len($wsSql) AS BIGINT) AS toks,
+                   CAST(round(${TextSql.quality(wsSql)} * 1000000)
+                     AS BIGINT) AS qm,
+                   CASE WHEN doc_id IN (SELECT n FROM dup)
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM documents),
+      gm AS (SELECT CAST(sum(toks) * 1000 // count(*) AS BIGINT)
+                      AS gmean_milli FROM d),
+      s AS (SELECT source,
+                   CAST(sum(qm) // count(*) AS BIGINT) AS q_micro,
+                   CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT)
+                     AS dup_ppm,
+                   abs(CAST(sum(toks) * 1000 // count(*) AS BIGINT)
+                     - (SELECT gmean_milli FROM gm)) AS drift_milli
+            FROM d GROUP BY 1),
+      r AS (SELECT source, q_micro, dup_ppm, drift_milli,
+                   row_number() OVER (ORDER BY q_micro DESC, source)
+                     AS r_quality,
+                   row_number() OVER (ORDER BY dup_ppm, source) AS r_dup,
+                   row_number() OVER (ORDER BY drift_milli, source)
+                     AS r_drift
+            FROM s)
+      SELECT source, CAST(r_quality AS BIGINT) AS r_quality,
+             CAST(r_dup AS BIGINT) AS r_dup,
+             CAST(r_drift AS BIGINT) AS r_drift,
+             CAST(r_quality + r_dup + r_drift AS BIGINT) AS borda,
+             CAST(row_number() OVER (ORDER BY r_quality + r_dup + r_drift,
+               source) AS BIGINT) AS final_rank
+      FROM r ORDER BY final_rank""")) { (spark, dir) =>
+      import graft.ops.TextOps
+      val sp = SharedStages.spairs(spark, dir)
+      val dup = sp.select(col("a").as("doc_id"))
+        .unionAll(sp.select(col("b"))).distinct()
+        .withColumn("is_dup", lit(1L))
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("toks"),
+          round(TextOps.qualityScore(col("text")) * 1000000, 0)
+            .cast("long").as("qm"))
+        .join(dup, Seq("doc_id"), "left")
+        .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+      val gm = d.agg(expr("sum(toks) * 1000 div count(1)")
+        .as("gmean_milli"))
+      val s = d.groupBy(col("source"))
+        .agg(expr("sum(qm) div count(1)").as("q_micro"),
+          expr("sum(is_dup) * 1000000 div count(1)").as("dup_ppm"),
+          expr("sum(toks) * 1000 div count(1)").as("smean_milli"))
+        .crossJoin(broadcast(gm))
+        .withColumn("drift_milli",
+          abs(col("smean_milli") - col("gmean_milli")))
+      val r = s
+        .withColumn("r_quality", row_number().over(
+          Window.orderBy(col("q_micro").desc, col("source"))).cast("long"))
+        .withColumn("r_dup", row_number().over(
+          Window.orderBy(col("dup_ppm"), col("source"))).cast("long"))
+        .withColumn("r_drift", row_number().over(
+          Window.orderBy(col("drift_milli"), col("source"))).cast("long"))
+        .withColumn("borda", col("r_quality") + col("r_dup")
+          + col("r_drift"))
+      r.withColumn("final_rank", row_number().over(
+          Window.orderBy(col("borda"), col("source"))).cast("long"))
+        .select(col("source"), col("r_quality"), col("r_dup"),
+          col("r_drift"), col("borda"), col("final_rank"))
+        .orderBy(col("final_rank"))
+    },
+
+    // ---- Theil–Sen robust trend of the daily event series ------------------
+    // The trend estimator outliers can't drag: the MEDIAN of all
+    // pairwise slopes (x_j − x_i)/(j − i) over the daily counts —
+    // one spiky day corrupts the least-squares slope but moves the
+    // slope MEDIAN barely at all. Slopes are sign-split milli
+    // integers; the median is the exact k-th smallest by rank over
+    // the bounded pair multiset (days², metadata-sized — 60 days is
+    // 1 770 slopes, never a data-scale object). Missing days count
+    // as zero via the p217 day grid.
+    //
+    // Scale shape: the day series is a bounded rollup; the pair
+    // explosion and the rank are days²-bounded metadata.
+    Q("p234_theilsen_trend", Some("""
+      WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                        CAST(count(*) AS BIGINT) AS x
+                 FROM events GROUP BY 1),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+      days AS (SELECT b.lo + CAST(u.i AS INTEGER) AS day,
+                      CAST(u.i AS BIGINT) AS t
+               FROM b, (SELECT unnest(generate_series(0,
+                  (SELECT CAST(hi - lo AS BIGINT) FROM b))) AS i) u),
+      g AS (SELECT d.t, coalesce(e.x, 0) AS x
+            FROM days d LEFT JOIN e ON e.day = d.day),
+      p AS (SELECT a.t AS i, b.t AS j, a.x AS xi, b.x AS xj,
+                   CASE WHEN b.x >= a.x
+                        THEN (b.x - a.x) * 1000 // (b.t - a.t)
+                        ELSE -((a.x - b.x) * 1000 // (b.t - a.t)) END
+                     AS slope_milli
+            FROM g a, g b WHERE b.t > a.t),
+      r AS (SELECT slope_milli, row_number() OVER (ORDER BY slope_milli)
+                     AS rk, count(*) OVER () AS m
+            FROM p)
+      SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_days,
+             CAST(m AS BIGINT) AS n_pairs,
+             CAST(slope_milli AS BIGINT) AS median_slope_milli
+      FROM r WHERE rk = (m + 1) // 2""")) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "events")
+        .groupBy(date_trunc("DAY", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val b = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val days = b.select(explode(
+          expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        .withColumn("t", (row_number().over(Window.orderBy(col("day")))
+          - 1).cast("long"))
+      val g = days.join(e, Seq("day"), "left")
+        .select(col("t"), coalesce(col("x"), lit(0L)).as("x"))
+        .localCheckpoint()
+      val p = g.select(col("t").as("i"), col("x").as("xi"))
+        .join(g.select(col("t").as("j"), col("x").as("xj")),
+          col("j") > col("i"))
+        .select(when(col("xj") >= col("xi"),
+            expr("(xj - xi) * 1000 div (j - i)"))
+          .otherwise(-expr("(xi - xj) * 1000 div (j - i)"))
+          .as("slope_milli"))
+      val nDays = g.count()
+      val r = p.withColumn("rk", row_number().over(
+          Window.orderBy(col("slope_milli"))))
+        .withColumn("m", count(lit(1)).over(
+          Window.partitionBy()))
+      r.where(col("rk") === expr("(m + 1) div 2"))
+        .select(lit(nDays).as("n_days"), col("m").as("n_pairs"),
+          col("slope_milli").as("median_slope_milli"))
     }
   )
 }

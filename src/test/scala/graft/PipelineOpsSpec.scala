@@ -2960,4 +2960,60 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet == Set("srcX", "srcY"))
     assert(got.values.forall(_ == ((1L, true))))
   }
+
+  test("p232 hash uniformity: single-doc arithmetic is exact; the real " +
+    "fixture hashes uniformly") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p232fix_${queries.runToken}"
+    Seq((1L, "x", "en", "w", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val one = SparkEntry.queries("p232_hash_uniformity")(spark, dir)
+      .collect().head
+    // one row in one bucket: X = 63² + 63·1² = 4032 → 4032·1000/64
+    assert(one.getAs[Long]("chi2_milli") == 63000L)
+    assert(one.getAs[Boolean]("uniform_ok"))
+    val real = SparkEntry.queries("p232_hash_uniformity")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(real.getAs[Boolean]("uniform_ok")) // h60 is uniform, audited
+  }
+
+  test("p233 source scorecard: the clean source outranks the " +
+    "duplicated low-quality one; Borda totals conserve") {
+    import spark.implicits._
+    val good = "the quick brown fox and the lazy dog with many fine " +
+      "words in this rather long document of substance"
+    val rows = Seq(
+      (1L, "zz zz", "en", "A", 0L), (2L, "zz zz", "en", "A", 0L),
+      (3L, good, "en", "B", 0L))
+    val dir = s"${sys.props("java.io.tmpdir")}/p233fix_${queries.runToken}"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p233_source_scorecard")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("borda"),
+        r.getAs[Long]("final_rank"))).toMap
+    assert(got("B")._2 == 1L && got("A")._2 == 2L)
+    assert(got.values.map(_._1).sum == 9L) // 3 metrics × ranks {1,2}
+  }
+
+  test("p234 Theil-Sen: a perfectly linear daily series yields its " +
+    "exact slope from every pair") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00").getTime
+    def ts(day: Int) = new java.sql.Timestamp(t0 + day * 86400000L)
+    // counts per day: 1, 3, 5, 7 → every pairwise slope = 2/day
+    val rows = (0 to 3).flatMap(d =>
+      (0 until (1 + 2 * d)).map(k => (d * 100L + k, ts(d), 1L, "x")))
+    val dir = s"${sys.props("java.io.tmpdir")}/p234fix_${queries.runToken}"
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    queries.cleanupAtExit(dir)
+    val r = SparkEntry.queries("p234_theilsen_trend")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Long]("median_slope_milli") == 2000L)
+  }
 }
