@@ -3918,6 +3918,139 @@ object Pipeline15 {
       r.where(col("rk") === expr("(m + 1) div 2"))
         .select(lit(nDays).as("n_days"), col("m").as("n_pairs"),
           col("slope_milli").as("median_slope_milli"))
+    },
+
+    // ---- Markov stationary mix (exact-integer power iteration) -------------
+    // Where does user behavior SETTLE? The stationary distribution of
+    // p156's event-type chain, by eight unrolled power-iteration
+    // rounds in EXACT integer arithmetic: transition rows are ppm
+    // integers that sum to exactly 1e6 per state (p170's largest-
+    // remainder applied per row), and each round's π·P product —
+    // exact 1e12-unit integers — is renormalized back to a 1e6-sum
+    // ppm vector by the SAME largest-remainder rule. No floats, no
+    // drifting mass: every intermediate vector sums to exactly one.
+    // Output: the settled mix per state plus the last round's
+    // movement (the convergence evidence). The iterative-linear-
+    // algebra shape (PageRank's little sibling) with the exactness
+    // discipline the rest of the library runs on.
+    //
+    // Scale shape: states are event types — the chain is metadata;
+    // eight bounded rounds of (join + rollup + rank) over S rows.
+    // (A billion-state chain would shard the vector by state key;
+    // the per-round shape is unchanged.)
+    Q("p235_stationary_mix", Some {
+      def hamilton(src: String, out: String, part: String): String = {
+        val pb = if (part.isEmpty) "" else s"PARTITION BY $part "
+        val pbc = if (part.isEmpty) "" else s"PARTITION BY $part"
+        s"""f$out AS MATERIALIZED (SELECT *, 1000000 * w // tw AS fl,
+                   1000000 * w % tw AS rem FROM $src),
+        $out AS MATERIALIZED (SELECT ${if (part.isEmpty) "" else s"$part, "}s,
+                   CAST(fl + CASE WHEN row_number() OVER (${pb}ORDER BY
+                     rem DESC, s) <= 1000000 - sum(fl) OVER ($pbc)
+                     THEN 1 ELSE 0 END AS BIGINT) AS pi
+                 FROM f$out)"""
+      }
+      def round(r: Int): String = s"""
+        m$r AS MATERIALIZED (SELECT p.nxt AS s,
+                  CAST(sum(pi${r - 1}.pi * p.ppm) AS BIGINT) AS w
+                FROM p JOIN pi${r - 1} ON pi${r - 1}.s = p.cur
+                GROUP BY 1),
+        mt$r AS MATERIALIZED (SELECT m$r.*,
+                   (SELECT CAST(sum(w) AS BIGINT) FROM m$r)
+                   AS tw FROM m$r),
+        ${hamilton(s"mt$r", s"pi$r", "")}"""
+      s"""
+      WITH seq AS MATERIALIZED (SELECT user_id, event_type AS cur,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+                   FROM events),
+      tr AS MATERIALIZED (SELECT cur, nxt, CAST(count(*) AS BIGINT)
+               AS cnt FROM seq
+             WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT cur, CAST(sum(cnt) AS BIGINT) AS tw FROM tr
+              GROUP BY 1),
+      trw AS (SELECT tr.cur, tr.nxt AS s, tr.cnt AS w, tot.tw
+              FROM tr JOIN tot USING (cur)),
+      ${hamilton("trw", "pr", "cur")},
+      p AS MATERIALIZED (SELECT cur, s AS nxt, pi AS ppm FROM pr),
+      st AS (SELECT DISTINCT cur AS s FROM tr),
+      c0 AS (SELECT s, count(*) OVER () AS k,
+                    row_number() OVER (ORDER BY s) AS rn FROM st),
+      pi0 AS (SELECT s, CAST(1000000 // k
+                + CASE WHEN rn <= 1000000 % k THEN 1 ELSE 0 END
+                AS BIGINT) AS pi FROM c0),
+      ${(1 to 8).map(round).mkString(",\n")}
+      SELECT pi8.s AS state, pi8.pi AS pi_ppm, pi7.pi AS prev_ppm,
+             CAST(abs(pi8.pi - pi7.pi) AS BIGINT) AS delta_ppm,
+             (SELECT max(abs(a.pi - b.pi)) FROM pi8 a
+              JOIN pi7 b ON b.s = a.s) <= 1000 AS converged
+      FROM pi8 JOIN pi7 ON pi7.s = pi8.s
+      ORDER BY state"""
+    }) { (spark, dir) =>
+      import org.apache.spark.sql.DataFrame
+      // exact largest-remainder renormalization of (s, w) to a
+      // 1e6-sum ppm vector — the p170 rule as a reusable step
+      def hamilton(m: DataFrame): DataFrame = {
+        val t = m.agg(sum(col("w")).as("tw"))
+        m.crossJoin(broadcast(t))
+          .withColumn("fl", expr("1000000 * w div tw"))
+          .withColumn("rem", expr("1000000 * w % tw"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("rem").desc, col("s"))))
+          .withColumn("left_seats",
+            lit(1000000L) - sum(col("fl")).over(Window.partitionBy()))
+          .select(col("s"),
+            (col("fl") + when(col("rn") <= col("left_seats"), 1L)
+              .otherwise(0L)).as("pi"))
+      }
+      val seq = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))).as("nxt"))
+        .where(col("nxt").isNotNull)
+      val tr = seq.groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = tr.groupBy(col("cur")).agg(sum(col("cnt")).as("tw"))
+      // per-cur exact ppm rows (p170 within each cur)
+      val p = tr.join(tot, "cur")
+        .withColumn("fl", expr("1000000 * cnt div tw"))
+        .withColumn("rem", expr("1000000 * cnt % tw"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cur"))
+            .orderBy(col("rem").desc, col("nxt"))))
+        .withColumn("left_seats", lit(1000000L)
+          - sum(col("fl")).over(Window.partitionBy(col("cur"))))
+        .select(col("cur"), col("nxt"),
+          (col("fl") + when(col("rn") <= col("left_seats"), 1L)
+            .otherwise(0L)).as("ppm"))
+        .localCheckpoint()
+      val st = tr.select(col("cur").as("s")).distinct()
+      val pi0 = st
+        .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("rn", row_number().over(Window.orderBy(col("s"))))
+        .select(col("s"), (expr("1000000 div k")
+          + when(col("rn") <= expr("1000000 % k"), 1L).otherwise(0L))
+          .as("pi"))
+      var pis = List(pi0.localCheckpoint())
+      for (_ <- 1 to 8) {
+        val prev = pis.head
+        val m = p.join(prev.select(col("s").as("cur"), col("pi")), "cur")
+          .groupBy(col("nxt").as("s"))
+          .agg(sum(col("pi") * col("ppm")).as("w"))
+        pis = hamilton(m).localCheckpoint() :: pis
+      }
+      val pi8 = pis.head
+      val pi7 = pis(1)
+      val conv = pi8.join(pi7.select(col("s"), col("pi").as("pp")), "s")
+        .agg(max(abs(col("pi") - col("pp"))).as("mx"))
+      pi8.join(pi7.select(col("s"), col("pi").as("prev_ppm")), "s")
+        .crossJoin(broadcast(conv))
+        .select(col("s").as("state"), col("pi").as("pi_ppm"),
+          col("prev_ppm"),
+          abs(col("pi") - col("prev_ppm")).as("delta_ppm"),
+          (col("mx") <= 1000).as("converged"))
+        .orderBy(col("state"))
     }
   )
 }

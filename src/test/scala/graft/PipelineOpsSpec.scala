@@ -3016,4 +3016,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_pairs") == 6L)
     assert(r.getAs[Long]("median_slope_milli") == 2000L)
   }
+
+  test("p235 stationary mix: a deterministic 2-cycle settles at the " +
+    "exact uniform split with zero drift and exact 1e6 mass") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(m: Int) = new java.sql.Timestamp(t0 + m * 60000L)
+    val rows =
+      Seq("view", "click", "view", "click", "view").zipWithIndex.map {
+        case (t, i) => (i.toLong, ts(i), 1L, t) } ++
+      Seq("click", "view", "click", "view").zipWithIndex.map {
+        case (t, i) => (10L + i, ts(i), 2L, t) }
+    val dir = s"${sys.props("java.io.tmpdir")}/p235fix_${queries.runToken}"
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    queries.cleanupAtExit(dir)
+    val got = SparkEntry.queries("p235_stationary_mix")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("pi_ppm"),
+        r.getAs[Long]("delta_ppm"), r.getAs[Boolean]("converged"))).toMap
+    assert(got("view") == ((500000L, 0L, true)))
+    assert(got("click") == ((500000L, 0L, true)))
+    // exact mass conservation — the property float iteration loses
+    assert(got.values.map(_._1).sum == 1000000L)
+  }
 }
