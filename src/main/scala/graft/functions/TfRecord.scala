@@ -132,7 +132,9 @@ object TfRecord {
         i += 16 + len.toInt
       }
     }
-    val clean = !bad && i == b.length && n <= MaxRecords
+    // a >MaxRecords blob already fails `i == b.length` (the loop guard
+    // stopped the walk early), so no separate record-cap conjunct
+    val clean = !bad && i == b.length
     InternalRow(n, payload, b.length.toLong, clean)
   }
 }

@@ -164,8 +164,18 @@ object DedupOps {
     * equal minhash components, computed from the ride-along signatures).
     */
   def lshCandidates(docs: DataFrame, id: String, text: String,
-                    k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
-    val bands = lshBands(minhashSignatures(docs, id, text, k), id, k, rowsPerBand)
+                    k: Int = 12, rowsPerBand: Int = 3): DataFrame =
+    lshCandidatesFromSignatures(minhashSignatures(docs, id, text, k),
+      id, k, rowsPerBand)
+
+  /** [[lshCandidates]] over a PRECOMPUTED signature table — the entry
+    * point for band-layout sweeps (p213): one signature pass (the
+    * shingle+hash scan, the expensive part) feeds every (bands, rows)
+    * layout, instead of each layout re-shingling the corpus.
+    */
+  def lshCandidatesFromSignatures(sig: DataFrame, id: String,
+                                  k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val bands = lshBands(sig, id, k, rowsPerBand)
     // shuffle 1: bucket per (band, bandHash); sorted by did → pairs a<b
     val buckets = bands
       .groupBy(col("band"), col("bh"))

@@ -2393,7 +2393,7 @@ object Pipeline15 {
       val sig = DedupOps.minhashSignatures(docs, "doc_id", "text", 12)
         .localCheckpoint()
       val curves = Seq(2, 3, 4, 6).map { r =>
-        val cand = DedupOps.lshCandidates(docs, "doc_id", "text", 12, r)
+        val cand = DedupOps.lshCandidatesFromSignatures(sig, "doc_id", 12, r)
         cand.agg(count(lit(1)).as("n_candidates"),
             sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L))
               .as("n_good"))
@@ -2403,10 +2403,8 @@ object Pipeline15 {
               .otherwise(expr("n_good * 1000000 div n_candidates"))
               .as("precision_ppm"))
       }
-      // note: lshCandidates recomputes signatures per layout here for
-      // API simplicity; the oracle (and a production run) shares ONE
-      // sig table — the signature pass is the cheap part (sig is
-      // checkpointed above for the production-shaped variant)
+      // one checkpointed signature pass feeds all four band layouts,
+      // exactly as the oracle's shared `sig` CTE does
       curves.reduce(_ unionAll _).orderBy(col("rows_per_band"))
     },
 
@@ -2630,10 +2628,15 @@ object Pipeline15 {
             && col("vec_id") =!= col("pid"))
         .groupBy(col("vec_id"), col("label"), col("pid"))
         .agg(sum(col("ri") * col("pri")).as("dot"))
+      // Panel-side norms: only panel members can appear as `pid`, so
+      // restrict the corpus-sized norm table to the O(labels×32) panel
+      // BEFORE broadcasting — the semi join itself broadcasts the tiny
+      // panel id list, so the build side here is provably panel-sized.
+      val pnb = nrm.select(col("vec_id").as("pid"), col("n2").as("nb"))
+        .join(broadcast(pn.select(col("pid"))), Seq("pid"), "left_semi")
       val dist = d
         .join(nrm.select(col("vec_id"), col("n2").as("na")), "vec_id")
-        .join(broadcast(nrm.select(col("vec_id").as("pid"),
-          col("n2").as("nb"))), "pid")
+        .join(broadcast(pnb), "pid")
         .select(col("vec_id"), col("label"),
           (col("na") + col("nb") - lit(2) * col("dot")).as("d2"))
       val k3 = dist.withColumn("rn", row_number().over(

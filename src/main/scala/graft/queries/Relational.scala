@@ -75,8 +75,11 @@ object Relational {
         .filter(col("o_orderdate") < lit(java.sql.Date.valueOf("1998-03-15")))
       val l = Tables.load(spark, dir, "lineitem")
         .filter(col("l_shipdate") > lit(java.sql.Date.valueOf("1998-03-15")))
+      // No broadcast hint on customer: it grows with sf, so the
+      // build-side choice belongs to AQE's runtime size estimate —
+      // it still broadcasts at any scale where broadcasting is right.
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))

@@ -38,7 +38,25 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Estimate scan width from the file listing instead of forcing an
+    // RDD conversion (`df.rdd` builds a deserialization plan per load):
+    // each file contributes at least one split, plus one split per
+    // maxPartitionBytes of length. Underestimating only costs a
+    // repartition whose input is small by construction; at production
+    // scale (thousands of files) the guard is a no-op either way.
+    val maxSplit = df.sparkSession.conf
+      .get("spark.sql.files.maxPartitionBytes", "134217728")
+      .replaceAll("[^0-9]", "") match { case "" => 134217728L; case s => s.toLong }
+    val fs = df.inputFiles
+    val splits = fs.map { f =>
+      val len = try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+      } catch { case _: Exception => 0L }
+      math.max(1L, (len + maxSplit - 1) / maxSplit)
+    }.sum
+    if (fs.nonEmpty && splits < target) df.repartition(target) else df
   }
 
   /** [[load]] + [[spread]] — the loader for queries whose per-row work
