@@ -111,6 +111,25 @@ object Bench {
       println(s"""benchq {"${k.takeWhile(_ != '_')}":${s3(v)}}""")
     }
     observed.foreach { case (k, v) => println(s"""benchm {"$k":$v}""") }
+    // The full per-query map ALSO lands in a committed file: the
+    // driver's stdout capture window holds only the tail, so cross-
+    // round per-query regression diffing needs an artifact that does
+    // not depend on how many benchq lines scrolled out (round 9 lost
+    // p01-p83 from the captured tail).
+    try {
+      val perq = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + s3(v)
+      }.mkString("{", ",", "}")
+      val obs = observed.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val body = s"""{"sf":"$sfDir","n_queries":${results.size},""" +
+        s""""errors":${failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
+          .mkString("[", ",", "]")},""" +
+        s""""queries":$perq,"observed":$obs}"""
+      val out = sys.env.getOrElse("SPARK_GRAFT_PERQ_FILE", "bench_perq.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // artifact write must not kill the run
     val total = s3(results.map(_._2).sum)
     val errs = failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
       .mkString("[", ",", "]")

@@ -1408,10 +1408,9 @@ object Pipeline15 {
       FROM t ORDER BY t.th"""
     }) { (spark, dir) =>
       import spark.implicits._
-      import graft.ops.DedupOps
-      val docs = Tables.loadSpread(spark, dir, "documents")
-      val pairs = DedupOps.simhashPairs(docs, "doc_id", "text",
-        maxHamming = 8, maxBucket = 1000).localCheckpoint()
+      // the full ≤ 8 SharedStages capture — the curve is histogram
+      // algebra over the shared materialized pair table
+      val pairs = SharedStages.spairsWide(spark, dir, 8)
       val ph = pairs.groupBy(col("hamming")).agg(count(lit(1)).as("np"))
       val nh = pairs.select(col("a").as("n"), col("hamming"))
         .unionAll(pairs.select(col("b"), col("hamming")))
@@ -3356,9 +3355,10 @@ object Pipeline15 {
     }) { (spark, dir) =>
       import org.apache.spark.sql.DataFrame
       import graft.ops.DedupOps
-      val docs = Tables.loadSpread(spark, dir, "documents")
-      val pairs = DedupOps.simhashPairs(docs, "doc_id", "text",
-        maxHamming = 4, maxBucket = 1000).localCheckpoint()
+      // the ≤ 4 slice of the SharedStages ≤ 8 capture: no private
+      // banded pair pass — one parquet scan with a pushed hamming
+      // filter, shared with p75/p101/p196 and every other consumer
+      val pairs = SharedStages.spairsWide(spark, dir, 4)
       // INCREMENTAL single-link fold (the p162 label contraction,
       // iterated): level t folds only the DELTA edges at hamming = t
       // into the standing labels — one full fixpoint at t=0 plus four

@@ -37,19 +37,40 @@ object SharedStages {
       import graft.ops.DedupOps
       val b = sinkDir(s"shared_${Integer.toHexString(dir.hashCode)}")
       val docs = Tables.loadSpread(spark, dir, "documents")
+      // Captured at hamming ≤ 8 — the widest consumer (p196's
+      // operating curve; p227's dendrogram reads ≤ 4). The ≤ 3
+      // consumers read a parquet-pushed `hamming <= 3` filter of the
+      // SAME table, which is EXACTLY what a ≤ 3 generation produces:
+      // bucketing and the skew cap don't depend on the capture
+      // threshold, only the final hamming filter does. One banded
+      // pair pass serves every threshold.
       DedupOps.simhashPairs(docs, "doc_id", "text",
-          maxHamming = 3, maxBucket = 1000)
+          maxHamming = 8, maxBucket = 1000)
         .write.mode("overwrite").parquet(s"$b/spairs")
       // the fixpoint consumes the MATERIALIZED pairs: pair generation
       // runs once for every consumer of the shared stage
-      DedupOps.connectedComponents(spark.read.parquet(s"$b/spairs"))
+      DedupOps.connectedComponents(
+          spark.read.parquet(s"$b/spairs").where(col("hamming") <= 3))
         .write.mode("overwrite").parquet(s"$b/labels")
       b
     })
 
-  /** The banded near-dup candidate pairs (a, b), a < b. */
+  /** The banded near-dup candidate pairs (a, b), a < b, at the
+    * repo-standard hamming ≤ 3 — a pushed-down filter of the wider
+    * shared capture, identical to a direct ≤ 3 pair pass.
+    */
   def spairs(spark: SparkSession, dir: String): DataFrame =
+    spairsWide(spark, dir, 3)
+
+  /** Pairs at a wider threshold (≤ `maxHamming`, capped at the
+    * materialized capture width 8) for the curve/dendrogram consumers.
+    */
+  def spairsWide(spark: SparkSession, dir: String,
+                 maxHamming: Int): DataFrame = {
+    require(maxHamming <= 8, s"capture is materialized at <= 8")
     spark.read.parquet(s"${base(spark, dir)}/spairs")
+      .where(col("hamming") <= maxHamming)
+  }
 
   /** CC labels as (doc_id, cluster_id); docs in no pair are absent
     * (consumers coalesce to the doc's own id, the singleton cluster).

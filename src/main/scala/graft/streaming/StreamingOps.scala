@@ -615,12 +615,14 @@ object StreamingOps {
     * stateful continuation of the p162 batch fold. The incoming docs
     * arrive as a multi-file stream (pre-split so AvailableNow really
     * delivers several micro-batches); each `foreachBatch` folds the
-    * batch's screening edges into two versioned state tables:
+    * batch's screening edges into ONE versioned state table holding
+    * two keyed maps (distinguished by a `kind` column — one commit
+    * job per batch):
     *
-    *   remap(key, cur)     — touched standing-corpus component keys
-    *                         (original label, or the corpus doc id
-    *                         itself when pair-less) → current cluster
-    *   inassign(in_id, cur) — incoming docs assigned so far
+    *   kind 'k' (key, cur)   — touched standing-corpus component keys
+    *                           (original label, or the corpus doc id
+    *                           itself when pair-less) → current cluster
+    *   kind 'i' (in_id, cur) — incoming docs assigned so far
     *
     * Fold = label contraction exactly as p162: edges map their corpus
     * endpoint through (original label ∘ remap), CC runs on the
@@ -665,10 +667,21 @@ object StreamingOps {
         Seq.empty[(Long, Long)].toDF("in_id", "cur"))
     }
     @volatile var version = -1L
+    // ONE state table per version, the two maps distinguished by a
+    // `kind` column ('k' = corpus-key remap, 'i' = incoming assign):
+    // one write job per batch instead of two halves the per-batch
+    // commit cost AND removes the partially-committed window between
+    // the two table writes — the pointer flip now guards a single
+    // atomic-enough parquet commit.
     def state(): (DataFrame, DataFrame) =
       if (version < 0) emptyState
-      else (s.read.parquet(s"$workRoot/state_v$version/remap"),
-        s.read.parquet(s"$workRoot/state_v$version/inassign"))
+      else {
+        val st = s.read.parquet(s"$workRoot/state_v$version")
+        (st.filter(col("kind") === "k")
+          .select(col("id").as("key"), col("cur")),
+          st.filter(col("kind") === "i")
+            .select(col("id").as("in_id"), col("cur")))
+      }
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val q = s.readStream.schema(schema)
@@ -709,14 +722,16 @@ object StreamingOps {
               "left_anti")),
           "in_id")
         val v = version + 1
-        // touched-component-sized tables: one file each keeps the
-        // per-batch commit cheap (at 100 TB state graduates to a
-        // bucketed table and this coalesce disappears)
-        remapNext.coalesce(1).write.mode("overwrite")
-          .parquet(s"$workRoot/state_v$v/remap")
-        inNext.coalesce(1).write.mode("overwrite")
-          .parquet(s"$workRoot/state_v$v/inassign")
-        version = v // pointer flips only after both writes committed
+        // touched-component-sized table: one file keeps the per-batch
+        // commit cheap (at 100 TB state graduates to a bucketed table
+        // and this coalesce disappears)
+        remapNext.select(lit("k").as("kind"), col("key").as("id"),
+            col("cur"))
+          .unionAll(inNext.select(lit("i").as("kind"),
+            col("in_id").as("id"), col("cur")))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$workRoot/state_v$v")
+        version = v // pointer flips only after the write committed
         ()
       }
       .trigger(Trigger.AvailableNow())
