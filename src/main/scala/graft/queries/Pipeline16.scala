@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Portable, TextOps}
+
+/** Round-10 pipeline entries: lossless prefix-filtered similarity join
+  * (the capless exact path next to the capped LSH machinery), the ZIP
+  * archive walk completing the codec family, the magic-byte ingest
+  * router in front of it, closed-form shard-to-worker scheduling, and
+  * fill-in-the-middle span planning for code-LM training prep.
+  */
+object Pipeline16 {
+
+  private val wsSql = TextSql.ws
+
+  /** p236 Jaccard threshold t = 4/5: J ≥ t ⟺ 9·|∩| ≥ 4·(|x|+|y|),
+    * exact in integers; prefix length n − ⌈0.8n⌉ + 1 ≈ n/5 keeps the
+    * inverted index a fifth of the corpus. */
+  private val PpT = 0.8
+
+  val all: Seq[Q] = Seq(
+
+    // ---- PPJoin: prefix-filtered EXACT Jaccard join ------------------------
+    // The LOSSLESS scale path next to the capped inverted index
+    // (p05's maxDf cap trades recall under skew and reports the
+    // drop): order every doc's distinct 3-shingles by ascending
+    // corpus df (rarest first — one global order for everybody), and
+    // index only each doc's first n − ⌈t·n⌉ + 1 shingles. The
+    // prefix-filter lemma (Bayardo et al. WWW'07; Xiao et al.
+    // PPJoin) guarantees any pair with J ≥ t shares at least one
+    // PREFIX shingle, so candidates come from a small rare-shingle
+    // inverted index with NO recall loss — hot shingles never enter
+    // prefixes, which is what kills the quadratic term without a
+    // cap. Candidates then verify exactly: intersection by shingle
+    // equi-join, 9·i ≥ 4·(na+nb) in integers. The oracle is the NAIVE
+    // all-shingle pair join — the hash match proves the lemma
+    // implementation end to end.
+    //
+    // Scale shape: df agg (one shuffle), per-doc rank window, a
+    // rare-shingle self-join, and a candidate-bounded verify join —
+    // never the full-shingle self-join the naive form does.
+    Q("p236_ppjoin_exact", Some(s"""
+      WITH ${Pipeline.distinctShinglesCte},
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1),
+      pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                    CAST(count(*) AS BIGINT) AS n_inter
+             FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+             GROUP BY 1, 2)
+      SELECT a, b, n_inter,
+             na.n + nb.n - n_inter AS n_union,
+             n_inter * 1000000 // (na.n + nb.n - n_inter) AS jacc_ppm
+      FROM pr JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+      WHERE 9 * n_inter >= 4 * (na.n + nb.n)
+      ORDER BY a, b""")) { (spark, dir) =>
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      // the distinct-shingle stream feeds four consumers (df, ranking,
+      // sizes, verify x2) — materialize the tokenization once
+      val tok = docs.select(col("doc_id").as("did"),
+        explode(array_distinct(TextOps.shingles(col("text"), 3))).as("w"))
+        .localCheckpoint()
+      val df = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // one global token order (df asc, token asc) ranks every doc's
+      // tokens; sizes ride along from the same window pass
+      val ranked = tok.join(df, "w")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("did")).orderBy(col("df"), col("w"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("did"))))
+      // prefix length L = n - ceil(t*n) + 1 (t = 0.8: ceil = (4n+4) div 5)
+      val prefix = ranked
+        .where(col("pos") <= expr("n - (4 * n + 4) div 5 + 1"))
+        .select(col("did"), col("w"))
+      val cand = prefix.as("x").join(prefix.as("y"),
+          col("x.w") === col("y.w") && col("x.did") < col("y.did"))
+        .select(col("x.did").as("a"), col("y.did").as("b")).distinct()
+      val inter = cand
+        .join(tok.select(col("did").as("a"), col("w")), Seq("a"))
+        .join(tok.select(col("did").as("b"), col("w")), Seq("b", "w"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+      val sz = tok.groupBy(col("did")).agg(count(lit(1)).as("n"))
+      inter
+        .join(sz.select(col("did").as("a"), col("n").as("na")), Seq("a"))
+        .join(sz.select(col("did").as("b"), col("n").as("nb")), Seq("b"))
+        .where(lit(9) * col("n_inter") >= lit(4) * (col("na") + col("nb")))
+        .select(col("a"), col("b"), col("n_inter"),
+          (col("na") + col("nb") - col("n_inter")).as("n_union"),
+          expr("n_inter * 1000000 div (na + nb - n_inter)").as("jacc_ppm"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // ---- REAL ZIP shard build + central-directory salvage walk -------------
+    // The last archive container in the codec family (gzip/tar/
+    // TFRecord/MP4 ship already): per doc a 2-entry STORED zip (text
+    // + metadata entry) built with real CRC-32s, then salvage-walked
+    // — central directory first (the authoritative index), local-
+    // header cross-check and data-CRC per entry; when the EOCD is
+    // gone (mode 1: interrupted upload), a forward local-header walk
+    // recovers what survived. Mode 2 flips one DATA bit in entry 1:
+    // sizes agree everywhere, only the CRC catches it. The oracle
+    // computes every count from frame ALGEBRA (30+name+data local,
+    // 46+name central, 22 EOCD) — it never parses bytes, so the hash
+    // match proves the walk's arithmetic and the builder's layout.
+    //
+    // Scale shape: build + walk are per-row byte work in the scan
+    // stage, zero shuffle; the census is one doc-keyed projection.
+    Q("p237_zip_shards", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 3 AS mode,
+                        CAST(length(text) AS BIGINT) AS l1,
+                        CAST(length(concat('meta:', CAST(doc_id AS VARCHAR)))
+                          AS BIGINT) AS l2
+                 FROM documents)
+      SELECT doc_id, CAST(mode AS BIGINT) AS mode,
+             CAST(2 AS BIGINT) AS n_entries,
+             CAST(CASE WHEN mode = 2 THEN 1 ELSE 2 END AS BIGINT) AS n_valid,
+             l1 + l2 AS payload_bytes,
+             CAST(CASE WHEN mode = 1 THEN 70 + l1 + l2
+                  ELSE 194 + l1 + l2 END AS BIGINT) AS blob_bytes,
+             mode <> 1 AS has_central,
+             mode = 0 AS clean
+      FROM d ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.Zip
+      val w = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 3).as("mode"),
+          Zip.walk(Zip.build(col("text"),
+            concat(lit("meta:"), col("doc_id").cast("string")),
+            (col("doc_id") % 3).cast("int"))).as("z"))
+      w.select(col("doc_id"), col("mode"),
+          col("z.n_entries").as("n_entries"),
+          col("z.n_valid").as("n_valid"),
+          col("z.payload_bytes").as("payload_bytes"),
+          col("z.blob_bytes").as("blob_bytes"),
+          col("z.has_central").as("has_central"),
+          col("z.clean").as("clean"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- magic-byte ingest router ------------------------------------------
+    // The front door of a multimodal ingest path: blobs arrive with a
+    // DECLARED type (the upload manifest / file extension) and the
+    // engine trusts nothing — the first bytes decide which codec
+    // kernel (Gzip/Png/Bmp/Wav/Zip/Mp4) the row routes to. Planted
+    // reality: every doc is wrapped in its declared container's
+    // magic, except doc_id % 11 == 0 which arrives corrupted (a stray
+    // leading byte — the classic partial-write). Detection is PURE
+    // built-in byte predicates (substring equality on binary —
+    // whole-stage codegen, no UDF): the census of declared vs
+    // detected is what a production router alerts on. The oracle
+    // derives the answer from doc_id algebra alone — the hash match
+    // proves the byte-level sniffing.
+    //
+    // Scale shape: scan-stage byte compares + one metadata-sized
+    // group-by; the blobs never shuffle.
+    Q("p238_magic_router", Some("""
+      WITH d AS (SELECT doc_id,
+                        CASE doc_id % 7 WHEN 0 THEN 'gzip' WHEN 1 THEN 'png'
+                          WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav'
+                          WHEN 4 THEN 'zip' WHEN 5 THEN 'text'
+                          ELSE 'mp4' END AS declared,
+                        doc_id % 11 = 0 AS corrupted
+                 FROM documents)
+      SELECT declared,
+             CASE WHEN corrupted THEN 'unknown' ELSE declared END AS detected,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM d GROUP BY 1, 2 ORDER BY declared, detected""")) { (spark, dir) =>
+      def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+      val payload = col("text").cast("binary")
+      val kind = col("doc_id") % 7
+      val magicOf = Map(
+        0 -> b(0x1f, 0x8b, 0x08),                        // gzip member
+        1 -> b(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), // png
+        2 -> "BM".getBytes,                               // bmp
+        4 -> b(0x50, 0x4b, 0x03, 0x04))                   // zip local hdr
+      val wavHdr = concat(lit("RIFF".getBytes), lit(b(0, 0, 0, 0)),
+        lit("WAVE".getBytes))
+      val mp4Hdr = concat(lit(b(0, 0, 0, 24)), lit("ftyp".getBytes))
+      val body = when(kind === 0, concat(lit(magicOf(0)), payload))
+        .when(kind === 1, concat(lit(magicOf(1)), payload))
+        .when(kind === 2, concat(lit(magicOf(2)), payload))
+        .when(kind === 3, concat(wavHdr, payload))
+        .when(kind === 4, concat(lit(magicOf(4)), payload))
+        .when(kind === 5, payload)
+        .otherwise(concat(mp4Hdr, payload))
+      val blob = when(col("doc_id") % 11 === 0,
+        concat(lit(b(0x00)), body)).otherwise(body)
+      def magic(off: Int, m: Array[Byte]) =
+        substring(col("blob"), off, m.length) === lit(m)
+      val fb = substring(col("blob"), 1, 1)
+      val detected = when(magic(1, magicOf(0)), "gzip")
+        .when(magic(1, magicOf(1)), "png")
+        .when(magic(1, magicOf(2)), "bmp")
+        .when(magic(1, "RIFF".getBytes) && magic(9, "WAVE".getBytes), "wav")
+        .when(magic(1, magicOf(4)), "zip")
+        .when(magic(5, "ftyp".getBytes), "mp4")
+        .when(fb >= lit(b(0x20)) && fb <= lit(b(0x7e)), "text")
+        .otherwise("unknown")
+      val declared = when(kind === 0, "gzip").when(kind === 1, "png")
+        .when(kind === 2, "bmp").when(kind === 3, "wav")
+        .when(kind === 4, "zip").when(kind === 5, "text").otherwise("mp4")
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), declared.as("declared"), blob.as("blob"))
+        .select(col("declared"), detected.as("detected"))
+        .groupBy(col("declared"), col("detected"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("declared"), col("detected"))
+    },
+
+    // ---- serpentine shard-to-worker scheduling -----------------------------
+    // The training-launch question: 64 variable-size shards onto 8
+    // workers so the slowest worker (the makespan) is near the mean.
+    // Sorted serpentine (boustrophedon) assignment — rank shards by
+    // size descending, sweep workers left-to-right then right-to-left
+    // — is the CLOSED-FORM balancer: no driver loop, no iterative
+    // bin-packing, just a rank window and an alternating modulus, so
+    // the whole schedule is one metadata-sized query even when the
+    // shard census comes from a 100 TB scan. Output: per-worker load
+    // and its exact ppm deviation from the ideal mean.
+    Q("p239_shard_schedule", Some("""
+      WITH sh AS (SELECT doc_id % 64 AS shard,
+                         CAST(sum(n_chars) AS BIGINT) AS bytes
+                  FROM documents GROUP BY 1),
+      rk AS (SELECT shard, bytes,
+                    row_number() OVER (ORDER BY bytes DESC, shard) - 1 AS r
+             FROM sh),
+      asg AS (SELECT shard, bytes,
+                     CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                          ELSE 7 - (r % 8) END AS worker
+              FROM rk),
+      w AS (SELECT worker, CAST(count(*) AS BIGINT) AS n_shards,
+                   CAST(sum(bytes) AS BIGINT) AS total_bytes
+            FROM asg GROUP BY 1)
+      SELECT worker, n_shards, total_bytes,
+             CAST(total_bytes * 8 * 1000000
+               // (SELECT CAST(sum(total_bytes) AS BIGINT) FROM w)
+               - 1000000 AS BIGINT) AS skew_ppm
+      FROM w ORDER BY worker""")) { (spark, dir) =>
+      val sh = Tables.load(spark, dir, "documents")
+        .groupBy((col("doc_id") % 64).as("shard"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      val rk = sh.withColumn("r", row_number().over(
+        Window.orderBy(col("bytes").desc, col("shard"))) - 1)
+      val asg = rk.withColumn("worker",
+        when(expr("r div 8") % 2 === 0, col("r") % 8)
+          .otherwise(lit(7) - col("r") % 8).cast("long"))
+      val w = asg.groupBy(col("worker"))
+        .agg(count(lit(1)).as("n_shards"), sum(col("bytes")).as("total_bytes"))
+      val grand = w.agg(sum(col("total_bytes")).as("grand"))
+      w.crossJoin(broadcast(grand))
+        .select(col("worker"), col("n_shards"), col("total_bytes"),
+          expr("total_bytes * 8 * 1000000 div grand - 1000000").as("skew_ppm"))
+        .orderBy(col("worker"))
+    },
+
+    // ---- fill-in-the-middle span planning ----------------------------------
+    // Code-LM training prep (Bavarian et al. 2022): half the corpus
+    // (a deterministic portable-hash gate, so every rerun and every
+    // engine picks the SAME docs) is rearranged prefix/middle/suffix.
+    // Span endpoints come from two salted portable hashes — start
+    // uniform over tokens, length uniform over the remainder — and
+    // the PSM layout adds three sentinel tokens. All integer
+    // arithmetic; the oracle recomputes the identical hashes in SQL,
+    // so the hash match proves split determinism cross-engine —
+    // the property that makes a 100 TB FIM pass resumable and
+    // shard-order-independent.
+    //
+    // Scale shape: pure scan-stage arithmetic, zero shuffle.
+    Q("p241_fim_spans", Some {
+      val h1 = Portable.h32sSql(1, "CAST(doc_id AS VARCHAR)")
+      val h2 = Portable.h32sSql(2, "CAST(doc_id AS VARCHAR)")
+      val hg = Portable.h32Sql("CAST(doc_id AS VARCHAR)")
+      s"""
+      WITH d AS (SELECT doc_id, CAST(len($wsSql) AS BIGINT) AS n
+                 FROM documents),
+      g AS (SELECT doc_id, n,
+                   n >= 8 AND $hg % 100 < 50 AS fim,
+                   $h1 % n AS s,
+                   1 + $h2 % (n - $h1 % n) AS l
+            FROM d)
+      SELECT doc_id, fim AS fim_applied, n AS n_tokens,
+             CAST(CASE WHEN fim THEN s ELSE n END AS BIGINT) AS prefix_len,
+             CAST(CASE WHEN fim THEN l ELSE 0 END AS BIGINT) AS middle_len,
+             CAST(CASE WHEN fim THEN n - s - l ELSE 0 END AS BIGINT)
+               AS suffix_len,
+             CAST(CASE WHEN fim THEN n + 3 ELSE n END AS BIGINT)
+               AS packed_tokens
+      FROM g ORDER BY doc_id"""
+    }) { (spark, dir) =>
+      val did = col("doc_id").cast("string")
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      val g = d.select(col("doc_id"), col("n"),
+        (col("n") >= 8 && Portable.h32(did) % 100 < 50).as("fim"),
+        (Portable.h32s(1, did) % col("n")).as("s"),
+        (lit(1) + Portable.h32s(2, did) %
+          (col("n") - Portable.h32s(1, did) % col("n"))).as("l"))
+      g.select(col("doc_id"), col("fim").as("fim_applied"),
+          col("n").as("n_tokens"),
+          when(col("fim"), col("s")).otherwise(col("n")).as("prefix_len"),
+          when(col("fim"), col("l")).otherwise(0L).as("middle_len"),
+          when(col("fim"), col("n") - col("s") - col("l")).otherwise(0L)
+            .as("suffix_len"),
+          when(col("fim"), col("n") + 3).otherwise(col("n"))
+            .as("packed_tokens"))
+        .orderBy(col("doc_id"))
+    })
+}

@@ -48,15 +48,17 @@ object Tables {
       .get("spark.sql.files.maxPartitionBytes", "134217728")
       .replaceAll("[^0-9]", "") match { case "" => 134217728L; case s => s.toLong }
     val fs = df.inputFiles
-    val splits = fs.map { f =>
-      val len = try {
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-          .getFileStatus(p).getLen
-      } catch { case _: Exception => 0L }
-      math.max(1L, (len + maxSplit - 1) / maxSplit)
-    }.sum
-    if (fs.nonEmpty && splits < target) df.repartition(target) else df
+    val splits =
+      if (fs.isEmpty) df.rdd.getNumPartitions.toLong // non-scan input: probe
+      else fs.map { f =>
+        val len = try {
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .getFileStatus(p).getLen
+        } catch { case _: Exception => 0L }
+        math.max(1L, (len + maxSplit - 1) / maxSplit)
+      }.sum
+    if (splits < target) df.repartition(target) else df
   }
 
   /** [[load]] + [[spread]] — the loader for queries whose per-row work

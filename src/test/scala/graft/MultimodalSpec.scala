@@ -749,4 +749,53 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bomb = walk(many)
     assert(bomb._1 == 64L && bomb._4 == 0L)
   }
+
+  test("zip kernel (p237): JDK ZipInputStream reads the built archive; " +
+      "walk verifies central dir + CRCs, salvages without EOCD, " +
+      "catches a flipped data bit, never throws on junk") {
+    import graft.functions.Zip
+    def walk(b: Array[Byte]) = {
+      val r = Zip.walkData(b)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))
+    }
+    val p1 = "hello zip payload".getBytes("UTF-8")
+    val p2 = "meta:42".getBytes("UTF-8")
+    val good = Zip.buildBytes(p1, p2, 0)
+    // interop proof: the JDK's own ZipInputStream parses the archive
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(good))
+    val e1 = zin.getNextEntry
+    val d1 = zin.readAllBytes()
+    val e2 = zin.getNextEntry
+    val d2 = zin.readAllBytes()
+    assert(e1.getName == "a.txt" && java.util.Arrays.equals(d1, p1))
+    assert(e2.getName == "m.txt" && java.util.Arrays.equals(d2, p2))
+    assert(zin.getNextEntry == null)
+    // clean walk: 2 entries, both CRC-valid, directory accounts exactly
+    assert(walk(good) ==
+      ((2L, 2L, (p1.length + p2.length).toLong, good.length.toLong,
+        true, true)))
+    // mode 1: EOCD + central dir lost -> forward salvage recovers both
+    val trunc = Zip.buildBytes(p1, p2, 1)
+    assert(walk(trunc) ==
+      ((2L, 2L, (p1.length + p2.length).toLong, trunc.length.toLong,
+        false, false)))
+    // mode 2: one DATA bit flipped -> sizes agree, CRC catches entry 1
+    val rot = Zip.buildBytes(p1, p2, 2)
+    assert(walk(rot) ==
+      ((2L, 1L, (p1.length + p2.length).toLong, rot.length.toLong,
+        true, false)))
+    // truncating mid-data drops the tail entry in salvage mode
+    val cut = java.util.Arrays.copyOf(trunc, trunc.length - 3)
+    val (n, v, _, _, hc, cl) = walk(cut)
+    assert(n == 1L && v == 1L && !hc && !cl)
+    // junk and short blobs never throw, salvage nothing
+    assert(walk(Array.fill[Byte](100)(0x41))._1 == 0L)
+    assert(walk(Array[Byte]())._1 == 0L)
+    // a lying EOCD pointing past itself is not clean
+    val lie = good.clone()
+    lie(lie.length - 6) = 0x7f // cd offset field corrupted
+    assert(!walk(lie)._6)
+  }
 }

@@ -390,6 +390,19 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val wide = spark.range(0, 1000).repartition(par).toDF("x")
     // reference equality: no shuffle is ever added to a wide-enough plan
     assert(queries.Tables.spread(wide) eq wide)
+    // the load path (file-backed scans) estimates width from the file
+    // listing — no RDD conversion: a 1-file fixture scan widens...
+    val dir = s"${sys.props("java.io.tmpdir")}/spreadfix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    spark.range(0, 1000).toDF("x").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/one")
+    val oneFile = spark.read.parquet(s"$dir/one")
+    assert(queries.Tables.spread(oneFile).rdd.getNumPartitions == par)
+    // ...and a scan already wider than the session stays untouched
+    spark.range(0, 1000).toDF("x").repartition(par + 1)
+      .write.mode("overwrite").parquet(s"$dir/many")
+    val manyFiles = spark.read.parquet(s"$dir/many")
+    assert(queries.Tables.spread(manyFiles) eq manyFiles)
   }
 
   test("bloom prefilter plans as a scalar-subquery might_contain below the join") {
@@ -449,6 +462,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bigrams: 7 total, "x x" appears 3× → 2 duplicates → 2*1e6 div 7
     assert(r.getAs[Long]("dup_bigram_ppm") == 285714L)
     assert(r.getAs[Long]("dup_seg_ppm") == 0L) // single segment
+  }
+
+  test("p236 PPJoin: prefix filter finds EXACTLY the naive pairs, " +
+      "including under a corpus-wide hot prefix") {
+    import spark.implicits._
+    // adversarial shape for a capped index: every doc opens with the
+    // same 4 tokens (shared hot shingles a df-capped index would
+    // drop); docs 1/2 near-dup, 3 shares only the hot open, 4 small
+    val dir = s"${sys.props("java.io.tmpdir")}/p236fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon" // 20 tokens
+    Seq(
+      (1L, t1),
+      (2L, t1.replace("upsilon", "omega")), // last token differs
+      (3L, "alpha beta gamma delta different words follow here now"),
+      (4L, "completely unrelated tiny document")
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p236_ppjoin_exact")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"))).toList
+    // 3-shingle truth: docs 1/2 share 17 of 19 distinct shingles
+    // (J = 17/19 = 0.894 >= 0.8); docs 1/3 share only the hot opening
+    // 2 shingles (J = 2/23); doc 4 shares nothing. One pair survives.
+    assert(got == List((1L, 2L, 17L, 19L)))
   }
 
   test("p51 CMS envelope: every top-20 estimate within [exact, exact+eps*N], " +
