@@ -58,7 +58,7 @@ object Bmp {
     * compression), positive (bottom-up) height, and a payload long
     * enough to hold every declared pixel row.
     */
-  private def header(b: Array[Byte]): Array[Int] = {
+  private[functions] def header(b: Array[Byte]): Array[Int] = {
     if (b == null || b.length < 54) return null
     if (b(0) != 'B' || b(1) != 'M') return null
     val offset = le32(b, 10)
@@ -85,7 +85,7 @@ object Bmp {
   /** Packed pixel at image coordinates (x, y), y = 0 at the TOP — the
     * file stores rows bottom-up, so file row is `h - 1 - y`.
     */
-  @inline private def pixel(b: Array[Byte], offset: Int, w: Int, h: Int,
+  @inline private[functions] def pixel(b: Array[Byte], offset: Int, w: Int, h: Int,
                             x: Int, y: Int): Int = {
     val rowSize = ((w * 3 + 3) / 4) * 4
     val p = offset + (h - 1 - y) * rowSize + x * 3

@@ -252,6 +252,37 @@ object DedupOps {
     * equal band got capped while a later band's bucket survived; the
     * dedup shuffle is bounded by the cap, so correctness wins.)
     */
+  /** Near-dup pairs over an ARBITRARY 64-bit signature column (SimHash,
+    * pHash, …) at hamming ≤ `maxHamming` (≤ 3 for the pigeonhole
+    * guarantee): the [[simhashPairs]] banding machinery factored over a
+    * precomputed signature — 4 × 16-bit band keys, bucket-local pair
+    * generation from the sorted member list, skew-capped buckets, exact
+    * `bit_count` verification, dedup across bands.
+    */
+  def hammingPairs64(sig: DataFrame, id: String, hashCol: String,
+                     maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming <= 3, "pigeonhole recall guarantee needs <= 3")
+    val blockArr = array((0 until 4).map(q =>
+      struct(lit(q).as("q"),
+        shiftrightunsigned(col(hashCol), q * 16).bitwiseAND(0xffffL)
+          .as("qk"))): _*)
+    val blocks = sig
+      .select(col(id).as("did"), col(hashCol).as("sh"),
+        explode(blockArr).as("blk"))
+      .select(col("did"), col("sh"), col("blk.q").as("q"),
+        col("blk.qk").as("qk"))
+    val buckets = blocks
+      .groupBy(col("q"), col("qk"))
+      .agg(sort_array(collect_list(struct(col("did"), col("sh")))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+    explodePairs(buckets, "ds")
+      .select(col("pa.did").as("a"), col("pb.did").as("b"),
+        expr("bit_count(pa.sh ^ pb.sh)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
   def simhashPairs(docs: DataFrame, id: String, text: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sh = simhash64(docs, id, text)

@@ -17,12 +17,12 @@ object MultimodalQ {
   /** Little-endian hex of a value known to fit 32/16 bits — the BMP and
     * WAV container builders share these.
     */
-  private def le32h(x: org.apache.spark.sql.Column) = {
+  private[queries] def le32h(x: org.apache.spark.sql.Column) = {
     val h = lpad(hex(x.cast("long")), 8, "0")
     concat(substring(h, 7, 2), substring(h, 5, 2),
       substring(h, 3, 2), substring(h, 1, 2))
   }
-  private def le16h(x: org.apache.spark.sql.Column) = {
+  private[queries] def le16h(x: org.apache.spark.sql.Column) = {
     val h = lpad(hex(x.cast("long")), 4, "0")
     concat(substring(h, 3, 2), substring(h, 1, 2))
   }

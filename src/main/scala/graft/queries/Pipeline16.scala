@@ -251,6 +251,92 @@ object Pipeline16 {
         .orderBy(col("worker"))
     },
 
+    // ---- perceptual image hash (DCT pHash) near-dup pairs ------------------
+    // IMAGE near-duplicate detection — the visual gap next to the
+    // byte-exact and text near-dup families: re-encodes and slight
+    // edits of the same picture must pair up even though their bytes
+    // differ completely. Per doc a REAL 16×16 grayscale BMP is built
+    // (5 base patterns by doc_id % 5, one per-doc perturbed pixel —
+    // same-class images are near-identical, cross-class unrelated),
+    // then ONE scan-stage kernel decodes it and computes the classic
+    // DCT pHash with 1e4-scaled INTEGER cosine basis, ordinal median,
+    // 63-bit pack (graft.functions.Phash — pixels never explode into
+    // rows). Pairs at hamming ≤ 3 come from the SimHash pigeonhole
+    // banding, reused over the precomputed hash column
+    // (DedupOps.hammingPairs64). The oracle rebuilds the full DCT in
+    // SQL from the SAME embedded integer cosine table and brute-
+    // forces all pairs — the hash match proves decode, transform,
+    // median, packing, and banding end to end.
+    //
+    // Scale shape: kernel in the scan stage (megapixel-safe), then
+    // the standard two-shuffle banded pair join on 1-long signatures.
+    Q("p240_phash_neardup", Some {
+      val ct = (for (u <- 0 until 8; x <- 0 until 16)
+        yield s"($u,$x,${graft.functions.Phash.Ct(u)(x)})").mkString(", ")
+      s"""
+      WITH c5 AS (SELECT doc_id, doc_id % 5 AS c, doc_id % 16 AS nx,
+                  (doc_id // 16) % 16 AS ny FROM documents),
+      px AS (SELECT doc_id, gx.x AS x, gy.y AS y,
+             (gx.x*(c+3)*7 + gy.y*(2*c+5)*13 + c*29
+               + CASE WHEN gx.x = nx AND gy.y = ny THEN 16 ELSE 0 END)
+               % 256 AS v
+             FROM c5, generate_series(0, 15) gx(x),
+                  generate_series(0, 15) gy(y)),
+      ct(u, x, cv) AS (VALUES $ct),
+      f AS (SELECT doc_id, cu.u AS fu, cv.u AS fv2,
+                   CAST(sum(v * cu.cv * cv.cv) AS BIGINT) AS fval
+            FROM px JOIN ct cu ON cu.x = px.x JOIN ct cv ON cv.x = px.y
+            GROUP BY 1, 2, 3),
+      nz AS (SELECT doc_id, fu*8 + fv2 AS idx, fval FROM f
+             WHERE NOT (fu = 0 AND fv2 = 0)),
+      md AS (SELECT doc_id, fval AS m FROM
+             (SELECT doc_id, fval, row_number() OVER (PARTITION BY doc_id
+                ORDER BY fval, idx) AS rn FROM nz)
+             WHERE rn = 32),
+      ph AS (SELECT nz.doc_id,
+             CAST(sum(CASE WHEN fval > m THEN
+                  CASE WHEN idx = 63 THEN -9223372036854775808
+                       ELSE (CAST(1 AS BIGINT) << idx) END
+                  ELSE 0 END) AS BIGINT) AS phash
+             FROM nz JOIN md ON md.doc_id = nz.doc_id GROUP BY 1)
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3
+      ORDER BY a, b"""
+    }) { (spark, dir) =>
+      import graft.functions.Phash
+      import graft.ops.DedupOps
+      val c = col("doc_id") % 5
+      val nx = col("doc_id") % 16
+      val ny = expr("(doc_id div 16) % 16")
+      def vAt(x: org.apache.spark.sql.Column,
+              y: org.apache.spark.sql.Column) =
+        (x * (c + lit(3)) * 7 + y * (c * 2 + lit(5)) * 13 + c * 29 +
+          when(x === nx && y === ny, 16).otherwise(0)) % 256
+      // 16×16 24bpp grayscale BMP (rowSize 48, no padding, bottom-up)
+      val pixelsHex = array_join(
+        transform(sequence(lit(0), lit(15)), yf =>
+          array_join(transform(sequence(lit(0), lit(15)), x => {
+            val hv = lpad(hex(vAt(x, lit(15) - yf)), 2, "0")
+            concat(hv, hv, hv)
+          }), "")), "")
+      val header = concat(
+        lit("424D"), MultimodalQ.le32h(lit(54 + 768)), lit("00000000"),
+        MultimodalQ.le32h(lit(54)), MultimodalQ.le32h(lit(40)),
+        MultimodalQ.le32h(lit(16)), MultimodalQ.le32h(lit(16)),
+        MultimodalQ.le16h(lit(1)), MultimodalQ.le16h(lit(24)),
+        MultimodalQ.le32h(lit(0)), MultimodalQ.le32h(lit(768)),
+        MultimodalQ.le32h(lit(0)), MultimodalQ.le32h(lit(0)),
+        MultimodalQ.le32h(lit(0)), MultimodalQ.le32h(lit(0)))
+      val blob = unhex(concat(header, pixelsHex))
+      val sig = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), Phash.phash(blob).as("ph"))
+      DedupOps.hammingPairs64(sig, "doc_id", "ph", maxHamming = 3)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // ---- fill-in-the-middle span planning ----------------------------------
     // Code-LM training prep (Bavarian et al. 2022): half the corpus
     // (a deterministic portable-hash gate, so every rerun and every

@@ -798,4 +798,54 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     lie(lie.length - 6) = 0x7f // cd offset field corrupted
     assert(!walk(lie)._6)
   }
+
+  test("phash kernel (p240): perceptual invariances — affine intensity " +
+      "changes leave the hash IDENTICAL, edits stay closer than " +
+      "unrelated content, junk -> null") {
+    import graft.functions.Phash
+    // minimal in-test 24bpp BMP builder (w=h=16, rowSize 48, bottom-up)
+    def bmp(v: (Int, Int) => Int): Array[Byte] = {
+      val out = new Array[Byte](54 + 768)
+      def w32(o: Int, x: Int): Unit = (0 until 4).foreach(i =>
+        out(o + i) = (x >>> (8 * i)).toByte)
+      out(0) = 'B'; out(1) = 'M'; w32(2, 54 + 768); w32(10, 54)
+      w32(14, 40); w32(18, 16); w32(22, 16)
+      out(26) = 1; out(28) = 24; w32(34, 768)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val p = 54 + (15 - y) * 48 + x * 3
+        val g = v(x, y) & 0xff
+        out(p) = g.toByte; out(p + 1) = g.toByte; out(p + 2) = g.toByte
+      }
+      out
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def base(x: Int, y: Int) = (x * 21 + y * 13) % 256
+    val h0 = Phash.phashData(bmp(base)).asInstanceOf[Long]
+    // determinism + identity
+    assert(Phash.phashData(bmp(base)) == h0)
+    // EXACT perceptual invariance: any affine intensity change
+    // a·v + b (a > 0) scales every DCT coefficient by a and moves
+    // only the DC term by b — the median threshold is scale/shift-
+    // equivariant, so the hash is IDENTICAL, not merely close. This
+    // is the property that makes pHash survive brightness/contrast
+    // re-grades that break byte-exact dedup.
+    def half(x: Int, y: Int) = base(x, y) / 2 // 0..127, so 2v+1 is exact
+    val hHalf = Phash.phashData(bmp(half)).asInstanceOf[Long]
+    assert(Phash.phashData(bmp((x, y) => half(x, y) * 2))
+      .asInstanceOf[Long] == hHalf, "contrast x2 must not move the hash")
+    assert(Phash.phashData(bmp((x, y) => half(x, y) + 100))
+      .asInstanceOf[Long] == hHalf, "brightness +100 must not move the hash")
+    // a one-pixel edit stays measurably closer than unrelated content
+    val h1 = Phash.phashData(bmp((x, y) =>
+      if (x == 3 && y == 7) (base(x, y) + 16) % 256 else base(x, y)))
+      .asInstanceOf[Long]
+    val h3 = Phash.phashData(bmp((x, y) => ((x / 4) * 255 + y) % 256))
+      .asInstanceOf[Long]
+    assert(ham(h0, h1) < ham(h0, h3),
+      s"edit ${ham(h0, h1)} bits vs unrelated ${ham(h0, h3)} bits")
+    assert(ham(h0, h3) > 15, s"unrelated images only ${ham(h0, h3)} apart")
+    // malformed input -> null, never a throw
+    assert(Phash.phashData(Array.fill[Byte](50)(1)) == null)
+    assert(Phash.phashData("BMjunk".getBytes ++ new Array[Byte](100)) == null)
+  }
 }
