@@ -66,6 +66,10 @@ object GraftExtensions {
       a => graft.functions.GcdExpr(a(0), a(1))),
     fn("graft_lcm", "graft_lcm(bigint, bigint) - least common multiple (DF38 lcm; Spark has no built-in)", 2)(
       a => graft.functions.LcmExpr(a(0), a(1))),
+    fn("graft_array_ndims", "graft_array_ndims(array) - nesting depth of the array type (DF38 array_ndims; foldable constant)", 1)(
+      a => graft.functions.ArrayNdimsExpr(a(0))),
+    fn("graft_array_dims", "graft_array_dims(array) - per-level extents along first children (DF38 array_dims)", 1)(
+      a => graft.functions.ArrayDimsExpr(a(0))),
     fn("graft_bmp_dims", "graft_bmp_dims(binary) - packed (w<<32)|h of an uncompressed 24-bpp BMP", 1)(
       a => graft.functions.BmpDimsExpr(a(0))),
     fn("graft_bmp_resample", "graft_bmp_resample(binary, w, h) - nearest-neighbour thumbnail as array<int> packed RGB", 3)(

@@ -251,6 +251,119 @@ object Pipeline16 {
         .orderBy(col("worker"))
     },
 
+    // ---- curation gate overlap census --------------------------------------
+    // The ablation view of the filter funnel (p28 measures the
+    // SEQUENTIAL funnel; this measures the JOINT distribution): every
+    // doc is scored against four independent gates — length, quality,
+    // language, near-dup-free — and the census over the 16-cell
+    // pass/fail mask is what tells a pipeline owner whether gates are
+    // redundant (cells where two gates always fail together), what a
+    // gate's MARGINAL cost is (cells where only it fails), and how
+    // much survives end to end (the all-true cell). The dup gate
+    // reads pair-graph membership off the SharedStages materialized
+    // pairs; the oracle recomputes all four gates from scratch
+    // (including the full banded SimHash pass), so the hash match
+    // pins every gate definition cross-engine.
+    //
+    // Scale shape: three gates are scan-stage arithmetic; the dup
+    // gate is one semi-join against the shared pair table; the
+    // census is a 16-row aggregate.
+    Q("p242_gate_census", Some {
+      val names = TextOps.langProfiles.map(_._1)
+      val scoreSql = names.map(l =>
+        s"CAST(${TextSql.langScore("ws", l)} AS BIGINT) AS s_$l")
+        .mkString(", ")
+      s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      nodes AS (SELECT DISTINCT doc_id FROM
+                (SELECT a AS doc_id FROM spairs
+                 UNION ALL SELECT b FROM spairs)),
+      t AS (SELECT doc_id, $wsSql AS ws, text FROM documents),
+      s AS (SELECT doc_id, ws, text, $scoreSql FROM t),
+      g AS (SELECT s.doc_id,
+                   len(ws) >= 40 AS pass_len,
+                   ${TextSql.quality("ws")} >= 0.75 AS pass_quality,
+                   ${TextSql.langCase(l => s"s_$l")} = 'en' AS pass_lang,
+                   nodes.doc_id IS NULL AS pass_dupfree,
+                   CAST(len(ws) AS BIGINT) AS n_tokens
+            FROM s LEFT JOIN nodes ON nodes.doc_id = s.doc_id)
+      SELECT pass_len, pass_quality, pass_lang, pass_dupfree,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM g GROUP BY 1, 2, 3, 4
+      ORDER BY pass_len, pass_quality, pass_lang, pass_dupfree"""
+    }) { (spark, dir) =>
+      val docs = Tables.loadSpread(spark, dir, "documents")
+      val toks = TextOps.tokens(col("text"))
+      val lang = TextOps.langId(col("text"))
+      val nodes = SharedStages.spairs(spark, dir)
+        .select(col("a").as("doc_id"))
+        .unionAll(SharedStages.spairs(spark, dir).select(col("b")))
+        .distinct()
+      docs
+        .select(col("doc_id"),
+          (size(toks) >= 40).as("pass_len"),
+          (TextOps.qualityScore(col("text")) >= 0.75).as("pass_quality"),
+          (lang === "en").as("pass_lang"),
+          size(toks).cast("long").as("n_tokens"))
+        .join(nodes.withColumn("dup", lit(true)), Seq("doc_id"), "left")
+        .withColumn("pass_dupfree", coalesce(col("dup"), lit(false)) === false)
+        .groupBy(col("pass_len"), col("pass_quality"), col("pass_lang"),
+          col("pass_dupfree"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("pass_len"), col("pass_quality"), col("pass_lang"),
+          col("pass_dupfree"))
+    },
+
+    // ---- UTF-8 validity census over raw bytes ------------------------------
+    // The byte-level gate BEFORE any text op trusts a string cast:
+    // planted per-doc damage classes — clean ASCII; valid 2- and
+    // 3-byte characters appended; an overlong '/' (the classic filter-
+    // smuggling vector) plus a stray continuation byte; a sequence CUT
+    // by an interrupted write. One scan-stage kernel
+    // (graft.functions.Utf8Walk) walks the RFC 3629 rules and counts
+    // each class separately — overlong is a security signal, stray
+    // bytes are corruption, truncation is an io artifact, and the
+    // three route differently. The oracle computes every count from
+    // mode algebra on the (ASCII) payload length, never parsing
+    // bytes, so the hash match proves the DFA.
+    //
+    // Scale shape: per-row byte walk in the scan stage, zero shuffle.
+    Q("p243_utf8_census", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 4 AS mode,
+                        CAST(length(text) AS BIGINT) AS l
+                 FROM documents)
+      SELECT doc_id, CAST(mode AS BIGINT) AS mode,
+             l + CASE mode WHEN 1 THEN 5 WHEN 2 THEN 3 WHEN 3 THEN 2
+                 ELSE 0 END AS n_bytes,
+             l + CASE WHEN mode = 1 THEN 2 ELSE 0 END AS n_chars,
+             CAST(CASE WHEN mode = 2 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_invalid,
+             CAST(CASE WHEN mode = 2 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_overlong,
+             mode = 3 AS truncated
+      FROM d ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.Utf8Walk
+      def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+      val payload = col("text").cast("binary")
+      val mode = col("doc_id") % 4
+      val blob = when(mode === 1,
+          concat(payload, lit(b(0xc3, 0xa9, 0xe2, 0x82, 0xac)))) // é €
+        .when(mode === 2, concat(payload, lit(b(0xc0, 0xaf, 0x80)))) // overlong '/', stray cont
+        .when(mode === 3, concat(payload, lit(b(0xe2, 0x82)))) // cut '€'
+        .otherwise(payload)
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), mode.cast("long").as("mode"),
+          Utf8Walk.walk(blob).as("u"))
+        .select(col("doc_id"), col("mode"),
+          col("u.n_bytes").as("n_bytes"), col("u.n_chars").as("n_chars"),
+          col("u.n_invalid").as("n_invalid"),
+          col("u.n_overlong").as("n_overlong"),
+          col("u.truncated").as("truncated"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- perceptual image hash (DCT pHash) near-dup pairs ------------------
     // IMAGE near-duplicate detection — the visual gap next to the
     // byte-exact and text near-dup families: re-encodes and slight

@@ -151,6 +151,35 @@ object Relational6 {
         FROM orders
         GROUP BY ALL
         ORDER BY o_orderpriority, o_orderstatus""")
+    },
+
+    // ---- array introspection scalars (DF38 array_ndims / array_dims) ------
+    // The last documented inherited-surface gap: Spark ships size/
+    // cardinality but nothing that sees NESTING. graft_array_ndims is
+    // type-directed (a foldable constant — ConstantFolding erases it
+    // before codegen); graft_array_dims walks first children for the
+    // per-level extents, which ARE data-dependent — the oracle
+    // recomputes them from the same partkey arithmetic. Dims render
+    // as "a x b" strings so the cross-engine compare stays scalar.
+    Q("q61_array_introspection", Some("""
+      SELECT p_partkey,
+             CAST(1 AS INT) AS nd1, CAST(2 AS INT) AS nd2,
+             CAST(3 AS INT) AS nd3,
+             CAST(2 + p_partkey % 4 AS VARCHAR) AS dims1,
+             concat(CAST(2 AS VARCHAR), 'x',
+                    CAST(1 + p_partkey % 3 AS VARCHAR)) AS dims2
+      FROM part ORDER BY p_partkey""")) { (spark, dir) =>
+      import graft.functions.ArrayIntrospect.{dims, ndims}
+      val a1 = expr("sequence(1, 2 + cast(p_partkey % 4 as int))")
+      val inner = expr("sequence(1, 1 + cast(p_partkey % 3 as int))")
+      val a2 = array(inner, inner)
+      val a3 = array(array(array(col("p_partkey"))))
+      Tables.load(spark, dir, "part")
+        .select(col("p_partkey"),
+          ndims(a1).as("nd1"), ndims(a2).as("nd2"), ndims(a3).as("nd3"),
+          concat_ws("x", dims(a1).cast("array<string>")).as("dims1"),
+          concat_ws("x", dims(a2).cast("array<string>")).as("dims2"))
+        .orderBy(col("p_partkey"))
     }
   )
 }

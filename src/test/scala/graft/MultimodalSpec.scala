@@ -799,6 +799,40 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!walk(lie)._6)
   }
 
+  test("utf8 walk (p243): RFC 3629 classes — overlong, surrogates, " +
+      "stray continuations, out-of-range, truncation; never throws") {
+    import graft.functions.Utf8Walk
+    def w(xs: Int*) = {
+      val r = Utf8Walk.walkData(xs.map(_.toByte).toArray)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))
+    }
+    // clean ascii + valid 2/3/4-byte chars
+    assert(w('a', 'b') == ((2L, 2L, 0L, 0L, false)))
+    assert(w(0xc3, 0xa9) == ((2L, 1L, 0L, 0L, false))) // é
+    assert(w(0xe2, 0x82, 0xac) == ((3L, 1L, 0L, 0L, false))) // €
+    assert(w(0xf0, 0x9f, 0x98, 0x80) == ((4L, 1L, 0L, 0L, false))) // emoji
+    // overlong: C0/C1 lead; 3-byte below U+0800; 4-byte below U+10000
+    assert(w(0xc0, 0xaf) == ((2L, 0L, 0L, 1L, false)))
+    assert(w(0xe0, 0x80, 0xaf) == ((3L, 0L, 0L, 1L, false)))
+    assert(w(0xf0, 0x80, 0x80, 0xaf) == ((4L, 0L, 0L, 1L, false)))
+    // surrogate U+D800 (CESU-8 leak) and above-U+10FFFF are invalid
+    assert(w(0xed, 0xa0, 0x80) == ((3L, 0L, 1L, 0L, false)))
+    assert(w(0xf4, 0x90, 0x80, 0x80) == ((4L, 0L, 1L, 0L, false)))
+    // stray continuation, forbidden F5..FF lead
+    assert(w('a', 0x80, 'b') == ((3L, 2L, 1L, 0L, false)))
+    assert(w(0xfe, 0xff) == ((2L, 0L, 2L, 0L, false)))
+    // broken continuation consumes the lead and resyncs: E2 then 'x'
+    assert(w(0xe2, 'x', 'y') == ((3L, 2L, 1L, 0L, false)))
+    // truncation: blob ends mid-sequence with valid bytes so far
+    assert(w('a', 0xe2, 0x82) == ((3L, 1L, 0L, 0L, true)))
+    assert(w(0xf0, 0x9f, 0x98) == ((3L, 0L, 0L, 0L, true)))
+    assert(w(0xc3) == ((1L, 0L, 0L, 0L, true)))
+    // but a cut with a WRONG byte present is corruption, not truncation
+    assert(w(0xe2, 'x') == ((2L, 1L, 1L, 0L, false)))
+    assert(w() == ((0L, 0L, 0L, 0L, false)))
+  }
+
   test("phash kernel (p240): perceptual invariances — affine intensity " +
       "changes leave the hash IDENTICAL, edits stay closer than " +
       "unrelated content, junk -> null") {
