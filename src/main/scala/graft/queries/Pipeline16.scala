@@ -450,6 +450,163 @@ object Pipeline16 {
         .orderBy(col("a"), col("b"))
     },
 
+    // ---- near-dup pair edit distance (banded Levenshtein) ------------------
+    // The reviewer's last question about a candidate pair before 100 TB
+    // of "duplicates" get deleted: HOW different are they, exactly?
+    // p199 names the shared evidence; this measures the residual — the
+    // exact character edit distance, computed ONLY for the pair-graph
+    // edges (never all pairs) with Spark's built-in threshold
+    // Levenshtein (banded O(len·k) instead of O(len²); above the 200
+    // cap both engines report -1, the no-silent-caps posture). The
+    // relative form (ppm of the longer side) is the score a dedup
+    // policy thresholds on. Functions-not-UDFs: the kernel is Spark's
+    // own codegen'd expression; the oracle recomputes pairs from
+    // scratch and runs DuckDB's Levenshtein — identical unit-cost
+    // DP, so the hash match pins both engines' edit semantics.
+    Q("p244_pair_edit_distance", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      j AS (SELECT p.a, p.b,
+                   CASE WHEN levenshtein(ta.text, tb.text) <= 200
+                        THEN CAST(levenshtein(ta.text, tb.text) AS BIGINT)
+                        ELSE CAST(-1 AS BIGINT) END AS edit_dist,
+                   CAST(greatest(length(ta.text), length(tb.text))
+                     AS BIGINT) AS mx
+            FROM spairs p
+            JOIN documents ta ON ta.doc_id = p.a
+            JOIN documents tb ON tb.doc_id = p.b)
+      SELECT a, b, edit_dist,
+             CASE WHEN edit_dist >= 0 THEN edit_dist * 1000000 // mx
+                  ELSE CAST(-1 AS BIGINT) END AS rel_ppm
+      FROM j ORDER BY a, b""")) { (spark, dir) =>
+      val docs = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val pairs = SharedStages.spairs(spark, dir).select(col("a"), col("b"))
+      pairs
+        .join(docs.select(col("doc_id").as("a"), col("text").as("t_a")), "a")
+        .join(docs.select(col("doc_id").as("b"), col("text").as("t_b")), "b")
+        .select(col("a"), col("b"),
+          expr("levenshtein(t_a, t_b, 200)").cast("long").as("edit_dist"),
+          greatest(length(col("t_a")), length(col("t_b"))).cast("long")
+            .as("mx"))
+        .select(col("a"), col("b"), col("edit_dist"),
+          when(col("edit_dist") >= 0,
+            expr("edit_dist * 1000000 div mx")).otherwise(-1L).as("rel_ppm"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // ---- time-decayed heavy hitters ----------------------------------------
+    // Recency-weighted ranking — what's hot NOW, not what was big
+    // last month: per event type over the trailing 12 days, the
+    // half-life-one-day decayed count Σ c_d · 2^(d − d_first), kept
+    // EXACT by scaling to the window start (weights 2^0..2^11 — pure
+    // integers, no float decay drift, trivially mergeable map-side
+    // partials). Ranked beside the raw count so the census shows
+    // exactly which types recency re-orders — the dashboard view a
+    // trending detector thresholds on.
+    //
+    // Scale shape: one filtered scan, one keyed agg with map-side
+    // partials, a broadcast max-day scalar; output is type-bounded.
+    Q("p245_decayed_topk", Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(date_trunc('day', ts) AS DATE) AS day
+                 FROM events),
+      b AS (SELECT max(day) AS hi FROM e),
+      w AS (SELECT event_type,
+                   CAST(1 AS BIGINT) << (11 - datediff('day', day, hi))
+                     AS wt
+            FROM e, b WHERE datediff('day', day, hi) < 12),
+      s AS (SELECT event_type, CAST(sum(wt) AS BIGINT) AS decayed,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM w GROUP BY 1),
+      r AS (SELECT event_type, decayed, n_events,
+                   row_number() OVER (ORDER BY decayed DESC, event_type)
+                     AS rnk,
+                   row_number() OVER (ORDER BY n_events DESC, event_type)
+                     AS rank_by_raw
+            FROM s)
+      SELECT event_type, decayed, n_events, CAST(rnk AS BIGINT) AS rnk,
+             CAST(rank_by_raw AS BIGINT) AS rank_by_raw
+      FROM r WHERE rnk <= 5 ORDER BY rnk""")) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val hi = e.agg(max(col("day")).as("hi"))
+      val s = e.crossJoin(broadcast(hi))
+        .where(datediff(col("hi"), col("day")) < 12)
+        .select(col("event_type"),
+          expr("shiftleft(cast(1 as bigint), 11 - datediff(hi, day))")
+            .as("wt"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("wt")).as("decayed"), count(lit(1)).as("n_events"))
+      s.withColumn("rnk", row_number().over(
+          Window.orderBy(col("decayed").desc, col("event_type"))).cast("long"))
+        .withColumn("rank_by_raw", row_number().over(
+          Window.orderBy(col("n_events").desc, col("event_type"))).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("event_type"), col("decayed"), col("n_events"),
+          col("rnk"), col("rank_by_raw"))
+        .orderBy(col("rnk"))
+    },
+
+    // ---- EXACT 7-day rolling distinct users (first-occurrence trick) -------
+    // The exact counterpart of p153's rolling HLL, at the same O(events)
+    // cost: a user counts toward window ending day g iff they have an
+    // active day in [g-6, g] whose PREVIOUS active day is before g-6 —
+    // i.e. exactly their FIRST occurrence inside the window. One lag
+    // over the per-user day stream plus a bounded ×7 contribution
+    // explode replaces the per-window DISTINCT recount (which at scale
+    // is 7 full shuffles a day); the technique every exact sliding-
+    // distinct dashboard is built on. The oracle IS the naive
+    // recount — the hash match proves the trick's equivalence.
+    Q("p246_rolling_distinct", Some("""
+      WITH ud AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('day', ts) AS DATE) AS day
+                  FROM events),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+      days AS (SELECT CAST(unnest(generate_series(b.lo, b.hi,
+                        INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      naive AS (SELECT d.day,
+                       CAST(count(DISTINCT u.user_id) AS BIGINT)
+                         AS n_active_7d
+                FROM days d JOIN ud u
+                  ON u.day BETWEEN d.day - 6 AND d.day
+                GROUP BY 1),
+      one AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active_1d
+              FROM ud GROUP BY 1)
+      SELECT CAST(d.day AS VARCHAR) AS day,
+             coalesce(one.n_active_1d, 0) AS n_active_1d,
+             coalesce(naive.n_active_7d, 0) AS n_active_7d
+      FROM days d
+      LEFT JOIN one ON one.day = d.day
+      LEFT JOIN naive ON naive.day = d.day
+      ORDER BY day""")) { (spark, dir) =>
+      val ud = Tables.load(spark, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .localCheckpoint() // feeds lag pass, 1d counts, and the grid
+      val prev = ud.withColumn("prev", lag(col("day"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("day"))))
+      val bounds = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      // contribution explode: this activity day is the user's FIRST in
+      // windows ending g ∈ [day, day+6] with prev < g-6
+      val contrib = prev.crossJoin(broadcast(bounds))
+        .select(col("user_id"), col("prev"), col("hi"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("g"))
+        .where(col("g") <= col("hi") &&
+          (col("prev").isNull || col("prev") < date_sub(col("g"), 6)))
+        .groupBy(col("g").as("day"))
+        .agg(count(lit(1)).as("n_active_7d"))
+      val one = ud.groupBy(col("day")).agg(count(lit(1)).as("n_active_1d"))
+      val days = bounds.select(explode(sequence(col("lo"), col("hi")))
+        .as("day"))
+      days
+        .join(one, Seq("day"), "left")
+        .join(contrib, Seq("day"), "left")
+        .select(col("day").cast("string").as("day"),
+          coalesce(col("n_active_1d"), lit(0L)).as("n_active_1d"),
+          coalesce(col("n_active_7d"), lit(0L)).as("n_active_7d"))
+        .orderBy(col("day"))
+    },
+
     // ---- fill-in-the-middle span planning ----------------------------------
     // Code-LM training prep (Bavarian et al. 2022): half the corpus
     // (a deterministic portable-hash gate, so every rerun and every
