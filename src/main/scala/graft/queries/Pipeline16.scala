@@ -20,6 +20,62 @@ object Pipeline16 {
     * inverted index a fifth of the corpus. */
   private val PpT = 0.8
 
+  /** ONE oracle for both faces of the decayed top-k (p245 batch,
+    * p248 streaming-state) — the ksOracle discipline: sharing the text
+    * makes the batch ≡ stream equivalence inseparable.
+    */
+  private val decayedTopkOracle: String = """
+      WITH e AS (SELECT event_type,
+                        CAST(date_trunc('day', ts) AS DATE) AS day
+                 FROM events),
+      b AS (SELECT max(day) AS hi FROM e),
+      w AS (SELECT event_type,
+                   CAST(1 AS BIGINT) << (11 - datediff('day', day, hi))
+                     AS wt
+            FROM e, b WHERE datediff('day', day, hi) < 12),
+      s AS (SELECT event_type, CAST(sum(wt) AS BIGINT) AS decayed,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM w GROUP BY 1),
+      r AS (SELECT event_type, decayed, n_events,
+                   row_number() OVER (ORDER BY decayed DESC, event_type)
+                     AS rnk,
+                   row_number() OVER (ORDER BY n_events DESC, event_type)
+                     AS rank_by_raw
+            FROM s)
+      SELECT event_type, decayed, n_events, CAST(rnk AS BIGINT) AS rnk,
+             CAST(rank_by_raw AS BIGINT) AS rank_by_raw
+      FROM r WHERE rnk <= 5 ORDER BY rnk"""
+
+  /** Decayed top-5 from (event_type, day, cnt) counts — the shared
+    * final stage of p245 (batch counts) and p248 (streamed state). */
+  private def decayedFromDayCounts(cnts: org.apache.spark.sql.DataFrame) = {
+    val hi = cnts.agg(max(col("day")).as("hi"))
+    val s = cnts.crossJoin(broadcast(hi))
+      .where(datediff(col("hi"), col("day")) < 12)
+      .select(col("event_type"),
+        (col("cnt") *
+          expr("shiftleft(cast(1 as bigint), 11 - datediff(hi, day))"))
+          .as("wt"),
+        col("cnt"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("wt")).as("decayed"), sum(col("cnt")).as("n_events"))
+    s.withColumn("rnk", row_number().over(
+        Window.orderBy(col("decayed").desc, col("event_type"))).cast("long"))
+      .withColumn("rank_by_raw", row_number().over(
+        Window.orderBy(col("n_events").desc, col("event_type"))).cast("long"))
+      .where(col("rnk") <= 5)
+      .select(col("event_type"), col("decayed"), col("n_events"),
+        col("rnk"), col("rank_by_raw"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Poisson(1) CDF in ppm (k = 0..7; ≥ 8 collapses to the tail) —
+    * the ONE literal table both engines derive resample weights from.
+    */
+  private val poissonCdfPpm =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L,
+      999990L)
+
   val all: Seq[Q] = Seq(
 
     // ---- PPJoin: prefix-filtered EXACT Jaccard join ------------------------
@@ -507,45 +563,93 @@ object Pipeline16 {
     //
     // Scale shape: one filtered scan, one keyed agg with map-side
     // partials, a broadcast max-day scalar; output is type-bounded.
-    Q("p245_decayed_topk", Some("""
-      WITH e AS (SELECT event_type,
-                        CAST(date_trunc('day', ts) AS DATE) AS day
-                 FROM events),
-      b AS (SELECT max(day) AS hi FROM e),
-      w AS (SELECT event_type,
-                   CAST(1 AS BIGINT) << (11 - datediff('day', day, hi))
-                     AS wt
-            FROM e, b WHERE datediff('day', day, hi) < 12),
-      s AS (SELECT event_type, CAST(sum(wt) AS BIGINT) AS decayed,
-                   CAST(count(*) AS BIGINT) AS n_events
-            FROM w GROUP BY 1),
-      r AS (SELECT event_type, decayed, n_events,
-                   row_number() OVER (ORDER BY decayed DESC, event_type)
-                     AS rnk,
-                   row_number() OVER (ORDER BY n_events DESC, event_type)
-                     AS rank_by_raw
-            FROM s)
-      SELECT event_type, decayed, n_events, CAST(rnk AS BIGINT) AS rnk,
-             CAST(rank_by_raw AS BIGINT) AS rank_by_raw
-      FROM r WHERE rnk <= 5 ORDER BY rnk""")) { (spark, dir) =>
-      val e = Tables.load(spark, dir, "events")
+    Q("p245_decayed_topk", Some(decayedTopkOracle)) { (spark, dir) =>
+      val cnts = Tables.load(spark, dir, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"))
-      val hi = e.agg(max(col("day")).as("hi"))
-      val s = e.crossJoin(broadcast(hi))
-        .where(datediff(col("hi"), col("day")) < 12)
-        .select(col("event_type"),
-          expr("shiftleft(cast(1 as bigint), 11 - datediff(hi, day))")
-            .as("wt"))
-        .groupBy(col("event_type"))
-        .agg(sum(col("wt")).as("decayed"), count(lit(1)).as("n_events"))
-      s.withColumn("rnk", row_number().over(
-          Window.orderBy(col("decayed").desc, col("event_type"))).cast("long"))
-        .withColumn("rank_by_raw", row_number().over(
-          Window.orderBy(col("n_events").desc, col("event_type"))).cast("long"))
-        .where(col("rnk") <= 5)
-        .select(col("event_type"), col("decayed"), col("n_events"),
-          col("rnk"), col("rank_by_raw"))
-        .orderBy(col("rnk"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      decayedFromDayCounts(cnts)
+    },
+
+    // ---- STREAMING decayed top-k (same oracle as p245) ---------------------
+    // The trending detector as it actually runs: the event stream
+    // folds into a versioned (event_type, day) count state per
+    // micro-batch (full-outer merge — counts are additive, so ANY
+    // batching reaches the same state), and the decayed ranking reads
+    // the state, not the raw stream. Shares p245's ORACLE STRING
+    // verbatim, so stream-fold ≡ batch-recompute is pinned by the
+    // same hash — the ksOracle (p187/p193) discipline.
+    //
+    // Scale shape: per-batch delta agg is batch-bounded; state is
+    // type×day-bounded metadata; the rank stage reads state only.
+    Q("p248_stream_decayed_topk", Some(decayedTopkOracle)) { (spark, dir) =>
+      val root = sinkDir(s"p248_${Integer.toHexString(dir.hashCode)}")
+      val state = graft.streaming.StreamingOps
+        .decayedCountsIngest(spark, dir, root)
+      decayedFromDayCounts(state)
+    },
+
+    // ---- deterministic Poisson bootstrap (hash-derived resample weights) ---
+    // Error bars for a corpus statistic WITHOUT randomness: the
+    // Poisson bootstrap (each row enters resample b with weight
+    // ~Poisson(1)) is the resampling scheme built for distributed
+    // systems — weights are per-row-independent, so resampling is a
+    // scan-stage map, no global multinomial draw. Here the weight is
+    // DERIVED from a salted portable hash quantiled through ONE
+    // literal Poisson CDF table shared with the oracle: every rerun,
+    // every engine, every partitioning produces the SAME 16 resamples
+    // — reproducible uncertainty quantification, the property that
+    // lets a 100 TB pipeline assert "mean quality moved beyond the
+    // bootstrap spread" across runs. Statistic: mean quality in exact
+    // micro-integers; spread = min/max across the 16 resample means.
+    //
+    // Scale shape: one scan × bounded 16-way explode, map-side
+    // partial aggs; output is 16 rows.
+    Q("p247_poisson_bootstrap", Some {
+      val wCase = "CASE " + poissonCdfPpm.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString(" ") + " ELSE 8 END"
+      val h = Portable.h32sSql(100, "concat(CAST(b AS VARCHAR), ':', CAST(doc_id AS VARCHAR))")
+      s"""
+      WITH d AS (SELECT doc_id,
+                        CAST(round(${TextSql.quality(wsSql)} * 1000000, 0)
+                          AS BIGINT) AS micro
+                 FROM documents),
+      r AS (SELECT doc_id, micro, gb.b AS b,
+                   $h % 1000000 AS u
+            FROM d, generate_series(0, 15) gb(b)),
+      w AS (SELECT b, micro, $wCase AS w FROM r),
+      m AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+                   CAST(sum(w * micro) // sum(w) AS BIGINT) AS mean_micro
+            FROM w GROUP BY 1)
+      SELECT CAST(b AS BIGINT) AS b, n_eff, mean_micro,
+             CAST(min(mean_micro) OVER () AS BIGINT) AS lo_micro,
+             CAST(max(mean_micro) OVER () AS BIGINT) AS hi_micro
+      FROM m ORDER BY b"""
+    }) { (spark, dir) =>
+      val wCase = poissonCdfPpm.zipWithIndex.foldRight(lit(8)) {
+        case ((c, k), rest) => when(col("u") < c, k).otherwise(rest)
+      }
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.qualityScore(col("text")) * 1000000, 0)
+            .cast("long").as("micro"))
+      val r = d.select(col("doc_id"), col("micro"),
+          explode(sequence(lit(0), lit(15))).as("b"))
+        .withColumn("u", Portable.h32s(100,
+          concat(col("b").cast("string"), lit(":"),
+            col("doc_id").cast("string"))) % 1000000)
+      val m = r.select(col("b"), col("micro"), wCase.as("w"))
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("n_eff"),
+          expr("sum(w * micro) div sum(w)").as("mean_micro"))
+      m.select(col("b").cast("long").as("b"), col("n_eff"),
+          col("mean_micro"),
+          min(col("mean_micro")).over(Window.partitionBy())
+            .cast("long").as("lo_micro"),
+          max(col("mean_micro")).over(Window.partitionBy())
+            .cast("long").as("hi_micro"))
+        .orderBy(col("b"))
     },
 
     // ---- EXACT 7-day rolling distinct users (first-occurrence trick) -------

@@ -753,6 +753,63 @@ object StreamingOps {
       .select(col("doc_id"), col("cluster_id"),
         when(col("doc_id") % 3 === 0, "in").otherwise("corpus").as("role"))
   }
+
+  /** STREAMING (event_type, day) count maintenance — the state behind
+    * p248's decayed top-k: the event stream arrives as a 3-file
+    * pre-split (so AvailableNow really delivers several micro-batches),
+    * each `foreachBatch` aggregates its slice to per-(type, day)
+    * partial counts and MERGES them into a versioned state table
+    * (full-outer sum — counts are additive, so ANY batching of the
+    * stream folds to the same state, which is what the shared p245
+    * oracle verifies). Pointer flips after the write: the
+    * crash-safety discipline of the other versioned-state ops.
+    * Returns the final (event_type, day, cnt) state.
+    */
+  def decayedCountsIngest(spark: SparkSession, dir: String,
+                          workRoot: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val ev = graft.queries.Tables.load(s, dir, "events")
+      .select(col("event_type"), col("ts"))
+    val srcDir = s"$workRoot/incoming"
+    ev.repartitionByRange(3, col("ts"))
+      .write.mode("overwrite").parquet(srcDir)
+    @volatile var version = -1L
+    def state(): DataFrame =
+      if (version < 0) {
+        import s.implicits._
+        Seq.empty[(String, java.sql.Date, Long)]
+          .toDF("event_type", "day", "cnt")
+      } else s.read.parquet(s"$workRoot/state_v$version")
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("ts", TimestampType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("d_cnt"))
+        val merged = state().join(delta, Seq("event_type", "day"),
+            "full_outer")
+          .select(col("event_type"), col("day"),
+            (coalesce(col("cnt"), lit(0L)) +
+              coalesce(col("d_cnt"), lit(0L))).as("cnt"))
+        val v = version + 1
+        // type×day-bounded state: one file per commit at fixture scale
+        // (a bucketed table at 100 TB, as with the other state ops)
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$workRoot/state_v$v")
+        version = v
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state()
+  }
 }
 
 /** Versioned parquet key-value target for the foreachBatch MERGE

@@ -720,4 +720,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(_.startsWith("state_v"))
     assert(versions >= 2, s"expected multi-batch fold, got $versions")
   }
+
+  test("p248 decayed-count state fold: counts that SPAN micro-batches " +
+      "merge additively through the versioned state") {
+    import spark.implicits._
+    // ts range-split into 3 files puts day 1 and day 3 occurrences of
+    // type 'a' in DIFFERENT micro-batches; 'b' repeats within one day
+    def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-02-0$d $h%02d:00:00")
+    val dir = s"${sys.props("java.io.tmpdir")}/p248fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    Seq(
+      ("a", t(1, 1)), ("b", t(1, 2)), ("b", t(1, 3)),
+      ("a", t(2, 1)), ("a", t(2, 2)),
+      ("a", t(3, 1)), ("c", t(3, 2))
+    ).toDF("event_type", "ts")
+      .withColumn("event_id", lit(1L)).withColumn("user_id", lit(1L))
+      .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val root = dir + "/work"
+    val got = graft.streaming.StreamingOps
+      .decayedCountsIngest(spark, dir, root)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("a", "2024-02-01", 1L), ("b", "2024-02-01", 2L),
+      ("a", "2024-02-02", 2L), ("a", "2024-02-03", 1L),
+      ("c", "2024-02-03", 1L)))
+    val versions = new java.io.File(root).list()
+      .count(_.startsWith("state_v"))
+    assert(versions >= 2, s"expected multi-batch fold, got $versions")
+  }
 }
