@@ -711,6 +711,139 @@ object Pipeline16 {
         .orderBy(col("day"))
     },
 
+    // ---- exact-integer CUSUM change detection ------------------------------
+    // Sequential change detection on the daily event volume — the
+    // alarm that fires DURING a drift, not after a month of it (the
+    // p160/p234 census views look back; CUSUM watches forward). The
+    // classic recurrence S_d = max(0, S_{d-1} + x_d − μ − k) looks
+    // inherently sequential, but reduces EXACTLY to
+    // S_d = P_d − min(0, min_{j≤d} P_j) over the prefix sums P of the
+    // centered series — two O(days) windows, no recursion, the same
+    // carry-recurrence-to-window discipline as the cohort/SCD2 ops.
+    // Exactness: multiply through by 4n (slack k = μ/4, threshold
+    // h = 2μ ⇒ alarm at 8S scaled) so no float touches the statistic;
+    // missing days count as zero via the p153 day grid.
+    Q("p249_cusum_alarm", Some("""
+      WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day
+                 FROM events),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+      days AS (SELECT CAST(unnest(generate_series(b.lo, b.hi,
+                        INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      x AS (SELECT d.day, CAST(count(e.day) AS BIGINT) AS n_events
+            FROM days d LEFT JOIN e ON e.day = d.day GROUP BY 1),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_events) AS BIGINT) AS s FROM x),
+      y AS (SELECT day, n_events,
+                   4 * t.n * n_events - 5 * t.s AS y, t.s
+            FROM x, t),
+      p AS (SELECT day, n_events, s,
+                   CAST(sum(y) OVER (ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pf
+            FROM y),
+      c AS (SELECT day, n_events, s, pf,
+                   CAST(least(CAST(0 AS BIGINT), min(pf) OVER (ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS mn
+            FROM p)
+      SELECT CAST(day AS VARCHAR) AS day, n_events,
+             pf - mn AS cusum_scaled,
+             pf - mn >= 8 * s AS alarm
+      FROM c ORDER BY day""")) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "events")
+        .select(to_date(col("ts")).as("day"))
+      val bounds = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val days = bounds.select(explode(sequence(col("lo"), col("hi")))
+        .as("day"))
+      val x = days.join(e.groupBy(col("day")).agg(count(lit(1)).as("ne")),
+          Seq("day"), "left")
+        .select(col("day"), coalesce(col("ne"), lit(0L)).as("n_events"))
+      val t = x.agg(count(lit(1)).as("n"), sum(col("n_events")).as("s"))
+      val w = Window.orderBy(col("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+      x.crossJoin(broadcast(t))
+        .withColumn("y", lit(4) * col("n") * col("n_events") -
+          lit(5) * col("s"))
+        .withColumn("pf", sum(col("y")).over(w))
+        .withColumn("mn", least(lit(0L), min(col("pf")).over(w)))
+        .select(col("day").cast("string").as("day"), col("n_events"),
+          (col("pf") - col("mn")).as("cusum_scaled"),
+          (col("pf") - col("mn") >= lit(8) * col("s")).as("alarm"))
+        .orderBy(col("day"))
+    },
+
+    // ---- dataloader batch-order padding waste ------------------------------
+    // The dataloader design question p230's bucket table feeds into:
+    // given batch size 32, how much padding does the BATCH ORDER
+    // cost? Three deterministic policies over the same corpus —
+    // `hash` (p200's reproducible epoch shuffle: maximal decorrelation,
+    // worst padding), `sorted` (global length sort: minimal padding,
+    // zero shuffle-quality), and `windowed` (length-sort WITHIN
+    // 256-doc hash-order windows — the standard bucketed-shuffle
+    // compromise every production loader ships). Per policy the exact
+    // padded-token count and waste ppm: the three-row table that
+    // justifies the window size. Ranks are windows over the doc
+    // census (production range-partitions the same keys); batches are
+    // rank div 32, waste = Σ(batch_size·max − Σlen) in exact integers.
+    Q("p250_batch_order_waste", Some {
+      val h = Portable.h60Sql("concat('ep0:', CAST(doc_id AS VARCHAR))")
+      s"""
+      WITH d AS (SELECT doc_id, CAST(len($wsSql) AS BIGINT) AS len,
+                        $h AS hk
+                 FROM documents),
+      ho AS (SELECT doc_id, len,
+                    row_number() OVER (ORDER BY hk, doc_id) AS r FROM d),
+      pol AS (
+        SELECT 'hash' AS policy, len, r FROM ho
+        UNION ALL
+        SELECT 'sorted', len,
+               row_number() OVER (ORDER BY len, doc_id) FROM d
+        UNION ALL
+        SELECT 'windowed', len,
+               ((r - 1) // 256) * 256 +
+               row_number() OVER (PARTITION BY (r - 1) // 256
+                                  ORDER BY len, doc_id)
+        FROM ho),
+      bt AS (SELECT policy, (r - 1) // 32 AS batch,
+                    CAST(count(*) AS BIGINT) AS bsz,
+                    CAST(max(len) AS BIGINT) AS mx,
+                    CAST(sum(len) AS BIGINT) AS tok
+             FROM pol GROUP BY 1, 2)
+      SELECT policy, CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(tok) AS BIGINT) AS total_tokens,
+             CAST(sum(bsz * mx - tok) AS BIGINT) AS padded_tokens,
+             CAST(sum(bsz * mx - tok) * 1000000
+               // sum(bsz * mx) AS BIGINT) AS waste_ppm
+      FROM bt GROUP BY 1 ORDER BY policy"""
+    }) { (spark, dir) =>
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("len"),
+          Portable.h60(concat(lit("ep0:"), col("doc_id").cast("string")))
+            .as("hk"))
+        .localCheckpoint() // three rank policies read the same census
+      val ho = d.withColumn("r", row_number().over(
+        Window.orderBy(col("hk"), col("doc_id"))))
+      val pol = ho.select(lit("hash").as("policy"), col("len"), col("r"))
+        .unionAll(d.select(lit("sorted"), col("len"),
+          row_number().over(Window.orderBy(col("len"), col("doc_id")))))
+        .unionAll(ho
+          .withColumn("blk", expr("(r - 1) div 256"))
+          .select(lit("windowed"), col("len"),
+            (col("blk") * 256 + row_number().over(
+              Window.partitionBy(col("blk"))
+                .orderBy(col("len"), col("doc_id")))).as("r")))
+      val bt = pol.groupBy(col("policy"), expr("(r - 1) div 32").as("batch"))
+        .agg(count(lit(1)).as("bsz"), max(col("len")).as("mx"),
+          sum(col("len")).as("tok"))
+      bt.groupBy(col("policy"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("tok")).as("total_tokens"),
+          sum(col("bsz") * col("mx") - col("tok")).as("padded_tokens"))
+        .withColumn("waste_ppm", expr(
+          "padded_tokens * 1000000 div (total_tokens + padded_tokens)"))
+        .select(col("policy"), col("n_batches"), col("total_tokens"),
+          col("padded_tokens"), col("waste_ppm"))
+        .orderBy(col("policy"))
+    },
+
     // ---- fill-in-the-middle span planning ----------------------------------
     // Code-LM training prep (Bavarian et al. 2022): half the corpus
     // (a deterministic portable-hash gate, so every rerun and every

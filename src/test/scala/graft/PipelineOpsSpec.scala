@@ -490,6 +490,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == List((1L, 2L, 17L, 19L)))
   }
 
+  test("p249 CUSUM: a planted volume burst alarms during the burst, " +
+      "never in the flat head, and the stat resets after max(0, .)") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p249fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    // 10 flat days of 2 events, then 4 burst days of 30
+    val rows = (1 to 10).flatMap(d => Seq.fill(2)(d)) ++
+      (11 to 14).flatMap(d => Seq.fill(30)(d))
+    rows.zipWithIndex.map { case (d, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 12:00:00"),
+        1L, "click", 0.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("p249_cusum_alarm")(spark, dir).collect()
+    val alarms = got.filter(_.getAs[Boolean]("alarm"))
+      .map(_.getAs[String]("day"))
+    assert(alarms.nonEmpty, "burst must alarm")
+    assert(alarms.forall(_ >= "2024-03-11"),
+      s"alarm before the burst: ${alarms.mkString(",")}")
+    // the stat is non-negative everywhere (the max(0,.) reduction)
+    assert(got.forall(_.getAs[Long]("cusum_scaled") >= 0L))
+    // flat head stays quiet: scaled stat < threshold for days 1-10
+    val s = rows.size.toLong
+    assert(got.filter(_.getAs[String]("day") < "2024-03-11")
+      .forall(_.getAs[Long]("cusum_scaled") < 8 * s))
+  }
+
   test("p51 CMS envelope: every top-20 estimate within [exact, exact+eps*N], " +
     "diagnosable per token") {
     import graft.queries.{CmsProbe, Tables}
