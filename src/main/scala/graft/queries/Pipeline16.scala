@@ -844,6 +844,91 @@ object Pipeline16 {
         .orderBy(col("policy"))
     },
 
+    // ---- exact waterfilling source mix (capped-uniform allocation) ---------
+    // The mixing problem p170's proportional apportionment can't
+    // solve: allocate a token budget B (40% of the corpus) across
+    // sources as UNIFORMLY as possible subject to availability — the
+    // "upsample low-resource sources to a common level" goal of every
+    // mixture spec. The exact solution is waterfilling: a level t
+    // with alloc_s = min(avail_s, t) and Σ alloc = B, found in CLOSED
+    // FORM from the availability-sorted prefix sums (no iteration:
+    // each sorted position proposes the level assuming everything
+    // smaller is capped; exactly the segment containing the true
+    // level validates). Integer-exact: floor level + largest-
+    // remainder +1s to the first r uncapped sources by name, so the
+    // allocation sums to B EXACTLY and every engine derives the same
+    // plan. Output: per source avail / alloc / capped.
+    //
+    // Scale shape: all on the S-row source census (metadata) — the
+    // heavy part is the one token-count aggregate feeding it.
+    Q("p251_waterfill_mix", Some(s"""
+      WITH w AS (SELECT source, CAST(SUM(len($wsSql)) AS BIGINT) AS a
+                 FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(a) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS s FROM w),
+      rk AS (SELECT source, a, t.tot, t.s,
+                    2 * t.tot // 5 AS b,
+                    row_number() OVER (ORDER BY a, source) AS i,
+                    CAST(sum(a) OVER (ORDER BY a, source
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+                    coalesce(lag(a) OVER (ORDER BY a, source), 0) AS pa
+             FROM w, t),
+      cand AS (SELECT *, (b - (p - a)) // (s - i + 1) AS ti
+               FROM rk),
+      sel AS (SELECT min(CASE WHEN ti >= pa AND ti <= a THEN i END)
+                AS istar FROM cand),
+      lvl AS (SELECT c.b, c.ti AS t0, c.i AS istar,
+                     c.b - ((c.p - c.a) + (c.s - c.i + 1) * c.ti) AS r
+              FROM cand c, sel WHERE c.i = sel.istar),
+      alloc AS (SELECT c.source, c.a,
+                       c.i < lvl.istar AS capped,
+                       CASE WHEN c.i < lvl.istar THEN c.a
+                            ELSE lvl.t0 END AS base,
+                       CASE WHEN c.i >= lvl.istar THEN
+                         row_number() OVER (PARTITION BY c.i >= lvl.istar
+                                            ORDER BY c.source)
+                       END AS rn2, lvl.r
+                FROM cand c, lvl)
+      SELECT source, a AS avail_tokens,
+             CAST(base + CASE WHEN NOT capped AND rn2 <= r THEN 1
+                  ELSE 0 END AS BIGINT) AS alloc_tokens,
+             capped
+      FROM alloc ORDER BY source""")) { (spark, dir) =>
+      val w = Tables.loadSpread(spark, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("a"))
+      val t = w.agg(sum(col("a")).as("tot"), count(lit(1)).as("s"))
+      val ord = Window.orderBy(col("a"), col("source"))
+      val rk = w.crossJoin(broadcast(t))
+        .withColumn("b", expr("2 * tot div 5"))
+        .withColumn("i", row_number().over(ord).cast("long"))
+        .withColumn("p", sum(col("a")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("pa", coalesce(lag(col("a"), 1).over(ord), lit(0L)))
+      // each sorted position proposes the level assuming all smaller
+      // sources are capped; the true segment validates
+      val cand = rk.withColumn("ti",
+        expr("(b - (p - a)) div (s - i + 1)"))
+      val sel = cand.agg(min(when(col("ti") >= col("pa") &&
+        col("ti") <= col("a"), col("i"))).as("istar"))
+      val lvl = cand.crossJoin(broadcast(sel))
+        .where(col("i") === col("istar"))
+        .select(col("ti").as("t0"), col("istar").as("ist"),
+          (col("b") - ((col("p") - col("a")) +
+            (col("s") - col("i") + 1) * col("ti"))).as("r"))
+      cand.crossJoin(broadcast(lvl))
+        .withColumn("capped", col("i") < col("ist"))
+        .withColumn("rn2", when(col("i") >= col("ist"),
+          row_number().over(Window.partitionBy(col("i") >= col("ist"))
+            .orderBy(col("source")))))
+        .select(col("source"), col("a").as("avail_tokens"),
+          (when(col("capped"), col("a")).otherwise(col("t0")) +
+            when(!col("capped") && col("rn2") <= col("r"), 1L)
+              .otherwise(0L)).as("alloc_tokens"),
+          col("capped"))
+        .orderBy(col("source"))
+    },
+
     // ---- fill-in-the-middle span planning ----------------------------------
     // Code-LM training prep (Bavarian et al. 2022): half the corpus
     // (a deterministic portable-hash gate, so every rerun and every

@@ -490,6 +490,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == List((1L, 2L, 17L, 19L)))
   }
 
+  test("p251 waterfilling: small sources cap at availability, the rest " +
+      "level off, remainder spreads by name, sum is exactly B") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p251fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    def text(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // avail: sA=2, sB=3, sC=50, sD=50 -> T=105, B=42; level t=18, r=1:
+    // sA/sB capped, sC gets 19 (first uncapped by name), sD gets 18
+    Seq((1L, text(2), "sA"), (2L, text(3), "sB"),
+      (3L, text(50), "sC"), (4L, text(50), "sD"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p251_waterfill_mix")(spark, dir)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("alloc_tokens"), r.getAs[Boolean]("capped"))).toList
+    assert(got == List(("sA", 2L, true), ("sB", 3L, true),
+      ("sC", 19L, false), ("sD", 18L, false)))
+  }
+
   test("p249 CUSUM: a planted volume burst alarms during the burst, " +
       "never in the flat head, and the stat resets after max(0, .)") {
     import spark.implicits._
