@@ -274,6 +274,11 @@ object DedupOps {
     val buckets = blocks
       .groupBy(col("q"), col("qk"))
       .agg(sort_array(collect_list(struct(col("did"), col("sh")))).as("ds"))
+      // no-silent-caps: dropped oversized buckets surface as an
+      // observed metric (the simhashPairs discipline)
+      .observe("graft_hamming64_buckets",
+        sum(when(size(col("ds")) > maxBucket, 1).otherwise(0))
+          .as("dropped_oversized"))
       .filter(size(col("ds")).between(2, maxBucket))
     explodePairs(buckets, "ds")
       .select(col("pa.did").as("a"), col("pb.did").as("b"),
