@@ -929,6 +929,142 @@ object Pipeline16 {
         .orderBy(col("source"))
     },
 
+    // ---- IVF nprobe operating curve (recall vs probed cells) ---------------
+    // The p196/p211/p213 one-query-picks-the-production-parameter
+    // pattern applied to ANN serving: for a 40-query panel, exact
+    // top-10 ground truth (the eval harness — query-panel × corpus,
+    // bounded by the panel) versus IVF retrieval probing the
+    // nprobe ∈ {1,2,4,8} nearest cells, with integer-mean centroids
+    // and every distance in 1e6-scaled integer micro² arithmetic
+    // (values stay < 2^53, so the codegen DotProduct over integral
+    // doubles is EXACT and engine-portable; centroid means use
+    // pmod-floor division so both engines floor negatives
+    // identically). Output per nprobe: candidate volume and
+    // recall@10 ppm — the curve that sets the serving default.
+    //
+    // Scale shape: centroids are one per-dim partial agg; cell
+    // ranking is panel × cells; candidate scoring is panel ×
+    // (nprobe/cells) of the corpus — never all-pairs except the
+    // deliberate bounded-panel ground truth.
+    Q("p252_ivf_nprobe_curve", Some("""
+      WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                        [CAST(round(x * 1000000, 0) AS DOUBLE)
+                         for x in CAST(embedding AS DOUBLE[])] AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+                   CAST(list_dot_product(v, v) AS BIGINT) AS n2 FROM v),
+      cx AS (SELECT label, unnest(generate_series(1, len(v))) AS i,
+                    unnest(v) AS x FROM v),
+      cs AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS s,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM cx GROUP BY 1, 2),
+      cent AS (SELECT label, list(CAST(s // cnt AS DOUBLE) ORDER BY i) AS c
+               FROM cs GROUP BY 1),
+      cn AS (SELECT label, c,
+                    CAST(list_dot_product(c, c) AS BIGINT) AS nc
+             FROM cent),
+      q AS (SELECT vec_id AS qid, v AS qv, n2 AS nq FROM n
+            WHERE vec_id % 50 = 0),
+      rc AS (SELECT qid, label,
+                    row_number() OVER (PARTITION BY qid ORDER BY
+                      nq + nc - 2 * CAST(list_dot_product(qv, c) AS BIGINT),
+                      label) AS crk
+             FROM q CROSS JOIN cn),
+      gt AS (SELECT qid, vec_id FROM
+             (SELECT q.qid, n.vec_id,
+                     row_number() OVER (PARTITION BY q.qid ORDER BY
+                       q.nq + n.n2
+                         - 2 * CAST(list_dot_product(q.qv, n.v) AS BIGINT),
+                       n.vec_id) AS rk
+              FROM q JOIN n ON n.vec_id <> q.qid)
+             WHERE rk <= 10),
+      np(nprobe) AS (VALUES (1), (2), (4), (8)),
+      cand AS (SELECT np.nprobe, rc.qid, n.vec_id,
+                      q.nq + n.n2
+                        - 2 * CAST(list_dot_product(q.qv, n.v) AS BIGINT)
+                        AS d2
+               FROM np JOIN rc ON rc.crk <= np.nprobe
+               JOIN n ON n.label = rc.label
+               JOIN q ON q.qid = rc.qid
+               WHERE n.vec_id <> rc.qid),
+      ivf AS (SELECT nprobe, qid, vec_id FROM
+              (SELECT nprobe, qid, vec_id,
+                      row_number() OVER (PARTITION BY nprobe, qid
+                        ORDER BY d2, vec_id) AS rk
+               FROM cand)
+              WHERE rk <= 10),
+      vol AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_cand
+              FROM cand GROUP BY 1),
+      hit AS (SELECT i.nprobe, CAST(count(*) AS BIGINT) AS hits
+              FROM ivf i JOIN gt ON gt.qid = i.qid
+                AND gt.vec_id = i.vec_id
+              GROUP BY 1),
+      nq2 AS (SELECT CAST(count(*) AS BIGINT) AS nqs FROM q)
+      SELECT CAST(v.nprobe AS BIGINT) AS nprobe, nq2.nqs AS n_queries,
+             v.n_cand // nq2.nqs AS avg_candidates,
+             coalesce(hit.hits, 0) * 1000000 // (10 * nq2.nqs)
+               AS recall_ppm
+      FROM vol v LEFT JOIN hit ON hit.nprobe = v.nprobe CROSS JOIN nq2
+      ORDER BY nprobe""")) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.DotProduct.dot
+      val v = Tables.loadSpread(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          transform(col("embedding").cast("array<double>"),
+            x => round(x * 1000000, 0)).as("v"))
+      val n = v.withColumn("n2", dot(col("v"), col("v")).cast("long"))
+        .localCheckpoint() // corpus norms feed centroids, GT, candidates
+      val cs = n.select(col("label"),
+          posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
+      // pmod-floor division: both engines floor negative sums the same
+      val cent = cs
+        .withColumn("cj", expr("(s - pmod(s, cnt)) div cnt"))
+        .groupBy(col("label"))
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("cj")))),
+          e => e.getField("cj").cast("double")).as("c"))
+        .withColumn("nc", dot(col("c"), col("c")).cast("long"))
+      val q = n.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("n2").as("nq"))
+        .localCheckpoint()
+      val rc = q.crossJoin(broadcast(cent))
+        .select(col("qid"), col("label"),
+          (col("nq") + col("nc") -
+            lit(2) * dot(col("qv"), col("c")).cast("long")).as("d2c"))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2c"), col("label"))))
+      val scored = n.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          (col("nq") + col("n2") -
+            lit(2) * dot(col("qv"), col("v")).cast("long")).as("d2"))
+        .localCheckpoint() // GT and all four probe depths read this
+      val gt = scored.withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))))
+        .where(col("rk") <= 10).select(col("qid"), col("vec_id"))
+      val np = Seq(1, 2, 4, 8).toDF("nprobe")
+      val cand = np.join(broadcast(rc), col("crk") <= col("nprobe"))
+        .join(scored, Seq("qid", "label"))
+        .select(col("nprobe"), col("qid"), col("vec_id"), col("d2"))
+      val ivf = cand.withColumn("rk", row_number().over(
+          Window.partitionBy(col("nprobe"), col("qid"))
+            .orderBy(col("d2"), col("vec_id"))))
+        .where(col("rk") <= 10)
+      val vol = cand.groupBy(col("nprobe")).agg(count(lit(1)).as("n_cand"))
+      val hit = ivf.join(gt, Seq("qid", "vec_id"))
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+      val nqs = q.agg(count(lit(1)).as("nqs"))
+      vol.join(hit, Seq("nprobe"), "left").crossJoin(broadcast(nqs))
+        .select(col("nprobe").cast("long").as("nprobe"),
+          col("nqs").as("n_queries"),
+          expr("n_cand div nqs").as("avg_candidates"),
+          expr("coalesce(hits, 0) * 1000000 div (10 * nqs)")
+            .as("recall_ppm"))
+        .orderBy(col("nprobe"))
+    },
+
     // ---- fill-in-the-middle span planning ----------------------------------
     // Code-LM training prep (Bavarian et al. 2022): half the corpus
     // (a deterministic portable-hash gate, so every rerun and every
