@@ -52,7 +52,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("p165_greedy_coverage", 1, false),
     ("p75_curation_dag", 4, false),
     ("p158_basket_similarity", 6, false),
-    ("p216_embedding_outliers", 8, false))
+    ("p216_embedding_outliers", 8, false),
+    // round-10 additions
+    ("p236_ppjoin_exact", 4, false),
+    ("p240_phash_neardup", 4, false),
+    ("p242_gate_census", 4, false),
+    ("p244_pair_edit_distance", 2, true),
+    ("p248_stream_decayed_topk", 3, false),
+    ("p251_waterfill_mix", 7, false),
+    ("p252_ivf_nprobe_curve", 14, false))
 
   pins.foreach { case (name, maxShuffles, wantPushed) =>
     test(s"$name: no cartesian, <= $maxShuffles shuffles" +
