@@ -1065,6 +1065,131 @@ object Pipeline16 {
         .orderBy(col("nprobe"))
     },
 
+    // ---- drift null calibration (permutation test, hash-deterministic) -----
+    // p160 reports source-pair TV distances; this answers the question
+    // that decides whether anyone should CARE: is the most-drifting
+    // pair's distance larger than what random splits of the same
+    // pooled docs produce? The null is a 16-way DETERMINISTIC
+    // permutation test — pseudo-sources are hash-rank splits of the
+    // pooled pair at the exact original sizes (salted portable hash →
+    // every engine and rerun draws the same permutations, the p247
+    // reproducibility discipline applied to hypothesis testing). TV
+    // stays exact: Σ|c1·n2 − c2·n1| cross-multiplied integers over
+    // 2·n1·n2, reported in ppm. Output: the argmax pair, its observed
+    // TV, the null max and median, and the verdict bit.
+    //
+    // Scale shape: per-pair TV is a histogram join (S² pairs of
+    // metadata-sized histograms); the null re-ranks only the TWO
+    // pooled sources' docs, ×16 bounded explode.
+    Q("p253_drift_null_calibration", Some {
+      val h = Portable.h32sSql(200,
+        "concat(CAST(b AS VARCHAR), ':', CAST(doc_id AS VARCHAR))")
+      s"""
+      WITH d AS (SELECT doc_id, source,
+                        CAST(len($wsSql) // 8 AS BIGINT) AS v
+                 FROM documents),
+      sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      h1 AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+             FROM d GROUP BY 1, 2),
+      pr AS (SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2
+             FROM sz a JOIN sz b ON a.source < b.source),
+      tvv AS (SELECT pr.s1, pr.s2, pr.n1, pr.n2,
+                     CAST(sum(abs(coalesce(x.c, 0) * pr.n2
+                       - coalesce(y.c, 0) * pr.n1)) AS BIGINT) AS num
+              FROM pr
+              JOIN (SELECT DISTINCT v FROM d) vv ON true
+              LEFT JOIN h1 x ON x.source = pr.s1 AND x.v = vv.v
+              LEFT JOIN h1 y ON y.source = pr.s2 AND y.v = vv.v
+              GROUP BY 1, 2, 3, 4),
+      obs AS (SELECT s1, s2, n1, n2,
+                     num * 1000000 // (2 * n1 * n2) AS tv_ppm
+              FROM tvv),
+      top AS (SELECT * FROM obs
+              ORDER BY tv_ppm DESC, s1, s2 LIMIT 1),
+      pool AS (SELECT d.doc_id, d.v, top.n1, top.n2 FROM d, top
+               WHERE d.source = top.s1 OR d.source = top.s2),
+      rr AS (SELECT p.doc_id, p.v, p.n1, p.n2, gb.b,
+                    row_number() OVER (PARTITION BY gb.b
+                      ORDER BY $h % 1000000, doc_id) AS rk
+             FROM pool p, generate_series(0, 15) gb(b)),
+      nh AS (SELECT b, v,
+                    CAST(sum(CASE WHEN rk <= n1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c1,
+                    CAST(sum(CASE WHEN rk > n1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c2,
+                    min(n1) AS n1, min(n2) AS n2
+             FROM rr GROUP BY 1, 2),
+      ntv AS (SELECT b,
+                     CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT)
+                       * 1000000 // (2 * min(n1) * min(n2)) AS tv_ppm
+              FROM nh GROUP BY 1),
+      nstat AS (SELECT CAST(max(tv_ppm) AS BIGINT) AS null_max_ppm,
+                       CAST(min(tv_ppm) AS BIGINT) AS null_min_ppm,
+                       CAST(sum(CASE WHEN rkk = 8 THEN tv_ppm ELSE 0 END)
+                         AS BIGINT) AS null_median_ppm
+                FROM (SELECT tv_ppm, row_number() OVER (ORDER BY tv_ppm, b)
+                        AS rkk FROM ntv))
+      SELECT top.s1 AS src1, top.s2 AS src2,
+             CAST(top.tv_ppm AS BIGINT) AS observed_tv_ppm,
+             nstat.null_max_ppm, nstat.null_median_ppm,
+             top.tv_ppm > nstat.null_max_ppm AS exceeds_null
+      FROM top, nstat"""
+    }) { (spark, dir) =>
+      val d = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("cast(size(split(lower(text), '\\\\s+')) div 8 as bigint)")
+            .as("v"))
+        .localCheckpoint() // histograms, argmax pool, and 16 splits
+      val sz = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val h1 = d.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      val pr = sz.as("a").join(sz.as("b"),
+          col("a.source") < col("b.source"))
+        .select(col("a.source").as("s1"), col("b.source").as("s2"),
+          col("a.n").as("n1"), col("b.n").as("n2"))
+      val vv = d.select(col("v")).distinct()
+      val tvv = pr.crossJoin(broadcast(vv))
+        .join(h1.select(col("source").as("s1"), col("v"),
+          col("c").as("c1")), Seq("s1", "v"), "left")
+        .join(h1.select(col("source").as("s2"), col("v"),
+          col("c").as("c2")), Seq("s2", "v"), "left")
+        .groupBy(col("s1"), col("s2"), col("n1"), col("n2"))
+        .agg(sum(abs(coalesce(col("c1"), lit(0L)) * col("n2") -
+          coalesce(col("c2"), lit(0L)) * col("n1"))).as("num"))
+      val obs = tvv.select(col("s1"), col("s2"), col("n1"), col("n2"),
+        expr("num * 1000000 div (2 * n1 * n2)").as("tv_ppm"))
+      val top = obs.orderBy(col("tv_ppm").desc, col("s1"), col("s2"))
+        .limit(1).localCheckpoint() // 1-row argmax anchors pool + output
+      val pool = d.crossJoin(broadcast(top))
+        .where(col("source") === col("s1") || col("source") === col("s2"))
+        .select(col("doc_id"), col("v"), col("n1"), col("n2"))
+      val rr = pool.select(col("doc_id"), col("v"), col("n1"), col("n2"),
+          explode(sequence(lit(0), lit(15))).as("b"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("b")).orderBy(
+            Portable.h32s(200, concat(col("b").cast("string"), lit(":"),
+              col("doc_id").cast("string"))) % 1000000, col("doc_id"))))
+      val nh = rr.groupBy(col("b"), col("v"))
+        .agg(sum(when(col("rk") <= col("n1"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("rk") > col("n1"), 1L).otherwise(0L)).as("c2"),
+          min(col("n1")).as("n1"), min(col("n2")).as("n2"))
+      val ntv = nh.groupBy(col("b"))
+        .agg(sum(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+          .as("num"), min(col("n1")).as("n1m"), min(col("n2")).as("n2m"))
+        .select(col("b"),
+          expr("num * 1000000 div (2 * n1m * n2m)").as("tv_ppm"))
+      val nstat = ntv
+        .withColumn("rkk", row_number().over(
+          Window.orderBy(col("tv_ppm"), col("b"))))
+        .agg(max(col("tv_ppm")).as("null_max_ppm"),
+          sum(when(col("rkk") === 8, col("tv_ppm")).otherwise(0L))
+            .as("null_median_ppm"))
+      top.crossJoin(broadcast(nstat))
+        .select(col("s1").as("src1"), col("s2").as("src2"),
+          col("tv_ppm").as("observed_tv_ppm"),
+          col("null_max_ppm"), col("null_median_ppm"),
+          (col("tv_ppm") > col("null_max_ppm")).as("exceeds_null"))
+    },
+
     // ---- fill-in-the-middle span planning ----------------------------------
     // Code-LM training prep (Bavarian et al. 2022): half the corpus
     // (a deterministic portable-hash gate, so every rerun and every

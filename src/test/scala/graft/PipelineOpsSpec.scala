@@ -490,6 +490,48 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == List((1L, 2L, 17L, 19L)))
   }
 
+  test("p246 rolling distinct: the 7-day window boundary is [g-6, g] " +
+      "inclusive — a user exits exactly when their only day falls out") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p246fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    // u1 {d1, d8} (gap 7: re-enters), u2 {d1, d7} (gap 6: counted once
+    // per window), u3 {d1} (exits the window ending d8)
+    val act = Seq((1L, 1), (1L, 8), (2L, 1), (2L, 7), (3L, 1))
+    act.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-04-0$d 10:00:00"),
+        u, "click", 0.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("p246_rolling_distinct")(spark, dir)
+      .collect().map(r => (r.getAs[String]("day"),
+        r.getAs[Long]("n_active_7d"))).toMap
+    // d1..d7 see all three (u3's d1 is still inside [g-6, g]); at d8
+    // u3's d1 = g-7 falls out, u1 re-enters via d8, u2 stays via d7
+    (1 to 7).foreach(d => assert(got(f"2024-04-0$d") == 3L, s"day $d"))
+    assert(got("2024-04-08") == 2L)
+  }
+
+  test("p244 edit distance: whitespace twin pairs at distance 1; a " +
+      "token-duplicated twin blows the 200 cap to -1 on both engines") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p244fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val t2 = t1.replaceFirst(" ", "  ") // same tokens -> simhash 0; 1 edit
+    val t3 = t1 + (" alpha" * 61) // distinct tokens unchanged; +366 chars
+    Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p244_pair_edit_distance")(spark, dir)
+      .collect().map(r => ((r.getAs[Long]("a"), r.getAs[Long]("b")),
+        (r.getAs[Long]("edit_dist"), r.getAs[Long]("rel_ppm")))).toMap
+    assert(got((1L, 2L)) == ((1L, 1000000L / t2.length)))
+    // 366 inserted chars > 200 cap -> both engines report -1
+    assert(got((1L, 3L)) == ((-1L, -1L)))
+    assert(got((2L, 3L))._1 == -1L)
+  }
+
   test("p251 waterfilling: small sources cap at availability, the rest " +
       "level off, remainder spreads by name, sum is exactly B") {
     import spark.implicits._
