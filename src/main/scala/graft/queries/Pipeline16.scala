@@ -15,10 +15,9 @@ object Pipeline16 {
 
   private val wsSql = TextSql.ws
 
-  /** p236 Jaccard threshold t = 4/5: J ≥ t ⟺ 9·|∩| ≥ 4·(|x|+|y|),
-    * exact in integers; prefix length n − ⌈0.8n⌉ + 1 ≈ n/5 keeps the
-    * inverted index a fifth of the corpus. */
-  private val PpT = 0.8
+  // p236 Jaccard threshold is t = 4/5: J ≥ t ⟺ 9·|∩| ≥ 4·(|x|+|y|),
+  // exact in integers; prefix length n − ⌈0.8n⌉ + 1 ≈ n/5 keeps the
+  // inverted index a fifth of the corpus.
 
   /** ONE oracle for both faces of the decayed top-k (p245 batch,
     * p248 streaming-state) — the ksOracle discipline: sharing the text
@@ -353,9 +352,9 @@ object Pipeline16 {
       val docs = Tables.loadSpread(spark, dir, "documents")
       val toks = TextOps.tokens(col("text"))
       val lang = TextOps.langId(col("text"))
-      val nodes = SharedStages.spairs(spark, dir)
-        .select(col("a").as("doc_id"))
-        .unionAll(SharedStages.spairs(spark, dir).select(col("b")))
+      val sp = SharedStages.spairs(spark, dir)
+      val nodes = sp.select(col("a").as("doc_id"))
+        .unionAll(sp.select(col("b")))
         .distinct()
       docs
         .select(col("doc_id"),
