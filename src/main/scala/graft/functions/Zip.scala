@@ -138,9 +138,16 @@ object Zip {
       wr32(out, eocd + 12, cdLen)
       wr32(out, eocd + 16, localLen)
     }
-    if (mode == 2 && p1.length > 0) {
-      // flip one DATA bit of entry 1 — sizes unchanged, CRC catches it
-      out(30 + n1.length) = (out(30 + n1.length) ^ 0x40).toByte
+    if (mode == 2) {
+      if (p1.length > 0) {
+        // flip one DATA bit of entry 1 — sizes unchanged, CRC catches it
+        out(30 + n1.length) = (out(30 + n1.length) ^ 0x40).toByte
+      } else {
+        // empty payload has no data byte to flip; corrupt entry 1's
+        // CENTRAL-record CRC instead (the walk verifies data against
+        // the central CRC) so mode 2 keeps the n_valid=1 invariant
+        out(localLen + 16) = (out(localLen + 16) ^ 0x40).toByte
+      }
     }
     out
   }
@@ -167,9 +174,13 @@ object Zip {
           val lhName = rd16(b, lh + 26)
           val lhExtra = rd16(b, lh + 28)
           val dataOfs = lh + 30 + lhName + lhExtra
-          lhName == nameLen &&
+          // bound dataOfs BEFORE touching name bytes or data: a central
+          // record may point its lhOfs within 30 bytes of the blob end
+          // with a matching signature, and the salvage contract is
+          // never-throw, so every read below needs this fence first
+          // (lhName == nameLen makes the name compare covered by it too)
+          lhName == nameLen && dataOfs + csize <= b.length && csize == usize &&
             (0 until nameLen).forall(i => b(lh + 30 + i) == b(c + 46 + i)) &&
-            dataOfs + csize <= b.length && csize == usize &&
             (crc32(b, dataOfs, csize.toInt) & 0xffffffffL) == crc
         }
         (rec, usize, valid)

@@ -229,12 +229,18 @@ object Pipeline16 {
       val wavHdr = concat(lit("RIFF".getBytes), lit(b(0, 0, 0, 0)),
         lit("WAVE".getBytes))
       val mp4Hdr = concat(lit(b(0, 0, 0, 24)), lit("ftyp".getBytes))
+      // kind-5 (text) carries a printable sentinel byte ('~') so the
+      // detection algebra is PAYLOAD-INDEPENDENT: no document text can
+      // start with a container magic or a non-printable byte and break
+      // the declared==detected invariant the oracle derives from
+      // doc_id alone. Real pipelines get the same property from the
+      // upload framing; here the sentinel IS that framing.
       val body = when(kind === 0, concat(lit(magicOf(0)), payload))
         .when(kind === 1, concat(lit(magicOf(1)), payload))
         .when(kind === 2, concat(lit(magicOf(2)), payload))
         .when(kind === 3, concat(wavHdr, payload))
         .when(kind === 4, concat(lit(magicOf(4)), payload))
-        .when(kind === 5, payload)
+        .when(kind === 5, concat(lit("~".getBytes), payload))
         .otherwise(concat(mp4Hdr, payload))
       val blob = when(col("doc_id") % 11 === 0,
         concat(lit(b(0x00)), body)).otherwise(body)
@@ -246,7 +252,10 @@ object Pipeline16 {
         .when(magic(1, magicOf(2)), "bmp")
         .when(magic(1, "RIFF".getBytes) && magic(9, "WAVE".getBytes), "wav")
         .when(magic(1, magicOf(4)), "zip")
-        .when(magic(5, "ftyp".getBytes), "mp4")
+        // mp4 sniff requires the box-size sanity prefix (first three
+        // bytes zero, i.e. size < 16M) AND ftyp at offset 5 — 'ftyp'
+        // appearing inside a text payload can't route a doc here
+        .when(magic(1, b(0, 0, 0)) && magic(5, "ftyp".getBytes), "mp4")
         .when(fb >= lit(b(0x20)) && fb <= lit(b(0x7e)), "text")
         .otherwise("unknown")
       val declared = when(kind === 0, "gzip").when(kind === 1, "png")

@@ -38,19 +38,27 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // Estimate scan width from the file listing instead of forcing an
-    // RDD conversion (`df.rdd` builds a deserialization plan per load):
-    // each file contributes at least one split, plus one split per
-    // maxPartitionBytes of length. Underestimating only costs a
-    // repartition whose input is small by construction; at production
-    // scale (thousands of files) the guard is a no-op either way.
-    val maxSplit = df.sparkSession.conf
-      .get("spark.sql.files.maxPartitionBytes", "134217728")
-      .replaceAll("[^0-9]", "") match { case "" => 134217728L; case s => s.toLong }
     val fs = df.inputFiles
-    val splits =
-      if (fs.isEmpty) df.rdd.getNumPartitions.toLong // non-scan input: probe
-      else fs.map { f =>
+    if (fs.isEmpty) {
+      // Non-scan input (in-memory frame, VALUES, local relation): in
+      // this repo those are always small, so unconditionally spreading
+      // them is a tiny shuffle — and it avoids any `df.rdd` probe
+      // (which would build a deserialization plan per call).
+      df.repartition(target)
+    } else {
+      // Estimate scan width from the file listing: each file
+      // contributes at least one split, plus one split per
+      // maxPartitionBytes of length. Parse the conf with Spark's own
+      // size parser so unit-suffixed settings ("128m", "128MB") don't
+      // read as 128 bytes and silently disable the guard.
+      // Underestimating only costs a repartition whose input is small
+      // by construction; at production scale (thousands of files) the
+      // guard is a no-op either way.
+      val maxSplit = try {
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+      } catch { case _: Exception => 134217728L }
+      val splits = fs.map { f =>
         val len = try {
           val p = new org.apache.hadoop.fs.Path(f)
           p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
@@ -58,7 +66,8 @@ object Tables {
         } catch { case _: Exception => 0L }
         math.max(1L, (len + maxSplit - 1) / maxSplit)
       }.sum
-    if (splits < target) df.repartition(target) else df
+      if (splits < target) df.repartition(target) else df
+    }
   }
 
   /** [[load]] + [[spread]] — the loader for queries whose per-row work

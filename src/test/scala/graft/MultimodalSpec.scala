@@ -799,6 +799,48 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!walk(lie)._6)
   }
 
+  test("zip kernel hardening: a central record whose lhOfs lands within " +
+      "30 bytes of the blob end is rejected without throwing; an " +
+      "EMPTY first payload still yields n_valid=1 in mode 2") {
+    import graft.functions.Zip
+    def walk(b: Array[Byte]) = {
+      val r = Zip.walkData(b)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))
+    }
+    // handcrafted adversarial blob: one central record with nameLen=60
+    // whose lhOfs points at a planted local-header signature 60 bytes
+    // before the end — lhOfs+30 passes the header fence, but the name
+    // bytes (and data) extend past the array. The never-throw salvage
+    // contract requires valid=false, not ArrayIndexOutOfBounds.
+    val n = 170
+    val evil = new Array[Byte](n)
+    def w16(o: Int, v: Int): Unit = { evil(o) = v.toByte; evil(o + 1) = (v >>> 8).toByte }
+    def w32(o: Int, v: Int): Unit = (0 until 4).foreach(i => evil(o + i) = (v >>> (8 * i)).toByte)
+    w32(0, 0x02014b50)     // central sig at cdOfs=0
+    w16(28, 60)            // central nameLen = 60 (rec = 106)
+    w32(42, n - 60)        // lhOfs = 110 -> lh+30 = 140 <= 170
+    w32(110, 0x04034b50)   // planted local-header signature
+    w16(136, 60)           // local nameLen = 60 -> name compare would read b(170..)
+    w32(n - 22, 0x06054b50) // EOCD
+    w16(n - 22 + 10, 1)    // one entry
+    w32(n - 22 + 12, 106)  // cdSize
+    w32(n - 22 + 16, 0)    // cdOfs
+    assert(walk(evil) == ((1L, 0L, 0L, n.toLong, true, false)))
+    // empty first payload: mode 2 has no data byte to flip, so the
+    // builder corrupts entry 1's CENTRAL CRC — n_valid must stay 1
+    // (the p237 oracle hard-codes it) instead of silently passing 2
+    val p2 = "meta:7".getBytes("UTF-8")
+    val emptyRot = Zip.buildBytes(Array.empty[Byte], p2, 2)
+    assert(walk(emptyRot) ==
+      ((2L, 1L, p2.length.toLong, emptyRot.length.toLong, true, false)))
+    // and modes 0/1 with an empty payload stay fully valid/salvageable
+    assert(walk(Zip.buildBytes(Array.empty[Byte], p2, 0))._6)
+    assert(walk(Zip.buildBytes(Array.empty[Byte], p2, 1)) ==
+      ((2L, 2L, p2.length.toLong,
+        Zip.buildBytes(Array.empty[Byte], p2, 1).length.toLong, false, false)))
+  }
+
   test("utf8 walk (p243): RFC 3629 classes — overlong, surrogates, " +
       "stray continuations, out-of-range, truncation; never throws") {
     import graft.functions.Utf8Walk

@@ -490,6 +490,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == List((1L, 2L, 17L, 19L)))
   }
 
+  test("p238 magic router: detection is payload-independent — text " +
+      "that opens with a container magic, a tab, 'ftyp' bytes, or is " +
+      "empty still routes as text; corruption always reads unknown") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p238fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    // ids chosen so kind = id%7 and corruption = id%11==0 hit the
+    // adversarial cells: 5/12/19/26 are uncorrupted text (kind 5),
+    // 33 corrupted text, 6 mp4, 77 corrupted gzip
+    Seq(
+      (5L, "BM evil bitmap lookalike"),          // bmp magic inside text
+      (12L, "\tstarts with a tab"),              // non-printable first byte
+      (19L, "PK\u0003\u0004 zip lookalike"),     // zip magic inside text
+      (26L, ""),                                  // empty payload
+      (33L, "corrupted text row"),               // kind 5, id%11==0
+      (6L, "aftypa — mp4 payload with ftyp-ish bytes"),
+      (77L, "gzip row")                           // kind 0, id%11==0
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p238_magic_router")(spark, dir)
+      .collect().map(r => (r.getAs[String]("declared"),
+        r.getAs[String]("detected"), r.getAs[Long]("n_docs"))).toList
+    assert(got == List(
+      ("gzip", "unknown", 1L), ("mp4", "mp4", 1L),
+      ("text", "text", 4L), ("text", "unknown", 1L)))
+  }
+
   test("p246 rolling distinct: the 7-day window boundary is [g-6, g] " +
       "inclusive — a user exits exactly when their only day falls out") {
     import spark.implicits._
