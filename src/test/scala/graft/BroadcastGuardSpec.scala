@@ -1,18 +1,13 @@
 package graft
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import java.util.concurrent.ConcurrentLinkedQueue
-
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.GraftListenerFlush
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.QueryExecution
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -25,10 +20,12 @@ import graft.queries.Tables
   *  1. every declared entry runs with ONLY hinted broadcasts physical
   *     (`autoBroadcastJoinThreshold = -1`, AQE off — Spark's own
   *     size-based broadcasts are adaptive by definition and need no
-  *     audit), and a QueryExecutionListener captures the runtime
-  *     `numOutputRows` of every BroadcastExchangeExec — including the
-  *     ones inside eager `localCheckpoint` jobs, which a final-plan
-  *     walk would miss;
+  *     audit), and a [[CaptureListener]] — loaded via the STATIC conf
+  *     `spark.sql.queryExecutionListeners`, so `spark.newSession()`
+  *     interiors and streaming micro-batch clones instantiate it too —
+  *     captures the runtime `numOutputRows` of every
+  *     BroadcastExchangeExec, including the ones inside eager
+  *     `localCheckpoint` jobs and foreachBatch interior actions;
   *  2. entries whose captured broadcasts touch the doc/embedding
   *     corpora (or have lineage broken by a checkpoint) re-run on a
   *     DOUBLED corpus fixture, and the max broadcast build size must
@@ -42,35 +39,20 @@ import graft.queries.Tables
   * table broadcast where only panel members could match) was an
   * AGGREGATE over a full scan — a "no full-table scan under a
   * broadcast" check would have passed it; a 500→1000-row build under
-  * corpus×2 fails loudly.
+  * corpus×2 fails loudly. The round-10 hole — a listener registered on
+  * the spec session never fires for `newSession()` interiors, silently
+  * exempting every streaming entry — is closed by the conf-loaded
+  * listener and PROVEN closed by the foreachBatch sentinel test below.
   */
 class BroadcastGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val sfDir = "/root/testdata/sf0.001"
-  private val corpusTables = Set("documents", "embeddings")
+  private val corpusTables = GuardFixtures.corpusTables
   /** Broadcasts below this are metadata noise (cut points, panels of
     * constants, 1-row aggregates) — ignored by the growth audit. */
   private val MinAuditRows = 64L
 
-  private case class Cap(rows: Long, tables: Set[String])
-  private val captured = new ConcurrentLinkedQueue[Cap]()
-
-  private val listener = new QueryExecutionListener {
-    override def onSuccess(funcName: String, qe: QueryExecution,
-                           durationNs: Long): Unit = {
-      qe.executedPlan.collectWithSubqueries {
-        case b: BroadcastExchangeExec =>
-          val tabs = b.collectWithSubqueries { case f: FileSourceScanExec =>
-            f.relation.location.rootPaths
-              .map(_.getName.stripSuffix(".parquet")).toSeq
-          }.flatten.toSet
-          captured.add(Cap(b.metrics("numOutputRows").value, tabs))
-      }
-      ()
-    }
-    override def onFailure(funcName: String, qe: QueryExecution,
-                           exception: Exception): Unit = ()
-  }
+  import CaptureListener.Cap
 
   private lazy val spark = {
     val s = SparkSession.builder()
@@ -80,43 +62,90 @@ class BroadcastGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.queryExecutionListeners",
+        "graft.CaptureListener")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s.listenerManager.register(listener)
     s
   }
 
   override def afterAll(): Unit = spark.stop()
 
-  /** Run one entry and return every hinted-broadcast build observed. */
+  /** Run one entry and return every hinted-broadcast build observed —
+    * across the spec session AND every descendant session's jobs. */
   private def audit(name: String, dir: String): Seq[Cap] = {
-    captured.clear()
+    CaptureListener.clear()
     SparkEntry.queries(name)(spark, dir).collect()
     GraftListenerFlush.flush(spark.sparkContext)
-    captured.asScala.toList
+    CaptureListener.broadcasts.asScala.toList
   }
 
-  /** sf0.001 with documents+embeddings doubled (ids shifted past the
-    * originals), everything else byte-copied. Duplicate CONTENT on
-    * purpose: dedup groups, vocab, quantile cuts, panels and sketches
-    * all stay fixed, so any broadcast that grows is corpus-sized.
-    */
-  private lazy val doubledDir: String = {
-    val out = Files.createTempDirectory("graft_dbl_corpus").toString
-    val shift = 1000000000L
-    Tables.names.foreach { n =>
-      if (corpusTables(n)) {
-        val df = spark.read.parquet(s"$sfDir/$n.parquet")
-        val id = if (n == "documents") "doc_id" else "vec_id"
-        df.unionAll(df.withColumn(id, col(id) + shift))
-          .coalesce(1).write.mode("overwrite").parquet(s"$out/$n.parquet")
-      } else {
-        Files.copy(Paths.get(s"$sfDir/$n.parquet"),
-          Paths.get(s"$out/$n.parquet"), StandardCopyOption.REPLACE_EXISTING)
+  private lazy val doubledDir = GuardFixtures.doubledDir(spark, sfDir)
+
+  test("POSITIVE CONTROL: a corpus-sized broadcast inside foreachBatch " +
+      "on a newSession IS captured — the audit machinery sees " +
+      "streaming interior jobs") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    CaptureListener.clear()
+    // deliberately mirrors the streaming entries' structure: a fresh
+    // newSession (its OWN ExecutionListenerManager — the round-10
+    // hole), a file stream, and a foreachBatch interior join hinting a
+    // corpus-table broadcast. If the conf-loaded listener ever stops
+    // firing for these jobs, this capture comes back empty and the
+    // guard's streaming coverage is known-broken rather than silent.
+    val s = spark.newSession()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_guard_sentinel").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val docs = Tables.load(s, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.limit(7).write.mode("overwrite").parquet(s"$root/in")
+    val q = s.readStream.schema(schema).parquet(s"$root/in")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val all = Tables.load(s, sfDir, "documents")
+          .select(col("doc_id"))
+        batch.join(broadcast(all), Seq("doc_id")).count()
+        ()
       }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    q.awaitTermination()
+    GraftListenerFlush.flush(spark.sparkContext)
+    val caps = CaptureListener.broadcasts.asScala.toList
+    assert(caps.exists(c => c.rows == corpus && c.tables("documents")),
+      s"the sentinel corpus broadcast ($corpus rows) inside foreachBatch " +
+        s"was NOT captured — got ${caps.mkString(", ")}; the streaming " +
+        "side of the broadcast audit is blind")
+  }
+
+  test("streaming entries' interior micro-batch jobs are visible to " +
+      "the audit (p163/p152/p248 capture interior executions)") {
+    // these three run their batches on newSession interiors; none of
+    // them needs a hinted broadcast, so the visibility assertion is on
+    // captured EXECUTIONS and shuffle events — if the listener stops
+    // covering interiors, these drop to (nearly) zero and fail here
+    // instead of silently exempting the entries from both guards
+    Seq("p163_stream_incremental_cc", "p152_stream_ingest_dedup",
+        "p248_stream_decayed_topk").foreach { n =>
+      CaptureListener.clear()
+      SparkEntry.queries(n)(spark, sfDir).collect()
+      GraftListenerFlush.flush(spark.sparkContext)
+      val execs = CaptureListener.executions.get()
+      val shufs = CaptureListener.shuffles.asScala.toList
+      info(s"$n: $execs executions, ${shufs.size} shuffle captures, " +
+        s"${CaptureListener.broadcasts.size()} broadcast captures")
+      // a multi-batch streaming entry runs strictly more than the one
+      // final assembly action; interior writes/collects must show up
+      assert(execs > 1,
+        s"$n: only $execs execution(s) captured — interior micro-batch " +
+          "jobs are invisible to the audit listener")
+      assert(shufs.nonEmpty,
+        s"$n: no shuffle metrics captured — interior jobs invisible")
     }
-    out
   }
 
   test("p216 broadcast build sides are panel-bounded, never corpus-sized") {

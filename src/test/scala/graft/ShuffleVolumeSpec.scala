@@ -1,0 +1,144 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.GraftListenerFlush
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runtime shuffle-VOLUME pins for the heavy family — the regression
+  * class the round-10 guards still missed: PlanShapeSpec pins exchange
+  * COUNTS and BroadcastGuardSpec pins broadcast SIZES, but a filter
+  * that silently stops pushing (or a join that starts shuffling the
+  * wide row) keeps the same exchange count while moving 10× the
+  * records. Here the [[CaptureListener]] (conf-loaded, so streaming
+  * interiors and `newSession()` jobs are included — verdict r10 #2/#8)
+  * captures the runtime `shuffleRecordsWritten` of every
+  * ShuffleExchangeExec across ALL of an entry's executions, and each
+  * pinned entry asserts:
+  *
+  *  1. an ABSOLUTE record ceiling at sf0.001 (measured at pin time
+  *     ×1.4 headroom — records are deterministic with AQE off; a
+  *     legitimate plan change raises the pin consciously, in the same
+  *     commit that explains the extra volume);
+  *  2. a GROWTH class under the doubled-corpus fixture. The doubling
+  *     duplicates every document/embedding VERBATIM (ids shifted), so
+  *     the classes are driven by what each entry's shuffles carry:
+  *     - `Flat` (≤1.5× + slack): metadata-bounded rows, or tables the
+  *       doubling doesn't touch (events/lineitem);
+  *     - `DocLinear` (≤2.6×): per-document/per-vector rows — banding
+  *       tables, gram explosions, panel probes (2× data + slack);
+  *     - `Pairwise` (≤4.6×): near-dup PAIR rows — verbatim duplication
+  *       makes every original pair (A,B) spawn (A,B),(A,B'),(A',B),
+  *       (A',B') plus the n (A,A') twin pairs, so a healthy pair table
+  *       grows ~4× under this fixture by SEMANTICS, not by plan
+  *       regression (measured 3.6–4.1× across the family at pin time);
+  *     - `Cubic` (≤8.6×): the triangle census — triangles over the
+  *       duplicated pair graph multiply ~8× (measured 7.3×).
+  *     Anything past its class bound fails loudly: that's a filter
+  *     that stopped pushing, a capped index that lost its cap, or an
+  *     all-pairs shape sneaking in above its family's growth law.
+  *
+  * The exchange-node totals (summed over every execution, micro-batch
+  * interiors included) are pinned too, which is the per-batch interior
+  * shape pin for p163/p248 the round-10 verdict asked for: a refactor
+  * that adds one shuffle per micro-batch moves the total immediately.
+  */
+class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("shuffle-volume-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.queryExecutionListeners", "graft.CaptureListener")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private case class Vol(exchanges: Long, records: Long, bytes: Long)
+
+  private def measure(name: String, dir: String): Vol = {
+    CaptureListener.clear()
+    SparkEntry.queries(name)(spark, dir).collect()
+    GraftListenerFlush.flush(spark.sparkContext)
+    val s = CaptureListener.shuffles.asScala.toList
+    Vol(s.map(_.exchanges.toLong).sum, s.map(_.records).sum,
+      s.map(_.bytes).sum)
+  }
+
+  private sealed abstract class Growth(val num: Long, val den: Long)
+  private case object Flat extends Growth(3, 2)      // metadata / untouched
+  private case object DocLinear extends Growth(13, 5) // per-doc rows
+  private case object Pairwise extends Growth(23, 5)  // near-dup pair rows
+  private case object Cubic extends Growth(43, 5)     // triangle census
+
+  /** entry -> (max total exchange nodes, max records at sf0.001,
+    * growth class under corpus×2). Absolute pins are the round-11
+    * measurements ×~1.4 headroom (records are deterministic with AQE
+    * off; measured values in the info output of each test run):
+    * e.g. p163 175 exchanges / 145,206 records; p227 206 / 324,632;
+    * p42 39 / 246,087; p165 20 / 175,688; p236 15 / 141,571. */
+  private val pins: Seq[(String, Long, Long, Growth)] = Seq(
+    ("p163_stream_incremental_cc", 230L, 200000L, Pairwise),
+    ("p227_dendrogram_profile", 270L, 450000L, Pairwise),
+    ("p162_incremental_cc", 46L, 25000L, Pairwise),
+    ("p42_dedup_rewrite", 52L, 340000L, Pairwise),
+    ("p68_quality_survivor", 52L, 340000L, Pairwise),
+    ("p29_neardup_clusters", 50L, 340000L, Pairwise),
+    ("p105_dup_triangles", 14L, 180000L, Cubic),
+    ("p165_greedy_coverage", 26L, 250000L, DocLinear),
+    ("p75_curation_dag", 25L, 28000L, Pairwise),
+    ("p158_basket_similarity", 10L, 50000L, Flat),
+    ("p216_embedding_outliers", 15L, 50000L, DocLinear),
+    ("p236_ppjoin_exact", 20L, 200000L, DocLinear),
+    ("p240_phash_neardup", 6L, 105000L, Pairwise),
+    ("p242_gate_census", 7L, 5000L, DocLinear),
+    ("p244_pair_edit_distance", 7L, 24000L, Pairwise),
+    ("p248_stream_decayed_topk", 12L, 2000L, Flat),
+    ("p251_waterfill_mix", 10L, 1800L, DocLinear),
+    ("p252_ivf_nprobe_curve", 20L, 26000L, DocLinear))
+
+  private lazy val doubledDir = GuardFixtures.doubledDir(spark, sfDir)
+
+  // set SHUFFLE_VOL_RECORD=1 to print measured volumes (pin refresh)
+  // without failing on the existing pins
+  private val recordMode = sys.env.contains("SHUFFLE_VOL_RECORD")
+
+  pins.foreach { case (name, maxExchanges, maxRecords, growth) =>
+    test(s"$name: shuffle volume pinned (<=$maxRecords records, " +
+        s"<=$maxExchanges exchanges), $growth under corpus x2") {
+      val base = measure(name, sfDir)
+      val dbl = measure(name, doubledDir)
+      info(f"$name base: ${base.exchanges} exchanges, " +
+        f"${base.records} records, ${base.bytes} bytes; x2 corpus: " +
+        f"${dbl.records} records (${
+          if (base.records == 0) 0.0
+          else dbl.records.toDouble / base.records}%.2fx)")
+      if (!recordMode) {
+        assert(base.exchanges <= maxExchanges,
+          s"$name ran ${base.exchanges} shuffle-exchange nodes " +
+            s"(pinned <= $maxExchanges) — raise the pin only with a reason")
+        assert(base.records <= maxRecords,
+          s"$name shuffled ${base.records} records at sf0.001 " +
+            s"(pinned <= $maxRecords) — a filter stopped pushing or a " +
+            "join started shuffling wide rows; raise only with a reason")
+        val cap = base.records * growth.num / growth.den + 2048
+        assert(dbl.records <= cap,
+          s"$name: ${base.records} -> ${dbl.records} shuffled records " +
+            s"under corpus x2 exceeds its $growth bound ($cap) — a " +
+            "superlinear (or unexpectedly corpus-linear) shuffle appeared")
+      }
+    }
+  }
+}
