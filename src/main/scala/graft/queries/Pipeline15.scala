@@ -3353,59 +3353,45 @@ object Pipeline15 {
       ${(0 to 4).map(level).mkString(" UNION ALL ")}
       ORDER BY th"""
     }) { (spark, dir) =>
-      import org.apache.spark.sql.DataFrame
       import graft.ops.DedupOps
       // the ≤ 4 slice of the SharedStages ≤ 8 capture: no private
       // banded pair pass — one parquet scan with a pushed hamming
       // filter, shared with p75/p101/p196 and every other consumer
       val pairs = SharedStages.spairsWide(spark, dir, 4)
-      // INCREMENTAL single-link fold (the p162 label contraction,
-      // iterated): level t folds only the DELTA edges at hamming = t
-      // into the standing labels — one full fixpoint at t=0 plus four
-      // delta-bounded folds, instead of five full fixpoints (measured
-      // 17.3 s → re-measured after this change at sf0.1). Min-label
-      // composition preserves the global min per component, so the
-      // result still hash-matches the oracle's full recompute per cut.
-      var labels: DataFrame = null
-      val levels = (0 to 4).map { t =>
-        val newE = pairs.where(col("hamming") === t)
-          .select(col("a"), col("b"))
-        labels = (if (labels == null)
-          DedupOps.connectedComponents(newE)
-            .select(col("n"), col("lbl"))
-        else {
-          val l = labels
-          val mapped = newE
-            .join(l.select(col("n").as("a"), col("lbl").as("la")),
-              Seq("a"), "left")
-            .join(l.select(col("n").as("b"), col("lbl").as("lb")),
-              Seq("b"), "left")
-            .select(coalesce(col("la"), col("a")).as("a"),
-              coalesce(col("lb"), col("b")).as("b"))
-            .where(col("a") =!= col("b"))
-          val remap = DedupOps.connectedComponents(mapped)
-            .select(col("n").as("x"), col("lbl").as("nl"))
-          val updatedOld = l.join(remap, l("lbl") === col("x"), "left")
-            .select(col("n"), coalesce(col("nl"), col("lbl")).as("lbl"))
-          val newNodes = newE.select(col("a").as("n"))
-            .unionAll(newE.select(col("b"))).distinct()
-            .join(l.select(col("n")), Seq("n"), "left_anti")
-            .join(remap, col("n") === col("x"), "left")
-            .select(col("n"), coalesce(col("nl"), col("n")).as("lbl"))
-          updatedOld.unionAll(newNodes)
-        }).localCheckpoint()
-        val sizes = labels.groupBy(col("lbl"))
-          .agg(count(lit(1)).as("cnt"))
-        sizes.agg(count(lit(1)).as("n_components"),
-            sum(col("cnt")).as("n_clustered_docs"),
-            max(col("cnt")).as("largest"))
-          .select(lit(t.toLong).as("th"),
-            coalesce(col("n_components"), lit(0L)).as("n_components"),
-            coalesce(col("n_clustered_docs"), lit(0L))
-              .as("n_clustered_docs"),
-            coalesce(col("largest"), lit(0L)).as("largest"))
-      }
-      levels.reduce(_ unionAll _).orderBy(col("th"))
+      // ONE fixpoint for all five cuts (round-11; was one fixpoint +
+      // four sequential delta folds): single-link clusters at
+      // threshold t ARE connected components over edges with
+      // hamming ≤ t, and the cuts are nested, so each pair is
+      // replicated to every threshold it participates in — a bounded
+      // ×(5−h) ≤ ×5 blowup of the PAIR table, never the corpus — and
+      // the node key is lifted to the composite doc_id·8 + th. One CC
+      // fixpoint over the lifted graph labels all five cuts at once:
+      // wall-clock pays a single fixpoint at the t=4 diameter instead
+      // of five sequential fixpoint floors (in-suite 5.9 s → 1.5 s at
+      // sf0.001). Every node of a lifted component shares its th, so
+      // the min-composite label decodes back to the per-cut min-doc
+      // label: lbl div 8 — exactly the oracle's per-threshold CC.
+      val lifted = pairs
+        .select(col("a"), col("b"),
+          explode(sequence(col("hamming").cast("long"), lit(4L))).as("th"))
+        .select((col("a") * 8 + col("th")).as("a"),
+          (col("b") * 8 + col("th")).as("b"))
+      val lab = DedupOps.connectedComponents(lifted)
+        .select((col("n") % 8).as("th"), expr("lbl div 8").as("cluster_id"))
+      val agg = lab.groupBy(col("th"), col("cluster_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("th"))
+        .agg(count(lit(1)).as("n_components"),
+          sum(col("cnt")).as("n_clustered_docs"),
+          max(col("cnt")).as("largest"))
+      // every threshold emits a row even when no pairs survive its cut
+      spark.range(0, 5).select(col("id").as("th"))
+        .join(agg, Seq("th"), "left")
+        .select(col("th"),
+          coalesce(col("n_components"), lit(0L)).as("n_components"),
+          coalesce(col("n_clustered_docs"), lit(0L)).as("n_clustered_docs"),
+          coalesce(col("largest"), lit(0L)).as("largest"))
+        .orderBy(col("th"))
     },
 
     // ---- nearest-event join (bidirectional as-of with tolerance) -----------

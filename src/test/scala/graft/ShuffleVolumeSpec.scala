@@ -69,6 +69,12 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private case class Vol(exchanges: Long, records: Long, bytes: Long)
 
   private def measure(name: String, dir: String): Vol = {
+    // warmup pass (uncaptured): the first consumer of a SharedStages
+    // capture in a JVM pays its one-time materialization, which would
+    // otherwise make the measured volume depend on which spec/test ran
+    // first — measure only the entry's own repeatable cost
+    SparkEntry.queries(name)(spark, dir).collect()
+    GraftListenerFlush.flush(spark.sparkContext) // drain warmup events
     CaptureListener.clear()
     SparkEntry.queries(name)(spark, dir).collect()
     GraftListenerFlush.flush(spark.sparkContext)
@@ -87,11 +93,18 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     * growth class under corpus×2). Absolute pins are the round-11
     * measurements ×~1.4 headroom (records are deterministic with AQE
     * off; measured values in the info output of each test run):
-    * e.g. p163 175 exchanges / 145,206 records; p227 206 / 324,632;
+    * e.g. p163 138 exchanges / 40,977 records; p227 42 / 1,017,594;
     * p42 39 / 246,087; p165 20 / 175,688; p236 15 / 141,571. */
   private val pins: Seq[(String, Long, Long, Growth)] = Seq(
-    ("p163_stream_incremental_cc", 230L, 200000L, Pairwise),
-    ("p227_dendrogram_profile", 270L, 450000L, Pairwise),
+    ("p163_stream_incremental_cc", 180L, 60000L, Pairwise),
+    // p227 re-pinned round 11 WITH REASON: the dendrogram moved from
+    // five sequential CC folds to ONE fixpoint over the threshold-
+    // lifted pair graph (pairs replicated ×(5−h) ≤ ×5). Records per
+    // round grow ×5 by construction (measured 1,280,684 at sf0.001 vs
+    // 324,632 before) but exchange JOBS drop 206 → 76 and wall time
+    // drops 12.6 → 10.7 s at sf0.1 — the volume is still pair-table-
+    // bounded (never corpus-shaped), so latency wins at every scale.
+    ("p227_dendrogram_profile", 60L, 1500000L, Pairwise),
     ("p162_incremental_cc", 46L, 25000L, Pairwise),
     ("p42_dedup_rewrite", 52L, 340000L, Pairwise),
     ("p68_quality_survivor", 52L, 340000L, Pairwise),
