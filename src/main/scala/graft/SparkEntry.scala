@@ -18,7 +18,7 @@ object SparkEntry {
       Pipeline5.all ++ Pipeline6.all ++ Pipeline7.all ++ Pipeline8.all ++
       Pipeline9.all ++ Pipeline10.all ++ Pipeline11.all ++ Pipeline12.all ++
       Pipeline13.all ++ Pipeline14.all ++ Pipeline15.all ++
-      Pipeline16.all ++
+      Pipeline16.all ++ Pipeline17.all ++
       StreamingQ.all ++ MultimodalQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,395 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Portable, TextOps}
+
+/** Round-11 pipeline entries: HITS hubs/authorities completing the
+  * graph family, a language-ID confusion census against the declared
+  * label, successor-diversity phrase boundaries, a per-language
+  * tokenizer-fertility rollup, an integer-exact Johnson–Lindenstrauss
+  * projection fidelity harness, and a discrete-geometric noisy-count
+  * release (the DP mechanism shape, deterministic for the oracle).
+  */
+object Pipeline17 {
+
+  private val wsSql = TextSql.ws
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (16×64), fixed
+    * at build time from md5 parity so the Spark side and the DuckDB
+    * oracle inline the SAME literals — no cross-engine hashing in the
+    * projection hot path, and the planes are reproducible fleet-wide
+    * the way [[graft.ops.SimilarityOps.srpHyperplanes]] planes are.
+    */
+  private[graft] val JlSigns: Seq[Seq[Int]] = (0 until 16).map { j =>
+    (0 until 64).map { d =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl:$j:$d".getBytes("UTF-8"))
+      if ((md(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- HITS hubs/authorities over the source graph -----------------------
+    // The graph family's missing classic (PageRank p63, harmonic p210,
+    // k-core p116 ship): Kleinberg's HITS separates "hub" sources
+    // (whose docs near-duplicate INTO many others — aggregator/mirror
+    // behavior) from "authorities" (near-duplicated FROM — origin
+    // content), which is exactly the asymmetry a dedup-provenance
+    // investigation needs and PageRank's single score can't show.
+    // Directed edges: near-dup pair (a, b), a < b, orients
+    // source(a) → source(b); two mutual-reinforcement rounds with
+    // MAX-normalization in exact integer ppm (no L2 norm, no floats —
+    // every engine agrees bit-for-bit).
+    //
+    // Scale shape: pairs come off the SharedStages capture; after the
+    // source-level aggregation the graph is |sources|² bounded — the
+    // iteration is broadcast-sized metadata regardless of corpus.
+    Q("p254_hits_scores", Some(s"""
+      WITH ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      src AS (SELECT doc_id, source FROM documents),
+      e0 AS (SELECT sa.source AS s, sb.source AS t FROM spairs
+             JOIN src sa ON spairs.a = sa.doc_id
+             JOIN src sb ON spairs.b = sb.doc_id
+             WHERE sa.source <> sb.source),
+      e AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS w FROM e0 GROUP BY 1, 2),
+      nodes AS (SELECT DISTINCT source AS node FROM documents),
+      a1r AS (SELECT t AS node, CAST(SUM(w) * 1000000 AS BIGINT) AS v
+              FROM e GROUP BY 1),
+      a1m AS (SELECT greatest(max(v), 1) AS m FROM a1r),
+      a1 AS (SELECT n.node,
+                    CAST(COALESCE(a1r.v, 0) * 1000000 // a1m.m AS BIGINT) AS a
+             FROM nodes n LEFT JOIN a1r ON n.node = a1r.node CROSS JOIN a1m),
+      h1r AS (SELECT e.s AS node, CAST(SUM(e.w * a1.a) AS BIGINT) AS v
+              FROM e JOIN a1 ON e.t = a1.node GROUP BY 1),
+      h1m AS (SELECT greatest(max(v), 1) AS m FROM h1r),
+      h1 AS (SELECT n.node,
+                    CAST(COALESCE(h1r.v, 0) * 1000000 // h1m.m AS BIGINT) AS h
+             FROM nodes n LEFT JOIN h1r ON n.node = h1r.node CROSS JOIN h1m),
+      a2r AS (SELECT e.t AS node, CAST(SUM(e.w * h1.h) AS BIGINT) AS v
+              FROM e JOIN h1 ON e.s = h1.node GROUP BY 1),
+      a2m AS (SELECT greatest(max(v), 1) AS m FROM a2r),
+      a2 AS (SELECT n.node,
+                    CAST(COALESCE(a2r.v, 0) * 1000000 // a2m.m AS BIGINT) AS a
+             FROM nodes n LEFT JOIN a2r ON n.node = a2r.node CROSS JOIN a2m),
+      h2r AS (SELECT e.s AS node, CAST(SUM(e.w * a2.a) AS BIGINT) AS v
+              FROM e JOIN a2 ON e.t = a2.node GROUP BY 1),
+      h2m AS (SELECT greatest(max(v), 1) AS m FROM h2r),
+      h2 AS (SELECT n.node,
+                    CAST(COALESCE(h2r.v, 0) * 1000000 // h2m.m AS BIGINT) AS h
+             FROM nodes n LEFT JOIN h2r ON n.node = h2r.node CROSS JOIN h2m)
+      SELECT h2.node AS source, h2.h AS hub_ppm, a2.a AS auth_ppm
+      FROM h2 JOIN a2 ON h2.node = a2.node
+      ORDER BY auth_ppm DESC, hub_ppm DESC, source""")) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val pairs = SharedStages.spairs(spark, dir)
+      val src = docs.select(col("doc_id"), col("source"))
+      val e = pairs
+        .join(src.select(col("doc_id").as("a"), col("source").as("s")), "a")
+        .join(src.select(col("doc_id").as("b"), col("source").as("t")), "b")
+        .filter(col("s") =!= col("t"))
+        .groupBy(col("s"), col("t")).agg(count(lit(1)).as("w"))
+        .localCheckpoint() // |sources|²-bounded; reused by all 4 steps
+      val nodes = docs.select(col("source").as("node")).distinct()
+        .localCheckpoint()
+      // MAX-normalize to exact integer ppm (absent nodes -> 0)
+      def norm(raw: DataFrame, out: String): DataFrame = {
+        val m = raw.agg(greatest(max(col("v")), lit(1L)).as("m"))
+        nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(m))
+          .select(col("node"),
+            expr("coalesce(v, 0) * 1000000 div m").as(out))
+      }
+      val a1 = norm(e.groupBy(col("t").as("node"))
+        .agg((sum(col("w")) * 1000000).as("v")), "a")
+      val h1 = norm(e.join(a1.select(col("node").as("t"), col("a")), "t")
+        .groupBy(col("s").as("node"))
+        .agg(sum(col("w") * col("a")).as("v")), "h")
+      val a2 = norm(e.join(h1.select(col("node").as("s"), col("h")), "s")
+        .groupBy(col("t").as("node"))
+        .agg(sum(col("w") * col("h")).as("v")), "a")
+      val h2 = norm(e.join(a2.select(col("node").as("t"), col("a")), "t")
+        .groupBy(col("s").as("node"))
+        .agg(sum(col("w") * col("a")).as("v")), "h")
+      h2.join(a2, "node")
+        .select(col("node").as("source"), col("h").as("hub_ppm"),
+          col("a").as("auth_ppm"))
+        .orderBy(col("auth_ppm").desc, col("hub_ppm").desc, col("source"))
+    },
+
+    // ---- language-ID confusion census --------------------------------------
+    // The lang-ID EVALUATION view p02 (detection only) doesn't give:
+    // documents carry a DECLARED `lang` (the upstream crawler's claim)
+    // and the census of declared × detected — with each cell's share
+    // of its declared row in exact ppm — is the confusion matrix a
+    // pipeline owner reads before trusting either label for mixture
+    // control. Diagonal mass = agreement; off-diagonal rows show
+    // which declared languages the n-gram profiles can't separate.
+    //
+    // Scale shape: detection is scan-stage arithmetic (the p02
+    // kernels); the census is a ≤|langs|²+1 aggregate.
+    Q("p255_lang_confusion", Some {
+      val names = TextOps.langProfiles.map(_._1)
+      val scoreSql = names.map(l =>
+        s"CAST(${TextSql.langScore(wsSql, l)} AS BIGINT) AS s_$l")
+        .mkString(", ")
+      s"""
+      WITH d AS (SELECT lang AS declared, $scoreSql FROM documents),
+      x AS (SELECT declared,
+                   ${TextSql.langCase(l => s"s_$l")} AS detected FROM d),
+      c AS (SELECT declared, detected, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM x GROUP BY 1, 2),
+      t AS (SELECT declared, CAST(SUM(n_docs) AS BIGINT) AS tot
+            FROM c GROUP BY 1)
+      SELECT c.declared, c.detected, c.n_docs,
+             CAST(c.n_docs * 1000000 // t.tot AS BIGINT) AS share_ppm
+      FROM c JOIN t USING (declared)
+      ORDER BY declared, detected"""
+    }) { (spark, dir) =>
+      val c = Tables.loadSpread(spark, dir, "documents")
+        .select(col("lang").as("declared"),
+          TextOps.langId(col("text")).as("detected"))
+        .groupBy(col("declared"), col("detected"))
+        .agg(count(lit(1)).as("n_docs"))
+      val t = c.groupBy(col("declared")).agg(sum(col("n_docs")).as("tot"))
+      c.join(t, "declared")
+        .select(col("declared"), col("detected"), col("n_docs"),
+          expr("n_docs * 1000000 div tot").as("share_ppm"))
+        .orderBy(col("declared"), col("detected"))
+    },
+
+    // ---- successor-diversity phrase boundaries ------------------------------
+    // Unsupervised phrase-boundary detection by branching diversity
+    // (the Harris / branching-entropy heuristic): inside a collocation
+    // the next token is near-deterministic (low successor diversity);
+    // at a phrase boundary anything can follow (high diversity). Per
+    // context token: continuation count, distinct successors, and the
+    // successor distribution's floor-log2 diversity in milli-bits —
+    // the p161 bit-length quantization (length(bin(n // c)) − 1), so
+    // the "entropy" is EXACT integers in both engines, no libm. PMI
+    // (p61) scores pair association; this scores the cut points
+    // between phrases — the other half of phrase extraction.
+    //
+    // Scale shape: one bigram explode in the scan stage; the census is
+    // vocab-bounded (contexts are tokens, Heaps-bounded at scale).
+    Q("p256_branching_diversity", Some(s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      bg AS (SELECT string_split(sh, ' ')[1] AS ctx,
+                    string_split(sh, ' ')[2] AS nxt
+             FROM (SELECT unnest(${TextSql.shingles("ws", 2)}) AS sh FROM w)),
+      c AS (SELECT ctx, nxt, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bg GROUP BY 1, 2),
+      tot AS (SELECT ctx, CAST(SUM(c) AS BIGINT) AS n_cont,
+                     CAST(COUNT(*) AS BIGINT) AS n_next
+              FROM c GROUP BY 1),
+      s AS (SELECT c.ctx,
+                   CAST(SUM(c.c * (length(bin(t.n_cont // c.c)) - 1))
+                     AS BIGINT) AS bits
+            FROM c JOIN tot t USING (ctx) GROUP BY 1)
+      SELECT t.ctx AS context, t.n_cont, t.n_next,
+             CAST(s.bits * 1000 // t.n_cont AS BIGINT) AS div_millibits
+      FROM tot t JOIN s ON s.ctx = t.ctx
+      WHERE t.n_cont >= 5
+      ORDER BY context""")) { (spark, dir) =>
+      val bg = Tables.loadSpread(spark, dir, "documents")
+        .select(explode(TextOps.shingles(col("text"), 2)).as("sh"))
+        .select(split(col("sh"), " ").getItem(0).as("ctx"),
+          split(col("sh"), " ").getItem(1).as("nxt"))
+      val c = bg.groupBy(col("ctx"), col("nxt"))
+        .agg(count(lit(1)).as("c"))
+      val tot = c.groupBy(col("ctx"))
+        .agg(sum(col("c")).as("n_cont"), count(lit(1)).as("n_next"))
+      val s = c.join(tot, "ctx")
+        .select(col("ctx"),
+          (col("c") * (length(bin(expr("n_cont div c"))) - 1)).as("term"))
+        .groupBy(col("ctx")).agg(sum(col("term")).as("bits"))
+      tot.join(s, "ctx").where(col("n_cont") >= 5)
+        .select(col("ctx").as("context"), col("n_cont"), col("n_next"),
+          expr("bits * 1000 div n_cont").as("div_millibits"))
+        .orderBy(col("context"))
+    },
+
+    // ---- tokenizer fertility census ----------------------------------------
+    // The tokenizer-eval rollup every multilingual data report leads
+    // with: per declared language, how many BPE-ish tokens a word
+    // costs (fertility) and how many characters a word carries — the
+    // two ratios that decide token-budget allocation across languages
+    // (a high-fertility language consumes budget faster than its text
+    // share suggests). Exact integer ppm; p01 reports the per-doc
+    // stats, this is the per-LANGUAGE comparison view.
+    //
+    // Scale shape: pure scan-stage counting into a ≤|langs| aggregate.
+    Q("p257_fertility_census", Some(s"""
+      WITH d AS (SELECT lang,
+                        CAST(len($wsSql) AS BIGINT) AS words,
+                        CAST(len(regexp_extract_all(lower(text),
+                          '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpeish,
+                        CAST(length(text) AS BIGINT) AS chars
+                 FROM documents)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(words) AS BIGINT) AS n_words,
+             CAST(SUM(bpeish) AS BIGINT) AS n_bpeish,
+             CAST(SUM(bpeish) * 1000000 // SUM(words) AS BIGINT)
+               AS fertility_ppm,
+             CAST(SUM(chars) * 1000000 // SUM(words) AS BIGINT)
+               AS chars_per_word_ppm
+      FROM d GROUP BY 1 ORDER BY lang""")) { (spark, dir) =>
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("lang"),
+          TextOps.tokenCount(col("text")).as("words"),
+          TextOps.bpeishCount(col("text")).as("bpeish"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("words")).as("n_words"),
+          sum(col("bpeish")).as("n_bpeish"),
+          expr("sum(bpeish) * 1000000 div sum(words)").as("fertility_ppm"),
+          expr("sum(chars) * 1000000 div sum(words)")
+            .as("chars_per_word_ppm"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- Johnson–Lindenstrauss projection fidelity -------------------------
+    // The dimensionality-reduction eval beside the matryoshka one
+    // (p97 evaluates TRAINED nested prefixes; JL works on ANY
+    // embedding): project 64 → 16 dims through the fixed ±1 sign
+    // matrix and measure recall@10 of projected max-inner-product
+    // retrieval against the full-dimension ground truth, per panel
+    // query. Everything is EXACT integers: embeddings quantize to
+    // 1e-4 fixed point (floor — identical in both engines), the
+    // projection is an integer matrix-vector product, and ranking is
+    // by integer dot with id tie-break — so the oracle hash-match
+    // pins the whole pipeline, not a float approximation of it.
+    //
+    // Scale shape: the projection is one scan-stage kernel; ground
+    // truth is panel×corpus by construction (an eval harness needs
+    // exact GT — the p252 discipline) with a literal-bounded panel,
+    // so it stays ONE corpus scan at any scale.
+    Q("p258_jl_fidelity", Some {
+      val signs = JlSigns.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"""
+      WITH v AS (SELECT vec_id,
+                        [CAST(floor(x * 10000) AS BIGINT)
+                         for x in CAST(embedding AS DOUBLE[])] AS q
+                 FROM embeddings),
+      sg AS (SELECT $signs AS s),
+      p AS (SELECT vec_id,
+                   [CAST(list_sum([s[j][d] * q[d]
+                                   for d in generate_series(1, 64)])
+                      AS BIGINT)
+                    for j in generate_series(1, 16)] AS y
+            FROM v CROSS JOIN sg),
+      qs AS (SELECT v.vec_id AS query_id, v.q AS qq, p.y AS qy
+             FROM v JOIN p ON v.vec_id = p.vec_id WHERE v.vec_id < 16),
+      fd AS (SELECT qs.query_id, v.vec_id,
+                    CAST(list_sum([qs.qq[d] * v.q[d]
+                                   for d in generate_series(1, 64)])
+                      AS BIGINT) AS dot
+             FROM qs CROSS JOIN v WHERE v.vec_id <> qs.query_id),
+      fr AS (SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dot DESC, vec_id) AS rk
+             FROM fd),
+      pd AS (SELECT qs.query_id, p.vec_id,
+                    CAST(list_sum([qs.qy[j] * p.y[j]
+                                   for j in generate_series(1, 16)])
+                      AS BIGINT) AS dot
+             FROM qs CROSS JOIN p WHERE p.vec_id <> qs.query_id),
+      pr AS (SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dot DESC, vec_id) AS rk
+             FROM pd),
+      o AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT query_id, vec_id FROM fr WHERE rk <= 10) f
+            JOIN (SELECT query_id, vec_id FROM pr WHERE rk <= 10) pp
+              ON f.query_id = pp.query_id AND f.vec_id = pp.vec_id
+            GROUP BY 1)
+      SELECT q.query_id, CAST(COALESCE(o.c, 0) AS BIGINT) AS recall10
+      FROM (SELECT DISTINCT query_id FROM qs) q
+      LEFT JOIN o USING (query_id)
+      ORDER BY query_id"""
+    }) { (spark, dir) =>
+      val signsExpr = "array(" + JlSigns.map(r =>
+        "array(" + r.mkString(", ") + ")").mkString(", ") + ")"
+      val v = Tables.loadSpread(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(cast(embedding as array<double>), " +
+            "x -> cast(floor(x * 10000) as bigint))").as("q"))
+      val p = v.withColumn("y",
+        expr(s"transform($signsExpr, row -> " +
+          "aggregate(zip_with(row, q, (s, x) -> s * x), 0L, " +
+          "(acc, t) -> acc + t))"))
+        .localCheckpoint() // one projection pass feeds GT and probe
+      val qs = p.where(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("y").as("qy"))
+      def ranked(dotted: DataFrame): DataFrame =
+        dotted.withColumn("rk", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("dot").desc, col("vec_id"))))
+          .where(col("rk") <= 10).select(col("query_id"), col("vec_id"))
+      val fr = ranked(p.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("aggregate(zip_with(qq, q, (a, b) -> a * b), 0L, " +
+            "(acc, t) -> acc + t)").as("dot")))
+      val pr = ranked(p.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("aggregate(zip_with(qy, y, (a, b) -> a * b), 0L, " +
+            "(acc, t) -> acc + t)").as("dot")))
+      val o = fr.join(pr, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("c"))
+      qs.select(col("query_id")).distinct()
+        .join(o, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("c"), lit(0L)).as("recall10"))
+        .orderBy(col("query_id"))
+    },
+
+    // ---- discrete-geometric noisy count release ----------------------------
+    // The differential-privacy release MECHANISM in auditable form
+    // (k-anonymity p131 suppresses; this perturbs): per-source doc
+    // counts released with two-sided geometric noise — the discrete
+    // Laplace that integer DP uses — where each geometric(1/2) draw
+    // is the trailing-zero count of a portable 60-bit hash
+    // (P[tz = k] = 2^-(k+1), exactly geometric), so the "randomness"
+    // is a deterministic function of the source name: reproducible
+    // fleet-wide, hash-checkable cross-engine, and honest about being
+    // a FIXED-SEED release (a production deployment swaps the seed
+    // per release epoch; the mechanism and its integer arithmetic are
+    // what this entry pins). Release clamps at 0; the noise column
+    // makes the audit view self-describing.
+    //
+    // Scale shape: a |sources|-sized aggregate; the hash draw is per
+    // GROUP, not per row.
+    Q("p259_dp_count_release", Some(s"""
+      WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_true
+                 FROM documents GROUP BY 1),
+      u AS (SELECT source, n_true,
+                   ${Portable.h60Sql("concat('dp1:', source)")} AS u1,
+                   ${Portable.h60Sql("concat('dp2:', source)")} AS u2
+            FROM s),
+      g AS (SELECT source, n_true,
+                   CAST(length(bin(u1 & (-u1))) - 1 AS BIGINT) AS g1,
+                   CAST(length(bin(u2 & (-u2))) - 1 AS BIGINT) AS g2
+            FROM u)
+      SELECT source, n_true, CAST(g1 - g2 AS BIGINT) AS noise,
+             CAST(greatest(n_true + g1 - g2, 0) AS BIGINT) AS released
+      FROM g ORDER BY source""")) { (spark, dir) =>
+      val s = Tables.load(spark, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_true"))
+      s.withColumn("u1", Portable.h60(concat(lit("dp1:"), col("source"))))
+        .withColumn("u2", Portable.h60(concat(lit("dp2:"), col("source"))))
+        .withColumn("g1", (length(bin(expr("u1 & -u1"))) - 1).cast("long"))
+        .withColumn("g2", (length(bin(expr("u2 & -u2"))) - 1).cast("long"))
+        .select(col("source"), col("n_true"),
+          (col("g1") - col("g2")).as("noise"),
+          greatest(col("n_true") + col("g1") - col("g2"), lit(0L))
+            .as("released"))
+        .orderBy(col("source"))
+    })
+}

@@ -517,6 +517,151 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("text", "text", 4L), ("text", "unknown", 1L)))
   }
 
+  test("p254 HITS: a transitive near-dup tournament separates hubs " +
+      "from authorities; an isolated source scores zero on both") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p254fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    val x = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // identical texts 1..4 -> all 6 pairs, a<b orientation makes the
+    // source graph a transitive tournament srcH->A->B->C; doc 9 shares
+    // nothing -> srcE is isolated
+    Seq((1L, x, "srcH"), (2L, x, "srcA"), (3L, x, "srcB"),
+      (4L, x, "srcC"),
+      (9L, "completely different unrelated words appear here now", "srcE"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p254_hits_scores")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("hub_ppm"), r.getAs[Long]("auth_ppm"))).toMap
+    // pure hub: only out-edges -> max hub, zero authority (and dually)
+    assert(got("srcH") == ((1000000L, 0L)))
+    assert(got("srcC") == ((0L, 1000000L)))
+    // interior nodes are strictly ordered both ways
+    assert(got("srcH")._1 > got("srcA")._1 &&
+      got("srcA")._1 > got("srcB")._1 && got("srcB")._1 > got("srcC")._1)
+    assert(got("srcC")._2 > got("srcB")._2 &&
+      got("srcB")._2 > got("srcA")._2 && got("srcA")._2 > got("srcH")._2)
+    assert(got("srcE") == ((0L, 0L)))
+  }
+
+  test("p255 lang confusion: planted profile texts land on the " +
+      "diagonal, a mislabeled doc lands off it, no hits reads 'und'") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p255fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    def profile(l: String) =
+      TextOps.langProfiles.find(_._1 == l).get._2.mkString(" ")
+    Seq((1L, profile("en"), "en"),      // declared en, detected en
+      (2L, profile("fr"), "en"),        // declared en, detected fr
+      (3L, "qqq zzz xxx www", "zh"))    // no profile hits -> und
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p255_lang_confusion")(spark, dir)
+      .collect().map(r => ((r.getAs[String]("declared"),
+        r.getAs[String]("detected")),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("share_ppm")))).toMap
+    assert(got(("en", "en")) == ((1L, 500000L)))
+    assert(got(("en", "fr")) == ((1L, 500000L)))
+    assert(got(("zh", "und")) == ((1L, 1000000L)))
+    assert(got.size == 3)
+  }
+
+  test("p256 branching diversity: a 3-way branch point scores its " +
+      "hand-computed floor-log2 millibits; a deterministic successor " +
+      "scores exactly zero") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p256fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    // doc 1: x -> {a:2, b:2, c:1} (n_cont 5); doc 2: y -> {z:5} only
+    Seq((1L, "x a x b x a x b x c"),
+      (2L, "y z y z y z y z y z"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p256_branching_diversity")(spark, dir)
+      .collect().map(r => r.getAs[String]("context") ->
+        (r.getAs[Long]("n_cont"), r.getAs[Long]("n_next"),
+          r.getAs[Long]("div_millibits"))).toMap
+    // x: bits = 2·(len(bin(5//2))−1) + 2·(…) + 1·(len(bin(5))−1)
+    //        = 2·1 + 2·1 + 1·2 = 6 → 6·1000 // 5 = 1200
+    assert(got("x") == ((5L, 3L, 1200L)))
+    // y always continues to z: zero diversity, the collocation case
+    assert(got("y") == ((5L, 1L, 0L)))
+    // a/b/z have n_cont < 5 and are filtered
+    assert(got.size == 2)
+  }
+
+  test("p257 fertility census: hand-computed word/bpeish/char ratios " +
+      "per language, punctuation splits bpeish but not words") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p257fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    Seq((1L, "ab cd", "en"),   // words 2, bpeish 2, chars 5
+      (2L, "a,b", "fr"))       // words 1, bpeish 3 (a , b), chars 3
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p257_fertility_census")(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_bpeish"), r.getAs[Long]("fertility_ppm"),
+          r.getAs[Long]("chars_per_word_ppm"))).toMap
+    assert(got("en") == ((1L, 2L, 2L, 1000000L, 2500000L)))
+    assert(got("fr") == ((1L, 1L, 3L, 3000000L, 3000000L)))
+  }
+
+  test("p258 JL fidelity: sign-separated classes of exactly 11 give " +
+      "recall@10 = 10 for every panel query — the projection " +
+      "preserves the inner-product sign structure exactly") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p258fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    // class A = +0.3 everywhere, class B = −0.3 everywhere (projected
+    // vectors are exact negations), one tiny per-vector jitter dim to
+    // break exact ties; 11 per class so each query's 10 same-class
+    // peers are EXACTLY the top-10 in both spaces
+    def vec(sign: Double, i: Int): Seq[Float] =
+      (0 until 64).map(d =>
+        (sign * 0.3 + (if (d == i % 32) sign * 0.001 * (i % 7 + 1)
+                       else 0.0)).toFloat)
+    val a = (0 until 11).map(i =>
+      (if (i < 2) i.toLong else 18L + i, vec(1.0, i), 0))
+    val b = (0 until 11).map(i =>
+      (if (i < 2) 2L + i else 28L + i, vec(-1.0, i), 1))
+    (a ++ b).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("p258_jl_fidelity")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("recall10"))).toList.sorted
+    assert(got == List((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L)))
+  }
+
+  test("p259 dp release: the geometric draws equal the JVM md5 " +
+      "reference bit-for-bit and the release clamps at zero") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p259fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    Seq((1L, "t", "alpha"), (2L, "t", "alpha"), (3L, "t", "alpha"),
+      (4L, "t", "beta"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def g(s: String) = java.lang.Long.numberOfTrailingZeros(h60(s))
+    val got = SparkEntry.queries("p259_dp_count_release")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("noise"),
+          r.getAs[Long]("released"))).toMap
+    Seq(("alpha", 3L), ("beta", 1L)).foreach { case (src, n) =>
+      val noise = g(s"dp1:$src").toLong - g(s"dp2:$src")
+      assert(got(src) == ((n, noise, math.max(n + noise, 0L))),
+        s"$src: expected noise $noise from the JVM md5 reference")
+    }
+  }
+
   test("p246 rolling distinct: the 7-day window boundary is [g-6, g] " +
       "inclusive — a user exits exactly when their only day falls out") {
     import spark.implicits._
