@@ -44,13 +44,21 @@ object SharedStages {
       // bucketing and the skew cap don't depend on the capture
       // threshold, only the final hamming filter does. One banded
       // pair pass serves every threshold.
+      // FIXED 8-way hash layout on every materialized table: the file
+      // count must not depend on which session's shuffle width happened
+      // to materialize first (a 4-partition writer vs an 8-partition
+      // writer changes downstream map-side partial-agg dedup, i.e. the
+      // runtime shuffle volumes ShuffleVolumeSpec pins). At 100 TB this
+      // is the bucketed-table DDL; here it is an explicit repartition.
       DedupOps.simhashPairs(docs, "doc_id", "text",
           maxHamming = 8, maxBucket = 1000)
+        .repartition(8, col("a"))
         .write.mode("overwrite").parquet(s"$b/spairs")
       // the fixpoint consumes the MATERIALIZED pairs: pair generation
       // runs once for every consumer of the shared stage
       DedupOps.connectedComponents(
           spark.read.parquet(s"$b/spairs").where(col("hamming") <= 3))
+        .repartition(8, col("n"))
         .write.mode("overwrite").parquet(s"$b/labels")
       b
     })
@@ -95,12 +103,15 @@ object SharedStages {
         .where(col("doc_id") % 3 =!= 0)
       DedupOps.simhashPairs(corpus, "doc_id", "text",
           maxHamming = 3, maxBucket = 1000)
+        .repartition(8, col("a"))
         .write.mode("overwrite").parquet(s"$b/spairs")
       DedupOps.connectedComponents(spark.read.parquet(s"$b/spairs"))
+        .repartition(8, col("n"))
         .write.mode("overwrite").parquet(s"$b/labels")
       // the ingest probe index: capped corpus band table — what every
       // incoming batch (p122/p152/p162/p163) joins against
       DedupOps.corpusBands(corpus, "doc_id", "text", maxBucket = 1000)
+        .repartition(8, col("q"), col("qk"))
         .write.mode("overwrite").parquet(s"$b/bands")
       b
     })

@@ -40,11 +40,13 @@ object Tables {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val fs = df.inputFiles
     if (fs.isEmpty) {
-      // Non-scan input (in-memory frame, VALUES, local relation): in
-      // this repo those are always small, so unconditionally spreading
-      // them is a tiny shuffle — and it avoids any `df.rdd` probe
-      // (which would build a deserialization plan per call).
-      df.repartition(target)
+      // Non-scan input (in-memory frame, VALUES, local relation): read
+      // the width off the physical plan's RDD lineage — no `df.rdd`
+      // (which would build a row-deserialization plan per call), no
+      // job. A wide-enough plan is returned AS IS (same instance): no
+      // shuffle is ever added where the parallelism already exists.
+      val parts = df.queryExecution.executedPlan.execute().getNumPartitions
+      if (parts < target) df.repartition(target) else df
     } else {
       // Estimate scan width from the file listing: each file
       // contributes at least one split, plus one split per
