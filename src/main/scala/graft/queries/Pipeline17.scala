@@ -366,6 +366,207 @@ object Pipeline17 {
     //
     // Scale shape: a |sources|-sized aggregate; the hash draw is per
     // GROUP, not per row.
+    // ---- dedup cluster density (chaining over-merge audit) -----------------
+    // Single-link CC merges by CHAINS: A~B and B~C put A and C in one
+    // cluster even when A and C are unrelated — the classic over-merge
+    // failure of near-dup clustering. The audit is each cluster's edge
+    // DENSITY (2e / s(s−1) in exact ppm): density 1e6 = clique = a true
+    // duplicate family; low density = a chain the threshold should not
+    // have merged. The census over size-class × density-band is the
+    // one-screen answer to "is our clustering gluing strangers" —
+    // p105's global transitivity says how much chaining exists, this
+    // says WHERE it lands. Every pair edge is intra-cluster by CC
+    // construction, so the edge count per cluster is one keyed join.
+    //
+    // Scale shape: labels and pairs are the SharedStages tables; one
+    // join + two metadata-sized aggregates.
+    Q("p260_cluster_density", Some(s"""
+      WITH RECURSIVE ${Pipeline.simhash64Cte},
+      ${Pipeline.simhashPairsCte},
+      esym AS (SELECT a AS u, b AS v FROM spairs
+               UNION SELECT b, a FROM spairs),
+      walk(u, v) AS (SELECT u, v FROM esym
+                     UNION
+                     SELECT wk.u, e.v FROM walk wk
+                     JOIN esym e ON wk.v = e.u),
+      lbl AS (SELECT u AS n, least(u, min(v)) AS cluster_id
+              FROM walk GROUP BY u),
+      sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS s
+             FROM lbl GROUP BY 1),
+      ec AS (SELECT l.cluster_id, CAST(COUNT(*) AS BIGINT) AS e
+             FROM spairs p JOIN lbl l ON p.a = l.n GROUP BY 1),
+      d AS (SELECT sz.cluster_id, s,
+                   CAST(2 * COALESCE(e, 0) * 1000000 // (s * (s - 1))
+                     AS BIGINT) AS density_ppm
+            FROM sz LEFT JOIN ec USING (cluster_id)),
+      c AS (SELECT CASE WHEN s < 4 THEN 's2_3'
+                        WHEN s < 8 THEN 's4_7' ELSE 's8p' END AS size_class,
+                   CAST(density_ppm // 100000 AS BIGINT) AS band, s
+            FROM d)
+      SELECT size_class, band, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(s) AS BIGINT) AS n_docs
+      FROM c GROUP BY 1, 2 ORDER BY size_class, band""")) { (spark, dir) =>
+      val lbl = SharedStages.labels(spark, dir)
+      val sp = SharedStages.spairs(spark, dir)
+      val sz = lbl.groupBy(col("cluster_id")).agg(count(lit(1)).as("s"))
+      val ec = sp
+        .join(lbl.select(col("doc_id").as("a"), col("cluster_id")), "a")
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("e"))
+      sz.join(ec, Seq("cluster_id"), "left")
+        .select(col("s"),
+          expr("2 * coalesce(e, 0) * 1000000 div (s * (s - 1))")
+            .as("density_ppm"))
+        .select(
+          when(col("s") < 4, "s2_3").when(col("s") < 8, "s4_7")
+            .otherwise("s8p").as("size_class"),
+          expr("density_ppm div 100000").as("band"), col("s"))
+        .groupBy(col("size_class"), col("band"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("s")).as("n_docs"))
+        .orderBy(col("size_class"), col("band"))
+    },
+
+    // ---- mutual k-NN census (reciprocal-match primitive) -------------------
+    // Matching needs RECIPROCITY, not just proximity: u's nearest
+    // neighbor meaning nothing if u is v's 200th — mutual top-k is the
+    // robust edge set bitext mining and duplicate MATCHING build on
+    // (one-directional kNN is the recall tool, p10). Within each label
+    // block (at scale: an IVF cell — block-bounded, never corpus²):
+    // exact integer dots over the p258 1e-4 fixed-point quantization,
+    // top-3 per vector with id tie-break, and a pair survives only if
+    // each endpoint ranks inside the other's top-3. Census per label:
+    // vectors, mutual pairs, and the strongest mutual pair.
+    Q("p261_mutual_knn", Some("""
+      WITH v AS (SELECT vec_id, label,
+                        [CAST(floor(x * 10000) AS BIGINT)
+                         for x in CAST(embedding AS DOUBLE[])] AS q
+                 FROM embeddings),
+      d AS (SELECT x.label, x.vec_id AS u, y.vec_id AS w,
+                   CAST(list_sum([x.q[i] * y.q[i]
+                                  for i in generate_series(1, 64)])
+                     AS BIGINT) AS dot
+            FROM v x JOIN v y
+              ON x.label = y.label AND x.vec_id <> y.vec_id),
+      r AS (SELECT label, u, w, dot,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY dot DESC, w) AS rk
+            FROM d),
+      t AS (SELECT label, u, w, dot FROM r WHERE rk <= 3),
+      m AS (SELECT x.label, x.u AS a, x.w AS b, x.dot
+            FROM t x JOIN t y ON x.u = y.w AND x.w = y.u AND x.u < x.w),
+      nv AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+             FROM v GROUP BY 1),
+      nm AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_mutual
+             FROM m GROUP BY 1),
+      best AS (SELECT label, a, b, dot,
+                      row_number() OVER (PARTITION BY label
+                                         ORDER BY dot DESC, a, b) AS rk
+               FROM m)
+      SELECT CAST(nv.label AS BIGINT) AS label, nv.n_vecs,
+             CAST(COALESCE(nm.n_mutual, 0) AS BIGINT) AS n_mutual,
+             CAST(COALESCE(best.a, -1) AS BIGINT) AS best_a,
+             CAST(COALESCE(best.b, -1) AS BIGINT) AS best_b,
+             CAST(COALESCE(best.dot, 0) AS BIGINT) AS best_dot
+      FROM nv LEFT JOIN nm USING (label)
+      LEFT JOIN (SELECT * FROM best WHERE rk = 1) best USING (label)
+      ORDER BY label""")) { (spark, dir) =>
+      val v = Tables.loadSpread(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(cast(embedding as array<double>), " +
+            "x -> cast(floor(x * 10000) as bigint))").as("q"))
+        .localCheckpoint() // quantize once; both join sides read it
+      val d = v.select(col("label"), col("vec_id").as("u"), col("q").as("qu"))
+        .join(v.select(col("label"), col("vec_id").as("w"),
+          col("q").as("qw")), "label")
+        .where(col("u") =!= col("w"))
+        .select(col("label"), col("u"), col("w"),
+          expr("aggregate(zip_with(qu, qw, (a, b) -> a * b), 0L, " +
+            "(acc, t) -> acc + t)").as("dot"))
+      val t = d.withColumn("rk", row_number().over(
+          Window.partitionBy(col("u")).orderBy(col("dot").desc, col("w"))))
+        .where(col("rk") <= 3)
+        .select(col("label"), col("u"), col("w"), col("dot"))
+      val m = t.as("x").join(t.as("y"),
+          col("x.u") === col("y.w") && col("x.w") === col("y.u") &&
+            col("x.u") < col("x.w"))
+        .select(col("x.label").as("label"), col("x.u").as("a"),
+          col("x.w").as("b"), col("x.dot").as("dot"))
+      val nv = v.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      val nm = m.groupBy(col("label")).agg(count(lit(1)).as("n_mutual"))
+      val best = m.withColumn("rk", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(col("dot").desc, col("a"), col("b"))))
+        .where(col("rk") === 1)
+        .select(col("label"), col("a"), col("b"), col("dot"))
+      nv.join(nm, Seq("label"), "left").join(best, Seq("label"), "left")
+        .select(col("label").cast("long").as("label"), col("n_vecs"),
+          coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+          coalesce(col("a"), lit(-1L)).as("best_a"),
+          coalesce(col("b"), lit(-1L)).as("best_b"),
+          coalesce(col("dot"), lit(0L)).as("best_dot"))
+        .orderBy(col("label"))
+    },
+
+    // ---- STREAMING quantile sketch state ------------------------------------
+    // p62's decimal-bucket quantile sketch deployed as foreachBatch
+    // state (StreamingOps.quantileBucketsIngest): micro-batches fold
+    // (event_type, bucket) counts into one versioned state table, and
+    // the estimates are read from BUCKETS alone. Bucket counts are
+    // additive, so state after N batches ≡ the one-shot bucket table —
+    // the oracle replays p62's exact bucket + conservative-rank
+    // arithmetic over the raw events, and the hash match is the
+    // batch ≡ stream proof (the p248 discipline, now for the sketch
+    // family). State is O(types × buckets) at any stream volume.
+    Q("p262_stream_quantiles", Some("""
+      WITH tp AS (SELECT event_type,
+                         CAST(round(value * 1000, 0) AS BIGINT) AS v
+                  FROM events
+                  WHERE CAST(round(value * 1000, 0) AS BIGINT) > 0),
+      b AS (SELECT event_type, v,
+                   CAST('1' || repeat('0', greatest(length(CAST(v AS VARCHAR)) - 2, 0))
+                        AS BIGINT) AS g
+            FROM tp),
+      c AS (SELECT event_type, v - v % g AS lb, g, COUNT(*) AS cnt
+            FROM b GROUP BY 1, 2, 3),
+      n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tp GROUP BY 1),
+      cum AS (SELECT event_type, lb, g,
+                     SUM(cnt) OVER (PARTITION BY event_type ORDER BY lb) AS cum
+              FROM c),
+      r AS (SELECT cum.event_type, lb, g, cum, n.n
+            FROM cum JOIN n USING (event_type)),
+      est AS (SELECT event_type,
+                     MIN(CASE WHEN cum >= (500000 * n + 999999) // 1000000
+                              THEN lb + g // 2 END) AS p50_est,
+                     MIN(CASE WHEN cum >= (900000 * n + 999999) // 1000000
+                              THEN lb + g // 2 END) AS p90_est,
+                     MIN(CASE WHEN cum >= (990000 * n + 999999) // 1000000
+                              THEN lb + g // 2 END) AS p99_est
+              FROM r GROUP BY 1)
+      SELECT n.event_type, n.n,
+             CAST(est.p50_est AS BIGINT) AS p50_est,
+             CAST(est.p90_est AS BIGINT) AS p90_est,
+             CAST(est.p99_est AS BIGINT) AS p99_est
+      FROM n JOIN est USING (event_type)
+      ORDER BY event_type""")) { (spark, dir) =>
+      val root = sinkDir(s"p262_${Integer.toHexString(dir.hashCode)}") +
+        s"/${System.nanoTime()}"
+      val st = graft.streaming.StreamingOps
+        .quantileBucketsIngest(spark, dir, root)
+      val n = st.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+      val cum = st.withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("lb"))))
+      def estAt(ppm: Long) = min(when(
+        col("cum") >= expr(s"($ppm * n + 999999) div 1000000"),
+        col("lb") + expr("g div 2")))
+      cum.join(n, "event_type")
+        .groupBy(col("event_type"))
+        .agg(estAt(500000L).as("p50_est"), estAt(900000L).as("p90_est"),
+          estAt(990000L).as("p99_est"))
+        .join(n, "event_type")
+        .select(col("event_type"), col("n"), col("p50_est"),
+          col("p90_est"), col("p99_est"))
+        .orderBy(col("event_type"))
+    },
+
     Q("p259_dp_count_release", Some(s"""
       WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_true
                  FROM documents GROUP BY 1),

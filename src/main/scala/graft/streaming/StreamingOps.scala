@@ -765,6 +765,71 @@ object StreamingOps {
     * crash-safety discipline of the other versioned-state ops.
     * Returns the final (event_type, day, cnt) state.
     */
+  /** STREAMING decimal-bucket quantile state — the p62 DDSketch-style
+    * sketch maintained as foreachBatch state instead of a one-shot
+    * aggregate: each micro-batch folds its (event_type, bucket) counts
+    * into ONE versioned state table (the decayedCountsIngest
+    * discipline — full_outer merge, pointer flips after the commit),
+    * and the final read computes p50/p90/p99 estimates from buckets
+    * alone. Because decimal-digit buckets are deterministic integer
+    * arithmetic and counts are additive, state after N batches equals
+    * the one-shot bucket table EXACTLY — which is what sharing p62's
+    * bucket+rank oracle arithmetic verifies. Scale: state is
+    * O(types × buckets) regardless of stream volume; per batch one
+    * bucket-keyed merge job.
+    */
+  def quantileBucketsIngest(spark: SparkSession, dir: String,
+                            workRoot: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val ev = graft.queries.Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 1000, 0).cast("long").as("v"))
+      .filter(col("v") > 0)
+    val srcDir = s"$workRoot/incoming"
+    ev.repartitionByRange(3, col("v"))
+      .write.mode("overwrite").parquet(srcDir)
+    @volatile var version = -1L
+    def state(): DataFrame =
+      if (version < 0) {
+        import s.implicits._
+        Seq.empty[(String, Long, Long, Long)]
+          .toDF("event_type", "lb", "g", "cnt")
+      } else s.read.parquet(s"$workRoot/state_v$version")
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("v", LongType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // decimal-digit bucket: width 10^(digits-2), built by string
+        // concat so the arithmetic is the portable p62 form exactly
+        val delta = batch
+          .withColumn("g", concat(lit("1"), repeat(lit("0"),
+            greatest(length(col("v").cast("string")) - 2, lit(0))))
+            .cast("long"))
+          .withColumn("lb", col("v") - col("v") % col("g"))
+          .groupBy(col("event_type"), col("lb"), col("g"))
+          .agg(count(lit(1)).as("d_cnt"))
+        val merged = state().join(delta, Seq("event_type", "lb", "g"),
+            "full_outer")
+          .select(col("event_type"), col("lb"), col("g"),
+            (coalesce(col("cnt"), lit(0L)) +
+              coalesce(col("d_cnt"), lit(0L))).as("cnt"))
+        val v = version + 1
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$workRoot/state_v$v")
+        version = v
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state()
+  }
+
   def decayedCountsIngest(spark: SparkSession, dir: String,
                           workRoot: String): DataFrame = {
     val s = spark.newSession()
