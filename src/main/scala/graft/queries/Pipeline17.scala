@@ -427,25 +427,49 @@ object Pipeline17 {
 
     // ---- mutual k-NN census (reciprocal-match primitive) -------------------
     // Matching needs RECIPROCITY, not just proximity: u's nearest
-    // neighbor meaning nothing if u is v's 200th — mutual top-k is the
+    // neighbor means nothing if u is v's 200th — mutual top-k is the
     // robust edge set bitext mining and duplicate MATCHING build on
-    // (one-directional kNN is the recall tool, p10). Within each label
-    // block (at scale: an IVF cell — block-bounded, never corpus²):
-    // exact integer dots over the p258 1e-4 fixed-point quantization,
-    // top-3 per vector with id tie-break, and a pair survives only if
-    // each endpoint ranks inside the other's top-3. Census per label:
+    // (one-directional kNN is the recall tool, p10). The candidate
+    // block is (label, 8-bit SRP bucket) with p150's 2..200 member
+    // cap: pair generation NEVER goes corpus² — a label is
+    // corpus-linear, but a capped bucket is ≤200 members, and
+    // over-full or singleton blocks abstain (REPORTED via
+    // n_eligible, the no-silent-caps discipline; plane count is the
+    // resolution knob you raise with the corpus, the member cap is
+    // the hard bound). Within each block: exact integer dots over the
+    // p258 1e-4 fixed-point quantization, top-3 per vector via the
+    // TopN kernel (group-local, no global window) with id tie-break,
+    // and a pair survives only if each endpoint ranks inside the
+    // other's top-3. Census per label: vectors, cap-eligible
     // vectors, mutual pairs, and the strongest mutual pair.
-    Q("p261_mutual_knn", Some("""
-      WITH v AS (SELECT vec_id, label,
+    //
+    // Scale shape: one bucket-forming shuffle (bucket computed
+    // scan-side), block-local pair gen bounded by the 200-member cap
+    // (≤ 200·n rows), a u-keyed top-3 rollup, a ≤3n reciprocity
+    // self-join, and |labels|-sized census aggregates.
+    Q("p261_mutual_knn", Some {
+      val planes = graft.ops.SimilarityOps.srpHyperplanes(8, 64)
+      val bucketSql = planes.zipWithIndex.map { case (h, j) =>
+        val arr = h.map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
                         [CAST(floor(x * 10000) AS BIGINT)
                          for x in CAST(embedding AS DOUBLE[])] AS q
                  FROM embeddings),
+      bx AS (SELECT vec_id, label, q, $bucketSql AS bk FROM v),
+      el AS (SELECT * FROM bx
+             QUALIFY COUNT(*) OVER (PARTITION BY label, bk)
+                     BETWEEN 2 AND 200),
       d AS (SELECT x.label, x.vec_id AS u, y.vec_id AS w,
                    CAST(list_sum([x.q[i] * y.q[i]
                                   for i in generate_series(1, 64)])
                      AS BIGINT) AS dot
-            FROM v x JOIN v y
-              ON x.label = y.label AND x.vec_id <> y.vec_id),
+            FROM el x JOIN el y
+              ON x.label = y.label AND x.bk = y.bk
+                 AND x.vec_id <> y.vec_id),
       r AS (SELECT label, u, w, dot,
                    row_number() OVER (PARTITION BY u
                                       ORDER BY dot DESC, w) AS rk
@@ -455,6 +479,8 @@ object Pipeline17 {
             FROM t x JOIN t y ON x.u = y.w AND x.w = y.u AND x.u < x.w),
       nv AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
              FROM v GROUP BY 1),
+      ne AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_eligible
+             FROM el GROUP BY 1),
       nm AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_mutual
              FROM m GROUP BY 1),
       best AS (SELECT label, a, b, dot,
@@ -462,43 +488,65 @@ object Pipeline17 {
                                          ORDER BY dot DESC, a, b) AS rk
                FROM m)
       SELECT CAST(nv.label AS BIGINT) AS label, nv.n_vecs,
+             CAST(COALESCE(ne.n_eligible, 0) AS BIGINT) AS n_eligible,
              CAST(COALESCE(nm.n_mutual, 0) AS BIGINT) AS n_mutual,
              CAST(COALESCE(best.a, -1) AS BIGINT) AS best_a,
              CAST(COALESCE(best.b, -1) AS BIGINT) AS best_b,
              CAST(COALESCE(best.dot, 0) AS BIGINT) AS best_dot
-      FROM nv LEFT JOIN nm USING (label)
+      FROM nv LEFT JOIN ne USING (label)
+      LEFT JOIN nm USING (label)
       LEFT JOIN (SELECT * FROM best WHERE rk = 1) best USING (label)
-      ORDER BY label""")) { (spark, dir) =>
+      ORDER BY label"""
+    }) { (spark, dir) =>
+      import graft.ops.SimilarityOps
+      val planes = SimilarityOps.srpHyperplanes(8, 64)
       val v = Tables.loadSpread(spark, dir, "embeddings")
         .select(col("vec_id"), col("label"),
-          expr("transform(cast(embedding as array<double>), " +
-            "x -> cast(floor(x * 10000) as bigint))").as("q"))
-        .localCheckpoint() // quantize once; both join sides read it
-      val d = v.select(col("label"), col("vec_id").as("u"), col("q").as("qu"))
-        .join(v.select(col("label"), col("vec_id").as("w"),
-          col("q").as("qw")), "label")
+          col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("label"),
+          expr("transform(v, x -> cast(floor(x * 10000) as bigint))")
+            .as("q"),
+          SimilarityOps.srpBucket(col("v"), planes).as("bk"))
+        .localCheckpoint() // quantize + bucket once
+      val el = v.withColumn("bn", count(lit(1)).over(
+          Window.partitionBy(col("label"), col("bk"))))
+        .filter(col("bn").between(2, 200))
+        .select(col("label"), col("bk"), col("vec_id"), col("q"))
+        .localCheckpoint() // reread by both pair-join sides + census
+      val d = el.select(col("label"), col("bk"), col("vec_id").as("u"),
+          col("q").as("qu"))
+        .join(el.select(col("label"), col("bk"), col("vec_id").as("w"),
+          col("q").as("qw")), Seq("label", "bk"))
         .where(col("u") =!= col("w"))
         .select(col("label"), col("u"), col("w"),
           expr("aggregate(zip_with(qu, qw, (a, b) -> a * b), 0L, " +
             "(acc, t) -> acc + t)").as("dot"))
-      val t = d.withColumn("rk", row_number().over(
-          Window.partitionBy(col("u")).orderBy(col("dot").desc, col("w"))))
-        .where(col("rk") <= 3)
-        .select(col("label"), col("u"), col("w"), col("dot"))
+      // block-bounded top-3: min over (-dot, w) pairs, the TopN kernel
+      val t = d.groupBy(col("label"), col("u"))
+        .agg(graft.functions.TopN.minTopN(-col("dot"), col("w"), 3)
+          .as("top"))
+        .select(col("label"), col("u"), explode(col("top")).as("e"))
+        .select(col("label"), col("u"), col("e.id").as("w"),
+          (-col("e.h")).as("dot"))
+        .localCheckpoint() // ≤3·n_eligible rows; self-joined below
       val m = t.as("x").join(t.as("y"),
           col("x.u") === col("y.w") && col("x.w") === col("y.u") &&
             col("x.u") < col("x.w"))
         .select(col("x.label").as("label"), col("x.u").as("a"),
           col("x.w").as("b"), col("x.dot").as("dot"))
+        .localCheckpoint() // read by n_mutual census + best-pair rank
       val nv = v.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      val ne = el.groupBy(col("label")).agg(count(lit(1)).as("n_eligible"))
       val nm = m.groupBy(col("label")).agg(count(lit(1)).as("n_mutual"))
       val best = m.withColumn("rk", row_number().over(
           Window.partitionBy(col("label"))
             .orderBy(col("dot").desc, col("a"), col("b"))))
         .where(col("rk") === 1)
         .select(col("label"), col("a"), col("b"), col("dot"))
-      nv.join(nm, Seq("label"), "left").join(best, Seq("label"), "left")
+      nv.join(ne, Seq("label"), "left").join(nm, Seq("label"), "left")
+        .join(best, Seq("label"), "left")
         .select(col("label").cast("long").as("label"), col("n_vecs"),
+          coalesce(col("n_eligible"), lit(0L)).as("n_eligible"),
           coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
           coalesce(col("a"), lit(-1L)).as("best_a"),
           coalesce(col("b"), lit(-1L)).as("best_b"),

@@ -636,6 +636,40 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == List((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L)))
   }
 
+  test("p261 mutual kNN: reciprocity filters the planted asymmetric " +
+      "neighbor, the member cap reports abstainers via n_eligible, and " +
+      "a singleton block abstains entirely") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p261fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    // label 0: five scaled copies of the all-positive direction
+    // (magnitudes 0.5 > 0.4 > 0.3 > 0.2 > 0.1) share one SRP bucket;
+    // every top-3 is the three LARGEST others, so vec 5 points at
+    // {1,2,3} but nobody points back — the planted asymmetric edges
+    // (1,5)/(2,5)/(3,5) must NOT survive, leaving exactly the 6
+    // mutual pairs among {1,2,3,4}∪{(3,4)…}. Vec 6 is the negated
+    // direction: opposite SRP signs put it in its own singleton
+    // block, so it abstains (n_eligible = 5 < n_vecs = 6). Label 1
+    // has one vector: a singleton block, zero eligible, sentinel
+    // best pair.
+    def flat(x: Float): Seq[Float] = Seq.fill(64)(x)
+    Seq((1L, flat(0.5f), 0), (2L, flat(0.4f), 0), (3L, flat(0.3f), 0),
+      (4L, flat(0.2f), 0), (5L, flat(0.1f), 0), (6L, flat(-0.1f), 0),
+      (7L, flat(0.25f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("p261_mutual_knn")(spark, dir)
+      .collect().map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_eligible"),
+          r.getAs[Long]("n_mutual"), r.getAs[Long]("best_a"),
+          r.getAs[Long]("best_b"), r.getAs[Long]("best_dot"))).toMap
+    // mutual set = all 6 pairs among {1,2,3,4}; best = (1,2) with
+    // dot = 64 · 5000 · 4000 (floor(0.5·10⁴)=5000, floor(0.4f·10⁴)=4000)
+    assert(got(0L) == ((6L, 5L, 6L, 1L, 2L, 1280000000L)))
+    assert(got(1L) == ((1L, 0L, 0L, -1L, -1L, 0L)))
+    assert(got.size == 2)
+  }
+
   test("p259 dp release: the geometric draws equal the JVM md5 " +
       "reference bit-for-bit and the release clamps at zero") {
     import spark.implicits._

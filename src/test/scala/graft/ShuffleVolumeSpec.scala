@@ -120,7 +120,22 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("p244_pair_edit_distance", 7L, 24000L, Pairwise),
     ("p248_stream_decayed_topk", 12L, 2000L, Flat),
     ("p251_waterfill_mix", 10L, 1800L, DocLinear),
-    ("p252_ivf_nprobe_curve", 20L, 26000L, DocLinear))
+    ("p252_ivf_nprobe_curve", 20L, 26000L, DocLinear),
+    // round-12 family (measured at pin time ×~1.4 headroom):
+    // p254 shuffles the SharedStages pair capture into the |sources|²
+    // graph across its 4 HITS iterations (92 exchanges / 26,798
+    // records; ×2 corpus measured 2.27× — pair rows dominate →
+    // Pairwise); p258 shuffles per-vector projections + the 16-query
+    // panel probes (8 / 3,434; measured 1.15× → DocLinear by
+    // semantics); p261's pair gen is (label, SRP-bucket)-local under
+    // the 200-member cap — verbatim duplication doubles each block so
+    // pairs grow ~4× (10 / 1,497; measured 3.65× → Pairwise); p262
+    // folds events (untouched by the doubling) into O(types×buckets)
+    // state (9 / 2,659; measured 0.97× → Flat).
+    ("p254_hits_scores", 128L, 37500L, Pairwise),
+    ("p258_jl_fidelity", 12L, 4800L, DocLinear),
+    ("p261_mutual_knn", 14L, 2100L, Pairwise),
+    ("p262_stream_quantiles", 13L, 3800L, Flat))
 
   private lazy val doubledDir = GuardFixtures.doubledDir(spark, sfDir)
 
