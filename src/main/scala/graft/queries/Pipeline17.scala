@@ -450,8 +450,10 @@ object Pipeline17 {
     Q("p261_mutual_knn", Some {
       val planes = graft.ops.SimilarityOps.srpHyperplanes(8, 64)
       val bucketSql = planes.zipWithIndex.map { case (h, j) =>
-        val arr = h.map(x => if (x > 0) "1.0" else "-1.0")
-          .mkString("[", ",", "]")
+        // plane entries emitted VERBATIM so the oracle buckets with the
+        // exact values SimilarityOps.srpBucket uses — if the generator
+        // ever stops emitting ±1.0 the two engines still agree
+        val arr = h.map(_.toString).mkString("[", ",", "]")
         s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << j} ELSE 0 END"
       }.mkString(" + ")
       s"""

@@ -670,6 +670,40 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 2)
   }
 
+  test("p260 cluster density: a planted clique lands in the density-1e6 " +
+      "band and a planted chain lands in the half-density band") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p260fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    // Chain in SIMHASH space, found by exhaustive search over the
+    // portable md5 hash (deterministic — the signatures are pure
+    // functions of the token sets): base = 40 distinct tokens, each
+    // next doc ADDS one token (x026, then x003, then x008). Consecutive
+    // hammings are 3,3,3 (pairs at the <=3 threshold); skip hammings
+    // are 4,4,7 (NOT pairs) — so the pair graph on docs 1-4 is exactly
+    // the path (1,2),(2,3),(3,4): one cluster, s=4, e=3, density
+    // 2·3·1e6/(4·3) = 500000 → band 5, size class s4_7. Docs 11-13 are
+    // identical (hamming 0, all 3 pairs): s=3, e=3, density
+    // 2·3·1e6/(3·2) = 1e6 → band 10, size class s2_3. The q-token
+    // clique sits 38-40 bits from every chain doc, so the two clusters
+    // cannot merge.
+    val base = (0 until 40).map(i => f"w$i%02d")
+    val chain = Seq(base, base :+ "x026", base ++ Seq("x026", "x003"),
+      base ++ Seq("x026", "x003", "x008"))
+    val clique = (0 until 20).map(i => f"q$i%02d").mkString(" ")
+    (chain.zipWithIndex.map { case (ws, i) => (i + 1L, ws.mkString(" ")) }
+      ++ Seq(11L, 12L, 13L).map(id => (id, clique)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p260_cluster_density")(spark, dir)
+      .collect().map(r => ((r.getAs[String]("size_class"),
+        r.getAs[Long]("band")),
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))).toMap
+    assert(got(("s2_3", 10L)) == ((1L, 3L))) // the true duplicate family
+    assert(got(("s4_7", 5L)) == ((1L, 4L)))  // the over-merged chain
+    assert(got.size == 2)
+  }
+
   test("p259 dp release: the geometric draws equal the JVM md5 " +
       "reference bit-for-bit and the release clamps at zero") {
     import spark.implicits._

@@ -132,7 +132,7 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pairs grow ~4× (10 / 1,497; measured 3.65× → Pairwise); p262
     // folds events (untouched by the doubling) into O(types×buckets)
     // state (9 / 2,659; measured 0.97× → Flat).
-    ("p254_hits_scores", 128L, 37500L, Pairwise),
+    ("p254_hits_scores", 129L, 37600L, Pairwise),
     ("p258_jl_fidelity", 12L, 4800L, DocLinear),
     ("p261_mutual_knn", 14L, 2100L, Pairwise),
     ("p262_stream_quantiles", 13L, 3800L, Flat))

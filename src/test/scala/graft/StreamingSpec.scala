@@ -752,4 +752,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(_.startsWith("state_v"))
     assert(versions >= 2, s"expected multi-batch fold, got $versions")
   }
+
+  test("p262 quantile-bucket state fold: one bucket's count merges " +
+      "additively across micro-batches through the versioned state") {
+    import spark.implicits._
+    // The ingest range-splits on v into 3 files (one micro-batch each,
+    // maxFilesPerTrigger=1). Ranges are contiguous in v, so with three
+    // batches the boundaries must separate the three distinct values
+    // {101 | 108 | 3005} — and 101 and 108 share decimal bucket
+    // (lb=100, g=10), so its final count 10+6=16 can only arise from
+    // the cross-batch additive fold. 3005 gets its own 4-digit bucket
+    // (lb=3000, g=100). Type 'b' rounds to v=0 and is filtered out.
+    val dir = s"${sys.props("java.io.tmpdir")}/p262fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    val rows = Seq.fill(10)(("a", 0.101)) ++ Seq.fill(6)(("a", 0.108)) ++
+      Seq.fill(8)(("a", 3.005)) ++ Seq(("b", 0.0))
+    rows.toDF("event_type", "value")
+      .withColumn("event_id", lit(1L)).withColumn("user_id", lit(1L))
+      .withColumn("ts", lit(Timestamp.valueOf("2024-02-01 00:00:00")))
+      .withColumn("props", lit(""))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val root = dir + "/work"
+    val got = graft.streaming.StreamingOps
+      .quantileBucketsIngest(spark, dir, root)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("lb"), r.getAs[Long]("g"), r.getAs[Long]("cnt")))
+      .toSet
+    assert(got == Set(("a", 100L, 10L, 16L), ("a", 3000L, 100L, 8L)))
+    val versions = new java.io.File(root).list()
+      .count(_.startsWith("state_v"))
+    assert(versions >= 3, s"expected one micro-batch per range file, " +
+      s"got $versions state versions")
+  }
 }
