@@ -78,7 +78,9 @@ object ModuleRegistry {
     (locator.substring(0, idx), locator.substring(idx + 1))
   }
 
-  /** Load (or ref) a module by path: a registered loader name, else a JVM
+  /** Load (or ref) a module by path: a `proc:` scheme spawning an
+    * out-of-process guest (the sandboxed-execution analog, see
+    * [[ProcessFunctionModule]]), a registered loader name, else a JVM
     * class name implementing [[FunctionModule]].
     */
   def acquire(path: String): FunctionModule = synchronized {
@@ -86,7 +88,9 @@ object ModuleRegistry {
     if (e != null) { e.refs += 1; e.module }
     else {
       val module =
-        if (loaders.containsKey(path)) loaders.get(path)()
+        if (path.startsWith("proc:"))
+          new ProcessFunctionModule(path.stripPrefix("proc:"))
+        else if (loaders.containsKey(path)) loaders.get(path)()
         else {
           val cls =
             try Class.forName(path)
@@ -110,7 +114,15 @@ object ModuleRegistry {
     val e = cache.get(path)
     if (e != null) {
       e.refs -= 1
-      if (e.refs <= 0) cache.remove(path)
+      if (e.refs <= 0) {
+        cache.remove(path)
+        // free the VM at refcount zero (lib.rs:359-372); for proc: modules
+        // this kills the guest subprocess
+        e.module match {
+          case c: AutoCloseable => c.close()
+          case _ => ()
+        }
+      }
     }
   }
 

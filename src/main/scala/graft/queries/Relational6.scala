@@ -180,6 +180,33 @@ object Relational6 {
           concat_ws("x", dims(a1).cast("array<string>")).as("dims1"),
           concat_ws("x", dims(a2).cast("array<string>")).as("dims2"))
         .orderBy(col("p_partkey"))
+    },
+
+    // ---- engine UDF through the OUT-OF-PROCESS guest runtime ---------------
+    // q55's factory path with a 'proc:' locator: the function executes in
+    // a guest JVM subprocess, every 8192-row batch crossing the process
+    // boundary as Arrow IPC bytes — the real host↔guest marshalling the
+    // reference's sandbox does per batch (wasmedge_factory/src/udf.rs:82-115,
+    // full copy both ways). DuckDB computes the same pow() natively, so the
+    // hash-match proves values survive the IPC round-trip bit-exactly.
+    Q("q62_proc_udf", Some("""
+      SELECT o_orderkey,
+             round(pow(CAST(o_orderkey % 7 AS DOUBLE), 2.5), 6) AS powv
+      FROM orders
+      WHERE o_orderkey < 2000
+      ORDER BY o_orderkey""")) { (spark, dir) =>
+      graft.ddl.CreateEngineFunctionCommand(
+        "graft_q62_pow",
+        Seq(org.apache.spark.sql.types.DoubleType,
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.DoubleType,
+        "WASM", "proc:builtin!pow", orReplace = true).run(spark)
+      registered(spark, dir).sql("""
+        SELECT o_orderkey,
+               round(graft_q62_pow(CAST(o_orderkey % 7 AS DOUBLE), 2.5), 6) AS powv
+        FROM orders
+        WHERE o_orderkey < 2000
+        ORDER BY o_orderkey""")
     }
   )
 }
