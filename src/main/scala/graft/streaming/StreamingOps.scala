@@ -650,9 +650,12 @@ object StreamingOps {
       .select(col("doc_id"), col("text"))
     val inc = docs.filter(col("doc_id") % 3 === 0)
     // pre-split the incoming batch into 3 files so the stream really
-    // exercises cross-batch state composition
+    // exercises cross-batch state composition (override only to MEASURE
+    // the per-micro-batch machinery floor: 1 file = 1 batch isolates
+    // fixpoint work from commit cost — see README p163 decomposition)
     val srcDir = s"$workRoot/incoming"
-    inc.repartitionByRange(3, col("doc_id"))
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_P163_FILES", "3").toInt
+    inc.repartitionByRange(nFiles, col("doc_id"))
       .write.mode("overwrite").parquet(srcDir)
     val oldLbl = graft.queries.SharedStages.corpusLabels(s, dir)
       .select(col("n").as("ex_id"), col("lbl").as("orig"))

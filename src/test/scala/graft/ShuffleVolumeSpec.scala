@@ -132,6 +132,9 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pairs grow ~4× (10 / 1,497; measured 3.65× → Pairwise); p262
     // folds events (untouched by the doubling) into O(types×buckets)
     // state (9 / 2,659; measured 0.97× → Flat).
+    // (r13 bump 128→129 / 37500→37600 was a ROUNDING correction to the
+    // ×1.4 headroom formula over the same measured values above:
+    // 92×1.4=128.8→129, 26798×1.4≈37517→37600 — not a plan change)
     ("p254_hits_scores", 129L, 37600L, Pairwise),
     ("p258_jl_fidelity", 12L, 4800L, DocLinear),
     ("p261_mutual_knn", 14L, 2100L, Pairwise),
