@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** The quadratic-join lint — the r11 p261 bug class as a standing sweep.
+  *
+  * The bug shape: a row-level × row-level join whose ONLY equi-keys are
+  * O(1)-cardinality fixture columns (`label`, `lang`, `source`,
+  * `event_type`). Such a join partitions the corpus into a CONSTANT
+  * number of blocks, so pair generation is O(corpus²/|blocks|) — it
+  * passes every sf0.01 oracle and dies at 100 TB. p261 shipped exactly
+  * this (all pairs within each of 10 label blocks) and was caught by a
+  * verdict audit, not a guard; this lint is that audit, mechanized.
+  *
+  * A join keyed on low-cardinality columns is FINE when either side is
+  * bounded — an aggregate (metadata-sized census), a limit, or a literal
+  * panel — because the join is then corpus-linear. The lint therefore
+  * flags a join only when BOTH inputs are unbounded row-level subtrees.
+  * Remaining legitimate hits (e.g. a side provably small by a selective
+  * filter the lint cannot cost) go on the spec's DOCUMENTED allowlist.
+  */
+object QuadraticJoinLint {
+
+  /** The fixture columns with O(1) cardinality at any corpus size. */
+  val lowCardCols: Set[String] = Set("label", "lang", "source", "event_type")
+
+  final case class Hit(joinType: String, keys: Seq[String])
+
+  /** A subtree is bounded if somewhere below the join input sits an
+    * aggregate (group-by over bounded keys ⇒ metadata-sized), a limit,
+    * or a literal relation (panel/lookup). Presence anywhere in the
+    * subtree is the (deliberately permissive) heuristic — the allowlist
+    * catches what it can't prove. */
+  private def bounded(p: LogicalPlan): Boolean = {
+    var found = false
+    p.foreach {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit => found = true
+      case _: LocalRelation | _: OneRowRelation => found = true
+      case _: Deduplicate => found = true
+      case _ => ()
+    }
+    found
+  }
+
+  private def equiKeyNames(cond: Expression): Seq[(String, String)] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (a.name.toLowerCase, b.name.toLowerCase)
+    }
+  }
+
+  /** Lint one OPTIMIZED logical plan. */
+  def lint(plan: LogicalPlan): Seq[Hit] = {
+    val hits = scala.collection.mutable.ArrayBuffer[Hit]()
+    plan.foreach {
+      case j: Join =>
+        // row-multiplying join types only: semi/anti joins emit at most
+        // the probe side and cannot go quadratic
+        val multiplying = j.joinType match {
+          case Inner | Cross | FullOuter | LeftOuter | RightOuter => true
+          case _ => false
+        }
+        val keys = j.condition.map(equiKeyNames).getOrElse(Nil)
+        val allLowCard = keys.nonEmpty &&
+          keys.forall { case (a, b) => lowCardCols(a) && lowCardCols(b) }
+        if (multiplying && allLowCard &&
+            !bounded(j.left) && !bounded(j.right))
+          hits += Hit(j.joinType.toString, keys.map(k => s"${k._1}=${k._2}"))
+      case _ => ()
+    }
+    hits.toSeq
+  }
+
+  /** Sweep every declared entry; returns entry -> hits (flagged only). */
+  def sweep(spark: SparkSession, dir: String,
+      names: Iterable[String]): Map[String, Seq[Hit]] =
+    names.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val hits = lint(df.queryExecution.optimizedPlan)
+      if (hits.nonEmpty) Some(name -> hits) else None
+    }.toMap
+}
+
+/** Probe main: print every flagged entry (allowlist discovery). */
+object QuadraticJoinProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("quadratic-join-probe")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      try {
+        val hits = QuadraticJoinLint.lint(
+          SparkEntry.queries(n)(spark, dir).queryExecution.optimizedPlan)
+        if (hits.nonEmpty) println(s"FLAGGED $n: ${hits.mkString("; ")}")
+      } catch { case e: Throwable => println(s"ERROR $n: ${e.getMessage}") }
+    }
+    println("probe done")
+    spark.stop()
+  }
+}
