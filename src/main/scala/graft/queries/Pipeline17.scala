@@ -642,5 +642,83 @@ object Pipeline17 {
           greatest(col("n_true") + col("g1") - col("g2"), lit(0L))
             .as("released"))
         .orderBy(col("source"))
+    },
+
+    // ---- STREAMING bitmap-index state ---------------------------------------
+    // p166's (event_type, word) bitmap table deployed as foreachBatch
+    // state (StreamingOps.bitmapIndexIngest): micro-batches OR their
+    // (user, day)-bit deltas into one versioned state table, and the
+    // pairwise intersection/union census reads STATE BITMAPS alone.
+    // bit_or is IDEMPOTENT, so this fold proof is strictly stronger
+    // than the additive cases (p248 counts, p262 buckets): the ingest
+    // deliberately OVERLAPS its micro-batch slices (every idx%7==0 row
+    // is delivered in all three batches — at-least-once redelivery),
+    // and the oracle recomputes the one-shot bitmap from raw events —
+    // the hash match proves state after N overlapping batches ≡
+    // one-shot, which no additive fold survives. State is
+    // |universe|/60 words per type at any stream volume.
+    Q("p263_stream_bitmap_index", Some("""
+      WITH d AS (SELECT DISTINCT event_type,
+                        user_id * 512 + dayofyear(CAST(date_trunc('day', ts)
+                          AS DATE)) AS idx
+                 FROM events),
+      b AS (SELECT event_type, idx // 60 AS w,
+                   CAST(bit_or(1::BIGINT << CAST(idx % 60 AS INT))
+                     AS BIGINT) AS bm
+            FROM d GROUP BY 1, 2),
+      nb AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_words,
+                    CAST(SUM(bit_count(bm)) AS BIGINT) AS total_bits
+             FROM b GROUP BY 1),
+      pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       a.n_words AS n_words_a, b.n_words AS n_words_b,
+                       a.total_bits AS tba, b.total_bits AS tbb
+                FROM nb a, nb b WHERE a.event_type < b.event_type),
+      bi AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+                    CAST(SUM(bit_count(x.bm & y.bm)) AS BIGINT) AS n_int,
+                    CAST(SUM(bit_count(x.bm | y.bm)) AS BIGINT) AS u_m,
+                    CAST(SUM(bit_count(x.bm)) AS BIGINT) AS m_a,
+                    CAST(SUM(bit_count(y.bm)) AS BIGINT) AS m_b
+             FROM b x JOIN b y ON x.w = y.w
+               AND x.event_type < y.event_type
+             GROUP BY 1, 2)
+      SELECT p.type_a, p.type_b, p.n_words_a, p.n_words_b,
+             coalesce(bi.n_int, 0) AS int_bitmap,
+             coalesce(bi.u_m, 0) + (p.tba - coalesce(bi.m_a, 0))
+               + (p.tbb - coalesce(bi.m_b, 0)) AS union_bitmap
+      FROM pairs p
+      LEFT JOIN bi ON bi.type_a = p.type_a AND bi.type_b = p.type_b
+      ORDER BY 1, 2""")) { (spark, dir) =>
+      val root = sinkDir(s"p263_${Integer.toHexString(dir.hashCode)}") +
+        s"/${System.nanoTime()}"
+      val st = graft.streaming.StreamingOps
+        .bitmapIndexIngest(spark, dir, root)
+        .localCheckpoint()
+      val nb = st.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(expr("bit_count(bm)")).as("total_bits"))
+      val pairs = nb.select(col("event_type").as("type_a"),
+          col("n_words").as("n_words_a"), col("total_bits").as("tba"))
+        .crossJoin(nb.select(col("event_type").as("type_b"),
+          col("n_words").as("n_words_b"), col("total_bits").as("tbb")))
+        .where(col("type_a") < col("type_b"))
+      val bi = st.select(col("event_type").as("type_a"), col("w"),
+          col("bm").as("bma"))
+        .join(st.select(col("event_type").as("type_b"), col("w"),
+          col("bm").as("bmb")), "w")
+        .where(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(sum(expr("bit_count(bma & bmb)")).as("n_int"),
+          sum(expr("bit_count(bma | bmb)")).as("u_m"),
+          sum(expr("bit_count(bma)")).as("m_a"),
+          sum(expr("bit_count(bmb)")).as("m_b"))
+      pairs.join(broadcast(bi), Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"), col("n_words_a"),
+          col("n_words_b"),
+          coalesce(col("n_int"), lit(0L)).as("int_bitmap"),
+          (coalesce(col("u_m"), lit(0L))
+            + (col("tba") - coalesce(col("m_a"), lit(0L)))
+            + (col("tbb") - coalesce(col("m_b"), lit(0L))))
+            .as("union_bitmap"))
+        .orderBy(col("type_a"), col("type_b"))
     })
 }

@@ -833,6 +833,71 @@ object StreamingOps {
     state()
   }
 
+  /** STREAMING bitmap-index maintenance — p166's (event_type, word)
+    * bitmap table as foreachBatch state. Each micro-batch ORs its
+    * (user, day)-bit deltas into the versioned state; `bit_or` is
+    * IDEMPOTENT (x|x = x), so this fold is strictly stronger than the
+    * additive-count cases (p248/p262): not only does any batch SPLIT
+    * reach the same state, so does at-least-once REDELIVERY. The ingest
+    * proves it by splitting the source into deliberately OVERLAPPING
+    * slices (slice k = idx%3==k, plus every idx%7==0 row in ALL
+    * slices) — the oracle recomputes the one-shot bitmap from raw
+    * events, and the hash match pins fold ≡ one-shot under duplicate
+    * delivery. Scale: state is |universe|/60 words per type at any
+    * stream volume; per batch one word-keyed merge job.
+    */
+  def bitmapIndexIngest(spark: SparkSession, dir: String,
+                        workRoot: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val ev = graft.queries.Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        (col("user_id") * 512
+          + dayofyear(date_trunc("DAY", col("ts")).cast("date")))
+          .as("idx"))
+    val srcDir = s"$workRoot/incoming"
+    (0 until 3).foreach { k =>
+      // one file per slice → one micro-batch per slice; idx%7==0 rows
+      // land in every slice (the redelivery overlap)
+      ev.where(pmod(col("idx"), lit(3)) === k
+          || pmod(col("idx"), lit(7)) === 0)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    @volatile var version = -1L
+    def state(): DataFrame =
+      if (version < 0) {
+        import s.implicits._
+        Seq.empty[(String, Long, Long)].toDF("event_type", "w", "bm")
+      } else s.read.parquet(s"$workRoot/state_v$version")
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("idx", LongType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch
+          .groupBy(col("event_type"), expr("idx div 60").as("w"))
+          .agg(expr("CAST(bit_or(shiftleft(1L, CAST(idx % 60 AS INT))) " +
+            "AS BIGINT)").as("d_bm"))
+        val merged = state().join(delta, Seq("event_type", "w"),
+            "full_outer")
+          .select(col("event_type"), col("w"),
+            coalesce(col("bm"), lit(0L))
+              .bitwiseOR(coalesce(col("d_bm"), lit(0L))).as("bm"))
+        val v = version + 1
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$workRoot/state_v$v")
+        version = v
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state()
+  }
+
   def decayedCountsIngest(spark: SparkSession, dir: String,
                           workRoot: String): DataFrame = {
     val s = spark.newSession()

@@ -138,7 +138,12 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("p254_hits_scores", 129L, 37600L, Pairwise),
     ("p258_jl_fidelity", 12L, 4800L, DocLinear),
     ("p261_mutual_knn", 14L, 2100L, Pairwise),
-    ("p262_stream_quantiles", 13L, 3800L, Flat))
+    ("p262_stream_quantiles", 13L, 3800L, Flat),
+    // p263 (r14) folds events bit-deltas into O(|universe|/60 words ×
+    // types) state — events untouched by the doubling → Flat
+    // (measured 9 exchanges / 687 records, ×2 corpus 1.00×; ×1.4
+    // headroom: 9×1.4=12.6→13, 687×1.4≈962→1000)
+    ("p263_stream_bitmap_index", 13L, 1000L, Flat))
 
   private lazy val doubledDir = GuardFixtures.doubledDir(spark, sfDir)
 

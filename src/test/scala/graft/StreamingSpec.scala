@@ -785,4 +785,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(versions >= 3, s"expected one micro-batch per range file, " +
       s"got $versions state versions")
   }
+
+  test("p263 bitmap state fold: one word ORs bits from three " +
+      "micro-batches, and redelivered bits count once (idempotence)") {
+    import spark.implicits._
+    // The ingest slices on idx%3 (slice k gets idx%3==k) and REDELIVERS
+    // every idx%7==0 row in all three slices. user_id=0 makes
+    // idx = dayofyear, so days 21/22/23 land in word 0 with:
+    //   idx=21 → slice 0 AND (21%7=0) redelivered in slices 1, 2
+    //   idx=22 → slice 1 only;  idx=23 → slice 2 only
+    // Final word bm = bit21|bit22|bit23 can only arise from an OR
+    // ACROSS batches, and the thrice-delivered bit 21 must appear
+    // exactly once — additive folding would corrupt the word.
+    val dir = s"${sys.props("java.io.tmpdir")}/p263fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    val rows = Seq(("a", 21), ("a", 22), ("a", 23), ("b", 21), ("b", 22))
+    rows.toDF("event_type", "doy")
+      .withColumn("ts", to_timestamp(
+        concat(lit("2024-01-"), format_string("%02d", col("doy"))),
+        "yyyy-MM-dd"))
+      .withColumn("event_id", lit(1L)).withColumn("user_id", lit(0L))
+      .withColumn("value", lit(1.0)).withColumn("props", lit(""))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val root = dir + "/work"
+    val got = graft.streaming.StreamingOps
+      .bitmapIndexIngest(spark, dir, root)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("w"), r.getAs[Long]("bm"))).toSet
+    assert(got == Set(
+      ("a", 0L, (1L << 21) | (1L << 22) | (1L << 23)),
+      ("b", 0L, (1L << 21) | (1L << 22))))
+    val versions = new java.io.File(root).list()
+      .count(_.startsWith("state_v"))
+    assert(versions >= 3, s"expected one micro-batch per slice file, " +
+      s"got $versions state versions")
+  }
 }
