@@ -161,6 +161,24 @@ class ProcessRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     engine.sql("DROP FUNCTION pshout")
   }
 
+  test("concurrent tasks share one guest safely: calls serialize on the " +
+    "client (the reference's per-module VM mutex) with values intact") {
+    val spark = engine.spark
+    // 8 partitions on a 4-core session → concurrent tasks racing the
+    // single guest process; every batch must come back bit-exact
+    spark.range(0, 80000, 1, 8)
+      .selectExpr("cast(id % 91 as double) as a")
+      .createOrReplaceTempView("proc_conc_t")
+    engine.sql(
+      "CREATE FUNCTION pcc(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS 'proc:builtin!pow'")
+    val got = engine.sql(
+      "select sum(v) as s from (select pcc(a, 2.0) as v from proc_conc_t)")
+      .head.getDouble(0)
+    val want = (0 until 80000).map(i => math.pow(i % 91, 2.0)).sum
+    assert(got == want, "interleaved IPC round-trips must not mix batches")
+    engine.sql("DROP FUNCTION pcc")
+  }
+
   test("bad module / bad method fail at CREATE time, like the factory " +
     "(lib.rs:111-132)") {
     val e1 = intercept[Exception] {
