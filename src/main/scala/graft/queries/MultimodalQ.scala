@@ -713,6 +713,64 @@ object MultimodalQ {
             .otherwise(expr("(cdf - cdfmin) * 255 div (12 - cdfmin)"))
             .as("eq"))
         .orderBy(col("doc_id"), col("i"))
+    },
+
+    // ---- REAL WARC/1.0 crawl-shard build + salvage walk --------------------
+    // Common Crawl's container: a crawl corpus lands as WARC shards of
+    // request/response record pairs, and the first pass of a 100 TB
+    // crawl ingest is this record walk. Per doc a 2-record WARC shard
+    // is BUILT in-query (graft.functions.Warc — real version lines,
+    // CRLF headers, Content-Length framing, the spec's terminating
+    // CRLFCRLF) and SALVAGE-walked: records are consumed while version
+    // line + headers + declared length + terminator all verify in
+    // bounds; the first malformed record keeps the valid prefix.
+    // doc_id % 13 = 4 shards are cut 40 bytes into the response record
+    // (mid-crawl truncation); doc_id % 17 = 6 shards carry a
+    // bit-rotted version line on the response (WARX/1.0) — both must
+    // salvage exactly the request record. The oracle never parses
+    // bytes: every field is recomputed from the record-length algebra
+    // (99 fixed framing bytes + type + uri + length-digits + payload),
+    // so the hash match proves the kernel's walk agrees with the
+    // format arithmetic. Record-bomb and header caps bound the loop
+    // on lying shards (adversarial cases in MultimodalSpec).
+    Q("p264_warc_shard_walk", Some("""
+      WITH p AS (SELECT doc_id,
+                        CAST(length(text) AS BIGINT) AS l2,
+                        CAST(length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS d,
+                        CASE WHEN doc_id % 13 = 4 THEN 1
+                             WHEN doc_id % 17 = 6 THEN 2 ELSE 0 END AS mode
+                 FROM documents),
+      b AS (SELECT doc_id, mode, l2, d, 5 + d AS l1,
+                   99 + 7 + 14 + d
+                     + length(CAST(5 + d AS VARCHAR)) + (5 + d) AS r1,
+                   99 + 8 + 14 + d
+                     + length(CAST(l2 AS VARCHAR)) + l2 AS r2
+            FROM p)
+      SELECT doc_id,
+             CAST(CASE WHEN mode = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_records,
+             CAST(CASE WHEN mode = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_responses,
+             CAST(CASE WHEN mode = 0 THEN l1 + l2 ELSE l1 END AS BIGINT)
+               AS payload_bytes,
+             CAST(CASE WHEN mode = 1 THEN r1 + 40 ELSE r1 + r2 END
+               AS BIGINT) AS shard_bytes
+      FROM b ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.Warc
+      val id = col("doc_id").cast("string")
+      val mode = when(col("doc_id") % 13 === 4, 1)
+        .when(col("doc_id") % 17 === 6, 2).otherwise(0)
+      val blob = Warc.build(
+        concat(lit("http://ex.com/"), id),
+        concat(lit("GET /"), id),
+        col("text"), mode)
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), Warc.walk(blob).as("w"))
+        .select(col("doc_id"), col("w.n_records").as("n_records"),
+          col("w.n_responses").as("n_responses"),
+          col("w.payload_bytes").as("payload_bytes"),
+          col("w.shard_bytes").as("shard_bytes"))
+        .orderBy(col("doc_id"))
     }
   )
 

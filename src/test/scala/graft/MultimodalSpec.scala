@@ -750,6 +750,48 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bomb._1 == 64L && bomb._4 == 0L)
   }
 
+  test("warc kernel (p264): build/walk round trip, salvage on truncation " +
+    "and version bit-rot, lying Content-Length, bad terminator, record bomb") {
+    import graft.functions.Warc
+    def walk(b: Array[Byte]): (Long, Long, Long, Long) = {
+      val r = Warc.walkData(b)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val uri = "http://ex.com/7" // 15 bytes
+    val req = "GET /7".getBytes // 6 bytes
+    val resp = "hello warc body".getBytes // 15 bytes
+    // record bytes = 99 framing + type + uri + len-digits + payload:
+    // r1 = 99+7+15+1+6 = 128, r2 = 99+8+15+2+15 = 139
+    val good = Warc.buildBytes(uri, req, resp, 0)
+    assert(good.length == 128 + 139)
+    assert(walk(good) == ((2L, 1L, 21L, 267L)))
+    // mid-crawl cut 40 bytes into the response record: salvage request
+    val cut = Warc.buildBytes(uri, req, resp, 1)
+    assert(walk(cut) == ((1L, 0L, 6L, 168L)))
+    // bit-rotted response version line (WARX/1.0): salvage request
+    val rot = Warc.buildBytes(uri, req, resp, 2)
+    assert(walk(rot) == ((1L, 0L, 6L, 267L)))
+    def raw(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // lying Content-Length (declared past the shard): record rejected
+    assert(walk(raw("WARC/1.0\r\nContent-Length: 9999\r\n\r\nhi\r\n\r\n"))
+      ._1 == 0L)
+    // Content-Length digits must run to the CRLF: trailing junk rejected
+    assert(walk(raw("WARC/1.0\r\nContent-Length: 2x\r\n\r\nhi\r\n\r\n"))
+      ._1 == 0L)
+    // missing terminating CRLFCRLF after the payload: rejected
+    assert(walk(raw("WARC/1.0\r\nContent-Length: 2\r\n\r\nhiXXXX"))._1 == 0L)
+    // a correct minimal record parses (no WARC-Type → not a response)
+    assert(walk(raw("WARC/1.0\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"))
+      == ((1L, 0L, 2L, 37L)))
+    // garbage never throws, salvages nothing
+    assert(walk(Array.fill[Byte](512)(0x41)) == ((0L, 0L, 0L, 512L)))
+    assert(walk(Array.emptyByteArray) == ((0L, 0L, 0L, 0L)))
+    // record bomb: 70 shards × 2 records stop at the 64-record cap
+    val many = (0 until 70).map(_ => good).reduce(_ ++ _)
+    val bomb = walk(many)
+    assert(bomb._1 == 64L && bomb._2 == 32L)
+  }
+
   test("zip kernel (p237): JDK ZipInputStream reads the built archive; " +
       "walk verifies central dir + CRCs, salvages without EOCD, " +
       "catches a flipped data bit, never throws on junk") {
