@@ -236,7 +236,8 @@ object FunctionServer {
         case e: Throwable =>
           // fail the LIST handshake with the real message, then exit
           in.readUnsignedByte()
-          proto.writeByte(StGuestError); proto.writeUTF(e.getMessage)
+          proto.writeByte(StGuestError)
+          proto.writeUTF(Option(e.getMessage).getOrElse(e.getClass.getName))
           proto.flush()
           return
       }
