@@ -93,6 +93,44 @@ object SimilarityOps {
       .filter(col("sim") >= minSim)
   }
 
+  /** Label+SRP-blocked near-dup pairs with a hard member cap — the
+    * r14 reformulation of the label-only [[nearDupPairs]] blocking
+    * (the p261 lesson, caught again by the quadratic-join lint: a
+    * label is O(1)-cardinality, so label-only blocks are
+    * O(corpus²/|labels|)). Blocks are (label, k-bit SRP bucket);
+    * pair generation happens inside ONE collect_list shuffle, members
+    * sorted by id so pairs emerge a<b; blocks past `maxMembers`
+    * abstain and the drop count surfaces as an observed metric
+    * (no-silent-caps). Pair volume is ≤ maxMembers·n at any corpus;
+    * the plane count is the resolution knob a larger corpus raises.
+    */
+  def blockedNearDupPairs(vectors: DataFrame, id: String, vec: String,
+                          label: String, k: Int, dim: Int, minSim: Double,
+                          maxMembers: Int = 200): DataFrame = {
+    val planes = srpHyperplanes(k, dim)
+    val v = vectors
+      .select(col(id).as("did"), col(label).as("lb"),
+        col(vec).cast("array<double>").as("v"))
+      .withColumn("bk", srpBucket(col("v"), planes))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val buckets = v
+      .groupBy(col("lb"), col("bk"))
+      .agg(sort_array(collect_list(struct(col("did"), col("v"),
+        col("nrm")))).as("ds"))
+      .observe("graft_blocked_neardup",
+        sum(when(size(col("ds")) > maxMembers, 1).otherwise(0))
+          .as("dropped_oversized"))
+      .filter(size(col("ds")).between(2, maxMembers))
+    buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "pa")))
+      .select(col("pa"), expr("slice(ds, i + 2, size(ds))").as("rest"))
+      .select(col("pa"), explode(col("rest")).as("pb"))
+      .select(col("pa.did").as("a"), col("pb.did").as("b"),
+        round(dot(col("pa.v"), col("pb.v")) / col("pa.nrm") / col("pb.nrm"),
+          6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   // --- signed-random-projection LSH (Charikar, STOC'02) ------------------
   //
   // The LSH-family ANN path when no cluster label exists: k deterministic

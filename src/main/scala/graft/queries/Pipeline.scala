@@ -373,20 +373,44 @@ object Pipeline {
         .orderBy(col("query_id"), col("rk"))
     },
 
-    // ---- embedding near-dup pairs (bucketed, never all-pairs) -------------
-    Q("p12_embedding_neardup", Some("""
-      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    // ---- embedding near-dup pairs (capped blocks, never all-pairs) ---------
+    // r14 reformulation: the original blocked on label ALONE — an
+    // O(1)-cardinality key, so pair generation was O(corpus²/|labels|),
+    // the exact p261 bug shape; the sharpened quadratic-join lint
+    // (alias-resolving) caught it. Blocks are now (label, 8-bit SRP
+    // bucket) with p150's hard member cap: over-full blocks abstain
+    // (observe-reported, no-silent-caps), pair volume ≤ 200·n at any
+    // corpus, and the SRP plane values are emitted VERBATIM into the
+    // oracle so both engines bucket bit-identically (the p261
+    // discipline).
+    Q("p12_embedding_neardup", Some {
+      val planes = graft.ops.SimilarityOps.srpHyperplanes(8, 64)
+      val bucketSql = planes.zipWithIndex.map { case (h, j) =>
+        val arr = h.map(_.toString).mkString("[", ",", "]")
+        s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      b AS (SELECT vec_id, label, v, $bucketSql AS bk FROM v),
+      m AS (SELECT label, bk, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      e AS (SELECT b.vec_id, b.label, b.v, b.bk
+            FROM b JOIN m ON m.label = b.label AND m.bk = b.bk
+            WHERE m.n BETWEEN 2 AND 200)
       SELECT x.vec_id AS a, y.vec_id AS b,
              round(list_dot_product(x.v, y.v)
                / sqrt(list_dot_product(x.v, x.v))
                / sqrt(list_dot_product(y.v, y.v)), 6) AS sim
-      FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
+      FROM e x JOIN e y ON x.label = y.label AND x.bk = y.bk
+        AND x.vec_id < y.vec_id
       WHERE round(list_dot_product(x.v, y.v)
                / sqrt(list_dot_product(x.v, x.v))
                / sqrt(list_dot_product(y.v, y.v)), 6) >= 0.25
-      ORDER BY a, b""")) { (spark, dir) =>
-      SimilarityOps.nearDupPairs(Tables.loadSpread(spark, dir, "embeddings"),
-          "vec_id", "embedding", "label", minSim = 0.25)
+      ORDER BY a, b"""
+    }) { (spark, dir) =>
+      SimilarityOps.blockedNearDupPairs(
+          Tables.loadSpread(spark, dir, "embeddings"),
+          "vec_id", "embedding", "label", k = 8, dim = 64, minSim = 0.25)
         .orderBy(col("a"), col("b"))
     },
 

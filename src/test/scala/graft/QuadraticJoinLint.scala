@@ -45,19 +45,62 @@ object QuadraticJoinLint {
     found
   }
 
-  private def equiKeyNames(cond: Expression): Seq[(String, String)] = {
+  private def equiKeyNames(cond: Expression,
+      root: AttributeReference => Option[String]): Seq[(String, String)] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    conjuncts(cond).collect {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        (a.name.toLowerCase, b.name.toLowerCase)
+    def attr(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => attr(c.child)
+      case _ => None
+    }
+    conjuncts(cond).flatMap {
+      case EqualTo(l, r) =>
+        (attr(l), attr(r)) match {
+          case (Some(a), Some(b)) =>
+            // resolve through rename chains so `label.as("grp")` cannot
+            // evade the rule; a DERIVED key (computation) resolves to a
+            // sentinel that is never low-card
+            Some((root(a).getOrElse("<derived>"),
+              root(b).getOrElse("<derived>")))
+          case _ => None
+        }
+      case _ => None
     }
   }
 
   /** Lint one OPTIMIZED logical plan. */
   def lint(plan: LogicalPlan): Seq[Hit] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, ExprId}
+    // alias bindings across the whole plan: exprId → defining expression
+    val bind = scala.collection.mutable.Map[ExprId, Expression]()
+    plan.foreach {
+      case p: Project => p.projectList.foreach {
+        case a: Alias => bind(a.exprId) = a.child
+        case _ => ()
+      }
+      case _ => ()
+    }
+    /** Follow rename chains to the originating column; None = derived. */
+    def root(a: AttributeReference): Option[String] = {
+      var e: Expression = a
+      var steps = 0
+      while (steps < 32) {
+        e match {
+          case ar: AttributeReference => bind.get(ar.exprId) match {
+            case Some(next) => e = next
+            case None => return Some(ar.name.toLowerCase)
+          }
+          case al: Alias => e = al.child
+          case c: org.apache.spark.sql.catalyst.expressions.Cast => e = c.child
+          case _ => return None
+        }
+        steps += 1
+      }
+      None
+    }
     val hits = scala.collection.mutable.ArrayBuffer[Hit]()
     plan.foreach {
       case j: Join =>
@@ -67,7 +110,7 @@ object QuadraticJoinLint {
           case Inner | Cross | FullOuter | LeftOuter | RightOuter => true
           case _ => false
         }
-        val keys = j.condition.map(equiKeyNames).getOrElse(Nil)
+        val keys = j.condition.map(equiKeyNames(_, root)).getOrElse(Nil)
         val allLowCard = keys.nonEmpty &&
           keys.forall { case (a, b) => lowCardCols(a) && lowCardCols(b) }
         if (multiplying && allLowCard &&

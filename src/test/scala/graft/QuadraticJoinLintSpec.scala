@@ -19,11 +19,19 @@ class QuadraticJoinLintSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val sfDir = "/root/testdata/sf0.001"
 
   /** Entries allowed to keep a both-sides-unbounded low-card-key join,
-    * each with the reason the lint cannot see. EMPTY at pin time
-    * (round 14): every declared entry passes the rule outright. Add a
-    * name here ONLY with a comment proving the join is metadata-sized
-    * in a way the boundedness heuristic misses. */
-  private val allowlist: Map[String, String] = Map.empty
+    * each with the reason the lint cannot see. Add a name here ONLY
+    * with a comment proving the join is bounded in a way the
+    * heuristic misses. (The alias-resolving sharpening of this lint
+    * caught p12's label-only all-pairs blocking — the p261 bug shape,
+    * shipped in round 3, latent for 11 rounds — which was FIXED, not
+    * allowlisted: it now blocks on (label, SRP bucket) with the
+    * member cap.) */
+  private val allowlist: Map[String, String] = Map(
+    // probe side is the ≤20-row literal panel `vec_id < 20`: the join
+    // is panel × label-block (corpus-LINEAR, the IVF probe shape);
+    // boundedness-by-selective-filter is exactly what the heuristic
+    // cannot cost
+    "p11_knn_ivf" -> "probe side literal-bounded (vec_id < 20 panel)")
 
   private lazy val spark = {
     val s = SparkSession.builder()
@@ -82,5 +90,15 @@ class QuadraticJoinLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(QuadraticJoinLint.lint(
       emb.join(emb, Seq("label"), "left_semi").queryExecution.optimizedPlan)
       .isEmpty)
+
+    // RENAMING the fixture key must not evade the lint: the alias chain
+    // resolves back to `label`
+    val renamed = emb.select(col("vec_id"), col("label").as("grp"))
+    val evasion = renamed
+      .join(renamed.withColumnRenamed("vec_id", "vec_id2"), "grp")
+      .where(col("vec_id") < col("vec_id2"))
+    val evHits = QuadraticJoinLint.lint(evasion.queryExecution.optimizedPlan)
+    assert(evHits.nonEmpty, "rename evasion must still trip the lint")
+    assert(evHits.head.keys == Seq("label=label"))
   }
 }
