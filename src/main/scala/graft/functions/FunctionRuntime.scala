@@ -90,6 +90,10 @@ object ModuleRegistry {
       val module =
         if (path.startsWith("proc:"))
           new ProcessFunctionModule(path.stripPrefix("proc:"))
+        else if (path.endsWith(".wasm"))
+          // a real .wasm artifact, run by the from-scratch interpreter —
+          // the reference's own module-path load (lib.rs:111-132)
+          new WasmFunctionModule(path)
         else if (loaders.containsKey(path)) loaders.get(path)()
         else {
           val cls =
