@@ -198,223 +198,235 @@ final class WasmInstance(val module: WasmModule) {
         case 0x24 => sp -= 1; globals(argL(i).toInt) = stack(sp)
         // ---- loads ----
         case 0x29 => stack(sp - 1) = bb.getLong(checkAddr(stack(sp - 1), argM(i), 8))
-        case 0x2A => stack(sp - 1) = bb.getInt(checkAddr(stack(sp - 1), argM(i), 4)).toLong & M32
-        case 0x2B => stack(sp - 1) = bb.getLong(checkAddr(stack(sp - 1), argM(i), 8))
-        case 0x2C => stack(sp - 1) = mem(checkAddr(stack(sp - 1), argM(i), 1)).toLong & M32
         case 0x2D => stack(sp - 1) = (mem(checkAddr(stack(sp - 1), argM(i), 1)) & 0xFF).toLong
-        case 0x2E => stack(sp - 1) = bb.getShort(checkAddr(stack(sp - 1), argM(i), 2)).toLong & M32
-        case 0x2F => stack(sp - 1) = (bb.getShort(checkAddr(stack(sp - 1), argM(i), 2)) & 0xFFFF).toLong
-        case 0x30 => stack(sp - 1) = mem(checkAddr(stack(sp - 1), argM(i), 1)).toLong
-        case 0x31 => stack(sp - 1) = (mem(checkAddr(stack(sp - 1), argM(i), 1)) & 0xFF).toLong
-        case 0x32 => stack(sp - 1) = bb.getShort(checkAddr(stack(sp - 1), argM(i), 2)).toLong
-        case 0x33 => stack(sp - 1) = (bb.getShort(checkAddr(stack(sp - 1), argM(i), 2)) & 0xFFFF).toLong
-        case 0x34 => stack(sp - 1) = bb.getInt(checkAddr(stack(sp - 1), argM(i), 4)).toLong
-        case 0x35 => stack(sp - 1) = bb.getInt(checkAddr(stack(sp - 1), argM(i), 4)).toLong & M32
-        // ---- stores ----
         case 0x37 => sp -= 2; bb.putLong(checkAddr(stack(sp), argM(i), 8), stack(sp + 1))
-        case 0x38 => sp -= 2; bb.putInt(checkAddr(stack(sp), argM(i), 4), stack(sp + 1).toInt)
-        case 0x39 => sp -= 2; bb.putLong(checkAddr(stack(sp), argM(i), 8), stack(sp + 1))
-        case 0x3A => sp -= 2; mem(checkAddr(stack(sp), argM(i), 1)) = stack(sp + 1).toByte
-        case 0x3B => sp -= 2; bb.putShort(checkAddr(stack(sp), argM(i), 2), stack(sp + 1).toShort)
-        case 0x3C => sp -= 2; mem(checkAddr(stack(sp), argM(i), 1)) = stack(sp + 1).toByte
-        case 0x3D => sp -= 2; bb.putShort(checkAddr(stack(sp), argM(i), 2), stack(sp + 1).toShort)
-        case 0x3E => sp -= 2; bb.putInt(checkAddr(stack(sp), argM(i), 4), stack(sp + 1).toInt)
-        case 0x3F => stack(sp) = (mem.length / PageSize).toLong; sp += 1
-        case 0x40 => stack(sp - 1) = growMemory((stack(sp - 1) & M32).toInt).toLong & M32
-        // ---- i32 compare ----
         case 0x45 => stack(sp - 1) = b2l((stack(sp - 1) & M32) == 0)
         case 0x46 => sp -= 1; stack(sp - 1) = b2l((stack(sp - 1) & M32) == (stack(sp) & M32))
         case 0x47 => sp -= 1; stack(sp - 1) = b2l((stack(sp - 1) & M32) != (stack(sp) & M32))
-        case 0x48 => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1).toInt < stack(sp).toInt)
-        case 0x49 => sp -= 1; stack(sp - 1) = b2l((stack(sp - 1) & M32) < (stack(sp) & M32))
-        case 0x4A => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1).toInt > stack(sp).toInt)
-        case 0x4B => sp -= 1; stack(sp - 1) = b2l((stack(sp - 1) & M32) > (stack(sp) & M32))
-        case 0x4C => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1).toInt <= stack(sp).toInt)
-        case 0x4D => sp -= 1; stack(sp - 1) = b2l((stack(sp - 1) & M32) <= (stack(sp) & M32))
-        case 0x4E => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1).toInt >= stack(sp).toInt)
-        case 0x4F => sp -= 1; stack(sp - 1) = b2l((stack(sp - 1) & M32) >= (stack(sp) & M32))
-        // ---- i64 compare ----
-        case 0x50 => stack(sp - 1) = b2l(stack(sp - 1) == 0L)
-        case 0x51 => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1) == stack(sp))
-        case 0x52 => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1) != stack(sp))
-        case 0x53 => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1) < stack(sp))
-        case 0x54 => sp -= 1; stack(sp - 1) = b2l(java.lang.Long.compareUnsigned(stack(sp - 1), stack(sp)) < 0)
-        case 0x55 => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1) > stack(sp))
-        case 0x56 => sp -= 1; stack(sp - 1) = b2l(java.lang.Long.compareUnsigned(stack(sp - 1), stack(sp)) > 0)
-        case 0x57 => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1) <= stack(sp))
-        case 0x58 => sp -= 1; stack(sp - 1) = b2l(java.lang.Long.compareUnsigned(stack(sp - 1), stack(sp)) <= 0)
-        case 0x59 => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1) >= stack(sp))
-        case 0x5A => sp -= 1; stack(sp - 1) = b2l(java.lang.Long.compareUnsigned(stack(sp - 1), stack(sp)) >= 0)
-        // ---- f32 compare ----
-        case 0x5B => sp -= 1; stack(sp - 1) = b2l(f32(sp - 1) == f32(sp))
-        case 0x5C => sp -= 1; stack(sp - 1) = b2l(f32(sp - 1) != f32(sp))
-        case 0x5D => sp -= 1; stack(sp - 1) = b2l(f32(sp - 1) < f32(sp))
-        case 0x5E => sp -= 1; stack(sp - 1) = b2l(f32(sp - 1) > f32(sp))
-        case 0x5F => sp -= 1; stack(sp - 1) = b2l(f32(sp - 1) <= f32(sp))
-        case 0x60 => sp -= 1; stack(sp - 1) = b2l(f32(sp - 1) >= f32(sp))
-        // ---- f64 compare ----
-        case 0x61 => sp -= 1; stack(sp - 1) = b2l(f64(sp - 1) == f64(sp))
-        case 0x62 => sp -= 1; stack(sp - 1) = b2l(f64(sp - 1) != f64(sp))
-        case 0x63 => sp -= 1; stack(sp - 1) = b2l(f64(sp - 1) < f64(sp))
-        case 0x64 => sp -= 1; stack(sp - 1) = b2l(f64(sp - 1) > f64(sp))
-        case 0x65 => sp -= 1; stack(sp - 1) = b2l(f64(sp - 1) <= f64(sp))
-        case 0x66 => sp -= 1; stack(sp - 1) = b2l(f64(sp - 1) >= f64(sp))
-        // ---- i32 arithmetic ----
-        case 0x67 => stack(sp - 1) = Integer.numberOfLeadingZeros(stack(sp - 1).toInt).toLong
-        case 0x68 => stack(sp - 1) = Integer.numberOfTrailingZeros(stack(sp - 1).toInt).toLong
-        case 0x69 => stack(sp - 1) = Integer.bitCount(stack(sp - 1).toInt).toLong
-        case 0x6C => sp -= 1; stack(sp - 1) = (stack(sp - 1).toInt * stack(sp).toInt).toLong & M32
-        case 0x6D =>
-          sp -= 1
-          val a = stack(sp - 1).toInt; val b = stack(sp).toInt
-          if (b == 0) throw WasmTrap("integer divide by zero")
-          if (a == Int.MinValue && b == -1) throw WasmTrap("integer overflow")
-          stack(sp - 1) = (a / b).toLong & M32
-        case 0x6E =>
-          sp -= 1
-          val b = stack(sp).toInt
-          if (b == 0) throw WasmTrap("integer divide by zero")
-          stack(sp - 1) = Integer.divideUnsigned(stack(sp - 1).toInt, b).toLong & M32
-        case 0x6F =>
-          sp -= 1
-          val b = stack(sp).toInt
-          if (b == 0) throw WasmTrap("integer divide by zero")
-          stack(sp - 1) = (stack(sp - 1).toInt % b).toLong & M32
-        case 0x70 =>
-          sp -= 1
-          val b = stack(sp).toInt
-          if (b == 0) throw WasmTrap("integer divide by zero")
-          stack(sp - 1) = Integer.remainderUnsigned(stack(sp - 1).toInt, b).toLong & M32
         case 0x71 => sp -= 1; stack(sp - 1) = (stack(sp - 1) & stack(sp)) & M32
-        case 0x72 => sp -= 1; stack(sp - 1) = (stack(sp - 1) | stack(sp)) & M32
-        case 0x73 => sp -= 1; stack(sp - 1) = (stack(sp - 1) ^ stack(sp)) & M32
         case 0x74 => sp -= 1; stack(sp - 1) = (stack(sp - 1).toInt << stack(sp).toInt).toLong & M32
-        case 0x75 => sp -= 1; stack(sp - 1) = (stack(sp - 1).toInt >> stack(sp).toInt).toLong & M32
         case 0x76 => sp -= 1; stack(sp - 1) = (stack(sp - 1).toInt >>> stack(sp).toInt).toLong & M32
-        case 0x77 => sp -= 1; stack(sp - 1) = Integer.rotateLeft(stack(sp - 1).toInt, stack(sp).toInt).toLong & M32
-        case 0x78 => sp -= 1; stack(sp - 1) = Integer.rotateRight(stack(sp - 1).toInt, stack(sp).toInt).toLong & M32
-        // ---- i64 arithmetic ----
-        case 0x79 => stack(sp - 1) = java.lang.Long.numberOfLeadingZeros(stack(sp - 1)).toLong
-        case 0x7A => stack(sp - 1) = java.lang.Long.numberOfTrailingZeros(stack(sp - 1)).toLong
-        case 0x7B => stack(sp - 1) = java.lang.Long.bitCount(stack(sp - 1)).toLong
-        case 0x7C => sp -= 1; stack(sp - 1) = stack(sp - 1) + stack(sp)
-        case 0x7D => sp -= 1; stack(sp - 1) = stack(sp - 1) - stack(sp)
-        case 0x7E => sp -= 1; stack(sp - 1) = stack(sp - 1) * stack(sp)
-        case 0x7F =>
-          sp -= 1
-          val a = stack(sp - 1); val b = stack(sp)
-          if (b == 0) throw WasmTrap("integer divide by zero")
-          if (a == Long.MinValue && b == -1L) throw WasmTrap("integer overflow")
-          stack(sp - 1) = a / b
-        case 0x80 =>
-          sp -= 1
-          if (stack(sp) == 0) throw WasmTrap("integer divide by zero")
-          stack(sp - 1) = java.lang.Long.divideUnsigned(stack(sp - 1), stack(sp))
-        case 0x81 =>
-          sp -= 1
-          if (stack(sp) == 0) throw WasmTrap("integer divide by zero")
-          stack(sp - 1) = stack(sp - 1) % stack(sp)
-        case 0x82 =>
-          sp -= 1
-          if (stack(sp) == 0) throw WasmTrap("integer divide by zero")
-          stack(sp - 1) = java.lang.Long.remainderUnsigned(stack(sp - 1), stack(sp))
-        case 0x83 => sp -= 1; stack(sp - 1) = stack(sp - 1) & stack(sp)
-        case 0x84 => sp -= 1; stack(sp - 1) = stack(sp - 1) | stack(sp)
-        case 0x85 => sp -= 1; stack(sp - 1) = stack(sp - 1) ^ stack(sp)
-        case 0x86 => sp -= 1; stack(sp - 1) = stack(sp - 1) << stack(sp)
-        case 0x87 => sp -= 1; stack(sp - 1) = stack(sp - 1) >> stack(sp)
-        case 0x88 => sp -= 1; stack(sp - 1) = stack(sp - 1) >>> stack(sp)
-        case 0x89 => sp -= 1; stack(sp - 1) = java.lang.Long.rotateLeft(stack(sp - 1), stack(sp).toInt)
-        case 0x8A => sp -= 1; stack(sp - 1) = java.lang.Long.rotateRight(stack(sp - 1), stack(sp).toInt)
-        // ---- f32 arithmetic (compute in single precision) ----
-        case 0x8B => setF32(sp - 1, math.abs(f32(sp - 1)))
-        case 0x8C => setF32(sp - 1, -f32(sp - 1))
-        case 0x8D => setF32(sp - 1, math.ceil(f32(sp - 1).toDouble).toFloat)
-        case 0x8E => setF32(sp - 1, math.floor(f32(sp - 1).toDouble).toFloat)
-        case 0x8F => setF32(sp - 1, truncD(f32(sp - 1).toDouble).toFloat)
-        case 0x90 => setF32(sp - 1, math.rint(f32(sp - 1).toDouble).toFloat)
-        case 0x91 => setF32(sp - 1, math.sqrt(f32(sp - 1).toDouble).toFloat)
-        case 0x92 => sp -= 1; setF32(sp - 1, f32(sp - 1) + f32(sp))
-        case 0x93 => sp -= 1; setF32(sp - 1, f32(sp - 1) - f32(sp))
-        case 0x94 => sp -= 1; setF32(sp - 1, f32(sp - 1) * f32(sp))
-        case 0x95 => sp -= 1; setF32(sp - 1, f32(sp - 1) / f32(sp))
-        case 0x96 => sp -= 1; setF32(sp - 1, math.min(f32(sp - 1), f32(sp)))
-        case 0x97 => sp -= 1; setF32(sp - 1, math.max(f32(sp - 1), f32(sp)))
-        case 0x98 => sp -= 1; setF32(sp - 1, math.copySign(f32(sp - 1), f32(sp)))
-        // ---- f64 arithmetic ----
-        case 0x99 => setF64(sp - 1, math.abs(f64(sp - 1)))
-        case 0x9A => setF64(sp - 1, -f64(sp - 1))
-        case 0x9B => setF64(sp - 1, math.ceil(f64(sp - 1)))
-        case 0x9C => setF64(sp - 1, math.floor(f64(sp - 1)))
-        case 0x9D => setF64(sp - 1, truncD(f64(sp - 1)))
-        case 0x9E => setF64(sp - 1, math.rint(f64(sp - 1)))
-        case 0x9F => setF64(sp - 1, math.sqrt(f64(sp - 1)))
-        case 0xA0 => sp -= 1; setF64(sp - 1, f64(sp - 1) + f64(sp))
-        case 0xA1 => sp -= 1; setF64(sp - 1, f64(sp - 1) - f64(sp))
-        case 0xA2 => sp -= 1; setF64(sp - 1, f64(sp - 1) * f64(sp))
-        case 0xA3 => sp -= 1; setF64(sp - 1, f64(sp - 1) / f64(sp))
-        case 0xA4 => sp -= 1; setF64(sp - 1, math.min(f64(sp - 1), f64(sp)))
-        case 0xA5 => sp -= 1; setF64(sp - 1, math.max(f64(sp - 1), f64(sp)))
-        case 0xA6 => sp -= 1; setF64(sp - 1, math.copySign(f64(sp - 1), f64(sp)))
-        // ---- conversions ----
-        case 0xA7 => stack(sp - 1) &= M32
-        case 0xA8 =>
-          val d = f32(sp - 1).toDouble
-          if (d.isNaN || d >= 2147483648.0 || d <= -2147483649.0) throw WasmTrap("invalid f32->i32")
-          stack(sp - 1) = d.toInt.toLong & M32
-        case 0xA9 =>
-          val d = f32(sp - 1).toDouble
-          if (d.isNaN || d >= 4294967296.0 || d <= -1.0) throw WasmTrap("invalid f32->u32")
-          stack(sp - 1) = d.toLong & M32
-        case 0xAA =>
-          val d = f64(sp - 1)
-          if (d.isNaN || d >= 2147483648.0 || d <= -2147483649.0) throw WasmTrap("invalid f64->i32")
-          stack(sp - 1) = d.toInt.toLong & M32
-        case 0xAB =>
-          val d = f64(sp - 1)
-          if (d.isNaN || d >= 4294967296.0 || d <= -1.0) throw WasmTrap("invalid f64->u32")
-          stack(sp - 1) = d.toLong & M32
-        case 0xAC => stack(sp - 1) = stack(sp - 1).toInt.toLong
-        case 0xAD => stack(sp - 1) &= M32
-        case 0xAE =>
-          val d = f32(sp - 1).toDouble
-          if (d.isNaN || d >= 9.223372036854776E18 || d < -9.223372036854776E18) throw WasmTrap("invalid f32->i64")
-          stack(sp - 1) = d.toLong
-        case 0xAF =>
-          val d = f32(sp - 1).toDouble
-          if (d.isNaN || d >= 1.8446744073709552E19 || d <= -1.0) throw WasmTrap("invalid f32->u64")
-          stack(sp - 1) = d2u64(d)
-        case 0xB0 =>
-          val d = f64(sp - 1)
-          if (d.isNaN || d >= 9.223372036854776E18 || d < -9.223372036854776E18) throw WasmTrap("invalid f64->i64")
-          stack(sp - 1) = d.toLong
-        case 0xB1 =>
-          val d = f64(sp - 1)
-          if (d.isNaN || d >= 1.8446744073709552E19 || d <= -1.0) throw WasmTrap("invalid f64->u64")
-          stack(sp - 1) = d2u64(d)
-        case 0xB2 => setF32(sp - 1, stack(sp - 1).toInt.toFloat)
-        case 0xB3 => setF32(sp - 1, (stack(sp - 1) & M32).toFloat)
-        case 0xB4 => setF32(sp - 1, stack(sp - 1).toFloat)
-        case 0xB5 => setF32(sp - 1, u64ToDouble(stack(sp - 1)).toFloat)
-        case 0xB6 => setF32(sp - 1, f64(sp - 1).toFloat)
-        case 0xB7 => setF64(sp - 1, stack(sp - 1).toInt.toDouble)
-        case 0xB8 => setF64(sp - 1, (stack(sp - 1) & M32).toDouble)
-        case 0xB9 => setF64(sp - 1, stack(sp - 1).toDouble)
-        case 0xBA => setF64(sp - 1, u64ToDouble(stack(sp - 1)))
-        case 0xBB => setF64(sp - 1, f32(sp - 1).toDouble)
-        // reinterprets are identities on raw bits (i32/f32 keep low-32 form)
-        case 0xBC | 0xBE => ()
-        case 0xBD | 0xBF => ()
-        // ---- sign extension ----
-        case 0xC0 => stack(sp - 1) = stack(sp - 1).toByte.toLong & M32
-        case 0xC1 => stack(sp - 1) = stack(sp - 1).toShort.toLong & M32
-        case 0xC2 => stack(sp - 1) = stack(sp - 1).toByte.toLong
-        case 0xC3 => stack(sp - 1) = stack(sp - 1).toShort.toLong
-        case 0xC4 => stack(sp - 1) = stack(sp - 1).toInt.toLong
-        case other => throw WasmTrap(f"unimplemented opcode 0x$other%02x")
+        case other => sp = slowPath(other, argM(i), sp)
       }
       i += 1
     }
+  }
+
+  /** Colder opcodes, split out so the dispatch loop stays under the JIT's
+    * huge-method bytecode limit and actually compiles to native code —
+    * one method over ~8000 bytecodes would silently fall back to the
+    * JVM's bytecode interpreter and cost ~50x. Returns the new sp. */
+  private def slowPath(op: Int, m: Int, sp0: Int): Int = {
+    var sp = sp0
+    (op: @annotation.switch) match {
+      case 0x2A => stack(sp - 1) = bb.getInt(checkAddr(stack(sp - 1), m, 4)).toLong & M32
+      case 0x2B => stack(sp - 1) = bb.getLong(checkAddr(stack(sp - 1), m, 8))
+      case 0x2C => stack(sp - 1) = mem(checkAddr(stack(sp - 1), m, 1)).toLong & M32
+      case 0x2E => stack(sp - 1) = bb.getShort(checkAddr(stack(sp - 1), m, 2)).toLong & M32
+      case 0x2F => stack(sp - 1) = (bb.getShort(checkAddr(stack(sp - 1), m, 2)) & 0xFFFF).toLong
+      case 0x30 => stack(sp - 1) = mem(checkAddr(stack(sp - 1), m, 1)).toLong
+      case 0x31 => stack(sp - 1) = (mem(checkAddr(stack(sp - 1), m, 1)) & 0xFF).toLong
+      case 0x32 => stack(sp - 1) = bb.getShort(checkAddr(stack(sp - 1), m, 2)).toLong
+      case 0x33 => stack(sp - 1) = (bb.getShort(checkAddr(stack(sp - 1), m, 2)) & 0xFFFF).toLong
+      case 0x34 => stack(sp - 1) = bb.getInt(checkAddr(stack(sp - 1), m, 4)).toLong
+      case 0x35 => stack(sp - 1) = bb.getInt(checkAddr(stack(sp - 1), m, 4)).toLong & M32
+      // ---- stores ----
+      case 0x38 => sp -= 2; bb.putInt(checkAddr(stack(sp), m, 4), stack(sp + 1).toInt)
+      case 0x39 => sp -= 2; bb.putLong(checkAddr(stack(sp), m, 8), stack(sp + 1))
+      case 0x3A => sp -= 2; mem(checkAddr(stack(sp), m, 1)) = stack(sp + 1).toByte
+      case 0x3B => sp -= 2; bb.putShort(checkAddr(stack(sp), m, 2), stack(sp + 1).toShort)
+      case 0x3C => sp -= 2; mem(checkAddr(stack(sp), m, 1)) = stack(sp + 1).toByte
+      case 0x3D => sp -= 2; bb.putShort(checkAddr(stack(sp), m, 2), stack(sp + 1).toShort)
+      case 0x3E => sp -= 2; bb.putInt(checkAddr(stack(sp), m, 4), stack(sp + 1).toInt)
+      case 0x3F => stack(sp) = (mem.length / PageSize).toLong; sp += 1
+      case 0x40 => stack(sp - 1) = growMemory((stack(sp - 1) & M32).toInt).toLong & M32
+      // ---- i32 compare ----
+      case 0x48 => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1).toInt < stack(sp).toInt)
+      case 0x49 => sp -= 1; stack(sp - 1) = b2l((stack(sp - 1) & M32) < (stack(sp) & M32))
+      case 0x4A => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1).toInt > stack(sp).toInt)
+      case 0x4B => sp -= 1; stack(sp - 1) = b2l((stack(sp - 1) & M32) > (stack(sp) & M32))
+      case 0x4C => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1).toInt <= stack(sp).toInt)
+      case 0x4D => sp -= 1; stack(sp - 1) = b2l((stack(sp - 1) & M32) <= (stack(sp) & M32))
+      case 0x4E => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1).toInt >= stack(sp).toInt)
+      case 0x4F => sp -= 1; stack(sp - 1) = b2l((stack(sp - 1) & M32) >= (stack(sp) & M32))
+      // ---- i64 compare ----
+      case 0x50 => stack(sp - 1) = b2l(stack(sp - 1) == 0L)
+      case 0x51 => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1) == stack(sp))
+      case 0x52 => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1) != stack(sp))
+      case 0x53 => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1) < stack(sp))
+      case 0x54 => sp -= 1; stack(sp - 1) = b2l(java.lang.Long.compareUnsigned(stack(sp - 1), stack(sp)) < 0)
+      case 0x55 => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1) > stack(sp))
+      case 0x56 => sp -= 1; stack(sp - 1) = b2l(java.lang.Long.compareUnsigned(stack(sp - 1), stack(sp)) > 0)
+      case 0x57 => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1) <= stack(sp))
+      case 0x58 => sp -= 1; stack(sp - 1) = b2l(java.lang.Long.compareUnsigned(stack(sp - 1), stack(sp)) <= 0)
+      case 0x59 => sp -= 1; stack(sp - 1) = b2l(stack(sp - 1) >= stack(sp))
+      case 0x5A => sp -= 1; stack(sp - 1) = b2l(java.lang.Long.compareUnsigned(stack(sp - 1), stack(sp)) >= 0)
+      // ---- f32 compare ----
+      case 0x5B => sp -= 1; stack(sp - 1) = b2l(f32(sp - 1) == f32(sp))
+      case 0x5C => sp -= 1; stack(sp - 1) = b2l(f32(sp - 1) != f32(sp))
+      case 0x5D => sp -= 1; stack(sp - 1) = b2l(f32(sp - 1) < f32(sp))
+      case 0x5E => sp -= 1; stack(sp - 1) = b2l(f32(sp - 1) > f32(sp))
+      case 0x5F => sp -= 1; stack(sp - 1) = b2l(f32(sp - 1) <= f32(sp))
+      case 0x60 => sp -= 1; stack(sp - 1) = b2l(f32(sp - 1) >= f32(sp))
+      // ---- f64 compare ----
+      case 0x61 => sp -= 1; stack(sp - 1) = b2l(f64(sp - 1) == f64(sp))
+      case 0x62 => sp -= 1; stack(sp - 1) = b2l(f64(sp - 1) != f64(sp))
+      case 0x63 => sp -= 1; stack(sp - 1) = b2l(f64(sp - 1) < f64(sp))
+      case 0x64 => sp -= 1; stack(sp - 1) = b2l(f64(sp - 1) > f64(sp))
+      case 0x65 => sp -= 1; stack(sp - 1) = b2l(f64(sp - 1) <= f64(sp))
+      case 0x66 => sp -= 1; stack(sp - 1) = b2l(f64(sp - 1) >= f64(sp))
+      // ---- i32 arithmetic ----
+      case 0x67 => stack(sp - 1) = Integer.numberOfLeadingZeros(stack(sp - 1).toInt).toLong
+      case 0x68 => stack(sp - 1) = Integer.numberOfTrailingZeros(stack(sp - 1).toInt).toLong
+      case 0x69 => stack(sp - 1) = Integer.bitCount(stack(sp - 1).toInt).toLong
+      case 0x6C => sp -= 1; stack(sp - 1) = (stack(sp - 1).toInt * stack(sp).toInt).toLong & M32
+      case 0x6D =>
+        sp -= 1
+        val a = stack(sp - 1).toInt; val b = stack(sp).toInt
+        if (b == 0) throw WasmTrap("integer divide by zero")
+        if (a == Int.MinValue && b == -1) throw WasmTrap("integer overflow")
+        stack(sp - 1) = (a / b).toLong & M32
+      case 0x6E =>
+        sp -= 1
+        val b = stack(sp).toInt
+        if (b == 0) throw WasmTrap("integer divide by zero")
+        stack(sp - 1) = Integer.divideUnsigned(stack(sp - 1).toInt, b).toLong & M32
+      case 0x6F =>
+        sp -= 1
+        val b = stack(sp).toInt
+        if (b == 0) throw WasmTrap("integer divide by zero")
+        stack(sp - 1) = (stack(sp - 1).toInt % b).toLong & M32
+      case 0x70 =>
+        sp -= 1
+        val b = stack(sp).toInt
+        if (b == 0) throw WasmTrap("integer divide by zero")
+        stack(sp - 1) = Integer.remainderUnsigned(stack(sp - 1).toInt, b).toLong & M32
+      case 0x72 => sp -= 1; stack(sp - 1) = (stack(sp - 1) | stack(sp)) & M32
+      case 0x73 => sp -= 1; stack(sp - 1) = (stack(sp - 1) ^ stack(sp)) & M32
+      case 0x75 => sp -= 1; stack(sp - 1) = (stack(sp - 1).toInt >> stack(sp).toInt).toLong & M32
+      case 0x77 => sp -= 1; stack(sp - 1) = Integer.rotateLeft(stack(sp - 1).toInt, stack(sp).toInt).toLong & M32
+      case 0x78 => sp -= 1; stack(sp - 1) = Integer.rotateRight(stack(sp - 1).toInt, stack(sp).toInt).toLong & M32
+      // ---- i64 arithmetic ----
+      case 0x79 => stack(sp - 1) = java.lang.Long.numberOfLeadingZeros(stack(sp - 1)).toLong
+      case 0x7A => stack(sp - 1) = java.lang.Long.numberOfTrailingZeros(stack(sp - 1)).toLong
+      case 0x7B => stack(sp - 1) = java.lang.Long.bitCount(stack(sp - 1)).toLong
+      case 0x7C => sp -= 1; stack(sp - 1) = stack(sp - 1) + stack(sp)
+      case 0x7D => sp -= 1; stack(sp - 1) = stack(sp - 1) - stack(sp)
+      case 0x7E => sp -= 1; stack(sp - 1) = stack(sp - 1) * stack(sp)
+      case 0x7F =>
+        sp -= 1
+        val a = stack(sp - 1); val b = stack(sp)
+        if (b == 0) throw WasmTrap("integer divide by zero")
+        if (a == Long.MinValue && b == -1L) throw WasmTrap("integer overflow")
+        stack(sp - 1) = a / b
+      case 0x80 =>
+        sp -= 1
+        if (stack(sp) == 0) throw WasmTrap("integer divide by zero")
+        stack(sp - 1) = java.lang.Long.divideUnsigned(stack(sp - 1), stack(sp))
+      case 0x81 =>
+        sp -= 1
+        if (stack(sp) == 0) throw WasmTrap("integer divide by zero")
+        stack(sp - 1) = stack(sp - 1) % stack(sp)
+      case 0x82 =>
+        sp -= 1
+        if (stack(sp) == 0) throw WasmTrap("integer divide by zero")
+        stack(sp - 1) = java.lang.Long.remainderUnsigned(stack(sp - 1), stack(sp))
+      case 0x83 => sp -= 1; stack(sp - 1) = stack(sp - 1) & stack(sp)
+      case 0x84 => sp -= 1; stack(sp - 1) = stack(sp - 1) | stack(sp)
+      case 0x85 => sp -= 1; stack(sp - 1) = stack(sp - 1) ^ stack(sp)
+      case 0x86 => sp -= 1; stack(sp - 1) = stack(sp - 1) << stack(sp)
+      case 0x87 => sp -= 1; stack(sp - 1) = stack(sp - 1) >> stack(sp)
+      case 0x88 => sp -= 1; stack(sp - 1) = stack(sp - 1) >>> stack(sp)
+      case 0x89 => sp -= 1; stack(sp - 1) = java.lang.Long.rotateLeft(stack(sp - 1), stack(sp).toInt)
+      case 0x8A => sp -= 1; stack(sp - 1) = java.lang.Long.rotateRight(stack(sp - 1), stack(sp).toInt)
+      // ---- f32 arithmetic (compute in single precision) ----
+      case 0x8B => setF32(sp - 1, math.abs(f32(sp - 1)))
+      case 0x8C => setF32(sp - 1, -f32(sp - 1))
+      case 0x8D => setF32(sp - 1, math.ceil(f32(sp - 1).toDouble).toFloat)
+      case 0x8E => setF32(sp - 1, math.floor(f32(sp - 1).toDouble).toFloat)
+      case 0x8F => setF32(sp - 1, truncD(f32(sp - 1).toDouble).toFloat)
+      case 0x90 => setF32(sp - 1, math.rint(f32(sp - 1).toDouble).toFloat)
+      case 0x91 => setF32(sp - 1, math.sqrt(f32(sp - 1).toDouble).toFloat)
+      case 0x92 => sp -= 1; setF32(sp - 1, f32(sp - 1) + f32(sp))
+      case 0x93 => sp -= 1; setF32(sp - 1, f32(sp - 1) - f32(sp))
+      case 0x94 => sp -= 1; setF32(sp - 1, f32(sp - 1) * f32(sp))
+      case 0x95 => sp -= 1; setF32(sp - 1, f32(sp - 1) / f32(sp))
+      case 0x96 => sp -= 1; setF32(sp - 1, math.min(f32(sp - 1), f32(sp)))
+      case 0x97 => sp -= 1; setF32(sp - 1, math.max(f32(sp - 1), f32(sp)))
+      case 0x98 => sp -= 1; setF32(sp - 1, math.copySign(f32(sp - 1), f32(sp)))
+      // ---- f64 arithmetic ----
+      case 0x99 => setF64(sp - 1, math.abs(f64(sp - 1)))
+      case 0x9A => setF64(sp - 1, -f64(sp - 1))
+      case 0x9B => setF64(sp - 1, math.ceil(f64(sp - 1)))
+      case 0x9C => setF64(sp - 1, math.floor(f64(sp - 1)))
+      case 0x9D => setF64(sp - 1, truncD(f64(sp - 1)))
+      case 0x9E => setF64(sp - 1, math.rint(f64(sp - 1)))
+      case 0x9F => setF64(sp - 1, math.sqrt(f64(sp - 1)))
+      case 0xA0 => sp -= 1; setF64(sp - 1, f64(sp - 1) + f64(sp))
+      case 0xA1 => sp -= 1; setF64(sp - 1, f64(sp - 1) - f64(sp))
+      case 0xA2 => sp -= 1; setF64(sp - 1, f64(sp - 1) * f64(sp))
+      case 0xA3 => sp -= 1; setF64(sp - 1, f64(sp - 1) / f64(sp))
+      case 0xA4 => sp -= 1; setF64(sp - 1, math.min(f64(sp - 1), f64(sp)))
+      case 0xA5 => sp -= 1; setF64(sp - 1, math.max(f64(sp - 1), f64(sp)))
+      case 0xA6 => sp -= 1; setF64(sp - 1, math.copySign(f64(sp - 1), f64(sp)))
+      // ---- conversions ----
+      case 0xA7 => stack(sp - 1) &= M32
+      case 0xA8 =>
+        val d = f32(sp - 1).toDouble
+        if (d.isNaN || d >= 2147483648.0 || d <= -2147483649.0) throw WasmTrap("invalid f32->i32")
+        stack(sp - 1) = d.toInt.toLong & M32
+      case 0xA9 =>
+        val d = f32(sp - 1).toDouble
+        if (d.isNaN || d >= 4294967296.0 || d <= -1.0) throw WasmTrap("invalid f32->u32")
+        stack(sp - 1) = d.toLong & M32
+      case 0xAA =>
+        val d = f64(sp - 1)
+        if (d.isNaN || d >= 2147483648.0 || d <= -2147483649.0) throw WasmTrap("invalid f64->i32")
+        stack(sp - 1) = d.toInt.toLong & M32
+      case 0xAB =>
+        val d = f64(sp - 1)
+        if (d.isNaN || d >= 4294967296.0 || d <= -1.0) throw WasmTrap("invalid f64->u32")
+        stack(sp - 1) = d.toLong & M32
+      case 0xAC => stack(sp - 1) = stack(sp - 1).toInt.toLong
+      case 0xAD => stack(sp - 1) &= M32
+      case 0xAE =>
+        val d = f32(sp - 1).toDouble
+        if (d.isNaN || d >= 9.223372036854776E18 || d < -9.223372036854776E18) throw WasmTrap("invalid f32->i64")
+        stack(sp - 1) = d.toLong
+      case 0xAF =>
+        val d = f32(sp - 1).toDouble
+        if (d.isNaN || d >= 1.8446744073709552E19 || d <= -1.0) throw WasmTrap("invalid f32->u64")
+        stack(sp - 1) = d2u64(d)
+      case 0xB0 =>
+        val d = f64(sp - 1)
+        if (d.isNaN || d >= 9.223372036854776E18 || d < -9.223372036854776E18) throw WasmTrap("invalid f64->i64")
+        stack(sp - 1) = d.toLong
+      case 0xB1 =>
+        val d = f64(sp - 1)
+        if (d.isNaN || d >= 1.8446744073709552E19 || d <= -1.0) throw WasmTrap("invalid f64->u64")
+        stack(sp - 1) = d2u64(d)
+      case 0xB2 => setF32(sp - 1, stack(sp - 1).toInt.toFloat)
+      case 0xB3 => setF32(sp - 1, (stack(sp - 1) & M32).toFloat)
+      case 0xB4 => setF32(sp - 1, stack(sp - 1).toFloat)
+      case 0xB5 => setF32(sp - 1, u64ToDouble(stack(sp - 1)).toFloat)
+      case 0xB6 => setF32(sp - 1, f64(sp - 1).toFloat)
+      case 0xB7 => setF64(sp - 1, stack(sp - 1).toInt.toDouble)
+      case 0xB8 => setF64(sp - 1, (stack(sp - 1) & M32).toDouble)
+      case 0xB9 => setF64(sp - 1, stack(sp - 1).toDouble)
+      case 0xBA => setF64(sp - 1, u64ToDouble(stack(sp - 1)))
+      case 0xBB => setF64(sp - 1, f32(sp - 1).toDouble)
+      // reinterprets are identities on raw bits (i32/f32 keep low-32 form)
+      case 0xBC | 0xBE => ()
+      case 0xBD | 0xBF => ()
+      // ---- sign extension ----
+      case 0xC0 => stack(sp - 1) = stack(sp - 1).toByte.toLong & M32
+      case 0xC1 => stack(sp - 1) = stack(sp - 1).toShort.toLong & M32
+      case 0xC2 => stack(sp - 1) = stack(sp - 1).toByte.toLong
+      case 0xC3 => stack(sp - 1) = stack(sp - 1).toShort.toLong
+      case 0xC4 => stack(sp - 1) = stack(sp - 1).toInt.toLong
+      case other => throw WasmTrap(f"unimplemented opcode 0x$other%02x")
+    }
+    sp
   }
 
   @inline private def f32(idx: Int): Float =

@@ -207,6 +207,37 @@ object Relational6 {
         FROM orders
         WHERE o_orderkey < 2000
         ORDER BY o_orderkey""")
+    },
+
+    // ---- engine UDF through REAL WASM BYTECODE ------------------------------
+    // The reference's own guest artifact (wasm_function.wasm, f1 =
+    // element-wise powf, wasm_function/src/lib.rs:26-51) executed by the
+    // from-scratch wasm32 interpreter (functions/WasmInterpreter.scala)
+    // behind the same CREATE FUNCTION factory: batch → Arrow IPC →
+    // wasmedge-bindgen call protocol → guest powf → Arrow IPC back.
+    // Inputs are small integers with exponent 2.0 so every pow result is
+    // exactly representable — the hash-match against DuckDB's native
+    // pow() is then bit-exact regardless of libm (the guest runs its own
+    // compiled-in pow; the golden irrational case 5.0^5.1 =
+    // 3670.684197150057 is pinned in WasmRuntimeSpec instead).
+    Q("q63_wasm_udf", Some("""
+      SELECT o_orderkey,
+             pow(CAST(o_orderkey % 7 AS DOUBLE), 2.0) AS powv
+      FROM orders
+      WHERE o_orderkey < 2000
+      ORDER BY o_orderkey""")) { (spark, dir) =>
+      graft.ddl.CreateEngineFunctionCommand(
+        "graft_q63_wasmpow",
+        Seq(org.apache.spark.sql.types.DoubleType,
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.DoubleType,
+        "WASM", "/root/reference/wasm_function.wasm!f1", orReplace = true).run(spark)
+      registered(spark, dir).sql("""
+        SELECT o_orderkey,
+               graft_q63_wasmpow(CAST(o_orderkey % 7 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS powv
+        FROM orders
+        WHERE o_orderkey < 2000
+        ORDER BY o_orderkey""")
     }
   )
 }
