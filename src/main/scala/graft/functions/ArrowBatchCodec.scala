@@ -80,6 +80,12 @@ object ArrowBatchCodec {
     case other => other
   }
 
+
+  private def mismatch(name: String, expected: String, got: Any): Nothing =
+    throw new IllegalArgumentException(
+      s"column $name: expected $expected for arrow marshalling but found " +
+        got.getClass.getName + " — mixed-type output columns corrupt data")
+
   private def buildVector(name: String, col: Array[Any], n: Int): FieldVector = {
     val sample = col.find(_ != null).orNull
     sample match {
@@ -90,7 +96,8 @@ object ArrowBatchCodec {
         while (i < n) {
           col(i) match {
             case d: java.lang.Double => v.setSafe(i, d.doubleValue)
-            case _ => () // stays null
+            case null => () // stays null
+            case other => mismatch(name, "Double", other)
           }
           i += 1
         }
@@ -102,7 +109,8 @@ object ArrowBatchCodec {
         while (i < n) {
           col(i) match {
             case f: java.lang.Float => v.setSafe(i, f.floatValue)
-            case _ => ()
+            case null => ()
+            case other => mismatch(name, "Float", other)
           }
           i += 1
         }
@@ -114,7 +122,8 @@ object ArrowBatchCodec {
         while (i < n) {
           col(i) match {
             case l: java.lang.Long => v.setSafe(i, l.longValue)
-            case _ => ()
+            case null => ()
+            case other => mismatch(name, "Long", other)
           }
           i += 1
         }
@@ -126,7 +135,8 @@ object ArrowBatchCodec {
         while (i < n) {
           col(i) match {
             case x: java.lang.Integer => v.setSafe(i, x.intValue)
-            case _ => ()
+            case null => ()
+            case other => mismatch(name, "Integer", other)
           }
           i += 1
         }
@@ -138,7 +148,8 @@ object ArrowBatchCodec {
         while (i < n) {
           col(i) match {
             case b: java.lang.Boolean => v.setSafe(i, if (b) 1 else 0)
-            case _ => ()
+            case null => ()
+            case other => mismatch(name, "Boolean", other)
           }
           i += 1
         }
@@ -150,7 +161,8 @@ object ArrowBatchCodec {
         while (i < n) {
           col(i) match {
             case s: String => v.setSafe(i, s.getBytes("UTF-8"))
-            case _ => ()
+            case null => ()
+            case other => mismatch(name, "String", other)
           }
           i += 1
         }
@@ -162,7 +174,8 @@ object ArrowBatchCodec {
         while (i < n) {
           col(i) match {
             case b: Array[Byte] => v.setSafe(i, b)
-            case _ => ()
+            case null => ()
+            case other => mismatch(name, "Array[Byte]", other)
           }
           i += 1
         }
@@ -190,7 +203,8 @@ object ArrowBatchCodec {
                     (if (other == null) "null" else other.getClass.getName))
               }
               w.endList()
-            case _ => () // null list stays null
+            case null => () // null list stays null
+            case other => mismatch(name, "Seq", other)
           }
           i += 1
         }

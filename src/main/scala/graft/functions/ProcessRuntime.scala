@@ -80,6 +80,12 @@ object ProcessClient {
     * reference's VM). */
   val roundTrips = new AtomicLong()
 
+  /** Bounded guest-read deadline (ms); override for tests via system
+    * property. Generous default: the cost of a hung guest is a killed
+    * subprocess + respawn, never a stuck executor task. */
+  def readTimeoutMs: Long =
+    sys.props.get("graft.proc.readTimeoutMs").map(_.toLong).getOrElse(120000L)
+
   private final class Client(val modulePath: String) {
     import ProcessRuntime._
 
@@ -116,33 +122,106 @@ object ProcessClient {
       process.waitFor()
     }
 
+    /** Deadline-bounded exact read: a guest that hangs during startup or
+      * mid-call becomes a bounded IOException (which evicts + respawns)
+      * instead of blocking the invoking Spark task forever — blocking
+      * reads never produce the IOException `destroyForcibly` needs. */
+    private def readExact(n: Int, what: String): Array[Byte] = {
+      val timeoutMs = ProcessClient.readTimeoutMs
+      val start = System.nanoTime()
+      val deadline = start + timeoutMs * 1000000L
+      val buf = new Array[Byte](n)
+      var got = 0
+      while (got < n) {
+        val avail = fromGuest.available()
+        if (avail > 0) {
+          val r = fromGuest.read(buf, got, math.min(avail, n - got))
+          if (r < 0) throw new IOException(s"guest closed stream mid-$what")
+          got += r
+        } else if (!process.isAlive) {
+          // pipe may still hold the tail after death; a direct read settles it
+          val r = fromGuest.read(buf, got, n - got)
+          if (r <= 0) throw new IOException(s"guest process died during $what")
+          got += r
+        } else {
+          val now = System.nanoTime()
+          if (now > deadline) {
+            destroy()
+            throw new IOException(
+              s"guest read timeout (${timeoutMs} ms) waiting for $what")
+          }
+          // spin briefly (guest replies are sub-ms away in steady state),
+          // then back off to 0.2 ms sleeps
+          if (now - start < 2000000L) Thread.onSpinWait()
+          else Thread.sleep(0, 200000)
+        }
+      }
+      buf
+    }
+
+    private def readStatus(): Int = readExact(1, "status byte")(0) & 0xFF
+    private def readInt(what: String): Int =
+      java.nio.ByteBuffer.wrap(readExact(4, what)).getInt
+    private def readUtf(what: String): String = {
+      val lenBytes = readExact(2, what)
+      val len = ((lenBytes(0) & 0xFF) << 8) | (lenBytes(1) & 0xFF)
+      val body = readExact(len, what)
+      val framed = new Array[Byte](len + 2)
+      System.arraycopy(lenBytes, 0, framed, 0, 2)
+      System.arraycopy(body, 0, framed, 2, len)
+      new DataInputStream(new java.io.ByteArrayInputStream(framed)).readUTF()
+    }
+
+    /** Any parse failure mid-frame leaves the byte stream desynchronized —
+      * widen it to IOException so the caller evicts + respawns the guest
+      * (a FunctionError / panic frame read to completion is a CLEAN state
+      * and passes through untouched). */
+    private def protocol[T](body: => T): T =
+      try body
+      catch {
+        case e @ (_: FunctionError | _: IOException) => throw e
+        case scala.util.control.NonFatal(e) =>
+          throw new IOException(s"guest protocol failure mid-frame: $e", e)
+      }
+
     def list(): Seq[String] = synchronized {
-      toGuest.writeByte(OpList); toGuest.flush()
-      val st = fromGuest.readUnsignedByte()
-      if (st != StOk)
-        throw new IllegalArgumentException(fromGuest.readUTF())
-      Seq.fill(fromGuest.readInt())(fromGuest.readUTF())
+      protocol {
+        toGuest.writeByte(OpList); toGuest.flush()
+        val st = readStatus()
+        if (st != StOk)
+          throw new IllegalArgumentException(readUtf("error message"))
+        Seq.fill(readInt("function count"))(readUtf("function name"))
+      }
     }
 
     def invoke(fnName: String, cols: IndexedSeq[Array[Any]], n: Int): Array[Any] =
       synchronized {
         val req = ArrowBatchCodec.encode(cols, n)
-        toGuest.writeByte(OpInvoke)
-        toGuest.writeUTF(fnName)
-        toGuest.writeInt(req.length)
-        toGuest.write(req)
-        toGuest.flush()
-        roundTrips.incrementAndGet()
-        fromGuest.readUnsignedByte() match {
-          case StOk =>
-            val bytes = new Array[Byte](fromGuest.readInt())
-            fromGuest.readFully(bytes)
+        val frame: Either[String, Array[Byte]] = protocol {
+          toGuest.writeByte(OpInvoke)
+          toGuest.writeUTF(fnName)
+          toGuest.writeInt(req.length)
+          toGuest.write(req)
+          toGuest.flush()
+          roundTrips.incrementAndGet()
+          readStatus() match {
+            case StOk =>
+              val len = readInt("frame length")
+              if (len < 0) throw new IOException(s"bad frame length from guest: $len")
+              Right(readExact(len, "result frame"))
+            case StGuestError => throw FunctionError(readUtf("guest error"))
+            case StPanic => Left(readUtf("panic message"))
+            case other =>
+              throw new IOException(s"bad status byte from guest: $other")
+          }
+        }
+        frame match {
+          case Right(bytes) =>
+            // the frame is fully consumed: an Arrow decode failure here is a
+            // clean-stream error, not a desync — no eviction needed
             val (outCols, _) = ArrowBatchCodec.decode(bytes)
             if (outCols.isEmpty) new Array[Any](n) else outCols(0)
-          case StGuestError => throw FunctionError(fromGuest.readUTF())
-          case StPanic => throw new RuntimeException(fromGuest.readUTF())
-          case other =>
-            throw new IOException(s"bad status byte from guest: $other")
+          case Left(panicMsg) => throw new RuntimeException(panicMsg)
         }
       }
   }
@@ -234,11 +313,33 @@ object FunctionServer {
       try ModuleRegistry.acquire(modulePath)
       catch {
         case e: Throwable =>
-          // fail the LIST handshake with the real message, then exit
-          in.readUnsignedByte()
-          proto.writeByte(StGuestError)
-          proto.writeUTF(Option(e.getMessage).getOrElse(e.getClass.getName))
-          proto.flush()
+          // fail every request with the real module-load message, DRAINING
+          // each request fully first: an OpInvoke arrives with a large
+          // Arrow frame, and exiting before consuming it would EPIPE the
+          // parent's buffered write, masking this error with a generic
+          // "guest process died"
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          var op = readOp(in)
+          while (op >= 0) {
+            try {
+              if (op == OpInvoke) {
+                in.readUTF()
+                var left = in.readInt()
+                // drain by READING: skip() on a pipe-backed stream seeks and
+                // throws ESPIPE once the buffer is exhausted
+                val scratch = new Array[Byte](64 * 1024)
+                while (left > 0) {
+                  val r = in.read(scratch, 0, math.min(left, scratch.length))
+                  if (r < 0) return
+                  left -= r
+                }
+              }
+            } catch { case _: IOException => return }
+            proto.writeByte(StGuestError)
+            proto.writeUTF(msg)
+            proto.flush()
+            op = readOp(in)
+          }
           return
       }
 

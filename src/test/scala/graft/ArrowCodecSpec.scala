@@ -70,6 +70,19 @@ class ArrowCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported type"))
   }
 
+  test("a type-mismatched non-null cell fails loudly instead of silently " +
+    "encoding null (mixed Double/Long output column)") {
+    val e = intercept[IllegalArgumentException] {
+      ArrowBatchCodec.encode(IndexedSeq(Array[Any](1.5, 2L, 3.5)), 3)
+    }
+    assert(e.getMessage.contains("mixed-type"))
+    // same guard on list columns
+    val e2 = intercept[IllegalArgumentException] {
+      ArrowBatchCodec.encode(IndexedSeq(Array[Any](Seq(1.0), "not a list")), 2)
+    }
+    assert(e2.getMessage.contains("mixed-type"))
+  }
+
   test("allocator leaks nothing across round-trips") {
     val before = ArrowBatchCodec.allocator.getAllocatedMemory
     (1 to 50).foreach { _ =>

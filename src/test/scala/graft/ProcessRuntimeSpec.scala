@@ -13,6 +13,7 @@ import graft.functions.{FunctionModule, ModuleRegistry, ProcessClient, ScalarBat
 class KillServerModule extends FunctionModule {
   override def functions: Map[String, ScalarBatchFunction] = Map(
     "die" -> { _ => sys.exit(3) },
+    "hang" -> { _ => Thread.sleep(600000); null },
     "pow" -> { args =>
       (args(0), args(1)) match {
         case (a: java.lang.Double, b: java.lang.Double) =>
@@ -192,5 +193,44 @@ class ProcessRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(exceptionChain(e2).exists(
       _.getMessage.contains("function 'nope' not found in module 'proc:builtin'")))
+  }
+
+  test("a guest that hangs mid-call hits the bounded read deadline: the " +
+    "task gets an error, the guest is destroyed, the next call respawns") {
+    sys.props("graft.proc.readTimeoutMs") = "1500"
+    try {
+      engine.sql(
+        "CREATE FUNCTION phang(DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS 'proc:graft.KillServerModule!hang'")
+      val e = intercept[Exception] {
+        engine.sql("select phang(a) from pt").collect()
+      }
+      assert(exceptionChain(e).exists(t =>
+        Option(t.getMessage).exists(_.contains("timeout"))),
+        s"expected a bounded-timeout error, got: ${exceptionChain(e).map(_.getMessage)}")
+      assert(!ProcessClient.isRunning("graft.KillServerModule"),
+        "hung guest must be destroyed, not left blocking")
+      // same module respawns and serves
+      engine.sql(
+        "CREATE FUNCTION pp_hangcheck(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS 'proc:graft.KillServerModule!pow'")
+      val got = engine.sql(
+        "select sum(v) as s from (select pp_hangcheck(a, 2.0) as v from pt)")
+        .head.getDouble(0)
+      assert(got === 2.0 * 2 + 3.0 * 3 + 4.0 * 4 + 5.0 * 5)
+      engine.sql("DROP FUNCTION phang")
+      engine.sql("DROP FUNCTION pp_hangcheck")
+    } finally sys.props.remove("graft.proc.readTimeoutMs")
+  }
+
+  test("a module that fails to load answers the INVOKE path with the real " +
+    "error, not a broken-pipe 'guest died' (drained-request discipline)") {
+    // bypass the CREATE-time LIST handshake: first contact is a large
+    // OpInvoke frame, the shape an executor-side lazy spawn produces
+    val cols = IndexedSeq(Array.fill[Any](8192)(1.0))
+    val e = intercept[Exception] {
+      graft.functions.ProcessClient.invoke("graft.NoSuchModule", "f", cols, 8192)
+    }
+    assert(exceptionChain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("module not found"))),
+      s"real module-load error must surface, got: ${exceptionChain(e).map(_.getMessage)}")
   }
 }
