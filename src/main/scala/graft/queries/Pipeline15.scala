@@ -2307,14 +2307,19 @@ object Pipeline15 {
     // groups collapse upstream) — output is attack-sized, not
     // corpus-sized.
     Q("p212_evasion_census", Some(s"""
-      WITH d AS (SELECT doc_id,
+      WITH corpus AS (SELECT doc_id, text FROM documents
+                      UNION ALL
+                      SELECT doc_id + 1000000 AS doc_id,
+                             replace(text, ' ', ' . ') AS text
+                      FROM documents WHERE doc_id % 50 = 0),
+      d AS (SELECT doc_id,
                    ${Portable.h60Sql(
                      raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')")}
                      AS std_h,
                    ${Portable.h60Sql(
                      "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')")}
                      AS agg_h
-            FROM documents),
+            FROM corpus),
       g AS (SELECT agg_h, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(count(DISTINCT std_h) AS BIGINT) AS n_raw_variants,
                    CAST(min(doc_id) AS BIGINT) AS min_doc
@@ -2322,7 +2327,17 @@ object Pipeline15 {
       SELECT agg_h, n_docs, n_raw_variants, min_doc
       FROM g WHERE n_raw_variants >= 2
       ORDER BY agg_h""")) { (spark, dir) =>
-      val d = Tables.loadSpread(spark, dir, "documents")
+      // sprinkled-twin plant: every 50th doc gains a punctuation-sprinkled
+      // clone (agg-normal-identical, std-normal-distinct), so the census
+      // has TEETH on the fixture — the raw corpus contains no accidental
+      // evasive family and the unplanted entry returned 0 rows (a
+      // vacuously-matching oracle). Same algebra on both sides; the
+      // planted family count scales with the corpus (10 at sf0.01).
+      val raw = Tables.loadSpread(spark, dir, "documents")
+      val planted = raw.where(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), " ", " . ").as("text"))
+      val d = raw.select(col("doc_id"), col("text")).unionAll(planted)
         .select(col("doc_id"),
           Portable.h60(regexp_replace(trim(lower(col("text"))),
             "\\s+", " ")).as("std_h"),

@@ -276,13 +276,24 @@ object Relational2 {
     },
 
     // ---- anti join (NOT EXISTS) --------------------------------------------
+    // Customers with no Q1-1995 order: the date window keeps the anti-join
+    // NON-VACUOUS on the fixture (every customer has orders overall, so the
+    // unwindowed NOT EXISTS returned 0 rows and its oracle row had no
+    // teeth) — 100 rows at sf0.001, 1036 at sf0.01. The windowed predicate
+    // pushes into the build side BEFORE the anti-join, so the filtered
+    // orders scan stays the small side at any SF.
     Q("q19_anti_join", Some("""
       SELECT c_custkey, c_name
       FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= DATE '1995-01-01'
+                          AND o_orderdate < DATE '1995-04-01')
       ORDER BY c_custkey""")) { (spark, dir) =>
       val c = Tables.load(spark, dir, "customer")
       val o = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+          col("o_orderdate") < lit("1995-04-01").cast("date"))
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
