@@ -76,6 +76,39 @@ object SimilarityOps {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** SRP-bucketed top-k with a hard per-bucket candidate cap — the
+    * scale-safe swap-in for [[bruteForceTopK]] when the QUERY side grows
+    * with the corpus (the p261/p12 lesson applied to kNN; the extended
+    * quadratic-join lint flags the brute-force shape): candidates come
+    * only from the query's k-bit SRP bucket, the candidate side keeps at
+    * most `maxMembers` vectors per bucket (first by id — deterministic,
+    * oracle-reproducible), so comparison volume is ≤ maxMembers·|queries|
+    * at any corpus and the capped candidate table (≤ 2^planesK·maxMembers
+    * rows BY CONSTRUCTION) broadcasts — zero shuffle on the corpus side.
+    */
+  def srpCappedTopK(vectors: DataFrame, queries: DataFrame, id: String,
+                    vec: String, k: Int, planesK: Int, dim: Int,
+                    maxMembers: Int = 200): DataFrame = {
+    val planes = srpHyperplanes(planesK, dim)
+    val v0 = withNorm(vectors, id, vec, "vec_id", "v", "nv")
+      .withColumn("bk", srpBucket(col("v"), planes))
+    val capW = Window.partitionBy(col("bk")).orderBy(col("vec_id"))
+    val v = v0.withColumn("mrk", row_number().over(capW))
+      // no-silent-caps: members beyond the cap are counted, not hidden
+      .observe("graft_srp_capped_topk",
+        sum(when(col("mrk") > maxMembers, 1).otherwise(0)).as("dropped_members"))
+      .filter(col("mrk") <= maxMembers).drop("mrk")
+    val q = withNorm(queries, id, vec, "query_id", "qv", "nq")
+      .withColumn("qbk", srpBucket(col("qv"), planes))
+    val scored = broadcast(v).join(q,
+        col("bk") === col("qbk") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / col("nq") / col("nv"), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, blocked
     * by a coarse bucket (never all-pairs): pairs are only formed inside
     * a bucket, the IVF analog for dedup.

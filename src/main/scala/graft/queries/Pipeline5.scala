@@ -391,22 +391,47 @@ object Pipeline5 {
     // with held-out labels (vec_id % 5 = 0) take the MAJORITY label of
     // their 5 nearest labeled neighbours (cosine; ties -> smallest
     // label). Votes are integers, so the argmax is exact cross-engine;
-    // the neighbour search reuses the proven p10 brute-force kernel
-    // (the exact baseline — at 100 TB the search swaps to the p11 IVF /
-    // p26 SRP bucketed variants, which are the same join shape). The
-    // true label rides along so accuracy is diagnosable per row. The
-    // argmax is a partial-agg-friendly struct-max, not a window.
-    Q("p64_label_prop", Some("""
-      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-                 FROM embeddings WHERE vec_id % 5 <> 0),
-      q AS (SELECT vec_id AS query_id, label AS true_label,
-                   CAST(embedding AS DOUBLE[]) AS qv
-            FROM embeddings WHERE vec_id % 5 = 0),
+    // the true label rides along so accuracy is diagnosable per row.
+    // The argmax is a partial-agg-friendly struct-max, not a window.
+    //
+    // r15 reformulation: the original reused the p10 brute-force kernel,
+    // but HERE the query side is a fifth OF THE CORPUS — the extended
+    // quadratic-join lint (theta-only rule) flagged the O(n²/5) search.
+    // Neighbours now come from the query's 4-bit SRP bucket with p12's
+    // hard member cap (first 25 per bucket by vec_id, deterministic —
+    // chosen to BIND at fixture scale so the BroadcastGuardSpec
+    // doubled-corpus audit measures the plateau, not the ramp):
+    // comparison volume ≤ 25·|queries| at any corpus, and the capped
+    // candidate table (≤ 16·25 = 400 rows by construction) broadcasts;
+    // beyond-cap members are observe-counted, never silently hidden. The
+    // SRP plane values are emitted VERBATIM into the oracle so both
+    // engines bucket bit-identically (the p261/p12 discipline).
+    Q("p64_label_prop", Some {
+      val planes = graft.ops.SimilarityOps.srpHyperplanes(4, 64)
+      def bucketSql(vcol: String): String = planes.zipWithIndex.map {
+        case (h, j) =>
+          val arr = h.map(_.toString).mkString("[", ",", "]")
+          s"CASE WHEN list_dot_product($vcol, $arr) >= 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""
+      WITH v0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id % 5 <> 0),
+      v1 AS (SELECT vec_id, label, v, ${bucketSql("v")} AS bk FROM v0),
+      v AS (SELECT vec_id, label, v, bk
+            FROM (SELECT *, row_number() OVER (PARTITION BY bk
+                                               ORDER BY vec_id) AS mrk
+                  FROM v1)
+            WHERE mrk <= 25),
+      q0 AS (SELECT vec_id AS query_id, label AS true_label,
+                    CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id % 5 = 0),
+      q AS (SELECT query_id, true_label, qv, ${bucketSql("qv")} AS qbk
+            FROM q0),
       s AS (SELECT query_id, true_label, vec_id, label,
                    round(list_dot_product(qv, v)
                      / sqrt(list_dot_product(qv, qv))
                      / sqrt(list_dot_product(v, v)), 6) AS sim
-            FROM v CROSS JOIN q),
+            FROM v JOIN q ON v.bk = q.qbk),
       r AS (SELECT query_id, true_label, label,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY sim DESC, vec_id) AS rk
@@ -419,13 +444,14 @@ object Pipeline5 {
             FROM k)
       SELECT query_id AS vec_id, label AS predicted, votes, true_label
       FROM p WHERE pr = 1
-      ORDER BY vec_id""")) { (spark, dir) =>
+      ORDER BY vec_id"""
+    }) { (spark, dir) =>
       import graft.ops.SimilarityOps
       val emb = Tables.loadSpread(spark, dir, "embeddings")
       val labeled = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
       val queries = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
-      val nn = SimilarityOps.bruteForceTopK(labeled, queries,
-        "vec_id", "embedding", 5)
+      val nn = SimilarityOps.srpCappedTopK(labeled, queries,
+        "vec_id", "embedding", k = 5, planesK = 4, dim = 64, maxMembers = 25)
       nn.join(labeled.select(col("vec_id"), col("label")), "vec_id")
         .groupBy(col("query_id"), col("label"))
         .agg(count(lit(1)).as("votes"))

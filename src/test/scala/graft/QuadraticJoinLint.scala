@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 
@@ -29,6 +29,21 @@ object QuadraticJoinLint {
 
   final case class Hit(joinType: String, keys: Seq[String])
 
+  /** Any equality conjunct at all (incl. derived-expression equalities,
+    * which make block cardinality grow with the data)? A multiplying join
+    * WITHOUT one is a cartesian-with-residual: a pure theta/range join
+    * whose work is row×row however selective the residual looks. */
+  private def hasEqualityConjunct(cond: Expression): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).exists {
+      case _: EqualTo | _: EqualNullSafe => true
+      case _ => false
+    }
+  }
+
   /** A subtree is bounded if somewhere below the join input sits an
     * aggregate (group-by over bounded keys ⇒ metadata-sized), a limit,
     * or a literal relation (panel/lookup). Presence anywhere in the
@@ -40,6 +55,8 @@ object QuadraticJoinLint {
       case _: Aggregate | _: GlobalLimit | _: LocalLimit => found = true
       case _: LocalRelation | _: OneRowRelation => found = true
       case _: Deduplicate => found = true
+      // spark.range(a, b) with literal bounds is a constant-size panel
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => found = true
       case _ => ()
     }
     found
@@ -113,9 +130,12 @@ object QuadraticJoinLint {
         val keys = j.condition.map(equiKeyNames(_, root)).getOrElse(Nil)
         val allLowCard = keys.nonEmpty &&
           keys.forall { case (a, b) => lowCardCols(a) && lowCardCols(b) }
-        if (multiplying && allLowCard &&
+        val thetaOnly = j.condition.forall(!hasEqualityConjunct(_))
+        if (multiplying && (allLowCard || thetaOnly) &&
             !bounded(j.left) && !bounded(j.right))
-          hits += Hit(j.joinType.toString, keys.map(k => s"${k._1}=${k._2}"))
+          hits += Hit(j.joinType.toString,
+            if (thetaOnly) Seq("<theta-only>")
+            else keys.map(k => s"${k._1}=${k._2}"))
       case _ => ()
     }
     hits.toSeq

@@ -31,7 +31,34 @@ class QuadraticJoinLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     // is panel × label-block (corpus-LINEAR, the IVF probe shape);
     // boundedness-by-selective-filter is exactly what the heuristic
     // cannot cost
-    "p11_knn_ivf" -> "probe side literal-bounded (vec_id < 20 panel)")
+    "p11_knn_ivf" -> "probe side literal-bounded (vec_id < 20 panel)",
+    // ---- theta-only rule allowlist (each bounded in a way the
+    //      heuristic cannot see; r15 audit) ----
+    // the DELIBERATE exact-kNN baseline the brief requires; query side
+    // is the ≤10-row literal panel `vec_id < 10` — panel × corpus is
+    // corpus-linear (contrast p64, which the rule CAUGHT and which was
+    // fixed to SRP-bucketed capped search because its query side grows
+    // with the corpus)
+    "p10_knn_bruteforce" -> "brute-force baseline; vec_id < 10 query panel",
+    // all-pairs slopes over the per-day SERIES (one row per day after
+    // the upstream aggregate, hidden behind localCheckpoint):
+    // quadratic in the ≤30-day calendar span, corpus-independent
+    "p234_theilsen_trend" -> "day-series all-pairs; series = O(days), not O(corpus)",
+    // OR-membership probe join against the checkpointed source-pair
+    // census: |sources| is O(1) fixture cardinality, census is
+    // O(|sources|²) rows — the probe is corpus-linear
+    "p253_drift_null_calibration" -> "right side = checkpointed source-pair census (O(1) rows)",
+    // JL fidelity queries are the ≤16-row literal panel `vec_id < 16`
+    // behind a localCheckpoint; panel × corpus is corpus-linear
+    "p258_jl_fidelity" -> "vec_id < 16 query panel behind localCheckpoint",
+    // corpus × k-centroid cross: centroids are the k=O(1)-row table
+    // recomputed per Lloyd round (checkpointed) — the classic
+    // broadcast-kmeans assignment shape
+    "p56_kmeans_lloyd" -> "corpus × k centroids (k = O(1), checkpointed)",
+    "p60_ivf_trained" -> "corpus × k centroids (k = O(1), checkpointed)",
+    // region is TPC-H's CONSTANT 5-row dimension at every SF: the
+    // deliberate cross-join demo is 5×5 forever
+    "q20_cross_join" -> "region × region; region is a constant 5-row dim")
 
   private lazy val spark = {
     val s = SparkSession.builder()
@@ -100,5 +127,42 @@ class QuadraticJoinLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     val evHits = QuadraticJoinLint.lint(evasion.queryExecution.optimizedPlan)
     assert(evHits.nonEmpty, "rename evasion must still trip the lint")
     assert(evHits.head.keys == Seq("label=label"))
+  }
+
+  test("theta-only rule: a pure range self-join between unbounded inputs " +
+    "trips the lint (cartesian-with-residual); an equi conjunct or a " +
+    "bounded side clears it") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val a = emb.select(col("vec_id").as("va"))
+    val b = emb.select(col("vec_id").as("vb"))
+    // pure range join: no equality conjunct at all — row×row work no
+    // matter how selective the residual looks
+    val rangeJoin = a.join(b, col("va") < col("vb"))
+    val hits = QuadraticJoinLint.lint(rangeJoin.queryExecution.optimizedPlan)
+    assert(hits.nonEmpty, "pure range self-join must trip the theta-only rule")
+    assert(hits.head.keys == Seq("<theta-only>"))
+
+    // an unconditioned cross join of unbounded inputs is the same shape
+    assert(QuadraticJoinLint.lint(
+      a.crossJoin(b).queryExecution.optimizedPlan).nonEmpty)
+
+    // an equality conjunct beside the range residual partitions the work:
+    // not a theta-only join (even though the equi key is derived)
+    val banded = emb.select(col("vec_id"),
+      pmod(col("vec_id"), lit(1024)).as("band"))
+    val withEqui = banded.as("x").join(banded.as("y"),
+      col("x.band") === col("y.band") && col("x.vec_id") < col("y.vec_id"))
+    assert(QuadraticJoinLint.lint(withEqui.queryExecution.optimizedPlan).isEmpty)
+
+    // a literal-range panel side (spark.range) is bounded: not flagged
+    val salt = spark.range(0, 8).select(col("id").as("salt"))
+    assert(QuadraticJoinLint.lint(
+      a.crossJoin(salt).queryExecution.optimizedPlan).isEmpty)
+
+    // semi/anti joins emit at most the probe side: not flagged
+    assert(QuadraticJoinLint.lint(
+      a.join(b, col("va") < col("vb"), "left_semi")
+        .queryExecution.optimizedPlan).isEmpty)
   }
 }
