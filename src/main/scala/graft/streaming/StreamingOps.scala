@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
@@ -634,27 +634,44 @@ object StreamingOps {
     * or ordered, which is what the shared p162 oracle (full recompute)
     * verifies.
     *
-    * State is written as a new versioned dir per batch and the pointer
-    * flips after the write (the UpsertTarget discipline): a crash
-    * mid-batch leaves the previous state readable. Scale: per batch
-    * the probe join is |batch|×bucket-width, the CC fixpoint is over
-    * batch-bounded nodes, and the state tables are touched-component
-    * sized — the standing-corpus fixpoint NEVER reruns.
+    * State is RANGE-BUCKETED by id (`floor(id / 512)` → one directory
+    * per id range) with per-bucket version pointers, and each batch
+    * rewrites ONLY the buckets it touched (the p83 MERGE/upsert
+    * discipline applied to streaming state — round-15 fix for the
+    * "state write grows with total ingested volume" scale leak): the
+    * per-batch delta is new rows (the batch's id range — a handful of
+    * contiguous buckets, because doc ids arrive monotonically) plus
+    * merged-component relabels (touched-component-sized, any bucket).
+    * Untouched buckets are never rewritten, so per-batch commit volume
+    * is O(batch + touched) however much history has accumulated.
+    * Bucket pointers flip only after the batch's bucket files commit:
+    * a crash mid-batch leaves the previous state readable. Scale: per
+    * batch the probe join is |batch|×bucket-width, the CC fixpoint is
+    * over batch-bounded nodes — the standing-corpus fixpoint NEVER
+    * reruns.
+    *
+    * @param bucketWidth id-range width per state bucket (default 512;
+    *        the probe shrinks it so buckets ≫ per-batch touched set at
+    *        fixture scale, the regime a 100-TB id space gives for free)
+    * @param nFiles pre-split count for the incoming stream (how many
+    *        micro-batches AvailableNow delivers). The graded entry uses
+    *        the default 3; the bench decomposition passes 1 EXPLICITLY
+    *        (`Test/runMain graft.P163CommitProbe`) — an env knob here
+    *        would let a stray variable silently change a graded entry's
+    *        behavior.
     */
   def incrementalCcIngest(spark: SparkSession, dir: String,
-                          workRoot: String): DataFrame = {
+                          workRoot: String, nFiles: Int = 3,
+                          bucketWidth: Long = 512L): DataFrame = {
     import graft.ops.DedupOps
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val docs = graft.queries.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"))
     val inc = docs.filter(col("doc_id") % 3 === 0)
-    // pre-split the incoming batch into 3 files so the stream really
-    // exercises cross-batch state composition (override only to MEASURE
-    // the per-micro-batch machinery floor: 1 file = 1 batch isolates
-    // fixpoint work from commit cost — see README p163 decomposition)
+    // pre-split the incoming batch so the stream really exercises
+    // cross-batch state composition
     val srcDir = s"$workRoot/incoming"
-    val nFiles = sys.env.getOrElse("SPARK_GRAFT_P163_FILES", "3").toInt
     inc.repartitionByRange(nFiles, col("doc_id"))
       .write.mode("overwrite").parquet(srcDir)
     val oldLbl = graft.queries.SharedStages.corpusLabels(s, dir)
@@ -664,27 +681,41 @@ object StreamingOps {
     // bucketed table); each micro-batch probes it instead of
     // re-banding the whole corpus per batch
     val corpusIdx = graft.queries.SharedStages.corpusBands(s, dir)
-    val emptyState = {
+    def emptyKic = {
       import s.implicits._
-      (Seq.empty[(Long, Long)].toDF("key", "cur"),
-        Seq.empty[(Long, Long)].toDF("in_id", "cur"))
+      Seq.empty[(String, Long, Long)].toDF("kind", "id", "cur")
     }
+    // id-range state bucket: monotone doc ids land in a handful of
+    // contiguous buckets per batch, so new rows never touch old ranges.
+    // Commit volume per batch = delta + (kept rows of affected buckets);
+    // the kept term vanishes once buckets outnumber the per-batch
+    // touched set — at a 100-TB id space the default width gives ~1e9
+    // buckets, so a 1e6-row batch leaves >99.9% of buckets unwritten.
+    // The P163CommitProbe passes a small width to demonstrate that
+    // regime at fixture scale.
+    val BucketWidth = bucketWidth
+    def bkOf(c: Column): Column =
+      ((c - pmod(c, lit(BucketWidth))) / BucketWidth).cast("long")
     @volatile var version = -1L
-    // ONE state table per version, the two maps distinguished by a
-    // `kind` column ('k' = corpus-key remap, 'i' = incoming assign):
-    // one write job per batch instead of two halves the per-batch
-    // commit cost AND removes the partially-committed window between
-    // the two table writes — the pointer flip now guards a single
-    // atomic-enough parquet commit.
-    def state(): (DataFrame, DataFrame) =
-      if (version < 0) emptyState
-      else {
-        val st = s.read.parquet(s"$workRoot/state_v$version")
-        (st.filter(col("kind") === "k")
-          .select(col("id").as("key"), col("cur")),
-          st.filter(col("kind") === "i")
-            .select(col("id").as("in_id"), col("cur")))
-      }
+    // per-bucket version pointers: bucket b's current content lives at
+    // state_w{bucketVer(b)}/bk={b}; pointers flip only after the write
+    val bucketVer = scala.collection.mutable.Map[Long, Long]()
+    def bucketsContent(buckets: Iterable[Long]): DataFrame = {
+      val paths = buckets.flatMap(b =>
+        bucketVer.get(b).map(v => s"$workRoot/state_w$v/bk=$b")).toSeq
+      if (paths.isEmpty) emptyKic
+      else s.read.parquet(paths: _*)
+    }
+    // ONE state table, the two maps distinguished by a `kind` column
+    // ('k' = corpus-key remap, 'i' = incoming assign): one write job
+    // per batch, one pointer family to flip.
+    def state(): (DataFrame, DataFrame) = {
+      val st = bucketsContent(bucketVer.keys.toSeq)
+      (st.filter(col("kind") === "k")
+        .select(col("id").as("key"), col("cur")),
+        st.filter(col("kind") === "i")
+          .select(col("id").as("in_id"), col("cur")))
+    }
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val q = s.readStream.schema(schema)
@@ -707,34 +738,54 @@ object StreamingOps {
             touched.select(col("in_id").as("a"), col("cur").as("b")))
           .select(col("n").as("node"), col("lbl").as("new_lbl"))
           .localCheckpoint()
-        // both state tables relabel through (node → new_lbl); rows in
-        // no merged component keep their current id
-        def relabel(df: DataFrame, idCol: String): DataFrame =
-          df.join(cc, df("cur") === cc("node"), "left")
-            .select(col(idCol), coalesce(col("new_lbl"), col("cur"))
-              .as("cur"))
-        val remapNext = relabel(
-          remap.unionByName(touched.select(col("key"), col("cur"))
-            .dropDuplicates("key")
-            .join(remap.select(col("key")), Seq("key"), "left_anti")),
-          "key")
-        val inNext = relabel(
-          inassign.unionByName(touched.select(col("in_id"),
-              col("cur")).dropDuplicates("in_id")
-            .join(inassign.select(col("in_id")), Seq("in_id"),
-              "left_anti")),
-          "in_id")
-        val v = version + 1
-        // touched-component-sized table: one file keeps the per-batch
-        // commit cheap (at 100 TB state graduates to a bucketed table
-        // and this coalesce disappears)
-        remapNext.select(lit("k").as("kind"), col("key").as("id"),
-            col("cur"))
-          .unionAll(inNext.select(lit("i").as("kind"),
-            col("in_id").as("id"), col("cur")))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$workRoot/state_v$v")
-        version = v // pointer flips only after the write committed
+        // effective relabels only: a component whose min did not change
+        // relabels to itself and needs no rewrite
+        val ccDelta = cc.where(col("new_lbl") =!= col("node"))
+        // DELTA rows, all touched-component-sized:
+        //  - standing rows whose component merged (any bucket),
+        //  - this batch's new keys / new incoming assignments (the
+        //    batch's contiguous id range), relabeled through cc so
+        //    same-batch merges land correctly
+        def newRows(ids: DataFrame, existing: DataFrame,
+            idCol: String): DataFrame =
+          ids.dropDuplicates(idCol)
+            .join(existing.select(col(idCol)), Seq(idCol), "left_anti")
+            .join(cc, col("cur") === col("node"), "left")
+            .select(col(idCol).as("id"),
+              coalesce(col("new_lbl"), col("cur")).as("cur"))
+        val changedK = remap.join(ccDelta, col("cur") === col("node"))
+          .select(col("key").as("id"), col("new_lbl").as("cur"))
+        val changedI = inassign.join(ccDelta, col("cur") === col("node"))
+          .select(col("in_id").as("id"), col("new_lbl").as("cur"))
+        val delta =
+          changedK.withColumn("kind", lit("k"))
+            .unionByName(newRows(touched.select(col("key"), col("cur")),
+              remap, "key").withColumn("kind", lit("k")))
+            .unionByName(changedI.withColumn("kind", lit("i")))
+            .unionByName(newRows(touched.select(col("in_id"), col("cur")),
+              inassign, "in_id").withColumn("kind", lit("i")))
+            .select(col("kind"), col("id"), col("cur"),
+              bkOf(col("id")).as("bk"))
+            .localCheckpoint()
+        val affected = delta.select(col("bk")).distinct()
+          .collect().map(_.getLong(0))
+        if (affected.nonEmpty) {
+          val v = version + 1
+          // only the affected buckets are rewritten: their kept rows
+          // (ids not in the delta) plus the delta — commit volume is
+          // O(batch + touched) however much history has accumulated
+          val kept = bucketsContent(affected)
+            .join(delta.select(col("kind"), col("id")), Seq("kind", "id"),
+              "left_anti")
+            .withColumn("bk", bkOf(col("id")))
+          kept.unionByName(delta)
+            .repartition(1) // per-bucket deltas are small: one file each
+            .write.partitionBy("bk").mode("overwrite")
+            .parquet(s"$workRoot/state_w$v")
+          // pointer flips only after the write committed
+          affected.foreach(b => bucketVer(b) = v)
+          version = v
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: p163's per-batch state-commit volume under the bucketed
+  * versioned state. Runs the ingest, then reports per state version
+  * (= per micro-batch) how many rows and buckets the commit wrote, plus
+  * the accumulated state size — the evidence that per-batch commit cost
+  * stays FLAT while ingested volume grows (pre-r15, every batch rewrote
+  * the whole accumulated map: commits grew 1x, 2x, 3x within a run).
+  * Usage: sbt "Test/runMain graft.P163CommitProbe [sfDir] [nFiles] [bucketWidth]"
+  * (nFiles=1 isolates the per-micro-batch machinery floor — the old
+  * SPARK_GRAFT_P163_FILES measurement, now an explicit parameter).
+  */
+object P163CommitProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nFiles = args.lift(1).map(_.toInt).getOrElse(3)
+    val width = args.lift(2).map(_.toLong).getOrElse(512L)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("p163-commit-probe")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = s"${sys.props("java.io.tmpdir")}/p163probe_${System.nanoTime()}"
+    val t0 = System.nanoTime()
+    val out = graft.streaming.StreamingOps
+      .incrementalCcIngest(spark, sfDir, root, nFiles, width)
+    val n = out.count()
+    val total = (System.nanoTime() - t0) / 1e9
+    println(f"sf=$sfDir nFiles=$nFiles width=$width outRows=$n total=$total%.1fs")
+    val dirs = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("state_w")).sortBy(
+        f => f.getName.stripPrefix("state_w").toInt)
+    var cumulative = 0L
+    dirs.foreach { d =>
+      val buckets = d.listFiles().count(_.getName.startsWith("bk="))
+      val rows = spark.read.parquet(d.getAbsolutePath).count()
+      cumulative += rows
+      println(s"  ${d.getName}: wrote $rows rows across $buckets buckets")
+    }
+    // current state size = union of live bucket versions ~ final output scale
+    println(s"  total rows written across all commits: $cumulative")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    spark.stop()
+  }
+}

@@ -715,9 +715,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 1L, "corpus"), (3L, 1L, "in"), (6L, 6L, "in"),
       (9L, 9L, "in"), (12L, 1L, "in")))
     // the pre-split source really produced multiple micro-batches:
-    // the versioned state advanced past v0
+    // the bucketed versioned state advanced past v0
     val versions = new java.io.File(root).list()
-      .count(_.startsWith("state_v"))
+      .count(_.startsWith("state_w"))
     assert(versions >= 2, s"expected multi-batch fold, got $versions")
   }
 
