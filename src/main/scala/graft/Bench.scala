@@ -96,6 +96,11 @@ object Bench {
     val results = ordered.map { case (name, _) =>
       name -> passes.map(_(name)).min
     }
+    // per-pass wall totals in the summary line: pass1 ≫ pass2 means JIT
+    // warmth (expected); pass totals drifting TOGETHER across rounds with
+    // unchanged code is host contention (the r14 drift adjudication —
+    // this field makes that attribution readable from artifacts alone)
+    val passTotals = passes.map(p => p.values.sum)
     // The driver captures only the LAST 2000 chars of output and parses
     // the final JSON line. 180+ query timings no longer fit in one line
     // inside that window (the head — with "metric" — got truncated in
@@ -136,7 +141,8 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(8).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + s3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir"}""")
+    val passJson = passTotals.map(s3).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"pass_totals":$passJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
