@@ -771,6 +771,87 @@ object MultimodalQ {
           col("w.payload_bytes").as("payload_bytes"),
           col("w.shard_bytes").as("shard_bytes"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- gzipped WARC: the ACTUAL Common Crawl shard layout ----------------
+    // Production Common Crawl gzips EVERY WARC record as its own gzip
+    // member and concatenates the members (so a reader can seek to a
+    // record and inflate just it). This entry composes the two proven
+    // kernels end to end: per doc, a request and a response record
+    // (p264's exact framing) are each wrapped in a structurally-real
+    // gzip member (p80's shape: 10-byte headerless-FNAME framing, one
+    // STORED deflate block, unverified trailer), the members
+    // concatenate into the shard, and the read side is
+    // Warc.walk(Gzip.inflateMembers(blob)) — member salvage walk, then
+    // record salvage walk, ONE codegen'd scan-stage pass, zero shuffle.
+    // doc_id % 13 = 4 shards are cut 25 bytes into the response MEMBER
+    // (truncated deflate stream: the member walk keeps member 1);
+    // doc_id % 17 = 6 shards bit-rot the response member's magic
+    // (1F→1E: same salvage). The oracle never parses bytes: record
+    // algebra is p264's, member algebra adds the fixed 23-byte gzip
+    // overhead (10 header + 5 stored-block header + 8 trailer).
+    // MultimodalSpec pins the member walk against REAL concatenated
+    // GZIPOutputStream members (genuine deflate, not stored) plus
+    // bomb/junk/mid-member-cut adversaries.
+    Q("p265_gzipped_warc_walk", Some("""
+      WITH p AS (SELECT doc_id,
+                        CAST(length(text) AS BIGINT) AS l2,
+                        CAST(length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS d,
+                        CASE WHEN doc_id % 13 = 4 THEN 1
+                             WHEN doc_id % 17 = 6 THEN 2 ELSE 0 END AS mode
+                 FROM documents),
+      b AS (SELECT doc_id, mode, l2, d, 5 + d AS l1,
+                   99 + 7 + 14 + d
+                     + length(CAST(5 + d AS VARCHAR)) + (5 + d) AS r1,
+                   99 + 8 + 14 + d
+                     + length(CAST(l2 AS VARCHAR)) + l2 AS r2
+            FROM p)
+      SELECT doc_id,
+             CAST(CASE WHEN mode = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_records,
+             CAST(CASE WHEN mode = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_responses,
+             CAST(CASE WHEN mode = 0 THEN l1 + l2 ELSE l1 END AS BIGINT)
+               AS payload_bytes,
+             CAST(CASE WHEN mode = 0 THEN r1 + r2 ELSE r1 END AS BIGINT)
+               AS inflated_bytes,
+             CAST(CASE WHEN mode = 1 THEN r1 + 23 + 25
+                       ELSE r1 + r2 + 46 END AS BIGINT)
+               AS compressed_bytes
+      FROM b ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.{Gzip, Warc}
+      val id = col("doc_id").cast("string")
+      val uri = concat(lit("http://ex.com/"), id)
+      def rec(tpe: String, payload: org.apache.spark.sql.Column) =
+        concat(lit("WARC/1.0\r\n"),
+          lit(s"WARC-Type: $tpe\r\n"),
+          lit("WARC-Target-URI: "), uri, lit("\r\n"),
+          lit("WARC-Date: 2024-01-01T00:00:00Z\r\n"),
+          lit("Content-Length: "), length(payload).cast("string"),
+          lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      def memberHex(r: org.apache.spark.sql.Column) = {
+        val len = length(r).cast("long")
+        concat(lit("1F8B0800"), lit("0000000000FF"),
+          lit("01"), le16h(len), le16h(lit(65535L) - len),
+          hex(r), lit("0000000000000000"))
+      }
+      val m1 = memberHex(rec("request", concat(lit("GET /"), id)))
+      val m2full = memberHex(rec("response", col("text")))
+      val m2 = when(col("doc_id") % 13 === 4, substring(m2full, 1, 50))
+        .when(col("doc_id") % 17 === 6, // magic bit-rot 1F -> 1E
+          concat(lit("1E"), substring(m2full, 3, Int.MaxValue)))
+        .otherwise(m2full)
+      val blob = unhex(concat(m1, m2))
+      val w = Warc.walk(Gzip.inflateMembers(blob))
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), w.as("w"),
+          length(blob).cast("long").as("compressed_bytes"))
+        .select(col("doc_id"), col("w.n_records").as("n_records"),
+          col("w.n_responses").as("n_responses"),
+          col("w.payload_bytes").as("payload_bytes"),
+          col("w.shard_bytes").as("inflated_bytes"),
+          col("compressed_bytes"))
+        .orderBy(col("doc_id"))
     }
   )
 

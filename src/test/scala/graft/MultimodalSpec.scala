@@ -709,6 +709,85 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(2))
   }
 
+  test("gzip MEMBER walk (p265): REAL concatenated GZIPOutputStream " +
+    "members decode in order; truncation/rot salvage the prefix; the " +
+    "gzipped-WARC composition recovers the records") {
+    import graft.functions.{Gzip, Warc}
+    def gz(payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(payload); g.close()
+      bos.toByteArray
+    }
+    val a = ("alpha " * 30).getBytes
+    val bb = ("bravo " * 25).getBytes
+    val c = ("charlie " * 20).getBytes
+    // three REAL deflate members back to back (the Common Crawl layout)
+    val shard = gz(a) ++ gz(bb) ++ gz(c)
+    assert(Gzip.inflateMembersData(shard).toSeq == (a ++ bb ++ c).toSeq)
+    // a single member still decodes (degenerate shard)
+    assert(Gzip.inflateMembersData(gz(a)).toSeq == a.toSeq)
+    // member 3 truncated mid-deflate: members 1-2 salvage
+    val cut = gz(a) ++ gz(bb) ++ gz(c).dropRight(12)
+    assert(Gzip.inflateMembersData(cut).toSeq == (a ++ bb).toSeq)
+    // member 2's magic bit-rotted: member 1 salvages
+    val rotted = {
+      val m2 = gz(bb); m2(0) = 0x1e
+      gz(a) ++ m2 ++ gz(c)
+    }
+    assert(Gzip.inflateMembersData(rotted).toSeq == a.toSeq)
+    // first member already bad → NULL (nothing salvageable)
+    assert(Gzip.inflateMembersData("junk".getBytes) == null)
+    assert(Gzip.inflateMembersData(Array.empty[Byte]) == null)
+    // bomb across members: the 64 MiB cap applies to the CONCATENATED
+    // output — member 1 (40 MiB) fits and salvages, member 2 would
+    // cross the cap and is refused (no partial bytes, no OOM)
+    val bombMember = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      val chunk = new Array[Byte](1 << 20)
+      (0 until 40).foreach(_ => g.write(chunk))
+      g.close(); bos.toByteArray
+    }
+    val capped = Gzip.inflateMembersData(bombMember ++ bombMember)
+    assert(capped != null && capped.length == (40 << 20),
+      "multi-member bombs must salvage up to the output cap, never OOM")
+    // a single member past the cap is refused outright
+    val bigBomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      val chunk = new Array[Byte](1 << 20)
+      (0 until 80).foreach(_ => g.write(chunk))
+      g.close(); bos.toByteArray
+    }
+    assert(Gzip.inflateMembersData(bigBomb) == null)
+    // the p265 composition: one REAL-deflate member per WARC record,
+    // walk(members) == walk of the plain concatenated records
+    val rec1 = warcRecord("request", "http://ex.com/9", "GET /9".getBytes)
+    val rec2 = warcRecord("response", "http://ex.com/9", ("body " * 50).getBytes)
+    val w = Warc.walkData(Gzip.inflateMembersData(gz(rec1) ++ gz(rec2)))
+    val plain = Warc.walkData(rec1 ++ rec2)
+    assert((0 until 4).forall(i => w.getLong(i) == plain.getLong(i)))
+    assert(w.getLong(0) == 2L && w.getLong(1) == 1L)
+    // fuzz: arbitrary member soup never throws
+    val rnd = new scala.util.Random(265)
+    (0 until 200).foreach { i =>
+      val junk = new Array[Byte](rnd.nextInt(120))
+      rnd.nextBytes(junk)
+      Gzip.inflateMembersData(
+        if (i % 3 == 0) gz(a).dropRight(rnd.nextInt(9)) ++ junk else junk)
+    }
+  }
+
+  /** p264-framed WARC record bytes (for the composition test). */
+  private def warcRecord(tpe: String, uri: String,
+      payload: Array[Byte]): Array[Byte] = {
+    val head = (s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: ${payload.length}" +
+      "\r\n\r\n").getBytes("US-ASCII")
+    head ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
   test("tar kernel (p164): build/walk round trip, salvage on truncation " +
     "and bit-rot, lying sizes, record padding, member bomb") {
     import graft.functions.Tar
