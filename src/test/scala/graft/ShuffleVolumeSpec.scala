@@ -143,7 +143,16 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // types) state — events untouched by the doubling → Flat
     // (measured 9 exchanges / 687 records, ×2 corpus 1.00×; ×1.4
     // headroom: 9×1.4=12.6→13, 687×1.4≈962→1000)
-    ("p263_stream_bitmap_index", 13L, 1000L, Flat))
+    ("p263_stream_bitmap_index", 13L, 1000L, Flat),
+    // r15: the streaming JOIN family (the one named family with no
+    // volume pins until now — r14 verdict #7). Both join the events
+    // stream against itself inside the micro-batch (interval join /
+    // left-semi): state+output rows are watermark-bounded, and events
+    // are untouched by the doc/embedding doubling → Flat. Measured at
+    // pin time: 5 exchanges / 414 records each, ×2 corpus 1.00×;
+    // ×1.4 headroom: 5×1.4=7, 414×1.4≈580
+    ("p24_stream_join", 7L, 580L, Flat),
+    ("p107_stream_semi_join", 7L, 580L, Flat))
 
   private lazy val doubledDir = GuardFixtures.doubledDir(spark, sfDir)
 
