@@ -16,8 +16,17 @@ object WasaffiParity {
     engine.registerTable("t",
       Seq((2.0, 2.0), (3.0, 3.0), (4.0, 4.0), (5.0, 5.1)).toDF("a", "b"))
 
+    // the reference's EXACT statement shape (examples/wasaffi.rs:18-25),
+    // against its ACTUAL prebuilt guest artifact when present — the
+    // module runs as real WASM bytecode in the from-scratch interpreter;
+    // falls back to the in-JVM builtin module elsewhere
+    val wasmArtifact = "/root/reference/wasm_function.wasm"
+    val locator =
+      if (new java.io.File(wasmArtifact).isFile) s"$wasmArtifact!f1"
+      else "builtin!pow"
+    println(s"binding f1 to: $locator")
     engine.sql(
-      "CREATE FUNCTION f1(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS 'builtin!pow'")
+      s"CREATE FUNCTION f1(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS '$locator'")
     engine.sql("select a, b, f1(a,b) from t").show()
 
     // error-path probes (reference tests lib.rs:215-308)
