@@ -152,7 +152,15 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pin time: 5 exchanges / 414 records each, ×2 corpus 1.00×;
     // ×1.4 headroom: 5×1.4=7, 414×1.4≈580
     ("p24_stream_join", 7L, 580L, Flat),
-    ("p107_stream_semi_join", 7L, 580L, Flat))
+    ("p107_stream_semi_join", 7L, 580L, Flat),
+    // r15: p64 after the SRP-capped rewrite (capped candidate table
+    // broadcasts; shuffles carry per-query candidate ranks + votes —
+    // ≤ cap·|queries| rows, so doubling queries doubles them) and p265
+    // (pure scan-stage byte kernels; the only shuffle is the final
+    // sort's row per doc). Measured: p64 12 exchanges / 3,827 records
+    // (×2: 1.99×), p265 2 / 1,000 (×2: 2.00×); ×1.4 headroom
+    ("p64_label_prop", 17L, 5400L, DocLinear),
+    ("p265_gzipped_warc_walk", 3L, 1400L, DocLinear))
 
   private lazy val doubledDir = GuardFixtures.doubledDir(spark, sfDir)
 
