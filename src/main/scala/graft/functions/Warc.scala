@@ -55,6 +55,11 @@ object Warc {
   def walk(blob: Column): Column =
     GraftSql.column(WarcWalkExpr(GraftSql.expression(blob)))
 
+  /** Column API: ARRAY<BINARY> of response-record payloads from the
+    * salvaged prefix (empty array when the walk salvages none). */
+  def responses(blob: Column): Column =
+    GraftSql.column(WarcResponsesExpr(GraftSql.expression(blob)))
+
   private def record(tpe: String, uri: String,
                      payload: Array[Byte]): Array[Byte] = {
     val head = new StringBuilder()
@@ -92,10 +97,41 @@ object Warc {
     * the salvaged prefix counted.
     */
   def walkData(b: Array[Byte]): InternalRow = {
-    var i = 0
     var n = 0L
     var nResp = 0L
     var payload = 0L
+    walkRecords(b) { (isResponse, _, len) =>
+      n += 1
+      if (isResponse) nResp += 1
+      payload += len
+    }
+    InternalRow(n, nResp, payload, b.length.toLong)
+  }
+
+  /** Response-record payload slices from the salvaged prefix — the
+    * extraction a crawl ingest actually needs once the walk verifies
+    * the framing: documents OUT of the shard, byte-exact. Same salvage
+    * posture and caps as [[walkData]] (ONE shared parsing loop). */
+  def responsePayloadsData(b: Array[Byte]): Array[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    walkRecords(b) { (isResponse, start, len) =>
+      if (isResponse) {
+        val p = new Array[Byte](len)
+        System.arraycopy(b, start, p, 0, len)
+        out += p
+      }
+    }
+    out.toArray
+  }
+
+  /** The record walk shared by every consumer: verifies each record's
+    * framing in bounds and hands (isResponse, payloadStart, payloadLen)
+    * to the collector; the first malformed record stops the walk.
+    */
+  private def walkRecords(b: Array[Byte])(
+      onRecord: (Boolean, Int, Int) => Unit): Unit = {
+    var i = 0
+    var n = 0L
     var stop = false
     def lineEnd(from: Int): Int = {
       // index just past the next CRLF, or -1 if none within caps/bounds
@@ -155,13 +191,11 @@ object Warc {
           stop = true
         } else {
           n += 1
-          if (isResponse) nResp += 1
-          payload += contentLength
+          onRecord(isResponse, headersEnd, contentLength.toInt)
           i = headersEnd + contentLength.toInt + 4
         }
       }
     }
-    InternalRow(n, nResp, payload, b.length.toLong)
   }
 
   val walkType: StructType = StructType(Seq(
@@ -209,6 +243,26 @@ case class WarcWalkExpr(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     Warc.walkData(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Response-payload extraction: binary → ARRAY<BINARY> of the salvaged
+  * prefix's response-record payloads, byte-exact.
+  */
+case class WarcResponsesExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_warc_responses"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Warc.responsePayloadsData(input.asInstanceOf[Array[Byte]])
+        .asInstanceOf[Array[Any]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -852,6 +852,61 @@ object MultimodalQ {
           col("w.shard_bytes").as("inflated_bytes"),
           col("compressed_bytes"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- gzipped-WARC payload EXTRACTION: documents OUT of the shard -------
+    // The step after p265's census: a crawl ingest does not just COUNT
+    // records, it extracts the response bodies and feeds them to the
+    // text pipeline. Warc.responses pulls the salvaged prefix's
+    // response payloads as ARRAY<BINARY> (the same single parsing loop
+    // as the walk), so the full chain — text → WARC framing → gzip
+    // member → concatenated shard → member salvage → record salvage →
+    // payload slice → stats — runs as ONE scan-stage pass, and the
+    // md5 hash-match against DuckDB's digest of the RAW text proves
+    // the round trip is byte-exact end to end. Truncated / bit-rotted
+    // response members (p265's modes) salvage no response: the row
+    // reports -1/'' sentinels, the NULL-never-throw posture in-query.
+    Q("p266_warc_extract", Some("""
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 13 = 4 OR doc_id % 17 = 6
+                       THEN -1 ELSE length(text) END AS BIGINT) AS n_chars,
+             CASE WHEN doc_id % 13 = 4 OR doc_id % 17 = 6
+                  THEN '' ELSE md5(text) END AS digest,
+             CASE WHEN doc_id % 13 = 4 OR doc_id % 17 = 6
+                  THEN '' ELSE substr(text, 1, 16) END AS head
+      FROM documents ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.{Gzip, Warc}
+      val id = col("doc_id").cast("string")
+      val uri = concat(lit("http://ex.com/"), id)
+      def rec(tpe: String, payload: org.apache.spark.sql.Column) =
+        concat(lit("WARC/1.0\r\n"),
+          lit(s"WARC-Type: $tpe\r\n"),
+          lit("WARC-Target-URI: "), uri, lit("\r\n"),
+          lit("WARC-Date: 2024-01-01T00:00:00Z\r\n"),
+          lit("Content-Length: "), length(payload).cast("string"),
+          lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      def memberHex(r: org.apache.spark.sql.Column) = {
+        val len = length(r).cast("long")
+        concat(lit("1F8B0800"), lit("0000000000FF"),
+          lit("01"), le16h(len), le16h(lit(65535L) - len),
+          hex(r), lit("0000000000000000"))
+      }
+      val m1 = memberHex(rec("request", concat(lit("GET /"), id)))
+      val m2full = memberHex(rec("response", col("text")))
+      val m2 = when(col("doc_id") % 13 === 4, substring(m2full, 1, 50))
+        .when(col("doc_id") % 17 === 6,
+          concat(lit("1E"), substring(m2full, 3, Int.MaxValue)))
+        .otherwise(m2full)
+      val blob = unhex(concat(m1, m2))
+      // try_element_at: salvaged-nothing shards have an EMPTY array
+      val body = expr("try_element_at(resp_arr, 1)")
+      Tables.loadSpread(spark, dir, "documents")
+        .withColumn("resp_arr", Warc.responses(Gzip.inflateMembers(blob)))
+        .select(col("doc_id"),
+          coalesce(length(body).cast("long"), lit(-1L)).as("n_chars"),
+          coalesce(md5(body), lit("")).as("digest"),
+          coalesce(substring(body, 1, 16).cast("string"), lit("")).as("head"))
+        .orderBy(col("doc_id"))
     }
   )
 

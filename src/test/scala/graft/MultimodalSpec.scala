@@ -769,6 +769,20 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plain = Warc.walkData(rec1 ++ rec2)
     assert((0 until 4).forall(i => w.getLong(i) == plain.getLong(i)))
     assert(w.getLong(0) == 2L && w.getLong(1) == 1L)
+    // p266 extraction: the response PAYLOAD comes back byte-exact
+    // through gzip members + record framing; requests are not extracted
+    val payloads = Warc.responsePayloadsData(
+      Gzip.inflateMembersData(gz(rec1) ++ gz(rec2)))
+    assert(payloads.length == 1)
+    assert(payloads(0).toSeq == ("body " * 50).getBytes.toSeq)
+    // truncated response member: salvage extracts NOTHING (empty, not null)
+    val cutShard = gz(rec1) ++ gz(rec2).dropRight(12)
+    assert(Warc.responsePayloadsData(
+      Gzip.inflateMembersData(cutShard)).isEmpty)
+    // two responses extract in order
+    val rec3 = warcRecord("response", "http://ex.com/9", "tail".getBytes)
+    val three = Warc.responsePayloadsData(rec1 ++ rec2 ++ rec3)
+    assert(three.length == 2 && three(1).toSeq == "tail".getBytes.toSeq)
     // fuzz: arbitrary member soup never throws
     val rnd = new scala.util.Random(265)
     (0 until 200).foreach { i =>

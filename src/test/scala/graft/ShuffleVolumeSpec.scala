@@ -160,7 +160,10 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sort's row per doc). Measured: p64 12 exchanges / 3,827 records
     // (×2: 1.99×), p265 2 / 1,000 (×2: 2.00×); ×1.4 headroom
     ("p64_label_prop", 17L, 5400L, DocLinear),
-    ("p265_gzipped_warc_walk", 3L, 1400L, DocLinear))
+    ("p265_gzipped_warc_walk", 3L, 1400L, DocLinear),
+    // p266: extraction is scan-stage; the only shuffle is the final
+    // sort's row per doc (measured 2 / 1,000, ×2: 2.00×)
+    ("p266_warc_extract", 3L, 1400L, DocLinear))
 
   private lazy val doubledDir = GuardFixtures.doubledDir(spark, sfDir)
 
