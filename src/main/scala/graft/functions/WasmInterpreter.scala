@@ -42,11 +42,35 @@ final class WasmInstance(val module: WasmModule) {
   private var stack = new Array[Long](1 << 14)
   /** executed-instruction budget — a runaway guest loop becomes a trap the
     * session survives instead of a hung executor task */
-  private var fuel: Long = 4_000_000_000L
+  private var fuel: Long = DefaultFuel
 
   def setFuel(n: Long): Unit = fuel = n
 
   def memorySize: Int = mem.length
+
+  /** Current global values (copy) — reset-completeness observability. */
+  def globalsSnapshot: Array[Long] = globals.clone()
+
+  /** Restore the exact post-construction state so the instance can be
+    * pooled across invocations: linear memory back to its initial size and
+    * contents (zeros + data segments), globals re-seeded, fuel refilled.
+    * The value stack needs no clearing — `call` zero-fills locals and
+    * operand slots are written before they are read (static stack
+    * discipline), so stale slots are unobservable; the capacity is kept,
+    * which is the point of pooling. Completeness is proven byte-for-byte
+    * against a fresh instance in WasmRuntimeSpec. */
+  def reset(): Unit = {
+    val initLen = module.memPagesMin * PageSize
+    if (mem.length != initLen) {
+      mem = new Array[Byte](initLen)
+      bb = ByteBuffer.wrap(mem).order(ByteOrder.LITTLE_ENDIAN)
+    } else java.util.Arrays.fill(mem, 0.toByte)
+    module.dataSegs.foreach { case (off, seg) =>
+      System.arraycopy(seg, 0, mem, off, seg.length)
+    }
+    System.arraycopy(module.globalsInit, 0, globals, 0, globals.length)
+    fuel = DefaultFuel
+  }
 
   def readBytes(addr: Long, len: Int): Array[Byte] = {
     if (addr < 0 || len < 0 || addr + len > mem.length)
@@ -120,64 +144,92 @@ final class WasmInstance(val module: WasmModule) {
     }
     java.util.Arrays.fill(stack, base + f.nparams, ob, 0L)
     val ops = f.ops; val argL = f.argL; val argM = f.argM
+    // hot-loop locals: the JIT cannot registerize fields across the nested
+    // call()s, so hoist the stack array; refreshed after 0x10/0x11 (a callee
+    // may grow it). Fuel is audited on BRANCHES and CALLS only — any cycle
+    // contains one, so a runaway guest still traps, without paying a
+    // decrement+test on every straight-line instruction.
+    var st = stack
     var sp = ob
     var i = 0
     var localFuel = fuel
     while (true) {
       val op = ops(i)
-      localFuel -= 1
-      if (localFuel <= 0) { fuel = 0; throw WasmTrap("instruction budget exhausted") }
       (op: @annotation.switch) match {
         case 0x01 => () // nop / resolved block & loop headers / inner ends
-        case 0x20 => stack(sp) = stack(base + argL(i).toInt); sp += 1
-        case 0x21 => sp -= 1; stack(base + argL(i).toInt) = stack(sp)
-        case 0x22 => stack(base + argL(i).toInt) = stack(sp - 1)
-        case 0x41 | 0x42 | 0x43 | 0x44 => stack(sp) = argL(i); sp += 1
-        case 0x6A => sp -= 1; stack(sp - 1) = (stack(sp - 1) + stack(sp)) & M32
-        case 0x6B => sp -= 1; stack(sp - 1) = (stack(sp - 1) - stack(sp)) & M32
-        case 0x28 => stack(sp - 1) = bb.getInt(checkAddr(stack(sp - 1), argM(i), 4)).toLong & M32
+        // decode-time superinstructions (WasmModule.fusePushPairs):
+        // two pushes, one dispatch
+        case 0x100 => // local.get a; local.get b
+          val l = argL(i)
+          st(sp) = st(base + (l & 0xFFFFFFFFL).toInt)
+          st(sp + 1) = st(base + (l >>> 32).toInt)
+          sp += 2
+        case 0x101 => // local.get a; i32/i64/f32/f64.const k
+          st(sp) = st(base + argM(i))
+          st(sp + 1) = argL(i)
+          sp += 2
+        case 0x102 => // local.tee a; local.get b
+          st(base + argM(i)) = st(sp - 1)
+          st(sp) = st(base + argL(i).toInt)
+          sp += 1
+        case 0x20 => st(sp) = st(base + argL(i).toInt); sp += 1
+        case 0x21 => sp -= 1; st(base + argL(i).toInt) = st(sp)
+        case 0x22 => st(base + argL(i).toInt) = st(sp - 1)
+        case 0x41 | 0x42 | 0x43 | 0x44 => st(sp) = argL(i); sp += 1
+        case 0x6A => sp -= 1; st(sp - 1) = (st(sp - 1) + st(sp)) & M32
+        case 0x6B => sp -= 1; st(sp - 1) = (st(sp - 1) - st(sp)) & M32
+        case 0x28 => st(sp - 1) = bb.getInt(checkAddr(st(sp - 1), argM(i), 4)).toLong & M32
         case 0x36 =>
           sp -= 2
-          bb.putInt(checkAddr(stack(sp), argM(i), 4), stack(sp + 1).toInt)
+          bb.putInt(checkAddr(st(sp), argM(i), 4), st(sp + 1).toInt)
         case 0x0C => // br
+          localFuel -= 1
+          if (localFuel <= 0) { fuel = 0; throw WasmTrap("instruction budget exhausted") }
           val t = argL(i)
           val h = ((t >> 32) & 0x3FFFFFFF).toInt
-          if (((t >> 62) & 1) == 1) stack(ob + h) = stack(sp - 1)
+          if (((t >> 62) & 1) == 1) st(ob + h) = st(sp - 1)
           sp = ob + h + ((t >> 62) & 1).toInt
           i = (t & M32).toInt
         case 0x0D => // br_if
           sp -= 1
-          if (stack(sp) != 0) {
+          if (st(sp) != 0) {
+            localFuel -= 1
+            if (localFuel <= 0) { fuel = 0; throw WasmTrap("instruction budget exhausted") }
             val t = argL(i)
             val h = ((t >> 32) & 0x3FFFFFFF).toInt
-            if (((t >> 62) & 1) == 1) stack(ob + h) = stack(sp - 1)
+            if (((t >> 62) & 1) == 1) st(ob + h) = st(sp - 1)
             sp = ob + h + ((t >> 62) & 1).toInt
             i = (t & M32).toInt
           }
         case 0x0E => // br_table
+          localFuel -= 1
+          if (localFuel <= 0) { fuel = 0; throw WasmTrap("instruction budget exhausted") }
           sp -= 1
           val tbl = f.brTables(argM(i))
-          val v = (stack(sp) & M32).toInt
+          val v = (st(sp) & M32).toInt
           val t = tbl(if (v >= 0 && v < tbl.length - 1) v else tbl.length - 1)
           val h = ((t >> 32) & 0x3FFFFFFF).toInt
-          if (((t >> 62) & 1) == 1) stack(ob + h) = stack(sp - 1)
+          if (((t >> 62) & 1) == 1) st(ob + h) = st(sp - 1)
           sp = ob + h + ((t >> 62) & 1).toInt
           i = (t & M32).toInt
         case 0x0F => // return (also decoded function end)
-          if (f.hasResult) stack(base) = stack(sp - 1)
+          if (f.hasResult) st(base) = st(sp - 1)
           fuel = localFuel
           return
         case 0x10 =>
+          localFuel -= 1
+          if (localFuel <= 0) { fuel = 0; throw WasmTrap("instruction budget exhausted") }
           val callee = argL(i).toInt
           val cf = funcs(callee)
           val cbase = sp - cf.nparams
           fuel = localFuel
           call(callee, cbase, depth + 1)
           localFuel = fuel
+          st = stack
           sp = cbase + (if (cf.hasResult) 1 else 0)
         case 0x11 =>
           sp -= 1
-          val eidx = (stack(sp) & M32).toInt
+          val eidx = (st(sp) & M32).toInt
           if (eidx < 0 || eidx >= table.length || table(eidx) < 0)
             throw WasmTrap(s"call_indirect: null/oob table entry $eidx")
           val callee = table(eidx)
@@ -188,24 +240,25 @@ final class WasmInstance(val module: WasmModule) {
           fuel = localFuel
           call(callee, cbase, depth + 1)
           localFuel = fuel
+          st = stack
           sp = cbase + (if (cf.hasResult) 1 else 0)
         case 0x00 => throw WasmTrap(s"unreachable executed (func $fidx)")
         case 0x1A => sp -= 1
         case 0x1B =>
           sp -= 2
-          if (stack(sp + 1) == 0) stack(sp - 1) = stack(sp)
-        case 0x23 => stack(sp) = globals(argL(i).toInt); sp += 1
-        case 0x24 => sp -= 1; globals(argL(i).toInt) = stack(sp)
+          if (st(sp + 1) == 0) st(sp - 1) = st(sp)
+        case 0x23 => st(sp) = globals(argL(i).toInt); sp += 1
+        case 0x24 => sp -= 1; globals(argL(i).toInt) = st(sp)
         // ---- loads ----
-        case 0x29 => stack(sp - 1) = bb.getLong(checkAddr(stack(sp - 1), argM(i), 8))
-        case 0x2D => stack(sp - 1) = (mem(checkAddr(stack(sp - 1), argM(i), 1)) & 0xFF).toLong
-        case 0x37 => sp -= 2; bb.putLong(checkAddr(stack(sp), argM(i), 8), stack(sp + 1))
-        case 0x45 => stack(sp - 1) = b2l((stack(sp - 1) & M32) == 0)
-        case 0x46 => sp -= 1; stack(sp - 1) = b2l((stack(sp - 1) & M32) == (stack(sp) & M32))
-        case 0x47 => sp -= 1; stack(sp - 1) = b2l((stack(sp - 1) & M32) != (stack(sp) & M32))
-        case 0x71 => sp -= 1; stack(sp - 1) = (stack(sp - 1) & stack(sp)) & M32
-        case 0x74 => sp -= 1; stack(sp - 1) = (stack(sp - 1).toInt << stack(sp).toInt).toLong & M32
-        case 0x76 => sp -= 1; stack(sp - 1) = (stack(sp - 1).toInt >>> stack(sp).toInt).toLong & M32
+        case 0x29 => st(sp - 1) = bb.getLong(checkAddr(st(sp - 1), argM(i), 8))
+        case 0x2D => st(sp - 1) = (mem(checkAddr(st(sp - 1), argM(i), 1)) & 0xFF).toLong
+        case 0x37 => sp -= 2; bb.putLong(checkAddr(st(sp), argM(i), 8), st(sp + 1))
+        case 0x45 => st(sp - 1) = b2l((st(sp - 1) & M32) == 0)
+        case 0x46 => sp -= 1; st(sp - 1) = b2l((st(sp - 1) & M32) == (st(sp) & M32))
+        case 0x47 => sp -= 1; st(sp - 1) = b2l((st(sp - 1) & M32) != (st(sp) & M32))
+        case 0x71 => sp -= 1; st(sp - 1) = (st(sp - 1) & st(sp)) & M32
+        case 0x74 => sp -= 1; st(sp - 1) = (st(sp - 1).toInt << st(sp).toInt).toLong & M32
+        case 0x76 => sp -= 1; st(sp - 1) = (st(sp - 1).toInt >>> st(sp).toInt).toLong & M32
         case other => sp = slowPath(other, argM(i), sp)
       }
       i += 1
@@ -444,6 +497,8 @@ object WasmInstance {
   /** 256 MiB guard for guest memory growth */
   val MaxPages = 4096
   val M32 = 0xFFFFFFFFL
+  /** executed-instruction budget per invocation */
+  val DefaultFuel = 4_000_000_000L
 
   @inline def b2l(b: Boolean): Long = if (b) 1L else 0L
   @inline def truncD(d: Double): Double =

@@ -47,7 +47,37 @@ object WasmModule {
   @inline def packTarget(target: Int, height: Int, arity: Int): Long =
     (target.toLong & 0xFFFFFFFFL) | (height.toLong << 32) | (arity.toLong << 62)
 
-  def parse(bytes: Array[Byte]): WasmModule = new WasmModule(bytes)
+  /** Human-readable class for an opcode outside the supported surface, so a
+    * CREATE FUNCTION over an incompatible artifact fails with a message that
+    * names WHAT the module uses, not just a hex byte (the supported surface
+    * is exactly the reference artifact's: MVP + sign-extension, br-based
+    * control flow — see the class doc). */
+  def opcodeClass(op: Int): String = op match {
+    case 0x04 | 0x05 => f"if/else structured control (opcode 0x$op%02x)"
+    case 0x1C => f"typed select / reference types (opcode 0x$op%02x)"
+    case 0x25 | 0x26 => f"table.get/table.set reference-types ops (opcode 0x$op%02x)"
+    case 0xD0 | 0xD1 | 0xD2 => f"reference types (opcode 0x$op%02x)"
+    case 0xFC => "0xFC-prefixed extensions (saturating float-to-int truncation / bulk memory)"
+    case 0xFD => "0xFD-prefixed SIMD (vector) instructions"
+    case 0xFE => "0xFE-prefixed threads/atomics instructions"
+    case other => f"opcode 0x$other%02x"
+  }
+
+  /** Every malformed binary — truncated sections, LEB prefixes running past
+    * a section end, bogus vector counts, raw index escapes — must surface as
+    * [[WasmParseException]] so `CREATE FUNCTION` fails with the clean
+    * "cannot load wasm module" statement error (the reference factory's
+    * load-time contract, wasmedge_factory/src/lib.rs:111-132), never a raw
+    * ArrayIndexOutOfBounds/NegativeArraySize from parser internals. */
+  def parse(bytes: Array[Byte]): WasmModule =
+    try new WasmModule(bytes)
+    catch {
+      case e: WasmParseException => throw e
+      case e: IndexOutOfBoundsException =>
+        throw new WasmParseException(s"malformed binary (read out of bounds: ${e.getMessage})")
+      case e: NegativeArraySizeException =>
+        throw new WasmParseException(s"malformed binary (negative size: ${e.getMessage})")
+    }
 
   def parseFile(path: String): WasmModule = {
     val f = new java.io.File(path)
@@ -62,7 +92,26 @@ final class WasmModule private (bytes: Array[Byte]) {
 
   // ---- raw section payloads -------------------------------------------
   private var pos = 0
-  private def u8(): Int = { val b = bytes(pos) & 0xFF; pos += 1; b }
+  /** Hard read bound: the end of the section currently being parsed (the
+    * whole binary while reading section headers). A LEB whose continuation
+    * bits run past this — DuckDB-style truncation fuzz — throws instead of
+    * silently consuming the next section's bytes or spinning to EOF. */
+  private var limit = bytes.length
+  private def u8(): Int = {
+    if (pos >= limit) throw new WasmParseException(
+      s"truncated read at offset $pos (section bound $limit)")
+    val b = bytes(pos) & 0xFF; pos += 1; b
+  }
+  /** A vector count, sanity-bounded by the bytes remaining in the section:
+    * every element is at least one byte, so a count larger than the
+    * remaining payload is malformed — reject it BEFORE Array.fill turns it
+    * into a multi-GB allocation or a negative-size throw. */
+  private def vecLen(): Int = {
+    val n = u32()
+    if (n < 0 || n > limit - pos) throw new WasmParseException(
+      s"vector length $n exceeds section bounds at offset $pos")
+    n
+  }
   private def u32(): Int = {
     var r = 0; var s = 0; var b = 0
     do { b = u8(); r |= (b & 0x7F) << s; s += 7 } while ((b & 0x80) != 0)
@@ -81,7 +130,7 @@ final class WasmModule private (bytes: Array[Byte]) {
     r
   }
   private def rawName(): String = {
-    val n = u32(); val s = new String(bytes, pos, n, "UTF-8"); pos += n; s
+    val n = vecLen(); val s = new String(bytes, pos, n, "UTF-8"); pos += n; s
   }
 
   // parsed structures
@@ -99,20 +148,23 @@ final class WasmModule private (bytes: Array[Byte]) {
   private[functions] var dataSegs: List[(Int, Array[Byte])] = Nil
   private[functions] var funcs: Array[WasmFunc] = Array.empty
 
-  require(bytes.length >= 8 &&
+  if (!(bytes.length >= 8 &&
     bytes(0) == 0 && bytes(1) == 'a' && bytes(2) == 's' && bytes(3) == 'm' &&
-    bytes(4) == 1 && bytes(5) == 0 && bytes(6) == 0 && bytes(7) == 0,
-    "not a wasm v1 binary")
+    bytes(4) == 1 && bytes(5) == 0 && bytes(6) == 0 && bytes(7) == 0))
+    throw new WasmParseException("not a wasm v1 binary")
   pos = 8
   private val codeOffsets = scala.collection.mutable.ArrayBuffer.empty[(Array[Int], Int, Int)]
   while (pos < bytes.length) {
     val sid = u8(); val len = u32(); val end = pos + len
+    if (len < 0 || end > bytes.length) throw new WasmParseException(
+      s"section $sid length $len runs past end of binary")
+    limit = end
     sid match {
       case 1 => // types
-        types = Array.fill(u32()) {
+        types = Array.fill(vecLen()) {
           if (u8() != 0x60) throw new WasmParseException("bad functype")
-          val ps = Array.fill(u32())(u8())
-          val rs = Array.fill(u32())(u8())
+          val ps = Array.fill(vecLen())(u8())
+          val rs = Array.fill(vecLen())(u8())
           if (rs.length > 1) throw new WasmParseException("multi-value not supported")
           (ps, rs)
         }
@@ -124,21 +176,26 @@ final class WasmModule private (bytes: Array[Byte]) {
       case 2 =>
         if (u32() != 0) throw new WasmParseException(
           "imports not supported (reference artifact is import-free)")
-      case 3 => funcTypeIdx = Array.fill(u32())(u32())
+      case 3 => funcTypeIdx = Array.fill(vecLen())(u32())
       case 4 =>
         val n = u32()
         if (n > 0) {
           u8() // elemtype (funcref)
           val flags = u8(); val mn = u32(); if ((flags & 1) != 0) u32()
+          if (mn < 0 || mn > 16_777_216) throw new WasmParseException(
+            s"table min size $mn out of bounds")
           table = Array.fill(mn)(-1)
         }
       case 5 =>
         val n = u32()
         if (n > 0) {
           val flags = u8(); memPagesMin = u32(); if ((flags & 1) != 0) u32()
+          if (memPagesMin < 0 || memPagesMin > WasmInstance.MaxPages)
+            throw new WasmParseException(
+              s"memory min $memPagesMin pages exceeds the ${WasmInstance.MaxPages}-page guard")
         }
       case 6 =>
-        globalsInit = Array.fill(u32()) {
+        globalsInit = Array.fill(vecLen()) {
           u8(); u8() // valtype, mutability (value representation is uniform)
           val v = (u8(): @annotation.switch) match {
             case 0x41 => s32leb().toLong & 0xFFFFFFFFL
@@ -152,61 +209,187 @@ final class WasmModule private (bytes: Array[Byte]) {
           v
         }
       case 7 =>
-        exports = Seq.fill(u32()) {
+        exports = Seq.fill(vecLen()) {
           val nm = rawName(); val k = u8(); val idx = u32(); nm -> (k, idx)
         }.toMap
       case 9 =>
-        for (_ <- 0 until u32()) {
+        for (_ <- 0 until vecLen()) {
           if (u32() != 0) throw new WasmParseException("elem flags unsupported")
           if (u8() != 0x41) throw new WasmParseException("elem offset op")
           val off = s32leb()
           if (u8() != 0x0B) throw new WasmParseException("elem offset end")
-          val n = u32()
+          val n = vecLen()
+          if (off < 0 || off.toLong + n > table.length) throw new WasmParseException(
+            s"elem segment [$off, ${off + n}) outside table of ${table.length}")
           var i = 0
           while (i < n) { table(off + i) = u32(); i += 1 }
         }
       case 10 =>
-        val n = u32()
+        val n = vecLen()
         for (_ <- 0 until n) {
           val sz = u32(); val bodyEnd = pos + sz
+          if (sz < 0 || bodyEnd > limit) throw new WasmParseException(
+            s"code body size $sz runs past section end")
           val locals = scala.collection.mutable.ArrayBuffer.empty[Int]
-          for (_ <- 0 until u32()) {
+          for (_ <- 0 until vecLen()) {
             val cnt = u32(); val t = u8()
+            if (cnt < 0 || locals.length + cnt.toLong > 1_000_000) throw new WasmParseException(
+              s"excessive locals declaration ($cnt)")
             var i = 0; while (i < cnt) { locals += t; i += 1 }
           }
           codeOffsets += ((locals.toArray, pos, bodyEnd))
           pos = bodyEnd
         }
       case 11 =>
-        for (_ <- 0 until u32()) {
+        for (_ <- 0 until vecLen()) {
           val flags = u32()
           if (flags == 0) {
             if (u8() != 0x41) throw new WasmParseException("data offset op")
             val off = s32leb()
             if (u8() != 0x0B) throw new WasmParseException("data offset end")
-            val n = u32()
+            val n = vecLen()
             val seg = new Array[Byte](n)
             System.arraycopy(bytes, pos, seg, 0, n); pos += n
             dataSegs = (off, seg) :: dataSegs
           } else if (flags == 1) { // passive segment: skip (unused without bulk ops)
-            val n = u32(); pos += n
+            val n = vecLen(); pos += n
           } else throw new WasmParseException("data flags unsupported")
         }
       case _ => () // custom / other sections ignored
     }
     pos = end
+    limit = bytes.length
   }
   funcs = Array.tabulate(codeOffsets.length) { i =>
     val (locals, s, e) = codeOffsets(i)
-    decodeBody(i, locals, s, e)
+    fusePushPairs(compactNops(decodeBody(i, locals, s, e)))
+  }
+
+  /** Decode-time superinstruction pass: fuse the dominant push-push bigrams
+    * (measured over the reference artifact's pow kernel — get+get 6.6%,
+    * get+const 7.5%, tee+get 3.4% of executed pairs) into single synthetic
+    * opcodes so the interpreter pays one dispatch for two pushes:
+    *   0x100 GET2     argL = loIdx | hiIdx<<32        (local.get a; local.get b)
+    *   0x101 GETCONST argM = localIdx, argL = bits    (local.get a; const k)
+    *   0x102 TEEGET   argM = teeIdx,   argL = getIdx  (local.tee a; local.get b)
+    * A pair is only fused when its second instruction is not a branch
+    * landing point (branches land at t and execute t+1, so the landing
+    * points are the t+1 of every packed target, plus index 0); targets are
+    * then remapped with the same prefix-sum rule as [[compactNops]]. */
+  private def fusePushPairs(f: WasmFunc): WasmFunc = {
+    val n = f.ops.length
+    val landing = new Array[Boolean](n + 1)
+    landing(0) = true
+    var j = 0
+    while (j < n) {
+      if (f.ops(j) == 0x0C || f.ops(j) == 0x0D)
+        landing(((f.argL(j) & 0xFFFFFFFFL).toInt + 1).min(n)) = true
+      j += 1
+    }
+    f.brTables.foreach(_.foreach(t => landing(((t & 0xFFFFFFFFL).toInt + 1).min(n)) = true))
+    @inline def isConst(op: Int) = op >= 0x41 && op <= 0x44
+    // mark seconds-of-pairs to drop; rewrite firsts
+    val drop = new Array[Boolean](n)
+    val ops2 = f.ops.clone(); val argL2 = f.argL.clone(); val argM2 = f.argM.clone()
+    j = 0
+    while (j < n - 1) {
+      val a = f.ops(j); val b = f.ops(j + 1)
+      if (!landing(j + 1)) {
+        if (a == 0x20 && b == 0x20) {
+          ops2(j) = 0x100; argL2(j) = (f.argL(j) & 0xFFFFFFFFL) | (f.argL(j + 1) << 32)
+          drop(j + 1) = true; j += 1
+        } else if (a == 0x20 && isConst(b)) {
+          ops2(j) = 0x101; argM2(j) = f.argL(j).toInt; argL2(j) = f.argL(j + 1)
+          drop(j + 1) = true; j += 1
+        } else if (a == 0x22 && b == 0x20) {
+          ops2(j) = 0x102; argM2(j) = f.argL(j).toInt; argL2(j) = f.argL(j + 1)
+          drop(j + 1) = true; j += 1
+        }
+      }
+      j += 1
+    }
+    var kept = 0
+    j = 0
+    while (j < n) { if (!drop(j)) kept += 1; j += 1 }
+    if (kept == n) return f
+    val pos = new Array[Int](n + 1)
+    j = 0
+    var c = 0
+    while (j < n) { pos(j) = c; if (!drop(j)) c += 1; j += 1 }
+    pos(n) = c
+    def remap(packed: Long): Long = {
+      val t = (packed & 0xFFFFFFFFL).toInt
+      val newT = pos(t + 1) - 1
+      (packed & ~0xFFFFFFFFL) | (newT.toLong & 0xFFFFFFFFL)
+    }
+    val ops3 = new Array[Int](kept)
+    val argL3 = new Array[Long](kept)
+    val argM3 = new Array[Int](kept)
+    j = 0
+    var k = 0
+    while (j < n) {
+      if (!drop(j)) {
+        ops3(k) = ops2(j)
+        argL3(k) = if (ops2(j) == 0x0C || ops2(j) == 0x0D) remap(argL2(j)) else argL2(j)
+        argM3(k) = argM2(j)
+        k += 1
+      }
+      j += 1
+    }
+    new WasmFunc(f.typeId, f.nparams, f.nlocals, f.hasResult,
+      ops3, argL3, argM3, f.brTables.map(_.map(remap)), f.maxStack)
+  }
+
+  /** Decode-time peephole: block/loop headers and inner ends decode to 0x01
+    * nops (they only exist so branch targets stay index-aligned); strip
+    * them and remap every packed branch target so the interpreter never
+    * dispatches them. ~10% of executed instructions in the reference
+    * artifact's libm-style kernels are these structural nops. The jump
+    * convention (land at target, execute target+1) makes the remap
+    * `pos(t+1)-1` where pos = kept-count prefix sum: execution continues at
+    * the first surviving instruction at old index ≥ t+1. */
+  private def compactNops(f: WasmFunc): WasmFunc = {
+    val n = f.ops.length
+    var kept = 0
+    var j = 0
+    while (j < n) { if (f.ops(j) != 0x01) kept += 1; j += 1 }
+    if (kept == n) return f
+    val pos = new Array[Int](n + 1)
+    j = 0
+    var c = 0
+    while (j < n) { pos(j) = c; if (f.ops(j) != 0x01) c += 1; j += 1 }
+    pos(n) = c
+    def remap(packed: Long): Long = {
+      val t = (packed & 0xFFFFFFFFL).toInt
+      val newT = pos(t + 1) - 1
+      (packed & ~0xFFFFFFFFL) | (newT.toLong & 0xFFFFFFFFL)
+    }
+    val ops2 = new Array[Int](kept)
+    val argL2 = new Array[Long](kept)
+    val argM2 = new Array[Int](kept)
+    j = 0
+    var k = 0
+    while (j < n) {
+      if (f.ops(j) != 0x01) {
+        ops2(k) = f.ops(j)
+        argL2(k) = if (f.ops(j) == 0x0C || f.ops(j) == 0x0D) remap(f.argL(j)) else f.argL(j)
+        argM2(k) = f.argM(j)
+        k += 1
+      }
+      j += 1
+    }
+    new WasmFunc(f.typeId, f.nparams, f.nlocals, f.hasResult,
+      ops2, argL2, argM2, f.brTables.map(_.map(remap)), f.maxStack)
   }
 
   private def readF32Bits(): Int = {
+    if (pos + 4 > limit) throw new WasmParseException(s"truncated f32 at offset $pos")
     val v = (bytes(pos) & 0xFF) | ((bytes(pos + 1) & 0xFF) << 8) |
       ((bytes(pos + 2) & 0xFF) << 16) | ((bytes(pos + 3) & 0xFF) << 24)
     pos += 4; v
   }
   private def readF64Bits(): Long = {
+    if (pos + 8 > limit) throw new WasmParseException(s"truncated f64 at offset $pos")
     var v = 0L; var i = 0
     while (i < 8) { v |= (bytes(pos + i) & 0xFFL) << (8 * i); i += 1 }
     pos += 8; v
@@ -250,6 +433,7 @@ final class WasmModule private (bytes: Array[Byte]) {
     var deadDepth = 0
 
     pos = start
+    limit = bodyEnd
     def emit(op: Int, l: Long, m: Int, delta: Int): Unit = {
       ops += op; argL += l; argM += m
       if (!dead) {
@@ -305,6 +489,8 @@ final class WasmModule private (bytes: Array[Byte]) {
           if (!dead) argL(opIdx) = resolveBr(d, opIdx, -1)
         case 0x0E =>
           val n = u32()
+          if (n < 0 || n > limit - pos) throw new WasmParseException(
+            s"br_table with $n targets exceeds body bounds")
           val depths = Array.fill(n + 1)(u32())
           val opIdx = ops.length
           val tbl = new Array[Long](n + 1)
@@ -354,7 +540,8 @@ final class WasmModule private (bytes: Array[Byte]) {
           }
           emit(op, 0, 0, delta)
         case other => throw new WasmParseException(
-          f"unsupported opcode 0x$other%02x in func $fidx (offset $pos)")
+          f"unsupported instruction in func $fidx (offset $pos): ${opcodeClass(other)} — " +
+            "module is outside the supported MVP+sign-extension surface")
       }
     }
     if (blocks.nonEmpty) throw new WasmParseException(s"unbalanced blocks in f$fidx")

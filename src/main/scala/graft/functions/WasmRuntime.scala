@@ -28,8 +28,16 @@ object WasmRuntime {
   /** Invocations counter — observability for the one-call-per-batch spec. */
   val invocations = new AtomicLong()
 
+  /** Instances constructed — observability for the pooling spec (a warm
+    * thread should drive many invocations through ONE instance). */
+  val instancesCreated = new AtomicLong()
+
   /** Parsed modules per path per JVM — the decode is the expensive part;
-    * instances (memory + globals) are created fresh per invocation. */
+    * per-thread instances are pooled below. Evicted by [[evict]] when the
+    * last function over the path is dropped (WasmFunctionModule.close via
+    * ModuleRegistry refcounts), mirroring the reference's weak-valued VM
+    * cache freeing the VM after the last DROP
+    * (wasmedge_factory/src/lib.rs:20,344-372). */
   private val parsed = new java.util.HashMap[String, WasmModule]()
 
   def moduleFor(path: String): WasmModule = parsed.synchronized {
@@ -42,12 +50,51 @@ object WasmRuntime {
     }
   }
 
+  /** Drop the decoded module for `path`; a later CREATE re-parses the file
+    * fresh. Pooled instances die with the module: the pool is weak-keyed on
+    * the [[WasmModule]] object, so dropping the last strong reference here
+    * lets GC clear every thread's pooled instance for it. */
+  def evict(path: String): Unit = parsed.synchronized { parsed.remove(path) }
+
+  def isParsed(path: String): Boolean = parsed.synchronized { parsed.containsKey(path) }
+
+  /** Decode-cache size — the lifecycle observable the reference asserts 1→0
+    * across shared-module drops (lib.rs:344-372). */
+  def parsedModuleCount: Int = parsed.synchronized { parsed.size }
+
+  /** Per-thread instance pool: one reusable [[WasmInstance]] per live module
+    * per executor thread, fully reset between invocations (memory re-zeroed
+    * + data segments + globals + fuel — completeness is spec-proven against
+    * a fresh instance). Avoids the per-batch allocation churn of a fresh
+    * memory copy + 16K-slot stack at executor concurrency while keeping the
+    * isolation story: threads never share an instance, and a trap mid-batch
+    * still resets before reuse. Weak keys ⇒ a DROPped module's instances
+    * are collectable. Set -Dgraft.wasm.pool=off for the fresh-instance-per-
+    * invocation fallback. */
+  private val pool = ThreadLocal.withInitial(
+    () => new java.util.WeakHashMap[WasmModule, WasmInstance]())
+
+  private def poolingEnabled: Boolean =
+    !"off".equalsIgnoreCase(System.getProperty("graft.wasm.pool", "on"))
+
+  private def instanceFor(module: WasmModule): WasmInstance =
+    if (!poolingEnabled) { instancesCreated.incrementAndGet(); new WasmInstance(module) }
+    else {
+      val m = pool.get()
+      var inst = m.get(module)
+      if (inst == null) {
+        instancesCreated.incrementAndGet()
+        inst = new WasmInstance(module); m.put(module, inst)
+      }
+      inst
+    }
+
   /** One bindgen round-trip: raw param bytes in, raw result bytes out.
     * @throws FunctionError     guest returned `Err(msg)`
     * @throws RuntimeException  guest trapped (panic path)
     */
   def invokeBindgen(path: String, exportName: String, payload: Array[Byte]): Array[Byte] = {
-    val inst = new WasmInstance(moduleFor(path))
+    val inst = instanceFor(moduleFor(path))
     invocations.incrementAndGet()
     try {
       val pp = inst.invoke("allocate", payload.length.toLong)
@@ -74,6 +121,10 @@ object WasmRuntime {
       }
     } catch {
       case WasmTrap(msg) => throw new RuntimeException(s"wasm trap: $msg")
+    } finally {
+      // restore the pooled instance to its post-instantiation state — also
+      // on the trap/error paths, where guest memory is mid-flight garbage
+      inst.reset()
     }
   }
 
@@ -88,7 +139,7 @@ object WasmRuntime {
   * parsed at CREATE time (a bad file fails the statement), functions are
   * the `__wasm_udf_*` exports minus the prefix (udf.rs:52).
   */
-final class WasmFunctionModule(val path: String) extends FunctionModule {
+final class WasmFunctionModule(val path: String) extends FunctionModule with AutoCloseable {
   override val functions: Map[String, ScalarBatchFunction] = {
     val module =
       try WasmRuntime.moduleFor(path)
@@ -98,6 +149,12 @@ final class WasmFunctionModule(val path: String) extends FunctionModule {
       }
     module.udfExports.map(n => n -> WasmScalarFunction(path, n)).toMap
   }
+
+  /** Called by ModuleRegistry when the last function over this artifact is
+    * dropped: free the decoded module too, so the lifecycle matches the
+    * reference's weak-valued VM cache going 1→0 after the final DROP
+    * (lib.rs:344-372). A re-CREATE parses the file fresh. */
+  override def close(): Unit = WasmRuntime.evict(path)
 }
 
 /** Executor-side stub: holds the (path, fn) address; the parsed module is

@@ -259,6 +259,27 @@ class WasmInterpreterSpec extends AnyFunSuite {
     assert(t.msg.contains("budget"))
   }
 
+  test("an artifact using an unsupported instruction class fails at LOAD " +
+    "time with the class NAMED (if/else here) — CREATE-statement surface, " +
+    "not a bare hex byte") {
+    // (func (param i32) (result i32) local.get 0 if(result i32) i32.const 1
+    //  else i32.const 2 end end) — valid MVP wasm, outside the artifact-
+    // scoped surface (LLVM output is br-based; SURVEY §7.4)
+    val body = b(0x20, 0, 0x04, 0x7F, 0x41, 1, 0x05, 0x41, 2, 0x0B, 0x0B)
+    val e = intercept[WasmModule.WasmParseException] {
+      module(Seq((Seq(I32), Seq(I32))), Seq((0, Nil, body)))
+    }
+    assert(e.getMessage.contains("if/else structured control (opcode 0x04)"))
+    assert(e.getMessage.contains("MVP+sign-extension"))
+
+    // 0xFC prefix (e.g. i32.trunc_sat_f64_s) names the extension family
+    val sat = b(0x44, 0, 0, 0, 0, 0, 0, 0, 0, 0xFC, 0x02, 0x0B)
+    val e2 = intercept[WasmModule.WasmParseException] {
+      module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, sat)))
+    }
+    assert(e2.getMessage.contains("saturating float-to-int truncation"))
+  }
+
   test("module-level guards: arity mismatch, unknown export, call-depth cap") {
     val id = b(0x20, 0, 0x0B)
     val m = module(Seq((Seq(I32), Seq(I32))), Seq((0, Nil, id)))

@@ -192,6 +192,161 @@ class WasmRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     engine.sql("DROP FUNCTION wbatch")
   }
 
+  // ---- r16: lifecycle parity, interpreter contract, pooling ------------
+
+  test("shared-artifact lifecycle: decode cache 1 while two functions " +
+    "share the module, 0 after both drops, fresh parse on re-CREATE " +
+    "(the reference's weak-cache assertion, lib.rs:344-372)") {
+    assume(artifactPresent)
+    val tmp = java.io.File.createTempFile("wasm_lifecycle", ".wasm")
+    java.nio.file.Files.copy(new java.io.File(wasmPath).toPath, tmp.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val p = tmp.getAbsolutePath
+    assert(!WasmRuntime.isParsed(p))
+    engine.sql(s"CREATE FUNCTION lw1(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS '$p!f1'")
+    engine.sql(s"CREATE FUNCTION lw2(DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS '$p!f_return_error'")
+    assert(WasmRuntime.isParsed(p))
+    val whileLive = WasmRuntime.parsedModuleCount
+    engine.sql("DROP FUNCTION lw1")
+    assert(WasmRuntime.isParsed(p), "module must survive while one function still uses it")
+    engine.sql("DROP FUNCTION lw2")
+    assert(!WasmRuntime.isParsed(p), "last DROP must evict the decoded module")
+    assert(WasmRuntime.parsedModuleCount === whileLive - 1)
+    // re-CREATE after drop-to-zero: fresh parse, still answers
+    engine.sql(s"CREATE FUNCTION lw3(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS '$p!f1'")
+    assert(WasmRuntime.isParsed(p))
+    val r = engine.sql("select lw3(a, b) as v from wt where a = 4.0").collect()(0).getDouble(0)
+    assert(r === 256.0)
+    engine.sql("DROP FUNCTION lw3")
+    assert(!WasmRuntime.isParsed(p))
+    tmp.delete()
+  }
+
+  test("every truncation of the real artifact fails CLEANLY at parse time " +
+    "(WasmParseException, never a raw index/size error or hang)") {
+    assume(artifactPresent)
+    val bytes = java.nio.file.Files.readAllBytes(new java.io.File(wasmPath).toPath)
+    var rejected = 0
+    val steps = 79
+    for (i <- 1 until steps) {
+      val n = (bytes.length.toLong * i / steps).toInt
+      val cut = java.util.Arrays.copyOf(bytes, n)
+      // contract: parse either succeeds (cut on a section boundary) or
+      // throws the ONE load-surface exception — nothing rawer escapes
+      try WasmModule.parse(cut)
+      catch { case _: WasmModule.WasmParseException => rejected += 1 }
+    }
+    assert(rejected > steps / 2, s"expected most truncations rejected, got $rejected")
+  }
+
+  test("pow CONTRACT vs JVM Math.pow over the IEEE edge lattice: " +
+    "specials exact (C99 annex-F pow semantics), ordinary finite values " +
+    "within 1 ulp — through real bytecode") {
+    assume(artifactPresent)
+    val specials: Array[Double] = Array(
+      0.0, -0.0, 1.0, -1.0, 2.0, -2.0, 0.5, -0.5, 2.5, -2.5, 3.0, -3.0,
+      Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN,
+      java.lang.Double.longBitsToDouble(0x7ff8000000000123L), // NaN w/ payload
+      java.lang.Double.longBitsToDouble(0xfff8000000000001L), // -NaN w/ payload
+      Double.MinPositiveValue, -Double.MinPositiveValue, // subnormals
+      2.2250738585072014e-308, // smallest normal
+      Double.MaxValue, -Double.MaxValue, 1e300, -1e300, 1e-300,
+      0.1, -0.1, 7.5, 1.0000000000000002)
+    val pairs = for (a <- specials; b <- specials) yield (a, b)
+    val as: Array[Any] = pairs.map(p => p._1: Any)
+    val bs: Array[Any] = pairs.map(p => p._2: Any)
+    val reply = WasmRuntime.invokeBindgen(wasmPath, "f1",
+      ArrowBatchCodec.encode(IndexedSeq(as, bs), pairs.length))
+    val (cols, n) = ArrowBatchCodec.decode(reply)
+    assert(n === pairs.length)
+    // Where libm pow (C99 annex F / IEEE 754-2019) and Math.pow disagree
+    // BY SPECIFICATION: pow(1, y) = 1 and pow(-1, ±inf) = 1 for any y —
+    // Java documents NaN for |base| = 1 with non-finite exponent.
+    def expected(a: Double, b: Double): Double =
+      if (b == 0.0) 1.0
+      else if (a == 1.0) 1.0
+      else if (a == -1.0 && b.isInfinite) 1.0
+      else Math.pow(a, b)
+    def isSpecial(d: Double) = d.isNaN || d.isInfinite || d == 0.0 || math.abs(d) == 1.0
+    var checked = 0
+    pairs.indices.foreach { i =>
+      val (a, b) = pairs(i)
+      val got = cols(0)(i).asInstanceOf[Double]
+      val exp = expected(a, b)
+      if (exp.isNaN) assert(got.isNaN, s"pow($a,$b): expected NaN, got $got")
+      else if (isSpecial(a) || isSpecial(b) || exp.isInfinite || exp == 0.0)
+        assert(java.lang.Double.doubleToLongBits(got) ===
+          java.lang.Double.doubleToLongBits(exp),
+          s"pow($a,$b): expected exact $exp, got $got")
+      else {
+        val ulps = math.abs(
+          java.lang.Double.doubleToLongBits(got) - java.lang.Double.doubleToLongBits(exp))
+        assert(ulps <= 1, s"pow($a,$b): $got vs $exp differs by $ulps ulps")
+      }
+      checked += 1
+    }
+    assert(checked === specials.length * specials.length)
+  }
+
+  test("pooled-instance reset is COMPLETE: after a real invocation dirties " +
+    "the guest heap, reset() restores memory byte-identical to a fresh " +
+    "instance (and globals, and the instance still answers the golden call)") {
+    assume(artifactPresent)
+    val module = WasmRuntime.moduleFor(wasmPath)
+    val fresh = new graft.functions.WasmInstance(module)
+    val used = new graft.functions.WasmInstance(module)
+    // drive the bindgen protocol by hand so THIS instance does the work
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val payload = ArrowBatchCodec.encode(IndexedSeq(
+      Array[Any](5.0, 2.0), Array[Any](5.1, 8.0)), 2)
+    val pp = used.invoke("allocate", payload.length.toLong).get
+    used.writeBytes(pp, payload)
+    val pairsPtr = used.invoke("allocate", 8L).get
+    used.writeBytes(pairsPtr, le32(pp) ++ le32(payload.length.toLong))
+    assert(used.invoke("__wasm_udf_f1", pairsPtr, 1L).nonEmpty)
+    assert(used.readBytes(0, used.memorySize).toSeq !=
+      fresh.readBytes(0, fresh.memorySize).toSeq ||
+      used.memorySize != fresh.memorySize,
+      "sanity: the invocation must actually dirty guest memory")
+    used.reset()
+    assert(used.memorySize === fresh.memorySize)
+    assert(java.util.Arrays.equals(
+      used.readBytes(0, used.memorySize), fresh.readBytes(0, fresh.memorySize)),
+      "reset memory must be byte-identical to a fresh instance")
+    assert(used.globalsSnapshot.toSeq === fresh.globalsSnapshot.toSeq)
+    // and the reset instance still computes the golden value
+    val pp2 = used.invoke("allocate", payload.length.toLong).get
+    used.writeBytes(pp2, payload)
+    val pr2 = used.invoke("allocate", 8L).get
+    used.writeBytes(pr2, le32(pp2) ++ le32(payload.length.toLong))
+    val rp = used.invoke("__wasm_udf_f1", pr2, 1L).get
+    val flag = used.readBytes(rp, 1)(0)
+    assert(flag === 0)
+    val recPtr = used.readU32(used.readU32(rp + 1))
+    val recLen = used.readU32(used.readU32(rp + 1) + 8)
+    val (outCols, outN) = ArrowBatchCodec.decode(used.readBytes(recPtr, recLen.toInt))
+    assert(outN === 2 && outCols(0).toSeq === Seq(3670.684197150057, 256.0))
+  }
+
+  test("one warm thread drives many batches through ONE pooled instance " +
+    "(allocation churn removed; fresh-instance fallback via " +
+    "-Dgraft.wasm.pool=off keeps the old path)") {
+    assume(artifactPresent)
+    val payload = ArrowBatchCodec.encode(IndexedSeq(
+      Array[Any](2.0), Array[Any](10.0)), 1)
+    WasmRuntime.invokeBindgen(wasmPath, "f1", payload) // ensure pool entry
+    val before = WasmRuntime.instancesCreated.get()
+    (1 to 8).foreach { _ =>
+      val (cols, _) = ArrowBatchCodec.decode(
+        WasmRuntime.invokeBindgen(wasmPath, "f1", payload))
+      assert(cols(0)(0) === 1024.0)
+    }
+    assert(WasmRuntime.instancesCreated.get() === before,
+      "warm-thread invocations must not construct new instances")
+  }
+
   test("module parse rejects binaries with imports at LOAD time, not " +
     "invoke time (decode-the-surface discipline)") {
     // minimal module with one import: (module (import "e" "f" (func)))
