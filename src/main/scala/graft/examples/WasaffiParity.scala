@@ -20,10 +20,7 @@ object WasaffiParity {
     // against its ACTUAL prebuilt guest artifact when present — the
     // module runs as real WASM bytecode in the from-scratch interpreter;
     // falls back to the in-JVM builtin module elsewhere
-    val wasmArtifact = "/root/reference/wasm_function.wasm"
-    val locator =
-      if (new java.io.File(wasmArtifact).isFile) s"$wasmArtifact!f1"
-      else "builtin!pow"
+    val locator = graft.functions.WasmRuntime.powLocator
     println(s"binding f1 to: $locator")
     engine.sql(
       s"CREATE FUNCTION f1(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS '$locator'")

@@ -131,6 +131,18 @@ object WasmRuntime {
   private def le32(v: Long): Array[Byte] = Array(
     (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
     ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** Where the reference checkout keeps its prebuilt guest artifact. */
+  val ReferencePowArtifact = "/root/reference/wasm_function.wasm"
+
+  /** Locator for a pow(a,b) UDF: the reference's real `.wasm` artifact
+    * when that checkout is present, else the in-JVM builtin module — the
+    * same pow semantics either way, so callers (q63, WasaffiParity) stay
+    * runnable on machines without the reference checkout instead of
+    * erroring on a hard-coded absolute path. */
+  def powLocator: String =
+    if (new java.io.File(ReferencePowArtifact).isFile) s"$ReferencePowArtifact!f1"
+    else "builtin!pow"
 }
 
 /** A `FunctionModule` backed by a real `.wasm` artifact: `CREATE FUNCTION

@@ -27,6 +27,19 @@ object MultimodalQ {
     concat(substring(h, 3, 2), substring(h, 1, 2))
   }
 
+  /** LEN field of a single-STORED-block deflate member. The one-block
+    * builder is only valid for payloads ≤ 65535 bytes (LEN/NLEN are 16
+    * bits); a longer record would silently emit a malformed member that
+    * surfaces as a mysterious oracle hash mismatch, so fail the query
+    * loudly at the ceiling instead. The bound is a property of THIS
+    * builder (fixture byte algebra), not of the inflate kernel, which
+    * walks multi-block members fine. */
+  private[queries] def storedLen16(len: org.apache.spark.sql.Column) =
+    when(len > 65535L, raise_error(concat(
+      lit("stored-deflate builder: record of "), len.cast("string"),
+      lit(" bytes exceeds the 65535-byte single-block bound"))))
+      .otherwise(le16h(len))
+
   val all: Seq[Q] = Seq(
 
     // ---- binary payload metadata + stub decode ---------------------------
@@ -832,7 +845,7 @@ object MultimodalQ {
       def memberHex(r: org.apache.spark.sql.Column) = {
         val len = length(r).cast("long")
         concat(lit("1F8B0800"), lit("0000000000FF"),
-          lit("01"), le16h(len), le16h(lit(65535L) - len),
+          lit("01"), storedLen16(len), le16h(lit(65535L) - len),
           hex(r), lit("0000000000000000"))
       }
       val m1 = memberHex(rec("request", concat(lit("GET /"), id)))
@@ -888,7 +901,7 @@ object MultimodalQ {
       def memberHex(r: org.apache.spark.sql.Column) = {
         val len = length(r).cast("long")
         concat(lit("1F8B0800"), lit("0000000000FF"),
-          lit("01"), le16h(len), le16h(lit(65535L) - len),
+          lit("01"), storedLen16(len), le16h(lit(65535L) - len),
           hex(r), lit("0000000000000000"))
       }
       val m1 = memberHex(rec("request", concat(lit("GET /"), id)))
@@ -900,12 +913,18 @@ object MultimodalQ {
       val blob = unhex(concat(m1, m2))
       // try_element_at: salvaged-nothing shards have an EMPTY array
       val body = expr("try_element_at(resp_arr, 1)")
+      // CHARACTER semantics on both sides: the extracted payload is
+      // BINARY, so decode to UTF-8 before length/substring — DuckDB's
+      // length(text)/substr count characters, and a non-ASCII fixture
+      // would otherwise silently skew n_chars/head (md5 stays on the raw
+      // bytes, byte-exact either way)
+      val bodyStr = decode(body, "UTF-8")
       Tables.loadSpread(spark, dir, "documents")
         .withColumn("resp_arr", Warc.responses(Gzip.inflateMembers(blob)))
         .select(col("doc_id"),
-          coalesce(length(body).cast("long"), lit(-1L)).as("n_chars"),
+          coalesce(length(bodyStr).cast("long"), lit(-1L)).as("n_chars"),
           coalesce(md5(body), lit("")).as("digest"),
-          coalesce(substring(body, 1, 16).cast("string"), lit("")).as("head"))
+          coalesce(substring(bodyStr, 1, 16), lit("")).as("head"))
         .orderBy(col("doc_id"))
     }
   )

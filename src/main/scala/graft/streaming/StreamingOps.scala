@@ -117,6 +117,13 @@ object StreamingOps {
     * actually exercised, whereas the oracle-checked entries ingest the
     * single fixture file in one batch (their documented contract).
     */
+  /** Recursive local-fs delete for superseded state directories. */
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete()
+    ()
+  }
+
   def eventsStream(spark: SparkSession, dir: String,
                    glob: String = "events.parquet",
                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -785,6 +792,18 @@ object StreamingOps {
           // pointer flips only after the write committed
           affected.foreach(b => bucketVer(b) = v)
           version = v
+          // GC: a state_w{w} directory is unreferenced once every bucket
+          // pointer moved past it — delete those, so on-disk state is
+          // bounded by the LIVE bucket set, not batches × touched-buckets
+          // of history (crash-safety unchanged: the referenced versions
+          // are never touched, and the flip happened after the commit)
+          val live = bucketVer.values.toSet
+          Option(new java.io.File(workRoot).listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .filter(f => f.isDirectory && f.getName.startsWith("state_w"))
+            .filter(f => f.getName.stripPrefix("state_w").toLongOption
+              .exists(w => !live.contains(w)))
+            .foreach(deleteRec)
         }
         ()
       }

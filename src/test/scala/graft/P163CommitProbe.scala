@@ -32,18 +32,27 @@ object P163CommitProbe {
     val n = out.count()
     val total = (System.nanoTime() - t0) / 1e9
     println(f"sf=$sfDir nFiles=$nFiles width=$width outRows=$n total=$total%.1fs")
+    // r16: superseded state_w versions are GC'd after each pointer flip,
+    // so the surviving dirs are exactly the LIVE version set (on-disk
+    // state bounded by the bucket map, not batches × touched history) —
+    // the last dir's row count is still the final commit's volume
     val dirs = new java.io.File(root).listFiles()
       .filter(_.getName.startsWith("state_w")).sortBy(
         f => f.getName.stripPrefix("state_w").toInt)
-    var cumulative = 0L
+    var live = 0L
     dirs.foreach { d =>
       val buckets = d.listFiles().count(_.getName.startsWith("bk="))
       val rows = spark.read.parquet(d.getAbsolutePath).count()
-      cumulative += rows
-      println(s"  ${d.getName}: wrote $rows rows across $buckets buckets")
+      live += rows
+      println(s"  ${d.getName}: live, $rows rows across $buckets buckets")
     }
-    // current state size = union of live bucket versions ~ final output scale
-    println(s"  total rows written across all commits: $cumulative")
+    val maxVer = dirs.lastOption.map(_.getName.stripPrefix("state_w").toInt)
+      .getOrElse(0)
+    println(s"  live dirs after GC: ${dirs.length} (max version $maxVer); " +
+      s"live state rows: $live")
+    // a version dir survives while ANY bucket pointer still references it,
+    // so the GC'd count depends on touch patterns — report it
+    println(s"  superseded versions GC'd: ${maxVer - dirs.length}")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     spark.stop()
   }
