@@ -163,7 +163,14 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("p265_gzipped_warc_walk", 3L, 1400L, DocLinear),
     // p266: extraction is scan-stage; the only shuffle is the final
     // sort's row per doc (measured 2 / 1,000, ×2: 2.00×)
-    ("p266_warc_extract", 3L, 1400L, DocLinear))
+    ("p266_warc_extract", 3L, 1400L, DocLinear),
+    // p267 (r16): the end-to-end crawl funnel — inflate/salvage/UTF-8/
+    // strip/lang are all scan-stage; shuffles are the mirror self-join
+    // (2×|docs| sides), the canonical-election agg + join-back (ok rows)
+    // and the final sort — all per-doc rows → DocLinear. Measured 7
+    // exchanges / 3,345 records (×2 corpus: 1.99×); ×1.4 headroom:
+    // 7×1.4=9.8→10, 3345×1.4≈4683→4700
+    ("p267_crawl_ingest", 10L, 4700L, DocLinear))
 
   private lazy val doubledDir = GuardFixtures.doubledDir(spark, sfDir)
 
