@@ -127,10 +127,20 @@ object Bench {
       }.mkString("{", ",", "}")
       val obs = observed.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      // per-entry PASS SPLITS (r15 verdict #5): "queries" keeps the
+      // best-of-N the cross-round diffs read, "passes" carries every
+      // pass's raw timing so a family-level driver drift (e.g. r15's
+      // p227/p216 cluster) is attributable from committed artifacts
+      // alone — pass1 ≫ pass2 on an entry = JIT/warmup; all passes
+      // elevated together vs the prior round = host contention
+      val perPass = ordered.map { case (k, _) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" +
+          passes.map(p => s3(p(k))).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
       val body = s"""{"sf":"$sfDir","n_queries":${results.size},""" +
         s""""errors":${failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
           .mkString("[", ",", "]")},""" +
-        s""""queries":$perq,"observed":$obs}"""
+        s""""queries":$perq,"passes":$perPass,"observed":$obs}"""
       val out = sys.env.getOrElse("SPARK_GRAFT_PERQ_FILE", "bench_perq.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
