@@ -289,6 +289,37 @@ object StreamingOps {
         unix_micros(col("p_ts")).as("buy_us"))
   }
 
+  /** RIGHT-OUTER stream-stream interval join — completes the enumerable
+    * outer matrix (inner / left / full / left-semi shipped earlier):
+    * every PURCHASE survives; one with no same-user click in the
+    * following `window` NULL-pads on the click side, and only once the
+    * watermark passes the last click time it could still match (its
+    * own timestamp plus the interval width) — the mirror image of
+    * [[clickPurchaseLeftJoin]]'s click-side padding, exercising the
+    * purchase store's eviction path in isolation. Multi-batch
+    * StreamingSpec pins it like the other outer modes (padded rows
+    * only surface across micro-batches).
+    */
+  def clickPurchaseRightJoin(events: DataFrame,
+                             window: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("buy_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr(s"INTERVAL $window") &&
+        col("p_ts") <= col("c_ts"),
+      "rightOuter")
+      .select(col("click_id"), col("buy_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("buy_us"))
+  }
+
   /** LEFT-SEMI stream-stream interval join — the fourth stream-stream
     * mode alongside inner / left-outer / full-outer: each click emits
     * AT MOST ONCE, as soon as one qualifying same-user purchase in the

@@ -258,6 +258,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("right-outer stream-stream join: every purchase survives; one " +
+    "with no following click NULL-pads on the click side only after " +
+    "the watermark passes its click-match horizon (ts + interval) — " +
+    "the mirror of the left-outer mode, purchase-store eviction alone") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+    val joined = StreamingOps.clickPurchaseRightJoin(events)
+    val q = joined.writeStream.format("memory").queryName("rsj")
+      .outputMode(OutputMode.Append()).start()
+
+    def rows() = spark.table("rsj").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+
+    // batch 1: purchase 100 precedes click 1 for user 1 (match);
+    // purchase 200 (user 5) has no click — it must NOT emit yet (a
+    // click could still arrive within its 30-minute forward window)
+    in.addData((100L, ts("2024-01-01 09:50:00"), 1L, "purchase"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (200L, ts("2024-01-01 10:00:00"), 5L, "purchase"))
+    q.processAllAvailable()
+    assert(rows() == Set((Some(1L), Some(100L))),
+      s"batch 1 must emit only the matched pair: ${rows()}")
+
+    // batches 2-3: both sides advance to 13:00, the global watermark
+    // (1h delay) reaches 12:00 — past b200's click horizon 10:30
+    // (= p_ts + interval), so its click-NULL-padded row must surface
+    in.addData((3L, ts("2024-01-01 11:30:00"), 3L, "click"),
+      (101L, ts("2024-01-01 11:29:00"), 3L, "purchase"))
+    q.processAllAvailable()
+    in.addData((4L, ts("2024-01-01 13:00:00"), 4L, "click"),
+      (102L, ts("2024-01-01 13:00:00"), 4L, "purchase"))
+    q.processAllAvailable()
+    val got = rows()
+    assert(got.contains((Some(1L), Some(100L))) &&
+      got.contains((Some(3L), Some(101L))), s"matched pairs missing: $got")
+    assert(got.contains((None, Some(200L))),
+      s"unmatched purchase must NULL-pad after watermark passage: $got")
+    // no click-side padding in a right-outer join, ever
+    assert(!got.exists(p => p._2.isEmpty),
+      s"right-outer must never pad the purchase side: $got")
+    // the 13:00 purchase is still inside the horizon: never padded yet
+    assert(!got.contains((None, Some(102L))),
+      s"in-horizon purchase must not pad: $got")
+    q.stop()
+  }
+
   test("full-outer stream-stream join: BOTH sides NULL-pad, each only " +
     "after the watermark evicts its state — clicks when no earlier " +
     "purchase can arrive, purchases when no later click can") {
