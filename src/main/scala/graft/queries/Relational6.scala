@@ -240,6 +240,32 @@ object Relational6 {
         FROM orders
         WHERE o_orderkey < 2000
         ORDER BY o_orderkey""")
+    },
+
+    // ---- real-WASM STRING marshalling: the second artifact -----------------
+    // q63 proves the f64 path of the reference's prebuilt artifact; this
+    // entry drives the STRING Arrow-IPC path through real bytecode too —
+    // functions/EchoWasm, a from-scratch guest following the reference
+    // recipe (wasm_function/src/lib.rs shape, wasmedge-bindgen ABI), whose
+    // `echo` is the identity for any column type: the guest hands the
+    // host's IPC bytes back as its u8-array record. The oracle is the
+    // identity itself, so a hash match proves encode → guest memory →
+    // bindgen return → decode preserved every string byte-for-byte.
+    // (ARRAY<DOUBLE> and multi-page memory.grow payloads are pinned in
+    // EchoWasmSpec.)
+    Q("q64_wasm_echo", Some("""
+      SELECT doc_id, text AS echoed, CAST(length(text) AS BIGINT) AS n
+      FROM documents ORDER BY doc_id""")) { (spark, dir) =>
+      graft.ddl.CreateEngineFunctionCommand(
+        "graft_q64_echo",
+        Seq(org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StringType,
+        "WASM", s"${graft.functions.EchoWasm.path}!echo",
+        orReplace = true).run(spark)
+      registered(spark, dir).sql("""
+        SELECT doc_id, echoed, CAST(length(echoed) AS BIGINT) AS n
+        FROM (SELECT doc_id, graft_q64_echo(text) AS echoed FROM documents)
+        ORDER BY doc_id""")
     }
   )
 }
