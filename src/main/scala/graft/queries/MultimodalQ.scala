@@ -27,6 +27,11 @@ object MultimodalQ {
     concat(substring(h, 3, 2), substring(h, 1, 2))
   }
 
+  private[queries] def le24h(x: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(x.cast("long")), 6, "0")
+    concat(substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+  }
+
   /** LEN field of a single-STORED-block deflate member. The one-block
     * builder is only valid for payloads ≤ 65535 bytes (LEN/NLEN are 16
     * bits); a longer record would silently emit a malformed member that
@@ -1069,6 +1074,99 @@ object MultimodalQ {
           col("content_hash"),
           coalesce(col("kid"), lit(-1L)).as("keep_id"),
           coalesce(col("kid") === col("doc_id"), lit(false)).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- zstd frame METADATA census (RFC 8878, no entropy decoding) --------
+    // The magic router's modern-crawl completion: current Common Crawl
+    // tooling and fresh data lakes ship zstd, and shard triage is a
+    // frame-header walk, not a decompress — skippable frames carry an
+    // explicit length, frame headers carry window/content sizes, and
+    // every block header states its payload size, so the whole census
+    // (frames, blocks, declared content, decoder window budget, damage
+    // position) costs ZERO decompression. Per doc a structurally-real
+    // stream is built in-query: one skippable frame, then a data frame
+    // holding the text as 64-byte RAW blocks — single-segment with a
+    // 4-byte FCS by default, an explicit window descriptor (2 KiB) for
+    // doc_id%6==3, a declared content checksum for doc_id%4==1.
+    // Damage classes: doc_id%9==2 cut mid-frame-header (truncation —
+    // header never parses), else doc_id%12==7 last block's type
+    // bit-rotted to RESERVED (walk salvages every prior block). The
+    // oracle derives all eight fields from mode/length algebra alone —
+    // the hash match proves magic dispatch, FHD bit decode, window
+    // math, FCS, the 3-byte block-header walk, and both damage exits.
+    //
+    // Scale shape: per-row scan-stage kernel (graft.functions.Zstd),
+    // zero shuffle but the output sort.
+    Q("p268_zstd_census", Some("""
+      WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l,
+                        (length(text) + 63) // 64 AS nb,
+                        doc_id % 9 = 2 AS wcut,
+                        doc_id % 9 <> 2 AND doc_id % 12 = 7 AS rrot,
+                        doc_id % 6 = 3 AS windowed,
+                        doc_id % 4 = 1 AS chk
+                 FROM documents)
+      SELECT doc_id,
+             CAST(CASE WHEN wcut THEN 0 ELSE 1 END AS BIGINT) AS n_frames,
+             CAST(1 AS BIGINT) AS n_skippable,
+             CAST(CASE WHEN wcut THEN 0 WHEN rrot THEN nb - 1
+                  ELSE nb END AS BIGINT) AS n_blocks,
+             CAST(CASE WHEN wcut THEN 0 WHEN rrot THEN 64 * (nb - 1)
+                  ELSE l END AS BIGINT) AS raw_bytes,
+             CAST(CASE WHEN wcut THEN -1 ELSE l END AS BIGINT)
+               AS content_declared,
+             CAST(CASE WHEN wcut THEN -1 WHEN windowed THEN 2048
+                  ELSE l END AS BIGINT) AS max_window,
+             CASE WHEN wcut THEN FALSE ELSE chk END AS has_checksum,
+             NOT (wcut OR rrot) AS clean
+      FROM d ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.Zstd
+      val l = length(col("text")).cast("long")
+      val nb = expr("(length(text) + 63) div 64")
+      val wcut = col("doc_id") % 9 === 2
+      val rrot = col("doc_id") % 9 =!= 2 && col("doc_id") % 12 === 7
+      val windowed = col("doc_id") % 6 === 3
+      val chk = col("doc_id") % 4 === 1
+      // skippable frame: magic 0x184D2A50 LE, LE32 size 8, 8 pad bytes
+      val skippableHex = concat(lit("502A4D18"), le32h(lit(8L)),
+        lit("GRAFTPAD".getBytes.map(b => f"$b%02X").mkString))
+      // FHD: fcs-flag 2 (bits 6-7) | single-segment (bit 5, unless
+      // windowed) | checksum (bit 2)
+      val fhd = (lit(0x80L)
+        + when(windowed, 0L).otherwise(0x20L)
+        + when(chk, 4L).otherwise(0L)).cast("long")
+      val fhdHex = lpad(hex(fhd), 2, "0")
+      // window descriptor 0x08: exponent 1, mantissa 0 -> 2 KiB window
+      val wdHex = when(windowed, "08").otherwise(lit(""))
+      val headerHex = concat(lit("28B52FFD"), fhdHex, wdHex, le32h(l))
+      // 64-byte raw blocks; block header LE24 = size<<3 | type<<1 | last;
+      // rrot flips the LAST block's type to reserved (3)
+      val blocksHex = array_join(
+        transform(sequence(lit(0L), nb - 1L), i => {
+          val bsize = least(lit(64L), l - i * 64L)
+          val isLast = i === nb - 1L
+          val btype = when(rrot && isLast, 3L).otherwise(0L)
+          val hdr = shiftleft(bsize, 3) + btype * 2L +
+            when(isLast, 1L).otherwise(0L)
+          concat(le24h(hdr), hex(col("text").substr(
+            (i * 64L + 1L).cast("int"), bsize.cast("int"))))
+        }), "")
+      val chkHex = when(chk, "00000000").otherwise(lit(""))
+      val fullHex = concat(skippableHex, headerHex, blocksHex, chkHex)
+      // truncation: cut 6 bytes into the data frame (magic + FHD + one
+      // FCS/window byte) -- 32 hex chars of skippable + 12
+      val blobHex = when(wcut, substring(fullHex, 1, 44)).otherwise(fullHex)
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), Zstd.frameWalk(unhex(blobHex)).as("z"))
+        .select(col("doc_id"),
+          col("z.n_frames").as("n_frames"),
+          col("z.n_skippable").as("n_skippable"),
+          col("z.n_blocks").as("n_blocks"),
+          col("z.raw_bytes").as("raw_bytes"),
+          col("z.content_declared").as("content_declared"),
+          col("z.max_window").as("max_window"),
+          col("z.has_checksum").as("has_checksum"),
+          col("z.clean").as("clean"))
         .orderBy(col("doc_id"))
     }
   )

@@ -208,10 +208,11 @@ object Pipeline16 {
     // group-by; the blobs never shuffle.
     Q("p238_magic_router", Some("""
       WITH d AS (SELECT doc_id,
-                        CASE doc_id % 7 WHEN 0 THEN 'gzip' WHEN 1 THEN 'png'
+                        CASE doc_id % 8 WHEN 0 THEN 'gzip' WHEN 1 THEN 'png'
                           WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav'
                           WHEN 4 THEN 'zip' WHEN 5 THEN 'text'
-                          ELSE 'mp4' END AS declared,
+                          WHEN 6 THEN 'mp4'
+                          ELSE 'zstd' END AS declared,
                         doc_id % 11 = 0 AS corrupted
                  FROM documents)
       SELECT declared,
@@ -220,12 +221,13 @@ object Pipeline16 {
       FROM d GROUP BY 1, 2 ORDER BY declared, detected""")) { (spark, dir) =>
       def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
       val payload = col("text").cast("binary")
-      val kind = col("doc_id") % 7
+      val kind = col("doc_id") % 8
       val magicOf = Map(
         0 -> b(0x1f, 0x8b, 0x08),                        // gzip member
         1 -> b(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), // png
         2 -> "BM".getBytes,                               // bmp
-        4 -> b(0x50, 0x4b, 0x03, 0x04))                   // zip local hdr
+        4 -> b(0x50, 0x4b, 0x03, 0x04),                   // zip local hdr
+        7 -> b(0x28, 0xb5, 0x2f, 0xfd))                   // zstd frame (LE)
       val wavHdr = concat(lit("RIFF".getBytes), lit(b(0, 0, 0, 0)),
         lit("WAVE".getBytes))
       val mp4Hdr = concat(lit(b(0, 0, 0, 24)), lit("ftyp".getBytes))
@@ -241,6 +243,7 @@ object Pipeline16 {
         .when(kind === 3, concat(wavHdr, payload))
         .when(kind === 4, concat(lit(magicOf(4)), payload))
         .when(kind === 5, concat(lit("~".getBytes), payload))
+        .when(kind === 7, concat(lit(magicOf(7)), payload))
         .otherwise(concat(mp4Hdr, payload))
       val blob = when(col("doc_id") % 11 === 0,
         concat(lit(b(0x00)), body)).otherwise(body)
@@ -256,11 +259,13 @@ object Pipeline16 {
         // bytes zero, i.e. size < 16M) AND ftyp at offset 5 — 'ftyp'
         // appearing inside a text payload can't route a doc here
         .when(magic(1, b(0, 0, 0)) && magic(5, "ftyp".getBytes), "mp4")
+        .when(magic(1, magicOf(7)), "zstd")
         .when(fb >= lit(b(0x20)) && fb <= lit(b(0x7e)), "text")
         .otherwise("unknown")
       val declared = when(kind === 0, "gzip").when(kind === 1, "png")
         .when(kind === 2, "bmp").when(kind === 3, "wav")
-        .when(kind === 4, "zip").when(kind === 5, "text").otherwise("mp4")
+        .when(kind === 4, "zip").when(kind === 5, "text")
+        .when(kind === 6, "mp4").otherwise("zstd")
       Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"), declared.as("declared"), blob.as("blob"))
         .select(col("declared"), detected.as("detected"))

@@ -1059,4 +1059,74 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Phash.phashData(Array.fill[Byte](50)(1)) == null)
     assert(Phash.phashData("BMjunk".getBytes ++ new Array[Byte](100)) == null)
   }
+
+  // ---- zstd frame metadata walk (p268) -----------------------------------
+
+  test("Zstd walk: the block/FCS/window paths the fixture doesn't " +
+    "reach — RLE and compressed blocks step by declared size, 2-byte " +
+    "FCS carries +256, window descriptor math, multi-frame concat") {
+    import graft.functions.Zstd
+    def le(v: Long, n: Int): Seq[Byte] =
+      (0 until n).map(k => ((v >> (8 * k)) & 0xFF).toByte)
+    val magic = le(0xFD2FB528L, 4)
+    def blockHdr(size: Int, btype: Int, last: Boolean): Seq[Byte] =
+      le((size.toLong << 3) | (btype.toLong << 1) | (if (last) 1L else 0L), 3)
+
+    // frame A: windowed (no single-segment), FCS size 2 (flag 1 -> +256),
+    // window descriptor 0x11 (exp 2, mantissa 1 -> 4096 + 512*1... base
+    // 1<<12=4096, add base/8*1=512 -> 4608), one RLE block regenerating
+    // 300 bytes from ONE stored byte, then a last compressed block whose
+    // 5 payload bytes are stepped over without decoding
+    val fhdA = 0x40 // fcs flag 1, windowed, no checksum
+    val frameA = magic ++ Seq(fhdA.toByte, 0x11.toByte) ++ le(556 - 256, 2) ++
+      blockHdr(300, 1, last = false) ++ Seq(0x7A.toByte) ++
+      blockHdr(5, 2, last = true) ++ Seq[Byte](1, 2, 3, 4, 5)
+    // frame B: single-segment, 8-byte FCS (flag 3), checksum declared,
+    // one raw last block of 4 bytes + 4 checksum bytes
+    val fhdB = 0xC0 | 0x20 | 0x04
+    val frameB = magic ++ Seq(fhdB.toByte) ++ le(4, 8) ++
+      blockHdr(4, 0, last = true) ++ "abcd".getBytes.toSeq ++ le(0, 4)
+    val row = Zstd.walkData((frameA ++ frameB).toArray)
+    assert(row.getLong(0) == 2, "two data frames")
+    assert(row.getLong(1) == 0)
+    assert(row.getLong(2) == 3, "three blocks stepped")
+    assert(row.getLong(3) == 304, "RLE regenerates 300 + raw 4")
+    assert(row.getLong(4) == 556 + 4, "FCS sum incl. the +256 encoding")
+    assert(row.getLong(5) == 4608, "window = 2^12 + (2^12/8)*1")
+    assert(row.getBoolean(6), "frame B declares a checksum")
+    assert(row.getBoolean(7), "stream consumed clean")
+  }
+
+  test("Zstd walk damage classes: reserved FHD bit, truncated skippable, " +
+    "payload running past end, unknown magic — salvaged prefix + " +
+    "clean=false, never a throw") {
+    import graft.functions.Zstd
+    def le(v: Long, n: Int): Seq[Byte] =
+      (0 until n).map(k => ((v >> (8 * k)) & 0xFF).toByte)
+    val magic = le(0xFD2FB528L, 4)
+    val skippable = le(0x184D2A5EL, 4) ++ le(3, 4) ++ Seq[Byte](9, 9, 9)
+
+    // reserved FHD bit set -> header never parses
+    val badFhd = Zstd.walkData((skippable ++ magic ++ Seq(0x28.toByte)).toArray)
+    assert(badFhd.getLong(1) == 1 && badFhd.getLong(0) == 0 &&
+      !badFhd.getBoolean(7))
+
+    // skippable declaring more bytes than exist
+    val cutSkip = Zstd.walkData((le(0x184D2A50L, 4) ++ le(100, 4) ++
+      Seq[Byte](1, 2)).toArray)
+    assert(cutSkip.getLong(1) == 0 && !cutSkip.getBoolean(7))
+
+    // raw block payload past end: header parses (frame counted), block not
+    val fhdSS = 0xA0 // single-segment, 4-byte FCS
+    val cutBlock = Zstd.walkData((magic ++ Seq(fhdSS.toByte) ++ le(64, 4) ++
+      le((64L << 3) | 1L, 3) ++ Seq[Byte](1, 2, 3)).toArray)
+    assert(cutBlock.getLong(0) == 1 && cutBlock.getLong(2) == 0 &&
+      !cutBlock.getBoolean(7))
+
+    // unknown magic / garbage / empty
+    assert(!Zstd.walkData("not zstd at all".getBytes).getBoolean(7))
+    val empty = Zstd.walkData(Array.emptyByteArray)
+    assert(empty.getLong(0) == 0 && empty.getBoolean(7),
+      "an empty stream is vacuously clean")
+  }
 }

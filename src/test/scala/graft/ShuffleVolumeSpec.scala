@@ -170,7 +170,10 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the final sort — all per-doc rows → DocLinear. Measured 7
     // exchanges / 3,345 records (×2 corpus: 1.99×); ×1.4 headroom:
     // 7×1.4=9.8→10, 3345×1.4≈4683→4700
-    ("p267_crawl_ingest", 10L, 4700L, DocLinear))
+    ("p267_crawl_ingest", 10L, 4700L, DocLinear),
+    // p268 (r16): zstd census is a pure scan-stage kernel like p265;
+    // the only shuffle is the output sort's row per doc
+    ("p268_zstd_census", 3L, 1400L, DocLinear))
 
   private lazy val doubledDir = GuardFixtures.doubledDir(spark, sfDir)
 
