@@ -496,17 +496,20 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val dir = s"${sys.props("java.io.tmpdir")}/p238fix_${queries.runToken}"
     queries.cleanupAtExit(dir)
-    // ids chosen so kind = id%7 and corruption = id%11==0 hit the
-    // adversarial cells: 5/12/19/26 are uncorrupted text (kind 5),
-    // 33 corrupted text, 6 mp4, 77 corrupted gzip
+    // ids chosen so kind = id%8 (zstd joined the router in r16) and
+    // corruption = id%11==0 hit the adversarial cells: 5/13/21/29 are
+    // uncorrupted text (kind 5), 77 corrupted text (77%8=5, 77%11=0),
+    // 6 mp4, 88 corrupted gzip, 7 zstd, 55 corrupted zstd
     Seq(
       (5L, "BM evil bitmap lookalike"),          // bmp magic inside text
-      (12L, "\tstarts with a tab"),              // non-printable first byte
-      (19L, "PK\u0003\u0004 zip lookalike"),     // zip magic inside text
-      (26L, ""),                                  // empty payload
-      (33L, "corrupted text row"),               // kind 5, id%11==0
+      (13L, "\tstarts with a tab"),              // non-printable first byte
+      (21L, "PK\u0003\u0004 zip lookalike"),     // zip magic inside text
+      (29L, ""),                                  // empty payload
+      (77L, "corrupted text row"),               // kind 5, id%11==0
       (6L, "aftypa — mp4 payload with ftyp-ish bytes"),
-      (77L, "gzip row")                           // kind 0, id%11==0
+      (88L, "gzip row"),                          // kind 0, id%11==0
+      (7L, "( zstd-ish printable open"),          // kind 7: real magic framed
+      (55L, "corrupted zstd row")                 // kind 7, id%11==0
     ).toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     val got = SparkEntry.queries("p238_magic_router")(spark, dir)
@@ -514,7 +517,8 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[String]("detected"), r.getAs[Long]("n_docs"))).toList
     assert(got == List(
       ("gzip", "unknown", 1L), ("mp4", "mp4", 1L),
-      ("text", "text", 4L), ("text", "unknown", 1L)))
+      ("text", "text", 4L), ("text", "unknown", 1L),
+      ("zstd", "unknown", 1L), ("zstd", "zstd", 1L)))
   }
 
   test("p254 HITS: a transitive near-dup tournament separates hubs " +

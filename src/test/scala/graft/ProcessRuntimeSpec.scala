@@ -209,7 +209,10 @@ class ProcessRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"expected a bounded-timeout error, got: ${exceptionChain(e).map(_.getMessage)}")
       assert(!ProcessClient.isRunning("graft.KillServerModule"),
         "hung guest must be destroyed, not left blocking")
-      // same module respawns and serves
+      // same module respawns and serves — under the DEFAULT deadline:
+      // the 1500 ms probe timeout is for the hang above, and a guest-JVM
+      // cold spawn under full-suite host load can legitimately exceed it
+      sys.props.remove("graft.proc.readTimeoutMs")
       engine.sql(
         "CREATE FUNCTION pp_hangcheck(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS 'proc:graft.KillServerModule!pow'")
       val got = engine.sql(

@@ -765,11 +765,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((0L, 0L, "in"), (1L, 1L, "corpus"),
       (2L, 1L, "corpus"), (3L, 1L, "in"), (6L, 6L, "in"),
       (9L, 9L, "in"), (12L, 1L, "in")))
-    // the pre-split source really produced multiple micro-batches:
-    // the bucketed versioned state advanced past v0
-    val versions = new java.io.File(root).list()
-      .count(_.startsWith("state_w"))
-    assert(versions >= 2, s"expected multi-batch fold, got $versions")
+    // the pre-split source really produced multiple state-writing
+    // micro-batches: versions are 0-BASED, so a max version ≥ 1 means
+    // at least two batches committed state. Read the MAX version, not
+    // the dir count — since r16 superseded version dirs are GC'd after
+    // each pointer flip, so the count no longer carries history
+    val maxVer = new java.io.File(root).list()
+      .filter(_.startsWith("state_w"))
+      .map(_.stripPrefix("state_w").toInt).max
+    assert(maxVer >= 1, s"expected multi-batch fold, got max version $maxVer")
   }
 
   test("p248 decayed-count state fold: counts that SPAN micro-batches " +
