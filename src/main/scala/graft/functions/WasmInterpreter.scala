@@ -91,6 +91,15 @@ final class WasmInstance(val module: WasmModule) {
     bb.getInt(addr.toInt).toLong & 0xFFFFFFFFL
   }
 
+  /** Test hook: run function `fidx` (exported or internal) with raw arg
+    * bits; returns the raw result bits (0 for void). */
+  private[functions] def callForTest(fidx: Int, args: Array[Long]): Long = {
+    var i = 0
+    while (i < args.length) { stack(i) = args(i); i += 1 }
+    call(fidx, 0, 0)
+    if (module.funcs(fidx).hasResult) stack(0) else 0L
+  }
+
   /** Call an exported function. Args/results as raw value bits. */
   def invoke(name: String, args: Long*): Option[Long] = {
     val fidx = module.exportedFunc(name)
@@ -135,6 +144,19 @@ final class WasmInstance(val module: WasmModule) {
     * Args are already in stack(base until base+nparams). */
   private def call(fidx: Int, base: Int, depth: Int): Unit = {
     if (depth > 4096) throw WasmTrap("call depth exceeded")
+    // JIT fast path: eligible leaf functions run as HotSpot-compiled
+    // bytecode (WasmJit); same calling convention — args in
+    // stack(base..), result back at stack(base)
+    val jm = module.jit
+    if (jm != null && jm._2(fidx)) {
+      val jf = funcs(fidx)
+      val args = new Array[Long](jf.nparams)
+      var k = 0
+      while (k < jf.nparams) { args(k) = stack(base + k); k += 1 }
+      val r = jm._1.call(fidx, mem, args)
+      if (jf.hasResult) stack(base) = r
+      return
+    }
     val f = funcs(fidx)
     val ob = base + f.nparams + f.nlocals // operand base
     if (ob + f.maxStack + 64 > stack.length) {

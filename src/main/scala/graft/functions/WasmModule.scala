@@ -395,6 +395,13 @@ final class WasmModule private (bytes: Array[Byte]) {
     pos += 8; v
   }
 
+  /** JIT-compiled eligible leaf functions ([[WasmJit]]); null when
+    * disabled or none qualify. Compiled once per decoded module and
+    * shared by every instance — the generated class is stateless (all
+    * state flows through the `mem` array and `long` arguments). */
+  private[functions] lazy val jit: (CompiledModule, Array[Boolean]) =
+    WasmJit.compile(this)
+
   def typeOf(fidx: Int): (Array[Int], Array[Int]) = types(funcTypeIdx(fidx))
   def canonOf(typeIdx: Int): Int = canonTypeId(typeIdx)
   def funcCanon(fidx: Int): Int = canonTypeId(funcTypeIdx(fidx))
