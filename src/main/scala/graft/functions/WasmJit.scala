@@ -509,8 +509,14 @@ object WasmJit {
       d.writeShort(0) // code attributes
     }
     d.writeShort(0) // class attributes
+    // HIDDEN class (JEP 371), not defineClass: a hidden class is
+    // unloadable once the CompiledModule instance is unreachable, so
+    // cycling artifacts (CREATE → DROP → CREATE …) cannot leak classes —
+    // the same lifecycle posture as the decode-cache eviction on last
+    // DROP. Self-references (fn→fn invokestatic) resolve to the hidden
+    // class itself per the JEP.
     val cls = java.lang.invoke.MethodHandles.lookup()
-      .defineClass(out.toByteArray)
+      .defineHiddenClass(out.toByteArray, false).lookupClass()
     val inst = cls.getDeclaredConstructor().newInstance()
       .asInstanceOf[CompiledModule]
     (inst, finalMask)
