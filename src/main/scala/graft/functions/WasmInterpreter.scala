@@ -94,6 +94,7 @@ final class WasmInstance(val module: WasmModule) {
   /** Test hook: run function `fidx` (exported or internal) with raw arg
     * bits; returns the raw result bits (0 for void). */
   private[functions] def callForTest(fidx: Int, args: Array[Long]): Long = {
+    WasmJitRt.recReset()
     var i = 0
     while (i < args.length) { stack(i) = args(i); i += 1 }
     call(fidx, 0, 0)
@@ -106,6 +107,7 @@ final class WasmInstance(val module: WasmModule) {
     val f = funcs(fidx)
     if (f.nparams != args.length)
       throw WasmTrap(s"arity mismatch for '$name': expected ${f.nparams}")
+    WasmJitRt.recReset()
     var i = 0
     while (i < args.length) { stack(i) = args(i); i += 1 }
     try {

@@ -109,8 +109,15 @@ object WasmJit {
   // ---------------------------------------------------------------------
   private val Forbidden = Set(0x23, 0x24, 0x40, 0x11)
 
-  /** Fixpoint over direct calls; also bounds frame size and arity. */
-  private[functions] def eligibleSet(m: WasmModule): Array[Boolean] = {
+  /** Fixpoint over direct calls; also bounds frame size and arity.
+    * Returns (eligible, guarded): guarded marks the eligible functions NOT
+    * provably acyclic — members of call cycles (self or mutual) and
+    * functions that can reach one. Those compile WITH a recursion-depth
+    * guard ([[WasmJitRt.recEnter]]/`recLeave`, trap at the interpreter's
+    * 4096) so runaway compiled recursion traps exactly like interpreted
+    * recursion instead of relying on the StackOverflowError backstop;
+    * provably-acyclic functions (the hot leaves) pay nothing. */
+  private[functions] def eligibleSet(m: WasmModule): (Array[Boolean], Array[Boolean]) = {
     val n = m.funcs.length
     val ok = new Array[Boolean](n)
     val selfOk = Array.tabulate(n) { i =>
@@ -138,7 +145,31 @@ object WasmJit {
         i += 1
       }
     }
-    ok
+    // Prove acyclicity by callee-first peeling: a function is proven once
+    // EVERY direct callee is already proven (a self-call can never prove
+    // itself; mutual cycles never peel; reaching a cycle blocks the
+    // caller too). Whatever stays unproven gets the depth guard.
+    val acyc = new Array[Boolean](n)
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      var i = 0
+      while (i < n) {
+        if (ok(i) && !acyc(i)) {
+          val f = m.funcs(i)
+          var allDone = true
+          var j = 0
+          while (j < f.ops.length && allDone) {
+            if (f.ops(j) == 0x10 && !acyc(f.argL(j).toInt)) allDone = false
+            j += 1
+          }
+          if (allDone) { acyc(i) = true; progressed = true }
+        }
+        i += 1
+      }
+    }
+    val guarded = Array.tabulate(n)(i => ok(i) && !acyc(i))
+    (ok, guarded)
   }
 
   // ---------------------------------------------------------------------
@@ -197,7 +228,8 @@ object WasmJit {
   }
 
   private final class FnEmitter(cp: Cp, m: WasmModule, owner: String,
-                                fidx: Int, mask: Array[Boolean]) {
+                                fidx: Int, mask: Array[Boolean],
+                                guarded: Boolean) {
     private val f = m.funcs(fidx)
     private val h = heights(m, f)
     private val stackBase = 1 + 2 * (f.nparams + f.nlocals)
@@ -266,6 +298,10 @@ object WasmJit {
       // budget init
       pushInt(BranchBudget)
       code.u1(0x36); code.u1(budgetSlot) // istore
+      // recursion-depth guard for functions on (or reaching) call cycles:
+      // one counter bump at entry, trap at the interpreter's 4096 — the
+      // provably-acyclic hot leaves skip this entirely
+      if (guarded) invokestatic("recEnter", "()V")
       var i = 0
       while (i < f.ops.length) {
         jvmOff(i) = code.len
@@ -275,6 +311,7 @@ object WasmJit {
       }
       jvmOff(f.ops.length) = code.len
       // terminal safety net (bodies end with the decoded return op)
+      if (guarded) invokestatic("recLeave", "()V")
       code.u1(0x09); code.u1(0xAD) // lconst_0; lreturn
       fixups.foreach { case (patchPos, opPos, targetOp) =>
         code.patchU4(patchPos, jvmOff(targetOp) - opPos)
@@ -353,6 +390,7 @@ object WasmJit {
         }
       case 0x0F =>
         if (f.hasResult) lload(slot(hh - 1)) else code.u1(0x09)
+        if (guarded) invokestatic("recLeave", "()V")
         code.u1(0xAD)
       case 0x00 => invokestatic("trapUnreachable", "()J"); code.u1(0x58)
       case 0x10 =>
@@ -396,7 +434,7 @@ object WasmJit {
   /** Compile the module's eligible functions; null when disabled or none. */
   def compile(m: WasmModule): (CompiledModule, Array[Boolean]) = {
     if (!enabled) return null
-    val mask = eligibleSet(m)
+    val (mask, guarded) = eligibleSet(m)
     if (!mask.exists(identity)) return null
     val name = s"graft/functions/WasmLeaf$$${counter.incrementAndGet()}"
     val cp = new Cp
@@ -406,7 +444,7 @@ object WasmJit {
     while (fi < mask.length) {
       if (mask(fi)) {
         try {
-          val em = new FnEmitter(cp, m, name, fi, mask)
+          val em = new FnEmitter(cp, m, name, fi, mask, guarded(fi))
           val codeB = em.emit()
           val f = m.funcs(fi)
           methods += ((0x0008 | 0x0002, cp.utf8(s"f$fi"),

@@ -296,4 +296,21 @@ object WasmJitRt {
   // ---- traps from compiled control flow --------------------------------
   def trapUnreachable(): Long = throw WasmTrap("unreachable executed (compiled)")
   def trapBudget(): Long = throw WasmTrap("instruction budget exhausted")
+
+  // ---- recursion-depth guard (cycle-reaching compiled functions only) --
+  // Compiled calls are raw JVM invokestatics, so recursion needs its own
+  // analog of the interpreter's depth-4096 trap. Only functions on (or
+  // reaching) a call cycle carry the guard — every loop around a cycle
+  // passes ≥1 guarded entry, so runaway recursion traps deterministically
+  // with the interpreter's message; acyclic hot leaves pay nothing. The
+  // counter is reset at each host entry (WasmInstance.invoke/callForTest),
+  // healing any residue a trap's unwind leaves behind.
+  private val recDepth = ThreadLocal.withInitial[Array[Int]](() => new Array[Int](1))
+  def recEnter(): Unit = {
+    val d = recDepth.get()
+    d(0) += 1
+    if (d(0) > 4096) { d(0) = 0; throw WasmTrap("call depth exceeded") }
+  }
+  def recLeave(): Unit = recDepth.get()(0) -= 1
+  def recReset(): Unit = recDepth.get()(0) = 0
 }

@@ -51,10 +51,16 @@ object WasmRuntime {
   }
 
   /** Drop the decoded module for `path`; a later CREATE re-parses the file
-    * fresh. Pooled instances die with the module: the pool is weak-keyed on
-    * the [[WasmModule]] object, so dropping the last strong reference here
-    * lets GC clear every thread's pooled instance for it. */
-  def evict(path: String): Unit = parsed.synchronized { parsed.remove(path) }
+    * fresh. Pooled instances die WITH the module, deterministically: the
+    * eviction walks every thread's pool and removes the module's entry, so
+    * no thread retains the decoded module, its instance (linear memory +
+    * 16K-slot stack), or the module's hidden JIT class after the last
+    * DROP — the reference's freed-after-last-drop posture
+    * (lib.rs:344-372) without relying on GC timing. */
+  def evict(path: String): Unit = parsed.synchronized {
+    val m = parsed.remove(path)
+    if (m != null) allPools.forEach(p => p.remove(m))
+  }
 
   def isParsed(path: String): Boolean = parsed.synchronized { parsed.containsKey(path) }
 
@@ -68,11 +74,27 @@ object WasmRuntime {
     * a fresh instance). Avoids the per-batch allocation churn of a fresh
     * memory copy + 16K-slot stack at executor concurrency while keeping the
     * isolation story: threads never share an instance, and a trap mid-batch
-    * still resets before reuse. Weak keys ⇒ a DROPped module's instances
-    * are collectable. Set -Dgraft.wasm.pool=off for the fresh-instance-per-
-    * invocation fallback. */
-  private val pool = ThreadLocal.withInitial(
-    () => new java.util.WeakHashMap[WasmModule, WasmInstance]())
+    * still resets before reuse. Eviction is DETERMINISTIC, not GC-timed:
+    * [[evict]] walks every thread's pool and removes the dropped module's
+    * instance, so after the last DROP nothing anywhere references the
+    * module, its pooled instances (linear memory + stack), or its hidden
+    * JIT class. (A weak-keyed map was rejected here: a [[WasmInstance]]
+    * value strongly references its module key, which per the WeakHashMap
+    * javadoc pins the weak key forever — the exact leak this registry
+    * design avoids.) Set -Dgraft.wasm.pool=off for the fresh-instance-
+    * per-invocation fallback. */
+  // NOT a hash set: java.util maps hash/compare by CONTENTS, so two
+  // per-thread maps registered while empty would dedupe into one (and
+  // mutate their hash afterwards). A queue keeps each map by identity;
+  // registration is append-only, bounded by thread count.
+  private val allPools = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.util.concurrent.ConcurrentHashMap[WasmModule, WasmInstance]]()
+
+  private val pool = ThreadLocal.withInitial { () =>
+    val m = new java.util.concurrent.ConcurrentHashMap[WasmModule, WasmInstance]()
+    allPools.add(m)
+    m
+  }
 
   private def poolingEnabled: Boolean =
     !"off".equalsIgnoreCase(System.getProperty("graft.wasm.pool", "on"))
@@ -88,6 +110,14 @@ object WasmRuntime {
       }
       inst
     }
+
+  /** Pooled instances alive across ALL threads — the lifecycle observable
+    * for the DROP-evicts-instances spec. */
+  def totalPooledInstances: Int = {
+    var c = 0
+    allPools.forEach(p => c += p.size)
+    c
+  }
 
   /** One bindgen round-trip: raw param bytes in, raw result bytes out.
     * @throws FunctionError     guest returned `Err(msg)`

@@ -1100,7 +1100,7 @@ object MultimodalQ {
     // zero shuffle but the output sort.
     Q("p268_zstd_census", Some("""
       WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l,
-                        (length(text) + 63) // 64 AS nb,
+                        GREATEST((length(text) + 63) // 64, 1) AS nb,
                         doc_id % 9 = 2 AS wcut,
                         doc_id % 9 <> 2 AND doc_id % 12 = 7 AS rrot,
                         doc_id % 6 = 3 AS windowed,
@@ -1122,7 +1122,10 @@ object MultimodalQ {
       FROM d ORDER BY doc_id""")) { (spark, dir) =>
       import graft.functions.Zstd
       val l = length(col("text")).cast("long")
-      val nb = expr("(length(text) + 63) div 64")
+      // ≥1: an EMPTY document still frames as one empty raw last block (a
+      // valid RFC 8878 frame — zero blocks would be malformed, and
+      // sequence(0, -1) would emit two bogus descending indices)
+      val nb = greatest(expr("(length(text) + 63) div 64"), lit(1L))
       val wcut = col("doc_id") % 9 === 2
       val rrot = col("doc_id") % 9 =!= 2 && col("doc_id") % 12 === 7
       val windowed = col("doc_id") % 6 === 3

@@ -1129,4 +1129,31 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.getLong(0) == 0 && empty.getBoolean(7),
       "an empty stream is vacuously clean")
   }
+
+  test("p268 EMPTY documents frame as one empty raw last block (valid " +
+    "RFC 8878, nb clamped to 1) — no descending sequence(0,-1) ghosts; " +
+    "rrot/windowed/chk lanes stay consistent at l=0") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/p268fix_${graft.queries.runToken}"
+    graft.queries.cleanupAtExit(dir)
+    // lanes by id: 0 plain, 3 windowed (%6==3), 7 rrot (%12==7, %9!=2),
+    // 13 checksum (%4==1), 2 wcut (%9==2); 20 non-empty control (l=130)
+    Seq((0L, ""), (3L, ""), (7L, ""), (13L, ""), (2L, ""),
+      (40L, "x" * 130))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p268_zstd_census")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_blocks"), r.getAs[Long]("raw_bytes"),
+        r.getAs[Long]("content_declared"), r.getAs[Long]("max_window"),
+        r.getAs[Boolean]("has_checksum"), r.getAs[Boolean]("clean"))).toList
+    assert(got == List(
+      (0L, 1L, 1L, 0L, 0L, 0L, false, true),      // plain empty: 1 empty block
+      (2L, 0L, 0L, 0L, -1L, -1L, false, false),    // wcut: truncated header
+      (3L, 1L, 1L, 0L, 0L, 2048L, false, true),    // windowed empty
+      (7L, 1L, 0L, 0L, 0L, 0L, false, false),      // rrot: lone block reserved
+      (13L, 1L, 1L, 0L, 0L, 0L, true, true),       // checksummed empty
+      (40L, 1L, 3L, 130L, 130L, 130L, false, true) // non-empty control
+    ), s"got $got")
+  }
 }

@@ -52,7 +52,8 @@ object P163CommitProbe {
       s"live state rows: $live")
     // a version dir survives while ANY bucket pointer still references it,
     // so the GC'd count depends on touch patterns — report it
-    println(s"  superseded versions GC'd: ${maxVer - dirs.length}")
+    // (versions are 0-based: maxVer+1 dirs were ever written)
+    println(s"  superseded versions GC'd: ${maxVer + 1 - dirs.length}")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     spark.stop()
   }

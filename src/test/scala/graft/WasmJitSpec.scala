@@ -246,4 +246,62 @@ class WasmJitSpec extends AnyFunSuite {
     assert(inst.invoke("f0", 5L) === Some(12L)) // interpreted: global 7 + 5
     assert(inst.invoke("f1", 6L) === Some(36L)) // compiled: 6 * 6
   }
+
+  test("call CYCLES compile WITH a depth guard (self, mutual, and their " +
+    "callers): shallow recursion computes compiled ≡ interpreted, runaway " +
+    "recursion traps with the interpreter's depth-4096 message, never a " +
+    "raw StackOverflowError; acyclic siblings carry no guard") {
+    assume(WasmJit.enabled)
+    // f0(n): self-recursive countdown — returns 0
+    val f0 = b(0x02, 0x40, 0x20, 0, 0x50, 0x0D, 0,
+      0x20, 0, 0x42) ++ sleb(1) ++ b(0x7D, 0x10, 0, 0x0F, 0x0B,
+      0x42) ++ sleb(0) ++ b(0x0B)
+    // f1 <-> f2: mutual recursion with the same countdown shape
+    val f1 = b(0x02, 0x40, 0x20, 0, 0x50, 0x0D, 0,
+      0x20, 0, 0x42) ++ sleb(1) ++ b(0x7D, 0x10, 2, 0x0F, 0x0B,
+      0x42) ++ sleb(0) ++ b(0x0B)
+    val f2 = b(0x20, 0, 0x10, 1, 0x0B)
+    // f3: NOT itself recursive, but calls into the f0 cycle — must cascade
+    val f3 = b(0x20, 0, 0x10, 0, 0x0B)
+    // f4: pure arithmetic, stays compiled
+    val f4 = b(0x20, 0, 0x20, 0, 0x7E, 0x0B)
+    val bytes = moduleBytes(
+      Seq((Seq(I64), Seq(I64))),
+      Seq((0, Nil, f0), (0, Nil, f1), (0, Nil, f2), (0, Nil, f3), (0, Nil, f4)))
+    val m = WasmModule.parse(bytes)
+    assert(m.jit != null, "module must compile")
+    val mask = m.jit._2
+    assert(mask.forall(identity),
+      s"cycles stay ELIGIBLE (guarded), nothing demoted: ${mask.toSeq}")
+    // the eligibility analysis marks exactly the cycle-reaching four
+    val (ok, guarded) = WasmJit.eligibleSet(m)
+    assert(ok.forall(identity))
+    assert(guarded.toSeq === Seq(true, true, true, true, false),
+      s"guard only the cycle-reaching functions: ${guarded.toSeq}")
+    val inst = new WasmInstance(m)
+    // shallow recursion computes correctly through COMPILED code
+    assert(inst.invoke("f0", 100L) === Some(0L))
+    assert(inst.invoke("f1", 64L) === Some(0L))
+    assert(inst.invoke("f3", 17L) === Some(0L))
+    assert(inst.invoke("f4", 9L) === Some(81L))
+    // moderately deep recursion still computes (compiled, guarded)
+    assert(new WasmInstance(m).invoke("f0", 1000L) === Some(0L))
+    // runaway recursion traps CLEANLY with one of the two guard messages
+    // — the counter ("call depth exceeded", mirroring the interpreter's
+    // depth-4096) or the stack-exhaustion backstop ("call stack
+    // exhausted", the interpreter's OTHER guard, which also fires first
+    // interpreted for multi-slot frames) — never a raw StackOverflowError
+    def cleanTrap(msg: String): Boolean =
+      msg.contains("call depth exceeded") || msg.contains("call stack exhausted")
+    val t = intercept[WasmTrap] { new WasmInstance(m).invoke("f0", 1000000L) }
+    assert(cleanTrap(t.msg), t.msg)
+    val t2 = intercept[WasmTrap] { new WasmInstance(m).invoke("f1", 1000000L) }
+    assert(cleanTrap(t2.msg), t2.msg)
+    // compiled ≡ interpreted on the recursive path
+    val im = interpOnly(bytes)
+    assert(new WasmInstance(m).invoke("f3", 33L) ===
+      new WasmInstance(im).invoke("f3", 33L))
+    // a trap leaves no residue: the next host entry resets the counter
+    assert(new WasmInstance(m).invoke("f0", 1000L) === Some(0L))
+  }
 }

@@ -347,6 +347,44 @@ class WasmRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "warm-thread invocations must not construct new instances")
   }
 
+  test("DROP purges pooled instances from EVERY thread deterministically " +
+    "and leaves the module GC-collectable (no instance→module pin — the " +
+    "r16 WeakHashMap value-references-key leak, closed)") {
+    assume(artifactPresent)
+    val tmp = java.io.File.createTempFile("wasm_poolgc", ".wasm")
+    java.nio.file.Files.copy(new java.io.File(wasmPath).toPath, tmp.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val p = tmp.getAbsolutePath
+    engine.sql(s"CREATE FUNCTION pgw(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE WASM AS '$p!f1'")
+    val payload = ArrowBatchCodec.encode(IndexedSeq(
+      Array[Any](2.0), Array[Any](10.0)), 1)
+    // warm pools on MULTIPLE threads — the leak was per-thread retention
+    val errs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val threads = (1 to 3).map { _ =>
+      new Thread(() =>
+        try WasmRuntime.invokeBindgen(p, "f1", payload)
+        catch { case e: Throwable => errs.add(e.toString) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"thread invocations failed: $errs")
+    WasmRuntime.invokeBindgen(p, "f1", payload) // and this thread
+    val weakModule = new java.lang.ref.WeakReference(WasmRuntime.moduleFor(p))
+    val pooledBefore = WasmRuntime.totalPooledInstances
+    assert(pooledBefore >= 4, s"expected ≥4 warm pooled instances, got $pooledBefore")
+    engine.sql("DROP FUNCTION pgw")
+    assert(!WasmRuntime.isParsed(p))
+    assert(WasmRuntime.totalPooledInstances <= pooledBefore - 4,
+      "DROP must purge the module's pooled instances from every thread")
+    // nothing strong reaches the module now — GC must be able to clear it
+    var tries = 0
+    while (weakModule.get() != null && tries < 20) {
+      System.gc(); Thread.sleep(50); tries += 1
+    }
+    assert(weakModule.get() == null,
+      "decoded module must be collectable after the last DROP (leak)")
+    tmp.delete()
+  }
+
   test("module parse rejects binaries with imports at LOAD time, not " +
     "invoke time (decode-the-surface discipline)") {
     // minimal module with one import: (module (import "e" "f" (func)))
