@@ -1,0 +1,810 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, NullType}
+
+/** REAL Zstandard (RFC 8878) decompression, from scratch — the one
+  * "real decode" gap the compression lineage had left (gzip/deflate
+  * are fully decoded via [[Gzip]]; [[Zstd]] walks zstd framing
+  * metadata-only). Modern Common Crawl ships `.warc.zst`, so payload
+  * extraction from it needs the actual §4 machinery, all implemented
+  * here from the RFC with no codec library:
+  *
+  *  - FSE (§4.1): normalized-count reader (variable-bit probabilities,
+  *    zero-run repeat flags), decode-table spread/build, the
+  *    predefined literals-length / match-length / offset tables;
+  *  - Huffman (§4.2): weight decoding (direct 4-bit pairs OR
+  *    FSE-compressed with two interleaved states), canonical
+  *    max-11-bit table build with the derived last weight, and the
+  *    backward bitstream — single-stream and four-stream (jump table)
+  *    literals;
+  *  - sequences (§3.1.1.3.2): the three interleaved FSE state machines
+  *    (predefined / RLE / FSE-compressed / repeat modes), offset codes
+  *    with the three-slot repeated-offset history and its
+  *    literals-length-zero special case, overlapping match copy;
+  *  - frames: header/window/FCS parse (shared shape with [[Zstd]]'s
+  *    walk), raw/RLE/compressed blocks, entropy-state persistence
+  *    across blocks (treeless literals, repeat FSE modes, offset
+  *    history), checksum step-over.
+  *
+  * Same engine posture as [[Gzip]]: NULL (never throw) on anything
+  * malformed, a [[maxBytes]] output cap turning decompression bombs
+  * into NULLs instead of executor OOMs, and a salvage variant that
+  * decodes CONSECUTIVE frames while they verify (the Common Crawl
+  * shard layout) keeping the valid prefix. Decode is a scan-stage
+  * expression: a 100 TB `.warc.zst` extract-and-tokenize pass is one
+  * whole-stage-codegen'd scan with zero shuffle.
+  *
+  * Dictionaries are NOT supported (a nonzero Dictionary_ID fails the
+  * frame): crawl shards are self-contained by construction, and
+  * dictionary frames in the wild travel as skippable frames we step
+  * over. Content checksums are stepped, not verified (the [[Gzip]]
+  * trailer posture: bytes already decoded are still data).
+  */
+object ZstdDecode {
+
+  /** Hard cap on decoded size per payload — the [[Gzip.maxBytes]]
+    * posture: 64 MiB, bombs become NULLs. */
+  val maxBytes: Int = 64 << 20
+
+  /** Largest legal block regenerated size (RFC 8878 §3.1.1.2.4 is
+    * min(window, 128 KiB); we enforce the constant bound). */
+  private final val BlockMax = 128 << 10
+
+  private final val DataMagic = 0xFD2FB528
+  private final val SkippableBase = 0x184D2A50
+  private final val MaxFrames = 65536
+  private final val MaxBlocksPerFrame = 1 << 20
+
+  /** Column API: decoded bytes of a COMPLETE zstd stream (one or more
+    * concatenated frames, all of which must verify), or NULL. */
+  def decompress(blob: Column): Column =
+    GraftSql.column(ZstdDecompressExpr(GraftSql.expression(blob), salvage = false))
+
+  /** Column API: salvage decode of consecutive frames — decodes while
+    * frames verify, stops at the first malformed/truncated one keeping
+    * the valid prefix; NULL only when not even the first data frame
+    * decodes (skippable frames are stepped and don't count). */
+  def decompressFrames(blob: Column): Column =
+    GraftSql.column(ZstdDecompressExpr(GraftSql.expression(blob), salvage = true))
+
+  /** Strict whole-stream decode; null unless every frame verifies and
+    * the stream is fully consumed. Static so generated code calls it. */
+  def decompressData(b: Array[Byte]): Array[Byte] = run(b, salvage = false)
+
+  /** Salvaged-prefix decode; null when no data frame decodes. */
+  def decompressFramesData(b: Array[Byte]): Array[Byte] = run(b, salvage = true)
+
+  private def run(b: Array[Byte], salvage: Boolean): Array[Byte] = {
+    if (b == null || b.length == 0) return null
+    val out = new Out(maxBytes)
+    var off = 0
+    var frames = 0
+    var dataFrames = 0
+    var damaged = false
+    while (!damaged && off < b.length && frames < MaxFrames) {
+      if (off + 4 > b.length) damaged = true
+      else {
+        val magic = le32(b, off)
+        if ((magic & 0xFFFFFFF0) == SkippableBase) {
+          if (off + 8 > b.length) damaged = true
+          else {
+            val sz = le32(b, off + 4).toLong & 0xFFFFFFFFL
+            if (off + 8 + sz > b.length) damaged = true
+            else { off += 8 + sz.toInt; frames += 1 }
+          }
+        } else if (magic == DataMagic) {
+          val next = decodeFrame(b, off, out)
+          if (next < 0) damaged = true
+          else { off = next; frames += 1; dataFrames += 1 }
+        } else damaged = true
+      }
+    }
+    if (damaged && !salvage) null
+    else if (dataFrames == 0) null
+    else out.toArray
+  }
+
+  // ---------------------------------------------------------------------
+  // growable output with a hard cap; matches copy from it directly
+  // ---------------------------------------------------------------------
+  private final class Out(cap: Int) {
+    var buf = new Array[Byte](8192)
+    var len = 0
+    /** reserve n more bytes; false when past the cap (bomb). */
+    def ensure(n: Int): Boolean = {
+      if (n < 0 || len.toLong + n > cap) return false
+      if (len + n > buf.length) {
+        var want = buf.length
+        while (want < len + n) want = math.min(cap, math.max(want * 2, len + n))
+        buf = java.util.Arrays.copyOf(buf, want)
+      }
+      true
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  @inline private def le32(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+      ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+
+  private def highBit(v: Int): Int = 31 - java.lang.Integer.numberOfLeadingZeros(v)
+
+  /** Local failure signal inside one frame decode — converted to the
+    * NULL/salvage contract at [[run]]; never escapes the expression. */
+  private final class Corrupt extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  @inline private def fail(): Nothing = throw new Corrupt
+
+  // ---------------------------------------------------------------------
+  // frame decode
+  // ---------------------------------------------------------------------
+  /** Decode one data frame at `off` into `out`; returns the offset past
+    * the frame, or -1 when malformed/truncated/over-cap. */
+  private def decodeFrame(b: Array[Byte], off: Int, out: Out): Int = {
+    try decodeFrame0(b, off, out)
+    catch {
+      case _: Corrupt => -1
+      case _: ArrayIndexOutOfBoundsException => -1
+    }
+  }
+
+  private def decodeFrame0(b: Array[Byte], off: Int, out: Out): Int = {
+    var i = off + 4
+    if (i >= b.length) fail()
+    val fhd = b(i) & 0xFF; i += 1
+    if ((fhd & 0x08) != 0) fail() // reserved bit
+    val singleSeg = (fhd & 0x20) != 0
+    val checksum = (fhd & 0x04) != 0
+    val dictFlag = fhd & 0x03
+    val fcsFlag = (fhd >> 6) & 0x03
+    if (!singleSeg) {
+      if (i >= b.length) fail()
+      i += 1 // window descriptor: informative for a capped decoder
+    }
+    val dictBytes = dictFlag match {
+      case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
+    }
+    if (i + dictBytes > b.length) fail()
+    var dictId = 0L
+    var k = 0
+    while (k < dictBytes) { dictId |= (b(i + k) & 0xFFL) << (8 * k); k += 1 }
+    i += dictBytes
+    if (dictId != 0L) fail() // dictionaries unsupported
+    val fcsBytes = fcsFlag match {
+      case 0 => if (singleSeg) 1 else 0
+      case 1 => 2; case 2 => 4; case _ => 8
+    }
+    if (i + fcsBytes > b.length) fail()
+    var fcs = -1L
+    if (fcsBytes > 0) {
+      fcs = 0L; k = 0
+      while (k < fcsBytes) { fcs |= (b(i + k) & 0xFFL) << (8 * k); k += 1 }
+      if (fcsBytes == 2) fcs += 256
+      i += fcsBytes
+    }
+    // per-frame entropy state
+    val st = new FrameState
+    val frameStart = out.len
+    var last = false
+    var blocks = 0
+    while (!last && blocks < MaxBlocksPerFrame) {
+      if (i + 3 > b.length) fail()
+      val hdr = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16)
+      i += 3
+      last = (hdr & 1) != 0
+      val btype = (hdr >> 1) & 0x3
+      val bsize = hdr >>> 3
+      btype match {
+        case 0 => // raw
+          if (bsize > BlockMax || i + bsize > b.length || !out.ensure(bsize)) fail()
+          System.arraycopy(b, i, out.buf, out.len, bsize)
+          out.len += bsize; i += bsize
+        case 1 => // RLE: one stored byte regenerated bsize times
+          if (bsize > BlockMax || i >= b.length || !out.ensure(bsize)) fail()
+          java.util.Arrays.fill(out.buf, out.len, out.len + bsize, b(i))
+          out.len += bsize; i += 1
+        case 2 => // compressed
+          if (i + bsize > b.length) fail()
+          decodeCompressedBlock(b, i, bsize, out, st, frameStart)
+          i += bsize
+        case _ => fail() // reserved
+      }
+      blocks += 1
+    }
+    if (!last) fail()
+    if (fcs >= 0 && (out.len - frameStart).toLong != fcs) fail()
+    if (checksum) {
+      if (i + 4 > b.length) fail()
+      i += 4 // stepped, not verified (Gzip trailer posture)
+    }
+    i
+  }
+
+  /** Entropy state that persists across blocks WITHIN one frame. */
+  private final class FrameState {
+    var huf: HufTable = null
+    var ll: FseTable = null
+    var of: FseTable = null
+    var ml: FseTable = null
+    var rep1 = 1; var rep2 = 4; var rep3 = 8
+  }
+
+  // ---------------------------------------------------------------------
+  // backward bitstream (§3.1.1.3.2.1.1): written forward, read backward;
+  // the last byte's highest set bit is the padding sentinel. Bits are
+  // numbered LSB-first within the buffer; read(n) returns window
+  // [pos-n, pos) with bit pos-1 as the result's MSB. Reads past the
+  // start zero-pad the LOW side and drive `pos` negative (the FSE
+  // weight loop uses that to detect exhaustion, mirroring the
+  // reference decoders' tolerated overrun).
+  // ---------------------------------------------------------------------
+  private final class BackBits(b: Array[Byte], start: Int, end: Int) {
+    var pos: Int = {
+      if (end <= start) fail()
+      val lastByte = b(end - 1) & 0xFF
+      if (lastByte == 0) fail() // missing sentinel
+      (end - start - 1) * 8 + highBit(lastByte)
+    }
+    /** Bits [pos-n, pos) word-at-a-time (n ≤ 31 everywhere: offset codes
+      * cap at 31 extra bits, Huffman peeks ≤ 11, FSE states ≤ 9). */
+    @inline private def peekL(n: Int): Long = {
+      if (n == 0) return 0L
+      val lo = pos - n
+      val biLo = if (lo >= 0) lo >> 3 else 0
+      var bi = (pos - 1) >> 3
+      var v = 0L
+      while (bi >= biLo) { v = (v << 8) | (b(start + bi) & 0xFFL); bi -= 1 }
+      // v's bit k == global bit biLo*8 + k (LSB-first); reads past the
+      // start zero-pad the LOW side (lo < 0 → left shift)
+      val shift = lo - (biLo << 3)
+      val shifted = if (shift >= 0) v >>> shift else v << -shift
+      shifted & ((1L << n) - 1)
+    }
+    def read(n: Int): Long = { val v = peekL(n); pos -= n; v }
+    def peek(n: Int): Int = peekL(n).toInt
+  }
+
+  /** Forward LSB-first reader for FSE table descriptions (§4.1.1). */
+  private final class FwdBits(b: Array[Byte], start: Int, val end: Int) {
+    var bitPos = 0
+    def read(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val idx = bitPos + k
+        val byteIdx = start + (idx >> 3)
+        if (byteIdx >= end) fail()
+        v |= ((b(byteIdx) >> (idx & 7)) & 1) << k
+        k += 1
+      }
+      bitPos += n
+      v
+    }
+    def bytesConsumed: Int = (bitPos + 7) >> 3
+  }
+
+  // ---------------------------------------------------------------------
+  // FSE (§4.1)
+  // ---------------------------------------------------------------------
+  private final class FseTable(val accLog: Int, val symbol: Array[Int],
+                               val nbBits: Array[Int], val newState: Array[Int])
+
+  /** Normalized counts → decode table (the spread/assign algorithm of
+    * §4.1.1: "less than 1" symbols take cells from the table's end,
+    * the rest spread by the (size/2 + size/8 + 3) step). */
+  private def buildFse(counts: Array[Int], accLog: Int): FseTable = {
+    val size = 1 << accLog
+    val sym = new Array[Int](size)
+    val nb = new Array[Int](size)
+    val ns = new Array[Int](size)
+    val symbolNext = new Array[Int](counts.length)
+    var high = size - 1
+    var s = 0
+    while (s < counts.length) {
+      if (counts(s) == -1) { sym(high) = s; high -= 1; symbolNext(s) = 1 }
+      else symbolNext(s) = counts(s)
+      s += 1
+    }
+    val step = (size >> 1) + (size >> 3) + 3
+    val mask = size - 1
+    var posn = 0
+    s = 0
+    while (s < counts.length) {
+      var c = counts(s)
+      while (c > 0) {
+        sym(posn) = s
+        posn = (posn + step) & mask
+        while (posn > high) posn = (posn + step) & mask
+        c -= 1
+      }
+      s += 1
+    }
+    if (posn != 0) fail()
+    var u = 0
+    while (u < size) {
+      val sy = sym(u)
+      val nextSt = symbolNext(sy); symbolNext(sy) += 1
+      val bits = accLog - highBit(nextSt)
+      nb(u) = bits
+      ns(u) = (nextSt << bits) - size
+      u += 1
+    }
+    new FseTable(accLog, sym, nb, ns)
+  }
+
+  /** §4.1.1 FSE_readNCount: variable-bit probabilities with the
+    * zero-run repeat-flag encoding; returns (table, bytes consumed). */
+  private def readFseTable(b: Array[Byte], off: Int, end: Int,
+                           maxAccuracy: Int, maxSymbol: Int): (FseTable, Int) = {
+    val br = new FwdBits(b, off, end)
+    val accLog = br.read(4) + 5
+    if (accLog > maxAccuracy) fail()
+    var remaining = (1 << accLog) + 1
+    var threshold = 1 << accLog
+    var nbBits = accLog + 1
+    val counts = new Array[Int](maxSymbol + 1)
+    var charnum = 0
+    var previous0 = false
+    while (remaining > 1 && charnum <= maxSymbol) {
+      if (previous0) {
+        var rep = br.read(2)
+        while (rep == 3) {
+          charnum += 3
+          if (charnum > maxSymbol) fail()
+          rep = br.read(2)
+        }
+        charnum += rep
+        if (charnum > maxSymbol) fail()
+        previous0 = false
+      } else {
+        val max = (2 * threshold - 1) - remaining
+        val low = br.read(nbBits - 1)
+        var count =
+          if ((low & (threshold - 1)) < max) low
+          else {
+            val highBitVal = br.read(1)
+            val full = low | (highBitVal << (nbBits - 1))
+            if (full >= threshold) full - max else full
+          }
+        count -= 1 // shift: stored values are count+1, -1 = "less than 1"
+        if (count < -1) fail()
+        remaining -= math.abs(count)
+        if (remaining < 1) fail()
+        counts(charnum) = count
+        charnum += 1
+        previous0 = count == 0
+        while (remaining < threshold && remaining > 1) {
+          nbBits -= 1; threshold >>= 1
+        }
+      }
+    }
+    if (remaining != 1) fail()
+    (buildFse(counts, accLog), br.bytesConsumed)
+  }
+
+  /** Single-cell table for RLE symbol-compression mode. */
+  private def rleFse(symbol: Int): FseTable =
+    new FseTable(0, Array(symbol), Array(0), Array(0))
+
+  // predefined distributions (§3.1.1.3.2.2) ------------------------------
+  private lazy val PredefLL = buildFse(Array(
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1), 6)
+  private lazy val PredefML = buildFse(Array(
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+    -1, -1, -1, -1, -1), 6)
+  private lazy val PredefOF = buildFse(Array(
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1), 5)
+
+  // literals-length / match-length code tables (§3.1.1.3.2.1.1) ----------
+  private val LLBase = Array(
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536)
+  private val LLBits = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11,
+    12, 13, 14, 15, 16)
+  private val MLBase = Array(
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+    19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539)
+  private val MLBits = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
+    11, 12, 13, 14, 15, 16)
+
+  // ---------------------------------------------------------------------
+  // Huffman (§4.2): max 11-bit codes, canonical by weight
+  // ---------------------------------------------------------------------
+  private final class HufTable(val maxBits: Int, val symbol: Array[Int],
+                               val length: Array[Int])
+
+  private def buildHuf(weights: Array[Int]): HufTable = {
+    var total = 0L
+    var i = 0
+    while (i < weights.length) {
+      if (weights(i) > 0) total += 1L << (weights(i) - 1)
+      i += 1
+    }
+    if (total == 0) fail()
+    val maxBits = highBit(total.toInt) + 1
+    if (maxBits > 11) fail()
+    val leftOver = (1L << maxBits) - total
+    // the derived last weight must itself be a power of 2
+    if (leftOver <= 0 || (leftOver & (leftOver - 1)) != 0) fail()
+    val lastWeight = highBit(leftOver.toInt) + 1
+    val w = java.util.Arrays.copyOf(weights, weights.length + 1)
+    w(weights.length) = lastWeight
+    val size = 1 << maxBits
+    val sym = new Array[Int](size)
+    val len = new Array[Int](size)
+    var cur = 0
+    var weight = 1
+    while (weight <= maxBits) {
+      var s2 = 0
+      while (s2 < w.length) {
+        if (w(s2) == weight) {
+          val slots = 1 << (weight - 1)
+          if (cur + slots > size) fail()
+          var k = 0
+          while (k < slots) { sym(cur + k) = s2; len(cur + k) = maxBits + 1 - weight; k += 1 }
+          cur += slots
+        }
+        s2 += 1
+      }
+      weight += 1
+    }
+    if (cur != size) fail()
+    new HufTable(maxBits, sym, len)
+  }
+
+  /** §4.2.1 weight decoding: headerByte < 128 → FSE-compressed weights
+    * (two interleaved states, accuracy ≤ 6); ≥ 128 → direct 4-bit
+    * pairs. Returns (table, bytes consumed incl. header byte). */
+  private def readHufTable(b: Array[Byte], off: Int, end: Int): (HufTable, Int) = {
+    if (off >= end) fail()
+    val hv = b(off) & 0xFF
+    if (hv >= 128) {
+      val n = hv - 127
+      val packed = (n + 1) / 2
+      if (off + 1 + packed > end) fail()
+      val weights = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val byte = b(off + 1 + i / 2) & 0xFF
+        weights(i) = if (i % 2 == 0) byte >> 4 else byte & 0xF
+        if (weights(i) > 11) fail()
+        i += 1
+      }
+      (buildHuf(weights), 1 + packed)
+    } else {
+      // FSE-compressed weight stream of hv bytes
+      if (off + 1 + hv > end) fail()
+      val (tbl, hdrBytes) = readFseTable(b, off + 1, off + 1 + hv, 6, 255)
+      val bs = new BackBits(b, off + 1 + hdrBytes, off + 1 + hv)
+      var s1 = bs.read(tbl.accLog).toInt
+      var s2 = bs.read(tbl.accLog).toInt
+      val weights = new Array[Int](256)
+      var n = 0
+      var done = false
+      while (!done) {
+        if (n + 2 > 255) fail()
+        weights(n) = tbl.symbol(s1); n += 1
+        if (bs.pos < tbl.nbBits(s1)) {
+          weights(n) = tbl.symbol(s2); n += 1; done = true
+        } else {
+          s1 = tbl.newState(s1) + bs.read(tbl.nbBits(s1)).toInt
+          weights(n) = tbl.symbol(s2); n += 1
+          if (bs.pos < tbl.nbBits(s2)) {
+            weights(n) = tbl.symbol(s1); n += 1; done = true
+          } else s2 = tbl.newState(s2) + bs.read(tbl.nbBits(s2)).toInt
+        }
+      }
+      var i = 0
+      while (i < n) { if (weights(i) > 11) fail(); i += 1 }
+      (buildHuf(java.util.Arrays.copyOf(weights, n)), 1 + hv)
+    }
+  }
+
+  /** Decode `count` literals from one Huffman substream. Hot loop: a
+    * rolling 64-bit container over the tail of the window keeps the
+    * per-symbol work at one shift+mask+lookup; the generic (zero-
+    * padding) path only runs in the last few symbols of a stream. */
+  private def hufDecodeStream(b: Array[Byte], start: Int, end: Int,
+                              huf: HufTable, dst: Array[Byte], dstOff: Int,
+                              count: Int): Unit = {
+    val bs = new BackBits(b, start, end)
+    val maxBits = huf.maxBits
+    val mask = (1 << maxBits) - 1
+    val sym = huf.symbol
+    val len = huf.length
+    var pos = bs.pos
+    var cache = 0L
+    var cacheLow = Int.MaxValue // bit index of cache's LSB; invalid until refill
+    var i = 0
+    while (i < count) {
+      if (pos - maxBits >= 0) {
+        if (pos - maxBits < cacheLow) {
+          // refill: 8 bytes ending at the byte holding bit pos-1
+          val hiByte = (pos - 1) >> 3
+          val loByte = math.max(0, hiByte - 7)
+          var bi = hiByte
+          var v = 0L
+          while (bi >= loByte) { v = (v << 8) | (b(start + bi) & 0xFFL); bi -= 1 }
+          cache = v
+          cacheLow = loByte << 3
+        }
+        val idx = ((cache >>> (pos - maxBits - cacheLow)) & mask).toInt
+        dst(dstOff + i) = sym(idx).toByte
+        pos -= len(idx)
+      } else {
+        // stream tail: zero-padded peek via the generic reader
+        if (pos <= -maxBits) fail() // ran past with output missing
+        bs.pos = pos
+        val idx = bs.peek(maxBits)
+        dst(dstOff + i) = sym(idx).toByte
+        pos -= len(idx)
+      }
+      i += 1
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // compressed block (§3.1.1.3)
+  // ---------------------------------------------------------------------
+  private def decodeCompressedBlock(b: Array[Byte], off: Int, size: Int,
+                                    out: Out, st: FrameState,
+                                    frameStart: Int): Unit = {
+    val end = off + size
+    var i = off
+    if (i >= end) fail()
+    // ---- literals section header (§3.1.1.3.1.1) ----
+    val h0 = b(i) & 0xFF
+    val litType = h0 & 0x3
+    var litRegen = 0
+    var litCompressed = -1
+    var fourStreams = false
+    litType match {
+      case 0 | 1 => // raw / RLE literals
+        (h0 >> 2) & 0x3 match {
+          case 0 | 2 => litRegen = h0 >> 3; i += 1
+          case 1 =>
+            if (i + 2 > end) fail()
+            litRegen = (h0 >> 4) | ((b(i + 1) & 0xFF) << 4); i += 2
+          case _ =>
+            if (i + 3 > end) fail()
+            litRegen = (h0 >> 4) | ((b(i + 1) & 0xFF) << 4) |
+              ((b(i + 2) & 0xFF) << 12)
+            i += 3
+        }
+      case _ => // compressed / treeless
+        (h0 >> 2) & 0x3 match {
+          case 0 | 1 =>
+            fourStreams = ((h0 >> 2) & 0x3) == 1
+            if (i + 3 > end) fail()
+            val v = h0 | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16)
+            litRegen = (v >> 4) & 0x3FF
+            litCompressed = (v >> 14) & 0x3FF
+            i += 3
+          case 2 =>
+            fourStreams = true
+            if (i + 4 > end) fail()
+            val v = (h0.toLong | ((b(i + 1) & 0xFFL) << 8) |
+              ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24))
+            litRegen = ((v >> 4) & 0x3FFF).toInt
+            litCompressed = ((v >> 18) & 0x3FFF).toInt
+            i += 4
+          case _ =>
+            fourStreams = true
+            if (i + 5 > end) fail()
+            val v = (h0.toLong | ((b(i + 1) & 0xFFL) << 8) |
+              ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24) |
+              ((b(i + 4) & 0xFFL) << 32))
+            litRegen = ((v >> 4) & 0x3FFFF).toInt
+            litCompressed = ((v >> 22) & 0x3FFFF).toInt
+            i += 5
+        }
+    }
+    if (litRegen > BlockMax) fail()
+    val literals = new Array[Byte](litRegen)
+    litType match {
+      case 0 => // raw
+        if (i + litRegen > end) fail()
+        System.arraycopy(b, i, literals, 0, litRegen)
+        i += litRegen
+      case 1 => // RLE
+        if (i >= end) fail()
+        java.util.Arrays.fill(literals, b(i))
+        i += 1
+      case t => // 2 compressed (new table) / 3 treeless (reuse)
+        val litEnd = i + litCompressed
+        if (litCompressed < 0 || litEnd > end) fail()
+        var p = i
+        if (t == 2) {
+          val (huf, consumed) = readHufTable(b, p, litEnd)
+          st.huf = huf
+          p += consumed
+        } else if (st.huf == null) fail()
+        val huf = st.huf
+        if (!fourStreams) {
+          hufDecodeStream(b, p, litEnd, huf, literals, 0, litRegen)
+        } else {
+          if (p + 6 > litEnd) fail()
+          val s1 = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+          val s2 = (b(p + 2) & 0xFF) | ((b(p + 3) & 0xFF) << 8)
+          val s3 = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8)
+          p += 6
+          val per = (litRegen + 3) / 4
+          val lastN = litRegen - 3 * per
+          if (lastN < 0) fail()
+          val e1 = p + s1; val e2 = e1 + s2; val e3 = e2 + s3
+          if (e3 > litEnd) fail()
+          hufDecodeStream(b, p, e1, huf, literals, 0, per)
+          hufDecodeStream(b, e1, e2, huf, literals, per, per)
+          hufDecodeStream(b, e2, e3, huf, literals, 2 * per, per)
+          hufDecodeStream(b, e3, litEnd, huf, literals, 3 * per, lastN)
+        }
+        i = litEnd
+    }
+    // ---- sequences section (§3.1.1.3.2) ----
+    if (i >= end) fail()
+    val s0 = b(i) & 0xFF; i += 1
+    var nbSeq = 0
+    if (s0 == 0) nbSeq = 0
+    else if (s0 < 128) nbSeq = s0
+    else if (s0 < 255) {
+      if (i >= end) fail()
+      nbSeq = ((s0 - 128) << 8) + (b(i) & 0xFF); i += 1
+    } else {
+      if (i + 2 > end) fail()
+      nbSeq = (b(i) & 0xFF) + ((b(i + 1) & 0xFF) << 8) + 0x7F00; i += 2
+    }
+    if (nbSeq == 0) {
+      if (i != end) fail()
+      if (!out.ensure(litRegen)) fail()
+      System.arraycopy(literals, 0, out.buf, out.len, litRegen)
+      out.len += litRegen
+      return
+    }
+    if (i >= end) fail()
+    val modes = b(i) & 0xFF; i += 1
+    if ((modes & 0x3) != 0) fail() // reserved bits must be zero
+    def tableFor(mode: Int, predef: FseTable, prev: FseTable,
+                 maxAcc: Int, maxSym: Int): FseTable = mode match {
+      case 0 => predef
+      case 1 =>
+        if (i >= end) fail()
+        val s = b(i) & 0xFF; i += 1
+        if (s > maxSym) fail()
+        rleFse(s)
+      case 2 =>
+        val (t, consumed) = readFseTable(b, i, end, maxAcc, maxSym)
+        i += consumed
+        t
+      case _ =>
+        if (prev == null) fail()
+        prev
+    }
+    val llT = tableFor((modes >> 6) & 0x3, PredefLL, st.ll, 9, 35)
+    val ofT = tableFor((modes >> 4) & 0x3, PredefOF, st.of, 8, 31)
+    val mlT = tableFor((modes >> 2) & 0x3, PredefML, st.ml, 9, 52)
+    st.ll = llT; st.of = ofT; st.ml = mlT
+    // ---- the interleaved bitstream, read backward ----
+    val bs = new BackBits(b, i, end)
+    var llS = bs.read(llT.accLog).toInt
+    var ofS = bs.read(ofT.accLog).toInt
+    var mlS = bs.read(mlT.accLog).toInt
+    var litPos = 0
+    var seq = 0
+    while (seq < nbSeq) {
+      if (bs.pos < -64) fail()
+      val ofCode = ofT.symbol(ofS)
+      if (ofCode > 31) fail()
+      val offVal = (1L << ofCode) + bs.read(ofCode)
+      val mlCode = mlT.symbol(mlS)
+      if (mlCode > 52) fail()
+      val ml = MLBase(mlCode) + bs.read(MLBits(mlCode)).toInt
+      val llCode = llT.symbol(llS)
+      if (llCode > 35) fail()
+      val ll = LLBase(llCode) + bs.read(LLBits(llCode)).toInt
+      // repeated-offset resolution (§3.1.1.5)
+      var offset = 0
+      if (offVal > 3) {
+        offset = (offVal - 3).toInt
+        st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = offset
+      } else {
+        val idx = offVal.toInt - 1 + (if (ll == 0) 1 else 0)
+        offset = idx match {
+          case 0 => st.rep1
+          case 1 => st.rep2
+          case 2 => st.rep3
+          case _ => st.rep1 - 1
+        }
+        if (offset <= 0) fail()
+        if (idx != 0) {
+          if (idx != 1) st.rep3 = st.rep2
+          st.rep2 = st.rep1
+          st.rep1 = offset
+        }
+      }
+      // execute: literals copy, then (possibly overlapping) match copy
+      if (litPos + ll > litRegen) fail()
+      if (!out.ensure(ll + ml)) fail()
+      System.arraycopy(literals, litPos, out.buf, out.len, ll)
+      out.len += ll; litPos += ll
+      if (offset > out.len - frameStart) fail() // reaches before the frame
+      if (offset >= ml) { // non-overlapping: one block copy
+        System.arraycopy(out.buf, out.len - offset, out.buf, out.len, ml)
+        out.len += ml
+      } else { // overlapping run: classic LZ doubling copy — after each
+        // pass the valid repetition ahead of src grows by the copied
+        // amount, so chunks double until ml is covered
+        val base = out.len
+        var copied = 0
+        while (copied < ml) {
+          val chunk = math.min(offset + copied, ml - copied)
+          System.arraycopy(out.buf, base - offset, out.buf, base + copied, chunk)
+          copied += chunk
+        }
+        out.len += ml
+      }
+      seq += 1
+      if (seq < nbSeq) { // last sequence leaves the states un-updated
+        llS = llT.newState(llS) + bs.read(llT.nbBits(llS)).toInt
+        mlS = mlT.newState(mlS) + bs.read(mlT.nbBits(mlS)).toInt
+        ofS = ofT.newState(ofS) + bs.read(ofT.nbBits(ofS)).toInt
+      }
+    }
+    val rest = litRegen - litPos
+    if (rest < 0 || !out.ensure(rest)) fail()
+    System.arraycopy(literals, litPos, out.buf, out.len, rest)
+    out.len += rest
+  }
+}
+
+/** Decoded bytes of a zstd stream — strict (every frame must verify)
+  * or salvage (valid-prefix of consecutive frames) per `salvage`.
+  */
+case class ZstdDecompressExpr(child: Expression, salvage: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String =
+    if (salvage) "graft_zstd_frames" else "graft_zstd"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    if (salvage) ZstdDecode.decompressFramesData(input.asInstanceOf[Array[Byte]])
+    else ZstdDecode.decompressData(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val arr = ctx.freshName("arr")
+      val fn = if (salvage) "decompressFramesData" else "decompressData"
+      s"""
+         |byte[] $arr = graft.functions.ZstdDecode.$fn($bytes);
+         |if ($arr == null) { ${ev.isNull} = true; } else { ${ev.value} = $arr; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

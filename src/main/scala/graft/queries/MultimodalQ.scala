@@ -1171,6 +1171,91 @@ object MultimodalQ {
           col("z.has_checksum").as("has_checksum"),
           col("z.clean").as("clean"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- .warc.zst payload EXTRACTION: REAL zstd decode in the chain -------
+    // The modern Common Crawl shard layout — records inside zstd frames
+    // (p265/p266's gzip sibling) — decoded by the from-scratch RFC 8878
+    // machinery in ZstdDecode (frame walk, block decode, the real
+    // FSE/Huffman paths are pinned against zstd-jni ground truth in
+    // ZstdDecodeSpec; this entry's in-query-buildable frames use raw +
+    // RLE blocks so the oracle stays pure construction algebra). Per
+    // doc: a skippable frame (the dictionary-slot posture), then ONE
+    // data frame holding a request record and a response record whose
+    // payload is text plus a run of `1 + doc_id % 97` pad bytes — the
+    // run travels as a genuine RLE block (1 stored byte regenerating
+    // `run`), the rest as 64-byte raw blocks, FCS declared and checked
+    // by the decoder. Chain: ZstdDecode.decompressFrames →
+    // Warc.responses → payload slice → md5; the hash match against
+    // DuckDB's digest of text||pad proves the decode round-trip
+    // byte-exact end to end. Damage lanes: doc_id%13==4 cuts the frame
+    // mid-header (truncated), doc_id%17==6 flips the RLE block's type
+    // to reserved — both kill the frame at decode (NULL → sentinels),
+    // the never-throw posture. ONE codegen'd scan-stage pass, zero
+    // shuffle: a 100 TB .warc.zst extract is a pure scan.
+    Q("p269_zst_warc_extract", Some("""
+      WITH d AS (SELECT doc_id, text,
+                        1 + doc_id % 97 AS run,
+                        doc_id % 13 = 4 OR doc_id % 17 = 6 AS damaged
+                 FROM documents)
+      SELECT doc_id,
+             CAST(CASE WHEN damaged THEN -1
+                  ELSE length(text) + run END AS BIGINT) AS n_chars,
+             CASE WHEN damaged THEN ''
+                  ELSE md5(text || repeat('p', CAST(run AS INTEGER))) END
+               AS digest,
+             CASE WHEN damaged THEN '' ELSE substr(text, 1, 16) END AS head
+      FROM d ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.{Warc, ZstdDecode}
+      val id = col("doc_id").cast("string")
+      val uri = concat(lit("http://ex.com/"), id)
+      def recHdr(tpe: String, clen: org.apache.spark.sql.Column) = concat(
+        lit("WARC/1.0\r\n"), lit(s"WARC-Type: $tpe\r\n"),
+        lit("WARC-Target-URI: "), uri, lit("\r\n"),
+        lit("WARC-Date: 2024-01-01T00:00:00Z\r\n"),
+        lit("Content-Length: "), clen.cast("string"), lit("\r\n\r\n"))
+      val reqPayload = concat(lit("GET /"), id)
+      val reqRec = concat(recHdr("request", length(reqPayload).cast("long")),
+        reqPayload, lit("\r\n\r\n"))
+      // response record = headers + text (raw blocks) + pad run (the RLE
+      // block) + record trailer (final raw block)
+      val respHead = concat(
+        recHdr("response", length(col("text")).cast("long") + col("run")),
+        col("text"))
+      val skippableHex = concat(lit("502A4D18"), le32h(lit(8L)),
+        lit("GRAFTPAD".getBytes.map(b => f"$b%02X").mkString))
+      val df0 = Tables.loadSpread(spark, dir, "documents")
+        .withColumn("run", (col("doc_id") % 97 + 1).cast("long"))
+        .withColumn("part1", concat(reqRec, respHead))
+        .withColumn("l1", length(col("part1")).cast("long"))
+        .withColumn("nb1", expr("(l1 + 63) div 64"))
+      val fcs = col("l1") + col("run") + lit(4L)
+      val headerHex = concat(lit("28B52FFD"), lit("A0"), le32h(fcs))
+      val blocksHex = array_join(
+        transform(sequence(lit(0L), col("nb1") - 1L), i => {
+          val bsize = least(lit(64L), col("l1") - i * 64L)
+          concat(le24h(shiftleft(bsize, 3)), // raw, not last
+            hex(col("part1").substr((i * 64L + 1L).cast("int"), bsize.cast("int"))))
+        }), "")
+      // RLE block: header size = RUN (regenerated length), one stored 'p';
+      // the %17==6 lane flips its type to reserved(3) — frame-killing
+      val rleType = when(col("doc_id") % 17 === 6, 3L).otherwise(1L)
+      val rleHex = concat(le24h(shiftleft(col("run"), 3) + rleType * 2L), lit("70"))
+      val tailHex = concat(le24h(lit((4L << 3) | 1L)), lit("0D0A0D0A"))
+      val fullHex = concat(skippableHex, headerHex, blocksHex, rleHex, tailHex)
+      // %13==4 lane: cut 12 bytes into the DATA frame (past the skippable)
+      val blobHex = when(col("doc_id") % 13 === 4, substring(fullHex, 1, 56))
+        .otherwise(fullHex)
+      val body = expr("try_element_at(resp_arr, 1)")
+      val bodyStr = decode(body, "UTF-8")
+      df0
+        .withColumn("resp_arr",
+          Warc.responses(ZstdDecode.decompressFrames(unhex(blobHex))))
+        .select(col("doc_id"),
+          coalesce(length(bodyStr).cast("long"), lit(-1L)).as("n_chars"),
+          coalesce(md5(body), lit("")).as("digest"),
+          coalesce(substring(bodyStr, 1, 16), lit("")).as("head"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -173,7 +173,11 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("p267_crawl_ingest", 10L, 4700L, DocLinear),
     // p268 (r16): zstd census is a pure scan-stage kernel like p265;
     // the only shuffle is the output sort's row per doc
-    ("p268_zstd_census", 3L, 1400L, DocLinear))
+    ("p268_zstd_census", 3L, 1400L, DocLinear),
+    // p269 (r17): .warc.zst extraction — build/decode/extract/digest are
+    // all scan-stage (the REAL zstd decode is an expression); only the
+    // output sort shuffles, one row per doc like p266
+    ("p269_zst_warc_extract", 3L, 1400L, DocLinear))
 
   private lazy val doubledDir = GuardFixtures.doubledDir(spark, sfDir)
 
