@@ -957,114 +957,9 @@ object MultimodalQ {
     // shuffles are the mirror self-join (equi on doc_id) and ONE
     // hash-keyed aggregation + equi join-back for canonical election —
     // exactly the two a production funnel pays, both key-partitioned.
-    Q("p267_crawl_ingest", Some {
-      val wsClean = raw"string_split_regex(lower(clean), '\s+')"
-      val names = graft.ops.TextOps.langProfiles.map(_._1)
-      val scoreSql = names.map(l =>
-        s"CAST(${TextSql.langScore(wsClean, l)} AS BIGINT) AS s_$l")
-        .mkString(", ")
-      s"""
-      WITH d0 AS (SELECT doc_id,
-                         CASE WHEN doc_id % 10 = 9 THEN doc_id - 9
-                              ELSE doc_id END AS src_id
-                  FROM documents),
-      d1 AS (SELECT d0.doc_id, m.text AS body,
-                    (d0.doc_id % 13 = 4 OR d0.doc_id % 17 = 6) AS wfail,
-                    NOT (d0.doc_id % 13 = 4 OR d0.doc_id % 17 = 6)
-                      AND d0.doc_id % 7 = 3 AS ufail
-             FROM d0 LEFT JOIN documents m ON m.doc_id = d0.src_id),
-      okc AS (SELECT doc_id, 'Hello' || chr(10) || body AS clean
-              FROM d1 WHERE NOT wfail AND NOT ufail),
-      oks AS (SELECT doc_id, clean, $scoreSql,
-                     md5(trim(regexp_replace(lower(clean), '\\s+', ' ', 'g')))
-                       AS content_hash
-              FROM okc),
-      canon AS (SELECT content_hash, min(doc_id) AS keep_id
-                FROM oks GROUP BY 1)
-      SELECT d1.doc_id,
-             CASE WHEN wfail THEN 'salvaged_none'
-                  WHEN ufail THEN 'invalid_utf8' ELSE 'ok' END AS stage,
-             CAST(CASE WHEN wfail OR ufail THEN -1
-                  ELSE length(body) + 6 END AS BIGINT) AS n_clean,
-             CASE WHEN wfail OR ufail THEN ''
-                  ELSE ${TextSql.langCase(l => s"s_$l")} END AS lang,
-             COALESCE(oks.content_hash, '') AS content_hash,
-             CAST(COALESCE(canon.keep_id, -1) AS BIGINT) AS keep_id,
-             COALESCE(canon.keep_id = d1.doc_id, FALSE) AS is_canonical
-      FROM d1 LEFT JOIN oks ON oks.doc_id = d1.doc_id
-              LEFT JOIN canon ON canon.content_hash = oks.content_hash
-      ORDER BY d1.doc_id"""
-    }) { (spark, dir) =>
-      import graft.functions.{Gzip, Utf8Walk, Warc}
-      import graft.ops.TextOps
-      val docs = Tables.loadSpread(spark, dir, "documents")
-      // mirror join: %10==9 serves doc_id-9's content under its own URI
-      val served = docs
-        .withColumn("src_id", when(col("doc_id") % 10 === 9,
-          col("doc_id") - 9).otherwise(col("doc_id")))
-        .join(docs.select(col("doc_id").as("m_id"), col("text").as("m_text")),
-          col("src_id") === col("m_id"), "left")
-        .select(col("doc_id"), col("m_text").as("body"))
-      val id = col("doc_id").cast("string")
-      val uri = concat(lit("http://ex.com/"), id)
-      val html = concat(
-        lit("<html><head><title>T"), id,
-        lit("</title><style>p{color:red}</style></head>"),
-        lit("<body><h1>Hello</h1>\n<p>"), col("body"),
-        lit("</p><script>var x=1;</script><!-- crawler note --></body></html>"))
-      // hex-level record builder so the utf8-damage mode can splice raw
-      // invalid bytes into the payload (string concat cannot carry them)
-      val ufail = col("doc_id") % 13 =!= 4 && col("doc_id") % 17 =!= 6 &&
-        col("doc_id") % 7 === 3
-      val payloadHex = when(ufail, concat(hex(html), lit("C0AF80")))
-        .otherwise(hex(html))
-      val payloadLen = when(ufail, length(html) + 3).otherwise(length(html))
-        .cast("long")
-      def headStr(tpe: String, plen: org.apache.spark.sql.Column) = concat(
-        lit(s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: "), uri,
-        lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
-        plen.cast("string"), lit("\r\n\r\n"))
-      def memberOfHex(recHex: org.apache.spark.sql.Column,
-          recLen: org.apache.spark.sql.Column) =
-        concat(lit("1F8B0800"), lit("0000000000FF"),
-          lit("01"), storedLen16(recLen), le16h(lit(65535L) - recLen),
-          recHex, lit("0000000000000000"))
-      val req = concat(headStr("request", length(concat(lit("GET /"), id))),
-        lit("GET /"), id, lit("\r\n\r\n"))
-      val m1 = memberOfHex(hex(req), length(req).cast("long"))
-      val respHead = headStr("response", payloadLen)
-      val m2full = memberOfHex(
-        concat(hex(respHead), payloadHex, hex(lit("\r\n\r\n"))),
-        length(respHead).cast("long") + payloadLen + 4L)
-      val m2 = when(col("doc_id") % 13 === 4, substring(m2full, 1, 50))
-        .when(col("doc_id") % 17 === 6,
-          concat(lit("1E"), substring(m2full, 3, Int.MaxValue)))
-        .otherwise(m2full)
-      val blob = unhex(concat(m1, m2))
-      val staged = served
-        .withColumn("resp_arr", Warc.responses(Gzip.inflateMembers(blob)))
-        .withColumn("resp", expr("try_element_at(resp_arr, 1)"))
-        .withColumn("u", Utf8Walk.walk(col("resp")))
-        .withColumn("stage",
-          when(col("resp").isNull, "salvaged_none")
-            .when(col("u.n_invalid") > 0 || col("u.truncated"), "invalid_utf8")
-            .otherwise("ok"))
-      // boilerplate strip (p85's chain), lang, dedup key — ok rows only
-      val pageStr = decode(col("resp"), "UTF-8")
-      val title = regexp_extract(pageStr, "<title>(.*?)</title>", 1)
-      val noBlocks = regexp_replace(regexp_replace(pageStr,
-        "<(script|style)>.*?</\\1>", ""), "<!--.*?-->", "")
-      val strippedAll = trim(regexp_replace(noBlocks, "<[^>]*>", ""))
-      val cleanCol = strippedAll.substr(length(title) + 1, length(strippedAll))
-      val enriched = staged.withColumn("clean",
-          when(col("stage") === "ok", cleanCol))
-        .select(col("doc_id"), col("stage"),
-          when(col("stage") === "ok", length(col("clean")))
-            .otherwise(lit(-1)).cast("long").as("n_clean"),
-          when(col("stage") === "ok", TextOps.langId(col("clean")))
-            .otherwise(lit("")).as("lang"),
-          when(col("stage") === "ok", TextOps.contentHash(col("clean")))
-            .otherwise(lit("")).as("content_hash"))
+    Q("p267_crawl_ingest", Some(crawlIngestOracle)) { (spark, dir) =>
+      val enriched = crawlFunnel(
+        crawlShard(Tables.loadSpread(spark, dir, "documents")))
       // canonical election: ONE hash-keyed aggregation + equi join-back
       val canon = enriched.where(col("stage") === "ok")
         .groupBy(col("content_hash"))
@@ -1256,8 +1151,162 @@ object MultimodalQ {
           coalesce(md5(body), lit("")).as("digest"),
           coalesce(substring(bodyStr, 1, 16), lit("")).as("head"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- STREAMING crawl ingest: p267's funnel as its deployment shape -----
+    // Shard files arrive per micro-batch; each batch runs the row-local
+    // funnel with batch semantics, appends verdict rows, and folds the
+    // (content_hash → min doc_id) canonical election into hash-bucketed
+    // VERSIONED state (the p163 commit discipline — touched-bucket
+    // rewrites, pointer flip after commit, superseded-version GC). The
+    // oracle is p267's SQL TEXT VERBATIM: the driver hashing both
+    // results against it is the batch≡stream equivalence proof (the
+    // p152/p163 pattern applied to the whole 100-TB ingest story).
+    // StreamingSpec drives the multi-batch semantics adversarially
+    // (cross-batch duplicate election on a planted fixture).
+    Q("p270_stream_crawl_ingest", Some(crawlIngestOracle)) { (spark, dir) =>
+      val root = sinkDir(s"p270_${Integer.toHexString(dir.hashCode)}") +
+        s"/${System.nanoTime()}"
+      graft.streaming.StreamingOps.crawlIngest(spark, dir, root)
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** p267's oracle, shared VERBATIM by the streaming deployment entry
+    * (p270): the driver hashing both entries' results against the same
+    * SQL text is the batch≡stream equivalence proof (the p152/p163
+    * pattern applied to the whole crawl funnel). */
+  private[graft] def crawlIngestOracle: String = {
+      val wsClean = raw"string_split_regex(lower(clean), '\s+')"
+      val names = graft.ops.TextOps.langProfiles.map(_._1)
+      val scoreSql = names.map(l =>
+        s"CAST(${TextSql.langScore(wsClean, l)} AS BIGINT) AS s_$l")
+        .mkString(", ")
+      s"""
+      WITH d0 AS (SELECT doc_id,
+                         CASE WHEN doc_id % 10 = 9 THEN doc_id - 9
+                              ELSE doc_id END AS src_id
+                  FROM documents),
+      d1 AS (SELECT d0.doc_id, m.text AS body,
+                    (d0.doc_id % 13 = 4 OR d0.doc_id % 17 = 6) AS wfail,
+                    NOT (d0.doc_id % 13 = 4 OR d0.doc_id % 17 = 6)
+                      AND d0.doc_id % 7 = 3 AS ufail
+             FROM d0 LEFT JOIN documents m ON m.doc_id = d0.src_id),
+      okc AS (SELECT doc_id, 'Hello' || chr(10) || body AS clean
+              FROM d1 WHERE NOT wfail AND NOT ufail),
+      oks AS (SELECT doc_id, clean, $scoreSql,
+                     md5(trim(regexp_replace(lower(clean), '\\s+', ' ', 'g')))
+                       AS content_hash
+              FROM okc),
+      canon AS (SELECT content_hash, min(doc_id) AS keep_id
+                FROM oks GROUP BY 1)
+      SELECT d1.doc_id,
+             CASE WHEN wfail THEN 'salvaged_none'
+                  WHEN ufail THEN 'invalid_utf8' ELSE 'ok' END AS stage,
+             CAST(CASE WHEN wfail OR ufail THEN -1
+                  ELSE length(body) + 6 END AS BIGINT) AS n_clean,
+             CASE WHEN wfail OR ufail THEN ''
+                  ELSE ${TextSql.langCase(l => s"s_$l")} END AS lang,
+             COALESCE(oks.content_hash, '') AS content_hash,
+             CAST(COALESCE(canon.keep_id, -1) AS BIGINT) AS keep_id,
+             COALESCE(canon.keep_id = d1.doc_id, FALSE) AS is_canonical
+      FROM d1 LEFT JOIN oks ON oks.doc_id = d1.doc_id
+              LEFT JOIN canon ON canon.content_hash = oks.content_hash
+      ORDER BY d1.doc_id"""
+  }
+
+  /** Shard CONSTRUCTION (fixture byte algebra, not funnel work): per doc
+    * a gzipped WARC shard — request + response members, single-STORED-
+    * block gzip framing — whose response body is a structurally-real
+    * HTML page around the text, MIRRORED for doc_id%10==9 (serves
+    * doc_id-9's content — how real crawls acquire duplicates), with
+    * transport damage (truncated member %13==4, bit-rot %17==6) and
+    * byte damage (overlong-'/' + stray continuation %7==3) planted.
+    * Returns (doc_id, blob): the bytes a crawler would hand the funnel.
+    */
+  private[graft] def crawlShard(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // mirror join: %10==9 serves doc_id-9's content under its own URI
+    val served = docs
+      .withColumn("src_id", when(col("doc_id") % 10 === 9,
+        col("doc_id") - 9).otherwise(col("doc_id")))
+      .join(docs.select(col("doc_id").as("m_id"), col("text").as("m_text")),
+        col("src_id") === col("m_id"), "left")
+      .select(col("doc_id"), col("m_text").as("body"))
+    val id = col("doc_id").cast("string")
+    val uri = concat(lit("http://ex.com/"), id)
+    val html = concat(
+      lit("<html><head><title>T"), id,
+      lit("</title><style>p{color:red}</style></head>"),
+      lit("<body><h1>Hello</h1>\n<p>"), col("body"),
+      lit("</p><script>var x=1;</script><!-- crawler note --></body></html>"))
+    // hex-level record builder so the utf8-damage mode can splice raw
+    // invalid bytes into the payload (string concat cannot carry them)
+    val ufail = col("doc_id") % 13 =!= 4 && col("doc_id") % 17 =!= 6 &&
+      col("doc_id") % 7 === 3
+    val payloadHex = when(ufail, concat(hex(html), lit("C0AF80")))
+      .otherwise(hex(html))
+    val payloadLen = when(ufail, length(html) + 3).otherwise(length(html))
+      .cast("long")
+    def headStr(tpe: String, plen: org.apache.spark.sql.Column) = concat(
+      lit(s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: "), uri,
+      lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+      plen.cast("string"), lit("\r\n\r\n"))
+    def memberOfHex(recHex: org.apache.spark.sql.Column,
+        recLen: org.apache.spark.sql.Column) =
+      concat(lit("1F8B0800"), lit("0000000000FF"),
+        lit("01"), storedLen16(recLen), le16h(lit(65535L) - recLen),
+        recHex, lit("0000000000000000"))
+    val req = concat(headStr("request", length(concat(lit("GET /"), id))),
+      lit("GET /"), id, lit("\r\n\r\n"))
+    val m1 = memberOfHex(hex(req), length(req).cast("long"))
+    val respHead = headStr("response", payloadLen)
+    val m2full = memberOfHex(
+      concat(hex(respHead), payloadHex, hex(lit("\r\n\r\n"))),
+      length(respHead).cast("long") + payloadLen + 4L)
+    val m2 = when(col("doc_id") % 13 === 4, substring(m2full, 1, 50))
+      .when(col("doc_id") % 17 === 6,
+        concat(lit("1E"), substring(m2full, 3, Int.MaxValue)))
+      .otherwise(m2full)
+    served.select(col("doc_id"), unhex(concat(m1, m2)).as("blob"))
+  }
+
+  /** The ROW-LOCAL funnel: member salvage → record salvage + payload
+    * extraction → UTF-8 gate → boilerplate strip → lang-ID → content
+    * hash. Every stage is a scan-stage expression over (doc_id, blob) —
+    * zero shuffle — which is exactly why the STREAMING deployment
+    * (p270) can run it per micro-batch with batch semantics and fold
+    * only the tiny (hash, min-id) election into state. Returns
+    * (doc_id, stage, n_clean, lang, content_hash). */
+  private[graft] def crawlFunnel(
+      shard: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.{Gzip, Utf8Walk, Warc}
+    import graft.ops.TextOps
+    val staged = shard
+      .withColumn("resp_arr", Warc.responses(Gzip.inflateMembers(col("blob"))))
+      .withColumn("resp", expr("try_element_at(resp_arr, 1)"))
+      .withColumn("u", Utf8Walk.walk(col("resp")))
+      .withColumn("stage",
+        when(col("resp").isNull, "salvaged_none")
+          .when(col("u.n_invalid") > 0 || col("u.truncated"), "invalid_utf8")
+          .otherwise("ok"))
+    // boilerplate strip (p85's chain), lang, dedup key — ok rows only
+    val pageStr = decode(col("resp"), "UTF-8")
+    val title = regexp_extract(pageStr, "<title>(.*?)</title>", 1)
+    val noBlocks = regexp_replace(regexp_replace(pageStr,
+      "<(script|style)>.*?</\\1>", ""), "<!--.*?-->", "")
+    val strippedAll = trim(regexp_replace(noBlocks, "<[^>]*>", ""))
+    val cleanCol = strippedAll.substr(length(title) + 1, length(strippedAll))
+    staged.withColumn("clean",
+        when(col("stage") === "ok", cleanCol))
+      .select(col("doc_id"), col("stage"),
+        when(col("stage") === "ok", length(col("clean")))
+          .otherwise(lit(-1)).cast("long").as("n_clean"),
+        when(col("stage") === "ok", TextOps.langId(col("clean")))
+          .otherwise(lit("")).as("lang"),
+        when(col("stage") === "ok", TextOps.contentHash(col("clean")))
+          .otherwise(lit("")).as("content_hash"))
+  }
 
   /** Structurally-real ISO-BMFF MP4 built in-query: ftyp, then moov
     * holding a 108-byte v0 mvhd (timescale = 600 + (doc_id%10)·100,

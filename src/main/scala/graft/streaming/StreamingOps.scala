@@ -934,6 +934,116 @@ object StreamingOps {
     state()
   }
 
+  /** STREAMING crawl ingest — p267's funnel in its production
+    * deployment shape: shard files (doc_id, blob) arrive per
+    * micro-batch; each batch runs the ROW-LOCAL funnel (member salvage
+    * → record salvage + payload extraction → UTF-8 gate → boilerplate
+    * strip → lang-ID → content hash) with batch semantics, appends its
+    * per-doc verdict rows to the result sink, and folds ONLY the tiny
+    * (content_hash → min doc_id) canonical election into a
+    * hash-bucketed VERSIONED state table — the p163 commit discipline:
+    * rewrite only the buckets the batch touched, flip per-bucket
+    * version pointers after the commit, GC superseded version dirs.
+    * A funnel verdict depends only on the shard bytes (row-local) and
+    * min is associative/commutative, so the final joined output equals
+    * the one-shot batch election REGARDLESS of batching or order — the
+    * shared p267 oracle (identical SQL text) is the batch≡stream hash
+    * proof, the p152/p163 pattern applied to the whole funnel.
+    *
+    * Scale: per-batch work is scan-stage (the funnel) plus one
+    * hash-keyed partial agg the size of the batch's distinct hashes;
+    * state is O(distinct content hashes) with commit volume
+    * O(batch + touched buckets) however much history accumulated. The
+    * 100-TB deployment runs exactly this loop with shards arriving
+    * from the crawler fleet.
+    */
+  def crawlIngest(spark: SparkSession, dir: String, workRoot: String,
+                  nFiles: Int = 3, nBuckets: Int = 32): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val docs = graft.queries.Tables.load(s, dir, "documents")
+    // shard CONSTRUCTION is fixture algebra (the bytes a crawler would
+    // deliver); pre-split so AvailableNow delivers several micro-batches
+    val srcDir = s"$workRoot/incoming"
+    graft.queries.MultimodalQ.crawlShard(docs)
+      .repartitionByRange(nFiles, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    def bkOf(c: Column): Column = pmod(crc32(c), lit(nBuckets.toLong))
+    @volatile var version = -1L
+    // per-bucket version pointers: bucket b's current content lives at
+    // state_w{bucketVer(b)}/bk={b}; pointers flip only after the write
+    val bucketVer = scala.collection.mutable.Map[Long, Long]()
+    def emptyState = {
+      import s.implicits._
+      Seq.empty[(String, Long)].toDF("content_hash", "kid")
+    }
+    def bucketsContent(buckets: Iterable[Long]): DataFrame = {
+      val paths = buckets.flatMap(b =>
+        bucketVer.get(b).map(v => s"$workRoot/state_w$v/bk=$b")).toSeq
+      if (paths.isEmpty) emptyState else s.read.parquet(paths: _*)
+    }
+    val rowsRoot = s"$workRoot/rows"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val enriched = graft.queries.MultimodalQ.crawlFunnel(batch)
+          .localCheckpoint()
+        enriched.write.mode("append").parquet(rowsRoot)
+        // the batch's partial election: one hash-keyed agg, batch-sized
+        val delta = enriched.where(col("stage") === "ok")
+          .groupBy(col("content_hash"))
+          .agg(min(col("doc_id")).as("d_kid"))
+          .withColumn("bk", bkOf(col("content_hash")))
+          .localCheckpoint()
+        val affected = delta.select(col("bk")).distinct()
+          .collect().map(_.getLong(0))
+        if (affected.nonEmpty) {
+          val v = version + 1
+          // rewrite ONLY the affected buckets: kept rows merge with the
+          // delta through least() — min is order-free, so any batching
+          // folds to the same state
+          val merged = bucketsContent(affected)
+            .select(col("content_hash"), col("kid"))
+            .join(delta.select(col("content_hash"), col("d_kid")),
+              Seq("content_hash"), "full_outer")
+            .select(col("content_hash"),
+              least(col("kid"), col("d_kid")).as("kid"))
+            .withColumn("bk", bkOf(col("content_hash")))
+          merged.repartition(1) // per-bucket deltas are small: one file
+            .write.partitionBy("bk").mode("overwrite")
+            .parquet(s"$workRoot/state_w$v")
+          // pointer flips only after the write committed
+          affected.foreach(b => bucketVer(b) = v)
+          version = v
+          // GC superseded version dirs (p163 discipline): on-disk state
+          // is bounded by the live bucket set, not history
+          val live = bucketVer.values.toSet
+          Option(new java.io.File(workRoot).listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .filter(f => f.isDirectory && f.getName.startsWith("state_w"))
+            .filter(f => f.getName.stripPrefix("state_w").toLongOption
+              .exists(w => !live.contains(w)))
+            .foreach(deleteRec)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // final view: verdict rows joined with the FINAL election state
+    val rows = s.read.parquet(rowsRoot)
+    val finalState = bucketsContent(bucketVer.keys.toSeq)
+      .select(col("content_hash"), col("kid"))
+    rows.join(finalState, Seq("content_hash"), "left")
+      .select(col("doc_id"), col("stage"), col("n_clean"), col("lang"),
+        col("content_hash"),
+        coalesce(col("kid"), lit(-1L)).as("keep_id"),
+        coalesce(col("kid") === col("doc_id"), lit(false)).as("is_canonical"))
+  }
+
   /** STREAMING bitmap-index maintenance — p166's (event_type, word)
     * bitmap table as foreachBatch state. Each micro-batch ORs its
     * (user, day)-bit deltas into the versioned state; `bit_or` is

@@ -177,7 +177,13 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // p269 (r17): .warc.zst extraction — build/decode/extract/digest are
     // all scan-stage (the REAL zstd decode is an expression); only the
     // output sort shuffles, one row per doc like p266
-    ("p269_zst_warc_extract", 3L, 1400L, DocLinear))
+    ("p269_zst_warc_extract", 3L, 1400L, DocLinear),
+    // p270 (r17): streaming crawl ingest — interior micro-batch jobs
+    // (funnel + election fold + state rewrites) all captured; volume is
+    // per-doc rows through the funnel and election, DocLinear like
+    // p267. Measured 17 exchanges / 4,447 records (×2 corpus: 1.85×);
+    // ×1.4 headroom: 17×1.4≈24, 4447×1.4≈6200
+    ("p270_stream_crawl_ingest", 24L, 6200L, DocLinear))
 
   private lazy val doubledDir = GuardFixtures.doubledDir(spark, sfDir)
 

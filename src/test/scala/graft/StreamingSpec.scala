@@ -876,4 +876,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(versions >= 3, s"expected one micro-batch per slice file, " +
       s"got $versions state versions")
   }
+
+  test("p270 streaming crawl ingest: a duplicate whose copies land in " +
+      "DIFFERENT micro-batches still elects the one canonical through " +
+      "the versioned (hash → min-id) state; stream output ≡ the batch " +
+      "p267 funnel on the same fixture; damage lanes exit in-batch") {
+    import spark.implicits._
+    // ids chosen so the 3-way range split separates the duplicate pair
+    // (5, 400): batch 1 sees 5 first, batch 3 must route 400 through the
+    // state entry batch 1 wrote. Lanes: 4 → %13 truncation, 6 → %17
+    // bit-rot, 3 → %7 utf8 damage, 9 → mirror (serves doc 0's content,
+    // same-hash group {0, 9}).
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = s"${sys.props("java.io.tmpdir")}/p270fix_${queries.runToken}"
+    queries.cleanupAtExit(dir)
+    Seq(
+      (0L, "mirror source text that doc nine will serve verbatim"),
+      (1L, "plain unique document number one"),
+      (2L, "plain unique document number two"),
+      (3L, "utf8 damage lane document"),
+      (4L, "truncated member lane document"),
+      (5L, t1),
+      (6L, "bit rot lane document"),
+      (9L, "OVERWRITTEN BY MIRROR — never surfaces"),
+      (400L, t1),
+      (401L, "plain unique document at the far range")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val root = dir + "/work"
+    val got = graft.streaming.StreamingOps.crawlIngest(spark, dir, root)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("stage"),
+        r.getAs[String]("lang"), r.getAs[Long]("keep_id"),
+        r.getAs[Boolean]("is_canonical"))).toSet
+    // cross-batch duplicate: 400 must resolve to 5's election
+    assert(got.exists { case (id, st, _, keep, canon) =>
+      id == 5L && st == "ok" && keep == 5L && canon })
+    assert(got.exists { case (id, st, _, keep, canon) =>
+      id == 400L && st == "ok" && keep == 5L && !canon })
+    // mirror pair {0, 9}: 0 canonical, 9 the detected duplicate
+    assert(got.exists { case (id, _, _, keep, canon) =>
+      id == 0L && keep == 0L && canon })
+    assert(got.exists { case (id, _, _, keep, canon) =>
+      id == 9L && keep == 0L && !canon })
+    // damage lanes exit with sentinels
+    assert(got.exists { case (id, st, _, keep, _) =>
+      id == 4L && st == "salvaged_none" && keep == -1L })
+    assert(got.exists { case (id, st, _, keep, _) =>
+      id == 6L && st == "salvaged_none" && keep == -1L })
+    assert(got.exists { case (id, st, _, keep, _) =>
+      id == 3L && st == "invalid_utf8" && keep == -1L })
+    // stream output ≡ the BATCH funnel on the same fixture, row for row
+    val batch = SparkEntry.queries("p267_crawl_ingest")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("stage"),
+        r.getAs[String]("lang"), r.getAs[Long]("keep_id"),
+        r.getAs[Boolean]("is_canonical"))).toSet
+    assert(got == batch, s"stream/batch divergence:\n got=$got\n batch=$batch")
+    // the fold really spanned multiple state-committing micro-batches
+    // (versions are 0-based; superseded dirs are GC'd, read the max)
+    val maxVer = new java.io.File(root).list()
+      .filter(_.startsWith("state_w"))
+      .map(_.stripPrefix("state_w").toInt).max
+    assert(maxVer >= 1, s"expected a multi-batch fold, max version $maxVer")
+  }
 }
