@@ -698,6 +698,14 @@ object StreamingOps {
     *        would let a stray variable silently change a graded entry's
     *        behavior.
     */
+  /** Per-batch timing breakdown recorded by [[incrementalCcIngest]] for
+    * the P163CommitProbe's floor attribution: (batchId, compute seconds
+    * = state read + probe join + CC fixpoint + delta build, commit
+    * seconds = bucket write + pointer flip, gc seconds = superseded-dir
+    * deletion). Probe-only observability — cleared by the reader. */
+  val p163BatchTimings =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Double, Double)]()
+
   def incrementalCcIngest(spark: SparkSession, dir: String,
                           workRoot: String, nFiles: Int = 3,
                           bucketWidth: Long = 512L): DataFrame = {
@@ -760,6 +768,8 @@ object StreamingOps {
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tBatch0 = System.nanoTime()
+        var tWrite0 = 0L; var tGc0 = 0L; var tGc1 = 0L
         val (remap, inassign) = state()
         val edges = DedupOps.incrementalPairsPreBanded(corpusIdx, batch,
             "doc_id", "text", maxHamming = 3)
@@ -816,6 +826,7 @@ object StreamingOps {
             .join(delta.select(col("kind"), col("id")), Seq("kind", "id"),
               "left_anti")
             .withColumn("bk", bkOf(col("id")))
+          tWrite0 = System.nanoTime()
           kept.unionByName(delta)
             .repartition(1) // per-bucket deltas are small: one file each
             .write.partitionBy("bk").mode("overwrite")
@@ -829,13 +840,19 @@ object StreamingOps {
           // of history (crash-safety unchanged: the referenced versions
           // are never touched, and the flip happened after the commit)
           val live = bucketVer.values.toSet
+          tGc0 = System.nanoTime()
           Option(new java.io.File(workRoot).listFiles())
             .getOrElse(Array.empty[java.io.File])
             .filter(f => f.isDirectory && f.getName.startsWith("state_w"))
             .filter(f => f.getName.stripPrefix("state_w").toLongOption
               .exists(w => !live.contains(w)))
             .foreach(deleteRec)
+          tGc1 = System.nanoTime()
         }
+        p163BatchTimings.add((batchId,
+          ((if (tWrite0 > 0) tWrite0 else System.nanoTime()) - tBatch0) / 1e9,
+          if (tWrite0 > 0) (tGc0 - tWrite0) / 1e9 else 0.0,
+          if (tGc0 > 0) (tGc1 - tGc0) / 1e9 else 0.0))
         ()
       }
       .trigger(Trigger.AvailableNow())

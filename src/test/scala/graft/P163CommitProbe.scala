@@ -26,12 +26,24 @@ object P163CommitProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val root = s"${sys.props("java.io.tmpdir")}/p163probe_${System.nanoTime()}"
+    graft.streaming.StreamingOps.p163BatchTimings.clear()
     val t0 = System.nanoTime()
     val out = graft.streaming.StreamingOps
       .incrementalCcIngest(spark, sfDir, root, nFiles, width)
     val n = out.count()
     val total = (System.nanoTime() - t0) / 1e9
     println(f"sf=$sfDir nFiles=$nFiles width=$width outRows=$n total=$total%.1fs")
+    // r17 floor attribution: compute (state read + probe join + CC +
+    // delta) vs commit (bucket write + flip) vs GC (superseded-dir
+    // deletion), per micro-batch — answers whether the synchronous GC
+    // on the commit path is worth deferring
+    var cSum = 0.0; var wSum = 0.0; var gSum = 0.0
+    graft.streaming.StreamingOps.p163BatchTimings.forEach { t =>
+      println(f"  batch ${t._1}: compute=${t._2}%.2fs commit=${t._3}%.2fs gc=${t._4}%.3fs")
+      cSum += t._2; wSum += t._3; gSum += t._4
+    }
+    println(f"  totals: compute=$cSum%.2fs commit=$wSum%.2fs gc=$gSum%.3fs " +
+      f"(gc share of batch work: ${100 * gSum / math.max(cSum + wSum + gSum, 1e-9)}%.1f%%)")
     // r16: superseded state_w versions are GC'd after each pointer flip,
     // so the surviving dirs are exactly the LIVE version set (on-disk
     // state bounded by the bucket map, not batches × touched history) —
