@@ -51,23 +51,29 @@ object EchoWasm {
     id.toByte +: (uleb(body.length.toLong) ++ body)
   private def b(xs: Int*): Seq[Byte] = xs.map(_.toByte)
 
+  /** Static error message for the rev guest's shape guard, planted as a
+    * data segment below the heap base. */
+  private val MsgBytes = "rev: unexpected batch shape".getBytes("UTF-8")
+  private val MsgOff = 8L
+
   /** The assembled module. */
   lazy val bytes: Array[Byte] = {
     // types: 0 = (i32)->i32 (allocate), 1 = (i32,i32)->i32 (udf)
     val typeSec = section(1, b(0x02,
       0x60, 0x01, 0x7F, 0x01, 0x7F,
       0x60, 0x02, 0x7F, 0x7F, 0x01, 0x7F))
-    val funcSec = section(3, b(0x02, 0x00, 0x01))
+    val funcSec = section(3, b(0x03, 0x00, 0x01, 0x01))
     val memSec = section(5, b(0x01, 0x00, 0x01)) // min 1 page
-    // global 0: mutable i32 heap pointer, init 8 (0 stays unused so a
-    // returned pointer is never falsy)
-    val globalSec = section(6, b(0x01, 0x7F, 0x01, 0x41) ++ sleb(8) ++ b(0x0B))
+    // global 0: mutable i32 heap pointer, init 40 (0 stays unused so a
+    // returned pointer is never falsy; 8..39 hold the rev error message)
+    val globalSec = section(6, b(0x01, 0x7F, 0x01, 0x41) ++ sleb(40) ++ b(0x0B))
     def export(name: String, idx: Int): Seq[Byte] = {
       val nb = name.getBytes("UTF-8")
       uleb(nb.length.toLong) ++ nb.toSeq ++ b(0x00) ++ uleb(idx.toLong)
     }
     val exportSec = section(7,
-      b(0x02) ++ export("allocate", 0) ++ export("__wasm_udf_echo", 1))
+      b(0x03) ++ export("allocate", 0) ++ export("__wasm_udf_echo", 1) ++
+        export("__wasm_udf_rev", 2))
 
     // allocate(len): bump + align-8, grow memory if the new heap top
     // passes the current page count (br_if-guarded — LLVM-style, no if)
@@ -100,6 +106,119 @@ object EchoWasm {
           0x20, 0x01,        // local.get ret
           0x0B)              // end
 
+    // __wasm_udf_rev(pairs_ptr, n): the TRANSFORMING guest (r17) — the
+    // reference recipe (wasm_function/src/lib.rs:26-53) applied to
+    // strings: parse the input Arrow IPC batch, COMPUTE over the string
+    // bytes (per-row byte reversal), and WRITE A FRESH output batch —
+    // closing the "guest constructs non-f64 output through real
+    // bytecode" gap (the echo guest's record points at host-written
+    // bytes; this one allocates and writes every output byte itself).
+    //
+    // The guest speaks the real Arrow IPC stream framing (encapsulated
+    // messages: [0xFFFFFFFF][metaLen:i32][metadata][aligned body]) and
+    // reads the record-batch flatbuffer at the FIXED offsets the
+    // single-utf8-column schema produces (row count at meta+64,
+    // offsets-buffer meta at +96/+104, data-buffer meta at +112/+120 —
+    // reverse-engineered from the wire and guarded: the flatbuffer root
+    // offset at meta+0 must be 0x14 and the buffer count at meta+76
+    // must be 3, else the guest returns a bindgen Err like the
+    // reference's shape-specific guests fail on wrong arity). Byte
+    // reversal preserves lengths, so validity/offsets copy verbatim
+    // into the fresh batch and only the data region is rewritten
+    // row-reversed. EchoWasmSpec pins byte-exactness across row counts
+    // (incl. 8192, empty strings, nulls) against a host-side reverse.
+    val rev: Seq[Byte] = {
+      val out = Seq.newBuilder[Byte]
+      def e(xs: Seq[Byte]): Unit = out ++= xs
+      def lg(i: Int) = e(b(0x20, i)); def ls(i: Int) = e(b(0x21, i))
+      def ci(v: Long) = e(b(0x41) ++ sleb(v))
+      def ld(off: Int) = e(b(0x28, 0x00) ++ uleb(off.toLong))  // i32.load
+      def ld8(off: Int) = e(b(0x2D, 0x00) ++ uleb(off.toLong)) // i32.load8_u
+      def st(off: Int) = e(b(0x36, 0x00) ++ uleb(off.toLong))  // i32.store
+      def st8(off: Int) = e(b(0x3A, 0x00) ++ uleb(off.toLong)) // i32.store8
+      def op(o: Int) = e(b(o))
+      // locals (i32): 2 inp, 3 inl, 4 out, 5 meta/p, 6 bodyIn, 7 n,
+      // 8 i, 9 a/scratch, 10 bswap, 11 tmp/bodyOut, 12 offs, 13 data, 14 j
+      // error path: return flag-1 record pointing at the static message
+      def errRet(): Unit = {
+        ci(13); op(0x10); e(uleb(0)); ls(9)       // rp = allocate(13)
+        lg(9); ci(1); st8(0)                      // flag 1
+        lg(9); ci(MsgOff); st(1)                  // ptr (unaligned store)
+        lg(9); ci(MsgBytes.length.toLong); st(5)  // len
+        lg(9); op(0x0F)                           // return rp
+      }
+      def check(expected: Long, loadIt: () => Unit): Unit = {
+        e(b(0x02, 0x40))   // block
+        loadIt(); ci(expected); op(0x46)          // i32.eq
+        e(b(0x0D, 0x00))   // br_if 0 → ok
+        errRet()
+        e(b(0x0B))         // end
+      }
+      lg(0); ld(0); ls(2)                         // inp
+      lg(0); ld(4); ls(3)                         // inl
+      check(-1L, () => { lg(2); ld(0) })          // stream magic
+      lg(2); ld(4); lg(2); op(0x6A); ci(8); op(0x6A); ls(5) // p = msg1
+      check(-1L, () => { lg(5); ld(0) })          // msg1 magic
+      lg(5); ld(4); lg(5); op(0x6A); ci(8); op(0x6A); ls(6) // bodyIn
+      lg(5); ci(8); op(0x6A); ls(5)               // meta
+      check(0x14L, () => { lg(5); ld(0) })        // flatbuffer root offset
+      check(3L, () => { lg(5); ld(76) })          // exactly 3 buffers
+      lg(5); ld(64); ls(7)                        // n rows
+      lg(3); op(0x10); e(uleb(0)); ls(4)          // out = allocate(inl)
+      // fresh copy, 8-byte chunks then byte tail
+      ci(0); ls(14)
+      e(b(0x02, 0x40, 0x03, 0x40))                // block loop
+      lg(14); ci(8); op(0x6A); lg(3); op(0x4B)    // j+8 > inl (gt_u)
+      e(b(0x0D, 0x01))                            // br_if exit
+      lg(4); lg(14); op(0x6A)
+      lg(2); lg(14); op(0x6A); e(b(0x29, 0x00, 0x00)) // i64.load
+      e(b(0x37, 0x00, 0x00))                      // i64.store
+      lg(14); ci(8); op(0x6A); ls(14)
+      e(b(0x0C, 0x00, 0x0B, 0x0B))                // br loop; end; end
+      e(b(0x02, 0x40, 0x03, 0x40))
+      lg(14); lg(3); op(0x4F)                     // j >= inl (ge_u)
+      e(b(0x0D, 0x01))
+      lg(4); lg(14); op(0x6A)
+      lg(2); lg(14); op(0x6A); ld8(0); st8(0)
+      lg(14); ci(1); op(0x6A); ls(14)
+      e(b(0x0C, 0x00, 0x0B, 0x0B))
+      // bodyOut, offsets array, data region (all in the fresh copy)
+      lg(4); lg(6); op(0x6A); lg(2); op(0x6B); ls(11)
+      lg(11); lg(5); ld(96); op(0x6A); ls(12)
+      lg(11); lg(5); ld(112); op(0x6A); ls(13)
+      // per-row reversal
+      ci(0); ls(8)
+      e(b(0x02, 0x40, 0x03, 0x40))
+      lg(8); lg(7); op(0x4E)                      // i >= n (ge_s)
+      e(b(0x0D, 0x01))
+      lg(13); lg(12); lg(8); ci(2); op(0x74); op(0x6A); ld(0); op(0x6A); ls(9)
+      lg(13); lg(12); lg(8); ci(2); op(0x74); op(0x6A); ld(4); op(0x6A)
+      ci(1); op(0x6B); ls(10)
+      e(b(0x02, 0x40, 0x03, 0x40))                // swap loop
+      lg(9); lg(10); op(0x4F)                     // a >= b
+      e(b(0x0D, 0x01))
+      lg(9); ld8(0); ls(11)                       // tmp = *a
+      lg(9); lg(10); ld8(0); st8(0)               // *a = *b
+      lg(10); lg(11); st8(0)                      // *b = tmp
+      lg(9); ci(1); op(0x6A); ls(9)
+      lg(10); ci(1); op(0x6B); ls(10)
+      e(b(0x0C, 0x00, 0x0B, 0x0B))
+      lg(8); ci(1); op(0x6A); ls(8)
+      e(b(0x0C, 0x00, 0x0B, 0x0B))
+      // result record: fresh batch as the single u8-array
+      ci(12); op(0x10); e(uleb(0)); ls(9)
+      lg(9); lg(4); st(0)
+      lg(9); ci(21); st(4)
+      lg(9); lg(3); st(8)
+      ci(13); op(0x10); e(uleb(0)); ls(10)
+      lg(10); ci(0); st8(0)
+      lg(10); lg(9); st(1)
+      lg(10); ci(1); st(5)
+      lg(10)
+      e(b(0x0B))                                  // end
+      b(0x01, 0x0D, 0x7F) ++ out.result()         // 13 i32 locals
+    }
+
     // __wasm_udf_echo(pairs_ptr, n): read the (ptr,len) of param 0 and
     // return it as the single u8-array record — the identity batch
     val echo: Seq[Byte] =
@@ -117,10 +236,16 @@ object EchoWasm {
           0x20, 0x05,                               // return rp
           0x0B)
     def body(code: Seq[Byte]): Seq[Byte] = uleb(code.length.toLong) ++ code
-    val codeSec = section(10, b(0x02) ++ body(allocate) ++ body(echo))
+    val codeSec = section(10,
+      b(0x03) ++ body(allocate) ++ body(echo) ++ body(rev))
+    // data segment: the rev shape-guard message at a fixed offset below
+    // the heap base
+    val dataSec = section(11, b(0x01, 0x00, 0x41) ++ sleb(MsgOff) ++
+      b(0x0B) ++ uleb(MsgBytes.length.toLong) ++ MsgBytes.toSeq)
 
     (Seq[Byte](0, 'a', 's', 'm', 1, 0, 0, 0) ++
-      typeSec ++ funcSec ++ memSec ++ globalSec ++ exportSec ++ codeSec).toArray
+      typeSec ++ funcSec ++ memSec ++ globalSec ++ exportSec ++ codeSec ++
+      dataSec).toArray
   }
 
   /** Path of the artifact on local disk, written once per JVM. */

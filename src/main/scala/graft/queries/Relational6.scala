@@ -266,6 +266,32 @@ object Relational6 {
         SELECT doc_id, echoed, CAST(length(echoed) AS BIGINT) AS n
         FROM (SELECT doc_id, graft_q64_echo(text) AS echoed FROM documents)
         ORDER BY doc_id""")
+    },
+
+    // ---- real-WASM guest COMPUTATION over strings: fresh output batch ------
+    // q64's echo returns a record pointing at the host-written input
+    // bytes; this entry closes the remaining depth gap (r16 verdict):
+    // the guest COMPUTES over the string bytes and CONSTRUCTS a fresh
+    // non-f64 output batch through real bytecode — EchoWasm's `rev`
+    // walks the Arrow IPC stream framing inside the guest, allocates a
+    // new batch, and writes every output byte itself (per-row byte
+    // reversal — the reference recipe wasm_function/src/lib.rs:26-53
+    // applied to strings). The fixture is pure ASCII, so byte reversal
+    // equals DuckDB's reverse(): the hash match proves the guest-side
+    // IPC parse + fresh-batch construction byte-exact end to end.
+    Q("q65_wasm_rev", Some("""
+      SELECT doc_id, reverse(text) AS rev, CAST(length(text) AS BIGINT) AS n
+      FROM documents ORDER BY doc_id""")) { (spark, dir) =>
+      graft.ddl.CreateEngineFunctionCommand(
+        "graft_q65_rev",
+        Seq(org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StringType,
+        "WASM", s"${graft.functions.EchoWasm.path}!rev",
+        orReplace = true).run(spark)
+      registered(spark, dir).sql("""
+        SELECT doc_id, rev, CAST(length(rev) AS BIGINT) AS n
+        FROM (SELECT doc_id, graft_q65_rev(text) AS rev FROM documents)
+        ORDER BY doc_id""")
     }
   )
 }

@@ -14,9 +14,9 @@ import graft.functions.{ArrowBatchCodec, EchoWasm, WasmModule, WasmRuntime}
   */
 class EchoWasmSpec extends AnyFunSuite {
 
-  test("artifact decodes: MVP surface, two exports, one mutable global") {
+  test("artifact decodes: MVP surface, three exports, one mutable global") {
     val m = WasmModule.parse(EchoWasm.bytes)
-    assert(m.udfExports === Seq("echo"))
+    assert(m.udfExports.toSet === Set("echo", "rev"))
     assert(m.exportedFunc("allocate") === 0)
   }
 
@@ -48,5 +48,49 @@ class EchoWasmSpec extends AnyFunSuite {
     assert(big.length > 5 * 65536, "payload must span multiple pages")
     val reply = WasmRuntime.invokeBindgen(EchoWasm.path, "echo", big)
     assert(java.util.Arrays.equals(big, reply))
+  }
+
+  // ---- r17: the TRANSFORMING guest — computes and writes a FRESH batch ----
+
+  test("rev guest COMPUTES over string bytes and constructs a fresh " +
+    "output batch through real bytecode: per-row byte reversal, " +
+    "byte-exact vs the host-side reverse (incl. empty strings and a " +
+    "null row); the output bytes are NOT the input bytes") {
+    val vals: Array[Any] = Array("hello", "x", "", null, "world!!", "ab")
+    val payload = ArrowBatchCodec.encode(IndexedSeq(vals), vals.length)
+    val reply = WasmRuntime.invokeBindgen(EchoWasm.path, "rev", payload)
+    assert(!java.util.Arrays.equals(payload, reply),
+      "a transforming guest must not return the input bytes")
+    val (cols, n) = ArrowBatchCodec.decode(reply)
+    assert(n === vals.length)
+    assert(cols(0).toSeq === Seq("olleh", "x", "", null, "!!dlrow", "ba"))
+  }
+
+  test("rev at batch scale: 8192 rows reverse byte-exact; the guest's " +
+    "IPC walk holds at the engine's real batch size") {
+    val big: Array[Any] =
+      Array.tabulate(8192)(i => ("row" + i) * (1 + i % 5): Any)
+    val payload = ArrowBatchCodec.encode(IndexedSeq(big), 8192)
+    val reply = WasmRuntime.invokeBindgen(EchoWasm.path, "rev", payload)
+    val (cols, n) = ArrowBatchCodec.decode(reply)
+    assert(n === 8192)
+    cols(0).zip(big).zipWithIndex.foreach { case ((g, o), i) =>
+      assert(g == o.asInstanceOf[String].reverse, s"row $i")
+    }
+  }
+
+  test("rev shape guard: a payload that is not the single-utf8-column " +
+    "IPC shape returns the guest's bindgen Err (the reference's " +
+    "shape-specific-guest failure mode), never garbage") {
+    val e = intercept[graft.functions.FunctionError] {
+      WasmRuntime.invokeBindgen(EchoWasm.path, "rev", "garbage".getBytes)
+    }
+    assert(e.msg === "rev: unexpected batch shape")
+    // a DOUBLE batch is the wrong shape too: schema metadata differs,
+    // the fixed-offset guards must catch it
+    val dbl = ArrowBatchCodec.encode(IndexedSeq(Array[Any](1.0, 2.0)), 2)
+    intercept[graft.functions.FunctionError] {
+      WasmRuntime.invokeBindgen(EchoWasm.path, "rev", dbl)
+    }
   }
 }
