@@ -162,17 +162,22 @@ object WasmRuntime {
     (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
     ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
 
-  /** Where the reference checkout keeps its prebuilt guest artifact. */
+  /** Where the reference checkout keeps its prebuilt guest artifact —
+    * a PROBE location, not a dependency: absent it, [[powLocator]]
+    * serves the vendored from-scratch artifact. */
   val ReferencePowArtifact = "/root/reference/wasm_function.wasm"
 
   /** Locator for a pow(a,b) UDF: the reference's real `.wasm` artifact
-    * when that checkout is present, else the in-JVM builtin module — the
-    * same pow semantics either way, so callers (q63, WasaffiParity) stay
-    * runnable on machines without the reference checkout instead of
-    * erroring on a hard-coded absolute path. */
+    * when that checkout is present (its musl-libm pow is the bit-exact
+    * contract WasmRuntimeSpec's lattice pins), else the VENDORED
+    * from-scratch [[PowWasm]] artifact — still real WASM bytecode, C99
+    * specials exact and integer exponents exact (every q63 oracle
+    * input), ~1e-13 relative on the transcendental path — so q63 and
+    * WasaffiParity run genuine guest bytecode on ANY machine with no
+    * environment coupling. */
   def powLocator: String =
     if (new java.io.File(ReferencePowArtifact).isFile) s"$ReferencePowArtifact!f1"
-    else "builtin!pow"
+    else s"${PowWasm.path}!f1"
 }
 
 /** A `FunctionModule` backed by a real `.wasm` artifact: `CREATE FUNCTION
