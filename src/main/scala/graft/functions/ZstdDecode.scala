@@ -265,7 +265,28 @@ object ZstdDecode {
       val shifted = if (shift >= 0) v >>> shift else v << -shift
       shifted & ((1L << n) - 1)
     }
-    def read(n: Int): Long = { val v = peekL(n); pos -= n; v }
+    // rolling 64-bit container over the tail of the read window: the
+    // sequence loop makes up to 6 reads per sequence, so reassembling
+    // bytes per read dominates — refill amortizes it to one shift+mask
+    private var cache = 0L
+    private var cacheLow = Int.MaxValue
+    private def refill(): Unit = {
+      val hiByte = (pos - 1) >> 3
+      val loByte = math.max(0, hiByte - 7)
+      var bi = hiByte
+      var v = 0L
+      while (bi >= loByte) { v = (v << 8) | (b(start + bi) & 0xFFL); bi -= 1 }
+      cache = v
+      cacheLow = loByte << 3
+    }
+    def read(n: Int): Long = {
+      if (pos - n >= 0) {
+        if (pos - n < cacheLow) refill()
+        val v = (cache >>> (pos - n - cacheLow)) & ((1L << n) - 1)
+        pos -= n
+        v
+      } else { val v = peekL(n); pos -= n; v }
+    }
     def peek(n: Int): Int = peekL(n).toInt
   }
 
@@ -429,7 +450,12 @@ object ZstdDecode {
   // Huffman (§4.2): max 11-bit codes, canonical by weight
   // ---------------------------------------------------------------------
   private final class HufTable(val maxBits: Int, val symbol: Array[Int],
-                               val length: Array[Int])
+                               val length: Array[Int]) {
+    /** Packed (symbol << 8 | nbBits) per cell: ONE lookup in the hot
+      * literal loop instead of two. */
+    val packed: Array[Int] = Array.tabulate(symbol.length)(i =>
+      (symbol(i) << 8) | length(i))
+  }
 
   private def buildHuf(weights: Array[Int]): HufTable = {
     var total = 0L
@@ -528,8 +554,7 @@ object ZstdDecode {
     val bs = new BackBits(b, start, end)
     val maxBits = huf.maxBits
     val mask = (1 << maxBits) - 1
-    val sym = huf.symbol
-    val len = huf.length
+    val packed = huf.packed
     var pos = bs.pos
     var cache = 0L
     var cacheLow = Int.MaxValue // bit index of cache's LSB; invalid until refill
@@ -546,16 +571,16 @@ object ZstdDecode {
           cache = v
           cacheLow = loByte << 3
         }
-        val idx = ((cache >>> (pos - maxBits - cacheLow)) & mask).toInt
-        dst(dstOff + i) = sym(idx).toByte
-        pos -= len(idx)
+        val e = packed(((cache >>> (pos - maxBits - cacheLow)) & mask).toInt)
+        dst(dstOff + i) = (e >> 8).toByte
+        pos -= e & 0xFF
       } else {
         // stream tail: zero-padded peek via the generic reader
         if (pos <= -maxBits) fail() // ran past with output missing
         bs.pos = pos
-        val idx = bs.peek(maxBits)
-        dst(dstOff + i) = sym(idx).toByte
-        pos -= len(idx)
+        val e = packed(bs.peek(maxBits))
+        dst(dstOff + i) = (e >> 8).toByte
+        pos -= e & 0xFF
       }
       i += 1
     }
