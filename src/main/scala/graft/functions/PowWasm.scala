@@ -96,6 +96,15 @@ object PowWasm {
   private lazy val template: Array[Byte] = {
     val enc = ArrowBatchCodec.encode(
       IndexedSeq(Array[Any](9.0, 16.0, 25.0)), 3)
+    def le32(p: Int): Int = (enc(p) & 0xFF) | ((enc(p + 1) & 0xFF) << 8) |
+      ((enc(p + 2) & 0xFF) << 16) | ((enc(p + 3) & 0xFF) << 24)
+    // the guest patches FIXED offsets inside this prefix — fail LOUDLY
+    // at assembly if a different Arrow writer ever changes the layout,
+    // instead of emitting silently-corrupt replies
+    require(enc.length == 336 && le32(0) == -1 && le32(4) == 144 &&
+      le32(152) == -1 && le32(156) == 136,
+      s"Arrow writer layout changed (len=${enc.length}): PowWasm's " +
+        "reply template offsets no longer hold")
     java.util.Arrays.copyOf(enc, 296)
   }
   private val TemplateOff = 64

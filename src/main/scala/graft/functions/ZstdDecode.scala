@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{BinaryType, DataType, NullType}
   *  - frames: header/window/FCS parse (shared shape with [[Zstd]]'s
   *    walk), raw/RLE/compressed blocks, entropy-state persistence
   *    across blocks (treeless literals, repeat FSE modes, offset
-  *    history), checksum step-over.
+  *    history), content-checksum VERIFICATION (from-scratch XXH64).
   *
   * Same engine posture as [[Gzip]]: NULL (never throw) on anything
   * malformed, a [[maxBytes]] output cap turning decompression bombs
@@ -41,8 +41,11 @@ import org.apache.spark.sql.types.{BinaryType, DataType, NullType}
   * Dictionaries are NOT supported (a nonzero Dictionary_ID fails the
   * frame): crawl shards are self-contained by construction, and
   * dictionary frames in the wild travel as skippable frames we step
-  * over. Content checksums are stepped, not verified (the [[Gzip]]
-  * trailer posture: bytes already decoded are still data).
+  * over. Content checksums are VERIFIED with a from-scratch XXH64
+  * (unlike the gzip trailer, which mid-crawl truncation routinely
+  * cuts: a declared zstd checksum follows a COMPLETE frame, so a
+  * mismatch means corrupted-but-decodable content — the exact thing a
+  * checksum exists to catch).
   */
 object ZstdDecode {
 
@@ -220,9 +223,72 @@ object ZstdDecode {
     if (fcs >= 0 && (out.len - frameStart).toLong != fcs) fail()
     if (checksum) {
       if (i + 4 > b.length) fail()
-      i += 4 // stepped, not verified (Gzip trailer posture)
+      // VERIFIED (r17), unlike the gzip trailer: a declared checksum
+      // sits after the last block of a frame that fully decoded, so a
+      // mismatch means corrupted-but-decodable content — exactly what a
+      // checksum exists to catch. RFC 8878 §3.1.1: low 32 bits of
+      // XXH64(content, seed 0).
+      val want = le32(b, i)
+      val got = (xxh64(out.buf, frameStart, out.len - frameStart) & 0xFFFFFFFFL).toInt
+      if (got != want) fail()
+      i += 4
     }
     i
+  }
+
+  // ---------------------------------------------------------------------
+  // XXH64 (the public xxHash spec, seed 0) — for content checksums
+  // ---------------------------------------------------------------------
+  private final val XP1 = 0x9E3779B185EBCA87L
+  private final val XP2 = 0xC2B2AE3D27D4EB4FL
+  private final val XP3 = 0x165667B19E3779F9L
+  private final val XP4 = 0x85EBCA77C2B2AE63L
+  private final val XP5 = 0x27D4EB2F165667C5L
+
+  @inline private def le64(b: Array[Byte], p: Int): Long = {
+    var v = 0L; var k = 0
+    while (k < 8) { v |= (b(p + k) & 0xFFL) << (8 * k); k += 1 }
+    v
+  }
+  @inline private def xround(acc: Long, input: Long): Long =
+    java.lang.Long.rotateLeft(acc + input * XP2, 31) * XP1
+
+  private[functions] def xxh64(buf: Array[Byte], off: Int, len: Int): Long = {
+    val end = off + len
+    var i = off
+    var h = 0L
+    if (len >= 32) {
+      var v1 = XP1 + XP2; var v2 = XP2; var v3 = 0L; var v4 = -XP1
+      while (i + 32 <= end) {
+        v1 = xround(v1, le64(buf, i))
+        v2 = xround(v2, le64(buf, i + 8))
+        v3 = xround(v3, le64(buf, i + 16))
+        v4 = xround(v4, le64(buf, i + 24))
+        i += 32
+      }
+      h = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+        java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+      h = (h ^ xround(0L, v1)) * XP1 + XP4
+      h = (h ^ xround(0L, v2)) * XP1 + XP4
+      h = (h ^ xround(0L, v3)) * XP1 + XP4
+      h = (h ^ xround(0L, v4)) * XP1 + XP4
+    } else h = XP5
+    h += len
+    while (i + 8 <= end) {
+      h = java.lang.Long.rotateLeft(h ^ xround(0L, le64(buf, i)), 27) * XP1 + XP4
+      i += 8
+    }
+    if (i + 4 <= end) {
+      h = java.lang.Long.rotateLeft(h ^ (le32(buf, i).toLong & 0xFFFFFFFFL) * XP1,
+        23) * XP2 + XP3
+      i += 4
+    }
+    while (i < end) {
+      h = java.lang.Long.rotateLeft(h ^ (buf(i) & 0xFFL) * XP5, 11) * XP1
+      i += 1
+    }
+    h ^= h >>> 33; h *= XP2; h ^= h >>> 29; h *= XP3; h ^= h >>> 32
+    h
   }
 
   /** Entropy state that persists across blocks WITHIN one frame. */

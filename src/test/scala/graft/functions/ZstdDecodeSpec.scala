@@ -56,13 +56,22 @@ class ZstdDecodeSpec extends AnyFunSuite {
     for (lvl <- Seq(1, 3, 12)) roundTrip(big, lvl)
   }
 
-  test("frame features: checksum frames decode (checksum stepped, not " +
-    "verified — the Gzip trailer posture), the streaming writer's " +
-    "windowed frames decode, concatenated frames concatenate, " +
+  test("frame features: checksum frames decode AND VERIFY (the from-" +
+    "scratch XXH64 low-32 must match zstd-jni's — a corrupted-but-" +
+    "decodable frame with a wrong checksum NULLs out), the streaming " +
+    "writer's windowed frames decode, concatenated frames concatenate, " +
     "skippable frames are stepped over") {
     val eng = english(300000)
     val cctx = new com.github.luben.zstd.ZstdCompressCtx().setLevel(3).setChecksum(true)
-    assert(java.util.Arrays.equals(ZstdDecode.decompressData(cctx.compress(eng)), eng))
+    val withCk = cctx.compress(eng)
+    assert(java.util.Arrays.equals(ZstdDecode.decompressData(withCk), eng),
+      "real checksummed frame must decode (XXH64 agreement with libzstd)")
+    // flip one checksum byte (the trailing 4): content decodes but the
+    // verification must reject it
+    val mut = withCk.clone()
+    mut(mut.length - 2) = (mut(mut.length - 2) ^ 0x40).toByte
+    assert(ZstdDecode.decompressData(mut) == null,
+      "a wrong content checksum must NULL the frame")
     val bos = new java.io.ByteArrayOutputStream()
     val zos = new com.github.luben.zstd.ZstdOutputStream(bos, 6)
     zos.write(eng, 0, 100000); zos.flush()
