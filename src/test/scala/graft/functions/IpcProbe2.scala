@@ -1,4 +1,13 @@
 package graft.functions
+
+/** Dev probe: dumps the Arrow IPC wire layout (stream framing, record-
+  * batch metadata bytes, body) for the (f64, f64) input and single-f64
+  * reply schemas — the derivation record for [[PowWasm]]'s fixed-offset
+  * guest-side parse and reply template (n at meta+64, buffer metas at
+  * 80..136, metaLens 192/184 and 144/136). Re-run after any Arrow
+  * upgrade; PowWasm's template also asserts the layout at assembly.
+  * Usage: sbt "Test/runMain graft.functions.IpcProbe2"
+  */
 object IpcProbe2 {
   def hex(b: Array[Byte]): String = b.map(x => f"$x%02X").mkString(" ")
   def dump(tag: String, enc: Array[Byte]): Unit = {

@@ -93,6 +93,28 @@ class PowWasmSpec extends AnyFunSuite {
     assert(cols(0).toSeq === Seq(8.0, null, null, null, 25.0))
   }
 
+  test("validity-bitmap boundaries: 8 rows (exact byte), 9 rows " +
+    "(straddles), and an ALL-NULL batch all round-trip with correct " +
+    "null counts through the guest-patched metadata") {
+    for (n <- Seq(8, 9, 16, 17)) {
+      val as = Array.tabulate[Any](n)(i => if (i % 3 == 0) null else i.toDouble)
+      val bs = Array.fill[Any](n)(2.0)
+      val payload = ArrowBatchCodec.encode(IndexedSeq(as, bs), n)
+      val reply = WasmRuntime.invokeBindgen(PowWasm.path, "f1", payload)
+      val (cols, got) = ArrowBatchCodec.decode(reply)
+      assert(got === n)
+      cols(0).zipWithIndex.foreach { case (v, i) =>
+        if (i % 3 == 0) assert(v == null, s"n=$n row $i")
+        else assert(v === i.toDouble * i, s"n=$n row $i")
+      }
+    }
+    val allNull = ArrowBatchCodec.encode(IndexedSeq(
+      Array[Any](null, null, null), Array[Any](1.0, 2.0, 3.0)), 3)
+    val (c, n) = ArrowBatchCodec.decode(
+      WasmRuntime.invokeBindgen(PowWasm.path, "f1", allNull))
+    assert(n === 3 && c(0).toSeq === Seq(null, null, null))
+  }
+
   test("batch scale: 8192 rows through the guest IPC walk, exact on " +
     "the q63 shape (integer bases, exponent 2)") {
     val as = Array.tabulate(8192)(i => (i % 7).toDouble)

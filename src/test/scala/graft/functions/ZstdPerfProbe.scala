@@ -1,4 +1,10 @@
 package graft.functions
+
+/** Dev probe: ZstdDecode throughput by data shape (text = Huffman+
+  * sequence heavy, mixed = match-dominated, random = raw blocks) and
+  * level, best-of-10 — the measurement loop behind the r17 bit-reader
+  * optimizations. Usage: sbt "Test/runMain graft.functions.ZstdPerfProbe"
+  */
 object ZstdPerfProbe {
   def main(args: Array[String]): Unit = {
     val rnd = new java.util.Random(1)

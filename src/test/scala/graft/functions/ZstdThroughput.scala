@@ -1,4 +1,9 @@
 package graft.functions
+
+/** Dev probe: single-thread ZstdDecode throughput on 8 MiB of word-
+  * salad text vs zstd-jni's native decode, best-of-8.
+  * Usage: sbt "Test/runMain graft.functions.ZstdThroughput"
+  */
 object ZstdThroughput {
   def main(args: Array[String]): Unit = {
     val rnd = new java.util.Random(1)
