@@ -58,11 +58,13 @@ object EchoWasm {
 
   /** The assembled module. */
   lazy val bytes: Array[Byte] = {
-    // types: 0 = (i32)->i32 (allocate), 1 = (i32,i32)->i32 (udf)
-    val typeSec = section(1, b(0x02,
+    // types: 0 = (i32)->i32 (allocate), 1 = (i32,i32)->i32 (udf),
+    // 2 = (i32 x7)->i32 (the pure, JIT-eligible rev transform kernel)
+    val typeSec = section(1, b(0x03,
       0x60, 0x01, 0x7F, 0x01, 0x7F,
-      0x60, 0x02, 0x7F, 0x7F, 0x01, 0x7F))
-    val funcSec = section(3, b(0x03, 0x00, 0x01, 0x01))
+      0x60, 0x02, 0x7F, 0x7F, 0x01, 0x7F,
+      0x60, 0x07, 0x7F, 0x7F, 0x7F, 0x7F, 0x7F, 0x7F, 0x7F, 0x01, 0x7F))
+    val funcSec = section(3, b(0x04, 0x00, 0x01, 0x01, 0x02))
     val memSec = section(5, b(0x01, 0x00, 0x01)) // min 1 page
     // global 0: mutable i32 heap pointer, init 40 (0 stays unused so a
     // returned pointer is never falsy; 8..39 hold the rev error message)
@@ -133,12 +135,11 @@ object EchoWasm {
       def lg(i: Int) = e(b(0x20, i)); def ls(i: Int) = e(b(0x21, i))
       def ci(v: Long) = e(b(0x41) ++ sleb(v))
       def ld(off: Int) = e(b(0x28, 0x00) ++ uleb(off.toLong))  // i32.load
-      def ld8(off: Int) = e(b(0x2D, 0x00) ++ uleb(off.toLong)) // i32.load8_u
       def st(off: Int) = e(b(0x36, 0x00) ++ uleb(off.toLong))  // i32.store
       def st8(off: Int) = e(b(0x3A, 0x00) ++ uleb(off.toLong)) // i32.store8
       def op(o: Int) = e(b(o))
       // locals (i32): 2 inp, 3 inl, 4 out, 5 meta/p, 6 bodyIn, 7 n,
-      // 8 i, 9 a/scratch, 10 bswap, 11 tmp/bodyOut, 12 offs, 13 data, 14 j
+      // 8 rec, 9 rp/scratch
       // error path: return flag-1 record pointing at the static message
       def errRet(): Unit = {
         ci(13); op(0x10); e(uleb(0)); ls(9)       // rp = allocate(13)
@@ -150,7 +151,7 @@ object EchoWasm {
       def check(expected: Long, loadIt: () => Unit): Unit = {
         e(b(0x02, 0x40))   // block
         loadIt(); ci(expected); op(0x46)          // i32.eq
-        e(b(0x0D, 0x00))   // br_if 0 → ok
+        e(b(0x0D, 0x00))   // br_if 0 -> ok
         errRet()
         e(b(0x0B))         // end
       }
@@ -165,58 +166,86 @@ object EchoWasm {
       check(3L, () => { lg(5); ld(76) })          // exactly 3 buffers
       lg(5); ld(64); ls(7)                        // n rows
       lg(3); op(0x10); e(uleb(0)); ls(4)          // out = allocate(inl)
-      // fresh copy, 8-byte chunks then byte tail
-      ci(0); ls(14)
-      e(b(0x02, 0x40, 0x03, 0x40))                // block loop
-      lg(14); ci(8); op(0x6A); lg(3); op(0x4B)    // j+8 > inl (gt_u)
-      e(b(0x0D, 0x01))                            // br_if exit
-      lg(4); lg(14); op(0x6A)
-      lg(2); lg(14); op(0x6A); e(b(0x29, 0x00, 0x00)) // i64.load
-      e(b(0x37, 0x00, 0x00))                      // i64.store
-      lg(14); ci(8); op(0x6A); ls(14)
-      e(b(0x0C, 0x00, 0x0B, 0x0B))                // br loop; end; end
-      e(b(0x02, 0x40, 0x03, 0x40))
-      lg(14); lg(3); op(0x4F)                     // j >= inl (ge_u)
+      // the pure transform kernel does the copy + reversal — split out
+      // so it is JIT-ELIGIBLE (no allocator global, no calls): the hot
+      // per-batch work runs as compiled bytecode, only this shim's
+      // parse/allocate/record glue interprets
+      lg(4); lg(2); lg(3); lg(6)
+      lg(5); ld(96)                               // offsets-buffer off
+      lg(5); ld(112)                              // data-buffer off
+      lg(7)
+      op(0x10); e(uleb(3)); op(0x1A)              // call xform; drop
+      // result record: fresh batch as the single u8-array
+      ci(12); op(0x10); e(uleb(0)); ls(8)
+      lg(8); lg(4); st(0)
+      lg(8); ci(21); st(4)
+      lg(8); lg(3); st(8)
+      ci(13); op(0x10); e(uleb(0)); ls(9)
+      lg(9); ci(0); st8(0)
+      lg(9); lg(8); st(1)
+      lg(9); ci(1); st(5)
+      lg(9)
+      e(b(0x0B))                                  // end
+      b(0x01, 0x08, 0x7F) ++ out.result()         // 8 i32 locals
+    }
+
+    // xform(out, inp, inl, bodyIn, offo, dato, n): the PURE kernel —
+    // wholesale fresh copy (i64 chunks + byte tail), then per-row byte
+    // reversal of the data region through the copied offsets array.
+    // No globals, no calls: JIT-eligible, so the per-batch hot loops
+    // run as compiled JVM bytecode (EchoWasmSpec asserts eligibility).
+    val xform: Seq[Byte] = {
+      val out = Seq.newBuilder[Byte]
+      def e(xs: Seq[Byte]): Unit = out ++= xs
+      def lg(i: Int) = e(b(0x20, i)); def ls(i: Int) = e(b(0x21, i))
+      def ci(v: Long) = e(b(0x41) ++ sleb(v))
+      def ld(off: Int) = e(b(0x28, 0x00) ++ uleb(off.toLong))
+      def ld8(off: Int) = e(b(0x2D, 0x00) ++ uleb(off.toLong))
+      def st8(off: Int) = e(b(0x3A, 0x00) ++ uleb(off.toLong))
+      def op(o: Int) = e(b(o))
+      // params: 0 out, 1 inp, 2 inl, 3 bodyIn, 4 offo, 5 dato, 6 n;
+      // locals: 7 j, 8 a, 9 b, 10 tmp, 11 bodyOut, 12 offs, 13 data, 14 i
+      ci(0); ls(7)
+      e(b(0x02, 0x40, 0x03, 0x40))                // copy: 8-byte chunks
+      lg(7); ci(8); op(0x6A); lg(2); op(0x4B)     // j+8 > inl (gt_u)
       e(b(0x0D, 0x01))
-      lg(4); lg(14); op(0x6A)
-      lg(2); lg(14); op(0x6A); ld8(0); st8(0)
-      lg(14); ci(1); op(0x6A); ls(14)
+      lg(0); lg(7); op(0x6A)
+      lg(1); lg(7); op(0x6A); e(b(0x29, 0x00, 0x00)) // i64.load
+      e(b(0x37, 0x00, 0x00))                      // i64.store
+      lg(7); ci(8); op(0x6A); ls(7)
+      e(b(0x0C, 0x00, 0x0B, 0x0B))
+      e(b(0x02, 0x40, 0x03, 0x40))                // byte tail
+      lg(7); lg(2); op(0x4F)                      // j >= inl
+      e(b(0x0D, 0x01))
+      lg(0); lg(7); op(0x6A)
+      lg(1); lg(7); op(0x6A); ld8(0); st8(0)
+      lg(7); ci(1); op(0x6A); ls(7)
       e(b(0x0C, 0x00, 0x0B, 0x0B))
       // bodyOut, offsets array, data region (all in the fresh copy)
-      lg(4); lg(6); op(0x6A); lg(2); op(0x6B); ls(11)
-      lg(11); lg(5); ld(96); op(0x6A); ls(12)
-      lg(11); lg(5); ld(112); op(0x6A); ls(13)
-      // per-row reversal
-      ci(0); ls(8)
-      e(b(0x02, 0x40, 0x03, 0x40))
-      lg(8); lg(7); op(0x4E)                      // i >= n (ge_s)
+      lg(0); lg(3); op(0x6A); lg(1); op(0x6B); ls(11)
+      lg(11); lg(4); op(0x6A); ls(12)
+      lg(11); lg(5); op(0x6A); ls(13)
+      ci(0); ls(14)
+      e(b(0x02, 0x40, 0x03, 0x40))                // row loop
+      lg(14); lg(6); op(0x4E)                     // i >= n (ge_s)
       e(b(0x0D, 0x01))
-      lg(13); lg(12); lg(8); ci(2); op(0x74); op(0x6A); ld(0); op(0x6A); ls(9)
-      lg(13); lg(12); lg(8); ci(2); op(0x74); op(0x6A); ld(4); op(0x6A)
-      ci(1); op(0x6B); ls(10)
+      lg(13); lg(12); lg(14); ci(2); op(0x74); op(0x6A); ld(0); op(0x6A); ls(8)
+      lg(13); lg(12); lg(14); ci(2); op(0x74); op(0x6A); ld(4); op(0x6A)
+      ci(1); op(0x6B); ls(9)
       e(b(0x02, 0x40, 0x03, 0x40))                // swap loop
-      lg(9); lg(10); op(0x4F)                     // a >= b
+      lg(8); lg(9); op(0x4F)                      // a >= b
       e(b(0x0D, 0x01))
-      lg(9); ld8(0); ls(11)                       // tmp = *a
-      lg(9); lg(10); ld8(0); st8(0)               // *a = *b
-      lg(10); lg(11); st8(0)                      // *b = tmp
-      lg(9); ci(1); op(0x6A); ls(9)
-      lg(10); ci(1); op(0x6B); ls(10)
-      e(b(0x0C, 0x00, 0x0B, 0x0B))
+      lg(8); ld8(0); ls(10)                       // tmp = *a
+      lg(8); lg(9); ld8(0); st8(0)                // *a = *b
+      lg(9); lg(10); st8(0)                       // *b = tmp
       lg(8); ci(1); op(0x6A); ls(8)
+      lg(9); ci(1); op(0x6B); ls(9)
       e(b(0x0C, 0x00, 0x0B, 0x0B))
-      // result record: fresh batch as the single u8-array
-      ci(12); op(0x10); e(uleb(0)); ls(9)
-      lg(9); lg(4); st(0)
-      lg(9); ci(21); st(4)
-      lg(9); lg(3); st(8)
-      ci(13); op(0x10); e(uleb(0)); ls(10)
-      lg(10); ci(0); st8(0)
-      lg(10); lg(9); st(1)
-      lg(10); ci(1); st(5)
-      lg(10)
-      e(b(0x0B))                                  // end
-      b(0x01, 0x0D, 0x7F) ++ out.result()         // 13 i32 locals
+      lg(14); ci(1); op(0x6A); ls(14)
+      e(b(0x0C, 0x00, 0x0B, 0x0B))
+      ci(0)                                       // result
+      e(b(0x0B))
+      b(0x01, 0x08, 0x7F) ++ out.result()
     }
 
     // __wasm_udf_echo(pairs_ptr, n): read the (ptr,len) of param 0 and
@@ -237,7 +266,7 @@ object EchoWasm {
           0x0B)
     def body(code: Seq[Byte]): Seq[Byte] = uleb(code.length.toLong) ++ code
     val codeSec = section(10,
-      b(0x03) ++ body(allocate) ++ body(echo) ++ body(rev))
+      b(0x04) ++ body(allocate) ++ body(echo) ++ body(rev) ++ body(xform))
     // data segment: the rev shape-guard message at a fixed offset below
     // the heap base
     val dataSec = section(11, b(0x01, 0x00, 0x41) ++ sleb(MsgOff) ++

@@ -112,14 +112,17 @@ object PowWasm {
   private val HeapBase = 360
 
   lazy val bytes: Array[Byte] = {
-    // types: 0 (i32)->i32, 1 (i32,i32)->i32, 2 (f64,f64)->f64, 3 (f64)->f64
-    val typeSec = section(1, b(0x04,
+    // types: 0 (i32)->i32, 1 (i32,i32)->i32, 2 (f64,f64)->f64,
+    // 3 (f64)->f64, 4 (i32 x7)->i32 (vmask), 5 (i32 x4)->i32 (rows)
+    val typeSec = section(1, b(0x06,
       0x60, 0x01, 0x7F, 0x01, 0x7F,
       0x60, 0x02, 0x7F, 0x7F, 0x01, 0x7F,
       0x60, 0x02, 0x7C, 0x7C, 0x01, 0x7C,
-      0x60, 0x01, 0x7C, 0x01, 0x7C))
-    // funcs: 0 allocate, 1 shim, 2 pow, 3 log2, 4 exp2
-    val funcSec = section(3, b(0x05, 0x00, 0x01, 0x02, 0x03, 0x03))
+      0x60, 0x01, 0x7C, 0x01, 0x7C,
+      0x60, 0x07, 0x7F, 0x7F, 0x7F, 0x7F, 0x7F, 0x7F, 0x7F, 0x01, 0x7F,
+      0x60, 0x04, 0x7F, 0x7F, 0x7F, 0x7F, 0x01, 0x7F))
+    // funcs: 0 allocate, 1 shim, 2 pow, 3 log2, 4 exp2, 5 vmask, 6 rows
+    val funcSec = section(3, b(0x07, 0x00, 0x01, 0x02, 0x03, 0x03, 0x04, 0x05))
     val memSec = section(5, b(0x01, 0x00, 0x01))
     val globalSec = section(6,
       b(0x01, 0x7F, 0x01, 0x41) ++ sleb(HeapBase.toLong) ++ b(0x0B))
@@ -133,12 +136,14 @@ object PowWasm {
       val fb = locals ++ code
       uleb(fb.length.toLong) ++ fb
     }
-    val codeSec = section(10, b(0x05) ++
+    val codeSec = section(10, b(0x07) ++
       body(b(0x01, 0x02, 0x7F), allocateCode) ++
       body(b(0x01, 0x14, 0x7F), shimCode) ++      // 20 i32 locals
       body(b(0x02, 0x02, 0x7C, 0x01, 0x7E), powCode) ++ // 2 f64 + 1 i64
       body(b(0x02, 0x04, 0x7C, 0x01, 0x7E), log2Code) ++ // 4 f64 + 1 i64
-      body(b(0x02, 0x02, 0x7C, 0x01, 0x7E), exp2Code)
+      body(b(0x02, 0x02, 0x7C, 0x01, 0x7E), exp2Code) ++
+      body(b(0x01, 0x04, 0x7F), vmaskCode) ++     // 4 i32 locals
+      body(b(0x01, 0x01, 0x7F), rowsCode)         // 1 i32 local
     )
     val dataSec = section(11, b(0x02) ++
       (b(0x00, 0x41) ++ sleb(MsgOff.toLong) ++ b(0x0B) ++
@@ -219,59 +224,24 @@ object PowWasm {
     lg(7); lg(6); ci(3); raw(0x74); raw(0xAC); st64(160 + 104) // data len
     lg(7); lg(6); raw(0xAC); st64(160 + 120)                // node length
     lg(7); ci(296); raw(0x6A); ls(12)                       // ob = out + 296
-    // validity bytes: AND of the two input bitmaps (absent ⇒ all-valid),
-    // zero past vbytes; count nulls over the n real bits
-    ci(0); ls(13)
-    ci(0); ls(10)
-    block(); loop()
-    lg(10); lg(9); raw(0x4F); brIf(1)                       // j >= vpad
-    ci(255); ls(11)
-    block()
-    lg(10); lg(17); raw(0x4F); brIf(0)                      // j >= v0len → keep
-    lg(11); lg(5); lg(16); raw(0x6A); lg(10); raw(0x6A); ld8(0)
-    raw(0x71); ls(11)
-    end()
-    block()
-    lg(10); lg(19); raw(0x4F); brIf(0)
-    lg(11); lg(5); lg(18); raw(0x6A); lg(10); raw(0x6A); ld8(0)
-    raw(0x71); ls(11)
-    end()
-    block()
-    lg(10); lg(8); raw(0x48); brIf(0)                       // j < vbytes → keep
-    ci(0); ls(11)                                           // padding byte
-    end()
-    lg(12); lg(10); raw(0x6A); lg(11); st8(0)
-    // nulls += popcnt(~v & maskOfRealBitsInThisByte)
-    block()
-    lg(10); lg(8); raw(0x4F); brIf(0)                       // only j < vbytes
-    // bitsHere = min(8, n - 8j); mask = (1 << bitsHere) - 1
-    lg(13)
-    lg(11); ci(-1); raw(0x73)                               // ~v
-    ci(1)
-    lg(6); lg(10); ci(3); raw(0x74); raw(0x6B)              // n-8j
-    ci(8)                                                   // 8
-    lg(6); lg(10); ci(3); raw(0x74); raw(0x6B); ci(8); raw(0x48) // (n-8j) < 8
-    sel()                                                   // bitsHere
-    raw(0x74)                                               // 1 << bitsHere
-    ci(1); raw(0x6B)                                        // mask
-    raw(0x71)                                               // ~v & mask
-    raw(0x69)                                               // popcnt
-    raw(0x6A); ls(13)
-    end()
-    lg(10); ci(1); raw(0x6A); ls(10)
-    br(0); end(); end()
+    // validity bytes + null count: the PURE vmask kernel — split out of
+    // the shim so it is JIT-ELIGIBLE (no allocator global, no calls)
+    lg(12)
+    lg(5); lg(16); raw(0x6A)                                // va0 abs
+    lg(17)
+    lg(5); lg(18); raw(0x6A)                                // va1 abs
+    lg(19)
+    lg(9)                                                   // vpad
+    lg(6)                                                   // n
+    call(5); ls(13)
     lg(7); lg(13); raw(0xAC); st64(160 + 128)               // null count
-    // data: pow per row
-    ci(0); ls(10)
-    block(); loop()
-    lg(10); lg(6); raw(0x4F); brIf(1)                       // i >= n
-    lg(12); lg(9); raw(0x6A); lg(10); ci(3); raw(0x74); raw(0x6A) // dst addr
-    lg(5); lg(20); raw(0x6A); lg(10); ci(3); raw(0x74); raw(0x6A); ldf(0)
-    lg(5); lg(21); raw(0x6A); lg(10); ci(3); raw(0x74); raw(0x6A); ldf(0)
-    call(2)
-    stf(0)
-    lg(10); ci(1); raw(0x6A); ls(10)
-    br(0); end(); end()
+    // data rows: the PURE rows kernel calling the (compiled) pow —
+    // per-row work runs as a fully compiled chain
+    lg(12); lg(9); raw(0x6A)                                // dataOut abs
+    lg(5); lg(20); raw(0x6A)                                // d0 abs
+    lg(5); lg(21); raw(0x6A)                                // d1 abs
+    lg(6)
+    call(6); raw(0x1A)
     // end-of-stream marker after the body
     lg(12); lg(15); raw(0x6A); ci(-1); st32(0)
     lg(12); lg(15); raw(0x6A); ci(0); st32(4)
@@ -431,6 +401,75 @@ object PowWasm {
     // exponent-field bits = (ni + 1074) + 1023 = ni + 2097
     lg(3); cl(2097); raw(0x7C); cl(52); raw(0x86); raw(0xBF); raw(0xA2)
     cf(java.lang.Double.MIN_VALUE); raw(0xA2)
+    end()
+    a.result
+  }
+
+  /** vmask(ob, va0, v0len, va1, v1len, vpad, n) → null count: writes
+    * the output validity bytes (AND of the input bitmaps; absent ⇒
+    * all-valid; zero past the real bytes) and counts nulls over the n
+    * real bits. Pure (no globals, no calls) — JIT-eligible, so the
+    * per-batch bitmap work runs compiled. Locals: 7 j, 8 v, 9 nulls,
+    * 10 vbytes. */
+  private def vmaskCode: Seq[Byte] = {
+    val a = new Asm
+    import a._
+    lg(6); ci(7); raw(0x6A); ci(3); raw(0x75); ls(10)       // vbytes
+    ci(0); ls(9)
+    ci(0); ls(7)
+    block(); loop()
+    lg(7); lg(5); raw(0x4F); brIf(1)                        // j >= vpad
+    ci(255); ls(8)
+    block()
+    lg(7); lg(2); raw(0x4F); brIf(0)                        // j >= v0len
+    lg(8); lg(1); lg(7); raw(0x6A); ld8(0); raw(0x71); ls(8)
+    end()
+    block()
+    lg(7); lg(4); raw(0x4F); brIf(0)                        // j >= v1len
+    lg(8); lg(3); lg(7); raw(0x6A); ld8(0); raw(0x71); ls(8)
+    end()
+    block()
+    lg(7); lg(10); raw(0x48); brIf(0)                       // j < vbytes
+    ci(0); ls(8)                                            // padding byte
+    end()
+    lg(0); lg(7); raw(0x6A); lg(8); st8(0)
+    block()
+    lg(7); lg(10); raw(0x4F); brIf(0)                       // only j < vbytes
+    lg(9)
+    lg(8); ci(-1); raw(0x73)                                // ~v
+    ci(1)
+    lg(6); lg(7); ci(3); raw(0x74); raw(0x6B)               // n-8j
+    ci(8)
+    lg(6); lg(7); ci(3); raw(0x74); raw(0x6B); ci(8); raw(0x48)
+    sel()                                                   // bitsHere
+    raw(0x74); ci(1); raw(0x6B)                             // mask
+    raw(0x71); raw(0x69)                                    // & ; popcnt
+    raw(0x6A); ls(9)
+    end()
+    lg(7); ci(1); raw(0x6A); ls(7)
+    br(0); end(); end()
+    lg(9)
+    end()
+    a.result
+  }
+
+  /** rows(dataOut, d0, d1, n) → 0: the per-row pow loop over absolute
+    * pointers. Pure except the call to the eligible pow kernel — the
+    * whole per-row chain compiles. Local: 4 i. */
+  private def rowsCode: Seq[Byte] = {
+    val a = new Asm
+    import a._
+    ci(0); ls(4)
+    block(); loop()
+    lg(4); lg(3); raw(0x4F); brIf(1)                        // i >= n
+    lg(0); lg(4); ci(3); raw(0x74); raw(0x6A)               // dst
+    lg(1); lg(4); ci(3); raw(0x74); raw(0x6A); ldf(0)
+    lg(2); lg(4); ci(3); raw(0x74); raw(0x6A); ldf(0)
+    call(2)
+    stf(0)
+    lg(4); ci(1); raw(0x6A); ls(4)
+    br(0); end(); end()
+    ci(0)
     end()
     a.result
   }

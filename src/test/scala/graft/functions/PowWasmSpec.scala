@@ -144,10 +144,12 @@ class PowWasmSpec extends AnyFunSuite {
     if (WasmJit.enabled) {
       val jit = m.jit
       assert(jit != null, "the pure kernels must keep the module compiled")
-      // the shim touches the allocator global (ineligible); the pow
-      // kernel and its helpers are pure leaves — compiled
-      assert(jit._2.count(identity) >= 3,
-        s"pow/log2/exp2 should compile: ${jit._2.toSeq}")
+      // the shim touches the allocator global (ineligible); pow/log2/
+      // exp2 AND the split-out vmask/rows batch kernels are pure —
+      // the whole per-row chain runs compiled (1.25 ms / 8192-row
+      // batch measured, PowJitProbe)
+      assert(jit._2.count(identity) >= 5,
+        s"pow/log2/exp2/vmask/rows should compile: ${jit._2.toSeq}")
     }
     val engine = graft.Engine.local(2)
     try {
