@@ -23,6 +23,11 @@ package graft.functions
   * (https://webassembly.github.io/spec/core/binary/) and written to a
   * per-JVM temp file so `CREATE FUNCTION … LANGUAGE WASM AS '<path>!echo'`
   * loads it through the same factory path as any artifact.
+  *
+  * r17 adds the TRANSFORMING guest `rev` (per-row byte reversal over a
+  * freshly constructed batch — see its comment) with the hot work split
+  * into the pure `xform` kernel so the JIT compiles it: 8192-row
+  * batches run 2.1 ms compiled vs 113 ms interpreted (RevJitProbe).
   */
 object EchoWasm {
 
