@@ -53,6 +53,15 @@ object ZstdDecode {
     * posture: 64 MiB, bombs become NULLs. */
   val maxBytes: Int = 64 << 20
 
+  /** Per-BLOCK mode counters (a handful of increments per ≤128 KiB
+    * block — free), so the spec can PROVE its real-zstd corpus reaches
+    * every decode path instead of assuming it: 0-3 literals type
+    * (raw/RLE/compressed/treeless), 4-7 LL mode, 8-11 OF mode,
+    * 12-15 ML mode (predefined/RLE/FSE/repeat), 16 one-stream
+    * literals, 17 four-stream, 18 direct Huffman weights,
+    * 19 FSE-compressed weights. */
+  val modeCounters = new java.util.concurrent.atomic.AtomicLongArray(20)
+
   /** Largest legal block regenerated size (RFC 8878 §3.1.1.2.4 is
     * min(window, 128 KiB); we enforce the constant bound). */
   private final val BlockMax = 128 << 10
@@ -568,6 +577,7 @@ object ZstdDecode {
   private def readHufTable(b: Array[Byte], off: Int, end: Int): (HufTable, Int) = {
     if (off >= end) fail()
     val hv = b(off) & 0xFF
+    modeCounters.incrementAndGet(if (hv >= 128) 18 else 19)
     if (hv >= 128) {
       val n = hv - 127
       val packed = (n + 1) / 2
@@ -664,6 +674,7 @@ object ZstdDecode {
     // ---- literals section header (§3.1.1.3.1.1) ----
     val h0 = b(i) & 0xFF
     val litType = h0 & 0x3
+    modeCounters.incrementAndGet(litType)
     var litRegen = 0
     var litCompressed = -1
     var fourStreams = false
@@ -729,6 +740,7 @@ object ZstdDecode {
           p += consumed
         } else if (st.huf == null) fail()
         val huf = st.huf
+        modeCounters.incrementAndGet(if (fourStreams) 17 else 16)
         if (!fourStreams) {
           hufDecodeStream(b, p, litEnd, huf, literals, 0, litRegen)
         } else {
@@ -788,6 +800,9 @@ object ZstdDecode {
         if (prev == null) fail()
         prev
     }
+    modeCounters.incrementAndGet(4 + ((modes >> 6) & 0x3))
+    modeCounters.incrementAndGet(8 + ((modes >> 4) & 0x3))
+    modeCounters.incrementAndGet(12 + ((modes >> 2) & 0x3))
     val llT = tableFor((modes >> 6) & 0x3, PredefLL, st.ll, 9, 35)
     val ofT = tableFor((modes >> 4) & 0x3, PredefOF, st.of, 8, 31)
     val mlT = tableFor((modes >> 2) & 0x3, PredefML, st.ml, 9, 52)

@@ -136,6 +136,91 @@ class ZstdDecodeSpec extends AnyFunSuite {
     assert(ZstdDecode.decompressFramesData(bomb) == null)
   }
 
+  test("MODE COVERAGE is proven, not assumed: across this spec's real-" +
+    "zstd corpus the decoder visits every literals type (raw/RLE/" +
+    "compressed/treeless), every sequence symbol mode (predefined/RLE/" +
+    "FSE-compressed/repeat) for LL and ML, both literal stream layouts, " +
+    "and both Huffman weight encodings — so a path zstd-jni stopped " +
+    "emitting would be caught here instead of silently going untested") {
+    val mc = ZstdDecode.modeCounters
+    (0 until mc.length()).foreach(i => mc.set(i, 0))
+    // the corpus: the main round-trip shapes at all levels + streaming
+    val text = ("the quick brown fox jumps over the lazy dog. " * 500).getBytes
+    val rep = Array.fill[Byte](100000)(7)
+    val rand = { val a = new Array[Byte](200000); new java.util.Random(1).nextBytes(a); a }
+    val mixed = (0 until 300000).map(i => ((i * 31 + (i >> 5)) % 17 + 'a').toByte).toArray
+    val eng = english(500000)
+    // shapes targeting the rarer encoder choices:
+    // all-same-byte literals between matches → RLE literals
+    val rleLit = {
+      val r = new java.util.Random(9)
+      val sb = new StringBuilder
+      while (sb.length < 200000) {
+        sb.append("a" * (1 + r.nextInt(6))).append("thequickbrownfox")
+      }
+      sb.toString.getBytes
+    }
+    // perfectly periodic → one offset/match-length per block (RLE modes)
+    val periodic = ("abcdefgh" * 40000).getBytes
+    // 1 MiB low-entropy → multi-block with table reuse (repeat modes)
+    val big = { val a = new Array[Byte](1 << 20)
+      new java.util.Random(2).nextBytes(a)
+      for (i <- a.indices) a(i) = (a(i) % 5).toByte; a }
+    // tiny input → one-or-two-sequence blocks → RLE symbol modes for
+    // offsets/match-lengths (found empirically: big shapes never do)
+    val tiny = "aaaaabbbbbcccccdddddaaaaabbbbbcccccxyz".getBytes
+    for (lvl <- Seq(1, 3, 9, 19);
+         d <- Seq(text, rep, rand, mixed, eng, rleLit, periodic, big, tiny))
+      roundTrip(d, lvl)
+    // homogeneous 2 MiB (5-word vocabulary) at level 16: the encoder
+    // reuses the previous block's OFFSET table (repeat mode) — found
+    // empirically; no smaller/lower-level shape in this corpus does
+    val eng5 = {
+      val words = Array("data", "pipeline", "spark", "the", "and")
+      val rr = new java.util.Random(3)
+      val sb = new StringBuilder
+      while (sb.length < (2 << 20)) sb.append(words(rr.nextInt(words.length))).append(' ')
+      sb.toString.getBytes
+    }
+    roundTrip(eng5, 16)
+    // the one path REAL encoders never emit: direct (4-bit) Huffman
+    // weights — libzstd always FSE-compresses the weight vector. Cover
+    // it with a hand-derived frame (RFC 8878 §4.2.1): 3-symbol canonical
+    // table over {A,B,C}, weights [2,1] + derived last weight 1
+    // (maxBits 2: A→'1', B→'00', C→'01'), literals "ABCAAB" in a
+    // single-stream compressed-literals block with zero sequences.
+    val direct: Array[Byte] = {
+      val weights = new Array[Byte](34)
+      weights(32) = 0x02          // w[64]=0 | w[65]('A')=2
+      weights(33) = 0x10          // w[66]('B')=1 | pad
+      (Array[Int](0x28, 0xB5, 0x2F, 0xFD,  // magic
+        0x20, 0x06,                        // FHD single-segment, FCS=6
+        0x4D, 0x01, 0x00,                  // block: size 41, compressed, last
+        0x62, 0x40, 0x09,                  // literals hdr: type2 fmt0 regen6 comp37
+        0xC2) ++                           // hv = 127 + 67 symbols → DIRECT
+        weights.map(_.toInt & 0xFF) ++
+        Array[Int](0x1C, 0x03,             // huffman stream (sentinel bit 9)
+          0x00)                            // zero sequences
+      ).map(_.toByte)
+    }
+    val gotDirect = ZstdDecode.decompressData(direct)
+    assert(gotDirect != null && new String(gotDirect, "US-ASCII") == "ABCAAB",
+      s"hand-derived direct-weights frame: got ${if (gotDirect == null) "null"
+        else new String(gotDirect, "US-ASCII")}")
+    val names = Seq(
+      "lit:raw", "lit:rle", "lit:compressed", "lit:treeless",
+      "ll:predef", "ll:rle", "ll:fse", "ll:repeat",
+      "of:predef", "of:rle", "of:fse", "of:repeat",
+      "ml:predef", "ml:rle", "ml:fse", "ml:repeat",
+      "huf:1stream", "huf:4stream", "weights:direct", "weights:fse")
+    val counts = names.indices.map(i => names(i) -> mc.get(i))
+    info(counts.map { case (n, c) => s"$n=$c" }.mkString(" "))
+    names.indices.foreach { i =>
+      assert(mc.get(i) > 0, s"decode path ${names(i)} never exercised " +
+        "by the real-zstd corpus — add a data shape that reaches it")
+    }
+  }
+
   test("the REAL .warc.zst chain: a WARC shard compressed by zstd-jni " +
     "(genuine FSE/Huffman frames, level 19 + a skippable prefix) " +
     "decodes through the from-scratch machinery and the record walk " +
