@@ -38,10 +38,26 @@ import org.apache.spark.sql.types.{BinaryType, DataType, NullType}
   * expression: a 100 TB `.warc.zst` extract-and-tokenize pass is one
   * whole-stage-codegen'd scan with zero shuffle.
   *
-  * Dictionaries are NOT supported (a nonzero Dictionary_ID fails the
-  * frame): crawl shards are self-contained by construction, and
-  * dictionary frames in the wild travel as skippable frames we step
-  * over. Content checksums are VERIFIED with a from-scratch XXH64
+  * DICTIONARIES (§5, r17) are supported end to end: the structured
+  * dictionary format (magic 0xEC30A437, Dictionary_ID, entropy tables
+  * in the Huffman → OF → ML → LL order, the three 4-byte recent
+  * offsets, content) parses through the same from-scratch FSE/Huffman
+  * readers the blocks use; raw-content blobs (no magic) act as pure
+  * window prefix per the reference implementation's raw-dict mode. A
+  * frame decoded against a dictionary starts with the dictionary's
+  * entropy tables (so a FIRST block may use treeless literals or
+  * repeat FSE modes), its recent-offset history, and its content as
+  * the window prefix (match offsets may reach past the frame start
+  * into the dictionary tail). A nonzero Dictionary_ID still NULLs the
+  * frame when no dictionary is supplied or the IDs disagree — never a
+  * wrong decode. [[ccFrames]] is the modern Common Crawl `.warc.zst`
+  * layout: a LEADING skippable frame with magic 0x184D2A5D carries the
+  * shard dictionary (optionally itself zstd-compressed), binding it
+  * for every following data frame. Parsed dictionaries are cached by
+  * content hash — per-shard dictionaries are shared by millions of
+  * records, so the per-row cost is one XXH64 of the dict blob, not an
+  * entropy-table rebuild. Content checksums are VERIFIED with a
+  * from-scratch XXH64
   * (unlike the gzip trailer, which mid-crawl truncation routinely
   * cuts: a declared zstd checksum follows a COMPLETE frame, so a
   * mismatch means corrupted-but-decodable content — the exact thing a
@@ -59,8 +75,12 @@ object ZstdDecode {
     * (raw/RLE/compressed/treeless), 4-7 LL mode, 8-11 OF mode,
     * 12-15 ML mode (predefined/RLE/FSE/repeat), 16 one-stream
     * literals, 17 four-stream, 18 direct Huffman weights,
-    * 19 FSE-compressed weights. */
-  val modeCounters = new java.util.concurrent.atomic.AtomicLongArray(20)
+    * 19 FSE-compressed weights; dictionary paths (r17): 20 frame
+    * decoded with a dictionary bound, 21 match copy reached into the
+    * dictionary content prefix, 22 first-block treeless/repeat mode
+    * served by the DICTIONARY's entropy tables, 23 structured
+    * (magic 0xEC30A437) dictionary parsed. */
+  val modeCounters = new java.util.concurrent.atomic.AtomicLongArray(24)
 
   /** Largest legal block regenerated size (RFC 8878 §3.1.1.2.4 is
     * min(window, 128 KiB); we enforce the constant bound). */
@@ -70,6 +90,18 @@ object ZstdDecode {
   private final val SkippableBase = 0x184D2A50
   private final val MaxFrames = 65536
   private final val MaxBlocksPerFrame = 1 << 20
+
+  /** The Common Crawl `.warc.zst` dictionary-frame magic: the one
+    * skippable magic (0x184D2A5D) the public zstd-warc tooling reserves
+    * for the shard dictionary, placed before the first data frame. */
+  private final val DictFrameMagic = 0x184D2A5D
+
+  /** Structured-dictionary magic (RFC 8878 §5). */
+  private final val DictMagic = 0xEC30A437
+
+  /** Cap on a (decompressed) dictionary blob — dictionaries are KiB-
+    * sized in practice; a bomb posing as one becomes a damaged frame. */
+  private final val MaxDictBytes = 16 << 20
 
   /** Column API: decoded bytes of a COMPLETE zstd stream (one or more
     * concatenated frames, all of which must verify), or NULL. */
@@ -83,16 +115,51 @@ object ZstdDecode {
   def decompressFrames(blob: Column): Column =
     GraftSql.column(ZstdDecompressExpr(GraftSql.expression(blob), salvage = true))
 
+  /** Column API: strict decode AGAINST A DICTIONARY (RFC 8878 §5) —
+    * structured (magic 0xEC30A437: entropy tables + recent offsets +
+    * content) or raw-content (pure window prefix). NULL dictionary ≡
+    * no dictionary. */
+  def decompressDict(blob: Column, dict: Column): Column =
+    GraftSql.column(ZstdDecompressDictExpr(
+      GraftSql.expression(blob), GraftSql.expression(dict)))
+
+  /** Column API: the Common Crawl `.warc.zst` shard walk — a LEADING
+    * skippable frame with magic 0x184D2A5D binds the shard dictionary
+    * (optionally itself zstd-compressed) for all following data
+    * frames; salvage posture (valid-prefix) like [[decompressFrames]]. */
+  def ccFrames(blob: Column): Column =
+    GraftSql.column(ZstdCcFramesExpr(GraftSql.expression(blob)))
+
   /** Strict whole-stream decode; null unless every frame verifies and
     * the stream is fully consumed. Static so generated code calls it. */
-  def decompressData(b: Array[Byte]): Array[Byte] = run(b, salvage = false)
+  def decompressData(b: Array[Byte]): Array[Byte] =
+    run(b, salvage = false, dict0 = null, cc = false)
 
   /** Salvaged-prefix decode; null when no data frame decodes. */
-  def decompressFramesData(b: Array[Byte]): Array[Byte] = run(b, salvage = true)
+  def decompressFramesData(b: Array[Byte]): Array[Byte] =
+    run(b, salvage = true, dict0 = null, cc = false)
 
-  private def run(b: Array[Byte], salvage: Boolean): Array[Byte] = {
+  /** Strict decode against a dictionary blob (null/empty dict ≡ none);
+    * a malformed dictionary NULLs the result (never a wrong decode). */
+  def decompressDictData(b: Array[Byte], dictB: Array[Byte]): Array[Byte] = {
+    if (dictB == null || dictB.length == 0) return decompressData(b)
+    val d = try cachedDict(dictB) catch {
+      case _: Corrupt => return null
+      case _: ArrayIndexOutOfBoundsException => return null
+    }
+    run(b, salvage = false, dict0 = d, cc = false)
+  }
+
+  /** Common Crawl `.warc.zst` walk: leading 0x184D2A5D skippable frame
+    * binds the dictionary; salvage posture. */
+  def decompressCcData(b: Array[Byte]): Array[Byte] =
+    run(b, salvage = true, dict0 = null, cc = true)
+
+  private def run(b: Array[Byte], salvage: Boolean, dict0: Dict,
+                  cc: Boolean): Array[Byte] = {
     if (b == null || b.length == 0) return null
     val out = new Out(maxBytes)
+    var dict = dict0
     var off = 0
     var frames = 0
     var dataFrames = 0
@@ -106,10 +173,20 @@ object ZstdDecode {
           else {
             val sz = le32(b, off + 4).toLong & 0xFFFFFFFFL
             if (off + 8 + sz > b.length) damaged = true
-            else { off += 8 + sz.toInt; frames += 1 }
+            else {
+              if (cc && magic == DictFrameMagic && dict == null &&
+                  dataFrames == 0 && sz > 0) {
+                // the shard dictionary: bind it for the data frames;
+                // a dictionary that doesn't decode/parse damages the
+                // stream (frames that NEED it can't decode correctly)
+                dict = ccDict(b, off + 8, sz.toInt)
+                if (dict == null) damaged = true
+              }
+              if (!damaged) { off += 8 + sz.toInt; frames += 1 }
+            }
           }
         } else if (magic == DataMagic) {
-          val next = decodeFrame(b, off, out)
+          val next = decodeFrame(b, off, out, dict)
           if (next < 0) damaged = true
           else { off = next; frames += 1; dataFrames += 1 }
         } else damaged = true
@@ -157,15 +234,15 @@ object ZstdDecode {
   // ---------------------------------------------------------------------
   /** Decode one data frame at `off` into `out`; returns the offset past
     * the frame, or -1 when malformed/truncated/over-cap. */
-  private def decodeFrame(b: Array[Byte], off: Int, out: Out): Int = {
-    try decodeFrame0(b, off, out)
+  private def decodeFrame(b: Array[Byte], off: Int, out: Out, dict: Dict): Int = {
+    try decodeFrame0(b, off, out, dict)
     catch {
       case _: Corrupt => -1
       case _: ArrayIndexOutOfBoundsException => -1
     }
   }
 
-  private def decodeFrame0(b: Array[Byte], off: Int, out: Out): Int = {
+  private def decodeFrame0(b: Array[Byte], off: Int, out: Out, dict: Dict): Int = {
     var i = off + 4
     if (i >= b.length) fail()
     val fhd = b(i) & 0xFF; i += 1
@@ -186,7 +263,13 @@ object ZstdDecode {
     var k = 0
     while (k < dictBytes) { dictId |= (b(i + k) & 0xFFL) << (8 * k); k += 1 }
     i += dictBytes
-    if (dictId != 0L) fail() // dictionaries unsupported
+    if (dictId != 0L) {
+      // never a WRONG decode: a frame naming a dictionary needs one,
+      // and a structured dictionary's declared ID must agree (a raw-
+      // content blob has no ID to check, libzstd's raw-dict posture)
+      if (dict == null) fail()
+      if (dict.id != 0L && dict.id != dictId) fail()
+    }
     val fcsBytes = fcsFlag match {
       case 0 => if (singleSeg) 1 else 0
       case 1 => 2; case 2 => 4; case _ => 8
@@ -199,8 +282,17 @@ object ZstdDecode {
       if (fcsBytes == 2) fcs += 256
       i += fcsBytes
     }
-    // per-frame entropy state
+    // per-frame entropy state; a bound dictionary seeds it (§5): its
+    // entropy tables may serve a FIRST block's treeless/repeat modes,
+    // its recent offsets replace {1,4,8}, its content is the window
+    // prefix match offsets may reach into
     val st = new FrameState
+    if (dict != null) {
+      st.dict = dict
+      st.huf = dict.huf; st.ll = dict.ll; st.of = dict.of; st.ml = dict.ml
+      st.rep1 = dict.rep1; st.rep2 = dict.rep2; st.rep3 = dict.rep3
+      modeCounters.incrementAndGet(20)
+    }
     val frameStart = out.len
     var last = false
     var blocks = 0
@@ -307,6 +399,94 @@ object ZstdDecode {
     var of: FseTable = null
     var ml: FseTable = null
     var rep1 = 1; var rep2 = 4; var rep3 = 8
+    /** Bound dictionary (content = window prefix) or null. */
+    var dict: Dict = null
+    /** True once any compressed block ran — a treeless/repeat mode seen
+      * while false can only be served by the dictionary's tables. */
+    var anyCompressed = false
+  }
+
+  // ---------------------------------------------------------------------
+  // dictionaries (§5)
+  // ---------------------------------------------------------------------
+  /** A parsed dictionary: entropy tables may be null (raw-content
+    * blob); content is the window prefix; rep1..3 seed the
+    * recent-offset history. */
+  private final class Dict(
+      val id: Long, val content: Array[Byte],
+      val huf: HufTable, val ll: FseTable, val of: FseTable,
+      val ml: FseTable, val rep1: Int, val rep2: Int, val rep3: Int)
+
+  /** §5: magic 0xEC30A437 → structured (Dictionary_ID, entropy tables
+    * in the Huffman → Offsets → Match_Lengths → Literals_Lengths
+    * order, then the three 4-byte recent offsets, then content —
+    * offsets must be nonzero and ≤ content size); anything else is a
+    * raw-content dictionary (pure window prefix, ID 0, default
+    * offsets), the reference implementation's raw-dict mode. Throws
+    * [[Corrupt]] on a malformed structured dictionary. */
+  private def parseDict(b: Array[Byte]): Dict = {
+    if (b.length < 8 || le32(b, 0) != DictMagic)
+      return new Dict(0L, b, null, null, null, null, 1, 4, 8)
+    modeCounters.incrementAndGet(23)
+    val id = le32(b, 4).toLong & 0xFFFFFFFFL
+    var i = 8
+    val (huf, hufBytes) = readHufTable(b, i, b.length); i += hufBytes
+    val (of, ofBytes) = readFseTable(b, i, b.length, 8, 31); i += ofBytes
+    val (ml, mlBytes) = readFseTable(b, i, b.length, 9, 52); i += mlBytes
+    val (ll, llBytes) = readFseTable(b, i, b.length, 9, 35); i += llBytes
+    if (i + 12 > b.length) fail()
+    val r1 = le32(b, i); val r2 = le32(b, i + 4); val r3 = le32(b, i + 8)
+    i += 12
+    val content = java.util.Arrays.copyOfRange(b, i, b.length)
+    if (r1 <= 0 || r2 <= 0 || r3 <= 0 ||
+        r1 > content.length || r2 > content.length || r3 > content.length)
+      fail()
+    new Dict(id, content, huf, ll, of, ml, r1, r2, r3)
+  }
+
+  /** Parsed-dictionary cache keyed by blob content hash: a shard
+    * dictionary is shared by millions of records, so the per-row cost
+    * is one XXH64 pass, not an entropy-table rebuild. Bounded (cleared
+    * past 64 entries — dictionaries are per-shard, not per-row). */
+  private val dictCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Dict]()
+
+  private def cachedDict(b: Array[Byte]): Dict = {
+    val key = xxh64(b, 0, b.length) ^ java.lang.Long.rotateLeft(b.length.toLong, 32)
+    val hit = dictCache.get(key)
+    if (hit != null) return hit
+    val d = parseDict(b)
+    if (dictCache.size > 64) dictCache.clear()
+    dictCache.put(key, d)
+    d
+  }
+
+  /** The CC dictionary-frame payload at b[off, off+len): optionally a
+    * zstd frame wrapping the dictionary bytes (decoded with the §4
+    * machinery, no dictionary), then parsed; null when it doesn't
+    * decode/parse or busts [[MaxDictBytes]]. Cached on the RAW payload
+    * so the wrapped case also pays one hash per row, not a decode. */
+  private def ccDict(b: Array[Byte], off: Int, len: Int): Dict = {
+    val key = xxh64(b, off, len) ^ java.lang.Long.rotateLeft(len.toLong, 32)
+    val hit = dictCache.get(key)
+    if (hit != null) return hit
+    if (len > MaxDictBytes) return null
+    val raw = java.util.Arrays.copyOfRange(b, off, off + len)
+    val bytes =
+      if (raw.length >= 4 && le32(raw, 0) == DataMagic)
+        run(raw, salvage = false, dict0 = null, cc = false)
+      else raw
+    if (bytes == null || bytes.length == 0 || bytes.length > MaxDictBytes)
+      return null
+    val d = try parseDict(bytes) catch {
+      case _: Corrupt => null
+      case _: ArrayIndexOutOfBoundsException => null
+    }
+    if (d != null) {
+      if (dictCache.size > 64) dictCache.clear()
+      dictCache.put(key, d)
+    }
+    d
   }
 
   // ---------------------------------------------------------------------
@@ -739,6 +919,8 @@ object ZstdDecode {
           st.huf = huf
           p += consumed
         } else if (st.huf == null) fail()
+        else if (!st.anyCompressed && st.dict != null)
+          modeCounters.incrementAndGet(22) // treeless served by the dict
         val huf = st.huf
         modeCounters.incrementAndGet(if (fourStreams) 17 else 16)
         if (!fourStreams) {
@@ -779,6 +961,7 @@ object ZstdDecode {
       if (!out.ensure(litRegen)) fail()
       System.arraycopy(literals, 0, out.buf, out.len, litRegen)
       out.len += litRegen
+      st.anyCompressed = true
       return
     }
     if (i >= end) fail()
@@ -798,6 +981,8 @@ object ZstdDecode {
         t
       case _ =>
         if (prev == null) fail()
+        if (!st.anyCompressed && st.dict != null)
+          modeCounters.incrementAndGet(22) // repeat mode served by the dict
         prev
     }
     modeCounters.incrementAndGet(4 + ((modes >> 6) & 0x3))
@@ -850,21 +1035,41 @@ object ZstdDecode {
       if (!out.ensure(ll + ml)) fail()
       System.arraycopy(literals, litPos, out.buf, out.len, ll)
       out.len += ll; litPos += ll
-      if (offset > out.len - frameStart) fail() // reaches before the frame
-      if (offset >= ml) { // non-overlapping: one block copy
-        System.arraycopy(out.buf, out.len - offset, out.buf, out.len, ml)
-        out.len += ml
-      } else { // overlapping run: classic LZ doubling copy — after each
-        // pass the valid repetition ahead of src grows by the copied
-        // amount, so chunks double until ml is covered
-        val base = out.len
-        var copied = 0
-        while (copied < ml) {
-          val chunk = math.min(offset + copied, ml - copied)
-          System.arraycopy(out.buf, base - offset, out.buf, base + copied, chunk)
-          copied += chunk
+      val avail = out.len - frameStart
+      var mlRest = ml
+      if (offset > avail) {
+        // reaches before the frame: legal only into a dictionary's
+        // content prefix (§5) — the copy starts `offset - avail` bytes
+        // from the dictionary tail; whatever remains past the prefix
+        // continues as a normal window copy (source lands exactly at
+        // the frame start once the prefix part is consumed)
+        val d = st.dict
+        if (d == null) fail()
+        val fromDict = offset - avail
+        if (fromDict > d.content.length) fail()
+        modeCounters.incrementAndGet(21)
+        val n = math.min(ml, fromDict)
+        System.arraycopy(d.content, d.content.length - fromDict,
+          out.buf, out.len, n)
+        out.len += n
+        mlRest = ml - n
+      }
+      if (mlRest > 0) {
+        if (offset >= mlRest) { // non-overlapping: one block copy
+          System.arraycopy(out.buf, out.len - offset, out.buf, out.len, mlRest)
+          out.len += mlRest
+        } else { // overlapping run: classic LZ doubling copy — after each
+          // pass the valid repetition ahead of src grows by the copied
+          // amount, so chunks double until ml is covered
+          val base = out.len
+          var copied = 0
+          while (copied < mlRest) {
+            val chunk = math.min(offset + copied, mlRest - copied)
+            System.arraycopy(out.buf, base - offset, out.buf, base + copied, chunk)
+            copied += chunk
+          }
+          out.len += mlRest
         }
-        out.len += ml
       }
       seq += 1
       if (seq < nbSeq) { // last sequence leaves the states un-updated
@@ -877,6 +1082,7 @@ object ZstdDecode {
     if (rest < 0 || !out.ensure(rest)) fail()
     System.arraycopy(literals, litPos, out.buf, out.len, rest)
     out.len += rest
+    st.anyCompressed = true
   }
 }
 
@@ -907,6 +1113,74 @@ case class ZstdDecompressExpr(child: Expression, salvage: Boolean)
       val fn = if (salvage) "decompressFramesData" else "decompressData"
       s"""
          |byte[] $arr = graft.functions.ZstdDecode.$fn($bytes);
+         |if ($arr == null) { ${ev.isNull} = true; } else { ${ev.value} = $arr; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Strict zstd decode against a per-row dictionary blob (RFC 8878 §5):
+  * structured (entropy tables + recent offsets + content) or
+  * raw-content; NULL/empty dictionary ≡ plain strict decode. */
+case class ZstdDecompressDictExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_zstd_dict"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType | NullType, BinaryType | NullType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, BINARY), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(blob: Any, dict: Any): Any =
+    ZstdDecode.decompressDictData(
+      blob.asInstanceOf[Array[Byte]], dict.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (blob, dict) => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |byte[] $arr = graft.functions.ZstdDecode.decompressDictData($blob, $dict);
+         |if ($arr == null) { ${ev.isNull} = true; } else { ${ev.value} = $arr; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The Common Crawl `.warc.zst` shard walk: a leading skippable frame
+  * with magic 0x184D2A5D binds the shard dictionary (optionally itself
+  * zstd-compressed) for every following data frame; salvage posture. */
+case class ZstdCcFramesExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_zstd_cc"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ZstdDecode.decompressCcData(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |byte[] $arr = graft.functions.ZstdDecode.decompressCcData($bytes);
          |if ($arr == null) { ${ev.isNull} = true; } else { ${ev.value} = $arr; }
        """.stripMargin
     })

@@ -45,6 +45,86 @@ object MultimodalQ {
       lit(" bytes exceeds the 65535-byte single-block bound"))))
       .otherwise(le16h(len))
 
+  /** p271 constants, assembled from the RFC 8878 grammar at query-BUILD
+    * time (driver-side, once): the shard DICTIONARY and the hand-derived
+    * compressed first block every record frame opens with. The point of
+    * a Common Crawl shard dictionary is exactly this shape — the WARC
+    * record boilerplate shared by millions of records lives ONCE in the
+    * dictionary, and each record's frame references it instead of
+    * carrying it; here the first block is one sequence (1 literal 'W' +
+    * a 30-byte match through the dictionary's rep1 into the content
+    * tail) regenerating the full "WARC/1.0\r\nWARC-Type: response\r\n"
+    * record prefix from 10 block bytes.
+    */
+  private[queries] object ZstShardDict {
+    private def hx(bs: Array[Byte]): String = bs.map(b => f"$b%02X").mkString
+    private def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+
+    /** The record boilerplate the dictionary serves: every record frame's
+      * first block copies these 30 bytes out of the dictionary tail. */
+    val sharedTail = "ARC/1.0\r\nWARC-Type: response\r\n" // 30 bytes
+    private val content = ("GRAFT-SHARD-DICT:" + sharedTail).getBytes("UTF-8")
+    val dictId = 0x47524654 // arbitrary nonzero ID every record frame names
+
+    /** RFC 8878 §5 structured dictionary: magic, ID, entropy tables in
+      * the Huffman → OF → ML → LL order, the three recent offsets, then
+      * content. The entropy tables are minimal VALID descriptions
+      * (parsed by the same from-scratch readers the blocks use):
+      *  - Huffman `81 11`: direct mode, 2 declared weights [1,1] → with
+      *    the derived last weight the canonical 3-symbol 2-bit table;
+      *  - each FSE `F0 03`: accLog bits 0000 → 5; then the §4.1.1
+      *    value coding with remaining=33/threshold=32/max=30 — low
+      *    read(5)=31 ≥ max so one more bit, full=63 ≥ threshold →
+      *    count 63-30-1 = 32 = the whole table for symbol 0;
+      *  - rep1=31 is the load-bearing one: block 1's repeat-offset
+      *    match resolves through it (rep2/rep3 default 4/8). */
+    val dictBytes: Array[Byte] =
+      le32(0xEC30A437) ++ le32(dictId) ++
+        Array[Byte](0x81.toByte, 0x11) ++ // Huffman weights
+        Array[Byte](0xF0.toByte, 0x03) ++ // OF  FSE
+        Array[Byte](0xF0.toByte, 0x03) ++ // ML  FSE
+        Array[Byte](0xF0.toByte, 0x03) ++ // LL  FSE
+        le32(31) ++ le32(4) ++ le32(8) ++
+        content
+
+    /** The dictionary travels zstd-COMPRESSED inside its skippable frame
+      * (the published .warc.zst convention): one single-segment frame,
+      * 1-byte FCS, a single raw last block. */
+    private val dictFrame: Array[Byte] = {
+      val n = dictBytes.length
+      val hdr = (n << 3) | 1 // raw block, last
+      le32(0xFD2FB528) ++ Array[Byte](0x20, n.toByte,
+        (hdr & 0xFF).toByte, ((hdr >> 8) & 0xFF).toByte, 0) ++ dictBytes
+    }
+
+    /** Leading skippable frame, magic 0x184D2A5D — the dictionary slot
+      * [[graft.functions.ZstdDecode.ccFrames]] binds. */
+    val skippableHex: String =
+      hx(le32(0x184D2A5D) ++ le32(dictFrame.length) ++ dictFrame)
+
+    /** Hand-derived compressed block (predefined modes, one sequence):
+      * `3C0000` block header (content 7, type compressed, not last);
+      * `08 57` literals section (raw, size-format 0, ONE literal 'W');
+      * `01 00` one sequence, all-predefined modes; `22 10 02` the
+      * backward bitstream. Derivation of the 18 content bits (sentinel
+      * at bit 17, then reads consume top-down): llS=read(6)=bits[11,17),
+      * ofS=read(5)=bits[6,11), mlS=read(6)=bits[0,6) →
+      * V = llS<<11 | ofS<<6 | mlS with llS=2 (predefined-LL spread puts
+      * symbol/code 1 at cell 2 → LL=1+0 extra), ofS=0 (cell 0 holds
+      * code 0 → offVal=1+read(0)=1, with ll≠0 the rep1 slot), mlS=34
+      * (cell 34 holds code 27 → ML=30+0 extra) → V=0x01022, LE bytes
+      * `22 10` + `02` (bit 16 zero, sentinel bit 17). Decode: 'W' +
+      * 30 bytes via rep1=31 into the dictionary tail = the 31-byte
+      * record prefix below, from 10 constant bytes per record. */
+    val block1Hex: String = hx(Array[Byte](0x3C, 0, 0,
+      0x08, 'W'.toByte, 0x01, 0x00, 0x22, 0x10, 0x02))
+
+    /** What block 1 regenerates. */
+    val block1Out: String = "W" + sharedTail // "WARC/1.0\r\n..." 31 bytes
+    val dictIdHex: String = hx(le32(dictId))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- binary payload metadata + stub decode ---------------------------
@@ -1168,6 +1248,93 @@ object MultimodalQ {
       val root = sinkDir(s"p270_${Integer.toHexString(dir.hashCode)}") +
         s"/${System.nanoTime()}"
       graft.streaming.StreamingOps.crawlIngest(spark, dir, root)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- DICTIONARY .warc.zst: the full modern Common Crawl layout ---------
+    // p269's sibling with the shard DICTIONARY in play (RFC 8878 §5):
+    // the dictionary travels zstd-COMPRESSED in a leading 0x184D2A5D
+    // skippable frame (the published .warc.zst convention), and EVERY
+    // record frame (a) names the dictionary's ID in its frame header
+    // (4-byte Dictionary_ID field — ZstdDecode.ccFrames must bind the
+    // dict and match IDs), and (b) OPENS with a hand-derived compressed
+    // block whose single sequence resolves through the dictionary's
+    // rep1 INTO the dictionary content — regenerating the shared
+    // "WARC/1.0\r\nWARC-Type: response\r\n" record boilerplate from 10
+    // block bytes, which is exactly what CC shard dictionaries exist to
+    // do. The rest of the record is per-doc (raw 64-byte blocks + the
+    // RLE pad run, as p269), so the oracle stays pure construction
+    // algebra; the md5 match proves dict-parse + ID-match + prefix-copy
+    // + decode byte-exact end to end — a wrong prefix byte would break
+    // the WARC header parse or the digest. Damage lanes: %13==4 cuts
+    // the record frame mid-header; %17==6 stamps a WRONG Dictionary_ID
+    // (the frame must NULL on ID disagreement, never wrong-decode);
+    // %11==5 drops the dictionary frame entirely (a dict-naming frame
+    // without one must NULL). ONE codegen'd scan-stage pass, zero
+    // shuffle: same 100 TB posture as p269.
+    Q("p271_zst_dict_shard", Some("""
+      WITH d AS (SELECT doc_id, text,
+                        1 + doc_id % 97 AS run,
+                        doc_id % 13 = 4 OR doc_id % 17 = 6 OR doc_id % 11 = 5
+                          AS damaged
+                 FROM documents)
+      SELECT doc_id,
+             CAST(CASE WHEN damaged THEN -1
+                  ELSE length(text) + run END AS BIGINT) AS n_chars,
+             CASE WHEN damaged THEN ''
+                  ELSE md5(text || repeat('p', CAST(run AS INTEGER))) END
+               AS digest,
+             CASE WHEN damaged THEN '' ELSE substr(text, 1, 16) END AS head
+      FROM d ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.{Warc, ZstdDecode}
+      val id = col("doc_id").cast("string")
+      val run = (col("doc_id") % 97 + 1).cast("long")
+      // the record AFTER the dictionary-served 31-byte prefix: remaining
+      // headers + text travel as per-doc raw blocks, the pad run as RLE
+      val rest = concat(
+        lit("WARC-Target-URI: http://ex.com/"), id, lit("\r\n"),
+        lit("WARC-Date: 2024-01-01T00:00:00Z\r\n"),
+        lit("Content-Length: "),
+        (length(col("text")).cast("long") + run).cast("string"),
+        lit("\r\n\r\n"), col("text"))
+      val df0 = Tables.loadSpread(spark, dir, "documents")
+        .withColumn("run", run)
+        .withColumn("rest", rest)
+        .withColumn("lr", length(col("rest")).cast("long"))
+        .withColumn("nbr", expr("(lr + 63) div 64"))
+      // frame content = 31 (dict-served prefix) + rest + run + trailer 4
+      val fcs = lit(31L) + col("lr") + col("run") + lit(4L)
+      // FHD 0xA3: fcs-flag 2 | single-segment | dict-flag 3 (4-byte ID);
+      // the %17 lane stamps an ID no dictionary declares
+      val idHex = when(col("doc_id") % 17 === 6, lit("FFFFFFFF"))
+        .otherwise(lit(ZstShardDict.dictIdHex))
+      val headerHex = concat(lit("28B52FFD"), lit("A3"), idHex, le32h(fcs))
+      val blocksHex = array_join(
+        transform(sequence(lit(0L), col("nbr") - 1L), i => {
+          val bsize = least(lit(64L), col("lr") - i * 64L)
+          concat(le24h(shiftleft(bsize, 3)), // raw, not last
+            hex(col("rest").substr((i * 64L + 1L).cast("int"), bsize.cast("int"))))
+        }), "")
+      val rleHex = concat(le24h(shiftleft(col("run"), 3) + 2L), lit("70"))
+      val tailHex = concat(le24h(lit((4L << 3) | 1L)), lit("0D0A0D0A"))
+      val noDict = col("doc_id") % 11 === 5
+      val skipHex = when(noDict, lit("")).otherwise(lit(ZstShardDict.skippableHex))
+      val fullHex = concat(skipHex, headerHex, lit(ZstShardDict.block1Hex),
+        blocksHex, rleHex, tailHex)
+      // %13==4: cut 12 bytes into the RECORD frame (past the dict frame)
+      val cutChars = (when(noDict, lit(0L))
+        .otherwise(lit(ZstShardDict.skippableHex.length.toLong)) + 24L).cast("int")
+      val blobHex = when(col("doc_id") % 13 === 4, fullHex.substr(lit(1), cutChars))
+        .otherwise(fullHex)
+      val body = expr("try_element_at(resp_arr, 1)")
+      val bodyStr = decode(body, "UTF-8")
+      df0
+        .withColumn("resp_arr",
+          Warc.responses(ZstdDecode.ccFrames(unhex(blobHex))))
+        .select(col("doc_id"),
+          coalesce(length(bodyStr).cast("long"), lit(-1L)).as("n_chars"),
+          coalesce(md5(body), lit("")).as("digest"),
+          coalesce(substring(bodyStr, 1, 16), lit("")).as("head"))
         .orderBy(col("doc_id"))
     }
   )

@@ -178,6 +178,10 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // all scan-stage (the REAL zstd decode is an expression); only the
     // output sort shuffles, one row per doc like p266
     ("p269_zst_warc_extract", 3L, 1400L, DocLinear),
+    // p271 (r17): dictionary .warc.zst — same pure scan-stage shape as
+    // p269 (dict parse is cached per blob hash, decode/extract/digest
+    // all row-local); the only exchanges are the final sort
+    ("p271_zst_dict_shard", 3L, 1400L, DocLinear),
     // p270 (r17): streaming crawl ingest — interior micro-batch jobs
     // (funnel + election fold + state rewrites) all captured; volume is
     // per-doc rows through the funnel and election, DocLinear like
