@@ -155,7 +155,7 @@ final class WasmInstance(val module: WasmModule) {
       val args = new Array[Long](jf.nparams)
       var k = 0
       while (k < jf.nparams) { args(k) = stack(base + k); k += 1 }
-      val r = jm._1.call(fidx, mem, args)
+      val r = jm._1.call(fidx, mem, globals, args)
       if (jf.hasResult) stack(base) = r
       return
     }

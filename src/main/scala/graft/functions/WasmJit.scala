@@ -25,9 +25,17 @@ package graft.functions
   *    StackMapTable is required.
   *
   * Eligibility (fixpoint): a function qualifies when its ops avoid
-  * globals, `memory.grow` and `call_indirect`, every direct call targets
+  * `memory.grow` and `call_indirect`, every direct call targets
   * another eligible function, and the frame fits byte-addressable JVM
-  * local slots. Ineligible functions keep running in the interpreter;
+  * local slots. GLOBALS compile (r17): the instance's shared globals
+  * array is threaded through every compiled frame (`[J` parameter
+  * next to the memory), and `global.get`/`global.set` become a raw
+  * `laload`/`lastore` — so the wasm-bindgen shadow-stack-pointer
+  * idiom (global 0 bumped on entry, restored on exit), which
+  * disqualified most of the reference artifact's mid-tier functions,
+  * now compiles, and mutations stay visible across mixed
+  * compiled/interpreted execution because both sides share the ONE
+  * array. Ineligible functions keep running in the interpreter;
   * the hook in `WasmInstance.call` is per-function, so mixed execution
   * composes at ordinary call boundaries. Disable with
   * `-Dgraft.wasm.jit=off`.
@@ -107,7 +115,7 @@ object WasmJit {
   // ---------------------------------------------------------------------
   // eligibility
   // ---------------------------------------------------------------------
-  private val Forbidden = Set(0x23, 0x24, 0x40, 0x11)
+  private val Forbidden = Set(0x40, 0x11)
 
   /** Fixpoint over direct calls; also bounds frame size and arity.
     * Returns (eligible, guarded): guarded marks the eligible functions NOT
@@ -122,7 +130,7 @@ object WasmJit {
     val ok = new Array[Boolean](n)
     val selfOk = Array.tabulate(n) { i =>
       val f = m.funcs(i)
-      val slots = 1 + 2 * (f.nparams + f.nlocals + f.maxStack) + 2
+      val slots = 2 + 2 * (f.nparams + f.nlocals + f.maxStack) + 2
       f.nparams <= 8 && slots < 250 && f.ops.length < 12000 &&
         !f.ops.exists(Forbidden.contains)
     }
@@ -205,9 +213,9 @@ object WasmJit {
         val next = f.ops(i) match {
           case 0x00 | 0x0C | 0x0E | 0x0F => -2 // unconditional exit
           case 0x01 | 0x22 | 0x102 => cur + (if (f.ops(i) == 0x102) 1 else 0)
-          case 0x20 | 0x41 | 0x42 | 0x43 | 0x44 | 0x3F => cur + 1
+          case 0x20 | 0x41 | 0x42 | 0x43 | 0x44 | 0x3F | 0x23 => cur + 1
           case 0x100 | 0x101 => cur + 2
-          case 0x21 | 0x0D | 0x1A => cur - 1
+          case 0x21 | 0x0D | 0x1A | 0x24 => cur - 1
           case 0x1B => cur - 2
           case op if op >= 0x28 && op <= 0x35 => cur // load: 1 in, 1 out
           case op if op >= 0x36 && op <= 0x3E => cur - 2
@@ -232,7 +240,8 @@ object WasmJit {
                                 guarded: Boolean) {
     private val f = m.funcs(fidx)
     private val h = heights(m, f)
-    private val stackBase = 1 + 2 * (f.nparams + f.nlocals)
+    // slot 0 = mem ([B), slot 1 = globals ([J), longs from slot 2
+    private val stackBase = 2 + 2 * (f.nparams + f.nlocals)
     private val budgetSlot = stackBase + 2 * f.maxStack
     val maxLocals: Int = budgetSlot + 1
     private val code = new Code
@@ -240,7 +249,7 @@ object WasmJit {
     /** (patch position, absolute position of branch opcode, target op) */
     private val fixups = collection.mutable.ArrayBuffer[(Int, Int, Int)]()
 
-    private def localSlot(i: Int) = 1 + 2 * i
+    private def localSlot(i: Int) = 2 + 2 * i
     private def slot(height: Int) = stackBase + 2 * height
 
     private def lload(s: Int): Unit =
@@ -352,6 +361,16 @@ object WasmJit {
         lload(slot(hh - 2)); lload(slot(hh - 1)); pushInt(f.argM(i))
         invokestatic(f"st_${op}%02X", "([BJJI)V")
       case 0x3F => code.u1(0x2A); invokestatic("memSize", "([B)J"); lstore(slot(hh))
+      case 0x23 => // global.get: raw laload from the shared globals array
+        code.u1(0x2B) // aload_1 (globals)
+        pushInt(f.argL(i).toInt)
+        code.u1(0x2F) // laload
+        lstore(slot(hh))
+      case 0x24 => // global.set: raw lastore into the shared globals array
+        code.u1(0x2B) // aload_1 (globals)
+        pushInt(f.argL(i).toInt)
+        lload(slot(hh - 1))
+        code.u1(0x50) // lastore
       case 0x0C => jump(f.argL(i), hh - 1, i)
       case 0x0D =>
         lload(slot(hh - 1)); code.u1(0x09); code.u1(0x94) // cond; lconst_0; lcmp
@@ -396,10 +415,11 @@ object WasmJit {
       case 0x10 =>
         val callee = f.argL(i).toInt
         val cf = m.funcs(callee)
-        code.u1(0x2A)
+        code.u1(0x2A) // mem
+        code.u1(0x2B) // globals
         var k = 0
         while (k < cf.nparams) { lload(slot(hh - cf.nparams + k)); k += 1 }
-        invokestatic(s"f$callee", "([B" + "J" * cf.nparams + ")J", owner)
+        invokestatic(s"f$callee", "([B[J" + "J" * cf.nparams + ")J", owner)
         if (cf.hasResult) lstore(slot(hh - cf.nparams)) else code.u1(0x58)
       case 0x45 | 0x50 | 0x67 | 0x68 | 0x69 | 0x79 | 0x7A | 0x7B =>
         unary(f.ops(i), hh)
@@ -448,7 +468,7 @@ object WasmJit {
           val codeB = em.emit()
           val f = m.funcs(fi)
           methods += ((0x0008 | 0x0002, cp.utf8(s"f$fi"),
-            cp.utf8("([B" + "J" * f.nparams + ")J"), codeB, 32, em.maxLocals))
+            cp.utf8("([B[J" + "J" * f.nparams + ")J"), codeB, 32, em.maxLocals))
         } catch {
           case _: IllegalStateException => mask(fi) = false
         }
@@ -476,7 +496,7 @@ object WasmJit {
     // (a method whose callee was demoted late stays in the class but is
     // unreachable — finalMask demotes its callers too, and invokestatic
     // resolves lazily, so the dead method is never linked)
-    // dispatcher: call(int fidx, byte[] mem, long[] args): long
+    // dispatcher: call(int fidx, byte[] mem, long[] globals, long[] args)
     val disp = new Code
     val eligible = finalMask.zipWithIndex.filter(_._1).map(_._2)
     if (eligible.isEmpty) return null
@@ -493,14 +513,15 @@ object WasmJit {
       stubAt(fidx) = disp.len
       val f = m.funcs(fidx)
       disp.u1(0x2C) // aload_2 (mem)
+      disp.u1(0x2D) // aload_3 (globals)
       var k = 0
       while (k < f.nparams) {
-        disp.u1(0x2D) // aload_3 (args)
+        disp.u1(0x19); disp.u1(4) // aload 4 (args)
         if (k <= 5) disp.u1(0x03 + k) else { disp.u1(0x10); disp.u1(k) }
         disp.u1(0x2F) // laload
         k += 1
       }
-      disp.u1(0xB8); disp.u2(cp.methodref(name, s"f$fidx", "([B" + "J" * f.nparams + ")J"))
+      disp.u1(0xB8); disp.u2(cp.methodref(name, s"f$fidx", "([B[J" + "J" * f.nparams + ")J"))
       disp.u1(0xAD) // lreturn
     }
     val defStub = disp.len
@@ -510,8 +531,8 @@ object WasmJit {
     eligible.zipWithIndex.foreach { case (fidx, idx) =>
       disp.patchU4(pairPatch + 8 * idx + 4, stubAt(fidx) - opPos)
     }
-    methods += ((0x0001, cp.utf8("call"), cp.utf8("(I[B[J)J"),
-      disp.bytes, 32, 4))
+    methods += ((0x0001, cp.utf8("call"), cp.utf8("(I[B[J[J)J"),
+      disp.bytes, 32, 5))
     // constructor
     val init = new Code
     init.u1(0x2A); init.u1(0xB7)
@@ -563,5 +584,6 @@ object WasmJit {
 
 /** Interface the generated per-module class implements. */
 trait CompiledModule {
-  def call(fidx: Int, mem: Array[Byte], args: Array[Long]): Long
+  def call(fidx: Int, mem: Array[Byte], globals: Array[Long],
+           args: Array[Long]): Long
 }

@@ -215,24 +215,29 @@ class WasmJitSpec extends AnyFunSuite {
     assert(spin.msg.contains("budget"))
   }
 
-  test("ineligibility falls back cleanly: a function using a mutable " +
-    "global interprets, while its eligible sibling compiles — mixed " +
-    "execution in one module") {
+  test("GLOBALS compile (r17) with the instance's shared array — " +
+    "mutations through the compiled path accumulate across calls, a " +
+    "fresh instance re-seeds them, and an over-arity sibling still " +
+    "falls back to the interpreter in the same module") {
     assume(WasmJit.enabled)
-    // module with a global: f0 reads/writes the global (ineligible),
-    // f1 is pure arithmetic (eligible)
+    // f0 reads/writes the global (NOW eligible: global.get/set compile
+    // as laload/lastore on the shared array), f1 is pure arithmetic,
+    // f2 takes 9 params (over the 8-param frame bound → interprets)
     val globalSec = section(6, b(0x01, I64, 0x01, 0x42) ++ sleb(7) ++ b(0x0B))
     val f0 = b(0x23, 0, 0x20, 0, 0x7C, 0x24, 0, 0x23, 0, 0x0B)
     val f1 = b(0x20, 0, 0x20, 0, 0x7E, 0x0B)
-    val typeSec = section(1, vec(Seq(
-      0x60.toByte +: (vec(Seq(Seq(I64.toByte))) ++ vec(Seq(Seq(I64.toByte)))))))
-    val funcSec = section(3, b(0x02, 0, 0))
-    val exportSec = section(7, vec(Seq("f0", "f1").zipWithIndex.map {
+    // f2: sum of params 0 and 8 (the arity is the point)
+    val f2 = b(0x20, 0, 0x20, 8, 0x7C, 0x0B)
+    val t1 = 0x60.toByte +: (vec(Seq(Seq(I64.toByte))) ++ vec(Seq(Seq(I64.toByte))))
+    val t9 = 0x60.toByte +: (vec(Seq(Seq.fill(9)(I64.toByte))) ++ vec(Seq(Seq(I64.toByte))))
+    val typeSec = section(1, vec(Seq(t1, t9)))
+    val funcSec = section(3, b(0x03, 0, 0, 1))
+    val exportSec = section(7, vec(Seq("f0", "f1", "f2").zipWithIndex.map {
       case (n, i) =>
         val nb = n.getBytes("UTF-8").toSeq
         uleb(nb.length.toLong) ++ nb ++ Seq(0x00.toByte) ++ uleb(i.toLong)
     }))
-    val codeSec = section(10, vec(Seq(f0, f1).map { body =>
+    val codeSec = section(10, vec(Seq(f0, f1, f2).map { body =>
       val fb = b(0x00) ++ body
       uleb(fb.length.toLong) ++ fb
     }))
@@ -240,11 +245,19 @@ class WasmJitSpec extends AnyFunSuite {
       typeSec ++ funcSec ++ globalSec ++ exportSec ++ codeSec).toArray
     val m = WasmModule.parse(bytes)
     assert(m.jit != null)
-    assert(!m.jit._2(0) && m.jit._2(1),
-      s"global user must interpret, pure sibling must compile: ${m.jit._2.toSeq}")
+    assert(m.jit._2(0) && m.jit._2(1) && !m.jit._2(2),
+      s"global user + pure sibling compile, 9-arity interprets: ${m.jit._2.toSeq}")
     val inst = new WasmInstance(m)
-    assert(inst.invoke("f0", 5L) === Some(12L)) // interpreted: global 7 + 5
+    assert(inst.invoke("f0", 5L) === Some(12L)) // compiled: global(7) + 5
+    assert(inst.invoke("f0", 5L) === Some(17L)) // the WRITE persisted
     assert(inst.invoke("f1", 6L) === Some(36L)) // compiled: 6 * 6
+    assert(inst.invoke("f2", 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 2L) === Some(3L))
+    // fresh instance: globals re-seed from the module inits
+    assert(new WasmInstance(m).invoke("f0", 5L) === Some(12L))
+    // interpreted twin agrees on the whole accumulation sequence
+    val im = interpOnly(bytes)
+    val ii = new WasmInstance(im)
+    assert(ii.invoke("f0", 5L) === Some(12L) && ii.invoke("f0", 5L) === Some(17L))
   }
 
   test("call CYCLES compile WITH a depth guard (self, mutual, and their " +
