@@ -142,6 +142,45 @@ final class WasmInstance(val module: WasmModule) {
     a.toInt
   }
 
+  /** Where a compiled frame may RE-ENTER the interpreter (the
+    * call_indirect bridge): the base of the innermost jit frame —
+    * everything at or above it on the value stack is dead while
+    * compiled code runs (compiled frames live in JVM locals), so an
+    * indirect target's interpreter frame can be laid out there.
+    * Saved/restored around each jit entry so the discipline is exact
+    * under arbitrary interpreted↔compiled nesting. */
+  private var jitBase = 0
+  private var jitDepth = 0
+
+  /** Live memory array — compiled frames refresh their memory local
+    * through this after any call (an indirect target may grow). */
+  private[functions] def memNow: Array[Byte] = mem
+
+  /** The compiled code's call_indirect: same table/null/signature
+    * semantics as the interpreter arm, then re-entry at [[jitBase]]
+    * (the target may itself be compiled — `call`'s fast path
+    * re-dispatches). */
+  private[functions] def indirectFromJit(canon: Int, elem: Long,
+                                         args: Array[Long]): Long = {
+    val eidx = (elem & M32).toInt
+    if (eidx < 0 || eidx >= table.length || table(eidx) < 0)
+      throw WasmTrap(s"call_indirect: null/oob table entry $eidx")
+    val callee = table(eidx)
+    if (module.funcCanon(callee) != canon)
+      throw WasmTrap("call_indirect: signature mismatch")
+    val f = funcs(callee)
+    val base = jitBase
+    if (base + f.nparams + 64 > stack.length) {
+      val next = new Array[Long](math.max(stack.length * 2, base + f.nparams + 1024))
+      System.arraycopy(stack, 0, next, 0, stack.length)
+      stack = next
+    }
+    var k = 0
+    while (k < f.nparams) { stack(base + k) = args(k); k += 1 }
+    call(callee, base, jitDepth + 1)
+    if (f.hasResult) stack(base) else 0L
+  }
+
   /** Execute function `fidx` with its frame based at stack(base).
     * Args are already in stack(base until base+nparams). */
   private def call(fidx: Int, base: Int, depth: Int): Unit = {
@@ -155,7 +194,10 @@ final class WasmInstance(val module: WasmModule) {
       val args = new Array[Long](jf.nparams)
       var k = 0
       while (k < jf.nparams) { args(k) = stack(base + k); k += 1 }
-      val r = jm._1.call(fidx, mem, globals, args)
+      val savedBase = jitBase; val savedDepth = jitDepth
+      jitBase = base; jitDepth = depth
+      val r = try jm._1.call(fidx, mem, globals, this, args)
+              finally { jitBase = savedBase; jitDepth = savedDepth }
       if (jf.hasResult) stack(base) = r
       return
     }

@@ -25,9 +25,9 @@ package graft.functions
   *    StackMapTable is required.
   *
   * Eligibility (fixpoint): a function qualifies when its ops avoid
-  * `memory.grow` and `call_indirect`, every direct call targets
-  * another eligible function, and the frame fits byte-addressable JVM
-  * local slots. GLOBALS compile (r17): the instance's shared globals
+  * `memory.grow`, every direct call targets another eligible function,
+  * and the frame fits byte-addressable JVM local slots. GLOBALS
+  * compile (r17): the instance's shared globals
   * array is threaded through every compiled frame (`[J` parameter
   * next to the memory), and `global.get`/`global.set` become a raw
   * `laload`/`lastore` — so the wasm-bindgen shadow-stack-pointer
@@ -35,7 +35,19 @@ package graft.functions
   * disqualified most of the reference artifact's mid-tier functions,
   * now compiles, and mutations stay visible across mixed
   * compiled/interpreted execution because both sides share the ONE
-  * array. Ineligible functions keep running in the interpreter;
+  * array. CALL_INDIRECT compiles (r17) as a bridge: the table lookup,
+  * null check, and canonical-signature check run on the instance
+  * (`WasmJitRt.callIndirect` → `WasmInstance.indirectFromJit`), and
+  * the target re-enters through the instance's call path at the saved
+  * jit base — so an interpreted target gets a correctly-placed frame,
+  * a compiled target re-dispatches to its fast path, and indirect
+  * recursion passes the interpreter's depth-4096 guard on every hop.
+  * Because a bridge target MAY grow (replace) the linear memory, a
+  * compiled frame refreshes its memory local after any call into the
+  * `mayGrow` set (reaches a call_indirect); grow-free kernels keep a
+  * loop-invariant array reference. Ineligible functions (direct
+  * `memory.grow`, over-bound frames, their transitive callers) keep
+  * running in the interpreter;
   * the hook in `WasmInstance.call` is per-function, so mixed execution
   * composes at ordinary call boundaries. Disable with
   * `-Dgraft.wasm.jit=off`.
@@ -115,7 +127,7 @@ object WasmJit {
   // ---------------------------------------------------------------------
   // eligibility
   // ---------------------------------------------------------------------
-  private val Forbidden = Set(0x40, 0x11)
+  private val Forbidden = Set(0x40)
 
   /** Fixpoint over direct calls; also bounds frame size and arity.
     * Returns (eligible, guarded): guarded marks the eligible functions NOT
@@ -130,7 +142,7 @@ object WasmJit {
     val ok = new Array[Boolean](n)
     val selfOk = Array.tabulate(n) { i =>
       val f = m.funcs(i)
-      val slots = 2 + 2 * (f.nparams + f.nlocals + f.maxStack) + 2
+      val slots = 3 + 2 * (f.nparams + f.nlocals + f.maxStack) + 2
       f.nparams <= 8 && slots < 250 && f.ops.length < 12000 &&
         !f.ops.exists(Forbidden.contains)
     }
@@ -184,6 +196,7 @@ object WasmJit {
   // per-function compilation
   // ---------------------------------------------------------------------
   private val RtOwner = "graft/functions/WasmJitRt"
+  private val InstDesc = "Lgraft/functions/WasmInstance;"
 
   /** Static pre-instruction operand heights (−1 = unreachable). */
   private def heights(m: WasmModule, f: WasmModule.WasmFunc): Array[Int] = {
@@ -222,6 +235,10 @@ object WasmJit {
           case 0x10 =>
             val cf = m.funcs(f.argL(i).toInt)
             cur - cf.nparams + (if (cf.hasResult) 1 else 0)
+          case 0x11 => // pops elem idx + nparams, pushes nresults
+            val np = (f.argL(i) & 0xFFFFFFFFL).toInt
+            val nr = (f.argL(i) >>> 32).toInt
+            cur - 1 - np + nr
           case 0x45 | 0x50 => cur
           case op if op >= 0x46 && op <= 0x66 => cur - 1
           case op if (op >= 0x6A && op <= 0x78) || (op >= 0x7C && op <= 0x8A) => cur - 1
@@ -235,13 +252,45 @@ object WasmJit {
     h
   }
 
+  /** Which functions can REPLACE the memory array under a compiled
+    * frame: anything whose compiled call graph reaches a
+    * `call_indirect` (the bridge target may grow; direct `memory.grow`
+    * is ineligible, so it can't appear in the closure). Compiled code
+    * refreshes its memory local only after calls into this set — the
+    * grow-free hot kernels keep a loop-invariant array reference C2
+    * can reason about. */
+  private def mayGrowSet(m: WasmModule): Array[Boolean] = {
+    val n = m.funcs.length
+    val grow = Array.tabulate(n)(i => m.funcs(i).ops.contains(0x11))
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < n) {
+        if (!grow(i)) {
+          val f = m.funcs(i)
+          var j = 0
+          while (j < f.ops.length && !grow(i)) {
+            if (f.ops(j) == 0x10 && grow(f.argL(j).toInt)) {
+              grow(i) = true; changed = true
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    grow
+  }
+
   private final class FnEmitter(cp: Cp, m: WasmModule, owner: String,
                                 fidx: Int, mask: Array[Boolean],
-                                guarded: Boolean) {
+                                guarded: Boolean, mayGrow: Array[Boolean]) {
     private val f = m.funcs(fidx)
     private val h = heights(m, f)
-    // slot 0 = mem ([B), slot 1 = globals ([J), longs from slot 2
-    private val stackBase = 2 + 2 * (f.nparams + f.nlocals)
+    // slot 0 = mem ([B), slot 1 = globals ([J), slot 2 = the instance
+    // (the call_indirect bridge + memory refresh), longs from slot 3
+    private val stackBase = 3 + 2 * (f.nparams + f.nlocals)
     private val budgetSlot = stackBase + 2 * f.maxStack
     val maxLocals: Int = budgetSlot + 1
     private val code = new Code
@@ -249,7 +298,7 @@ object WasmJit {
     /** (patch position, absolute position of branch opcode, target op) */
     private val fixups = collection.mutable.ArrayBuffer[(Int, Int, Int)]()
 
-    private def localSlot(i: Int) = 2 + 2 * i
+    private def localSlot(i: Int) = 3 + 2 * i
     private def slot(height: Int) = stackBase + 2 * height
 
     private def lload(s: Int): Unit =
@@ -264,6 +313,14 @@ object WasmJit {
       else { code.u1(0x13); code.u2(cp.int(v)) }
     private def invokestatic(name: String, desc: String, ownerCls: String = RtOwner): Unit = {
       code.u1(0xB8); code.u2(cp.methodref(ownerCls, name, desc))
+    }
+    /** Reload the memory local after any call: an indirect target may
+      * have grown (replaced) the instance's array. One field read —
+      * C2-inlined, invisible next to the call itself. */
+    private def refreshMem(): Unit = {
+      code.u1(0x2C) // inst
+      invokestatic("memOf", "(" + InstDesc + ")[B")
+      code.u1(0x4B) // astore_0
     }
     private def gotoW(targetOp: Int): Unit = {
       val at = code.len
@@ -417,10 +474,35 @@ object WasmJit {
         val cf = m.funcs(callee)
         code.u1(0x2A) // mem
         code.u1(0x2B) // globals
+        code.u1(0x2C) // inst
         var k = 0
         while (k < cf.nparams) { lload(slot(hh - cf.nparams + k)); k += 1 }
-        invokestatic(s"f$callee", "([B[J" + "J" * cf.nparams + ")J", owner)
+        invokestatic(s"f$callee",
+          "([B[J" + InstDesc + "J" * cf.nparams + ")J", owner)
         if (cf.hasResult) lstore(slot(hh - cf.nparams)) else code.u1(0x58)
+        if (mayGrow(callee)) refreshMem()
+      case 0x11 =>
+        // compiled call_indirect: table/null/signature checks and the
+        // re-entry run on the instance (WasmJitRt.callIndirect) — the
+        // target may be interpreted or compiled, either way correct
+        val np = (f.argL(i) & 0xFFFFFFFFL).toInt
+        val nr = (f.argL(i) >>> 32).toInt
+        code.u1(0x2C) // inst
+        pushInt(f.argM(i)) // canonical type id
+        lload(slot(hh - 1)) // element index
+        pushInt(np)
+        code.u1(0xBC); code.u1(11) // newarray long
+        var k = 0
+        while (k < np) {
+          code.u1(0x59) // dup (array ref)
+          pushInt(k)
+          lload(slot(hh - 1 - np + k))
+          code.u1(0x50) // lastore
+          k += 1
+        }
+        invokestatic("callIndirect", "(" + InstDesc + "IJ[J)J")
+        if (nr == 1) lstore(slot(hh - 1 - np)) else code.u1(0x58)
+        refreshMem()
       case 0x45 | 0x50 | 0x67 | 0x68 | 0x69 | 0x79 | 0x7A | 0x7B =>
         unary(f.ops(i), hh)
       case op if op >= 0x8B && op <= 0x91 => unary(op, hh)
@@ -456,6 +538,7 @@ object WasmJit {
     if (!enabled) return null
     val (mask, guarded) = eligibleSet(m)
     if (!mask.exists(identity)) return null
+    val mayGrow = mayGrowSet(m)
     val name = s"graft/functions/WasmLeaf$$${counter.incrementAndGet()}"
     val cp = new Cp
     val methods = collection.mutable.ArrayBuffer[(Int, Int, Int, Array[Byte], Int, Int)]()
@@ -464,11 +547,12 @@ object WasmJit {
     while (fi < mask.length) {
       if (mask(fi)) {
         try {
-          val em = new FnEmitter(cp, m, name, fi, mask, guarded(fi))
+          val em = new FnEmitter(cp, m, name, fi, mask, guarded(fi), mayGrow)
           val codeB = em.emit()
           val f = m.funcs(fi)
           methods += ((0x0008 | 0x0002, cp.utf8(s"f$fi"),
-            cp.utf8("([B[J" + "J" * f.nparams + ")J"), codeB, 32, em.maxLocals))
+            cp.utf8("([B[J" + InstDesc + "J" * f.nparams + ")J"),
+            codeB, 32, em.maxLocals))
         } catch {
           case _: IllegalStateException => mask(fi) = false
         }
@@ -496,7 +580,8 @@ object WasmJit {
     // (a method whose callee was demoted late stays in the class but is
     // unreachable — finalMask demotes its callers too, and invokestatic
     // resolves lazily, so the dead method is never linked)
-    // dispatcher: call(int fidx, byte[] mem, long[] globals, long[] args)
+    // dispatcher:
+    // call(int fidx, byte[] mem, long[] globals, WasmInstance inst, long[] args)
     val disp = new Code
     val eligible = finalMask.zipWithIndex.filter(_._1).map(_._2)
     if (eligible.isEmpty) return null
@@ -514,14 +599,16 @@ object WasmJit {
       val f = m.funcs(fidx)
       disp.u1(0x2C) // aload_2 (mem)
       disp.u1(0x2D) // aload_3 (globals)
+      disp.u1(0x19); disp.u1(4) // aload 4 (inst)
       var k = 0
       while (k < f.nparams) {
-        disp.u1(0x19); disp.u1(4) // aload 4 (args)
+        disp.u1(0x19); disp.u1(5) // aload 5 (args)
         if (k <= 5) disp.u1(0x03 + k) else { disp.u1(0x10); disp.u1(k) }
         disp.u1(0x2F) // laload
         k += 1
       }
-      disp.u1(0xB8); disp.u2(cp.methodref(name, s"f$fidx", "([B[J" + "J" * f.nparams + ")J"))
+      disp.u1(0xB8); disp.u2(cp.methodref(name, s"f$fidx",
+        "([B[J" + InstDesc + "J" * f.nparams + ")J"))
       disp.u1(0xAD) // lreturn
     }
     val defStub = disp.len
@@ -531,8 +618,8 @@ object WasmJit {
     eligible.zipWithIndex.foreach { case (fidx, idx) =>
       disp.patchU4(pairPatch + 8 * idx + 4, stubAt(fidx) - opPos)
     }
-    methods += ((0x0001, cp.utf8("call"), cp.utf8("(I[B[J[J)J"),
-      disp.bytes, 32, 5))
+    methods += ((0x0001, cp.utf8("call"),
+      cp.utf8("(I[B[J" + InstDesc + "[J)J"), disp.bytes, 32, 6))
     // constructor
     val init = new Code
     init.u1(0x2A); init.u1(0xB7)
@@ -585,5 +672,5 @@ object WasmJit {
 /** Interface the generated per-module class implements. */
 trait CompiledModule {
   def call(fidx: Int, mem: Array[Byte], globals: Array[Long],
-           args: Array[Long]): Long
+           inst: WasmInstance, args: Array[Long]): Long
 }

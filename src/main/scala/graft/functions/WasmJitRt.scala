@@ -13,11 +13,24 @@ package graft.functions
   *
   * Memory access bounds-checks against the passed array and throws
   * [[WasmTrap]] exactly like `WasmInstance.checkAddr`; compiled functions
-  * are only eligible when they cannot grow memory, so the array reference
-  * stays valid for the whole call.
+  * cannot grow memory DIRECTLY (`memory.grow` stays ineligible), but an
+  * indirect-call target can — so compiled code refreshes its memory
+  * local through [[memOf]] after every call, and the array reference it
+  * holds is valid between calls.
   */
 object WasmJitRt {
   import WasmInstance.{M32, b2l, truncD, u64ToDouble, d2u64}
+
+  /** Live memory array: compiled frames re-read it after any call,
+    * because an indirect target may have grown (and thus replaced) it. */
+  def memOf(inst: WasmInstance): Array[Byte] = inst.memNow
+
+  /** The compiled call_indirect (r17): table/null/signature checks and
+    * re-entry happen on the instance (the target may be interpreted OR
+    * compiled — the instance's call path re-dispatches either way). */
+  def callIndirect(inst: WasmInstance, canon: Int, elem: Long,
+                   args: Array[Long]): Long =
+    inst.indirectFromJit(canon, elem, args)
 
   @inline private def d(v: Long): Double = java.lang.Double.longBitsToDouble(v)
   @inline private def dl(v: Double): Long = java.lang.Double.doubleToRawLongBits(v)

@@ -16,15 +16,16 @@ object JitCoverageProbe {
       val n = m.funcs.length
       val jit = m.jit
       val compiled = if (jit == null) 0 else jit._2.count(identity)
-      // why the rest doesn't compile: count per forbidden reason
-      var grow = 0; var indirect = 0; var frame = 0; var calls = 0
+      // why the rest doesn't compile: count per reason (call_indirect
+      // compiles since r17 — only grow and frame bounds disqualify
+      // directly, everything else is transitive)
+      var grow = 0; var frame = 0; var calls = 0
       var i = 0
       while (i < n) {
         if (jit == null || !jit._2(i)) {
           val f = m.funcs(i)
-          val slots = 2 + 2 * (f.nparams + f.nlocals + f.maxStack) + 2
+          val slots = 3 + 2 * (f.nparams + f.nlocals + f.maxStack) + 2
           if (f.ops.contains(0x40)) grow += 1
-          else if (f.ops.contains(0x11)) indirect += 1
           else if (f.nparams > 8 || slots >= 250 || f.ops.length >= 12000) frame += 1
           else calls += 1 // transitively: calls something ineligible
         }
@@ -32,7 +33,7 @@ object JitCoverageProbe {
       }
       println(f"$name%-22s funcs=$n%5d compiled=$compiled%5d " +
         f"(${100.0 * compiled / math.max(n, 1)}%5.1f%%)  uncompiled by: " +
-        f"memory.grow=$grow call_indirect=$indirect frame=$frame transitive=$calls")
+        f"memory.grow=$grow frame=$frame transitive=$calls")
     }
     val ref = new java.io.File("/root/reference/wasm_function.wasm")
     if (ref.isFile)

@@ -215,6 +215,91 @@ class WasmJitSpec extends AnyFunSuite {
     assert(spin.msg.contains("budget"))
   }
 
+  test("call_indirect COMPILES (r17) as the instance bridge: dispatch " +
+    "to compiled and interpreted targets agrees with the interpreted " +
+    "twin, all three trap lanes keep the interpreter's messages, " +
+    "indirect SELF-recursion nests bridge re-entries with an exact " +
+    "stack discipline, and a grow-through-indirect refreshes the " +
+    "caller's memory local (stores after the call land in the LIVE " +
+    "array)") {
+    assume(WasmJit.enabled)
+    // types: t0 (I64,I64)->I64 caller; t1 (I64)->I64 targets; t2 ()->I64
+    val t0 = 0x60.toByte +: (vec(Seq(Seq(I64.toByte), Seq(I64.toByte))) ++
+      vec(Seq(Seq(I64.toByte))))
+    val t1 = 0x60.toByte +: (vec(Seq(Seq(I64.toByte))) ++ vec(Seq(Seq(I64.toByte))))
+    val t2 = 0x60.toByte +: (vec(Seq[Seq[Byte]]()) ++ vec(Seq(Seq(I64.toByte))))
+    val typeSec = section(1, vec(Seq(t0, t1, t2)))
+    // f0 (t0): x, idx -> call_indirect[t1]   (compiled)
+    val f0 = b(0x20, 1, 0x20, 0, 0x11, 1, 0x00, 0x0B)
+    // f1 (t1): x*x                           (compiled)
+    val f1 = b(0x20, 0, 0x20, 0, 0x7E, 0x0B)
+    // f2 (t1): x + memory.grow(0) = x + pages (INTERPRETED: has grow)
+    val f2 = b(0x20, 0, 0x41, 0x00, 0x40, 0x00, 0x7C, 0x0B)
+    // f3 (t2): const 5 — the WRONG-TYPE table entry for t1 callers
+    val f3 = b(0x42, 5, 0x0B)
+    // f4 (t2): indirect-call the grower (table idx 3), drop, store 22
+    // at mem[0], return memory.size — catches a stale memory local
+    val f4 = b(0x41, 3, 0x11, 2, 0x00, 0x1A,
+      0x41, 0x00, 0x42, 22, 0x37, 3, 0, 0x3F, 0x00, 0x0B)
+    // f5 (t2): memory.grow(1) — the grower  (INTERPRETED: has grow)
+    val f5 = b(0x41, 1, 0x40, 0x00, 0x0B)
+    // f6 (t1): countdown by indirect SELF-call via table idx 4
+    val f6 = b(0x02, 0x40, 0x20, 0, 0x50, 0x0D, 0, 0x20, 0, 0x42) ++ sleb(1) ++
+      b(0x7D, 0x41, 4, 0x11, 1, 0x00, 0x0F, 0x0B, 0x42) ++ sleb(0) ++ b(0x0B)
+    val funcSec = section(3, b(0x07, 0, 1, 1, 2, 2, 2, 1))
+    // table of 6: [f1, f2, f3, f5, f6, null]
+    val tableSec = section(4, vec(Seq(Seq(0x70.toByte, 0x00.toByte) ++ uleb(6))))
+    val memSec = section(5, vec(Seq(0x00.toByte +: uleb(1))))
+    val exportSec = section(7, vec((0 to 6).map { i =>
+      val nb = s"f$i".getBytes("UTF-8").toSeq
+      uleb(nb.length.toLong) ++ nb ++ Seq(0x00.toByte) ++ uleb(i.toLong)
+    }))
+    val elemSec = section(9, vec(Seq(
+      uleb(0) ++ Seq(0x41.toByte) ++ sleb(0) ++ Seq(0x0b.toByte) ++
+        vec(Seq(1L, 2L, 3L, 5L, 6L).map(uleb)))))
+    val codeSec = section(10, vec(Seq(f0, f1, f2, f3, f4, f5, f6).map { body =>
+      val fb = b(0x00) ++ body
+      uleb(fb.length.toLong) ++ fb
+    }))
+    val bytes = (Seq[Byte](0, 'a', 's', 'm', 1, 0, 0, 0) ++
+      typeSec ++ funcSec ++ tableSec ++ memSec ++ exportSec ++ elemSec ++
+      codeSec).toArray
+    val m = WasmModule.parse(bytes)
+    assert(m.jit != null)
+    val mask = m.jit._2.toSeq
+    assert(mask(0) && mask(1) && mask(3) && mask(4) && mask(6),
+      s"indirect callers + pure fns compile: $mask")
+    assert(!mask(2) && !mask(5), s"grow-containing targets interpret: $mask")
+    val im = interpOnly(bytes)
+    // dispatch parity: compiled→compiled and compiled→interpreted
+    for (args <- Seq((0L, 7L), (1L, 7L))) {
+      val (ji, ii) = (new WasmInstance(m), new WasmInstance(im))
+      assert(ji.invoke("f0", args._1, args._2) ===
+        ii.invoke("f0", args._1, args._2),
+        s"compiled vs interpreted dispatch disagree on $args")
+    }
+    assert(new WasmInstance(m).invoke("f0", 0L, 7L) === Some(49L))
+    assert(new WasmInstance(m).invoke("f0", 1L, 7L) === Some(8L)) // 7 + 1 page
+    // trap lanes, compiled must keep the interpreter's messages
+    def trapMsg(inst: WasmInstance, idx: Long): String =
+      intercept[WasmTrap] { inst.invoke("f0", idx, 1L) }.msg
+    assert(trapMsg(new WasmInstance(m), 5L).contains("null/oob"))
+    assert(trapMsg(new WasmInstance(m), 17L).contains("null/oob"))
+    assert(trapMsg(new WasmInstance(m), 2L).contains("signature mismatch"))
+    assert(trapMsg(new WasmInstance(im), 2L) ===
+      trapMsg(new WasmInstance(m), 2L))
+    // indirect self-recursion: 100 nested bridge re-entries, exact result
+    assert(new WasmInstance(m).invoke("f6", 100L) === Some(0L))
+    assert(new WasmInstance(im).invoke("f6", 100L) === Some(0L))
+    // grow-through-indirect: memory.size AFTER the indirect grow must
+    // see 2 pages, and the store AFTER the call must land in the LIVE
+    // (grown) array — a stale memory local fails both
+    val gi = new WasmInstance(m)
+    assert(gi.invoke("f4") === Some(2L), "memory.size must see the growth")
+    assert(gi.readBytes(0L, 1)(0) === 22.toByte,
+      "the post-grow store must be visible through the live array")
+  }
+
   test("GLOBALS compile (r17) with the instance's shared array — " +
     "mutations through the compiled path accumulate across calls, a " +
     "fresh instance re-seeds them, and an over-arity sibling still " +
@@ -229,7 +314,7 @@ class WasmJitSpec extends AnyFunSuite {
     // f2: sum of params 0 and 8 (the arity is the point)
     val f2 = b(0x20, 0, 0x20, 8, 0x7C, 0x0B)
     val t1 = 0x60.toByte +: (vec(Seq(Seq(I64.toByte))) ++ vec(Seq(Seq(I64.toByte))))
-    val t9 = 0x60.toByte +: (vec(Seq(Seq.fill(9)(I64.toByte))) ++ vec(Seq(Seq(I64.toByte))))
+    val t9 = 0x60.toByte +: (vec(Seq.fill(9)(Seq(I64.toByte))) ++ vec(Seq(Seq(I64.toByte))))
     val typeSec = section(1, vec(Seq(t1, t9)))
     val funcSec = section(3, b(0x03, 0, 0, 1))
     val exportSec = section(7, vec(Seq("f0", "f1", "f2").zipWithIndex.map {
