@@ -156,6 +156,12 @@ final class WasmInstance(val module: WasmModule) {
     * through this after any call (an indirect target may grow). */
   private[functions] def memNow: Array[Byte] = mem
 
+  /** The compiled memory.grow — the interpreter arm verbatim (old page
+    * count, or -1 & M32 past [[WasmInstance.MaxPages]]); the compiled
+    * caller refreshes its memory local right after. */
+  private[functions] def growFromJit(delta: Long): Long =
+    growMemory((delta & M32).toInt).toLong & M32
+
   /** The compiled code's call_indirect: same table/null/signature
     * semantics as the interpreter arm, then re-entry at [[jitBase]]
     * (the target may itself be compiled — `call`'s fast path

@@ -125,9 +125,10 @@ object WasmJit {
   }
 
   // ---------------------------------------------------------------------
-  // eligibility
+  // eligibility — no opcode is forbidden anymore (r17: globals,
+  // call_indirect, and memory.grow all compile); only frame bounds and
+  // an emitter bail-out (unknown opcode → demote) disqualify directly
   // ---------------------------------------------------------------------
-  private val Forbidden = Set(0x40)
 
   /** Fixpoint over direct calls; also bounds frame size and arity.
     * Returns (eligible, guarded): guarded marks the eligible functions NOT
@@ -143,8 +144,7 @@ object WasmJit {
     val selfOk = Array.tabulate(n) { i =>
       val f = m.funcs(i)
       val slots = 3 + 2 * (f.nparams + f.nlocals + f.maxStack) + 2
-      f.nparams <= 8 && slots < 250 && f.ops.length < 12000 &&
-        !f.ops.exists(Forbidden.contains)
+      f.nparams <= 8 && slots < 250 && f.ops.length < 12000
     }
     var changed = true
     java.lang.System.arraycopy(selfOk, 0, ok, 0, n)
@@ -261,7 +261,8 @@ object WasmJit {
     * can reason about. */
   private def mayGrowSet(m: WasmModule): Array[Boolean] = {
     val n = m.funcs.length
-    val grow = Array.tabulate(n)(i => m.funcs(i).ops.contains(0x11))
+    val grow = Array.tabulate(n)(i =>
+      m.funcs(i).ops.contains(0x11) || m.funcs(i).ops.contains(0x40))
     var changed = true
     while (changed) {
       changed = false
@@ -379,6 +380,12 @@ object WasmJit {
       // terminal safety net (bodies end with the decoded return op)
       if (guarded) invokestatic("recLeave", "()V")
       code.u1(0x09); code.u1(0xAD) // lconst_0; lreturn
+      // the JVM caps a method's Code at 65535 bytes — a wasm body under
+      // the op-count bound can still emit past it (wide slots, call
+      // marshalling); bail out and let compile() demote this function
+      // (and, via the post-pass fixpoint, its compiled callers)
+      if (code.len > 65000)
+        throw new IllegalStateException(s"emitted code ${code.len} > 65000")
       fixups.foreach { case (patchPos, opPos, targetOp) =>
         code.patchU4(patchPos, jvmOff(targetOp) - opPos)
       }
@@ -418,6 +425,12 @@ object WasmJit {
         lload(slot(hh - 2)); lload(slot(hh - 1)); pushInt(f.argM(i))
         invokestatic(f"st_${op}%02X", "([BJJI)V")
       case 0x3F => code.u1(0x2A); invokestatic("memSize", "([B)J"); lstore(slot(hh))
+      case 0x40 => // memory.grow: the instance replaces its array; refresh
+        code.u1(0x2C) // inst
+        lload(slot(hh - 1))
+        invokestatic("grow", "(" + InstDesc + "J)J")
+        lstore(slot(hh - 1))
+        refreshMem()
       case 0x23 => // global.get: raw laload from the shared globals array
         code.u1(0x2B) // aload_1 (globals)
         pushInt(f.argL(i).toInt)

@@ -32,6 +32,10 @@ object WasmJitRt {
                    args: Array[Long]): Long =
     inst.indirectFromJit(canon, elem, args)
 
+  /** The compiled memory.grow (r17): the instance replaces its array;
+    * the compiled caller refreshes its memory local right after. */
+  def grow(inst: WasmInstance, delta: Long): Long = inst.growFromJit(delta)
+
   @inline private def d(v: Long): Double = java.lang.Double.longBitsToDouble(v)
   @inline private def dl(v: Double): Long = java.lang.Double.doubleToRawLongBits(v)
   @inline private def f(v: Long): Float = java.lang.Float.intBitsToFloat(v.toInt)

@@ -219,7 +219,8 @@ class WasmJitSpec extends AnyFunSuite {
     "to compiled and interpreted targets agrees with the interpreted " +
     "twin, all three trap lanes keep the interpreter's messages, " +
     "indirect SELF-recursion nests bridge re-entries with an exact " +
-    "stack discipline, and a grow-through-indirect refreshes the " +
+    "stack discipline, a COMPILED memory.grow replaces the array " +
+    "through the instance, and a grow-through-indirect refreshes the " +
     "caller's memory local (stores after the call land in the LIVE " +
     "array)") {
     assume(WasmJit.enabled)
@@ -233,15 +234,18 @@ class WasmJitSpec extends AnyFunSuite {
     val f0 = b(0x20, 1, 0x20, 0, 0x11, 1, 0x00, 0x0B)
     // f1 (t1): x*x                           (compiled)
     val f1 = b(0x20, 0, 0x20, 0, 0x7E, 0x0B)
-    // f2 (t1): x + memory.grow(0) = x + pages (INTERPRETED: has grow)
+    // f2 (t1): x + memory.grow(0) = x + pages — grow COMPILES too
+    // (r17), so the guaranteed-INTERPRETED target is made by frame
+    // bound: 140 unused i64 locals push the slot count past 250
     val f2 = b(0x20, 0, 0x41, 0x00, 0x40, 0x00, 0x7C, 0x0B)
+    val f2Locals = uleb(1) ++ uleb(140) ++ Seq(I64.toByte)
     // f3 (t2): const 5 — the WRONG-TYPE table entry for t1 callers
     val f3 = b(0x42, 5, 0x0B)
     // f4 (t2): indirect-call the grower (table idx 3), drop, store 22
     // at mem[0], return memory.size — catches a stale memory local
     val f4 = b(0x41, 3, 0x11, 2, 0x00, 0x1A,
       0x41, 0x00, 0x42, 22, 0x37, 3, 0, 0x3F, 0x00, 0x0B)
-    // f5 (t2): memory.grow(1) — the grower  (INTERPRETED: has grow)
+    // f5 (t2): memory.grow(1) — the grower, itself COMPILED (r17)
     val f5 = b(0x41, 1, 0x40, 0x00, 0x0B)
     // f6 (t1): countdown by indirect SELF-call via table idx 4
     val f6 = b(0x02, 0x40, 0x20, 0, 0x50, 0x0D, 0, 0x20, 0, 0x42) ++ sleb(1) ++
@@ -257,10 +261,10 @@ class WasmJitSpec extends AnyFunSuite {
     val elemSec = section(9, vec(Seq(
       uleb(0) ++ Seq(0x41.toByte) ++ sleb(0) ++ Seq(0x0b.toByte) ++
         vec(Seq(1L, 2L, 3L, 5L, 6L).map(uleb)))))
-    val codeSec = section(10, vec(Seq(f0, f1, f2, f3, f4, f5, f6).map { body =>
-      val fb = b(0x00) ++ body
-      uleb(fb.length.toLong) ++ fb
-    }))
+    val codeSec = section(10, vec(Seq(
+      b(0x00) ++ f0, b(0x00) ++ f1, f2Locals ++ f2, b(0x00) ++ f3,
+      b(0x00) ++ f4, b(0x00) ++ f5, b(0x00) ++ f6
+    ).map(fb => uleb(fb.length.toLong) ++ fb)))
     val bytes = (Seq[Byte](0, 'a', 's', 'm', 1, 0, 0, 0) ++
       typeSec ++ funcSec ++ tableSec ++ memSec ++ exportSec ++ elemSec ++
       codeSec).toArray
@@ -269,7 +273,8 @@ class WasmJitSpec extends AnyFunSuite {
     val mask = m.jit._2.toSeq
     assert(mask(0) && mask(1) && mask(3) && mask(4) && mask(6),
       s"indirect callers + pure fns compile: $mask")
-    assert(!mask(2) && !mask(5), s"grow-containing targets interpret: $mask")
+    assert(mask(5), s"the grow-containing grower compiles (r17): $mask")
+    assert(!mask(2), s"the over-bound frame must interpret: $mask")
     val im = interpOnly(bytes)
     // dispatch parity: compiled→compiled and compiled→interpreted
     for (args <- Seq((0L, 7L), (1L, 7L))) {

@@ -144,12 +144,11 @@ class PowWasmSpec extends AnyFunSuite {
     if (WasmJit.enabled) {
       val jit = m.jit
       assert(jit != null, "the pure kernels must keep the module compiled")
-      // the shim touches the allocator global (ineligible); pow/log2/
-      // exp2 AND the split-out vmask/rows batch kernels are pure —
-      // the whole per-row chain runs compiled (1.25 ms / 8192-row
-      // batch measured, PowJitProbe)
-      assert(jit._2.count(identity) >= 5,
-        s"pow/log2/exp2/vmask/rows should compile: ${jit._2.toSeq}")
+      // since r17 (globals + memory.grow compile through the instance)
+      // the WHOLE guest runs as JVM bytecode: the allocator, the shim,
+      // and the pow/log2/exp2/vmask/rows kernels — pin ALL of it
+      assert(jit._2.count(identity) === jit._2.length,
+        s"every PowWasm function should compile: ${jit._2.toSeq}")
     }
     val engine = graft.Engine.local(2)
     try {
