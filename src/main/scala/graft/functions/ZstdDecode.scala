@@ -103,6 +103,17 @@ object ZstdDecode {
     * sized in practice; a bomb posing as one becomes a damaged frame. */
   private final val MaxDictBytes = 16 << 20
 
+  // seekable format (the public zstd contrib spec): a trailing
+  // skippable frame carries the SEEK TABLE — per-frame compressed and
+  // decompressed sizes + a 9-byte footer — so one shard file can be
+  // SPLIT: any frame decodes independently given its (offset, size).
+  // At 100 TB this is the difference between "one task per shard" and
+  // "one task per frame": Spark normally cannot split a zstd file, but
+  // a seek table turns a shard into thousands of independent decode
+  // units with ONE footer read each.
+  private final val SeekTableMagic = 0x184D2A5E
+  private final val SeekFooterMagic = 0x8F92EAB1
+
   /** Column API: decoded bytes of a COMPLETE zstd stream (one or more
     * concatenated frames, all of which must verify), or NULL. */
   def decompress(blob: Column): Column =
@@ -154,6 +165,99 @@ object ZstdDecode {
     * binds the dictionary; salvage posture. */
   def decompressCcData(b: Array[Byte]): Array[Byte] =
     run(b, salvage = true, dict0 = null, cc = true)
+
+  // ---------------------------------------------------------------------
+  // seekable format (public zstd contrib spec)
+  // ---------------------------------------------------------------------
+  import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+
+  /** Schema of [[seekTable]]: one row per frame (data AND skippable —
+    * the compressed sizes must tile the data region exactly). */
+  val seekType: ArrayType = ArrayType(StructType(Seq(
+    StructField("c_off", LongType), StructField("c_size", LongType),
+    StructField("d_off", LongType), StructField("d_size", LongType))),
+    containsNull = false)
+
+  /** Column API: the parsed seek table of a seekable-zstd blob, or NULL
+    * when the trailing table is absent/malformed/inconsistent. */
+  def seekTable(blob: Column): Column =
+    GraftSql.column(ZstdSeekTableExpr(GraftSql.expression(blob)))
+
+  /** Column API: decoded bytes of FRAME `idx` alone — the random-access
+    * path the seek table exists for; NULL when the table is invalid,
+    * the index out of range, the entry a skippable, the frame damaged,
+    * or the declared decompressed size / checksum disagrees. A leading
+    * 0x184D2A5D dictionary frame (entry 0) binds for the extraction. */
+  def seekExtract(blob: Column, idx: Column): Column =
+    GraftSql.column(ZstdSeekExtractExpr(
+      GraftSql.expression(blob), GraftSql.expression(idx)))
+
+  /** Parsed entries (cOff, cSize, dOff, dSize, checksum|-1), or null.
+    * Validations per the contrib spec: footer magic, reserved
+    * descriptor bits zero, the table's own skippable header (magic
+    * 0x184D2A5E, declared size = entries + footer), and the entries'
+    * compressed sizes tiling the data region EXACTLY. */
+  private def parseSeek(b: Array[Byte]): Array[Array[Long]] = {
+    if (b == null || b.length < 17) return null
+    val len = b.length
+    if (le32(b, len - 4) != SeekFooterMagic) return null
+    val desc = b(len - 5) & 0xFF
+    if ((desc & 0x78) != 0) return null // reserved bits 3-6 must be zero
+    val hasChecksum = (desc & 0x80) != 0
+    val n = le32(b, len - 9).toLong & 0xFFFFFFFFL
+    if (n == 0 || n > MaxFrames) return null
+    val entrySize = if (hasChecksum) 12 else 8
+    val tableLen = n.toInt * entrySize + 9
+    val hdrAt = len - 9 - n.toInt * entrySize - 8
+    if (hdrAt < 0) return null
+    if (le32(b, hdrAt) != SeekTableMagic) return null
+    if ((le32(b, hdrAt + 4).toLong & 0xFFFFFFFFL) != tableLen) return null
+    val entries = new Array[Array[Long]](n.toInt)
+    var cOff = 0L; var dOff = 0L
+    var k = 0
+    while (k < n.toInt) {
+      val p = hdrAt + 8 + k * entrySize
+      val cSize = le32(b, p).toLong & 0xFFFFFFFFL
+      val dSize = le32(b, p + 4).toLong & 0xFFFFFFFFL
+      val chk = if (hasChecksum) le32(b, p + 8).toLong & 0xFFFFFFFFL else -1L
+      entries(k) = Array(cOff, cSize, dOff, dSize, chk)
+      cOff += cSize; dOff += dSize
+      k += 1
+    }
+    if (cOff != hdrAt) return null // sizes must tile the data region
+    entries
+  }
+
+  def seekTableData(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val entries = parseSeek(b)
+    if (entries == null) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      entries.map(e => org.apache.spark.sql.catalyst.InternalRow(
+        e(0), e(1), e(2), e(3)): Any))
+  }
+
+  /** Random-access single-frame decode via the seek table. */
+  def seekExtractData(b: Array[Byte], idx: Int): Array[Byte] = {
+    val entries = parseSeek(b)
+    if (entries == null || idx < 0 || idx >= entries.length) return null
+    // the CC convention composes: a leading dictionary skippable frame
+    // (entry 0) binds for every extraction
+    var dict: Dict = null
+    val e0 = entries(0)
+    if (e0(1) >= 8 && le32(b, e0(0).toInt) == DictFrameMagic) {
+      dict = ccDict(b, e0(0).toInt + 8, e0(1).toInt - 8)
+      if (dict == null) return null
+    }
+    val e = entries(idx)
+    if (e(1) <= 0 || e(0) + e(1) > b.length) return null
+    val slice = java.util.Arrays.copyOfRange(b, e(0).toInt, (e(0) + e(1)).toInt)
+    val out = run(slice, salvage = false, dict0 = dict, cc = false)
+    if (out == null) return null
+    if (out.length.toLong != e(3)) return null // declared dSize must hold
+    if (e(4) >= 0 && (xxh64(out, 0, out.length) & 0xFFFFFFFFL) != e(4))
+      return null // per-frame XXH64 low-32, when the table carries them
+    out
+  }
 
   private def run(b: Array[Byte], salvage: Boolean, dict0: Dict,
                   cc: Boolean): Array[Byte] = {
@@ -1149,6 +1253,69 @@ case class ZstdDecompressDictExpr(left: Expression, right: Expression)
       val arr = ctx.freshName("arr")
       s"""
          |byte[] $arr = graft.functions.ZstdDecode.decompressDictData($blob, $dict);
+         |if ($arr == null) { ${ev.isNull} = true; } else { ${ev.value} = $arr; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The parsed seek table (zstd contrib seekable format) — one row per
+  * frame with compressed/decompressed offsets and sizes; NULL when the
+  * trailing table is absent, malformed, or inconsistent with the data
+  * region it claims to describe. */
+case class ZstdSeekTableExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ZstdDecode.seekType
+  override def prettyName: String = "graft_zstd_seektable"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ZstdDecode.seekTableData(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-access decode of ONE frame via the seek table — the split
+  * path: at 100 TB each executor task reads the footer once and decodes
+  * only its own frames. A leading 0x184D2A5D dictionary frame binds. */
+case class ZstdSeekExtractExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_zstd_seekextract"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType | NullType,
+            org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.IntegerType | NullType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, INT/BIGINT), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(blob: Any, idx: Any): Any =
+    ZstdDecode.seekExtractData(blob.asInstanceOf[Array[Byte]],
+      idx.asInstanceOf[Number].intValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (blob, idx) => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |byte[] $arr = graft.functions.ZstdDecode.seekExtractData($blob, (int)($idx));
          |if ($arr == null) { ${ev.isNull} = true; } else { ${ev.value} = $arr; }
        """.stripMargin
     })

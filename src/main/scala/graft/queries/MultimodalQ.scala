@@ -1336,6 +1336,79 @@ object MultimodalQ {
           coalesce(md5(body), lit("")).as("digest"),
           coalesce(substring(bodyStr, 1, 16), lit("")).as("head"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- SEEKABLE zstd: random-access frame extraction (the SPLIT path) ----
+    // The zstd contrib seekable format: frames tiled by a trailing
+    // 0x184D2A5E skippable SEEK TABLE (per-frame compressed/decompressed
+    // sizes + 9-byte footer). This is the 100-TB splitting story — Spark
+    // cannot normally split a zstd shard, but a seek table turns one
+    // file into thousands of independent decode units: each task reads
+    // the footer once and decodes ONLY its own frames, which is exactly
+    // what this entry exercises per row — ZstdDecode.seekExtract decodes
+    // frame (doc_id % K) ALONE out of a K-frame shard, cost independent
+    // of where the frame sits. Per doc the text is tiled into 192-byte
+    // chunks, one single-segment raw-block frame each (construction
+    // algebra, so the oracle recomputes the chunk by substring); the
+    // seek-table walk validates footer magic, reserved descriptor bits,
+    // declared frame count, and that the entry sizes TILE the data
+    // region exactly. Damage lanes: %13==4 flips a footer-magic byte,
+    // %17==6 declares one frame too many — both kill the table (NULL →
+    // sentinels), never a wrong extraction. ONE codegen'd scan pass.
+    Q("p272_zst_seek_split", Some("""
+      WITH d AS (SELECT doc_id, text, length(text) AS l,
+                        greatest(CAST((length(text) + 191) // 192 AS BIGINT),
+                                 1) AS k
+                 FROM documents),
+      d2 AS (SELECT *, CAST(doc_id % k AS INTEGER) AS idx,
+                    doc_id % 13 = 4 OR doc_id % 17 = 6 AS damaged
+             FROM d)
+      SELECT doc_id,
+             CAST(CASE WHEN damaged THEN -1 ELSE k END AS BIGINT) AS n_frames,
+             CAST(CASE WHEN damaged THEN -1 ELSE l END AS BIGINT) AS d_total,
+             CASE WHEN damaged THEN ''
+                  ELSE md5(substr(text, idx * 192 + 1, 192)) END AS digest,
+             CASE WHEN damaged THEN ''
+                  ELSE substr(text, idx * 192 + 1, 12) END AS head
+      FROM d2 ORDER BY doc_id""")) { (spark, dir) =>
+      import graft.functions.ZstdDecode
+      val df0 = Tables.loadSpread(spark, dir, "documents")
+        .withColumn("l", length(col("text")).cast("long"))
+        .withColumn("k", greatest(expr("(l + 191) div 192"), lit(1L)))
+        .withColumn("idx", col("doc_id") % col("k"))
+      // frame i: magic + FHD 0x20 (single-segment, 1-byte FCS ≤ 255) +
+      // FCS + one raw last block of the 192-byte chunk
+      val framesHex = array_join(
+        transform(sequence(lit(0L), col("k") - 1L), i => {
+          val len = least(lit(192L), col("l") - i * 192L)
+          concat(lit("28B52FFD"), lit("20"), lpad(hex(len), 2, "0"),
+            le24h(shiftleft(len, 3) + 1L),
+            hex(col("text").substr((i * 192L + 1L).cast("int"), len.cast("int"))))
+        }), "")
+      val entriesHex = array_join(
+        transform(sequence(lit(0L), col("k") - 1L), i => {
+          val len = least(lit(192L), col("l") - i * 192L)
+          concat(le32h(len + 9L), le32h(len))
+        }), "")
+      val declaredK = when(col("doc_id") % 17 === 6, col("k") + 1L)
+        .otherwise(col("k"))
+      val footerMagic = when(col("doc_id") % 13 === 4, lit("B1EA928E"))
+        .otherwise(lit("B1EA928F"))
+      val tableHex = concat(lit("5E2A4D18"), le32h(col("k") * 8L + 9L),
+        entriesHex, le32h(declaredK), lit("00"), footerMagic)
+      val blob = unhex(concat(framesHex, tableHex))
+      val partStr = decode(col("part"), "UTF-8")
+      df0
+        .withColumn("tbl", ZstdDecode.seekTable(blob))
+        .withColumn("part", ZstdDecode.seekExtract(blob, col("idx")))
+        .select(col("doc_id"),
+          coalesce(size(col("tbl")).cast("long"), lit(-1L)).as("n_frames"),
+          coalesce(expr(
+            "aggregate(tbl, CAST(0 AS BIGINT), (acc, e) -> acc + e.d_size)"),
+            lit(-1L)).as("d_total"),
+          coalesce(md5(col("part")), lit("")).as("digest"),
+          coalesce(substring(partStr, 1, 12), lit("")).as("head"))
+        .orderBy(col("doc_id"))
     }
   )
 

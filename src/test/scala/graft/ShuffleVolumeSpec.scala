@@ -182,6 +182,9 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // p269 (dict parse is cached per blob hash, decode/extract/digest
     // all row-local); the only exchanges are the final sort
     ("p271_zst_dict_shard", 3L, 1400L, DocLinear),
+    // p272 (r17): seekable-zstd random access — table parse + one-frame
+    // extraction are row-local scan work, same pure shape
+    ("p272_zst_seek_split", 3L, 1400L, DocLinear),
     // p270 (r17): streaming crawl ingest — interior micro-batch jobs
     // (funnel + election fold + state rewrites) all captured; volume is
     // per-doc rows through the funnel and election, DocLinear like
