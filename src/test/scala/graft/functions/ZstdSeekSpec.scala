@@ -151,6 +151,39 @@ class ZstdSeekSpec extends AnyFunSuite {
     }
   }
 
+  test("the SPLIT, in Spark terms: posexplode(seekTable(blob)) fans one " +
+    "seekable shard out to one row per frame, repartitioning spreads " +
+    "the frames across tasks, and per-row seekExtract decodes each " +
+    "frame independently — reassembly equals the whole shard (this is " +
+    "the 100-TB pattern: one footer read, thousands of decode tasks)") {
+    val docs = (0 until 64).map(i => english(500 + 37 * i, 1000 + i))
+    val frames = docs.map(d => com.github.luben.zstd.Zstd.compress(d, 6))
+    val blob = withSeekTable(frames, docs.map(_.length))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("zstd-seek-split")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions.{posexplode, spark_partition_id}
+      import spark.implicits._
+      val shard = Seq(Tuple1(blob)).toDF("blob")
+      val split = shard
+        .select($"blob", posexplode(ZstdDecode.seekTable($"blob")))
+        .repartition(4, $"pos")
+        .select($"pos", spark_partition_id().as("part"),
+          ZstdDecode.seekExtract($"blob", $"pos").as("bytes"))
+        .collect()
+      assert(split.length === 64)
+      assert(split.map(_.getAs[Int]("part")).distinct.length > 1,
+        "frames must actually spread across partitions")
+      val reassembled = split.sortBy(_.getAs[Int]("pos"))
+        .flatMap(_.getAs[Array[Byte]]("bytes"))
+      assert(java.util.Arrays.equals(reassembled, docs.reduce(_ ++ _).toArray),
+        "distributed per-frame decode must reassemble to the whole shard")
+    } finally spark.stop()
+  }
+
   test("column API: graft_zstd_seektable and graft_zstd_seekextract " +
     "run over a DataFrame (stopping the extension-less session after)") {
     val docs = (1 to 4).map(i => new String(english(600, 600 + i), "UTF-8"))
