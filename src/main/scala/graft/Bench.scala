@@ -92,7 +92,32 @@ object Bench {
       }
       name -> dt
     }.toMap
-    val passes = Seq.fill(nPasses)(pass())
+    // Host-contention measurement (r17 verdict "What's wrong" #4): sample
+    // /proc/stat around each pass so a contaminated sweep is MACHINE-
+    // identifiable from the committed artifact — steal ticks are CPU time
+    // the hypervisor gave to host neighbors while this guest was runnable,
+    // the direct signature of the recurring external-load waves prior
+    // rounds adjudicated in prose. Fields per pass: steal_ticks,
+    // busy_ticks (all non-idle), total_ticks, steal_pct (of total).
+    def cpuTicks(): Array[Long] = try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      line.trim.split("\\s+").drop(1).map(_.toLong)
+    } catch { case _: Throwable => Array.empty[Long] }
+    def stealSample(before: Array[Long], after: Array[Long]): (Long, Long, Long) = {
+      if (before.length < 8 || after.length < 8) return (-1L, -1L, -1L)
+      val d = after.zip(before).map { case (a, b) => (a - b).max(0L) }
+      val total = d.sum
+      val idle = d(3) + (if (d.length > 4) d(4) else 0L) // idle + iowait
+      (d(7), total - idle, total)
+    }
+    val stealPerPass = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val passes = Seq.fill(nPasses) {
+      val before = cpuTicks()
+      val p = pass()
+      stealPerPass += stealSample(before, cpuTicks())
+      p
+    }
     val results = ordered.map { case (name, _) =>
       name -> passes.map(_(name)).min
     }
@@ -137,10 +162,14 @@ object Bench {
         "\"" + k.takeWhile(_ != '_') + "\":" +
           passes.map(p => s3(p(k))).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+      val stealJson = stealPerPass.map { case (st, busy, tot) =>
+        val pct = if (tot > 0) st.toDouble * 100.0 / tot else -1.0
+        s"""{"steal_ticks":$st,"busy_ticks":$busy,"total_ticks":$tot,"steal_pct":${s3(pct)}}"""
+      }.mkString("[", ",", "]")
       val body = s"""{"sf":"$sfDir","n_queries":${results.size},""" +
         s""""errors":${failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
           .mkString("[", ",", "]")},""" +
-        s""""queries":$perq,"passes":$perPass,"observed":$obs}"""
+        s""""queries":$perq,"passes":$perPass,"steal":$stealJson,"observed":$obs}"""
       val out = sys.env.getOrElse("SPARK_GRAFT_PERQ_FILE", "bench_perq.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -152,7 +181,13 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + s3(v)
     }.mkString("{", ",", "}")
     val passJson = passTotals.map(s3).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"pass_totals":$passJson,"sf":"$sfDir"}""")
+    // per-pass steal share in the summary line too: the driver's capture
+    // window parses only this line, and the contention adjudication must
+    // be readable from it alone
+    val stealPct = stealPerPass.map { case (st, _, tot) =>
+      s3(if (tot > 0) st.toDouble * 100.0 / tot else -1.0)
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"pass_totals":$passJson,"steal_pct":$stealPct,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -549,6 +549,32 @@ final class WasmInstance(val module: WasmModule) {
       case 0xC2 => stack(sp - 1) = stack(sp - 1).toByte.toLong
       case 0xC3 => stack(sp - 1) = stack(sp - 1).toShort.toLong
       case 0xC4 => stack(sp - 1) = stack(sp - 1).toInt.toLong
+      // ---- 0xFC saturating truncations (decoded as 0x200|sub, r18):
+      // Java's primitive narrowing IS the spec'd behavior for the signed
+      // forms (trunc toward zero, NaN→0, saturate at the type bounds) ----
+      case 0x200 => stack(sp - 1) = f32(sp - 1).toDouble.toInt.toLong & M32
+      case 0x201 => stack(sp - 1) = satU32(f32(sp - 1).toDouble)
+      case 0x202 => stack(sp - 1) = f64(sp - 1).toInt.toLong & M32
+      case 0x203 => stack(sp - 1) = satU32(f64(sp - 1))
+      case 0x204 => stack(sp - 1) = f32(sp - 1).toDouble.toLong
+      case 0x205 => stack(sp - 1) = satU64(f32(sp - 1).toDouble)
+      case 0x206 => stack(sp - 1) = f64(sp - 1).toLong
+      case 0x207 => stack(sp - 1) = satU64(f64(sp - 1))
+      // ---- 0xFC bulk memory (r18): arraycopy has memmove semantics,
+      // matching the spec's overlap-safe memory.copy ----
+      case 0x20A =>
+        sp -= 3
+        val dst = stack(sp) & M32; val src = stack(sp + 1) & M32
+        val n = stack(sp + 2) & M32
+        if (dst + n > mem.length || src + n > mem.length)
+          throw WasmTrap(s"oob memory.copy @$dst/$src+$n")
+        System.arraycopy(mem, src.toInt, mem, dst.toInt, n.toInt)
+      case 0x20B =>
+        sp -= 3
+        val dst = stack(sp) & M32; val v = stack(sp + 1).toByte
+        val n = stack(sp + 2) & M32
+        if (dst + n > mem.length) throw WasmTrap(s"oob memory.fill @$dst+$n")
+        java.util.Arrays.fill(mem, dst.toInt, (dst + n).toInt, v)
       case other => throw WasmTrap(f"unimplemented opcode 0x$other%02x")
     }
     sp
@@ -580,4 +606,17 @@ object WasmInstance {
   @inline def d2u64(d: Double): Long =
     if (d >= 9.223372036854776E18) (d - 9.223372036854776E18).toLong | Long.MinValue
     else d.toLong
+
+  /** trunc_sat to u32: NaN→0 (both comparisons false), below -1→0,
+    * ≥2^32 → UINT32_MAX, else trunc toward zero. */
+  @inline def satU32(d: Double): Long =
+    if (d >= 4294967296.0) 0xFFFFFFFFL
+    else if (d > -1.0) d.toLong & M32
+    else 0L
+
+  /** trunc_sat to u64: NaN→0, below -1→0, ≥2^64 → UINT64_MAX. */
+  @inline def satU64(d: Double): Long =
+    if (d >= 1.8446744073709552E19) -1L
+    else if (d > -1.0) d2u64(d)
+    else 0L
 }

@@ -243,7 +243,8 @@ object WasmJit {
           case op if op >= 0x46 && op <= 0x66 => cur - 1
           case op if (op >= 0x6A && op <= 0x78) || (op >= 0x7C && op <= 0x8A) => cur - 1
           case op if (op >= 0x92 && op <= 0x98) || (op >= 0xA0 && op <= 0xA6) => cur - 1
-          case _ => cur // unops / conversions
+          case 0x20A | 0x20B => cur - 3 // memory.copy / memory.fill (r18)
+          case _ => cur // unops / conversions / sat-trunc (0x200-0x207)
         }
         if (next >= 0 && h(i + 1) < 0) h(i + 1) = next
       }
@@ -253,12 +254,12 @@ object WasmJit {
   }
 
   /** Which functions can REPLACE the memory array under a compiled
-    * frame: anything whose compiled call graph reaches a
-    * `call_indirect` (the bridge target may grow; direct `memory.grow`
-    * is ineligible, so it can't appear in the closure). Compiled code
-    * refreshes its memory local only after calls into this set — the
-    * grow-free hot kernels keep a loop-invariant array reference C2
-    * can reason about. */
+    * frame: anything whose call graph reaches a direct `memory.grow`
+    * (0x40 — compiles through the instance with a refresh) or a
+    * `call_indirect` (0x11 — the bridge target may grow). Compiled
+    * code refreshes its memory local only after calls into this set —
+    * the grow-free hot kernels keep a loop-invariant array reference
+    * C2 can reason about. */
   private def mayGrowSet(m: WasmModule): Array[Boolean] = {
     val n = m.funcs.length
     val grow = Array.tabulate(n)(i =>
@@ -392,7 +393,7 @@ object WasmJit {
       code.bytes
     }
 
-    private def emitOp(i: Int, hh: Int): Unit = (f.ops(i): @annotation.switch) match {
+    private def emitOp(i: Int, hh: Int): Unit = f.ops(i) match {
       case 0x01 => ()
       case 0x20 => lload(localSlot(f.argL(i).toInt)); lstore(slot(hh))
       case 0x21 => lload(slot(hh - 1)); lstore(localSlot(f.argL(i).toInt))
@@ -526,6 +527,15 @@ object WasmJit {
         binary(op, hh)
       case op if (op >= 0x92 && op <= 0x98) || (op >= 0xA0 && op <= 0xA6) =>
         binary(op, hh)
+      case op if op >= 0x200 && op <= 0x207 => unary(op, hh) // sat-trunc (r18)
+      case 0x20A => // memory.copy: pops dst/src/n; never grows — no refresh
+        code.u1(0x2A) // mem
+        lload(slot(hh - 3)); lload(slot(hh - 2)); lload(slot(hh - 1))
+        invokestatic("memCopy", "([BJJJ)V")
+      case 0x20B => // memory.fill: pops dst/value/n
+        code.u1(0x2A)
+        lload(slot(hh - 3)); lload(slot(hh - 2)); lload(slot(hh - 1))
+        invokestatic("memFill", "([BJJJ)V")
       case other =>
         throw new IllegalStateException(f"unjittable opcode 0x$other%02x")
     }

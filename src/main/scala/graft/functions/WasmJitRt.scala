@@ -12,11 +12,11 @@ package graft.functions
   * straight-line native arithmetic with no dispatch.
   *
   * Memory access bounds-checks against the passed array and throws
-  * [[WasmTrap]] exactly like `WasmInstance.checkAddr`; compiled functions
-  * cannot grow memory DIRECTLY (`memory.grow` stays ineligible), but an
-  * indirect-call target can — so compiled code refreshes its memory
-  * local through [[memOf]] after every call, and the array reference it
-  * holds is valid between calls.
+  * [[WasmTrap]] exactly like `WasmInstance.checkAddr`. `memory.grow`
+  * compiles through the instance ([[grow]]) and replaces the backing
+  * array, as can an indirect-call target — so compiled code refreshes
+  * its memory local through [[memOf]] after any grow or call, and the
+  * array reference it holds is valid between those points.
   */
 object WasmJitRt {
   import WasmInstance.{M32, b2l, truncD, u64ToDouble, d2u64}
@@ -199,6 +199,32 @@ object WasmJitRt {
   def op_BD(a: Long): Long = a
   def op_BE(a: Long): Long = a
   def op_BF(a: Long): Long = a
+  // ---- 0xFC saturating truncations (r18) — the interpreter arms verbatim:
+  // Java narrowing is the spec'd signed behavior, satU32/satU64 shared ----
+  def op_200(a: Long): Long = f(a).toDouble.toInt.toLong & M32
+  def op_201(a: Long): Long = WasmInstance.satU32(f(a).toDouble)
+  def op_202(a: Long): Long = d(a).toInt.toLong & M32
+  def op_203(a: Long): Long = WasmInstance.satU32(d(a))
+  def op_204(a: Long): Long = f(a).toDouble.toLong
+  def op_205(a: Long): Long = WasmInstance.satU64(f(a).toDouble)
+  def op_206(a: Long): Long = d(a).toLong
+  def op_207(a: Long): Long = WasmInstance.satU64(d(a))
+
+  // ---- 0xFC bulk memory (r18): memmove-semantics copy (arraycopy on a
+  // single array behaves as-if buffered), fill; same trap strings as the
+  // interpreter arms ----
+  def memCopy(mem: Array[Byte], dstL: Long, srcL: Long, nL: Long): Unit = {
+    val dst = dstL & M32; val src = srcL & M32; val n = nL & M32
+    if (dst + n > mem.length || src + n > mem.length)
+      throw WasmTrap(s"oob memory.copy @$dst/$src+$n")
+    System.arraycopy(mem, src.toInt, mem, dst.toInt, n.toInt)
+  }
+  def memFill(mem: Array[Byte], dstL: Long, vL: Long, nL: Long): Unit = {
+    val dst = dstL & M32; val n = nL & M32
+    if (dst + n > mem.length) throw WasmTrap(s"oob memory.fill @$dst+$n")
+    java.util.Arrays.fill(mem, dst.toInt, (dst + n).toInt, vL.toByte)
+  }
+
   def op_C0(a: Long): Long = a.toByte.toLong & M32
   def op_C1(a: Long): Long = a.toShort.toLong & M32
   def op_C2(a: Long): Long = a.toByte.toLong

@@ -11,10 +11,16 @@ package graft.functions
   * (https://webassembly.github.io/spec/core/binary/); no WASM runtime is
   * resolvable offline (build.sbt constraint), so this IS the runtime.
   *
-  * Scope: the MVP instruction set + sign-extension ops — verified by a full
-  * static decode of the reference artifact to be its exact opcode surface
-  * (no SIMD, no bulk-memory/saturating 0xFC ops, and — an LLVM artifact —
-  * no if/else, only br-based control flow; tools/wasmproto/wasmdec.py).
+  * Scope (r18: the full core-MVP surface a stock rustc/clang toolchain
+  * emits): the MVP instruction set + sign-extension ops + if/else
+  * structured control (0x04/0x05) + the 0xFC extensions every modern
+  * toolchain assumes (saturating float-to-int truncation 0xFC 0-7,
+  * memory.copy 0xFC 10, memory.fill 0xFC 11). The reference artifact
+  * itself uses none of the r18 additions (verified by full static decode,
+  * tools/wasmproto/wasmdec.py) — they exist so `LANGUAGE WASM AS
+  * '<any>.wasm'` accepts guests built outside the artifact's exact
+  * recipe. Still outside scope (named rejection classes): SIMD, threads/
+  * atomics, reference types, multi-value, memory.init/data.drop.
   * Unknown opcodes fail at LOAD time, not invoke time, so an incompatible
   * module is rejected at `CREATE FUNCTION`, matching the reference factory
   * (wasmedge_factory/src/lib.rs:111-132).
@@ -53,14 +59,22 @@ object WasmModule {
     * is exactly the reference artifact's: MVP + sign-extension, br-based
     * control flow — see the class doc). */
   def opcodeClass(op: Int): String = op match {
-    case 0x04 | 0x05 => f"if/else structured control (opcode 0x$op%02x)"
     case 0x1C => f"typed select / reference types (opcode 0x$op%02x)"
     case 0x25 | 0x26 => f"table.get/table.set reference-types ops (opcode 0x$op%02x)"
     case 0xD0 | 0xD1 | 0xD2 => f"reference types (opcode 0x$op%02x)"
-    case 0xFC => "0xFC-prefixed extensions (saturating float-to-int truncation / bulk memory)"
     case 0xFD => "0xFD-prefixed SIMD (vector) instructions"
     case 0xFE => "0xFE-prefixed threads/atomics instructions"
     case other => f"opcode 0x$other%02x"
+  }
+
+  /** Named class for an unsupported 0xFC sub-opcode (saturating trunc
+    * 0-7, memory.copy 10, and memory.fill 11 ARE supported — r18). */
+  def fcClass(sub: Int): String = sub match {
+    case 8 => "memory.init (0xFC 8; passive-segment init)"
+    case 9 => "data.drop (0xFC 9)"
+    case 12 | 13 | 14 | 15 | 16 | 17 =>
+      s"table bulk/reference-types op (0xFC $sub)"
+    case other => s"0xFC extension $other"
   }
 
   /** Every malformed binary — truncated sections, LEB prefixes running past
@@ -429,9 +443,13 @@ final class WasmModule private (bytes: Array[Byte]) {
     val argM = scala.collection.mutable.ArrayBuffer.empty[Int]
     val brTables = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
 
-    // open-block bookkeeping
+    // open-block bookkeeping; isIf/elseFix carry the r18 if/else desugar
+    // (elseFix = the opIdx of the if's false-path br_if, patched at the
+    // else arm or the end; -1 = none pending)
     final case class OpenBlock(isLoop: Boolean, entryHeight: Int, arity: Int,
-        startIp: Int, var fixups: List[(Int, Int)]) // (opIdx, brTableSlot or -1)
+        startIp: Int, var fixups: List[(Int, Int)], // (opIdx, brTableSlot or -1)
+        isIf: Boolean = false, var elseFix: Int = -1,
+        var sawElse: Boolean = false)
     val blocks = scala.collection.mutable.ArrayBuffer.empty[OpenBlock]
     blocks += OpenBlock(isLoop = false, 0, rs.length, -1, Nil) // function frame
     var height = 0
@@ -459,7 +477,7 @@ final class WasmModule private (bytes: Array[Byte]) {
 
     while (pos < bodyEnd) {
       val op = u8()
-      (op: @annotation.switch) match {
+      op match {
         case 0x00 => emit(op, 0, 0, 0); enterDead()
         case 0x01 => emit(op, 0, 0, 0)
         case 0x02 | 0x03 =>
@@ -469,6 +487,49 @@ final class WasmModule private (bytes: Array[Byte]) {
             else throw new WasmParseException("type-index blocktype unsupported")
           blocks += OpenBlock(op == 0x03, if (dead) -1 else height, arity, ops.length, Nil)
           emit(0x01, 0, 0, 0) // block/loop headers execute as nops
+        case 0x04 => // if — desugared to the jump model (r18): the
+          // condition inverts through i32.eqz and a br_if skips the then
+          // arm when false (to the else arm or the block end), so the
+          // interpreter and the JIT run if/else with ZERO new opcodes
+          val bt = bytes(pos) & 0xFF
+          val arity = if (bt == 0x40) { pos += 1; 0 }
+            else if (bt == 0x7F || bt == 0x7E || bt == 0x7D || bt == 0x7C) { pos += 1; 1 }
+            else throw new WasmParseException("type-index blocktype unsupported")
+          emit(0x45, 0, 0, 0) // i32.eqz on the condition
+          val brIdx = ops.length
+          emit(0x0D, 0, 0, -1) // br_if: taken ⇒ condition was zero
+          val blk = OpenBlock(isLoop = false, if (dead) -1 else height,
+            arity, ops.length, Nil, isIf = true)
+          if (!dead) blk.elseFix = brIdx
+          blocks += blk
+        case 0x05 => // else
+          if (blocks.length < 2 || !blocks.last.isIf || blocks.last.sawElse)
+            throw new WasmParseException(s"else without open if in f$fidx")
+          val blk = blocks.last
+          blk.sawElse = true
+          // close the then arm: unconditional skip over the else arm —
+          // emitted only when the then arm is LIVE here (a then arm that
+          // ended in return/br needs no skip, and a dead br would poison
+          // the JIT's height seeding; see the dead-branch note below)
+          if (!dead) {
+            val skipIdx = ops.length
+            emit(0x0C, 0, 0, 0)
+            blk.fixups = (skipIdx, -1) :: blk.fixups
+          }
+          // the if's false-path br_if lands one BEFORE the else arm's
+          // first instruction (jump convention: land at t, execute t+1)
+          if (blk.elseFix >= 0) {
+            argL(blk.elseFix) =
+              packTarget(ops.length - 1, math.max(blk.entryHeight, 0), 0)
+            blk.elseFix = -1
+          }
+          // the else arm starts live at the entry height even when the
+          // then arm ended dead (return/br) — the `end` revive rule
+          if (dead && deadDepth >= blocks.length) dead = false
+          if (!dead && blk.entryHeight >= 0) {
+            height = blk.entryHeight
+            if (height > maxH) maxH = height
+          }
         case 0x0B => // end
           val blk = blocks.remove(blocks.length - 1)
           val endIp = ops.length
@@ -482,28 +543,51 @@ final class WasmModule private (bytes: Array[Byte]) {
               math.max(blk.entryHeight, 0), blk.arity)
             if (slot < 0) argL(idx) = packed else brTables(argM(idx))(slot) = packed
           }
+          // an if without an else: the false path skips to the end,
+          // carrying nothing (a valid no-else if always has arity 0)
+          if (blk.elseFix >= 0) {
+            argL(blk.elseFix) =
+              packTarget(endIp, math.max(blk.entryHeight, 0), 0)
+            blk.elseFix = -1
+          }
           if (dead && blocks.length < deadDepth) dead = false
           if (!dead && blk.entryHeight >= 0) height = blk.entryHeight + blk.arity
           if (height > maxH) maxH = height
+        // DEAD branches decode as nops (compactNops strips them): they can
+        // never execute, and keeping them with their never-fixed-up argL=0
+        // would poison every downstream static analysis that reads branch
+        // targets — WasmJit.heights() seeds operand heights from EVERY
+        // 0x0C/0x0D/0x0E packed target, so a garbage (t=0,h=0) target from
+        // a dead br silently corrupted the height of instruction 1 and the
+        // JIT emitted wrong register code (found via the r18 if/else
+        // desugar's dead-then skip; latent for any artifact function with
+        // a statically-dead br)
         case 0x0C =>
           val d = u32(); val opIdx = ops.length
-          emit(op, 0, 0, 0)
-          if (!dead) argL(opIdx) = resolveBr(d, opIdx, -1)
+          if (dead) emit(0x01, 0, 0, 0)
+          else {
+            emit(op, 0, 0, 0)
+            argL(opIdx) = resolveBr(d, opIdx, -1)
+          }
           enterDead()
         case 0x0D =>
           val d = u32(); val opIdx = ops.length
-          emit(op, 0, 0, -1)
-          if (!dead) argL(opIdx) = resolveBr(d, opIdx, -1)
+          if (dead) emit(0x01, 0, 0, 0)
+          else {
+            emit(op, 0, 0, -1)
+            argL(opIdx) = resolveBr(d, opIdx, -1)
+          }
         case 0x0E =>
           val n = u32()
           if (n < 0 || n > limit - pos) throw new WasmParseException(
             s"br_table with $n targets exceeds body bounds")
           val depths = Array.fill(n + 1)(u32())
-          val opIdx = ops.length
-          val tbl = new Array[Long](n + 1)
-          brTables += tbl
-          emit(op, 0, brTables.length - 1, -1)
-          if (!dead) {
+          if (dead) emit(0x01, 0, 0, 0)
+          else {
+            val opIdx = ops.length
+            val tbl = new Array[Long](n + 1)
+            brTables += tbl
+            emit(op, 0, brTables.length - 1, -1)
             var s = 0
             while (s <= n) { tbl(s) = resolveBr(depths(s), opIdx, s); s += 1 }
           }
@@ -546,9 +630,28 @@ final class WasmModule private (bytes: Array[Byte]) {
             case _ => 0 // clz..popcnt, float unops, conversions, reinterprets, extends
           }
           emit(op, 0, 0, delta)
+        case 0xFC => // extension prefix (r18): saturating trunc + bulk memory
+          val sub = u32()
+          sub match {
+            case s if s >= 0 && s <= 7 =>
+              // i32/i64.trunc_sat_f32/f64_s/u — non-trapping conversions,
+              // one value in, one out; interpreted/compiled as 0x200|s
+              emit(0x200 | s, 0, 0, 0)
+            case 10 => // memory.copy (memmove semantics)
+              if (u8() != 0 || u8() != 0)
+                throw new WasmParseException("memory.copy: nonzero memory index")
+              emit(0x20A, 0, 0, -3)
+            case 11 => // memory.fill
+              if (u8() != 0)
+                throw new WasmParseException("memory.fill: nonzero memory index")
+              emit(0x20B, 0, 0, -3)
+            case other => throw new WasmParseException(
+              s"unsupported instruction in func $fidx (offset $pos): ${fcClass(other)} — " +
+                "outside the supported MVP+sign-extension+sat-trunc+bulk-memory surface")
+          }
         case other => throw new WasmParseException(
           f"unsupported instruction in func $fidx (offset $pos): ${opcodeClass(other)} — " +
-            "module is outside the supported MVP+sign-extension surface")
+            "module is outside the supported MVP+sign-extension+sat-trunc+bulk-memory surface")
       }
     }
     if (blocks.nonEmpty) throw new WasmParseException(s"unbalanced blocks in f$fidx")

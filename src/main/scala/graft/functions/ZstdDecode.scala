@@ -202,11 +202,15 @@ object ZstdDecode {
     val len = b.length
     if (le32(b, len - 4) != SeekFooterMagic) return null
     val desc = b(len - 5) & 0xFF
-    if ((desc & 0x78) != 0) return null // reserved bits 3-6 must be zero
+    if ((desc & 0x7C) != 0) return null // contrib spec: bits 6-2 reserved
     val hasChecksum = (desc & 0x80) != 0
     val n = le32(b, len - 9).toLong & 0xFFFFFFFFL
-    if (n == 0 || n > MaxFrames) return null
     val entrySize = if (hasChecksum) 12 else 8
+    // structural cap: a table with n entries needs n*entrySize+17 bytes of
+    // blob, so this rejects nothing valid while bounding the allocation by
+    // the blob's own size (no fixed frame-count limit — a shard of tiny
+    // frames can legitimately carry hundreds of thousands of entries)
+    if (n == 0 || n > (len - 17).toLong / entrySize) return null
     val tableLen = n.toInt * entrySize + 9
     val hdrAt = len - 9 - n.toInt * entrySize - 8
     if (hdrAt < 0) return null
@@ -548,20 +552,37 @@ object ZstdDecode {
     new Dict(id, content, huf, ll, of, ml, r1, r2, r3)
   }
 
-  /** Parsed-dictionary cache keyed by blob content hash: a shard
-    * dictionary is shared by millions of records, so the per-row cost
-    * is one XXH64 pass, not an entropy-table rebuild. Bounded (cleared
-    * past 64 entries — dictionaries are per-shard, not per-row). */
+  /** Parsed-dictionary cache keyed by blob content hash — but a hash
+    * hit is never TRUSTED: the entry carries its source bytes and a hit
+    * must pass Arrays.equals, so an xxh64 collision (non-cryptographic;
+    * collisions constructible) degrades to a cache miss, never a wrong
+    * dictionary and thus never a wrong decode. A shard dictionary is
+    * shared by millions of records, so the per-row cost is one XXH64
+    * pass + one memcmp, not an entropy-table rebuild. `dict == null`
+    * entries cache FAILED parses so a damaged shard pays one decode
+    * attempt, not one per row. Bounded (cleared past 64 entries —
+    * dictionaries are per-shard, not per-row). */
+  private final class DictEntry(val src: Array[Byte], val dict: Dict)
   private val dictCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, Dict]()
+    new java.util.concurrent.ConcurrentHashMap[Long, DictEntry]()
+  // domain separation: the same bytes mean different things to the two
+  // lookup paths (cachedDict parses the blob directly; ccDict may first
+  // decompress it), so their key spaces must not alias
+  private final val RawDictDomain = 0x5D1C7A11E5A17EDL
+  private final val CcDictDomain = 0x3C0FFEE0DDF00D5L
+
+  private def dictCachePut(key: Long, e: DictEntry): Unit = {
+    if (dictCache.size > 64) dictCache.clear()
+    dictCache.put(key, e)
+  }
 
   private def cachedDict(b: Array[Byte]): Dict = {
-    val key = xxh64(b, 0, b.length) ^ java.lang.Long.rotateLeft(b.length.toLong, 32)
+    val key = RawDictDomain ^ xxh64(b, 0, b.length) ^
+      java.lang.Long.rotateLeft(b.length.toLong, 32)
     val hit = dictCache.get(key)
-    if (hit != null) return hit
+    if (hit != null && java.util.Arrays.equals(hit.src, b)) return hit.dict
     val d = parseDict(b)
-    if (dictCache.size > 64) dictCache.clear()
-    dictCache.put(key, d)
+    dictCachePut(key, new DictEntry(b.clone(), d))
     d
   }
 
@@ -569,27 +590,28 @@ object ZstdDecode {
     * zstd frame wrapping the dictionary bytes (decoded with the §4
     * machinery, no dictionary), then parsed; null when it doesn't
     * decode/parse or busts [[MaxDictBytes]]. Cached on the RAW payload
-    * so the wrapped case also pays one hash per row, not a decode. */
+    * (success AND failure) so the wrapped case pays one hash + memcmp
+    * per row, not a decode — even when the shard is damaged. */
   private def ccDict(b: Array[Byte], off: Int, len: Int): Dict = {
-    val key = xxh64(b, off, len) ^ java.lang.Long.rotateLeft(len.toLong, 32)
-    val hit = dictCache.get(key)
-    if (hit != null) return hit
     if (len > MaxDictBytes) return null
+    val key = CcDictDomain ^ xxh64(b, off, len) ^
+      java.lang.Long.rotateLeft(len.toLong, 32)
+    val hit = dictCache.get(key)
+    if (hit != null && java.util.Arrays.equals(
+          hit.src, 0, hit.src.length, b, off, off + len)) return hit.dict
     val raw = java.util.Arrays.copyOfRange(b, off, off + len)
     val bytes =
       if (raw.length >= 4 && le32(raw, 0) == DataMagic)
         run(raw, salvage = false, dict0 = null, cc = false)
       else raw
-    if (bytes == null || bytes.length == 0 || bytes.length > MaxDictBytes)
-      return null
-    val d = try parseDict(bytes) catch {
-      case _: Corrupt => null
-      case _: ArrayIndexOutOfBoundsException => null
-    }
-    if (d != null) {
-      if (dictCache.size > 64) dictCache.clear()
-      dictCache.put(key, d)
-    }
+    val d =
+      if (bytes == null || bytes.length == 0 || bytes.length > MaxDictBytes)
+        null
+      else try parseDict(bytes) catch {
+        case _: Corrupt => null
+        case _: ArrayIndexOutOfBoundsException => null
+      }
+    dictCachePut(key, new DictEntry(raw, d))
     d
   }
 

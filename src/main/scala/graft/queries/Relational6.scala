@@ -292,6 +292,58 @@ object Relational6 {
         SELECT doc_id, rev, CAST(length(rev) AS BIGINT) AS n
         FROM (SELECT doc_id, graft_q65_rev(text) AS rev FROM documents)
         ORDER BY doc_id""")
+    },
+
+    // ---- the FOURTH artifact: stock-toolchain opcode surface (r18) ---------
+    // functions/SatWasm is assembled to use exactly the idioms a stock
+    // rustc/clang guest emits and the r17 runtime rejected at CREATE:
+    // if/else structured control (nested value-carrying in the kernel,
+    // per-row in the hot loop), i64.trunc_sat_f64_s (0xFC 6),
+    // memory.copy for the template prefix + validity passthrough, and
+    // memory.fill for pad zeroing — all through the same CREATE FUNCTION
+    // factory and Arrow IPC wire. sat(x) = i64.trunc_sat_f64_s exactly
+    // (NaN→0, saturate at the i64 bounds, trunc toward zero, NULL
+    // passthrough); the oracle states the same piecewise definition in
+    // SQL over a lane generator that covers null/NaN/±inf/±saturating/
+    // ±fractional inputs.
+    Q("q66_wasm_sat", Some("""
+      WITH t AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 8 = 0 THEN CAST(NULL AS DOUBLE)
+               WHEN o_orderkey % 8 = 1 THEN CAST(o_totalprice AS DOUBLE) * 1e14
+               WHEN o_orderkey % 8 = 2 THEN -CAST(o_totalprice AS DOUBLE) * 1e14
+               WHEN o_orderkey % 8 = 3 THEN CAST('NaN' AS DOUBLE)
+               WHEN o_orderkey % 8 = 4 THEN CAST(o_totalprice AS DOUBLE) / 7
+               WHEN o_orderkey % 8 = 5 THEN -CAST(o_totalprice AS DOUBLE) / 7
+               WHEN o_orderkey % 8 = 6 THEN CAST('Infinity' AS DOUBLE)
+               ELSE CAST('-Infinity' AS DOUBLE) END AS x
+        FROM orders WHERE o_orderkey < 4000)
+      SELECT o_orderkey,
+        CASE WHEN x IS NULL THEN NULL
+             WHEN isnan(x) THEN 0
+             WHEN x >= 9.223372036854776e18 THEN 9223372036854775807
+             WHEN x <= -9.223372036854776e18 THEN -9223372036854775808
+             ELSE CAST(trunc(x) AS BIGINT) END AS satv
+      FROM t ORDER BY o_orderkey""")) { (spark, dir) =>
+      graft.ddl.CreateEngineFunctionCommand(
+        "graft_q66_sat",
+        Seq(org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.LongType,
+        "WASM", s"${graft.functions.SatWasm.path}!sat",
+        orReplace = true).run(spark)
+      registered(spark, dir).sql("""
+        SELECT o_orderkey, graft_q66_sat(x) AS satv FROM (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 8 = 0 THEN CAST(NULL AS DOUBLE)
+                 WHEN o_orderkey % 8 = 1 THEN CAST(o_totalprice AS DOUBLE) * 1e14
+                 WHEN o_orderkey % 8 = 2 THEN -CAST(o_totalprice AS DOUBLE) * 1e14
+                 WHEN o_orderkey % 8 = 3 THEN CAST('NaN' AS DOUBLE)
+                 WHEN o_orderkey % 8 = 4 THEN CAST(o_totalprice AS DOUBLE) / 7
+                 WHEN o_orderkey % 8 = 5 THEN -CAST(o_totalprice AS DOUBLE) / 7
+                 WHEN o_orderkey % 8 = 6 THEN CAST('Infinity' AS DOUBLE)
+                 ELSE CAST('-Infinity' AS DOUBLE) END AS x
+          FROM orders WHERE o_orderkey < 4000)
+        ORDER BY o_orderkey""")
     }
   )
 }

@@ -828,7 +828,11 @@ object StreamingOps {
             .withColumn("bk", bkOf(col("id")))
           tWrite0 = System.nanoTime()
           kept.unionByName(delta)
-            .repartition(1) // per-bucket deltas are small: one file each
+            // one writer task PER TOUCHED BUCKET (r17 verdict #2): at
+            // production bucket counts the commit must not serialize on
+            // a single task; same file layout (partitionBy splits by bk
+            // either way), same one-file-per-bucket result
+            .repartition(col("bk"))
             .write.partitionBy("bk").mode("overwrite")
             .parquet(s"$workRoot/state_w$v")
           // pointer flips only after the write committed
@@ -1029,7 +1033,9 @@ object StreamingOps {
             .select(col("content_hash"),
               least(col("kid"), col("d_kid")).as("kid"))
             .withColumn("bk", bkOf(col("content_hash")))
-          merged.repartition(1) // per-bucket deltas are small: one file
+          // one writer task per touched bucket (r17 verdict #2), same
+          // layout — the commit scales with buckets, not one task
+          merged.repartition(col("bk"))
             .write.partitionBy("bk").mode("overwrite")
             .parquet(s"$workRoot/state_w$v")
           // pointer flips only after the write committed

@@ -3,9 +3,18 @@ package graft.functions
 /** Dev probe: JIT eligibility coverage over the real reference artifact
   * (and the two from-scratch guests) — run after eligibility changes to
   * record how much of each module compiles and why the rest doesn't.
-  * r17 globals support: global.get/set compile as laload/lastore on the
-  * instance's shared array, unlocking the wasm-bindgen shadow-stack-
-  * pointer idiom (global 0 bumped/restored per frame).
+  *
+  * Reason model (r18, aligned with the actual eligibility pipeline —
+  * memory.grow COMPILES since r17 and is no longer counted):
+  *  - `frame`: fails the static frame bounds (arity > 8, local slots
+  *    ≥ 250, or op count ≥ 12000) — the only pre-emit direct
+  *    disqualifier left;
+  *  - `emit-bailout`: passed the bounds but the emitter bailed (the
+  *    65000-byte JVM Code cap) — attributed as the members of the
+  *    demoted set that call no OTHER demoted function (the roots of the
+  *    post-emit demotion fixpoint; exact when no two bailed-out
+  *    functions call each other, a heuristic otherwise);
+  *  - `transitive`: demoted only because a direct callee was.
   *
   *   sbt "Test/runMain graft.functions.JitCoverageProbe"
   */
@@ -16,29 +25,46 @@ object JitCoverageProbe {
       val n = m.funcs.length
       val jit = m.jit
       val compiled = if (jit == null) 0 else jit._2.count(identity)
-      // why the rest doesn't compile: count per reason (call_indirect
-      // compiles since r17 — only grow and frame bounds disqualify
-      // directly, everything else is transitive)
-      var grow = 0; var frame = 0; var calls = 0
+      var frame = 0; var emitBail = 0; var trans = 0
+      // the demoted set: passed pre-emit bounds (selfOk) yet ended
+      // uncompiled — split into emit-bailout roots vs transitive callers
+      val selfOk = Array.tabulate(n) { i =>
+        val f = m.funcs(i)
+        val slots = 3 + 2 * (f.nparams + f.nlocals + f.maxStack) + 2
+        f.nparams <= 8 && slots < 250 && f.ops.length < 12000
+      }
+      val finalOk = Array.tabulate(n)(i => jit != null && jit._2(i))
+      val demoted = Array.tabulate(n)(i => selfOk(i) && !finalOk(i))
       var i = 0
       while (i < n) {
-        if (jit == null || !jit._2(i)) {
+        if (!finalOk(i)) {
           val f = m.funcs(i)
-          val slots = 3 + 2 * (f.nparams + f.nlocals + f.maxStack) + 2
-          if (f.ops.contains(0x40)) grow += 1
-          else if (f.nparams > 8 || slots >= 250 || f.ops.length >= 12000) frame += 1
-          else calls += 1 // transitively: calls something ineligible
+          if (!selfOk(i)) frame += 1
+          else {
+            var callsDemoted = false
+            var j = 0
+            while (j < f.ops.length && !callsDemoted) {
+              if (f.ops(j) == 0x10) {
+                val callee = f.argL(j).toInt
+                if (callee != i && (demoted(callee) || !selfOk(callee)))
+                  callsDemoted = true
+              }
+              j += 1
+            }
+            if (callsDemoted) trans += 1 else emitBail += 1
+          }
         }
         i += 1
       }
       println(f"$name%-22s funcs=$n%5d compiled=$compiled%5d " +
         f"(${100.0 * compiled / math.max(n, 1)}%5.1f%%)  uncompiled by: " +
-        f"memory.grow=$grow frame=$frame transitive=$calls")
+        f"frame=$frame emit-bailout=$emitBail transitive=$trans")
     }
     val ref = new java.io.File("/root/reference/wasm_function.wasm")
     if (ref.isFile)
       report("reference artifact", java.nio.file.Files.readAllBytes(ref.toPath))
     report("PowWasm (vendored)", PowWasm.bytes)
     report("EchoWasm", EchoWasm.bytes)
+    report("SatWasm", SatWasm.bytes)
   }
 }

@@ -259,25 +259,173 @@ class WasmInterpreterSpec extends AnyFunSuite {
     assert(t.msg.contains("budget"))
   }
 
-  test("an artifact using an unsupported instruction class fails at LOAD " +
-    "time with the class NAMED (if/else here) — CREATE-statement surface, " +
-    "not a bare hex byte") {
+  test("if/else structured control (r18): value-carrying, nested, no-else, " +
+    "dead-then revive at else, if inside a loop — the stock-toolchain " +
+    "control idiom the r17 surface rejected now EXECUTES") {
     // (func (param i32) (result i32) local.get 0 if(result i32) i32.const 1
-    //  else i32.const 2 end end) — valid MVP wasm, outside the artifact-
-    // scoped surface (LLVM output is br-based; SURVEY §7.4)
-    val body = b(0x20, 0, 0x04, 0x7F, 0x41, 1, 0x05, 0x41, 2, 0x0B, 0x0B)
-    val e = intercept[WasmModule.WasmParseException] {
-      module(Seq((Seq(I32), Seq(I32))), Seq((0, Nil, body)))
-    }
-    assert(e.getMessage.contains("if/else structured control (opcode 0x04)"))
-    assert(e.getMessage.contains("MVP+sign-extension"))
+    //  else i32.const 2 end end) — the exact body the r17 surface rejected
+    val basic = b(0x20, 0, 0x04, 0x7F, 0x41, 1, 0x05, 0x41, 2, 0x0B, 0x0B)
+    assert(run1(Seq(I32), Seq(I32), basic)(1L) === Some(1L))
+    assert(run1(Seq(I32), Seq(I32), basic)(0L) === Some(2L))
+    assert(run1(Seq(I32), Seq(I32), basic)(0xFFFFFFFFL) === Some(1L)) // any nonzero
+    // value-carrying f64 arms: if x != 0 then 2.5 else -7.0
+    val fsel = b(0x20, 0, 0x04, 0x7C,
+      0x44, 0, 0, 0, 0, 0, 0, 0x04, 0x40, // f64.const 2.5
+      0x05, 0x44, 0, 0, 0, 0, 0, 0, 0x1C, 0xC0, // f64.const -7.0
+      0x0B, 0x0B)
+    assert(run1(Seq(I32), Seq(F64), fsel)(3L)
+      === Some(java.lang.Double.doubleToRawLongBits(2.5)))
+    assert(run1(Seq(I32), Seq(F64), fsel)(0L)
+      === Some(java.lang.Double.doubleToRawLongBits(-7.0)))
+    // nested: if a then (if b then 10 else 20) else 30
+    val nested = b(0x20, 0, 0x04, 0x7F,
+      0x20, 1, 0x04, 0x7F, 0x41, 10, 0x05, 0x41, 20, 0x0B,
+      0x05, 0x41, 30, 0x0B, 0x0B)
+    assert(run1(Seq(I32, I32), Seq(I32), nested)(1L, 1L) === Some(10L))
+    assert(run1(Seq(I32, I32), Seq(I32), nested)(1L, 0L) === Some(20L))
+    assert(run1(Seq(I32, I32), Seq(I32), nested)(0L, 9L) === Some(30L))
+    // if WITHOUT else (arity 0): local set only on the taken path
+    val noElse = b(0x41, 5, 0x21, 1,
+      0x20, 0, 0x04, 0x40, 0x41, 42, 0x21, 1, 0x0B,
+      0x20, 1, 0x0B)
+    assert(run1(Seq(I32), Seq(I32), noElse, locals = Seq(I32))(1L) === Some(42L))
+    assert(run1(Seq(I32), Seq(I32), noElse, locals = Seq(I32))(0L) === Some(5L))
+    // then arm ends DEAD (return) — the else arm must revive and run
+    val deadThen = b(0x20, 0, 0x04, 0x7F, 0x41, 11, 0x0F,
+      0x05, 0x41, 22, 0x0B, 0x0B)
+    assert(run1(Seq(I32), Seq(I32), deadThen)(1L) === Some(11L))
+    assert(run1(Seq(I32), Seq(I32), deadThen)(0L) === Some(22L))
+    // if driving a loop exit: sum 1..n with an if-based break
+    // loop: i += 1; acc += i; if (i >= n) break out of the block
+    val loopIf = b(
+      0x02, 0x40, 0x03, 0x40,
+      0x20, 1, 0x41, 1, 0x6A, 0x21, 1, // i += 1
+      0x20, 2, 0x20, 1, 0x6A, 0x21, 2, // acc += i
+      0x20, 1, 0x20, 0, 0x4E, // i >= n
+      0x04, 0x40, 0x0C, 2, 0x0B, // if: br out of the outer block
+      0x0C, 0, 0x0B, 0x0B,
+      0x20, 2, 0x0B)
+    assert(run1(Seq(I32), Seq(I32), loopIf, locals = Seq(I32, I32))(10L)
+      === Some(55L))
+  }
 
-    // 0xFC prefix (e.g. i32.trunc_sat_f64_s) names the extension family
-    val sat = b(0x44, 0, 0, 0, 0, 0, 0, 0, 0, 0xFC, 0x02, 0x0B)
-    val e2 = intercept[WasmModule.WasmParseException] {
-      module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, sat)))
+  test("0xFC saturating truncations (r18): all 8 forms over NaN/inf/bound " +
+    "corners — non-trapping where the 0xA8-0xB1 family traps") {
+    val F32 = 0x7D
+    def f64c(d: Double): Seq[Byte] = {
+      val bits = java.lang.Double.doubleToRawLongBits(d)
+      b(0x44) ++ (0 until 8).map(k => ((bits >> (8 * k)) & 0xFF).toByte)
     }
-    assert(e2.getMessage.contains("saturating float-to-int truncation"))
+    def sat1(sub: Int, rt: Int, x: Double): Long = {
+      val body = f64c(x) ++ b(0xFC, sub, 0x0B)
+      run1(Nil, Seq(rt), body)().get
+    }
+    // i32.trunc_sat_f64_s (0xFC 2)
+    assert(sat1(2, I32, 3.9) === 3L)
+    assert(sat1(2, I32, -3.9) === ((-3L) & 0xFFFFFFFFL))
+    assert(sat1(2, I32, Double.NaN) === 0L)
+    assert(sat1(2, I32, 1e300) === 0x7FFFFFFFL)
+    assert(sat1(2, I32, -1e300) === 0x80000000L)
+    // i32.trunc_sat_f64_u (0xFC 3)
+    assert(sat1(3, I32, -0.5) === 0L) // fractional negatives trunc to 0
+    assert(sat1(3, I32, -7.0) === 0L)
+    assert(sat1(3, I32, 5e9) === 0xFFFFFFFFL) // ≥ 2^32 saturates
+    assert(sat1(3, I32, 4.2e9) === 4200000000L) // in u32 range: exact
+    assert(sat1(3, I32, 3000000000.0) === 3000000000L)
+    assert(sat1(3, I32, Double.NaN) === 0L)
+    // i64.trunc_sat_f64_s (0xFC 6)
+    assert(sat1(6, I64, 1e300) === Long.MaxValue)
+    assert(sat1(6, I64, -1e300) === Long.MinValue)
+    assert(sat1(6, I64, Double.NaN) === 0L)
+    assert(sat1(6, I64, -123.99) === -123L)
+    // i64.trunc_sat_f64_u (0xFC 7)
+    assert(sat1(7, I64, 2e19) === -1L) // u64 max
+    assert(sat1(7, I64, 1e19) === java.lang.Long.parseUnsignedLong("10000000000000000000"))
+    assert(sat1(7, I64, -5.0) === 0L)
+    assert(sat1(7, I64, Double.NaN) === 0L)
+    // f32-source forms (0xFC 0/1/4/5) via a f64→f32 demote in the body
+    def sat32(sub: Int, rt: Int, x: Double): Long = {
+      val body = f64c(x) ++ b(0xB6, 0xFC, sub, 0x0B) // f32.demote_f64 first
+      run1(Nil, Seq(rt), body)().get
+    }
+    assert(sat32(0, I32, 2.9) === 2L)
+    assert(sat32(0, I32, 1e30) === 0x7FFFFFFFL)
+    assert(sat32(0, I32, Double.NaN) === 0L)
+    assert(sat32(1, I32, -1e30) === 0L)
+    assert(sat32(1, I32, 1e10) === 0xFFFFFFFFL)
+    assert(sat32(4, I64, -1e30) === Long.MinValue)
+    assert(sat32(5, I64, 1e30) === -1L)
+    // the TRAPPING family is untouched: 0xAA on NaN still traps
+    val trap = intercept[WasmTrap] {
+      run1(Nil, Seq(I32), f64c(Double.NaN) ++ b(0xAA, 0x0B))()
+    }
+    assert(trap.msg.contains("invalid"))
+  }
+
+  test("0xFC memory.copy / memory.fill (r18): overlap-safe memmove " +
+    "semantics, fill, zero-length at the boundary, OOB traps") {
+    // store a marker i64, copy 4 bytes 0→2 (overlapping forward), read back
+    val copyBody = b(0x41, 0) ++ b(0x42) ++ sleb(0x0807060504030201L) ++
+      b(0x37, 0x03, 0x00) ++
+      b(0x41, 2, 0x41, 0, 0x41, 4, 0xFC, 10, 0x00, 0x00) ++
+      b(0x41, 0, 0x29, 0x03, 0x00, 0x0B)
+    assert(run1(Nil, Seq(I64), copyBody, memPages = 1)()
+      === Some(0x0807040302010201L))
+    // backward overlap: copy 4 bytes 2→0
+    val copyBack = b(0x41, 0) ++ b(0x42) ++ sleb(0x0807060504030201L) ++
+      b(0x37, 0x03, 0x00) ++
+      b(0x41, 0, 0x41, 2, 0x41, 4, 0xFC, 10, 0x00, 0x00) ++
+      b(0x41, 0, 0x29, 0x03, 0x00, 0x0B)
+    assert(run1(Nil, Seq(I64), copyBack, memPages = 1)()
+      === Some(0x0807060506050403L))
+    // fill [3, 7) with 0xAB and read the i64 at 0
+    val fillBody = b(0x41, 3, 0x41) ++ sleb(0xABL) ++ b(0x41, 4, 0xFC, 11, 0x00) ++
+      b(0x41, 0, 0x29, 0x03, 0x00, 0x0B)
+    assert(run1(Nil, Seq(I64), fillBody, memPages = 1)()
+      === Some(0x00ABABABAB000000L))
+    // zero-length copy AT the memory end is legal (spec): no trap
+    val zeroAtEnd = b(0x41) ++ sleb(65536L) ++ b(0x41, 0, 0x41, 0,
+      0xFC, 10, 0x00, 0x00, 0x41, 7, 0x0B)
+    assert(run1(Nil, Seq(I32), zeroAtEnd, memPages = 1)() === Some(7L))
+    // OOB copy and fill trap with the op named
+    val oobCopy = b(0x41, 0, 0x41) ++ sleb(65530L) ++ b(0x41, 16,
+      0xFC, 10, 0x00, 0x00, 0x41, 0, 0x0B)
+    val t1 = intercept[WasmTrap] { run1(Nil, Seq(I32), oobCopy, memPages = 1)() }
+    assert(t1.msg.contains("memory.copy"))
+    val oobFill = b(0x41) ++ sleb(65530L) ++ b(0x41, 0, 0x41, 16,
+      0xFC, 11, 0x00, 0x41, 0, 0x0B)
+    val t2 = intercept[WasmTrap] { run1(Nil, Seq(I32), oobFill, memPages = 1)() }
+    assert(t2.msg.contains("memory.fill"))
+  }
+
+  test("an artifact using a STILL-unsupported instruction class fails at " +
+    "LOAD time with the class NAMED — CREATE-statement surface, not a " +
+    "bare hex byte (r18: if/else and sat-trunc/bulk-memory moved INSIDE " +
+    "the surface; SIMD, memory.init, typed select remain outside)") {
+    // 0xFD SIMD prefix
+    val simd = b(0xFD, 0x00, 0x0B)
+    val e = intercept[WasmModule.WasmParseException] {
+      module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, simd)))
+    }
+    assert(e.getMessage.contains("SIMD"))
+    // 0xFC 8 = memory.init needs passive segments — named rejection
+    val mi = b(0x41, 0, 0x41, 0, 0x41, 0, 0xFC, 8, 0x00, 0x00, 0x0B)
+    val e2 = intercept[WasmModule.WasmParseException] {
+      module(Seq((Seq.empty[Int], Seq.empty[Int])), Seq((0, Nil, mi)))
+    }
+    assert(e2.getMessage.contains("memory.init"))
+    // 0x1C typed select
+    val ts = b(0x41, 1, 0x41, 2, 0x41, 1, 0x1C, 0x01, 0x7F, 0x0B)
+    val e3 = intercept[WasmModule.WasmParseException] {
+      module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, ts)))
+    }
+    assert(e3.getMessage.contains("typed select"))
+    // a dangling else still fails structurally
+    val badElse = b(0x41, 1, 0x05, 0x0B)
+    val e4 = intercept[WasmModule.WasmParseException] {
+      module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, badElse)))
+    }
+    assert(e4.getMessage.contains("else without open if"))
   }
 
   test("module-level guards: arity mismatch, unknown export, call-depth cap") {
