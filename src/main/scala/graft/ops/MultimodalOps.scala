@@ -220,14 +220,15 @@ object MultimodalOps {
       .toDF(id, "embedding")
   }
 
-  /** REAL pixel decode via the JDK's built-in ImageIO codecs — JPEG
-    * included (javax.imageio ships in java.desktop and is
-    * headless-safe): per-payload parsed (width, height) and exact
-    * per-channel sums. JPEG's IDCT rounding is implementation-defined,
-    * so unlike the PNG kernel ([[graft.functions.Png]], oracle-checked
-    * by p71) this path is pinned BY SPEC on the running JVM rather than
-    * by the cross-engine oracle — but the decode is genuinely real, not
-    * a stub. `mapPartitions` codec shape: one decode loop per
+  /** REAL pixel decode: JPEG payloads run the FROM-SCRATCH baseline
+    * decoder ([[graft.functions.Jpeg]] — T.81 Huffman + dequant + IDCT +
+    * YCbCr, r18, completing the all-from-scratch codec lineage with
+    * PNG/gzip/zstd/BMP/WAV); other formats fall back to the JDK's
+    * ImageIO codecs (headless-safe). JPEG's IDCT rounding is
+    * implementation-defined, so this lane is pinned BY SPEC against
+    * ImageIO with a pixel tolerance (MultimodalSpec) plus the EXACT
+    * DC-only construction oracle (p273) — the decode is genuinely real,
+    * not a stub. `mapPartitions` codec shape: one decode loop per
     * partition, payloads streamed, undecodable rows yield NULL dims
     * (mid-crawl truncation is data, not an error).
     */
@@ -261,27 +262,50 @@ object MultimodalOps {
           } finally iis.close() // dispose() does not close the stream
         }
         it.map { case (did, bytes) =>
-          val img =
-            try decode(bytes)
-            catch { case _: Exception => null } // junk bytes: not an error
-          if (img == null) (did, None: Option[Int], None: Option[Int],
+          val none = (did, None: Option[Int], None: Option[Int],
             None: Option[Long], None: Option[Long], None: Option[Long])
-          else {
-            val w = img.getWidth; val h = img.getHeight
-            var sr = 0L; var sg = 0L; var sb = 0L
-            val row = new Array[Int](w) // bulk row reads, not per-pixel
-            var y = 0
-            while (y < h) {
-              img.getRGB(0, y, w, 1, row, 0, w)
-              var x = 0
-              while (x < w) {
-                val px = row(x)
-                sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
-                x += 1
+          val isJpeg = bytes != null && bytes.length >= 3 &&
+            (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8 &&
+            (bytes(2) & 0xFF) == 0xFF
+          if (isJpeg) {
+            // the from-scratch path (r18): NULL on anything not a
+            // complete supported baseline JPEG — same salvage posture
+            val px = graft.functions.Jpeg.decodeRgb(bytes)
+            if (px == null) none
+            else {
+              val (w, h, rgb) = px
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var p = 0
+              val end = w * h * 3
+              while (p < end) {
+                sr += rgb(p) & 0xff; sg += rgb(p + 1) & 0xff
+                sb += rgb(p + 2) & 0xff
+                p += 3
               }
-              y += 1
+              (did, Some(w), Some(h), Some(sr), Some(sg), Some(sb))
             }
-            (did, Some(w), Some(h), Some(sr), Some(sg), Some(sb))
+          } else {
+            val img =
+              try decode(bytes)
+              catch { case _: Exception => null } // junk bytes: not an error
+            if (img == null) none
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              val row = new Array[Int](w) // bulk row reads, not per-pixel
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                var x = 0
+                while (x < w) {
+                  val px = row(x)
+                  sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              (did, Some(w), Some(h), Some(sr), Some(sg), Some(sb))
+            }
           }
         }
       }

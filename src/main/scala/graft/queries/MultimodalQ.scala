@@ -1409,6 +1409,59 @@ object MultimodalQ {
           coalesce(md5(col("part")), lit("")).as("digest"),
           coalesce(substring(partStr, 1, 12), lit("")).as("head"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- p273: from-scratch BASELINE JPEG decode (r18) ----------------------
+    // The last codec in the lineage off a JDK library: graft.functions.Jpeg
+    // is a T.81 SOF0 decoder (marker walk, canonical Huffman with byte
+    // stuffing + RSTn restarts, dequant, separable IDCT, YCbCr) written
+    // from the public spec. JPEG IDCT rounding is implementation-defined,
+    // so the ORACLE-EXACT entry uses construction algebra where every
+    // conforming IDCT agrees: per doc a DC-only grayscale JPEG (flat 8×8
+    // blocks, all-ones quant, Annex K tables, restart markers on %5==0
+    // lanes) whose decode is exactly the constructed grid — the oracle
+    // recomputes grid sums/histograms in SQL. Damage lanes (%13==4
+    // truncation, %17==6 progressive-SOF flip) must yield NULL → -1.
+    // Natural-image fidelity vs ImageIO is pinned in MultimodalSpec with
+    // a pixel tolerance. One scan, zero shuffles, per-row codegen kernels
+    // — the 100 TB shape.
+    Q("p273_jpeg_dc_decode", Some("""
+      WITH d AS (SELECT doc_id,
+                        1 + doc_id % 4 AS cols, 1 + doc_id % 3 AS rows,
+                        (doc_id % 13 = 4 OR doc_id % 17 = 6) AS damaged
+                 FROM documents),
+      g AS (SELECT d.doc_id,
+                   ((d.doc_id * 31 + r1.by * 8 + r2.bx * 5) % 256) AS v
+            FROM d, range(0, 3) r1(by), range(0, 4) r2(bx)
+            WHERE r1.by < d.rows AND r2.bx < d.cols),
+      s AS (SELECT doc_id, 64 * SUM(v) AS sr,
+                   64 * SUM(CASE WHEN v < 64 THEN 1 ELSE 0 END) AS c0,
+                   64 * SUM(CASE WHEN v >= 64 AND v < 128 THEN 1 ELSE 0 END) AS c1,
+                   64 * SUM(CASE WHEN v >= 128 AND v < 192 THEN 1 ELSE 0 END) AS c2,
+                   64 * SUM(CASE WHEN v >= 192 THEN 1 ELSE 0 END) AS c3
+            FROM g GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(CASE WHEN damaged THEN -1 ELSE d.cols * 8 END AS BIGINT) AS w,
+             CAST(CASE WHEN damaged THEN -1 ELSE d.rows * 8 END AS BIGINT) AS h,
+             CAST(CASE WHEN damaged THEN -1 ELSE s.sr END AS BIGINT) AS sum_r,
+             CAST(CASE WHEN damaged THEN -1 ELSE s.c0 END AS BIGINT) AS h0,
+             CAST(CASE WHEN damaged THEN -1 ELSE s.c1 END AS BIGINT) AS h1,
+             CAST(CASE WHEN damaged THEN -1 ELSE s.c2 END AS BIGINT) AS h2,
+             CAST(CASE WHEN damaged THEN -1 ELSE s.c3 END AS BIGINT) AS h3
+      FROM d JOIN s USING (doc_id) ORDER BY d.doc_id""")) { (spark, dir) =>
+      import graft.functions.{JpegChannelStats, JpegFlatFixture}
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("stats", JpegChannelStats(JpegFlatFixture(col("doc_id"))))
+        .select(col("doc_id"),
+          coalesce(col("stats").getItem(0), lit(-1L)).as("w"),
+          coalesce(col("stats").getItem(1), lit(-1L)).as("h"),
+          coalesce(col("stats").getItem(2), lit(-1L)).as("sum_r"),
+          coalesce(col("stats").getItem(5), lit(-1L)).as("h0"),
+          coalesce(col("stats").getItem(6), lit(-1L)).as("h1"),
+          coalesce(col("stats").getItem(7), lit(-1L)).as("h2"),
+          coalesce(col("stats").getItem(8), lit(-1L)).as("h3"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -561,6 +561,140 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bombRows.head.isNullAt(1), "dimension bomb must yield NULL dims")
   }
 
+  // ---- from-scratch baseline JPEG decoder (r18) ---------------------------
+
+  test("Jpeg: DC-only construction decodes EXACTLY — every conforming " +
+    "IDCT is exact on flat blocks, including across restart markers") {
+    import graft.functions.Jpeg
+    val r = new java.util.Random(31)
+    for (restart <- Seq(0, 1, 2, 3); trial <- 0 until 4) {
+      val rows = 1 + r.nextInt(4); val cols = 1 + r.nextInt(5)
+      val grid = Array.tabulate(rows, cols)((_, _) => r.nextInt(256))
+      val jpeg = Jpeg.encodeFlatBlocks(grid, restart)
+      val px = Jpeg.decodeRgb(jpeg)
+      assert(px != null, s"restart=$restart trial=$trial must decode")
+      val (w, h, rgb) = px
+      assert(w === cols * 8 && h === rows * 8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = grid(y / 8)(x / 8)
+        val p = (y * w + x) * 3
+        assert((rgb(p) & 0xFF) === want,
+          s"restart=$restart ($x,$y): ${rgb(p) & 0xFF} != $want")
+        assert(rgb(p) === rgb(p + 1) && rgb(p + 1) === rgb(p + 2))
+      }
+    }
+  }
+
+  test("Jpeg vs ImageIO ground truth: color gradients (default 4:2:0 " +
+    "writer) and grayscale — dims exact, pixels within lossy tolerance") {
+    import graft.functions.Jpeg
+    def viaImageIo(jpeg: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      val w = img.getWidth; val h = img.getHeight
+      val px = new Array[Int](w * h)
+      if (img.getColorModel.getNumComponents == 1) {
+        // raw gray samples: getRGB would run awt's NONLINEAR ICC
+        // gray→sRGB conversion and no longer measure the decoder
+        val r = img.getRaster
+        for (y <- 0 until h; x <- 0 until w) {
+          val g = r.getSample(x, y, 0) & 0xFF
+          px(y * w + x) = (g << 16) | (g << 8) | g
+        }
+      } else img.getRGB(0, 0, w, h, px, 0, w)
+      (w, h, px)
+    }
+    def encode(img: java.awt.image.BufferedImage, q: Float): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    for (q <- Seq(0.95f, 0.7f); gray <- Seq(false, true)) {
+      val (w, h) = (37, 23) // deliberately unaligned to the MCU grid
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (x * 255 / (w - 1)) & 0xFF
+        val g = (y * 255 / (h - 1)) & 0xFF
+        val b = ((x + y) * 4) & 0xFF
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val jpeg = encode(img, q)
+      val mine = Jpeg.decodeRgb(jpeg)
+      assert(mine != null, s"q=$q gray=$gray must decode")
+      val (mw, mh, rgb) = mine
+      val (iw, ih, ipx) = viaImageIo(jpeg)
+      assert(mw === iw && mh === ih)
+      var sumDiff = 0L; var maxDiff = 0
+      for (y <- 0 until mh; x <- 0 until mw; c <- 0 until 3) {
+        val m = rgb((y * mw + x) * 3 + c) & 0xFF
+        val i = (ipx(y * mw + x) >> (16 - 8 * c)) & 0xFF
+        val d = math.abs(m - i)
+        sumDiff += d
+        if (d > maxDiff) maxDiff = d
+      }
+      val mean = sumDiff.toDouble / (mw * mh * 3)
+      assert(mean <= 3.0, s"q=$q gray=$gray mean pixel diff $mean")
+      assert(maxDiff <= 64, s"q=$q gray=$gray max pixel diff $maxDiff")
+    }
+  }
+
+  test("Jpeg salvage posture: truncation sweep and bitflips never throw; " +
+    "progressive SOF and dimension bombs yield NULL") {
+    import graft.functions.Jpeg
+    val jpeg = Jpeg.encodeFlatBlocks(
+      Array.tabulate(2, 3)((a, b) => (a * 80 + b * 40) % 256), 2)
+    // every truncation point: null or a clean decode, never a throw
+    (0 until jpeg.length).foreach { k =>
+      Jpeg.decodeRgb(java.util.Arrays.copyOf(jpeg, k))
+    }
+    val r = new java.util.Random(17)
+    (0 until 500).foreach { _ =>
+      val mut = jpeg.clone()
+      mut(r.nextInt(mut.length)) =
+        (mut(r.nextInt(mut.length)) ^ (1 << r.nextInt(8))).toByte
+      Jpeg.decodeRgb(mut) // may be null or decode; must not throw
+    }
+    // progressive flip (the p273 %17 damage lane)
+    val prog = jpeg.clone()
+    val sofAt = prog.indices.dropRight(1).find(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(Jpeg.decodeRgb(prog) == null, "progressive must be NULL")
+    // dimension bomb: SOF claiming 50000x50000 → NULL before allocation
+    val bomb = jpeg.clone()
+    def put16(at: Int, v: Int): Unit = {
+      bomb(at) = ((v >> 8) & 0xFF).toByte; bomb(at + 1) = (v & 0xFF).toByte
+    }
+    put16(sofAt + 5, 50000); put16(sofAt + 7, 50000)
+    assert(Jpeg.decodeRgb(bomb) == null, "dimension bomb must be NULL")
+    // junk and null
+    assert(Jpeg.decodeRgb(null) == null)
+    assert(Jpeg.decodeRgb("not a jpeg".getBytes) == null)
+    assert(Jpeg.decodeRgb(Array[Byte](0xFF.toByte, 0xD8.toByte)) == null)
+  }
+
+  test("Jpeg.flatFixture damage lanes: %13 truncation and %17 " +
+    "progressive both NULL through channelStats; healthy ids exact") {
+    import graft.functions.Jpeg
+    assert(Jpeg.channelStatsData(Jpeg.flatFixture(4L)) == null)   // %13==4
+    assert(Jpeg.channelStatsData(Jpeg.flatFixture(23L)) == null)  // %17==6
+    val s = Jpeg.channelStatsData(Jpeg.flatFixture(1L))
+    assert(s != null)
+    // id=1: cols=2, rows=2, v(by,bx) = (31 + by*8 + bx*5) % 256
+    val vs = for (by <- 0 until 2; bx <- 0 until 2) yield (31 + by * 8 + bx * 5) % 256
+    assert(s.getLong(0) === 16L && s.getLong(1) === 16L)
+    assert(s.getLong(2) === 64L * vs.sum)
+  }
+
   // ---- real PCM sample decode (p78/p79) ----------------------------------
 
   private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
