@@ -162,6 +162,27 @@ final class WasmInstance(val module: WasmModule) {
   private[functions] def growFromJit(delta: Long): Long =
     growMemory((delta & M32).toInt).toLong & M32
 
+  /** Compiled → interpreted DIRECT call (r18): an uncompiled callee
+    * (over-bound frame or emit bail-out) no longer demotes its compiled
+    * callers — they re-enter the interpreter here, at the saved
+    * [[jitBase]], exactly like the indirect bridge minus the table
+    * checks. Depth is threaded (`jitDepth + 1`), so recursion cycles
+    * that cross the compiled↔interpreted boundary hit the interpreter's
+    * depth-4096 guard on every pass through this bridge. */
+  private[functions] def directFromJit(fidx: Int, args: Array[Long]): Long = {
+    val f = funcs(fidx)
+    val base = jitBase
+    if (base + f.nparams + 64 > stack.length) {
+      val next = new Array[Long](math.max(stack.length * 2, base + f.nparams + 1024))
+      System.arraycopy(stack, 0, next, 0, stack.length)
+      stack = next
+    }
+    var k = 0
+    while (k < f.nparams) { stack(base + k) = args(k); k += 1 }
+    call(fidx, base, jitDepth + 1)
+    if (f.hasResult) stack(base) else 0L
+  }
+
   /** The compiled code's call_indirect: same table/null/signature
     * semantics as the interpreter arm, then re-entry at [[jitBase]]
     * (the target may itself be compiled — `call`'s fast path

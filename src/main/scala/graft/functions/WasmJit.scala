@@ -130,45 +130,34 @@ object WasmJit {
   // an emitter bail-out (unknown opcode → demote) disqualify directly
   // ---------------------------------------------------------------------
 
-  /** Fixpoint over direct calls; also bounds frame size and arity.
-    * Returns (eligible, guarded): guarded marks the eligible functions NOT
-    * provably acyclic — members of call cycles (self or mutual) and
-    * functions that can reach one. Those compile WITH a recursion-depth
-    * guard ([[WasmJitRt.recEnter]]/`recLeave`, trap at the interpreter's
-    * 4096) so runaway compiled recursion traps exactly like interpreted
-    * recursion instead of relying on the StackOverflowError backstop;
-    * provably-acyclic functions (the hot leaves) pay nothing. */
+  /** Per-function frame bounds + arity. Returns (eligible, guarded).
+    * r18: there is NO call fixpoint anymore — a caller of an ineligible
+    * function compiles anyway and BRIDGES the call through the instance
+    * ([[WasmJitRt.callDirect]]), so an over-bound frame or a late emit
+    * bail-out no longer demotes its transitive callers (r17's 60-function
+    * residue). `guarded` marks the eligible functions NOT provably
+    * acyclic over COMPILED-ONLY direct calls — those compile WITH a
+    * recursion-depth guard ([[WasmJitRt.recEnter]]/`recLeave`, trap at
+    * the interpreter's 4096); a cycle that passes through a BRIDGED
+    * (interpreted) callee needs no compiled guard, because every pass
+    * through the bridge increments the interpreter's own depth. */
   private[functions] def eligibleSet(m: WasmModule): (Array[Boolean], Array[Boolean]) = {
     val n = m.funcs.length
-    val ok = new Array[Boolean](n)
-    val selfOk = Array.tabulate(n) { i =>
+    val ok = Array.tabulate(n) { i =>
       val f = m.funcs(i)
       val slots = 3 + 2 * (f.nparams + f.nlocals + f.maxStack) + 2
       f.nparams <= 8 && slots < 250 && f.ops.length < 12000
     }
-    var changed = true
-    java.lang.System.arraycopy(selfOk, 0, ok, 0, n)
-    while (changed) {
-      changed = false
-      var i = 0
-      while (i < n) {
-        if (ok(i)) {
-          val f = m.funcs(i)
-          var j = 0
-          while (j < f.ops.length && ok(i)) {
-            if (f.ops(j) == 0x10 && !ok(f.argL(j).toInt)) {
-              ok(i) = false; changed = true
-            }
-            j += 1
-          }
-        }
-        i += 1
-      }
-    }
-    // Prove acyclicity by callee-first peeling: a function is proven once
-    // EVERY direct callee is already proven (a self-call can never prove
-    // itself; mutual cycles never peel; reaching a cycle blocks the
-    // caller too). Whatever stays unproven gets the depth guard.
+    (ok, guardedSet(m, ok))
+  }
+
+  /** Callee-first acyclicity peeling over the compiled-only call graph:
+    * a function is proven once every direct callee is proven or BRIDGED
+    * (not in `ok` — the interpreter's depth guard covers cycles through
+    * it); a self-call can never prove itself, mutual compiled cycles
+    * never peel. Whatever stays unproven gets the depth guard. */
+  private def guardedSet(m: WasmModule, ok: Array[Boolean]): Array[Boolean] = {
+    val n = m.funcs.length
     val acyc = new Array[Boolean](n)
     var progressed = true
     while (progressed) {
@@ -180,7 +169,10 @@ object WasmJit {
           var allDone = true
           var j = 0
           while (j < f.ops.length && allDone) {
-            if (f.ops(j) == 0x10 && !acyc(f.argL(j).toInt)) allDone = false
+            if (f.ops(j) == 0x10) {
+              val callee = f.argL(j).toInt
+              if (ok(callee) && !acyc(callee)) allDone = false
+            }
             j += 1
           }
           if (allDone) { acyc(i) = true; progressed = true }
@@ -188,8 +180,7 @@ object WasmJit {
         i += 1
       }
     }
-    val guarded = Array.tabulate(n)(i => ok(i) && !acyc(i))
-    (ok, guarded)
+    Array.tabulate(n)(i => ok(i) && !acyc(i))
   }
 
   // ---------------------------------------------------------------------
@@ -486,14 +477,35 @@ object WasmJit {
       case 0x10 =>
         val callee = f.argL(i).toInt
         val cf = m.funcs(callee)
-        code.u1(0x2A) // mem
-        code.u1(0x2B) // globals
-        code.u1(0x2C) // inst
-        var k = 0
-        while (k < cf.nparams) { lload(slot(hh - cf.nparams + k)); k += 1 }
-        invokestatic(s"f$callee",
-          "([B[J" + InstDesc + "J" * cf.nparams + ")J", owner)
-        if (cf.hasResult) lstore(slot(hh - cf.nparams)) else code.u1(0x58)
+        if (mask(callee)) {
+          code.u1(0x2A) // mem
+          code.u1(0x2B) // globals
+          code.u1(0x2C) // inst
+          var k = 0
+          while (k < cf.nparams) { lload(slot(hh - cf.nparams + k)); k += 1 }
+          invokestatic(s"f$callee",
+            "([B[J" + InstDesc + "J" * cf.nparams + ")J", owner)
+          if (cf.hasResult) lstore(slot(hh - cf.nparams)) else code.u1(0x58)
+        } else {
+          // r18 bridge: the callee interprets (over-bound frame or emit
+          // bail-out) — args array through the instance's re-entry, the
+          // same shape as the call_indirect bridge; the caller stays
+          // compiled instead of demoting transitively
+          code.u1(0x2C) // inst
+          pushInt(callee)
+          pushInt(cf.nparams)
+          code.u1(0xBC); code.u1(11) // newarray long
+          var k = 0
+          while (k < cf.nparams) {
+            code.u1(0x59) // dup (array ref)
+            pushInt(k)
+            lload(slot(hh - cf.nparams + k))
+            code.u1(0x50) // lastore
+            k += 1
+          }
+          invokestatic("callDirect", "(" + InstDesc + "I[J)J")
+          if (cf.hasResult) lstore(slot(hh - cf.nparams)) else code.u1(0x58)
+        }
         if (mayGrow(callee)) refreshMem()
       case 0x11 =>
         // compiled call_indirect: table/null/signature checks and the
@@ -559,54 +571,47 @@ object WasmJit {
   /** Compile the module's eligible functions; null when disabled or none. */
   def compile(m: WasmModule): (CompiledModule, Array[Boolean]) = {
     if (!enabled) return null
-    val (mask, guarded) = eligibleSet(m)
+    val (mask, _) = eligibleSet(m)
     if (!mask.exists(identity)) return null
     val mayGrow = mayGrowSet(m)
     val name = s"graft/functions/WasmLeaf$$${counter.incrementAndGet()}"
-    val cp = new Cp
+    // Emit with restart-on-bailout: a function whose emitted Code busts
+    // the JVM's 65535-byte method cap demotes ONLY ITSELF — the whole
+    // class is rebuilt so its already-emitted callers re-emit with the
+    // interpreter bridge for it (r18; previously a late bail-out demoted
+    // every transitive caller). Converges fast: the mask only shrinks,
+    // and in practice every bail-out is found in the first pass.
+    var cp: Cp = null
     val methods = collection.mutable.ArrayBuffer[(Int, Int, Int, Array[Byte], Int, Int)]()
     // (accessFlags, nameIdx, descIdx, code, maxStack, maxLocals)
-    var fi = 0
-    while (fi < mask.length) {
-      if (mask(fi)) {
-        try {
-          val em = new FnEmitter(cp, m, name, fi, mask, guarded(fi), mayGrow)
-          val codeB = em.emit()
-          val f = m.funcs(fi)
-          methods += ((0x0008 | 0x0002, cp.utf8(s"f$fi"),
-            cp.utf8("([B[J" + InstDesc + "J" * f.nparams + ")J"),
-            codeB, 32, em.maxLocals))
-        } catch {
-          case _: IllegalStateException => mask(fi) = false
-        }
-      }
-      fi += 1
-    }
-    if (!mask.exists(identity)) return null
-    // re-run the fixpoint: a function may have called one that failed late
-    val finalMask = {
-      val ok = mask.clone()
-      var changed = true
-      while (changed) {
-        changed = false
-        var i = 0
-        while (i < ok.length) {
-          if (ok(i) && m.funcs(i).ops.indices.exists(j =>
-            m.funcs(i).ops(j) == 0x10 && !ok(m.funcs(i).argL(j).toInt))) {
-            ok(i) = false; changed = true
+    var stable = false
+    while (!stable) {
+      stable = true
+      cp = new Cp
+      methods.clear()
+      val guarded = guardedSet(m, mask)
+      var fi = 0
+      while (fi < mask.length) {
+        if (mask(fi)) {
+          try {
+            val em = new FnEmitter(cp, m, name, fi, mask, guarded(fi), mayGrow)
+            val codeB = em.emit()
+            val f = m.funcs(fi)
+            methods += ((0x0008 | 0x0002, cp.utf8(s"f$fi"),
+              cp.utf8("([B[J" + InstDesc + "J" * f.nparams + ")J"),
+              codeB, 32, em.maxLocals))
+          } catch {
+            case _: IllegalStateException => mask(fi) = false; stable = false
           }
-          i += 1
         }
+        fi += 1
       }
-      ok
+      if (!mask.exists(identity)) return null
     }
-    // (a method whose callee was demoted late stays in the class but is
-    // unreachable — finalMask demotes its callers too, and invokestatic
-    // resolves lazily, so the dead method is never linked)
     // dispatcher:
     // call(int fidx, byte[] mem, long[] globals, WasmInstance inst, long[] args)
     val disp = new Code
-    val eligible = finalMask.zipWithIndex.filter(_._1).map(_._2)
+    val eligible = mask.zipWithIndex.filter(_._1).map(_._2)
     if (eligible.isEmpty) return null
     disp.u1(0x1B) // iload_1 (fidx)
     val opPos = disp.len
@@ -688,7 +693,7 @@ object WasmJit {
       .defineHiddenClass(out.toByteArray, false).lookupClass()
     val inst = cls.getDeclaredConstructor().newInstance()
       .asInstanceOf[CompiledModule]
-    (inst, finalMask)
+    (inst, mask)
   }
 }
 

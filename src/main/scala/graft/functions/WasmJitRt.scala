@@ -36,6 +36,12 @@ object WasmJitRt {
     * the compiled caller refreshes its memory local right after. */
   def grow(inst: WasmInstance, delta: Long): Long = inst.growFromJit(delta)
 
+  /** Compiled → interpreted DIRECT call (r18): a caller of an
+    * uncompiled function bridges through the instance instead of being
+    * demoted — the interpreter runs the callee at the saved jit base. */
+  def callDirect(inst: WasmInstance, fidx: Int, args: Array[Long]): Long =
+    inst.directFromJit(fidx, args)
+
   @inline private def d(v: Long): Double = java.lang.Double.longBitsToDouble(v)
   @inline private def dl(v: Double): Long = java.lang.Double.doubleToRawLongBits(v)
   @inline private def f(v: Long): Float = java.lang.Float.intBitsToFloat(v.toInt)

@@ -5,16 +5,14 @@ package graft.functions
   * record how much of each module compiles and why the rest doesn't.
   *
   * Reason model (r18, aligned with the actual eligibility pipeline —
-  * memory.grow COMPILES since r17 and is no longer counted):
+  * memory.grow COMPILES since r17; there are NO transitive demotions
+  * since the r18 compiled→interpreted direct-call bridge, so only two
+  * reasons remain):
   *  - `frame`: fails the static frame bounds (arity > 8, local slots
-  *    ≥ 250, or op count ≥ 12000) — the only pre-emit direct
-  *    disqualifier left;
+  *    ≥ 250, or op count ≥ 12000);
   *  - `emit-bailout`: passed the bounds but the emitter bailed (the
-  *    65000-byte JVM Code cap) — attributed as the members of the
-  *    demoted set that call no OTHER demoted function (the roots of the
-  *    post-emit demotion fixpoint; exact when no two bailed-out
-  *    functions call each other, a heuristic otherwise);
-  *  - `transitive`: demoted only because a direct callee was.
+  *    65000-byte JVM Code cap). Callers of either kind compile anyway
+  *    and bridge the call through the instance.
   *
   *   sbt "Test/runMain graft.functions.JitCoverageProbe"
   */
@@ -25,40 +23,22 @@ object JitCoverageProbe {
       val n = m.funcs.length
       val jit = m.jit
       val compiled = if (jit == null) 0 else jit._2.count(identity)
-      var frame = 0; var emitBail = 0; var trans = 0
-      // the demoted set: passed pre-emit bounds (selfOk) yet ended
-      // uncompiled — split into emit-bailout roots vs transitive callers
+      var frame = 0; var emitBail = 0
       val selfOk = Array.tabulate(n) { i =>
         val f = m.funcs(i)
         val slots = 3 + 2 * (f.nparams + f.nlocals + f.maxStack) + 2
         f.nparams <= 8 && slots < 250 && f.ops.length < 12000
       }
-      val finalOk = Array.tabulate(n)(i => jit != null && jit._2(i))
-      val demoted = Array.tabulate(n)(i => selfOk(i) && !finalOk(i))
       var i = 0
       while (i < n) {
-        if (!finalOk(i)) {
-          val f = m.funcs(i)
-          if (!selfOk(i)) frame += 1
-          else {
-            var callsDemoted = false
-            var j = 0
-            while (j < f.ops.length && !callsDemoted) {
-              if (f.ops(j) == 0x10) {
-                val callee = f.argL(j).toInt
-                if (callee != i && (demoted(callee) || !selfOk(callee)))
-                  callsDemoted = true
-              }
-              j += 1
-            }
-            if (callsDemoted) trans += 1 else emitBail += 1
-          }
+        if (!(jit != null && jit._2(i))) {
+          if (!selfOk(i)) frame += 1 else emitBail += 1
         }
         i += 1
       }
       println(f"$name%-22s funcs=$n%5d compiled=$compiled%5d " +
         f"(${100.0 * compiled / math.max(n, 1)}%5.1f%%)  uncompiled by: " +
-        f"frame=$frame emit-bailout=$emitBail transitive=$trans")
+        f"frame=$frame emit-bailout=$emitBail")
     }
     val ref = new java.io.File("/root/reference/wasm_function.wasm")
     if (ref.isFile)

@@ -407,4 +407,54 @@ class WasmJitSpec extends AnyFunSuite {
     // a trap leaves no residue: the next host entry resets the counter
     assert(new WasmInstance(m).invoke("f0", 1000L) === Some(0L))
   }
+
+  test("compiled→interpreted DIRECT-CALL bridge (r18): an ineligible " +
+    "callee no longer demotes its callers — they compile and bridge; " +
+    "results equal full interpretation, grow-in-bridged-callee refreshes " +
+    "the caller's memory, and mutual recursion across the boundary hits " +
+    "the interpreter's depth guard") {
+    assume(WasmJit.enabled)
+    // fat locals (130 i64) bust the frame bound → ineligible
+    val fat = Seq.fill(130)(I64)
+    // f0(a) = f1(a) + 1 (eligible caller) ; f1(a) = a * 2 (INELIGIBLE)
+    val f0 = b(0x20, 0, 0x10, 1, 0x42) ++ sleb(1) ++ b(0x7C, 0x0B)
+    val f1 = b(0x20, 0, 0x42) ++ sleb(2) ++ b(0x7E, 0x0B)
+    // f2 (INELIGIBLE): memory.grow(1); store 77 beyond the old page;
+    // f3 (eligible): call f2, then LOAD from the grown region — the
+    // caller must refresh its memory local after the bridge call
+    val f2 = b(0x41, 1, 0x40, 0x00, 0x1A, 0x41) ++ sleb(65544) ++
+      b(0x42) ++ sleb(77) ++ b(0x37, 0x03, 0, 0x42) ++ sleb(5) ++ b(0x0B)
+    val f3 = b(0x10, 2, 0x1A, 0x41) ++ sleb(65544) ++ b(0x29, 0x03, 0, 0x0B)
+    // f4 (eligible) ↔ f5 (INELIGIBLE) mutual countdown across the bridge
+    def countdown(callee: Int) =
+      b(0x02, 0x40, 0x20, 0, 0x50, 0x0D, 0,
+        0x20, 0, 0x42) ++ sleb(1) ++ b(0x7D, 0x10, callee,
+        0x42) ++ sleb(1) ++ b(0x7C, 0x0F, 0x0B, 0x42) ++ sleb(0) ++ b(0x0B)
+    val bytes = moduleBytes(
+      Seq((Seq(I64), Seq(I64)), (Seq.empty[Int], Seq(I64))),
+      Seq((0, Nil, f0), (0, fat, f1), (1, fat, f2), (1, Nil, f3),
+        (0, Nil, countdown(5)), (0, fat, countdown(4))),
+      memPages = 1)
+    val jm = WasmModule.parse(bytes)
+    assert(jm.jit != null)
+    assert(jm.jit._2.toSeq === Seq(true, false, false, true, true, false),
+      s"callers compile, fat frames interpret: ${jm.jit._2.toSeq}")
+    val im = interpOnly(bytes)
+    // value through the bridge
+    Seq(0L, 1L, -3L, 1234567L).foreach { a =>
+      val j = new WasmInstance(jm).invoke("f0", a)
+      assert(j === new WasmInstance(im).invoke("f0", a))
+      assert(j === Some(a * 2 + 1))
+    }
+    // memory refresh after a bridged callee grows
+    assert(new WasmInstance(jm).invoke("f3") === Some(77L))
+    assert(new WasmInstance(im).invoke("f3") === Some(77L))
+    // recursion across the boundary: correct shallow, clean trap deep
+    assert(new WasmInstance(jm).invoke("f4", 10L) === Some(10L))
+    assert(new WasmInstance(jm).invoke("f4", 500L) === Some(500L))
+    val t = intercept[WasmTrap] { new WasmInstance(jm).invoke("f4", -1L) }
+    assert(t.msg.contains("depth") || t.msg.contains("stack"), t.msg)
+    // and the instance still works after the trap
+    assert(new WasmInstance(jm).invoke("f4", 3L) === Some(3L))
+  }
 }
