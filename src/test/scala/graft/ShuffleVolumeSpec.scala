@@ -190,7 +190,11 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // per-doc rows through the funnel and election, DocLinear like
     // p267. Measured 17 exchanges / 4,447 records (×2 corpus: 1.85×);
     // ×1.4 headroom: 17×1.4≈24, 4447×1.4≈6200
-    ("p270_stream_crawl_ingest", 24L, 6200L, DocLinear))
+    ("p270_stream_crawl_ingest", 24L, 6200L, DocLinear),
+    // p273 (r18): DC-only JPEG construct→decode — the fixture encoder
+    // and the channel-stats decode are row-local scan expressions; the
+    // only exchange is the output sort's row per doc (the p269 shape)
+    ("p273_jpeg_dc_decode", 3L, 1400L, DocLinear))
 
   private lazy val doubledDir = GuardFixtures.doubledDir(spark, sfDir)
 
