@@ -87,6 +87,14 @@ object Jpeg {
       pos + 1 < b.length && (b(pos) & 0xFF) == 0xFF && b(pos + 1) != 0
     def markerByte: Int = b(pos + 1) & 0xFF
     def skipMarker(): Unit = { pos += 2; acc = 0; nbits = 0 }
+    /** Consume a stuffed 0xFF 0x00 pad pair left by an encoder whose
+      * 1-fill pad bits completed a 0xFF byte right before a marker
+      * (legal in conforming streams; libjpeg skips it the same way).
+      * At most one such pair can precede a marker. */
+    def skipStuffedPad(): Unit =
+      if (pos + 1 < b.length && (b(pos) & 0xFF) == 0xFF && b(pos + 1) == 0) {
+        pos += 2; acc = 0; nbits = 0
+      }
     def bit(): Int = {
       if (nbits == 0) {
         if (pos >= b.length) fail()
@@ -177,7 +185,12 @@ object Jpeg {
             val q = new Array[Int](64)
             var k = 0
             while (k < 64) {
-              if (pq == 1) { q(k) = be16(p); p += 2 }
+              if (pq == 1) {
+                // bound against the DQT segment end, not just the blob —
+                // a short segment must not read the next marker's bytes
+                if (p + 2 > end) return null
+                q(k) = be16(p); p += 2
+              }
               else { if (p >= end) return null; q(k) = b(p) & 0xFF; p += 1 }
               if (q(k) == 0) return null
               k += 1
@@ -352,7 +365,10 @@ object Jpeg {
     val totalMcus = mcusX * mcusY
     while (mcu < totalMcus) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        // expect RSTn (cyclic), reset predictors + bit alignment
+        // expect RSTn (cyclic), reset predictors + bit alignment;
+        // a stuffed 0xFF 0x00 produced by the pad bits may sit between
+        // the entropy data and the marker — consume it first
+        bits.skipStuffedPad()
         if (!bits.atMarker) fail()
         val m = bits.markerByte
         if (m < 0xD0 || m > 0xD7) fail()

@@ -689,11 +689,20 @@ object WasmJit {
     // the same lifecycle posture as the decode-cache eviction on last
     // DROP. Self-references (fn→fn invokestatic) resolve to the hidden
     // class itself per the JEP.
-    val cls = java.lang.invoke.MethodHandles.lookup()
-      .defineHiddenClass(out.toByteArray, false).lookupClass()
-    val inst = cls.getDeclaredConstructor().newInstance()
-      .asInstanceOf[CompiledModule]
-    (inst, mask)
+    // a LinkageError here (VerifyError et al.) means the emitter produced
+    // a class the JVM rejects — a compiler bug, not a guest bug. Demote
+    // the whole module to the interpreter (bit-identical semantics by
+    // construction) instead of crashing CREATE FUNCTION (r19, from the
+    // dead-if poison incident: the failure mode should be perf-only)
+    try {
+      val cls = java.lang.invoke.MethodHandles.lookup()
+        .defineHiddenClass(out.toByteArray, false).lookupClass()
+      val inst = cls.getDeclaredConstructor().newInstance()
+        .asInstanceOf[CompiledModule]
+      (inst, mask)
+    } catch {
+      case _: LinkageError => null
+    }
   }
 }
 

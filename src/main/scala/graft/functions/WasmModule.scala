@@ -495,13 +495,25 @@ final class WasmModule private (bytes: Array[Byte]) {
           val arity = if (bt == 0x40) { pos += 1; 0 }
             else if (bt == 0x7F || bt == 0x7E || bt == 0x7D || bt == 0x7C) { pos += 1; 1 }
             else throw new WasmParseException("type-index blocktype unsupported")
-          emit(0x45, 0, 0, 0) // i32.eqz on the condition
-          val brIdx = ops.length
-          emit(0x0D, 0, 0, -1) // br_if: taken ⇒ condition was zero
-          val blk = OpenBlock(isLoop = false, if (dead) -1 else height,
-            arity, ops.length, Nil, isIf = true)
-          if (!dead) blk.elseFix = brIdx
-          blocks += blk
+          // a DEAD if decodes its eqz+br_if pair as nops (r19): a live
+          // br_if here would carry a never-fixed-up packed target
+          // (elseFix is only registered when live), poisoning
+          // WasmJit.heights() seeding exactly like a dead 0x0C/0x0D —
+          // observed as a VerifyError from defineHiddenClass on a valid
+          // module with an `if` after `return`
+          if (dead) {
+            emit(0x01, 0, 0, 0); emit(0x01, 0, 0, 0)
+            blocks += OpenBlock(isLoop = false, -1, arity, ops.length, Nil,
+              isIf = true)
+          } else {
+            emit(0x45, 0, 0, 0) // i32.eqz on the condition
+            val brIdx = ops.length
+            emit(0x0D, 0, 0, -1) // br_if: taken ⇒ condition was zero
+            val blk = OpenBlock(isLoop = false, height,
+              arity, ops.length, Nil, isIf = true)
+            blk.elseFix = brIdx
+            blocks += blk
+          }
         case 0x05 => // else
           if (blocks.length < 2 || !blocks.last.isIf || blocks.last.sawElse)
             throw new WasmParseException(s"else without open if in f$fidx")
@@ -544,7 +556,13 @@ final class WasmModule private (bytes: Array[Byte]) {
             if (slot < 0) argL(idx) = packed else brTables(argM(idx))(slot) = packed
           }
           // an if without an else: the false path skips to the end,
-          // carrying nothing (a valid no-else if always has arity 0)
+          // carrying nothing — and a VALID no-else if always has arity 0
+          // (wasm validation: `if (result t) ... end` with no else is
+          // malformed), so reject it at CREATE time like other malformed
+          // input instead of letting the result slot read stale stack data
+          if (blk.isIf && !blk.sawElse && blk.arity > 0)
+            throw new WasmParseException(
+              s"if with result type but no else in f$fidx")
           if (blk.elseFix >= 0) {
             argL(blk.elseFix) =
               packTarget(endIp, math.max(blk.entryHeight, 0), 0)

@@ -264,26 +264,28 @@ object MultimodalOps {
         it.map { case (did, bytes) =>
           val none = (did, None: Option[Int], None: Option[Int],
             None: Option[Long], None: Option[Long], None: Option[Long])
-          val isJpeg = bytes != null && bytes.length >= 3 &&
+          // the from-scratch decoder is the PRIMARY JPEG lane (r18);
+          // valid-but-unsupported shapes it declines (arithmetic/lossless
+          // JPEGs, CMYK/4-component, sampling factors >2) FALL BACK to
+          // ImageIO below instead of yielding NULL dims (r19, from the
+          // r18 coverage-regression note) — so coverage is a superset of
+          // both decoders, with the scratch path taking every baseline +
+          // progressive stream it supports
+          val scratch = if (bytes != null && bytes.length >= 3 &&
             (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8 &&
-            (bytes(2) & 0xFF) == 0xFF
-          if (isJpeg) {
-            // the from-scratch path (r18): NULL on anything not a
-            // complete supported baseline JPEG — same salvage posture
-            val px = graft.functions.Jpeg.decodeRgb(bytes)
-            if (px == null) none
-            else {
-              val (w, h, rgb) = px
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var p = 0
-              val end = w * h * 3
-              while (p < end) {
-                sr += rgb(p) & 0xff; sg += rgb(p + 1) & 0xff
-                sb += rgb(p + 2) & 0xff
-                p += 3
-              }
-              (did, Some(w), Some(h), Some(sr), Some(sg), Some(sb))
+            (bytes(2) & 0xFF) == 0xFF)
+            graft.functions.Jpeg.decodeRgb(bytes) else null
+          if (scratch != null) {
+            val (w, h, rgb) = scratch
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var p = 0
+            val end = w * h * 3
+            while (p < end) {
+              sr += rgb(p) & 0xff; sg += rgb(p + 1) & 0xff
+              sb += rgb(p + 2) & 0xff
+              p += 3
             }
+            (did, Some(w), Some(h), Some(sr), Some(sg), Some(sb))
           } else {
             val img =
               try decode(bytes)

@@ -695,6 +695,79 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.getLong(2) === 64L * vs.sum)
   }
 
+  test("Jpeg r19 hardening: a stuffed 0xFF00 pad pair before RSTn is " +
+    "skipped (libjpeg-compatible) and decodes to the identical pixels; " +
+    "a pq=1 DQT shorter than its table yields NULL, not bytes from the " +
+    "next marker") {
+    import graft.functions.Jpeg
+    // (a) conforming streams may carry a stuffed 0xFF 0x00 produced by
+    // pad bits right before a restart marker — insert one before the
+    // first RSTn and require bit-identical output
+    val grid = Array.tabulate(2, 3)((y, x) => (40 * y + 30 * x + 10) % 256)
+    val jpeg = Jpeg.encodeFlatBlocks(grid, 1)
+    val base = Jpeg.decodeRgb(jpeg)
+    assert(base != null)
+    // locate the scan start, then the first restart marker after it
+    var sos = -1; var i = 2
+    while (sos < 0 && i + 1 < jpeg.length) {
+      if ((jpeg(i) & 0xFF) == 0xFF && (jpeg(i + 1) & 0xFF) == 0xDA) sos = i
+      i += 1
+    }
+    assert(sos > 0, "fixture must contain an SOS")
+    var rst = -1; i = sos + 2
+    while (rst < 0 && i + 1 < jpeg.length) {
+      val m = jpeg(i + 1) & 0xFF
+      if ((jpeg(i) & 0xFF) == 0xFF && m >= 0xD0 && m <= 0xD7) rst = i
+      i += 1
+    }
+    assert(rst > 0, "restart=1 fixture must contain an RSTn")
+    val padded = jpeg.take(rst) ++ Array[Byte](0xFF.toByte, 0x00) ++ jpeg.drop(rst)
+    val px = Jpeg.decodeRgb(padded)
+    assert(px != null, "stuffed pad before RSTn must decode, not NULL")
+    assert(px._1 === base._1 && px._2 === base._2 &&
+      java.util.Arrays.equals(px._3, base._3),
+      "pad-pair skip must not change any pixel")
+    // (b) DQT with pq=1 whose segment ends mid-table: the 16-bit reads
+    // must bound against the SEGMENT, not the blob — clean NULL
+    val shortDqt = Array[Int](0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x09,
+      0x10, 0x01, 0x02, 0x03, 0x04, 0x05, // pq=1, 5 bytes of a 128-byte table
+      0xFF, 0xD9).map(_.toByte)
+    assert(Jpeg.decodeRgb(shortDqt) == null)
+  }
+
+  test("decodePixelsReal falls back to ImageIO when the from-scratch " +
+    "decoder declines a valid JPEG (r19): an ImageIO-written PROGRESSIVE " +
+    "stream must yield real dims and channel means, never NULL") {
+    import spark.implicits._
+    val (w, h) = (24, 16)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x5A96C8)
+    val ios = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+    val wr = ios.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val mos = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(mos)
+    val p = wr.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wr.dispose(); mos.close()
+    val jpeg = bos.toByteArray
+    // confirm the fixture really is progressive (SOF2)
+    def hasMarker(m: Int): Boolean =
+      jpeg.sliding(2).exists(s => (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == m)
+    assert(hasMarker(0xC2) && !hasMarker(0xC0), "fixture must be SOF2")
+    val rows = MultimodalOps.decodePixelsReal(
+      Seq((1L, jpeg)).toDF("id", "blob"), "id", "blob").collect()
+    val r0 = rows.head
+    assert(!r0.isNullAt(1), "progressive JPEG must decode (scratch or fallback)")
+    assert(r0.getInt(1) === w && r0.getInt(2) === h)
+    val n = (w * h).toDouble
+    assert(math.abs(r0.getLong(3) / n - 0x5A) <= 3.0, s"mean r drifted: $r0")
+    assert(math.abs(r0.getLong(4) / n - 0x96) <= 3.0, s"mean g drifted: $r0")
+    assert(math.abs(r0.getLong(5) / n - 0xC8) <= 3.0, s"mean b drifted: $r0")
+  }
+
   // ---- real PCM sample decode (p78/p79) ----------------------------------
 
   private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray

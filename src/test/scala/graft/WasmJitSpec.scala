@@ -457,4 +457,33 @@ class WasmJitSpec extends AnyFunSuite {
     // and the instance still works after the trap
     assert(new WasmInstance(jm).invoke("f4", 3L) === Some(3L))
   }
+
+  test("a statically-dead `if` decodes as nops (r19): a valid module " +
+    "with an if after return COMPILES and runs — previously the live " +
+    "eqz+br_if pair carried a never-fixed-up packed target that poisoned " +
+    "heights() seeding and defineHiddenClass threw VerifyError") {
+    assume(WasmJit.enabled)
+    // f0(a) = a, then DEAD: a void if, and a value-carrying if/else
+    val f0 = b(0x20, 0, 0x0F, // local.get 0; return
+      0x41, 1, 0x04, 0x40, 0x01, 0x0B, // dead: if void { nop }
+      0x41, 0, 0x04, 0x7E, 0x42) ++ sleb(1) ++ // dead: if (result i64) 1
+      b(0x05, 0x42) ++ sleb(2) ++ b(0x0B, 0x1A, // else 2 end; drop
+      0x42) ++ sleb(0) ++ b(0x0B)
+    val bytes = moduleBytes(Seq((Seq(I64), Seq(I64))), Seq((0, Nil, f0)))
+    val jm = WasmModule.parse(bytes) // must not throw VerifyError
+    assert(jm.jit != null && jm.jit._2(0), "the function must compile")
+    val im = interpOnly(bytes)
+    Seq(0L, -7L, 42L).foreach { a =>
+      assert(new WasmInstance(jm).invoke("f0", a) === Some(a))
+      assert(new WasmInstance(im).invoke("f0", a) === Some(a))
+    }
+  }
+
+  test("a value-carrying `if` with no else is REJECTED at parse time " +
+    "(r19): wasm validation makes it malformed, so it must fail CREATE " +
+    "like other bad input instead of reading stale stack data at runtime") {
+    val f0 = b(0x41, 1, 0x04, 0x7E, 0x42) ++ sleb(7) ++ b(0x0B, 0x0B)
+    val bytes = moduleBytes(Seq((Seq.empty[Int], Seq(I64))), Seq((0, Nil, f0)))
+    intercept[WasmModule.WasmParseException] { WasmModule.parse(bytes) }
+  }
 }
