@@ -661,6 +661,9 @@ object StreamingOps {
     *                           (original label, or the corpus doc id
     *                           itself when pair-less) → current cluster
     *   kind 'i' (in_id, cur) — incoming docs assigned so far
+    *   kind 'f' (old, new)   — label FORWARDING: when a component's
+    *                           label changes (min-merge), one row maps
+    *                           the dead label to its successor
     *
     * Fold = label contraction exactly as p162: edges map their corpus
     * endpoint through (original label ∘ remap), CC runs on the
@@ -688,6 +691,25 @@ object StreamingOps {
     * over batch-bounded nodes — the standing-corpus fixpoint NEVER
     * reruns.
     *
+    * The READ side is bucket-pruned too (r19, closing the r18 verdict's
+    * one scale flaw): a batch reads ONLY the buckets its own keys and
+    * in-ids hash to, never the whole accumulated state. That leaves one
+    * gap — a standing row whose component label changed in a batch that
+    * never probed its bucket — and kind 'f' closes it: instead of
+    * eagerly relabeling every standing row with a merged cur (which
+    * required scanning ALL state), a merge writes ONE forwarding row
+    * (old label → new label) into the old label's own bucket. Reads
+    * resolve chains by following 'f' rows bucket-by-bucket (labels
+    * strictly DECREASE on merge — the new label is the min over a set
+    * containing the old — so a forwarded label is globally dead, chains
+    * are acyclic, and their length is bounded by the batch count; the
+    * probe path-compresses every chain it walks back to depth 1). The
+    * final assembly reads the state once and resolves both maps through
+    * the same fixpoint. Per-batch read volume is thereby
+    * O(batch + touched buckets) — the same class as the commit side —
+    * verified by the read-stats the P163CommitProbe prints and the
+    * StreamingSpec bridge lane pins.
+    *
     * @param bucketWidth id-range width per state bucket (default 512;
     *        the probe shrinks it so buckets ≫ per-batch touched set at
     *        fixture scale, the regime a 100-TB id space gives for free)
@@ -706,6 +728,14 @@ object StreamingOps {
   val p163BatchTimings =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Double, Double)]()
 
+  /** Per-batch state-READ volume recorded by [[incrementalCcIngest]]:
+    * (batchId, bucket paths read, live buckets at batch start) — the
+    * evidence that the read side is bucket-pruned (r19): paths read per
+    * batch tracks the batch's own key/id bucket set, NOT the
+    * accumulated live-bucket count. Probe-only observability. */
+  val p163ReadStats =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+
   def incrementalCcIngest(spark: SparkSession, dir: String,
                           workRoot: String, nFiles: Int = 3,
                           bucketWidth: Long = 512L): DataFrame = {
@@ -720,6 +750,20 @@ object StreamingOps {
     val srcDir = s"$workRoot/incoming"
     inc.repartitionByRange(nFiles, col("doc_id"))
       .write.mode("overwrite").parquet(srcDir)
+    // deterministic delivery order: FileStreamSource orders files by
+    // modification time, which one parquet write leaves identical
+    // across part files — stagger them in path order so micro-batches
+    // arrive in id-range order (the monotone-arrival shape of a real
+    // ingest; the fold composes under ANY order, but the spec's
+    // forwarding pins need a reproducible one)
+    locally {
+      val parts = new java.io.File(srcDir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - parts.length * 2000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(base + i * 2000L); ()
+      }
+    }
     val oldLbl = graft.queries.SharedStages.corpusLabels(s, dir)
       .select(col("n").as("ex_id"), col("lbl").as("orig"))
       .localCheckpoint()
@@ -752,16 +796,13 @@ object StreamingOps {
       if (paths.isEmpty) emptyKic
       else s.read.parquet(paths: _*)
     }
-    // ONE state table, the two maps distinguished by a `kind` column
-    // ('k' = corpus-key remap, 'i' = incoming assign): one write job
-    // per batch, one pointer family to flip.
-    def state(): (DataFrame, DataFrame) = {
-      val st = bucketsContent(bucketVer.keys.toSeq)
-      (st.filter(col("kind") === "k")
-        .select(col("id").as("key"), col("cur")),
-        st.filter(col("kind") === "i")
-          .select(col("id").as("in_id"), col("cur")))
-    }
+    // ONE state table, the three maps distinguished by a `kind` column
+    // ('k' = corpus-key remap, 'i' = incoming assign, 'f' = label
+    // forwarding): one write job per batch, one pointer family to flip.
+    // fBuckets is a driver-side over-approximation of which buckets
+    // hold 'f' rows, so the no-forwards common case resolves chains
+    // with ZERO state reads.
+    val fBuckets = scala.collection.mutable.Set[Long]()
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val q = s.readStream.schema(schema)
@@ -770,53 +811,126 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val tBatch0 = System.nanoTime()
         var tWrite0 = 0L; var tGc0 = 0L; var tGc1 = 0L
-        val (remap, inassign) = state()
+        var pathsRead = 0L
+        val liveAtStart = bucketVer.size.toLong
+        def readBuckets(bks: Iterable[Long]): DataFrame = {
+          val existing = bks.filter(bucketVer.contains).toSeq
+          pathsRead += existing.size
+          bucketsContent(existing)
+        }
         val edges = DedupOps.incrementalPairsPreBanded(corpusIdx, batch,
             "doc_id", "text", maxHamming = 3)
           .select(col("in_id"), col("ex_id"))
-        // corpus endpoint → original label → current cluster id
+        // corpus endpoint → original label; the state is not consulted
+        // until the batch's own bucket set is known
         val keyed = edges.join(oldLbl, Seq("ex_id"), "left")
           .select(col("in_id"),
             coalesce(col("orig"), col("ex_id")).as("key"))
-        val touched = keyed
-          .join(remap.withColumnRenamed("cur", "rcur"), Seq("key"), "left")
+          .localCheckpoint()
+        // PRUNED state read (r19): only the buckets this batch's keys
+        // and in-ids land in — two batch-bounded driver-side id lists —
+        // never the whole accumulated state
+        val kBks = keyed.select(bkOf(col("key")).as("bk")).distinct()
+          .collect().map(_.getLong(0))
+        val iBks = keyed.select(bkOf(col("in_id")).as("bk")).distinct()
+          .collect().map(_.getLong(0))
+        val probed = readBuckets((kBks ++ iBks).distinct).localCheckpoint()
+        val remap = probed.filter(col("kind") === "k")
+          .select(col("id").as("key"), col("cur").as("rcur"))
+        val inassign = probed.filter(col("kind") === "i")
+          .select(col("id").as("in_id"), col("cur"))
+        var touched = keyed
+          .join(remap, Seq("key"), "left")
           .select(col("in_id"), col("key"),
             coalesce(col("rcur"), col("key")).as("cur"))
+          .localCheckpoint()
+        // resolve stale curs through 'f' forwarding chains, bucket-
+        // pruned per hop; `trace` records every label the walk visited
+        // so the commit can path-compress the chains back to depth 1.
+        // Labels strictly decrease on merge, so chains are acyclic and
+        // hop count is bounded by the number of committed batches.
+        var trace = touched.select(col("key"), col("cur")).localCheckpoint()
+        var moved = true
+        var hops = 0
+        while (moved && hops < 1000) {
+          hops += 1
+          val curBks = touched.select(bkOf(col("cur")).as("bk")).distinct()
+            .collect().map(_.getLong(0)).filter(fBuckets.contains)
+          if (curBks.isEmpty) moved = false
+          else {
+            val fRows = readBuckets(curBks)
+              .filter(col("kind") === "f")
+              .select(col("id").as("fsrc"), col("cur").as("fdst"))
+            val stepped = touched
+              .join(fRows, col("cur") === col("fsrc"), "left")
+              .select(col("in_id"), col("key"),
+                coalesce(col("fdst"), col("cur")).as("cur"),
+                col("fdst").isNotNull.as("m"))
+              .localCheckpoint()
+            moved = !stepped.filter(col("m")).isEmpty
+            touched = stepped.drop("m")
+            if (moved)
+              trace = trace.unionByName(
+                touched.select(col("key"), col("cur"))).localCheckpoint()
+          }
+        }
+        if (moved) throw new IllegalStateException(
+          "p163: forwarding chains did not converge")
         val cc = DedupOps.connectedComponents(
             touched.select(col("in_id").as("a"), col("cur").as("b")))
           .select(col("n").as("node"), col("lbl").as("new_lbl"))
           .localCheckpoint()
         // effective relabels only: a component whose min did not change
-        // relabels to itself and needs no rewrite
+        // relabels to itself and needs no forwarding row
         val ccDelta = cc.where(col("new_lbl") =!= col("node"))
-        // DELTA rows, all touched-component-sized:
-        //  - standing rows whose component merged (any bucket),
-        //  - this batch's new keys / new incoming assignments (the
-        //    batch's contiguous id range), relabeled through cc so
-        //    same-batch merges land correctly
-        def newRows(ids: DataFrame, existing: DataFrame,
-            idCol: String): DataFrame =
-          ids.dropDuplicates(idCol)
-            .join(existing.select(col(idCol)), Seq(idCol), "left_anti")
-            .join(cc, col("cur") === col("node"), "left")
-            .select(col(idCol).as("id"),
-              coalesce(col("new_lbl"), col("cur")).as("cur"))
-        val changedK = remap.join(ccDelta, col("cur") === col("node"))
-          .select(col("key").as("id"), col("new_lbl").as("cur"))
-        val changedI = inassign.join(ccDelta, col("cur") === col("node"))
-          .select(col("in_id").as("id"), col("new_lbl").as("cur"))
-        val delta =
-          changedK.withColumn("kind", lit("k"))
-            .unionByName(newRows(touched.select(col("key"), col("cur")),
-              remap, "key").withColumn("kind", lit("k")))
-            .unionByName(changedI.withColumn("kind", lit("i")))
-            .unionByName(newRows(touched.select(col("in_id"), col("cur")),
-              inassign, "in_id").withColumn("kind", lit("i")))
-            .select(col("kind"), col("id"), col("cur"),
-              bkOf(col("id")).as("bk"))
-            .localCheckpoint()
-        val affected = delta.select(col("bk")).distinct()
-          .collect().map(_.getLong(0))
+        // DELTA rows, all batch/touched-bounded:
+        //  'k': every probed key at its FINAL label — new keys, probed-
+        //       unchanged keys (idempotent overwrite) and probed-merged
+        //       keys in one pass; rewriting walked keys at their resolved
+        //       label is the key-level path compression
+        val kNew = touched.select(col("key"), col("cur")).distinct()
+          .join(cc, col("cur") === col("node"), "left")
+          .select(col("key").as("id"),
+            coalesce(col("new_lbl"), col("cur")).as("cur"))
+          .dropDuplicates("id")
+          .withColumn("kind", lit("k"))
+        //  'i': this batch's assignments; first assignment wins (an
+        //       in-id already in state keeps its row — its label stays
+        //       current through forwarding)
+        val iNew = touched.select(col("in_id"), col("cur")).distinct()
+          .join(cc, col("cur") === col("node"), "left")
+          .select(col("in_id").as("id"),
+            coalesce(col("new_lbl"), col("cur")).as("cur"))
+          .dropDuplicates("id")
+          .join(inassign.select(col("in_id").as("id")), Seq("id"), "left_anti")
+          .withColumn("kind", lit("i"))
+        //  'f': one forwarding row per label a merge killed this batch
+        //       (standing rows ANYWHERE with that cur resolve through it
+        //       — this replaces the old all-state relabel scan), plus
+        //       chain compression for the labels the probe walked,
+        //       pointed past this batch's own merges
+        val fMerge = touched.select(col("cur")).distinct()
+          .join(ccDelta, col("cur") === col("node"))
+          .select(col("cur").as("id"), col("new_lbl").as("cur"))
+        val finals = touched.select(col("key"), col("cur").as("fin"))
+          .dropDuplicates("key")
+        val fCompress = trace.join(finals, Seq("key"))
+          .filter(col("cur") =!= col("fin"))
+          .join(cc, col("fin") === col("node"), "left")
+          .select(col("cur").as("id"),
+            coalesce(col("new_lbl"), col("fin")).as("cur"))
+          .distinct()
+        val fNew = fMerge.unionByName(fCompress).dropDuplicates("id")
+          .withColumn("kind", lit("f"))
+        val delta = kNew.unionByName(iNew).unionByName(fNew)
+          .select(col("kind"), col("id"), col("cur"),
+            bkOf(col("id")).as("bk"))
+          .localCheckpoint()
+        val bkKinds = delta.select(col("bk"), col("kind")).distinct()
+          .collect()
+        val affected = bkKinds.map(_.getLong(0)).distinct
+        bkKinds.filter(_.getString(1) == "f")
+          .foreach(r => fBuckets += r.getLong(0))
         if (affected.nonEmpty) {
           val v = version + 1
           // only the affected buckets are rewritten: their kept rows
@@ -857,13 +971,44 @@ object StreamingOps {
           ((if (tWrite0 > 0) tWrite0 else System.nanoTime()) - tBatch0) / 1e9,
           if (tWrite0 > 0) (tGc0 - tWrite0) / 1e9 else 0.0,
           if (tGc0 > 0) (tGc1 - tGc0) / 1e9 else 0.0))
+        p163ReadStats.add((batchId, pathsRead, liveAtStart))
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // assemble the p162-shaped output from the final state
-    val (remapF, inassignF) = state()
+    // assemble the p162-shaped output from the final state: ONE full
+    // read (the legitimate O(state) final pass), both maps resolved
+    // through the forwarding fixpoint
+    val st = bucketsContent(bucketVer.keys.toSeq).localCheckpoint()
+    val fMap = st.filter(col("kind") === "f")
+      .select(col("id").as("fsrc"), col("cur").as("fdst"))
+      .localCheckpoint()
+    val anyF = fBuckets.nonEmpty && !fMap.isEmpty
+    def resolve(df: DataFrame): DataFrame = {
+      var cur = df
+      var moved = anyF
+      var hops = 0
+      while (moved && hops < 1000) {
+        hops += 1
+        val stepped = cur.join(fMap, col("cur") === col("fsrc"), "left")
+          .select(col("id"),
+            coalesce(col("fdst"), col("cur")).as("cur"),
+            col("fdst").isNotNull.as("m"))
+          .localCheckpoint()
+        moved = !stepped.filter(col("m")).isEmpty
+        cur = stepped.drop("m")
+      }
+      if (moved) throw new IllegalStateException(
+        "p163: forwarding chains did not converge at final read")
+      cur
+    }
+    val remapF = resolve(st.filter(col("kind") === "k")
+        .select(col("id"), col("cur")))
+      .select(col("id").as("key"), col("cur"))
+    val inassignF = resolve(st.filter(col("kind") === "i")
+        .select(col("id"), col("cur")))
+      .select(col("id").as("in_id"), col("cur"))
     val exp = remapF
       .join(oldLbl.select(col("orig").as("key"), col("ex_id").as("member")),
         Seq("key"), "left")

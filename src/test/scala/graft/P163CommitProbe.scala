@@ -27,6 +27,7 @@ object P163CommitProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val root = s"${sys.props("java.io.tmpdir")}/p163probe_${System.nanoTime()}"
     graft.streaming.StreamingOps.p163BatchTimings.clear()
+    graft.streaming.StreamingOps.p163ReadStats.clear()
     val t0 = System.nanoTime()
     val out = graft.streaming.StreamingOps
       .incrementalCcIngest(spark, sfDir, root, nFiles, width)
@@ -44,6 +45,13 @@ object P163CommitProbe {
     }
     println(f"  totals: compute=$cSum%.2fs commit=$wSum%.2fs gc=$gSum%.3fs " +
       f"(gc share of batch work: ${100 * gSum / math.max(cSum + wSum + gSum, 1e-9)}%.1f%%)")
+    // r19 read-side evidence: per-batch bucket paths READ vs live
+    // buckets at batch start — pruned reads track the batch's own
+    // key/id bucket set, not the accumulated state
+    graft.streaming.StreamingOps.p163ReadStats.forEach { t =>
+      println(s"  batch ${t._1}: read ${t._2} bucket paths " +
+        s"(${t._3} buckets live at batch start)")
+    }
     // r16: superseded state_w versions are GC'd after each pointer flip,
     // so the surviving dirs are exactly the LIVE version set (on-disk
     // state bounded by the bucket map, not batches × touched history) —

@@ -776,6 +776,74 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxVer >= 1, s"expected multi-batch fold, got max version $maxVer")
   }
 
+  test("p163 BRIDGE merge across batches exercises label FORWARDING " +
+    "(r19): a later batch merges two standing components; the standing " +
+    "'i' row of the absorbed component is NEVER re-read or rewritten — " +
+    "it resolves through the 'f' chain at the final read — and per-batch " +
+    "reads stay bucket-pruned (the untouched standing bucket is not read)") {
+    import spark.implicits._
+    // Simhash-engineered texts (found by search against the REAL
+    // simhash64): d(A,B)=5 — corpus docs 2(A) and 1(B) stay separate
+    // components at hamming<=3 — while bridge text C sits at d(A,C)=2,
+    // d(B,C)=3, within reach of BOTH.
+    val base = (0 until 48).map(i => f"word$i%02d")
+    def txt(drop: Set[String], add: Seq[String]) =
+      (base.filterNot(drop) ++ add).mkString(" ")
+    val tA = txt(Set("word28", "word44", "word45"),
+      Seq("iiiii", "aaaaa", "sssss"))
+    val tB = txt(Set("word13", "word32", "word34", "word40"),
+      Seq("rrrrr", "jjjjj", "aaaaa", "ooooo"))
+    val tC = txt(Set("word10", "word46"), Seq("aaaaa"))
+    val tD = (0 until 40).map(i => s"novel$i").mkString(" ")
+    val dir = s"${sys.props("java.io.tmpdir")}/p163bridge_${queries.runToken}"
+    Seq(
+      (1L, tB), (2L, tA),                      // corpus: two components
+      (101L, tD),                              // corpus: far-away cluster
+      (0L, tD),                                // batch 1: dup of 101's text
+      (3L, tA),                                // batch 1: dup of A
+      (6L, "second novel unrelated incoming text"),
+      (9L, "third novel text nothing shared here"),
+      (12L, tC)                                // batch 3: the BRIDGE
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    queries.cleanupAtExit(dir)
+    val root = dir + "/work"
+    graft.streaming.StreamingOps.p163ReadStats.clear()
+    // bucketWidth=2: ids {0,1,2,3} → buckets 0/1, 12 → 6, 101 → 50
+    val got = graft.streaming.StreamingOps
+      .incrementalCcIngest(spark, dir, root, nFiles = 3, bucketWidth = 2L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cluster_id"), r.getString(2))).toSet
+    // batch 1: {0,101}→0 and {2,3}→2; batch 3: C bridges keys {1,2} →
+    // component {12,2,1} relabels to 1, so batch 1's standing 'i' row
+    // (3→2) must resolve 3→2→1 through the forwarding row ('f',2→1)
+    assert(got == Set((0L, 0L, "in"), (101L, 0L, "corpus"),
+      (1L, 1L, "corpus"), (2L, 1L, "corpus"), (3L, 1L, "in"),
+      (6L, 6L, "in"), (9L, 9L, "in"), (12L, 1L, "in")), s"got $got")
+    // the forwarding row really was the mechanism: the final state must
+    // hold a stale 'i' row (3 → 2) plus ('f', 2 → 1) — NOT an eagerly
+    // rewritten (3 → 1)
+    val stDirs = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("state_w")).map(_.getAbsolutePath)
+    val st = stDirs.map(p => spark.read.parquet(p)
+        .select("kind", "id", "cur"))
+      .reduce(_ unionByName _).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(st.contains(("i", 3L, 2L)),
+      s"standing 'i' row must stay at its stale label (forwarded): $st")
+    assert(st.contains(("f", 2L, 1L)), s"forwarding row missing: $st")
+    // read pruning: the bridge batch probes keys {1,2} (buckets 0) and
+    // in-id 12 (bucket 6, absent) — it must NOT read bucket 50 (the
+    // standing far-away cluster), so its path count is < live buckets
+    val stats = graft.streaming.StreamingOps.p163ReadStats.iterator()
+    var last: (Long, Long, Long) = null
+    while (stats.hasNext) last = stats.next()
+    assert(last != null && last._3 >= 3,
+      s"bridge batch must start with >=3 live buckets, got $last")
+    assert(last._2 < last._3,
+      s"bridge batch must read fewer buckets than live (pruned): $last")
+  }
+
   test("p248 decayed-count state fold: counts that SPAN micro-batches " +
       "merge additively through the versioned state") {
     import spark.implicits._
