@@ -6,21 +6,30 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** From-scratch BASELINE JPEG (ITU-T T.81 SOF0) decoder — the last codec
-  * in the lineage that still leaned on a JDK library (r17 verdict
-  * "What's missing" #2: PNG inflate, gzip, zstd, BMP, WAV are all
-  * from-scratch; JPEG pixel decode was ImageIO-backed). Implemented
-  * purely from the public spec:
+/** From-scratch JPEG (ITU-T T.81) decoder — BASELINE (SOF0/SOF1) and,
+  * since r19, PROGRESSIVE (SOF2) — the last codec in the lineage that
+  * still leaned on a JDK library (r17 verdict "What's missing" #2: PNG
+  * inflate, gzip, zstd, BMP, WAV are all from-scratch; JPEG pixel
+  * decode was ImageIO-backed). Implemented purely from the public spec:
   *
-  *  - marker walk (SOI, APPn/COM skip, DQT 8/16-bit, DHT, SOF0, DRI,
-  *    SOS, EOI); progressive (SOF2) and arithmetic coding → NULL;
+  *  - marker walk (SOI, APPn/COM skip, DQT 8/16-bit, DHT, SOF0/1/2,
+  *    DRI, SOS, EOI); arithmetic coding and lossless → NULL;
   *  - canonical Huffman decode per Annex C/F (mincode/maxcode/valptr),
   *    DC difference coding with EXTEND, AC run-length with ZRL and EOB;
   *  - the entropy bitstream's 0xFF 0x00 byte stuffing and RSTn restart
   *    markers (DC predictors + bit buffer reset per F.2.1.3.1);
+  *  - PROGRESSIVE scans per Annex G.1.2: spectral selection (per-band
+  *    single-component AC scans with EOBn run coding) and successive
+  *    approximation (DC first/refine at point transform Al, AC
+  *    first/refine with correction bits), interleaved and single-
+  *    component DC scans, restarts resetting predictors + EOB runs;
+  *    coefficients accumulate across scans and dequant+IDCT run once
+  *    at EOI (a progressive image larger than [[maxPixels]]/4 is
+  *    rejected — the coefficient buffer is the decoder's only
+  *    whole-image allocation, and the bound keeps it ≤ ~50 MB);
   *  - dequantization in zigzag order, separable double-precision IDCT
   *    (A.3.3 — DC-only blocks decode EXACTLY under it, the property the
-  *    p273 construction-algebra oracle relies on);
+  *    p273/p274 construction-algebra oracles rely on);
   *  - 1-component grayscale and 3-component YCbCr with sampling factors
   *    1-2 (4:4:4 / 4:2:2 / 4:2:0 and the transposed variants), JFIF
   *    full-range YCbCr→RGB.
@@ -132,6 +141,40 @@ object Jpeg {
   @inline private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
+  /** Separable double-precision IDCT (A.3.3) of one dequantized block
+    * (`coef`, natural order) into `plane` at (px, py); `tmp` is a
+    * caller-provided 64-slot scratch. Shared by the baseline streaming
+    * path and the progressive finish pass. */
+  private def idctToPlane(coef: Array[Double], tmp: Array[Double],
+      plane: Array[Byte], pw: Int, px: Int, py: Int): Unit = {
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += Cos(u)(x) * coef(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = acc
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var vv = 0
+        while (vv < 8) { acc += Cos(vv)(y) * tmp(vv * 8 + x); vv += 1 }
+        val px8 = math.rint(acc + 128.0)
+        val clamped = if (px8 < 0) 0 else if (px8 > 255) 255 else px8.toInt
+        plane((py + y) * pw + (px + x)) = clamped.toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   /** Full decode to `(w, h, rgb)` — rgb row-major top-down, 3 bytes per
     * pixel (gray replicated) — or null. Package-visible so specs can pin
     * exact pixels against ImageIO. */
@@ -158,13 +201,172 @@ object Jpeg {
     var restartInterval = 0
     var sofSeen = false
     var scanStart = -1
+    // progressive (SOF2) state: coefficients accumulate across scans in
+    // ZIGZAG order as raw ints; dequant + IDCT run once at EOI
+    var progressive = false
+    var eoiSeen = false
+    var pCoefs: Array[Array[Int]] = null
+    var pMcusX = 0; var pMcusY = 0
+    var pHmax = 0; var pVmax = 0
+    val pBpl = new Array[Int](3) // full (MCU-padded) blocks per line
+    val pBlines = new Array[Int](3)
 
     def be16(p: Int): Int = {
       if (p + 2 > b.length) fail()
       ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)
     }
 
-    while (scanStart < 0) {
+    /** One progressive scan (Annex G.1.2): updates pCoefs from the
+      * entropy data starting at `entStart`, returns the position of the
+      * next marker. */
+    def progScan(scanComp: Array[Int], ss: Int, se: Int, ah: Int,
+        al: Int, entStart: Int): Int = {
+      val isDc = ss == 0
+      if (isDc && se != 0) fail()
+      if (!isDc && (scanComp.length != 1 || se < ss || se > 63)) fail()
+      if (ah != 0 && al != ah - 1) fail() // successive approx steps by 1
+      if (al > 13) fail()
+      if (isDc && ah == 0)
+        scanComp.foreach(c => if (dcTab(compDc(c)) == null) fail())
+      if (!isDc && acTab(compAc(scanComp(0))) == null) fail()
+      val bits = new Bits(b, entStart)
+      val pred = new Array[Int](ncomp)
+      var eobrun = 0
+      val p1 = 1 << al
+      val m1 = -1 << al
+      def refineBit(pc: Array[Int], idx: Int): Unit =
+        if (bits.bit() != 0 && (pc(idx) & p1) == 0) {
+          if (pc(idx) >= 0) pc(idx) += p1 else pc(idx) += m1
+        }
+      def dcFirst(c: Int, pc: Array[Int], base: Int): Unit = {
+        val t = bits.decode(dcTab(compDc(c)))
+        if (t > 11) fail()
+        pred(c) += extend(bits.bits(t), t)
+        pc(base) = pred(c) << al
+      }
+      def dcRefine(pc: Array[Int], base: Int): Unit =
+        if (bits.bit() != 0) pc(base) |= p1
+      def acFirst(c: Int, pc: Array[Int], base: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          val rs = bits.decode(acTab(compAc(c)))
+          val r = (rs >> 4) & 0xF; val sb = rs & 0xF
+          if (sb == 0) {
+            if (r == 15) k += 16 // ZRL
+            else { // EOBn: run = 2^r + extra bits, current block included
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += bits.bits(r)
+              done = true
+            }
+          } else {
+            k += r
+            if (k > se) fail()
+            pc(base + k) = extend(bits.bits(sb), sb) << al
+            k += 1
+          }
+        }
+      }
+      def acRefine(c: Int, pc: Array[Int], base: Int): Unit = {
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (k <= se && !done) {
+            val rs = bits.decode(acTab(compAc(c)))
+            var r = (rs >> 4) & 0xF; val sb = rs & 0xF
+            var insert = 0
+            if (sb == 0) {
+              if (r != 15) { // EOBn: rest of this block refines below
+                eobrun = 1 << r
+                if (r > 0) eobrun += bits.bits(r)
+                done = true
+              }
+              // r == 15 (ZRL): skip 16 zero-history slots below
+            } else {
+              if (sb != 1) fail() // refinement codes magnitude 1 only
+              insert = if (bits.bit() != 0) p1 else m1
+            }
+            if (!done) {
+              var placed = false
+              while (k <= se && !placed) {
+                val idx = base + k
+                if (pc(idx) != 0) refineBit(pc, idx)
+                else if (r == 0) {
+                  if (insert != 0) pc(idx) = insert
+                  placed = true
+                } else r -= 1
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) { // correction bits for the block's remainder
+          while (k <= se) {
+            val idx = base + k
+            if (pc(idx) != 0) refineBit(pc, idx)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      // scan geometry: >1 component = interleaved over the FRAME MCU
+      // grid; a single-component scan walks the component's own ceil
+      // raster (A.2.3) — its padded columns/rows stay untouched
+      val interleaved = scanComp.length > 1
+      val c0 = scanComp(0)
+      val bwS = if (interleaved) pMcusX
+        else ((w * compH(c0) + pHmax * 8 - 1) / (pHmax * 8))
+      val bhS = if (interleaved) pMcusY
+        else ((h * compV(c0) + pVmax * 8 - 1) / (pVmax * 8))
+      val totalUnits = bwS * bhS
+      var unit = 0
+      while (unit < totalUnits) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          bits.skipStuffedPad()
+          if (!bits.atMarker) fail()
+          val m = bits.markerByte
+          if (m < 0xD0 || m > 0xD7) fail()
+          bits.skipMarker()
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+        if (interleaved) {
+          val mx = unit % bwS; val my = unit / bwS
+          var sIdx = 0
+          while (sIdx < scanComp.length) {
+            val c = scanComp(sIdx)
+            val pc = pCoefs(c)
+            var by = 0
+            while (by < compV(c)) {
+              var bx = 0
+              while (bx < compH(c)) {
+                val base =
+                  ((my * compV(c) + by) * pBpl(c) + mx * compH(c) + bx) * 64
+                if (ah == 0) dcFirst(c, pc, base) else dcRefine(pc, base)
+                bx += 1
+              }
+              by += 1
+            }
+            sIdx += 1
+          }
+        } else {
+          val bx = unit % bwS; val by = unit / bwS
+          val base = (by * pBpl(c0) + bx) * 64
+          val pc = pCoefs(c0)
+          if (isDc) {
+            if (ah == 0) dcFirst(c0, pc, base) else dcRefine(pc, base)
+          } else {
+            if (ah == 0) acFirst(c0, pc, base) else acRefine(c0, pc, base)
+          }
+        }
+        unit += 1
+      }
+      bits.skipStuffedPad()
+      bits.pos
+    }
+
+    while (scanStart < 0 && !eoiSeen) {
       // expect a marker; tolerate fill bytes
       if (i + 2 > b.length) return null
       if ((b(i) & 0xFF) != 0xFF) return null
@@ -173,7 +375,9 @@ object Jpeg {
       val marker = b(i) & 0xFF; i += 1
       marker match {
         case 0xD8 => () // stray SOI
-        case 0xD9 => return null // EOI before any scan
+        case 0xD9 => // EOI: ends a progressive frame; premature otherwise
+          if (progressive && pCoefs != null) eoiSeen = true
+          else return null
         case 0xDB => // DQT
           val len = be16(i); val end = i + len
           if (len < 2 || end > b.length) return null
@@ -217,13 +421,19 @@ object Jpeg {
             if (tc == 0) dcTab(th) = t else acTab(th) = t
           }
           i = end
-        case 0xC0 | 0xC1 => // SOF0 baseline (C1 extended sequential: same decode)
+        case 0xC0 | 0xC1 | 0xC2 => // SOF0 baseline / SOF1 extended
+          // sequential (same decode) / SOF2 progressive (r19)
           val len = be16(i); val end = i + len
           if (len < 8 || end > b.length || sofSeen) return null
           if ((b(i + 2) & 0xFF) != 8) return null // precision
+          progressive = marker == 0xC2
           h = be16(i + 3); w = be16(i + 5)
           ncomp = b(i + 7) & 0xFF
           if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return null
+          // the progressive coefficient buffer is the decoder's only
+          // whole-image allocation (4 B/coefficient/component) — bound
+          // it separately so a dimension bomb cannot force ~200 MB
+          if (progressive && w.toLong * h > maxPixels / 4) return null
           if (ncomp != 1 && ncomp != 3) return null
           if (len != 8 + 3 * ncomp) return null
           var c = 0
@@ -239,8 +449,8 @@ object Jpeg {
           }
           sofSeen = true
           i = end
-        case m if m >= 0xC2 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC =>
-          return null // progressive / lossless / arithmetic: unsupported
+        case m if m >= 0xC3 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC =>
+          return null // lossless / differential / arithmetic: unsupported
         case 0xDD => // DRI
           val len = be16(i)
           if (len != 4 || i + 4 > b.length) return null
@@ -251,21 +461,61 @@ object Jpeg {
           val len = be16(i); val end = i + len
           if (end > b.length) return null
           val ns = b(i + 2) & 0xFF
-          if (ns != ncomp || len != 6 + 2 * ns) return null
-          var s = 0
-          while (s < ns) {
-            val cs = b(i + 3 + 2 * s) & 0xFF
-            val c = compId.indexOf(cs)
-            if (c < 0 || c >= ncomp) return null
-            val tt = b(i + 4 + 2 * s) & 0xFF
-            compDc(c) = (tt >> 4) & 0xF; compAc(c) = tt & 0xF
-            if (compDc(c) > 3 || compAc(c) > 3) return null
-            s += 1
+          if (progressive) {
+            // progressive: 1..ncomp components per scan; decode the
+            // scan's entropy data NOW and continue the marker walk
+            if (ns < 1 || ns > ncomp || len != 6 + 2 * ns) return null
+            if (pCoefs == null) {
+              // frame geometry, latched at the first scan: single-
+              // component frames normalize factors like the baseline
+              // path so the MCU grid degenerates to the block raster
+              if (ncomp == 1) { compH(0) = 1; compV(0) = 1 }
+              pHmax = (0 until ncomp).map(compH).max
+              pVmax = (0 until ncomp).map(compV).max
+              pMcusX = (w + 8 * pHmax - 1) / (8 * pHmax)
+              pMcusY = (h + 8 * pVmax - 1) / (8 * pVmax)
+              var c = 0
+              while (c < ncomp) {
+                pBpl(c) = pMcusX * compH(c)
+                pBlines(c) = pMcusY * compV(c)
+                c += 1
+              }
+              pCoefs = Array.tabulate(ncomp)(c =>
+                new Array[Int](pBpl(c) * pBlines(c) * 64))
+            }
+            val scanComp = new Array[Int](ns)
+            var s = 0
+            while (s < ns) {
+              val cs = b(i + 3 + 2 * s) & 0xFF
+              val c = compId.indexOf(cs)
+              if (c < 0 || c >= ncomp) return null
+              scanComp(s) = c
+              val tt = b(i + 4 + 2 * s) & 0xFF
+              compDc(c) = (tt >> 4) & 0xF; compAc(c) = tt & 0xF
+              if (compDc(c) > 3 || compAc(c) > 3) return null
+              s += 1
+            }
+            val ss = b(i + 3 + 2 * ns) & 0xFF
+            val se = b(i + 4 + 2 * ns) & 0xFF
+            val ahal = b(i + 5 + 2 * ns) & 0xFF
+            i = progScan(scanComp, ss, se, (ahal >> 4) & 0xF, ahal & 0xF, end)
+          } else {
+            if (ns != ncomp || len != 6 + 2 * ns) return null
+            var s = 0
+            while (s < ns) {
+              val cs = b(i + 3 + 2 * s) & 0xFF
+              val c = compId.indexOf(cs)
+              if (c < 0 || c >= ncomp) return null
+              val tt = b(i + 4 + 2 * s) & 0xFF
+              compDc(c) = (tt >> 4) & 0xF; compAc(c) = tt & 0xF
+              if (compDc(c) > 3 || compAc(c) > 3) return null
+              s += 1
+            }
+            // Ss=0, Se=63, AhAl=0 for baseline
+            if ((b(i + 3 + 2 * ns) & 0xFF) != 0 ||
+                (b(i + 4 + 2 * ns) & 0xFF) != 63) return null
+            scanStart = end
           }
-          // Ss=0, Se=63, AhAl=0 for baseline
-          if ((b(i + 3 + 2 * ns) & 0xFF) != 0 ||
-              (b(i + 4 + 2 * ns) & 0xFF) != 63) return null
-          scanStart = end
         case m if (m >= 0xE0 && m <= 0xEF) || m == 0xFE => // APPn / COM
           val len = be16(i)
           if (len < 2 || i + len > b.length) return null
@@ -279,11 +529,13 @@ object Jpeg {
       }
     }
 
-    // validate the tables the scan needs
+    // validate the tables the finish needs (progressive scans validated
+    // their own Huffman tables per scan)
     var c = 0
     while (c < ncomp) {
-      if (quant(compQ(c)) == null || dcTab(compDc(c)) == null ||
-          acTab(compAc(c)) == null) return null
+      if (quant(compQ(c)) == null) return null
+      if (!progressive && (dcTab(compDc(c)) == null ||
+          acTab(compAc(c)) == null)) return null
       c += 1
     }
     // a single-component scan is always NON-interleaved (T.81 A.2.3):
@@ -301,6 +553,39 @@ object Jpeg {
     val planeW = Array.tabulate(ncomp)(c => mcusX * 8 * compH(c))
     val planeH = Array.tabulate(ncomp)(c => mcusY * 8 * compV(c))
     val planes = Array.tabulate(ncomp)(c => new Array[Byte](planeW(c) * planeH(c)))
+
+    if (progressive) {
+      // finish pass: dequantize the accumulated coefficients (zigzag
+      // ints) and IDCT every block of every component's padded grid
+      val coefD = new Array[Double](64)
+      val tmpD = new Array[Double](64)
+      var c2 = 0
+      while (c2 < ncomp) {
+        val q = quant(compQ(c2))
+        val pc = pCoefs(c2)
+        val plane = planes(c2); val pw = planeW(c2)
+        var by = 0
+        while (by < pBlines(c2)) {
+          var bx = 0
+          while (bx < pBpl(c2)) {
+            val base = (by * pBpl(c2) + bx) * 64
+            java.util.Arrays.fill(coefD, 0.0)
+            var k = 0
+            while (k < 64) {
+              val v = pc(base + k)
+              if (v != 0) coefD(Zigzag(k)) = v.toDouble * q(k)
+              k += 1
+            }
+            idctToPlane(coefD, tmpD, plane, pw, bx * 8, by * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        c2 += 1
+      }
+      return colorConvert(w, h, ncomp, planes, planeW, hmax, vmax,
+        compH, compV)
+    }
 
     val bits = new Bits(b, scanStart)
     val pred = new Array[Int](ncomp)
@@ -331,34 +616,7 @@ object Jpeg {
           k += 1
         }
       }
-      // separable IDCT: rows then columns
-      var v = 0
-      while (v < 8) {
-        var x = 0
-        while (x < 8) {
-          var acc = 0.0
-          var u = 0
-          while (u < 8) { acc += Cos(u)(x) * coef(v * 8 + u); u += 1 }
-          tmp(v * 8 + x) = acc
-          x += 1
-        }
-        v += 1
-      }
-      val plane = planes(c); val pw = planeW(c)
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var acc = 0.0
-          var vv = 0
-          while (vv < 8) { acc += Cos(vv)(y) * tmp(vv * 8 + x); vv += 1 }
-          val px8 = math.rint(acc + 128.0)
-          val clamped = if (px8 < 0) 0 else if (px8 > 255) 255 else px8.toInt
-          plane((py + y) * pw + (px + x)) = clamped.toByte
-          x += 1
-        }
-        y += 1
-      }
+      idctToPlane(coef, tmp, planes(c), planeW(c), px, py)
     }
 
     var mcu = 0
@@ -392,7 +650,17 @@ object Jpeg {
       mcu += 1
     }
 
-    // color convert + crop to (w, h)
+    colorConvert(w, h, ncomp, planes, planeW, hmax, vmax, compH, compV)
+  }
+
+  /** Crop the decoded planes to (w, h) and convert to packed RGB —
+    * gray replicated for 1-component frames, JFIF full-range
+    * YCbCr→RGB with nearest-sample chroma upsampling for 3. Shared by
+    * the baseline and progressive paths. */
+  private def colorConvert(w: Int, h: Int, ncomp: Int,
+      planes: Array[Array[Byte]], planeW: Array[Int], hmax: Int,
+      vmax: Int, compH: Array[Int],
+      compV: Array[Int]): (Int, Int, Array[Byte]) = {
     val rgb = new Array[Byte](w * h * 3)
     if (ncomp == 1) {
       val plane = planes(0); val pw = planeW(0)
@@ -587,6 +855,146 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Custom AC table holding EOB and the EOBn run symbols 0x00..0xE0 —
+    * the Annex K baseline table has no EOBn codes (they only occur in
+    * progressive streams), so the construction encoder defines its own
+    * canonical table: 15 symbols, all 4-bit codes. */
+  private val ProgAcCounts =
+    Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals: Array[Byte] =
+    Array.tabulate[Byte](15)(i => (i << 4).toByte)
+  private lazy val ProgAcEnc = encTable(ProgAcCounts, ProgAcVals)
+
+  /** Encode a grayscale PROGRESSIVE (SOF2) JPEG whose 8×8 block
+    * (bx, by) is FLAT at `grid(by)(bx)` — the p274 construction
+    * algebra. Four scans exercise the whole Annex G surface a DC-only
+    * image can reach: DC first at point transform Al=1, AC first over
+    * the full 1..63 band (pure EOBn runs — the custom table above),
+    * DC refinement carrying the REAL low bit (quant[0]=8 makes the
+    * quantized DC = v-128, so bit 0 varies), and AC refinement (EOBn
+    * runs again). Optional DRI + cyclic RSTn per scan. Decoding with
+    * ANY conforming IDCT gives back the grid exactly (dequantized DC
+    * is (v-128)*8, the DC-only exactness algebra of [[encodeFlatBlocks]]). */
+  private[graft] def encodeFlatBlocksProgressive(grid: Array[Array[Int]],
+      restart: Int = 0): Array[Byte] = {
+    val rows = grid.length
+    val cols = grid(0).length
+    val w = cols * 8; val h = rows * 8
+    val n = rows * cols
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xFF); out.write(mk) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def d(i: Int): Int = grid(i / cols)(i % cols) - 128 // quantized DC (q=8)
+    m(0xD8) // SOI
+    m(0xDB); be16(2 + 1 + 64); out.write(0x00) // DQT: 8-bit, id 0
+    out.write(8) // q[0] = 8: quantized DC = v-128 (low bit survives)
+    (1 until 64).foreach(_ => out.write(1))
+    m(0xC2); be16(8 + 3); out.write(8); be16(h); be16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0) // comp 1, 1x1, q0
+    def dht(tc: Int, counts: Array[Int], vals: Array[Byte]): Unit = {
+      m(0xC4); be16(2 + 1 + 16 + vals.length); out.write((tc << 4) | 0)
+      counts.foreach(out.write)
+      out.write(vals)
+    }
+    dht(0, StdDcCounts, StdDcVals)
+    dht(1, ProgAcCounts, ProgAcVals)
+    if (restart > 0) { m(0xDD); be16(4); be16(restart) }
+    def sos(ss: Int, se: Int, ahal: Int): Unit = {
+      m(0xDA); be16(6 + 2); out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write(ahal)
+    }
+    /** AC scan over 1..63 carrying zero coefficients: EOBn runs, split
+      * at restart boundaries (an EOB run may not span a restart). */
+    def emitEobRuns(): Unit = {
+      var bw = new BitWriter(out)
+      var i = 0; var rst = 0
+      while (i < n) {
+        if (restart > 0 && i > 0 && i % restart == 0) {
+          bw.flush(); m(0xD0 + (rst & 7)); rst += 1
+          bw = new BitWriter(out)
+        }
+        val segEnd =
+          if (restart > 0) math.min(n, i + restart - (i % restart)) else n
+        var run = segEnd - i
+        if (run > 32767) run = 32767
+        val r = 31 - Integer.numberOfLeadingZeros(run)
+        val (code, len) = ProgAcEnc(r << 4)
+        bw.put(code, len)
+        if (r > 0) bw.put(run - (1 << r), r)
+        i += run
+      }
+      bw.flush()
+    }
+    // scan 1: DC first, Al = 1 — diffs of the arithmetic-shifted value
+    sos(0, 0, 0x01)
+    locally {
+      var bw = new BitWriter(out)
+      var pred = 0; var rst = 0
+      var i = 0
+      while (i < n) {
+        if (restart > 0 && i > 0 && i % restart == 0) {
+          bw.flush(); m(0xD0 + (rst & 7)); rst += 1
+          bw = new BitWriter(out); pred = 0
+        }
+        val sh = d(i) >> 1
+        val diff = sh - pred
+        pred = sh
+        var s = 0
+        var mag = math.abs(diff)
+        while (mag > 0) { s += 1; mag >>= 1 }
+        val (code, len) = DcEnc(s)
+        bw.put(code, len)
+        if (s > 0)
+          bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        i += 1
+      }
+      bw.flush()
+    }
+    // scan 2: AC first 1..63, Al = 0 — all zero: pure EOB runs
+    sos(1, 63, 0x00)
+    emitEobRuns()
+    // scan 3: DC refinement Ah=1 Al=0 — one raw bit per block (bit 0)
+    sos(0, 0, 0x10)
+    locally {
+      var bw = new BitWriter(out)
+      var rst = 0
+      var i = 0
+      while (i < n) {
+        if (restart > 0 && i > 0 && i % restart == 0) {
+          bw.flush(); m(0xD0 + (rst & 7)); rst += 1
+          bw = new BitWriter(out)
+        }
+        bw.put(d(i) & 1, 1)
+        i += 1
+      }
+      bw.flush()
+    }
+    // scan 4: AC refinement 1..63 Ah=1 Al=0 — EOB runs (no new values,
+    // no nonzero history → zero correction bits)
+    sos(1, 63, 0x10)
+    emitEobRuns()
+    m(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** p274 fixture: a deterministic DC-only PROGRESSIVE JPEG per doc id
+    * — grid (1 + id%3) rows × (1 + id%4) cols of flat blocks, value
+    * (id*29 + by*8 + bx*7) % 256, restart interval 2 when id%5 == 0;
+    * damage lanes: truncation (%13 == 4) and a stream whose EOI is cut
+    * off (%11 == 7 — a progressive frame is only complete at EOI, so
+    * the tolerant parse must yield NULL, not a partial render). */
+  def progFixture(docId: Long): Array[Byte] = {
+    val cols = (1 + docId % 4).toInt
+    val rows = (1 + docId % 3).toInt
+    val grid = Array.tabulate(rows, cols)((by, bx) =>
+      ((docId * 29 + by * 8 + bx * 7) % 256).toInt)
+    val restart = if (docId % 5 == 0) 2 else 0
+    val full = encodeFlatBlocksProgressive(grid, restart)
+    if (docId % 13 == 4) java.util.Arrays.copyOf(full, full.length / 2)
+    else if (docId % 11 == 7) java.util.Arrays.copyOf(full, full.length - 2)
+    else full
+  }
+
   /** p273 fixture: a deterministic DC-only baseline JPEG per doc id —
     * grid (1 + id%3) rows × (1 + id%4) cols of flat blocks, value
     * (id*31 + by*8 + bx*5) % 256, restart interval 2 when id%5 == 0 (so
@@ -706,4 +1114,35 @@ object JpegFlatFixture {
   /** Column API for [[JpegFlatFixtureExpr]]. */
   def apply(docId: Column): Column =
     GraftSql.column(JpegFlatFixtureExpr(GraftSql.expression(docId)))
+}
+
+/** `binary` deterministic DC-only PROGRESSIVE (SOF2) JPEG per doc id —
+  * the construction side of the p274 oracle (see [[Jpeg.progFixture]]). */
+case class JpegProgFixtureExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_jpeg_prog_fixture"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BIGINT, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    Jpeg.progFixture(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.functions.Jpeg.progFixture($id);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object JpegProgFixture {
+  /** Column API for [[JpegProgFixtureExpr]]. */
+  def apply(docId: Column): Column =
+    GraftSql.column(JpegProgFixtureExpr(GraftSql.expression(docId)))
 }

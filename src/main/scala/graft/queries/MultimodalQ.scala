@@ -1462,6 +1462,57 @@ object MultimodalQ {
           coalesce(col("stats").getItem(7), lit(-1L)).as("h2"),
           coalesce(col("stats").getItem(8), lit(-1L)).as("h3"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- p274: from-scratch PROGRESSIVE JPEG decode (r19) -------------------
+    // SOF2 per T.81 Annex G: spectral selection + successive
+    // approximation. The oracle-exact entry constructs a four-scan
+    // progressive stream per doc (DC first at Al=1, AC first as EOBn
+    // runs, DC refinement carrying the real low bit — quant[0]=8 keeps
+    // it — and AC refinement), with RSTn restarts on %5==0 lanes, and
+    // decodes it with the same from-scratch path real crawl JPEGs take.
+    // DC-only construction algebra keeps the match EXACT (every
+    // conforming IDCT agrees on flat blocks); natural progressive
+    // images are pinned against ImageIO in MultimodalSpec. Damage
+    // lanes: %13==4 truncation and %11==7 cut EOI (a progressive frame
+    // is only complete at EOI) → NULL → -1. One scan, zero shuffles.
+    Q("p274_jpeg_progressive", Some("""
+      WITH d AS (SELECT doc_id,
+                        1 + doc_id % 4 AS cols, 1 + doc_id % 3 AS rows,
+                        (doc_id % 13 = 4 OR doc_id % 11 = 7) AS damaged
+                 FROM documents),
+      g AS (SELECT d.doc_id,
+                   ((d.doc_id * 29 + r1.by * 8 + r2.bx * 7) % 256) AS v
+            FROM d, range(0, 3) r1(by), range(0, 4) r2(bx)
+            WHERE r1.by < d.rows AND r2.bx < d.cols),
+      s AS (SELECT doc_id, 64 * SUM(v) AS sr,
+                   64 * SUM(CASE WHEN v < 64 THEN 1 ELSE 0 END) AS c0,
+                   64 * SUM(CASE WHEN v >= 64 AND v < 128 THEN 1 ELSE 0 END) AS c1,
+                   64 * SUM(CASE WHEN v >= 128 AND v < 192 THEN 1 ELSE 0 END) AS c2,
+                   64 * SUM(CASE WHEN v >= 192 THEN 1 ELSE 0 END) AS c3
+            FROM g GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(CASE WHEN damaged THEN -1 ELSE d.cols * 8 END AS BIGINT) AS w,
+             CAST(CASE WHEN damaged THEN -1 ELSE d.rows * 8 END AS BIGINT) AS h,
+             CAST(CASE WHEN damaged THEN -1 ELSE s.sr END AS BIGINT) AS sum_r,
+             CAST(CASE WHEN damaged THEN -1 ELSE s.c0 END AS BIGINT) AS h0,
+             CAST(CASE WHEN damaged THEN -1 ELSE s.c1 END AS BIGINT) AS h1,
+             CAST(CASE WHEN damaged THEN -1 ELSE s.c2 END AS BIGINT) AS h2,
+             CAST(CASE WHEN damaged THEN -1 ELSE s.c3 END AS BIGINT) AS h3
+      FROM d JOIN s USING (doc_id) ORDER BY d.doc_id""")) { (spark, dir) =>
+      import graft.functions.{JpegChannelStats, JpegProgFixture}
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("stats", JpegChannelStats(JpegProgFixture(col("doc_id"))))
+        .select(col("doc_id"),
+          coalesce(col("stats").getItem(0), lit(-1L)).as("w"),
+          coalesce(col("stats").getItem(1), lit(-1L)).as("h"),
+          coalesce(col("stats").getItem(2), lit(-1L)).as("sum_r"),
+          coalesce(col("stats").getItem(5), lit(-1L)).as("h0"),
+          coalesce(col("stats").getItem(6), lit(-1L)).as("h1"),
+          coalesce(col("stats").getItem(7), lit(-1L)).as("h2"),
+          coalesce(col("stats").getItem(8), lit(-1L)).as("h3"))
+        .orderBy(col("doc_id"))
     }
   )
 

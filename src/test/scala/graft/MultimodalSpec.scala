@@ -585,6 +585,41 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Jpeg PROGRESSIVE DC-only construction decodes EXACTLY across " +
+    "all four scan kinds (DC first Al=1, AC-first EOBn runs, DC " +
+    "refinement with live low bits, AC refinement), with and without " +
+    "restart markers — and ImageIO agrees bit-for-bit on the fixture") {
+    import graft.functions.Jpeg
+    val r = new java.util.Random(53)
+    for (restart <- Seq(0, 1, 2, 3); trial <- 0 until 4) {
+      val rows = 1 + r.nextInt(4); val cols = 1 + r.nextInt(5)
+      val grid = Array.tabulate(rows, cols)((_, _) => r.nextInt(256))
+      val jpeg = Jpeg.encodeFlatBlocksProgressive(grid, restart)
+      assert(jpeg.sliding(2).exists(s =>
+        (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == 0xC2), "must be SOF2")
+      val px = Jpeg.decodeRgb(jpeg)
+      assert(px != null, s"restart=$restart trial=$trial must decode")
+      val (w, h, rgb) = px
+      assert(w === cols * 8 && h === rows * 8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = grid(y / 8)(x / 8)
+        val p = (y * w + x) * 3
+        assert((rgb(p) & 0xFF) === want,
+          s"restart=$restart ($x,$y): ${rgb(p) & 0xFF} != $want")
+        assert(rgb(p) === rgb(p + 1) && rgb(p + 1) === rgb(p + 2))
+      }
+      // independent decoder agreement: ImageIO must read the same grid
+      // (DC-only blocks are exact under every conforming IDCT)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpeg))
+      assert(img != null && img.getWidth === w && img.getHeight === h)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        assert((raster.getSample(x, y, 0) & 0xFF) === grid(y / 8)(x / 8),
+          s"ImageIO disagrees at ($x,$y) restart=$restart")
+    }
+  }
+
   test("Jpeg vs ImageIO ground truth: color gradients (default 4:2:0 " +
     "writer) and grayscale — dims exact, pixels within lossy tolerance") {
     import graft.functions.Jpeg
@@ -644,6 +679,86 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       val mean = sumDiff.toDouble / (mw * mh * 3)
       assert(mean <= 3.0, s"q=$q gray=$gray mean pixel diff $mean")
       assert(maxDiff <= 64, s"q=$q gray=$gray max pixel diff $maxDiff")
+    }
+  }
+
+  test("Jpeg PROGRESSIVE (SOF2, r19) vs ImageIO ground truth: the " +
+    "standard multi-scan script (spectral selection + successive " +
+    "approximation, color 4:2:0 and grayscale) decodes from scratch " +
+    "within lossy tolerance; truncation/bitflip damage never throws") {
+    import graft.functions.Jpeg
+    def viaImageIo(jpeg: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      val w = img.getWidth; val h = img.getHeight
+      val px = new Array[Int](w * h)
+      if (img.getColorModel.getNumComponents == 1) {
+        val r = img.getRaster
+        for (y <- 0 until h; x <- 0 until w) {
+          val g = r.getSample(x, y, 0) & 0xFF
+          px(y * w + x) = (g << 16) | (g << 8) | g
+        }
+      } else img.getRGB(0, 0, w, h, px, 0, w)
+      (w, h, px)
+    }
+    def encodeProg(img: java.awt.image.BufferedImage, q: Float): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    val rnd = new java.util.Random(47)
+    for (q <- Seq(0.95f, 0.7f); gray <- Seq(false, true)) {
+      val (w, h) = (37, 23) // deliberately unaligned to the MCU grid
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (x * 255 / (w - 1)) & 0xFF
+        val g = (y * 255 / (h - 1)) & 0xFF
+        val b = ((x + y) * 4) & 0xFF
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val jpeg = encodeProg(img, q)
+      // really progressive
+      assert(jpeg.sliding(2).exists(s =>
+        (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == 0xC2), "fixture not SOF2")
+      val mine = Jpeg.decodeRgb(jpeg)
+      assert(mine != null, s"q=$q gray=$gray progressive must decode")
+      val (mw, mh, rgb) = mine
+      val (iw, ih, ipx) = viaImageIo(jpeg)
+      assert(mw === iw && mh === ih)
+      var sumDiff = 0L; var maxDiff = 0
+      for (y <- 0 until mh; x <- 0 until mw; c <- 0 until 3) {
+        val m = rgb((y * mw + x) * 3 + c) & 0xFF
+        val i = (ipx(y * mw + x) >> (16 - 8 * c)) & 0xFF
+        val d = math.abs(m - i)
+        sumDiff += d
+        if (d > maxDiff) maxDiff = d
+      }
+      val mean = sumDiff.toDouble / (mw * mh * 3)
+      assert(mean <= 3.0, s"q=$q gray=$gray prog mean pixel diff $mean")
+      assert(maxDiff <= 64, s"q=$q gray=$gray prog max pixel diff $maxDiff")
+      // damage lanes: every truncation point and random bitflips decode
+      // to SOMETHING-or-NULL without throwing (tolerant-parse contract)
+      var t = 2
+      while (t < jpeg.length) {
+        Jpeg.decodeRgb(java.util.Arrays.copyOf(jpeg, t))
+        t += math.max(1, jpeg.length / 97)
+      }
+      for (_ <- 0 until 40) {
+        val mut = jpeg.clone()
+        val at = rnd.nextInt(mut.length)
+        mut(at) = (mut(at) ^ (1 << rnd.nextInt(8))).toByte
+        Jpeg.decodeRgb(mut) // must not throw
+      }
     }
   }
 

@@ -194,7 +194,11 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // p273 (r18): DC-only JPEG construct→decode — the fixture encoder
     // and the channel-stats decode are row-local scan expressions; the
     // only exchange is the output sort's row per doc (the p269 shape)
-    ("p273_jpeg_dc_decode", 3L, 1400L, DocLinear))
+    ("p273_jpeg_dc_decode", 3L, 1400L, DocLinear),
+    // p274 (r19): progressive (SOF2) JPEG construct→decode — same
+    // row-local scan shape as p273 (fixture encoder + channel-stats
+    // decode are codegen expressions; only the output sort exchanges)
+    ("p274_jpeg_progressive", 3L, 1400L, DocLinear))
 
   private lazy val doubledDir = GuardFixtures.doubledDir(spark, sfDir)
 
