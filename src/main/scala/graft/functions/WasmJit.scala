@@ -146,7 +146,10 @@ object WasmJit {
     val ok = Array.tabulate(n) { i =>
       val f = m.funcs(i)
       val slots = 3 + 2 * (f.nparams + f.nlocals + f.maxStack) + 2
-      f.nparams <= 8 && slots < 250 && f.ops.length < 12000
+      // arity cap 32 (r19, was 8): a direct call pushes 3 + 2*nparams
+      // JVM stack slots, covered by the declared max-stack below; the
+      // JVM's own bound is 127 long params (255 arg slots)
+      f.nparams <= 32 && slots < 250 && f.ops.length < 12000
     }
     (ok, guardedSet(m, ok))
   }
@@ -599,7 +602,9 @@ object WasmJit {
             val f = m.funcs(fi)
             methods += ((0x0008 | 0x0002, cp.utf8(s"f$fi"),
               cp.utf8("([B[J" + InstDesc + "J" * f.nparams + ")J"),
-              codeB, 32, em.maxLocals))
+              // declared max stack covers the deepest transient use: a
+              // direct call to a 32-arity callee (3 + 2*32) + margin
+              codeB, 72, em.maxLocals))
           } catch {
             case _: IllegalStateException => mask(fi) = false; stable = false
           }
@@ -647,7 +652,7 @@ object WasmJit {
       disp.patchU4(pairPatch + 8 * idx + 4, stubAt(fidx) - opPos)
     }
     methods += ((0x0001, cp.utf8("call"),
-      cp.utf8("(I[B[J" + InstDesc + "[J)J"), disp.bytes, 32, 6))
+      cp.utf8("(I[B[J" + InstDesc + "[J)J"), disp.bytes, 72, 6))
     // constructor
     val init = new Code
     init.u1(0x2A); init.u1(0xB7)

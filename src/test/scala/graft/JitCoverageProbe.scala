@@ -8,7 +8,7 @@ package graft.functions
   * memory.grow COMPILES since r17; there are NO transitive demotions
   * since the r18 compiled→interpreted direct-call bridge, so only two
   * reasons remain):
-  *  - `frame`: fails the static frame bounds (arity > 8, local slots
+  *  - `frame`: fails the static frame bounds (arity > 32, local slots
   *    ≥ 250, or op count ≥ 12000);
   *  - `emit-bailout`: passed the bounds but the emitter bailed (the
   *    65000-byte JVM Code cap). Callers of either kind compile anyway
@@ -27,7 +27,7 @@ object JitCoverageProbe {
       val selfOk = Array.tabulate(n) { i =>
         val f = m.funcs(i)
         val slots = 3 + 2 * (f.nparams + f.nlocals + f.maxStack) + 2
-        f.nparams <= 8 && slots < 250 && f.ops.length < 12000
+        f.nparams <= 32 && slots < 250 && f.ops.length < 12000
       }
       var i = 0
       while (i < n) {

@@ -312,14 +312,14 @@ class WasmJitSpec extends AnyFunSuite {
     assume(WasmJit.enabled)
     // f0 reads/writes the global (NOW eligible: global.get/set compile
     // as laload/lastore on the shared array), f1 is pure arithmetic,
-    // f2 takes 9 params (over the 8-param frame bound → interprets)
+    // f2 takes 33 params (over the r19 32-param frame bound → interprets)
     val globalSec = section(6, b(0x01, I64, 0x01, 0x42) ++ sleb(7) ++ b(0x0B))
     val f0 = b(0x23, 0, 0x20, 0, 0x7C, 0x24, 0, 0x23, 0, 0x0B)
     val f1 = b(0x20, 0, 0x20, 0, 0x7E, 0x0B)
-    // f2: sum of params 0 and 8 (the arity is the point)
-    val f2 = b(0x20, 0, 0x20, 8, 0x7C, 0x0B)
+    // f2: sum of params 0 and 32 (the arity is the point)
+    val f2 = b(0x20, 0, 0x20, 32, 0x7C, 0x0B)
     val t1 = 0x60.toByte +: (vec(Seq(Seq(I64.toByte))) ++ vec(Seq(Seq(I64.toByte))))
-    val t9 = 0x60.toByte +: (vec(Seq.fill(9)(Seq(I64.toByte))) ++ vec(Seq(Seq(I64.toByte))))
+    val t9 = 0x60.toByte +: (vec(Seq.fill(33)(Seq(I64.toByte))) ++ vec(Seq(Seq(I64.toByte))))
     val typeSec = section(1, vec(Seq(t1, t9)))
     val funcSec = section(3, b(0x03, 0, 0, 1))
     val exportSec = section(7, vec(Seq("f0", "f1", "f2").zipWithIndex.map {
@@ -336,12 +336,13 @@ class WasmJitSpec extends AnyFunSuite {
     val m = WasmModule.parse(bytes)
     assert(m.jit != null)
     assert(m.jit._2(0) && m.jit._2(1) && !m.jit._2(2),
-      s"global user + pure sibling compile, 9-arity interprets: ${m.jit._2.toSeq}")
+      s"global user + pure sibling compile, 33-arity interprets: ${m.jit._2.toSeq}")
     val inst = new WasmInstance(m)
     assert(inst.invoke("f0", 5L) === Some(12L)) // compiled: global(7) + 5
     assert(inst.invoke("f0", 5L) === Some(17L)) // the WRITE persisted
     assert(inst.invoke("f1", 6L) === Some(36L)) // compiled: 6 * 6
-    assert(inst.invoke("f2", 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 2L) === Some(3L))
+    assert(inst.invoke("f2",
+      (1L +: Array.fill(31)(0L)) :+ 2L: _*) === Some(3L))
     // fresh instance: globals re-seed from the module inits
     assert(new WasmInstance(m).invoke("f0", 5L) === Some(12L))
     // interpreted twin agrees on the whole accumulation sequence
@@ -456,6 +457,70 @@ class WasmJitSpec extends AnyFunSuite {
     assert(t.msg.contains("depth") || t.msg.contains("stack"), t.msg)
     // and the instance still works after the trap
     assert(new WasmInstance(jm).invoke("f4", 3L) === Some(3L))
+  }
+
+  test("WIDE-arity functions compile (r19, cap 8 → 32): a hand-built " +
+    "12-param function and its callers run compiled ≡ interpreted — " +
+    "the transient JVM stack for the 3+2n call push is covered by the " +
+    "declared max-stack") {
+    assume(WasmJit.enabled)
+    // f0: sum of 12 params, alternating +/- weights (order-sensitive so
+    // a parameter-slot mixup cannot cancel out); f1(a) calls f0 with
+    // a, a+1, ..., a+11 — exercising the 27-slot call push
+    val n = 12
+    val sumBody = {
+      var s = b(0x20, 0)
+      for (k <- 1 until n)
+        s = s ++ b(0x20, k) ++ (if (k % 2 == 1) b(0x7D) else b(0x7C))
+      s ++ b(0x0B)
+    }
+    val callBody = {
+      var s = Seq.empty[Byte]
+      for (k <- 0 until n)
+        s = s ++ b(0x20, 0) ++ (b(0x42) ++ sleb(k)) ++ b(0x7C)
+      s ++ b(0x10, 0, 0x0B)
+    }
+    val bytes = moduleBytes(
+      Seq((Seq.fill(n)(I64), Seq(I64)), (Seq(I64), Seq(I64))),
+      Seq((0, Nil, sumBody), (1, Nil, callBody)))
+    val jm = WasmModule.parse(bytes)
+    assert(jm.jit != null && jm.jit._2.toSeq === Seq(true, true),
+      s"12-arity function and caller must both compile: ${jm.jit._2.toSeq}")
+    val im = interpOnly(bytes)
+    Seq(0L, 7L, -13L, 1000003L).foreach { a =>
+      val j = new WasmInstance(jm).invoke("f1", a)
+      assert(j === new WasmInstance(im).invoke("f1", a))
+    }
+  }
+
+  test("the real artifact's previously arity-bound functions now " +
+    "compile and run compiled ≡ interpreted on a fixed arg lattice " +
+    "(result or trap must match) — coverage 2141/2142, residue = the " +
+    "one emit-bailout") {
+    assume(artifactPresent && WasmJit.enabled)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(wasmPath))
+    val jm = WasmModule.parse(bytes)
+    val im = interpOnly(bytes)
+    assert(jm.jit != null)
+    val mask = jm.jit._2
+    val total = mask.count(identity)
+    assert(total >= jm.funcs.length - 1,
+      s"expected >= ${jm.funcs.length - 1} compiled, got $total")
+    val wide = jm.funcs.indices.filter(i =>
+      mask(i) && jm.funcs(i).nparams > 8)
+    assert(wide.nonEmpty, "artifact must contain newly-compiled wide-arity fns")
+    for (fi <- wide; seed <- Seq(0L, 1L, 64L)) {
+      val args = Array.tabulate(jm.funcs(fi).nparams)(k => seed + k)
+      // traps carry a location suffix that legitimately differs
+      // ("(compiled)" vs "(func N)") — compare the trap KIND prefix
+      def kind(msg: String) = msg.split(" \\(")(0)
+      val jr = try Right(new WasmInstance(jm).callForTest(fi, args))
+        catch { case t: WasmTrap => Left(kind(t.msg)) }
+      val ir = try Right(new WasmInstance(im).callForTest(fi, args))
+        catch { case t: WasmTrap => Left(kind(t.msg)) }
+      assert(jr === ir, s"f$fi(seed=$seed): compiled $jr vs interpreted $ir")
+    }
   }
 
   test("a statically-dead `if` decodes as nops (r19): a valid module " +
