@@ -280,8 +280,10 @@ final class WasmInstance(val module: WasmModule) {
           if (localFuel <= 0) { fuel = 0; throw WasmTrap("instruction budget exhausted") }
           val t = argL(i)
           val h = ((t >> 32) & 0x3FFFFFFF).toInt
-          if (((t >> 62) & 1) == 1) st(ob + h) = st(sp - 1)
-          sp = ob + h + ((t >> 62) & 1).toInt
+          val ar = ((t >>> 62) & 3).toInt
+          if (ar == 1) st(ob + h) = st(sp - 1)
+          else if (ar == 2) { st(ob + h) = st(sp - 2); st(ob + h + 1) = st(sp - 1) }
+          sp = ob + h + ar
           i = (t & M32).toInt
         case 0x0D => // br_if
           sp -= 1
@@ -290,8 +292,10 @@ final class WasmInstance(val module: WasmModule) {
             if (localFuel <= 0) { fuel = 0; throw WasmTrap("instruction budget exhausted") }
             val t = argL(i)
             val h = ((t >> 32) & 0x3FFFFFFF).toInt
-            if (((t >> 62) & 1) == 1) st(ob + h) = st(sp - 1)
-            sp = ob + h + ((t >> 62) & 1).toInt
+            val ar = ((t >>> 62) & 3).toInt
+            if (ar == 1) st(ob + h) = st(sp - 1)
+            else if (ar == 2) { st(ob + h) = st(sp - 2); st(ob + h + 1) = st(sp - 1) }
+            sp = ob + h + ar
             i = (t & M32).toInt
           }
         case 0x0E => // br_table
@@ -302,11 +306,16 @@ final class WasmInstance(val module: WasmModule) {
           val v = (st(sp) & M32).toInt
           val t = tbl(if (v >= 0 && v < tbl.length - 1) v else tbl.length - 1)
           val h = ((t >> 32) & 0x3FFFFFFF).toInt
-          if (((t >> 62) & 1) == 1) st(ob + h) = st(sp - 1)
-          sp = ob + h + ((t >> 62) & 1).toInt
+          val ar = ((t >>> 62) & 3).toInt
+          if (ar == 1) st(ob + h) = st(sp - 1)
+          else if (ar == 2) { st(ob + h) = st(sp - 2); st(ob + h + 1) = st(sp - 1) }
+          sp = ob + h + ar
           i = (t & M32).toInt
         case 0x0F => // return (also decoded function end)
-          if (f.hasResult) st(base) = st(sp - 1)
+          if (f.nres == 1) st(base) = st(sp - 1)
+          else if (f.nres == 2) { // v128 result: 2 slots
+            st(base) = st(sp - 2); st(base + 1) = st(sp - 1)
+          }
           fuel = localFuel
           return
         case 0x10 =>
@@ -319,7 +328,7 @@ final class WasmInstance(val module: WasmModule) {
           call(callee, cbase, depth + 1)
           localFuel = fuel
           st = stack
-          sp = cbase + (if (cf.hasResult) 1 else 0)
+          sp = cbase + cf.nres
         case 0x11 =>
           sp -= 1
           val eidx = (st(sp) & M32).toInt
@@ -334,7 +343,7 @@ final class WasmInstance(val module: WasmModule) {
           call(callee, cbase, depth + 1)
           localFuel = fuel
           st = stack
-          sp = cbase + (if (cf.hasResult) 1 else 0)
+          sp = cbase + cf.nres
         case 0x00 => throw WasmTrap(s"unreachable executed (func $fidx)")
         case 0x1A => sp -= 1
         case 0x1B =>
@@ -352,6 +361,20 @@ final class WasmInstance(val module: WasmModule) {
         case 0x71 => sp -= 1; st(sp - 1) = (st(sp - 1) & st(sp)) & M32
         case 0x74 => sp -= 1; st(sp - 1) = (st(sp - 1).toInt << st(sp).toInt).toLong & M32
         case 0x76 => sp -= 1; st(sp - 1) = (st(sp - 1).toInt >>> st(sp).toInt).toLong & M32
+        // ---- v128 locals/select (r19, 2-slot values; argL = slot) ----
+        case 0x500 => // local.get of a v128 local
+          val s = base + argL(i).toInt
+          st(sp) = st(s); st(sp + 1) = st(s + 1); sp += 2
+        case 0x501 => // local.set
+          sp -= 2
+          val s = base + argL(i).toInt
+          st(s) = st(sp); st(s + 1) = st(sp + 1)
+        case 0x502 => // local.tee
+          val s = base + argL(i).toInt
+          st(s) = st(sp - 2); st(s + 1) = st(sp - 1)
+        case 0x503 => // select over v128 operands: [a.lo a.hi b.lo b.hi c]
+          sp -= 3
+          if (st(sp + 2) == 0) { st(sp - 2) = st(sp); st(sp - 1) = st(sp + 1) }
         case other => sp = slowPath(other, argM(i), sp)
       }
       i += 1
@@ -596,6 +619,249 @@ final class WasmInstance(val module: WasmModule) {
         val n = stack(sp + 2) & M32
         if (dst + n > mem.length) throw WasmTrap(s"oob memory.fill @$dst+$n")
         java.util.Arrays.fill(mem, dst.toInt, (dst + n).toInt, v)
+      // ---- 0xFD SIMD v128 core (r19, decoded as 0x300|sub): a v128 is
+      // two adjacent Long slots (lo = lanes 0..1, hi = lanes 2..3 for
+      // i32x4; lo/hi = lanes 0/1 for i64x2/f64x2). `m` carries the
+      // memarg offset (load/store) or the lane immediate. ----
+      case 0x300 => // v128.load
+        val a = checkAddr(stack(sp - 1), m, 16)
+        stack(sp - 1) = bb.getLong(a); stack(sp) = bb.getLong(a + 8); sp += 1
+      case 0x30B => // v128.store
+        sp -= 3
+        val a = checkAddr(stack(sp), m, 16)
+        bb.putLong(a, stack(sp + 1)); bb.putLong(a + 8, stack(sp + 2))
+      case 0x311 => // i32x4.splat
+        val v = stack(sp - 1) & M32
+        val pair = v | (v << 32)
+        stack(sp - 1) = pair; stack(sp) = pair; sp += 1
+      case 0x312 | 0x314 => // i64x2.splat / f64x2.splat (raw bits)
+        stack(sp) = stack(sp - 1); sp += 1
+      case 0x31B => // i32x4.extract_lane (m = lane)
+        val w = stack(sp - 2 + ((m >> 1) & 1))
+        sp -= 1
+        stack(sp - 1) = if ((m & 1) == 0) w & M32 else w >>> 32
+      case 0x31C => // i32x4.replace_lane
+        sp -= 1
+        val s = sp - 2 + ((m >> 1) & 1)
+        val v = stack(sp) & M32
+        stack(s) = if ((m & 1) == 0) (stack(s) & ~M32) | v
+          else (stack(s) & M32) | (v << 32)
+      case 0x31D | 0x321 => // i64x2/f64x2.extract_lane
+        val w = stack(sp - 2 + (m & 1)); sp -= 1; stack(sp - 1) = w
+      case 0x31E | 0x322 => // i64x2/f64x2.replace_lane
+        sp -= 1; stack(sp - 2 + (m & 1)) = stack(sp)
+      case op if op >= 0x337 && op <= 0x340 => // i32x4 compares
+        sp -= 2
+        @inline def cmp(a: Int, b: Int): Boolean = (op - 0x337) match {
+          case 0 => a == b
+          case 1 => a != b
+          case 2 => a < b
+          case 3 => Integer.compareUnsigned(a, b) < 0
+          case 4 => a > b
+          case 5 => Integer.compareUnsigned(a, b) > 0
+          case 6 => a <= b
+          case 7 => Integer.compareUnsigned(a, b) <= 0
+          case 8 => a >= b
+          case _ => Integer.compareUnsigned(a, b) >= 0
+        }
+        @inline def lanes(a: Long, b: Long): Long =
+          (if (cmp(a.toInt, b.toInt)) M32 else 0L) |
+            (if (cmp((a >>> 32).toInt, (b >>> 32).toInt)) M32 << 32 else 0L)
+        val r0 = lanes(stack(sp - 2), stack(sp))
+        val r1 = lanes(stack(sp - 1), stack(sp + 1))
+        stack(sp - 2) = r0; stack(sp - 1) = r1
+      case op if op >= 0x347 && op <= 0x34C => // f64x2 compares
+        sp -= 2
+        @inline def cmp(a: Double, b: Double): Boolean = (op - 0x347) match {
+          case 0 => a == b
+          case 1 => a != b
+          case 2 => a < b
+          case 3 => a > b
+          case 4 => a <= b
+          case _ => a >= b
+        }
+        @inline def lane(ab: Long, bb2: Long): Long =
+          if (cmp(java.lang.Double.longBitsToDouble(ab),
+            java.lang.Double.longBitsToDouble(bb2))) -1L else 0L
+        val r0 = lane(stack(sp - 2), stack(sp))
+        val r1 = lane(stack(sp - 1), stack(sp + 1))
+        stack(sp - 2) = r0; stack(sp - 1) = r1
+      case op if op >= 0x3D6 && op <= 0x3DB => // i64x2 compares
+        sp -= 2
+        @inline def cmp(a: Long, b: Long): Boolean = (op - 0x3D6) match {
+          case 0 => a == b
+          case 1 => a != b
+          case 2 => a < b
+          case 3 => a > b
+          case 4 => a <= b
+          case _ => a >= b
+        }
+        val r0 = if (cmp(stack(sp - 2), stack(sp))) -1L else 0L
+        val r1 = if (cmp(stack(sp - 1), stack(sp + 1))) -1L else 0L
+        stack(sp - 2) = r0; stack(sp - 1) = r1
+      case 0x34D => // v128.not
+        stack(sp - 2) = ~stack(sp - 2); stack(sp - 1) = ~stack(sp - 1)
+      case 0x34E => // v128.and
+        sp -= 2
+        stack(sp - 2) &= stack(sp); stack(sp - 1) &= stack(sp + 1)
+      case 0x34F => // v128.andnot
+        sp -= 2
+        stack(sp - 2) &= ~stack(sp); stack(sp - 1) &= ~stack(sp + 1)
+      case 0x350 => // v128.or
+        sp -= 2
+        stack(sp - 2) |= stack(sp); stack(sp - 1) |= stack(sp + 1)
+      case 0x351 => // v128.xor
+        sp -= 2
+        stack(sp - 2) ^= stack(sp); stack(sp - 1) ^= stack(sp + 1)
+      case 0x352 => // v128.bitselect(a, b, c) = (a & c) | (b & ~c)
+        sp -= 4
+        val cl = stack(sp + 2); val ch = stack(sp + 3)
+        stack(sp - 2) = (stack(sp - 2) & cl) | (stack(sp) & ~cl)
+        stack(sp - 1) = (stack(sp - 1) & ch) | (stack(sp + 1) & ~ch)
+      case 0x353 => // v128.any_true
+        sp -= 1
+        stack(sp - 1) = b2l((stack(sp - 1) | stack(sp)) != 0L)
+      case 0x3A0 => // i32x4.abs
+        @inline def ab(w: Long): Long = {
+          val l = math.abs(w.toInt).toLong & M32
+          val h = math.abs((w >>> 32).toInt).toLong & M32
+          l | (h << 32)
+        }
+        stack(sp - 2) = ab(stack(sp - 2)); stack(sp - 1) = ab(stack(sp - 1))
+      case 0x3A1 => // i32x4.neg
+        @inline def ng(w: Long): Long = {
+          val l = (-w.toInt).toLong & M32
+          val h = (-(w >>> 32).toInt).toLong & M32
+          l | (h << 32)
+        }
+        stack(sp - 2) = ng(stack(sp - 2)); stack(sp - 1) = ng(stack(sp - 1))
+      case 0x3A3 => // i32x4.all_true
+        sp -= 1
+        val lo = stack(sp - 1); val hi = stack(sp)
+        stack(sp - 1) = b2l(lo.toInt != 0 && (lo >>> 32) != 0 &&
+          hi.toInt != 0 && (hi >>> 32) != 0)
+      case 0x3A4 => // i32x4.bitmask: 4 sign bits
+        sp -= 1
+        val lo = stack(sp - 1); val hi = stack(sp)
+        stack(sp - 1) = (((lo >>> 31) & 1) | ((lo >>> 62) & 2) |
+          ((hi >>> 29) & 4) | ((hi >>> 60) & 8))
+      case op if op >= 0x3AB && op <= 0x3AD => // i32x4 shl/shr_s/shr_u
+        sp -= 1
+        val k = (stack(sp) & 31).toInt
+        @inline def sh(w: Long): Long = {
+          val a = w.toInt; val b = (w >>> 32).toInt
+          val (ra, rb) = (op - 0x3AB) match {
+            case 0 => (a << k, b << k)
+            case 1 => (a >> k, b >> k)
+            case _ => (a >>> k, b >>> k)
+          }
+          (ra.toLong & M32) | ((rb.toLong & M32) << 32)
+        }
+        stack(sp - 2) = sh(stack(sp - 2)); stack(sp - 1) = sh(stack(sp - 1))
+      case op if (op >= 0x3AE && op <= 0x3B9) &&
+          (op == 0x3AE || op == 0x3B1 || op == 0x3B5 ||
+            (op >= 0x3B6 && op <= 0x3B9)) => // i32x4 add/sub/mul/min/max
+        sp -= 2
+        @inline def bin(a: Int, b: Int): Int = op match {
+          case 0x3AE => a + b
+          case 0x3B1 => a - b
+          case 0x3B5 => a * b
+          case 0x3B6 => math.min(a, b)
+          case 0x3B7 => if (Integer.compareUnsigned(a, b) <= 0) a else b
+          case 0x3B8 => math.max(a, b)
+          case _ => if (Integer.compareUnsigned(a, b) >= 0) a else b
+        }
+        @inline def lanes(a: Long, b: Long): Long =
+          (bin(a.toInt, b.toInt).toLong & M32) |
+            ((bin((a >>> 32).toInt, (b >>> 32).toInt).toLong & M32) << 32)
+        val r0 = lanes(stack(sp - 2), stack(sp))
+        val r1 = lanes(stack(sp - 1), stack(sp + 1))
+        stack(sp - 2) = r0; stack(sp - 1) = r1
+      case 0x3C0 => // i64x2.abs
+        stack(sp - 2) = math.abs(stack(sp - 2))
+        stack(sp - 1) = math.abs(stack(sp - 1))
+      case 0x3C1 => // i64x2.neg
+        stack(sp - 2) = -stack(sp - 2); stack(sp - 1) = -stack(sp - 1)
+      case 0x3C3 => // i64x2.all_true
+        sp -= 1
+        stack(sp - 1) = b2l(stack(sp - 1) != 0L && stack(sp) != 0L)
+      case 0x3C4 => // i64x2.bitmask
+        sp -= 1
+        stack(sp - 1) = ((stack(sp - 1) >>> 63) | ((stack(sp) >>> 62) & 2))
+      case op if op >= 0x3CB && op <= 0x3CD => // i64x2 shl/shr_s/shr_u
+        sp -= 1
+        val k = (stack(sp) & 63).toInt
+        @inline def sh(w: Long): Long = (op - 0x3CB) match {
+          case 0 => w << k
+          case 1 => w >> k
+          case _ => w >>> k
+        }
+        stack(sp - 2) = sh(stack(sp - 2)); stack(sp - 1) = sh(stack(sp - 1))
+      case 0x3CE => // i64x2.add
+        sp -= 2
+        stack(sp - 2) += stack(sp); stack(sp - 1) += stack(sp + 1)
+      case 0x3D1 => // i64x2.sub
+        sp -= 2
+        stack(sp - 2) -= stack(sp); stack(sp - 1) -= stack(sp + 1)
+      case 0x3D5 => // i64x2.mul
+        sp -= 2
+        stack(sp - 2) *= stack(sp); stack(sp - 1) *= stack(sp + 1)
+      case op if op >= 0x3EC && op <= 0x3F7 => // f64x2 unary + arith
+        @inline def d(v: Long): Double = java.lang.Double.longBitsToDouble(v)
+        @inline def l(v: Double): Long = java.lang.Double.doubleToRawLongBits(v)
+        if (op <= 0x3EF) { // abs / neg / (ceil,floor unsupported) / sqrt
+          @inline def un(v: Double): Double = op match {
+            case 0x3EC => math.abs(v)
+            case 0x3ED => -v
+            case _ => math.sqrt(v)
+          }
+          stack(sp - 2) = l(un(d(stack(sp - 2))))
+          stack(sp - 1) = l(un(d(stack(sp - 1))))
+        } else {
+          sp -= 2
+          @inline def bin(a: Double, b: Double): Double = op match {
+            case 0x3F0 => a + b
+            case 0x3F1 => a - b
+            case 0x3F2 => a * b
+            case 0x3F3 => a / b
+            case 0x3F4 => // min: NaN-propagating, -0 < +0 (spec fmin)
+              if (a.isNaN || b.isNaN) Double.NaN
+              else if (a == 0.0 && b == 0.0)
+                if ((l(a) | l(b)) < 0) -0.0 else 0.0
+              else math.min(a, b)
+            case 0x3F5 =>
+              if (a.isNaN || b.isNaN) Double.NaN
+              else if (a == 0.0 && b == 0.0)
+                if ((l(a) & l(b)) < 0) -0.0 else 0.0
+              else math.max(a, b)
+            case 0x3F6 => if (b < a) b else a // pmin
+            case _ => if (a < b) b else a     // pmax
+          }
+          val r0 = l(bin(d(stack(sp - 2)), d(stack(sp))))
+          val r1 = l(bin(d(stack(sp - 1)), d(stack(sp + 1))))
+          stack(sp - 2) = r0; stack(sp - 1) = r1
+        }
+      case 0x3FC => // i32x4.trunc_sat_f64x2_s_zero
+        val d0 = java.lang.Double.longBitsToDouble(stack(sp - 2))
+        val d1 = java.lang.Double.longBitsToDouble(stack(sp - 1))
+        stack(sp - 2) = (d0.toInt.toLong & M32) | ((d1.toInt.toLong & M32) << 32)
+        stack(sp - 1) = 0L
+      case 0x3FD => // i32x4.trunc_sat_f64x2_u_zero
+        val d0 = java.lang.Double.longBitsToDouble(stack(sp - 2))
+        val d1 = java.lang.Double.longBitsToDouble(stack(sp - 1))
+        stack(sp - 2) = satU32(d0) | (satU32(d1) << 32)
+        stack(sp - 1) = 0L
+      case 0x3FE => // f64x2.convert_low_i32x4_s
+        val lo = stack(sp - 2)
+        stack(sp - 2) = java.lang.Double.doubleToRawLongBits(lo.toInt.toDouble)
+        stack(sp - 1) = java.lang.Double.doubleToRawLongBits(
+          (lo >> 32).toInt.toDouble)
+      case 0x3FF => // f64x2.convert_low_i32x4_u
+        val lo = stack(sp - 2)
+        stack(sp - 2) = java.lang.Double.doubleToRawLongBits(
+          (lo & M32).toDouble)
+        stack(sp - 1) = java.lang.Double.doubleToRawLongBits(
+          (lo >>> 32).toDouble)
       case other => throw WasmTrap(f"unimplemented opcode 0x$other%02x")
     }
     sp

@@ -149,7 +149,10 @@ object WasmJit {
       // arity cap 32 (r19, was 8): a direct call pushes 3 + 2*nparams
       // JVM stack slots, covered by the declared max-stack below; the
       // JVM's own bound is 127 long params (255 arg slots)
-      f.nparams <= 32 && slots < 250 && f.ops.length < 12000
+      // SIMD (v128) functions are interpreter-only (r19): the emitter
+      // has no cases for the 0x300-family ops and a 2-slot result does
+      // not fit the single-long call convention
+      f.nparams <= 32 && slots < 250 && f.ops.length < 12000 && !f.usesSimd
     }
     (ok, guardedSet(m, ok))
   }
@@ -201,7 +204,7 @@ object WasmJit {
     def seed(packed: Long): Unit = {
       val t = (packed & 0xFFFFFFFFL).toInt
       val th = ((packed >> 32) & 0x3FFFFFFF).toInt
-      val ar = ((packed >> 62) & 1).toInt
+      val ar = ((packed >>> 62) & 3).toInt
       if (t + 1 <= n) h(t + 1) = th + ar
     }
     var i = 0
@@ -338,7 +341,7 @@ object WasmJit {
     private def jump(packed: Long, carrySrcHeight: Int, curOp: Int): Unit = {
       val t = (packed & 0xFFFFFFFFL).toInt
       val th = ((packed >> 32) & 0x3FFFFFFF).toInt
-      val ar = ((packed >> 62) & 1).toInt
+      val ar = ((packed >>> 62) & 3).toInt
       if (t + 1 <= curOp) budgetCheck()
       if (ar == 1 && carrySrcHeight != th) {
         lload(slot(carrySrcHeight)); lstore(slot(th))

@@ -12,15 +12,20 @@ package graft.functions
   * resolvable offline (build.sbt constraint), so this IS the runtime.
   *
   * Scope (r18: the full core-MVP surface a stock rustc/clang toolchain
-  * emits): the MVP instruction set + sign-extension ops + if/else
-  * structured control (0x04/0x05) + the 0xFC extensions every modern
-  * toolchain assumes (saturating float-to-int truncation 0xFC 0-7,
-  * memory.copy 0xFC 10, memory.fill 0xFC 11). The reference artifact
-  * itself uses none of the r18 additions (verified by full static decode,
-  * tools/wasmproto/wasmdec.py) — they exist so `LANGUAGE WASM AS
-  * '<any>.wasm'` accepts guests built outside the artifact's exact
-  * recipe. Still outside scope (named rejection classes): SIMD, threads/
-  * atomics, reference types, multi-value, memory.init/data.drop.
+  * emits; r19: the opt-in SIMD v128 core): the MVP instruction set +
+  * sign-extension ops + if/else structured control (0x04/0x05) + the
+  * 0xFC extensions every modern toolchain assumes (saturating
+  * float-to-int truncation 0xFC 0-7, memory.copy 0xFC 10, memory.fill
+  * 0xFC 11) + the 0xFD v128 core subset a vectorized numeric kernel
+  * needs (load/store/const/splat/lane, i32x4/i64x2/f64x2 arithmetic +
+  * compares, v128 bitwise/bitselect, sat-trunc/convert; v128 values are
+  * TWO adjacent Long slots — see the slot model in decodeBody). The
+  * reference artifact itself uses none of the r18/r19 additions
+  * (verified by full static decode, tools/wasmproto/wasmdec.py) — they
+  * exist so `LANGUAGE WASM AS '<any>.wasm'` accepts guests built
+  * outside the artifact's exact recipe. Still outside scope (named
+  * rejection classes): threads/atomics, reference types, multi-value,
+  * memory.init/data.drop, and the i8x16/i16x8/f32x4 SIMD lane families.
   * Unknown opcodes fail at LOAD time, not invoke time, so an incompatible
   * module is rejected at `CREATE FUNCTION`, matching the reference factory
   * (wasmedge_factory/src/lib.rs:111-132).
@@ -39,17 +44,21 @@ object WasmModule {
   /** One decoded function body with branches resolved to jumps. */
   final class WasmFunc(
       val typeId: Int,          // canonical signature id (for call_indirect)
-      val nparams: Int,
-      val nlocals: Int,         // extra locals beyond params
-      val hasResult: Boolean,
+      val nparams: Int,         // in STACK SLOTS (a v128 param takes 2)
+      val nlocals: Int,         // extra local slots beyond params
+      val nres: Int,            // result slots: 0, 1, or 2 (v128)
       val ops: Array[Int],      // opcode per instruction
-      val argL: Array[Long],    // const value / local idx / call idx / packed br target
+      val argL: Array[Long],    // const value / local slot / call idx / packed br target
       val argM: Array[Int],     // memory offset / br-table index
       val brTables: Array[Array[Long]],
-      val maxStack: Int)        // static max operand height
+      val maxStack: Int,        // static max operand height
+      val usesSimd: Boolean = false) { // v128 anywhere → interpreter-only
+    def hasResult: Boolean = nres >= 1
+  }
 
   /** Packed branch target: jump lands at (target+1); operand stack truncates
-    * to `height`, carrying `arity` (0|1) top values. */
+    * to `height`, carrying `arity` (0|1|2 — a carried v128 is 2 slots) top
+    * values. */
   @inline def packTarget(target: Int, height: Int, arity: Int): Long =
     (target.toLong & 0xFFFFFFFFL) | (height.toLong << 32) | (arity.toLong << 62)
 
@@ -59,12 +68,25 @@ object WasmModule {
     * is exactly the reference artifact's: MVP + sign-extension, br-based
     * control flow — see the class doc). */
   def opcodeClass(op: Int): String = op match {
-    case 0x1C => f"typed select / reference types (opcode 0x$op%02x)"
     case 0x25 | 0x26 => f"table.get/table.set reference-types ops (opcode 0x$op%02x)"
     case 0xD0 | 0xD1 | 0xD2 => f"reference types (opcode 0x$op%02x)"
-    case 0xFD => "0xFD-prefixed SIMD (vector) instructions"
     case 0xFE => "0xFE-prefixed threads/atomics instructions"
     case other => f"opcode 0x$other%02x"
+  }
+
+  /** Named class for an unsupported 0xFD SIMD sub-opcode — the v128
+    * core (load/store/const/splat/lane + i32x4/i64x2/f64x2 arithmetic,
+    * bitwise, compares, sat-trunc/convert) IS supported since r19. */
+  def simdClass(sub: Int): String = sub match {
+    case s if s >= 1 && s <= 10 => s"SIMD partial/lane load-store (0xFD $s)"
+    case 13 | 14 => s"i8x16 shuffle/swizzle (0xFD $sub)"
+    case s if (s >= 15 && s <= 16) || (s >= 21 && s <= 26) ||
+      (s >= 35 && s <= 54) || (s >= 96 && s <= 159) =>
+      s"i8x16/i16x8 lane family (0xFD $s)"
+    case s if (s >= 65 && s <= 70) || (s >= 19 && s <= 19) ||
+      (s >= 31 && s <= 32) || (s >= 224 && s <= 235) ||
+      (s >= 248 && s <= 251) => s"f32x4 lane family (0xFD $s)"
+    case other => s"SIMD extension (0xFD $other)"
   }
 
   /** Named class for an unsupported 0xFC sub-opcode (saturating trunc
@@ -350,8 +372,8 @@ final class WasmModule private (bytes: Array[Byte]) {
       }
       j += 1
     }
-    new WasmFunc(f.typeId, f.nparams, f.nlocals, f.hasResult,
-      ops3, argL3, argM3, f.brTables.map(_.map(remap)), f.maxStack)
+    new WasmFunc(f.typeId, f.nparams, f.nlocals, f.nres,
+      ops3, argL3, argM3, f.brTables.map(_.map(remap)), f.maxStack, f.usesSimd)
   }
 
   /** Decode-time peephole: block/loop headers and inner ends decode to 0x01
@@ -392,8 +414,8 @@ final class WasmModule private (bytes: Array[Byte]) {
       }
       j += 1
     }
-    new WasmFunc(f.typeId, f.nparams, f.nlocals, f.hasResult,
-      ops2, argL2, argM2, f.brTables.map(_.map(remap)), f.maxStack)
+    new WasmFunc(f.typeId, f.nparams, f.nlocals, f.nres,
+      ops2, argL2, argM2, f.brTables.map(_.map(remap)), f.maxStack, f.usesSimd)
   }
 
   private def readF32Bits(): Int = {
@@ -438,10 +460,34 @@ final class WasmModule private (bytes: Array[Byte]) {
     * indirect/br_table/select handled explicitly. */
   private def decodeBody(fidx: Int, localTypes: Array[Int], start: Int, bodyEnd: Int): WasmFunc = {
     val (ps, rs) = typeOf(fidx)
+    // slot model (r19 SIMD): a v128 (0x7B) value occupies TWO adjacent
+    // Long stack slots (lo first); params/locals/results count in slots,
+    // and local.get/set/tee argL is rewritten to the SLOT index here
+    @inline def slotsOf(t: Int): Int = if (t == 0x7B) 2 else 1
+    val allLocalTypes = ps ++ localTypes
+    val localSlot = new Array[Int](allLocalTypes.length)
+    locally {
+      var acc = 0
+      var li = 0
+      while (li < allLocalTypes.length) {
+        localSlot(li) = acc; acc += slotsOf(allLocalTypes(li)); li += 1
+      }
+    }
+    val paramSlots = ps.map(slotsOf).sum
+    val totalLocalSlots =
+      if (allLocalTypes.isEmpty) 0
+      else localSlot.last + slotsOf(allLocalTypes.last)
+    val resSlots = rs.map(slotsOf).sum
+    var sawSimd = ps.exists(_ == 0x7B) || rs.exists(_ == 0x7B) ||
+      localTypes.exists(_ == 0x7B)
     val ops = scala.collection.mutable.ArrayBuffer.empty[Int]
     val argL = scala.collection.mutable.ArrayBuffer.empty[Long]
     val argM = scala.collection.mutable.ArrayBuffer.empty[Int]
     val brTables = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    // live v128 positions on the decode-time operand stack (a mark at h
+    // means slots (h, h+1) hold one v128) — lets `drop`/`select` widen
+    // to the 2-slot forms without full type tracking
+    val vecAt = scala.collection.mutable.Set.empty[Int]
 
     // open-block bookkeeping; isIf/elseFix carry the r18 if/else desugar
     // (elseFix = the opIdx of the if's false-path br_if, patched at the
@@ -451,7 +497,7 @@ final class WasmModule private (bytes: Array[Byte]) {
         isIf: Boolean = false, var elseFix: Int = -1,
         var sawElse: Boolean = false)
     val blocks = scala.collection.mutable.ArrayBuffer.empty[OpenBlock]
-    blocks += OpenBlock(isLoop = false, 0, rs.length, -1, Nil) // function frame
+    blocks += OpenBlock(isLoop = false, 0, resSlots, -1, Nil) // function frame
     var height = 0
     var maxH = 0
     var dead = false
@@ -465,8 +511,12 @@ final class WasmModule private (bytes: Array[Byte]) {
         height += delta
         if (height > maxH) maxH = height
         if (height < 0) throw new WasmParseException(s"stack underflow f$fidx")
+        if (vecAt.nonEmpty) vecAt.filterInPlace(_ + 2 <= height)
       }
     }
+    /** mark the value just pushed on top as a v128 (2 slots). */
+    def pushVec(): Unit = if (!dead) vecAt += height - 2
+    def topIsVec: Boolean = !dead && vecAt.contains(height - 2)
     /** resolve a br depth to a packed target (block targets fixed up at end) */
     def resolveBr(depth: Int, opIdx: Int, tableSlot: Int): Long = {
       val blk = blocks(blocks.length - 1 - depth)
@@ -484,6 +534,7 @@ final class WasmModule private (bytes: Array[Byte]) {
           val bt = bytes(pos) & 0xFF
           val arity = if (bt == 0x40) { pos += 1; 0 }
             else if (bt == 0x7F || bt == 0x7E || bt == 0x7D || bt == 0x7C) { pos += 1; 1 }
+            else if (bt == 0x7B) { pos += 1; 2 } // v128 result: 2 slots
             else throw new WasmParseException("type-index blocktype unsupported")
           blocks += OpenBlock(op == 0x03, if (dead) -1 else height, arity, ops.length, Nil)
           emit(0x01, 0, 0, 0) // block/loop headers execute as nops
@@ -494,6 +545,7 @@ final class WasmModule private (bytes: Array[Byte]) {
           val bt = bytes(pos) & 0xFF
           val arity = if (bt == 0x40) { pos += 1; 0 }
             else if (bt == 0x7F || bt == 0x7E || bt == 0x7D || bt == 0x7C) { pos += 1; 1 }
+            else if (bt == 0x7B) { pos += 1; 2 } // v128 result: 2 slots
             else throw new WasmParseException("type-index blocktype unsupported")
           // a DEAD if decodes its eqz+br_if pair as nops (r19): a live
           // br_if here would carry a never-fixed-up packed target
@@ -614,17 +666,51 @@ final class WasmModule private (bytes: Array[Byte]) {
         case 0x10 =>
           val callee = u32()
           val (cp, cr) = typeOf(callee)
-          emit(op, callee.toLong, 0, cr.length - cp.length)
+          val cps = cp.map(slotsOf).sum; val crs = cr.map(slotsOf).sum
+          if (cp.exists(_ == 0x7B) || cr.exists(_ == 0x7B)) sawSimd = true
+          emit(op, callee.toLong, 0, crs - cps)
+          if (crs == 2) pushVec()
         case 0x11 =>
           val typeIdx = u32(); u8() // table byte
           val (cp, cr) = types(typeIdx)
-          emit(op, cp.length.toLong | (cr.length.toLong << 32), canonTypeId(typeIdx),
-            cr.length - cp.length - 1)
-        case 0x1A => emit(op, 0, 0, -1)
-        case 0x1B => emit(op, 0, 0, -2)
-        case 0x20 => emit(op, u32().toLong, 0, 1)
-        case 0x21 => emit(op, u32().toLong, 0, -1)
-        case 0x22 => emit(op, u32().toLong, 0, 0)
+          val cps = cp.map(slotsOf).sum; val crs = cr.map(slotsOf).sum
+          if (cp.exists(_ == 0x7B) || cr.exists(_ == 0x7B)) sawSimd = true
+          emit(op, cps.toLong | (crs.toLong << 32), canonTypeId(typeIdx),
+            crs - cps - 1)
+          if (crs == 2) pushVec()
+        case 0x1A => // drop: widens to 2 pops when the top value is v128
+          if (topIsVec) { emit(op, 0, 0, -1); emit(op, 0, 0, -1) }
+          else emit(op, 0, 0, -1)
+        case 0x1C => // typed select (needed for v128 per strict validation)
+          val nt = u32()
+          if (nt != 1) throw new WasmParseException(
+            s"typed select with $nt types in f$fidx")
+          val t = u8()
+          if (t == 0x7B) { emit(0x503, 0, 0, -3); pushVec() }
+          else emit(0x1B, 0, 0, -2)
+        case 0x1B => // select: v128 operands take the 2-slot form 0x503
+          if (!dead && vecAt.contains(height - 3)) {
+            emit(0x503, 0, 0, -3); pushVec()
+          } else emit(op, 0, 0, -2)
+        case 0x20 =>
+          val li = u32()
+          if (li >= allLocalTypes.length)
+            throw new WasmParseException(s"local index $li out of range in f$fidx")
+          if (allLocalTypes(li) == 0x7B) {
+            emit(0x500, localSlot(li).toLong, 0, 2); pushVec()
+          } else emit(op, localSlot(li).toLong, 0, 1)
+        case 0x21 =>
+          val li = u32()
+          if (li >= allLocalTypes.length)
+            throw new WasmParseException(s"local index $li out of range in f$fidx")
+          if (allLocalTypes(li) == 0x7B) emit(0x501, localSlot(li).toLong, 0, -2)
+          else emit(op, localSlot(li).toLong, 0, -1)
+        case 0x22 =>
+          val li = u32()
+          if (li >= allLocalTypes.length)
+            throw new WasmParseException(s"local index $li out of range in f$fidx")
+          if (allLocalTypes(li) == 0x7B) emit(0x502, localSlot(li).toLong, 0, 0)
+          else emit(op, localSlot(li).toLong, 0, 0)
         case 0x23 => emit(op, u32().toLong, 0, 1)
         case 0x24 => emit(op, u32().toLong, 0, -1)
         case _ if op >= 0x28 && op <= 0x35 => // loads
@@ -667,6 +753,52 @@ final class WasmModule private (bytes: Array[Byte]) {
               s"unsupported instruction in func $fidx (offset $pos): ${fcClass(other)} — " +
                 "outside the supported MVP+sign-extension+sat-trunc+bulk-memory surface")
           }
+        case 0xFD => // SIMD prefix (r19): the v128 core subset — values
+          // are 2-slot (lo, hi) pairs on the uniform Long stack
+          sawSimd = true
+          val sub = u32()
+          @inline def simd(delta: Int, lane: Int = 0, mem: Boolean = false,
+              vec: Boolean = false): Unit = {
+            // argM carries the memarg offset for load/store and the lane
+            // immediate for extract/replace (the interpreter's slow path
+            // receives argM only)
+            val m = if (mem) { u32(); u32() } else lane
+            emit(0x300 | sub, 0, m, delta)
+            if (vec) pushVec()
+          }
+          sub match {
+            case 0 => simd(1, mem = true, vec = true) // v128.load
+            case 11 => simd(-3, mem = true) // v128.store
+            case 12 => // v128.const: 16 LE bytes → two i64 pushes
+              val lo = readF64Bits(); val hi = readF64Bits()
+              emit(0x42, lo, 0, 1); emit(0x42, hi, 0, 1); pushVec()
+            case 17 | 18 | 20 => simd(1, vec = true) // i32x4/i64x2/f64x2.splat
+            case 27 | 29 | 33 => simd(-1, lane = u8()) // extract_lane
+            case 28 | 30 | 34 => simd(-1, lane = u8(), vec = true) // replace_lane
+            case s if s >= 55 && s <= 64 => simd(-2, vec = true) // i32x4 cmp
+            case s if s >= 71 && s <= 76 => simd(-2, vec = true) // f64x2 cmp
+            case s if s >= 214 && s <= 219 => simd(-2, vec = true) // i64x2 cmp
+            case 77 => simd(0, vec = true) // v128.not
+            case 78 | 79 | 80 | 81 => simd(-2, vec = true) // and/andnot/or/xor
+            case 82 => simd(-4, vec = true) // bitselect
+            case 83 => simd(-1) // v128.any_true
+            case 160 | 161 => simd(0, vec = true) // i32x4.abs/neg
+            case 163 | 164 => simd(-1) // i32x4.all_true/bitmask
+            case 171 | 172 | 173 => simd(-1, vec = true) // i32x4 shifts
+            case 174 | 177 | 181 => simd(-2, vec = true) // i32x4 add/sub/mul
+            case s if s >= 182 && s <= 185 => simd(-2, vec = true) // i32x4 min/max
+            case 192 | 193 => simd(0, vec = true) // i64x2.abs/neg
+            case 195 | 196 => simd(-1) // i64x2.all_true/bitmask
+            case 203 | 204 | 205 => simd(-1, vec = true) // i64x2 shifts
+            case 206 | 209 | 213 => simd(-2, vec = true) // i64x2 add/sub/mul
+            case 236 | 237 | 239 => simd(0, vec = true) // f64x2 abs/neg/sqrt
+            case s if s >= 240 && s <= 247 => simd(-2, vec = true) // f64x2 arith
+            case 252 | 253 => simd(0, vec = true) // i32x4.trunc_sat_f64x2_{s,u}_zero
+            case 254 | 255 => simd(0, vec = true) // f64x2.convert_low_i32x4_{s,u}
+            case other => throw new WasmParseException(
+              s"unsupported instruction in func $fidx (offset $pos): ${simdClass(other)} — " +
+                "outside the supported v128 core subset")
+          }
         case other => throw new WasmParseException(
           f"unsupported instruction in func $fidx (offset $pos): ${opcodeClass(other)} — " +
             "module is outside the supported MVP+sign-extension+sat-trunc+bulk-memory surface")
@@ -674,8 +806,9 @@ final class WasmModule private (bytes: Array[Byte]) {
     }
     if (blocks.nonEmpty) throw new WasmParseException(s"unbalanced blocks in f$fidx")
 
-    new WasmFunc(canonTypeId(funcTypeIdx(fidx)), ps.length, localTypes.length,
-      rs.length == 1, ops.toArray, argL.toArray, argM.toArray,
-      brTables.toArray, maxH + 1)
+    new WasmFunc(canonTypeId(funcTypeIdx(fidx)), paramSlots,
+      totalLocalSlots - paramSlots, resSlots,
+      ops.toArray, argL.toArray, argM.toArray,
+      brTables.toArray, maxH + 1, sawSimd)
   }
 }

@@ -402,24 +402,32 @@ class WasmInterpreterSpec extends AnyFunSuite {
     "LOAD time with the class NAMED — CREATE-statement surface, not a " +
     "bare hex byte (r18: if/else and sat-trunc/bulk-memory moved INSIDE " +
     "the surface; SIMD, memory.init, typed select remain outside)") {
-    // 0xFD SIMD prefix
-    val simd = b(0xFD, 0x00, 0x0B)
+    // 0xFD SIMD: the v128 core is INSIDE the surface since r19; the
+    // i8x16/i16x8/f32x4 lane families remain named rejections
+    val simd = b(0xFD, 13, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+      13, 14, 15, 0x1A, 0x0B) // i8x16.shuffle
     val e = intercept[WasmModule.WasmParseException] {
       module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, simd)))
     }
-    assert(e.getMessage.contains("SIMD"))
+    assert(e.getMessage.contains("shuffle"), e.getMessage)
+    val f32x4 = b(0xFD, 0xE4, 0x01, 0x0B) // f32x4.add (228): named reject
+    val e1b = intercept[WasmModule.WasmParseException] {
+      module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, f32x4)))
+    }
+    assert(e1b.getMessage.contains("f32x4"), e1b.getMessage)
     // 0xFC 8 = memory.init needs passive segments — named rejection
     val mi = b(0x41, 0, 0x41, 0, 0x41, 0, 0xFC, 8, 0x00, 0x00, 0x0B)
     val e2 = intercept[WasmModule.WasmParseException] {
       module(Seq((Seq.empty[Int], Seq.empty[Int])), Seq((0, Nil, mi)))
     }
     assert(e2.getMessage.contains("memory.init"))
-    // 0x1C typed select
-    val ts = b(0x41, 1, 0x41, 2, 0x41, 1, 0x1C, 0x01, 0x7F, 0x0B)
+    // reference types (0xD0 ref.null) — still a named rejection
+    // (typed select 0x1C moved INSIDE the surface with the r19 SIMD core)
+    val rn = b(0xD0, 0x70, 0x1A, 0x41, 1, 0x0B)
     val e3 = intercept[WasmModule.WasmParseException] {
-      module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, ts)))
+      module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, rn)))
     }
-    assert(e3.getMessage.contains("typed select"))
+    assert(e3.getMessage.contains("reference types"))
     // a dangling else still fails structurally
     val badElse = b(0x41, 1, 0x05, 0x0B)
     val e4 = intercept[WasmModule.WasmParseException] {
@@ -438,5 +446,140 @@ class WasmInterpreterSpec extends AnyFunSuite {
     val mr = module(Seq((Seq(I32), Seq(I32))), Seq((0, Nil, rec)))
     val t = intercept[WasmTrap] { new WasmInstance(mr).invoke("f0", 1L) }
     assert(t.msg.contains("depth") || t.msg.contains("stack"))
+  }
+
+  // ---- SIMD v128 core (r19) ----------------------------------------------
+
+  private val V128 = 0x7B
+  private def fd(sub: Int): Seq[Byte] = Seq(0xFD.toByte) ++ uleb(sub.toLong)
+  private def dbits(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
+  private def dval(l: Long): Double = java.lang.Double.longBitsToDouble(l)
+  private def cf64(v: Double): Seq[Byte] =
+    b(0x44) ++ (0 until 8).map(k => ((dbits(v) >> (8 * k)) & 0xFF).toByte)
+
+  test("SIMD f64x2: load/store/splat/mul/sqrt/add round-trip through " +
+    "linear memory — lanes computed exactly like the scalar ops") {
+    // f0(a, b) = (a + sqrt(2a)) + (b + sqrt(2b)), all via v128 lanes;
+    // v128.store takes [addr, vec] — the address is pushed first
+    val body2 =
+      b(0x41, 0) ++ b(0x20, 0) ++ b(0x39, 0x03, 0) ++  // store a @0
+      b(0x41, 8) ++ b(0x20, 1) ++ b(0x39, 0x03, 0) ++  // store b @8
+      b(0x41, 16) ++                                   // dst addr
+      (b(0x41, 0) ++ fd(0) ++ b(0x00, 0x00)) ++        // X = v128.load @0
+      (cf64(2.0) ++ fd(20)) ++                         // splat 2
+      fd(242) ++ fd(239) ++                            // sqrt(2X)
+      (b(0x41, 0) ++ fd(0) ++ b(0x00, 0x00)) ++ fd(240) ++ // + X
+      fd(11) ++ b(0x00, 0x00) ++                       // v128.store @16
+      b(0x41, 16, 0x2B, 0x03, 0) ++                    // f64.load @16
+      b(0x41, 24, 0x2B, 0x03, 0) ++                    // f64.load @24
+      b(0xA0, 0x0B)                                    // f64.add, end
+    for ((a, bv) <- Seq((1.5, 3.25), (0.0, 9.0), (7.0, 0.125))) {
+      val got = run1(Seq(F64, F64), Seq(F64), body2, memPages = 1)(
+        dbits(a), dbits(bv)).map(dval)
+      val want = (a + math.sqrt(2 * a)) + (bv + math.sqrt(2 * bv))
+      assert(got === Some(want), s"($a, $bv): $got != $want")
+    }
+  }
+
+  test("SIMD i32x4: splat/add/mul/min/max/shifts/compares/bitmask/" +
+    "all_true and extract/replace lanes agree with scalar arithmetic") {
+    def k32(v: Int): Seq[Byte] = b(0x41) ++ sleb(v.toLong)
+    // v = (replace_lane2(splat(x), 100) * splat(2)) + splat(1), held in
+    // a v128 LOCAL (decode-time 2-slot mapping); sum its 4 lanes
+    val body2 =
+      (b(0x20, 0) ++ fd(17) ++
+        (k32(100) ++ fd(28) ++ b(2)) ++
+        (k32(2) ++ fd(17)) ++ fd(181) ++
+        (k32(1) ++ fd(17)) ++ fd(174) ++
+        b(0x21, 1)) ++                             // local.set v (v128)
+      (b(0x20, 1) ++ fd(27) ++ b(0)) ++            // extract 0
+      (b(0x20, 1) ++ fd(27) ++ b(1) ++ b(0x6A)) ++ // + extract 1
+      (b(0x20, 1) ++ fd(27) ++ b(2) ++ b(0x6A)) ++
+      (b(0x20, 1) ++ fd(27) ++ b(3) ++ b(0x6A)) ++
+      b(0x0B)
+    for (x <- Seq(0L, 5L, -3L & 0xFFFFFFFFL)) {
+      val xi = x.toInt
+      val lanes = Array(xi, xi, 100, xi).map(v => v * 2 + 1)
+      val want = (lanes.sum.toLong) & 0xFFFFFFFFL
+      assert(run1(Seq(I32), Seq(I32), body2, locals = Seq(V128))(x)
+        === Some(want), s"x=$xi")
+    }
+    // compares + bitmask + all_true + shifts: f1(a,b) packs
+    // [bitmask(splat(a) < [b,b,b,b]), all_true, (a << 1) lane0 of shl]
+    val cmpBody =
+      (b(0x20, 0) ++ fd(17)) ++ (b(0x20, 1) ++ fd(17)) ++
+      fd(57) ++                                    // lt_s lanewise
+      b(0x21, 2) ++
+      (b(0x20, 2) ++ fd(164)) ++                   // bitmask → 0 or 15
+      (b(0x20, 2) ++ fd(163) ++ b(0x41, 16, 0x6C)) ++ // all_true*16
+      b(0x6A) ++
+      ((b(0x20, 0) ++ fd(17)) ++ b(0x41, 1) ++ fd(171) ++
+        fd(27) ++ b(0) ++ b(0x41, 5, 0x74)) ++     // (a<<1) << 5
+      b(0x6A, 0x0B)
+    def cmpWant(a: Int, bv: Int): Long = {
+      val m = if (a < bv) 15L else 0L
+      val at = if (a < bv) 16L else 0L
+      ((m + at + ((a << 1) << 5)) & 0xFFFFFFFFL)
+    }
+    for ((a, bv) <- Seq((1, 2), (5, -7), (-2, -1)))
+      assert(run1(Seq(I32, I32), Seq(I32), cmpBody,
+        locals = Seq(V128))(a.toLong & 0xFFFFFFFFL, bv.toLong & 0xFFFFFFFFL)
+        === Some(cmpWant(a, bv)), s"($a,$bv)")
+  }
+
+  test("SIMD v128 control-flow integration: v128.const, value-carrying " +
+    "BLOCK returning v128 (branch arity 2), drop of a v128, 2-slot " +
+    "select, bitselect/not/and/or/xor/andnot, i64x2 + conversions") {
+    // f0(c) -> i64:
+    //   v = block(result v128) { v128.const [7, 9]; br 0 }
+    //   w = select(v128.const [1,2], v128.const [3,4], c)  (c!=0 → [1,2])
+    //   drop v128.const [5,6]
+    //   u = bitselect(v, w, v128.const [lo ones, 0])
+    //   return extract0(u) + extract1(u)     (i64x2)
+    def cv128(lo: Long, hi: Long): Seq[Byte] =
+      fd(12) ++ (0 until 8).map(k => ((lo >> (8 * k)) & 0xFF).toByte) ++
+        (0 until 8).map(k => ((hi >> (8 * k)) & 0xFF).toByte)
+    val body2 =
+      (b(0x02, V128) ++ cv128(7, 9) ++ b(0x0C, 0, 0x0B)) ++
+      (cv128(1, 2) ++ cv128(3, 4) ++ b(0x20, 0) ++ b(0x1B)) ++
+      (cv128(5, 6) ++ b(0x1A)) ++
+      cv128(-1L, 0L) ++ fd(82) ++
+      b(0x21, 1) ++
+      (b(0x20, 1) ++ fd(29) ++ b(0)) ++
+      (b(0x20, 1) ++ fd(29) ++ b(1)) ++
+      b(0x7C, 0x0B)
+    // c != 0: select → [1,2]; bitselect(v=[7,9], w=[1,2], mask=[ones,0])
+    //   → [7 (from v), 2 (from w)] → 9
+    assert(run1(Seq(I32), Seq(I64), body2, locals = Seq(V128))(1L)
+      === Some(9L))
+    // c == 0: select → [3,4]; bitselect → [7, 4] → 11
+    assert(run1(Seq(I32), Seq(I64), body2, locals = Seq(V128))(0L)
+      === Some(11L))
+    // typed select (0x1C) — v128 needs it per strict validation
+    val tsBody =
+      (cv128(10, 20) ++ cv128(30, 40) ++ b(0x20, 0) ++
+        b(0x1C, 0x01, V128)) ++
+      b(0x21, 1) ++
+      (b(0x20, 1) ++ fd(29) ++ b(0)) ++
+      (b(0x20, 1) ++ fd(29) ++ b(1)) ++
+      b(0x7C, 0x0B)
+    assert(run1(Seq(I32), Seq(I64), tsBody, locals = Seq(V128))(1L)
+      === Some(30L))
+    assert(run1(Seq(I32), Seq(I64), tsBody, locals = Seq(V128))(0L)
+      === Some(70L))
+    // i64x2 arithmetic + trunc_sat/convert lanes
+    // f1(a: f64) = extract0(trunc_sat_f64x2_s_zero(splat(a) * splat(2)))
+    //              + extract1(i64x2 shl([a as i64x2 splat of 3], 2))
+    val conv =
+      (b(0x20, 0) ++ fd(20)) ++ (cf64(2.0) ++ fd(20)) ++ fd(242) ++
+      fd(252) ++                                    // i32x4.trunc_sat_s_zero
+      fd(27) ++ b(0) ++                             // i32 lane 0
+      b(0xAC) ++                                    // i64.extend_i32_s
+      ((b(0x42, 3) ++ fd(18)) ++ b(0x41, 2) ++ fd(203) ++
+        fd(29) ++ b(1)) ++                          // (3 << 2) lane1
+      b(0x7C, 0x0B)
+    for (a <- Seq(1.7, -2.9, 1e12))
+      assert(run1(Seq(F64), Seq(I64), conv)(dbits(a))
+        === Some((a * 2).toInt.toLong + 12L), s"a=$a")
   }
 }
