@@ -344,6 +344,49 @@ object Relational6 {
                  ELSE CAST('-Infinity' AS DOUBLE) END AS x
           FROM orders WHERE o_orderkey < 4000)
         ORDER BY o_orderkey""")
+    },
+
+    // ---- the FIFTH artifact: opt-in SIMD v128 (r19) -------------------------
+    // functions/SimdWasm is assembled WITH the vector surface a
+    // perf-minded guest author enables (+simd128): its hot loop computes
+    // TWO f64 rows per iteration through v128.load → f64x2 lane math →
+    // v128.store, holds the pair in a v128 local, takes |x| via
+    // v128.and with a v128.const sign-clear mask, and falls through to
+    // a scalar tail for odd row counts. Every elementary op (mul, add,
+    // sqrt, abs) is correctly rounded, so vector lanes ≡ scalar tail ≡
+    // the SQL text bit-for-bit — which is what the shared oracle hash
+    // proves. vmag(x) = sqrt(abs(x)) * 0.5 + x * x, NULL passthrough.
+    Q("q67_wasm_simd", Some("""
+      WITH t AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 6 = 0 THEN CAST(NULL AS DOUBLE)
+               WHEN o_orderkey % 6 = 1 THEN CAST(o_totalprice AS DOUBLE) / 7
+               WHEN o_orderkey % 6 = 2 THEN -CAST(o_totalprice AS DOUBLE) / 7
+               WHEN o_orderkey % 6 = 3 THEN CAST(o_totalprice AS DOUBLE) * 1e10
+               WHEN o_orderkey % 6 = 4 THEN -CAST(o_totalprice AS DOUBLE) * 1e10
+               ELSE CAST(o_orderkey AS DOUBLE) / 1000 END AS x
+        FROM orders WHERE o_orderkey < 4000)
+      SELECT o_orderkey,
+        CASE WHEN x IS NULL THEN NULL
+             ELSE sqrt(abs(x)) * 0.5 + x * x END AS vmag
+      FROM t ORDER BY o_orderkey""")) { (spark, dir) =>
+      graft.ddl.CreateEngineFunctionCommand(
+        "graft_q67_vmag",
+        Seq(org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.DoubleType,
+        "WASM", s"${graft.functions.SimdWasm.path}!vmag",
+        orReplace = true).run(spark)
+      registered(spark, dir).sql("""
+        SELECT o_orderkey, graft_q67_vmag(x) AS vmag FROM (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 6 = 0 THEN CAST(NULL AS DOUBLE)
+                 WHEN o_orderkey % 6 = 1 THEN CAST(o_totalprice AS DOUBLE) / 7
+                 WHEN o_orderkey % 6 = 2 THEN -CAST(o_totalprice AS DOUBLE) / 7
+                 WHEN o_orderkey % 6 = 3 THEN CAST(o_totalprice AS DOUBLE) * 1e10
+                 WHEN o_orderkey % 6 = 4 THEN -CAST(o_totalprice AS DOUBLE) * 1e10
+                 ELSE CAST(o_orderkey AS DOUBLE) / 1000 END AS x
+          FROM orders WHERE o_orderkey < 4000)
+        ORDER BY o_orderkey""")
     }
   )
 }
