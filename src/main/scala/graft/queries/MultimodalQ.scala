@@ -1513,6 +1513,91 @@ object MultimodalQ {
           coalesce(col("stats").getItem(7), lit(-1L)).as("h2"),
           coalesce(col("stats").getItem(8), lit(-1L)).as("h3"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- p275: seekable-zstd WRITER (r19) -----------------------------------
+    // The write half of the split story (p272 reads): a corpus re-shard
+    // groups docs into seekable-zstd shards — one STORE-mode frame per
+    // doc (raw blocks + RLE for byte runs ≥ 32) + the contrib-spec
+    // 0x184D2A5E seek table with per-frame XXH64 checksums — then reads
+    // its own output back through the r17 reader (table parse + one
+    // checksum-verified random-access extraction per shard). The oracle
+    // recomputes the ENTIRE frame algebra in SQL: per-doc content is
+    // constructed (char prefix + a '' run on %3 lanes, empty on
+    // %11=5 lanes) so the raw/RLE block split — and therefore every
+    // compressed size, the table size, and the blob size — is exact
+    // arithmetic. ZstdSeekSpec round-trips the same writer through
+    // zstd-jni as the independent-decoder proof. Scale: construction
+    // and re-read are scan-stage kernels; ONE shard-keyed agg.
+    Q("p275_zstd_seek_write", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+             CASE WHEN doc_id % 11 = 5 THEN ''
+                  ELSE substr(text, 1, CAST(doc_id % 7 + 1 AS INT)) ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN repeat(chr(7), CAST(40 + doc_id % 20 AS INT))
+                            ELSE '' END END AS content,
+             CASE WHEN doc_id % 11 = 5 THEN 0
+                  ELSE octet_length(encode(substr(text, 1, CAST(doc_id % 7 + 1 AS INT))))
+                  END AS l1,
+             CASE WHEN doc_id % 11 <> 5 AND doc_id % 3 = 0
+                  THEN 40 + doc_id % 20 ELSE 0 END AS rl
+           FROM documents),
+      f AS (SELECT shard, doc_id, content, l1 + rl AS dsize,
+             6 + CASE WHEN l1 > 0 THEN 3 + l1 ELSE 0 END
+               + CASE WHEN rl > 0 THEN 4 ELSE 0 END
+               + CASE WHEN l1 + rl = 0 THEN 3 ELSE 0 END AS csize
+           FROM d),
+      s AS (SELECT shard, COUNT(*) AS n, SUM(dsize) AS d_total,
+                   SUM(csize) AS c_total
+            FROM f GROUP BY shard),
+      pick AS (SELECT shard, content FROM (
+            SELECT f.shard, f.content,
+                   ROW_NUMBER() OVER (PARTITION BY f.shard
+                                      ORDER BY f.doc_id) - 1 AS rn,
+                   s.n FROM f JOIN s USING (shard))
+          WHERE rn = shard % n)
+      SELECT s.shard, CAST(s.n AS BIGINT) AS n_frames,
+             CAST(s.c_total AS BIGINT) AS c_total,
+             CAST(s.d_total AS BIGINT) AS d_total,
+             CAST(s.c_total + 17 + 12 * s.n AS BIGINT) AS blob_bytes,
+             md5(pick.content) AS digest,
+             substr(pick.content, 1, 12) AS head
+      FROM s JOIN pick USING (shard) ORDER BY s.shard""")) { (spark, dir) =>
+      import graft.functions.{ZstdDecode, ZstdSeekWrite}
+      // per-doc content: a short char prefix (raw block) + a BEL-byte
+      // run on %3 lanes (RLE block; chr(7) cannot appear in document
+      // text, so the writer's run detection never merges across the
+      // boundary and the oracle's block algebra stays exact); empty on
+      // %11=5 lanes (the empty-frame shape)
+      val docs = Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          when(col("doc_id") % 11 === 5, lit("")).otherwise(concat(
+            expr("substring(text, 1, CAST(doc_id % 7 + 1 AS INT))"),
+            when(col("doc_id") % 3 === 0,
+              expr("repeat(chr(7), CAST(40 + doc_id % 20 AS INT))"))
+              .otherwise(lit("")))).as("content"))
+      val shards = docs
+        .select(col("shard"), col("doc_id"),
+          struct(col("doc_id"), encode(col("content"), "UTF-8").as("part"),
+            col("content")).as("e"))
+        .groupBy(col("shard"))
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .withColumn("blob",
+          ZstdSeekWrite.build(expr("transform(es, x -> x.part)")))
+        .withColumn("tbl", ZstdDecode.seekTable(col("blob")))
+        .withColumn("n", size(col("tbl")))
+        .withColumn("k", pmod(col("shard"), col("n")).cast("int"))
+      shards.select(col("shard"),
+          col("n").cast("long").as("n_frames"),
+          expr("aggregate(tbl, CAST(0 AS BIGINT), (a, e) -> a + e.c_size)")
+            .as("c_total"),
+          expr("aggregate(tbl, CAST(0 AS BIGINT), (a, e) -> a + e.d_size)")
+            .as("d_total"),
+          length(col("blob")).cast("long").as("blob_bytes"),
+          md5(ZstdDecode.seekExtract(col("blob"), col("k"))).as("digest"),
+          substring(decode(ZstdDecode.seekExtract(col("blob"), col("k")),
+            "UTF-8"), 1, 12).as("head"))
+        .orderBy(col("shard"))
     }
   )
 

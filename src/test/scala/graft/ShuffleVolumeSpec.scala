@@ -198,7 +198,11 @@ class ShuffleVolumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // p274 (r19): progressive (SOF2) JPEG construct→decode — same
     // row-local scan shape as p273 (fixture encoder + channel-stats
     // decode are codegen expressions; only the output sort exchanges)
-    ("p274_jpeg_progressive", 3L, 1400L, DocLinear))
+    ("p274_jpeg_progressive", 3L, 1400L, DocLinear),
+    // p275 (r19): seekable-zstd WRITER re-shard — scan-stage content
+    // construction + ONE shard-keyed collect_list agg (per-doc rows) +
+    // the 8-row output sort; build/table/extract are row-local kernels
+    ("p275_zstd_seek_write", 8L, 3000L, DocLinear))
 
   private lazy val doubledDir = GuardFixtures.doubledDir(spark, sfDir)
 

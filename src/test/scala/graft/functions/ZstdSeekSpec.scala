@@ -208,4 +208,69 @@ class ZstdSeekSpec extends AnyFunSuite {
       }
     } finally spark.stop()
   }
+
+  // ---- the WRITER (r19): ZstdSeekWrite ------------------------------------
+
+  test("WRITER round trip: shards built by ZstdSeekWrite (raw + RLE " +
+    "store-mode frames, checksummed seek table) extract byte-exactly " +
+    "through this repo's reader AND decode end-to-end through zstd-jni " +
+    "(the independent-decoder proof)") {
+    val parts: Seq[Array[Byte]] = Seq(
+      english(500, 1),                              // plain raw blocks
+      ("abc" + "~" * 40 + "tail").getBytes("UTF-8"), // raw + RLE + raw
+      Array.emptyByteArray,                          // empty frame
+      ("x" * 200).getBytes("UTF-8"),                 // pure RLE
+      english(70000, 2),                             // crosses the 64K raw cap
+      ("~" * 31).getBytes("UTF-8"))                  // run UNDER RleMin: raw
+    val blob = ZstdSeekWrite.buildData(parts.toArray)
+    // our reader: table shape + every extraction (checksum-verified)
+    val entries = ZstdDecode.seekTableData(blob)
+    assert(entries != null && entries.numElements() === parts.length)
+    parts.indices.foreach { k =>
+      val got = ZstdDecode.seekExtractData(blob, k)
+      if (parts(k).isEmpty)
+        assert(got == null || got.isEmpty, s"frame $k") // empty decodes empty
+      else assert(got != null && got.sameElements(parts(k)), s"frame $k")
+    }
+    // independent decoder: zstd-jni reads the whole data region (the
+    // trailing skippable table is skipped per the format)
+    val zin = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    zin.setContinuous(true)
+    val all = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var r = zin.read(buf)
+    while (r >= 0) { all.write(buf, 0, r); r = zin.read(buf) }
+    val want = new java.io.ByteArrayOutputStream()
+    parts.foreach(want.write)
+    assert(all.toByteArray.sameElements(want.toByteArray),
+      "zstd-jni must reproduce the concatenated parts")
+    // tamper: flipping a content byte must fail the per-frame checksum
+    val mut = blob.clone()
+    mut(10) = (mut(10) ^ 0x41).toByte // inside frame 0's payload
+    assert(ZstdDecode.seekExtractData(mut, 0) == null,
+      "checksum verification must catch payload tamper")
+  }
+
+  test("WRITER block-split algebra is exactly the p275 oracle's: frame " +
+    "size = 6 + raw(3+L) + rle(4) + empty(3) at the documented RleMin " +
+    "threshold, and a run one short of the threshold stays raw") {
+    def frameSize(content: Array[Byte]): Int = {
+      val blob = ZstdSeekWrite.buildData(Array(content))
+      // single entry: c_size from the parsed table
+      val e = ZstdDecode.seekTableData(blob)
+      e.getStruct(0, 4).getLong(1).toInt
+    }
+    // L1 raw chars + R '~'s (R >= RleMin): 4+1+1 + (3+L1) + (3+1)
+    assert(frameSize(("abcde" + "~" * 40).getBytes) === 6 + 3 + 5 + 4)
+    // pure raw, no long runs: 6 + 3 + L
+    assert(frameSize("hello world".getBytes) === 6 + 3 + 11)
+    // empty: 6 + 3
+    assert(frameSize(Array.emptyByteArray) === 9)
+    // run of RleMin-1 stays raw
+    assert(frameSize(("~" * (ZstdSeekWrite.RleMin - 1)).getBytes)
+      === 6 + 3 + ZstdSeekWrite.RleMin - 1)
+    // run of exactly RleMin becomes RLE
+    assert(frameSize(("~" * ZstdSeekWrite.RleMin).getBytes) === 6 + 4)
+  }
 }
