@@ -284,20 +284,30 @@ object WasmJit {
 
   private final class FnEmitter(cp: Cp, m: WasmModule, owner: String,
                                 fidx: Int, mask: Array[Boolean],
-                                guarded: Boolean, mayGrow: Array[Boolean]) {
+                                guarded: Boolean, mayGrow: Array[Boolean],
+                                // CHUNK mode (r19): emit ops [chunkStart,
+                                // chunkEnd) as a resumable segment method
+                                // over a long[] frame — see emitChunked
+                                chunkStart: Int = -1, chunkEnd: Int = -1,
+                                chunkEntries: Array[Int] = null) {
     private val f = m.funcs(fidx)
     private val h = heights(m, f)
+    private val chunked = chunkStart >= 0
     // slot 0 = mem ([B), slot 1 = globals ([J), slot 2 = the instance
-    // (the call_indirect bridge + memory refresh), longs from slot 3
-    private val stackBase = 3 + 2 * (f.nparams + f.nlocals)
+    // (the call_indirect bridge + memory refresh), longs from slot 3;
+    // chunk methods add slot 3 = the long[] frame, slot 4 = the entry
+    // op index, longs from slot 5
+    private val frameBase = if (chunked) 5 else 3
+    private val stackBase = frameBase + 2 * (f.nparams + f.nlocals)
     private val budgetSlot = stackBase + 2 * f.maxStack
     val maxLocals: Int = budgetSlot + 1
+    private val totalSlots = f.nparams + f.nlocals + f.maxStack
     private val code = new Code
     private val jvmOff = new Array[Int](f.ops.length + 1)
     /** (patch position, absolute position of branch opcode, target op) */
     private val fixups = collection.mutable.ArrayBuffer[(Int, Int, Int)]()
 
-    private def localSlot(i: Int) = 3 + 2 * i
+    private def localSlot(i: Int) = frameBase + 2 * i
     private def slot(height: Int) = stackBase + 2 * height
 
     private def lload(s: Int): Unit =
@@ -322,10 +332,42 @@ object WasmJit {
       code.u1(0x4B) // astore_0
     }
     private def gotoW(targetOp: Int): Unit = {
+      if (chunked && (targetOp < chunkStart || targetOp >= chunkEnd)) {
+        // cross-chunk branch: spill the frame and return the op index
+        // to continue at — the driver re-enters the owning chunk there
+        spillFrame()
+        pushInt(targetOp)
+        code.u1(0xAC) // ireturn
+        return
+      }
       val at = code.len
       code.u1(0xC8)
       fixups += ((code.len, at, targetOp))
       code.u4(0)
+    }
+
+    /** chunk mode: copy every frame slot back to the long[] (local 3). */
+    private def spillFrame(): Unit = {
+      var s = 0
+      while (s < totalSlots) {
+        code.u1(0x2D) // aload_3 (fr)
+        pushInt(s)
+        lload(frameBase + 2 * s)
+        code.u1(0x50) // lastore
+        s += 1
+      }
+    }
+
+    /** chunk mode: load every frame slot from the long[] (local 3). */
+    private def reloadFrame(): Unit = {
+      var s = 0
+      while (s < totalSlots) {
+        code.u1(0x2D) // aload_3 (fr)
+        pushInt(s)
+        code.u1(0x2F) // laload
+        lstore(frameBase + 2 * s)
+        s += 1
+      }
     }
 
     /** budget check on a backward edge: iinc, iload, ifgt skip, trap */
@@ -342,7 +384,11 @@ object WasmJit {
       val t = (packed & 0xFFFFFFFFL).toInt
       val th = ((packed >> 32) & 0x3FFFFFFF).toInt
       val ar = ((packed >>> 62) & 3).toInt
-      if (t + 1 <= curOp) budgetCheck()
+      if (t + 1 <= curOp) {
+        if (chunked) // emitChunked only accepts forward-only functions
+          throw new IllegalStateException("backward branch in chunk mode")
+        budgetCheck()
+      }
       if (ar == 1 && carrySrcHeight != th) {
         lload(slot(carrySrcHeight)); lstore(slot(th))
       }
@@ -350,6 +396,7 @@ object WasmJit {
     }
 
     def emit(): Array[Byte] = {
+      if (chunked) return emitChunkBody()
       // zero non-param wasm locals (spec semantics) AND every stack slot
       // (the classic verifier types a register pair at merge points as
       // the MEET over all paths — an entry path that never wrote a
@@ -386,6 +433,59 @@ object WasmJit {
         throw new IllegalStateException(s"emitted code ${code.len} > 65000")
       fixups.foreach { case (patchPos, opPos, targetOp) =>
         code.patchU4(patchPos, jvmOff(targetOp) - opPos)
+      }
+      code.bytes
+    }
+
+    /** One chunk of a SPLIT function (r19): ops [chunkStart, chunkEnd)
+      * over a long[] frame. Signature ([B [J inst [J I)I — the trailing
+      * int is the entry op index, the return is the next op index to
+      * continue at (−1 = wasm return, result in fr[0]). The prologue
+      * reloads every frame slot (which also satisfies the classic
+      * verifier's merge typing), then dispatches on the entry index. */
+    private def emitChunkBody(): Array[Byte] = {
+      reloadFrame()
+      // entry dispatch: lookupswitch over the chunk's entry points
+      code.u1(0x15); code.u1(4) // iload 4 (entry)
+      val entries = chunkEntries.sorted
+      val opPos = code.len
+      code.u1(0xAB) // lookupswitch
+      while (code.len % 4 != 0) code.u1(0)
+      val defPatch = code.len; code.u4(0)
+      code.u4(entries.length)
+      val pairPatch = code.len
+      entries.foreach { e => code.u4(e); code.u4(0) }
+      // stubs: one goto_w per entry (fixed up via jvmOff)
+      val stubAt = new Array[Int](entries.length)
+      var s = 0
+      while (s < entries.length) {
+        stubAt(s) = code.len
+        gotoW(entries(s))
+        s += 1
+      }
+      // default: an unknown entry is a driver bug — trap loudly
+      val defAt = code.len
+      invokestatic("trapUnreachable", "()J")
+      code.u1(0x58); pushInt(-1); code.u1(0xAC)
+      code.patchU4(defPatch, defAt - opPos)
+      entries.indices.foreach { k =>
+        code.patchU4(pairPatch + 8 * k + 4, stubAt(k) - opPos)
+      }
+      var i = chunkStart
+      while (i < chunkEnd) {
+        jvmOff(i) = code.len
+        val hh = h(i)
+        if (hh >= 0) emitOp(i, hh)
+        i += 1
+      }
+      // fallthrough off the chunk end: hand the next op to the driver
+      spillFrame()
+      pushInt(chunkEnd)
+      code.u1(0xAC)
+      if (code.len > 65000)
+        throw new IllegalStateException(s"chunk code ${code.len} > 65000")
+      fixups.foreach { case (patchPos, atPos, targetOp) =>
+        code.patchU4(patchPos, jvmOff(targetOp) - atPos)
       }
       code.bytes
     }
@@ -476,9 +576,22 @@ object WasmJit {
           c += 1
         }
       case 0x0F =>
-        if (f.hasResult) lload(slot(hh - 1)) else code.u1(0x09)
-        if (guarded) invokestatic("recLeave", "()V")
-        code.u1(0xAD)
+        if (chunked) {
+          // chunk return: result (if any) to fr[0], signal -1 to the
+          // driver (recLeave is the DRIVER's job — once per call)
+          if (f.hasResult) {
+            code.u1(0x2D) // aload_3 (fr)
+            pushInt(0)
+            lload(slot(hh - 1))
+            code.u1(0x50) // lastore
+          }
+          pushInt(-1)
+          code.u1(0xAC) // ireturn
+        } else {
+          if (f.hasResult) lload(slot(hh - 1)) else code.u1(0x09)
+          if (guarded) invokestatic("recLeave", "()V")
+          code.u1(0xAD)
+        }
       case 0x00 => invokestatic("trapUnreachable", "()J"); code.u1(0x58)
       case 0x10 =>
         val callee = f.argL(i).toInt
@@ -570,6 +683,157 @@ object WasmJit {
   }
 
   // ---------------------------------------------------------------------
+  // method splitting (r19): a function whose straight-line emission busts
+  // the JVM's 65 KB Code cap compiles as K resumable CHUNK methods over a
+  // long[] frame plus a driver loop, PROVIDED its control flow is
+  // forward-only (no loops — the reference artifact's one bailout is a
+  // giant branch-web formatter with zero backward edges). Chunk
+  // boundaries are nudged to the least-crossed positions; cross-chunk
+  // branches spill the frame and return the continuation op index.
+  // ---------------------------------------------------------------------
+
+  /** Emit the split form of function `fidx`: chunk methods
+    * `f{fidx}_c{k}` + a driver named `f{fidx}` with the STANDARD
+    * signature (so callers and the dispatcher are unchanged). Returns
+    * null when the function has backward branches (not splittable). */
+  private def emitChunked(cp: Cp, m: WasmModule, name: String, fidx: Int,
+      mask: Array[Boolean], guarded: Boolean, mayGrow: Array[Boolean])
+      : List[(Int, Int, Int, Array[Byte], Int, Int)] = {
+    val f = m.funcs(fidx)
+    val n = f.ops.length
+    val edges = collection.mutable.ArrayBuffer[(Int, Int)]() // (src, dst op)
+    var i = 0
+    while (i < n) {
+      f.ops(i) match {
+        case 0x0C | 0x0D =>
+          val d = (f.argL(i) & 0xFFFFFFFFL).toInt + 1
+          if (d <= i) return null // backward: not splittable
+          edges += ((i, d))
+        case 0x0E =>
+          var s = 0
+          val tbl = f.brTables(f.argM(i))
+          while (s < tbl.length) {
+            val d = (tbl(s) & 0xFFFFFFFFL).toInt + 1
+            if (d <= i) return null
+            edges += ((i, d))
+            s += 1
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    // ~2600 ops/chunk keeps each emitted body well under the cap;
+    // boundaries settle on the least-crossed position within ±400
+    val nChunks = math.max(2, (n + 2599) / 2600)
+    if (n < 2 * nChunks) return null
+    val bounds = new Array[Int](nChunks + 1)
+    bounds(nChunks) = n
+    var k = 1
+    while (k < nChunks) {
+      val nominal = (n.toLong * k / nChunks).toInt
+      var best = nominal; var bestC = Int.MaxValue
+      var p = math.max(bounds(k - 1) + 1, nominal - 400)
+      val hi = math.min(n - 1, nominal + 400)
+      while (p <= hi) {
+        var c = 0
+        edges.foreach { case (s, d) => if (s < p && d > p) c += 1 }
+        if (c < bestC) { bestC = c; best = p }
+        p += 1
+      }
+      bounds(k) = best
+      k += 1
+    }
+    val out = collection.mutable.ListBuffer[(Int, Int, Int, Array[Byte], Int, Int)]()
+    k = 0
+    while (k < nChunks) {
+      val cs = bounds(k); val ce = bounds(k + 1)
+      val entries = (cs +: edges.collect {
+        case (s, d) if (s < cs || s >= ce) && d >= cs && d < ce => d
+      }.toSeq).distinct.toArray
+      val em = new FnEmitter(cp, m, name, fidx, mask, guarded, mayGrow,
+        chunkStart = cs, chunkEnd = ce, chunkEntries = entries)
+      out += ((0x0008 | 0x0002, cp.utf8(s"f${fidx}_c$k"),
+        cp.utf8("([B[J" + InstDesc + "[JI)I"), em.emit(), 72, em.maxLocals))
+      k += 1
+    }
+    // ---- driver: fr = new long[slots]; loop chunks until ip < 0 ----
+    val drv = new Code
+    def pushI(v: Int): Unit =
+      if (v >= -1 && v <= 5) drv.u1(0x03 + v)
+      else if (v >= Byte.MinValue && v <= Byte.MaxValue) { drv.u1(0x10); drv.u1(v) }
+      else if (v >= Short.MinValue && v <= Short.MaxValue) { drv.u1(0x11); drv.u2(v) }
+      else { drv.u1(0x13); drv.u2(cp.int(v)) }
+    val totalSlots = f.nparams + f.nlocals + f.maxStack
+    val frL = 3 + 2 * f.nparams
+    val ipL = frL + 1
+    pushI(totalSlots)
+    drv.u1(0xBC); drv.u1(11) // newarray long (zero-filled: wasm locals)
+    drv.u1(0x3A); drv.u1(frL) // astore fr
+    var a = 0
+    while (a < f.nparams) {
+      drv.u1(0x19); drv.u1(frL) // aload fr
+      pushI(a)
+      drv.u1(0x16); drv.u1(3 + 2 * a) // lload arg
+      drv.u1(0x50) // lastore
+      a += 1
+    }
+    if (guarded) { drv.u1(0xB8); drv.u2(cp.methodref(RtOwner, "recEnter", "()V")) }
+    pushI(0)
+    drv.u1(0x36); drv.u1(ipL) // istore ip
+    val loopStart = drv.len
+    val donePatches = collection.mutable.ArrayBuffer[Int]()
+    drv.u1(0x15); drv.u1(ipL) // iload ip
+    drv.u1(0x9B); donePatches += drv.len; drv.u2(0) // iflt done
+    drv.u1(0x15); drv.u1(ipL)
+    pushI(n)
+    drv.u1(0xA2); donePatches += drv.len; drv.u2(0) // if_icmpge done
+    // a chunk's call may have grown (replaced) the memory — refresh
+    drv.u1(0x2C) // aload_2 (inst)
+    drv.u1(0xB8); drv.u2(cp.methodref(RtOwner, "memOf", "(" + InstDesc + ")[B"))
+    drv.u1(0x4B) // astore_0
+    // chunk dispatch by ip range, then loop
+    val callPatches = collection.mutable.ArrayBuffer[(Int, Int)]() // (patchPos, chunk)
+    k = 0
+    while (k < nChunks - 1) {
+      drv.u1(0x15); drv.u1(ipL)
+      pushI(bounds(k + 1))
+      drv.u1(0xA1); callPatches += ((drv.len, k)); drv.u2(0) // if_icmplt call_k
+      k += 1
+    }
+    val callAt = new Array[Int](nChunks)
+    val loopPatches = collection.mutable.ArrayBuffer[Int]()
+    k = nChunks - 1
+    while (k >= 0) { // last chunk first (the dispatch falls through to it)
+      callAt(k) = drv.len
+      drv.u1(0x2A); drv.u1(0x2B); drv.u1(0x2C) // mem, globals, inst
+      drv.u1(0x19); drv.u1(frL)
+      drv.u1(0x15); drv.u1(ipL)
+      drv.u1(0xB8); drv.u2(cp.methodref(name, s"f${fidx}_c$k",
+        "([B[J" + InstDesc + "[JI)I"))
+      drv.u1(0x36); drv.u1(ipL)
+      drv.u1(0xA7); loopPatches += drv.len; drv.u2(0) // goto loopStart
+      k -= 1
+    }
+    callPatches.foreach { case (pos, ck) =>
+      drv.patchU2(pos, callAt(ck) - (pos - 1))
+    }
+    loopPatches.foreach(pos => drv.patchU2(pos, loopStart - (pos - 1)))
+    val doneAt = drv.len
+    donePatches.foreach(pos => drv.patchU2(pos, doneAt - (pos - 1)))
+    if (guarded) { drv.u1(0xB8); drv.u2(cp.methodref(RtOwner, "recLeave", "()V")) }
+    if (f.hasResult) {
+      drv.u1(0x19); drv.u1(frL)
+      pushI(0)
+      drv.u1(0x2F) // laload
+    } else drv.u1(0x09) // lconst_0
+    drv.u1(0xAD) // lreturn
+    out += ((0x0008 | 0x0002, cp.utf8(s"f$fidx"),
+      cp.utf8("([B[J" + InstDesc + "J" * f.nparams + ")J"),
+      drv.bytes, 72, ipL + 1))
+    out.toList
+  }
+
+  // ---------------------------------------------------------------------
   // class assembly
   // ---------------------------------------------------------------------
   private val counter = new java.util.concurrent.atomic.AtomicInteger()
@@ -609,7 +873,16 @@ object WasmJit {
               // direct call to a 32-arity callee (3 + 2*32) + margin
               codeB, 72, em.maxLocals))
           } catch {
-            case _: IllegalStateException => mask(fi) = false; stable = false
+            case _: IllegalStateException =>
+              // emit bail-out (65 KB Code cap): try the r19 METHOD SPLIT
+              // — chunk methods + a driver keeping the standard f$fi
+              // name, so the function stays in the mask and its callers
+              // are untouched; functions with backward branches demote
+              val split =
+                try emitChunked(cp, m, name, fi, mask, guarded(fi), mayGrow)
+                catch { case _: IllegalStateException => null }
+              if (split != null) methods ++= split
+              else { mask(fi) = false; stable = false }
           }
         }
         fi += 1

@@ -523,6 +523,77 @@ class WasmJitSpec extends AnyFunSuite {
     }
   }
 
+  test("METHOD SPLIT (r19): a forward-only function whose emission " +
+    "busts the 65 KB Code cap compiles as chunk methods + a driver and " +
+    "runs compiled ≡ interpreted — cross-chunk branches spill/resume " +
+    "through the long[] frame") {
+    assume(WasmJit.enabled)
+    // f0(x): acc = 0; 1400 forward if-blocks: if (x == k % 97) acc += k
+    val reps = 1400
+    val body = {
+      val s = Seq.newBuilder[Byte]
+      for (k <- 0 until reps) {
+        s ++= b(0x20, 0) ++= (b(0x42) ++ sleb(k % 97)) += 0x51.toByte
+        s ++= b(0x04, 0x40)
+        s ++= b(0x20, 1) ++= (b(0x42) ++ sleb(k)) ++= b(0x7C, 0x21, 1)
+        s += 0x0B.toByte
+      }
+      s ++= b(0x20, 1, 0x0B)
+      s.result()
+    }
+    val bytes = moduleBytes(Seq((Seq(I64), Seq(I64))),
+      Seq((0, Seq(I64), body)))
+    val jm = WasmModule.parse(bytes)
+    assert(jm.funcs(0).ops.length > 8000, "must be a big body")
+    assert(jm.jit != null && jm.jit._2(0),
+      "the over-cap function must still compile (split)")
+    val im = interpOnly(bytes)
+    def want(x: Long): Long =
+      (0 until reps).filter(k => (k % 97).toLong == x).map(_.toLong).sum
+    for (x <- Seq(0L, 7L, 42L, 96L, 97L, -1L, 1234567L)) {
+      val j = new WasmInstance(jm).invoke("f0", x)
+      assert(j === new WasmInstance(im).invoke("f0", x), s"x=$x")
+      assert(j === Some(want(x)), s"x=$x")
+    }
+  }
+
+  test("the real artifact's one split function (the former emit-" +
+    "bailout) runs compiled ≡ interpreted: results-or-trap-kind AND " +
+    "the full linear-memory state agree after completed runs — " +
+    "coverage is 2142/2142") {
+    assume(artifactPresent && WasmJit.enabled)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(wasmPath))
+    val jm = WasmModule.parse(bytes)
+    val im = interpOnly(bytes)
+    assert(jm.jit != null && jm.jit._2.forall(identity),
+      "every artifact function must compile")
+    // the split function is the only one whose op count exceeds 8000
+    val big = jm.funcs.indices.filter(i => jm.funcs(i).ops.length > 8000)
+    assert(big.nonEmpty, "the big formatter function must exist")
+    var completed = 0
+    for (fi <- big; seed <- Seq(0L, 8L, 64L, 256L, 1024L, 4096L)) {
+      val args = Array.tabulate(jm.funcs(fi).nparams)(k => seed + 16 * k)
+      def kind(msg: String) = msg.split(" \\(")(0)
+      val ji = new WasmInstance(jm)
+      val ii = new WasmInstance(im)
+      val jr = try Right(ji.callForTest(fi, args.clone()))
+        catch { case t: WasmTrap => Left(kind(t.msg)) }
+      val ir = try Right(ii.callForTest(fi, args.clone()))
+        catch { case t: WasmTrap => Left(kind(t.msg)) }
+      assert(jr === ir, s"f$fi(seed=$seed): $jr vs $ir")
+      if (jr.isRight && ir.isRight) {
+        completed += 1
+        assert(ji.memorySize === ii.memorySize, s"f$fi(seed=$seed) mem size")
+        assert(java.util.Arrays.equals(
+          ji.readBytes(0, ji.memorySize), ii.readBytes(0, ii.memorySize)),
+          s"f$fi(seed=$seed): memory state diverged")
+      }
+    }
+    assert(completed > 0,
+      "at least one arg vector must complete for the memory comparison")
+  }
+
   test("a statically-dead `if` decodes as nops (r19): a valid module " +
     "with an if after return COMPILES and runs — previously the live " +
     "eqz+br_if pair carried a never-fixed-up packed target that poisoned " +
