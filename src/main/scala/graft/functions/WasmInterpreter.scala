@@ -630,17 +630,17 @@ final class WasmInstance(val module: WasmModule) {
         sp -= 3
         val a = checkAddr(stack(sp), m, 16)
         bb.putLong(a, stack(sp + 1)); bb.putLong(a + 8, stack(sp + 2))
-      case 0x311 => // i32x4.splat
+      case 0x311 | 0x313 => // i32x4.splat / f32x4.splat (low-32 bits)
         val v = stack(sp - 1) & M32
         val pair = v | (v << 32)
         stack(sp - 1) = pair; stack(sp) = pair; sp += 1
       case 0x312 | 0x314 => // i64x2.splat / f64x2.splat (raw bits)
         stack(sp) = stack(sp - 1); sp += 1
-      case 0x31B => // i32x4.extract_lane (m = lane)
+      case 0x31B | 0x31F => // i32x4/f32x4.extract_lane (m = lane)
         val w = stack(sp - 2 + ((m >> 1) & 1))
         sp -= 1
         stack(sp - 1) = if ((m & 1) == 0) w & M32 else w >>> 32
-      case 0x31C => // i32x4.replace_lane
+      case 0x31C | 0x320 => // i32x4/f32x4.replace_lane
         sp -= 1
         val s = sp - 2 + ((m >> 1) & 1)
         val v = stack(sp) & M32
@@ -670,6 +670,80 @@ final class WasmInstance(val module: WasmModule) {
         val r0 = lanes(stack(sp - 2), stack(sp))
         val r1 = lanes(stack(sp - 1), stack(sp + 1))
         stack(sp - 2) = r0; stack(sp - 1) = r1
+      case op if op >= 0x341 && op <= 0x346 => // f32x4 compares
+        sp -= 2
+        @inline def cmp(a: Float, b: Float): Boolean = (op - 0x341) match {
+          case 0 => a == b
+          case 1 => a != b
+          case 2 => a < b
+          case 3 => a > b
+          case 4 => a <= b
+          case _ => a >= b
+        }
+        @inline def lanes(a: Long, b: Long): Long = {
+          @inline def f(v: Long) = java.lang.Float.intBitsToFloat(v.toInt)
+          (if (cmp(f(a), f(b))) M32 else 0L) |
+            (if (cmp(f(a >>> 32), f(b >>> 32))) M32 << 32 else 0L)
+        }
+        val r0 = lanes(stack(sp - 2), stack(sp))
+        val r1 = lanes(stack(sp - 1), stack(sp + 1))
+        stack(sp - 2) = r0; stack(sp - 1) = r1
+      case op if (op >= 0x3E0 && op <= 0x3EB) && op != 0x3E2 => // f32x4
+        @inline def f(v: Long) = java.lang.Float.intBitsToFloat(v.toInt)
+        @inline def lb(v: Float) =
+          java.lang.Float.floatToRawIntBits(v).toLong & M32
+        if (op <= 0x3E3) { // abs / neg / sqrt
+          @inline def un(v: Float): Float = op match {
+            case 0x3E0 => math.abs(v)
+            case 0x3E1 => -v
+            case _ => math.sqrt(v.toDouble).toFloat
+          }
+          @inline def lanes(w: Long): Long =
+            lb(un(f(w))) | (lb(un(f(w >>> 32))) << 32)
+          stack(sp - 2) = lanes(stack(sp - 2))
+          stack(sp - 1) = lanes(stack(sp - 1))
+        } else {
+          sp -= 2
+          @inline def bin(a: Float, b: Float): Float = op match {
+            case 0x3E4 => a + b
+            case 0x3E5 => a - b
+            case 0x3E6 => a * b
+            case 0x3E7 => a / b
+            case 0x3E8 => // min: NaN-propagating, -0 < +0
+              if (a.isNaN || b.isNaN) Float.NaN
+              else if (a == 0.0f && b == 0.0f)
+                if ((java.lang.Float.floatToRawIntBits(a) |
+                  java.lang.Float.floatToRawIntBits(b)) < 0) -0.0f else 0.0f
+              else math.min(a, b)
+            case 0x3E9 =>
+              if (a.isNaN || b.isNaN) Float.NaN
+              else if (a == 0.0f && b == 0.0f)
+                if ((java.lang.Float.floatToRawIntBits(a) &
+                  java.lang.Float.floatToRawIntBits(b)) < 0) -0.0f else 0.0f
+              else math.max(a, b)
+            case 0x3EA => if (b < a) b else a // pmin
+            case _ => if (a < b) b else a     // pmax
+          }
+          @inline def lanes(x: Long, y: Long): Long =
+            lb(bin(f(x), f(y))) | (lb(bin(f(x >>> 32), f(y >>> 32))) << 32)
+          val r0 = lanes(stack(sp - 2), stack(sp))
+          val r1 = lanes(stack(sp - 1), stack(sp + 1))
+          stack(sp - 2) = r0; stack(sp - 1) = r1
+        }
+      case op if op >= 0x3F8 && op <= 0x3FB => // i32x4<->f32x4 conversions
+        @inline def f(v: Long) = java.lang.Float.intBitsToFloat(v.toInt)
+        @inline def lanes(w: Long, one: Long => Long): Long =
+          (one(w & M32) & M32) | ((one(w >>> 32) & M32) << 32)
+        val one: Long => Long = op match {
+          case 0x3F8 => v => f(v).toInt.toLong // trunc_sat_f32x4_s
+          case 0x3F9 => v => satU32(f(v).toDouble) // trunc_sat_f32x4_u
+          case 0x3FA => v =>
+            java.lang.Float.floatToRawIntBits(v.toInt.toFloat).toLong
+          case _ => v =>
+            java.lang.Float.floatToRawIntBits((v & M32).toFloat).toLong
+        }
+        stack(sp - 2) = lanes(stack(sp - 2), one)
+        stack(sp - 1) = lanes(stack(sp - 1), one)
       case op if op >= 0x347 && op <= 0x34C => // f64x2 compares
         sp -= 2
         @inline def cmp(a: Double, b: Double): Boolean = (op - 0x347) match {

@@ -17,15 +17,17 @@ package graft.functions
   * 0xFC extensions every modern toolchain assumes (saturating
   * float-to-int truncation 0xFC 0-7, memory.copy 0xFC 10, memory.fill
   * 0xFC 11) + the 0xFD v128 core subset a vectorized numeric kernel
-  * needs (load/store/const/splat/lane, i32x4/i64x2/f64x2 arithmetic +
-  * compares, v128 bitwise/bitselect, sat-trunc/convert; v128 values are
+  * needs (load/store/const/splat/lane, i32x4/i64x2/f32x4/f64x2
+  * arithmetic + compares, v128 bitwise/bitselect, sat-trunc/convert;
+  * v128 values are
   * TWO adjacent Long slots — see the slot model in decodeBody). The
   * reference artifact itself uses none of the r18/r19 additions
   * (verified by full static decode, tools/wasmproto/wasmdec.py) — they
   * exist so `LANGUAGE WASM AS '<any>.wasm'` accepts guests built
   * outside the artifact's exact recipe. Still outside scope (named
   * rejection classes): threads/atomics, reference types, multi-value,
-  * memory.init/data.drop, and the i8x16/i16x8/f32x4 SIMD lane families.
+  * memory.init/data.drop, the i8x16/i16x8 SIMD lane families, and the
+  * vector round ops (ceil/floor/trunc/nearest).
   * Unknown opcodes fail at LOAD time, not invoke time, so an incompatible
   * module is rejected at `CREATE FUNCTION`, matching the reference factory
   * (wasmedge_factory/src/lib.rs:111-132).
@@ -75,17 +77,17 @@ object WasmModule {
   }
 
   /** Named class for an unsupported 0xFD SIMD sub-opcode — the v128
-    * core (load/store/const/splat/lane + i32x4/i64x2/f64x2 arithmetic,
-    * bitwise, compares, sat-trunc/convert) IS supported since r19. */
+    * core (load/store/const/splat/lane + i32x4/i64x2/f32x4/f64x2
+    * arithmetic, bitwise, compares, sat-trunc/convert) IS supported
+    * since r19. */
   def simdClass(sub: Int): String = sub match {
     case s if s >= 1 && s <= 10 => s"SIMD partial/lane load-store (0xFD $s)"
     case 13 | 14 => s"i8x16 shuffle/swizzle (0xFD $sub)"
+    case 103 | 104 | 105 | 106 => s"f32x4 ceil/floor/trunc/nearest (0xFD $sub)"
+    case 116 | 117 | 122 | 148 => s"f64x2 ceil/floor/trunc/nearest (0xFD $sub)"
     case s if (s >= 15 && s <= 16) || (s >= 21 && s <= 26) ||
       (s >= 35 && s <= 54) || (s >= 96 && s <= 159) =>
       s"i8x16/i16x8 lane family (0xFD $s)"
-    case s if (s >= 65 && s <= 70) || (s >= 19 && s <= 19) ||
-      (s >= 31 && s <= 32) || (s >= 224 && s <= 235) ||
-      (s >= 248 && s <= 251) => s"f32x4 lane family (0xFD $s)"
     case other => s"SIMD extension (0xFD $other)"
   }
 
@@ -772,10 +774,11 @@ final class WasmModule private (bytes: Array[Byte]) {
             case 12 => // v128.const: 16 LE bytes → two i64 pushes
               val lo = readF64Bits(); val hi = readF64Bits()
               emit(0x42, lo, 0, 1); emit(0x42, hi, 0, 1); pushVec()
-            case 17 | 18 | 20 => simd(1, vec = true) // i32x4/i64x2/f64x2.splat
-            case 27 | 29 | 33 => simd(-1, lane = u8()) // extract_lane
-            case 28 | 30 | 34 => simd(-1, lane = u8(), vec = true) // replace_lane
+            case 17 | 18 | 19 | 20 => simd(1, vec = true) // i32x4/i64x2/f32x4/f64x2.splat
+            case 27 | 29 | 31 | 33 => simd(-1, lane = u8()) // extract_lane
+            case 28 | 30 | 32 | 34 => simd(-1, lane = u8(), vec = true) // replace_lane
             case s if s >= 55 && s <= 64 => simd(-2, vec = true) // i32x4 cmp
+            case s if s >= 65 && s <= 70 => simd(-2, vec = true) // f32x4 cmp
             case s if s >= 71 && s <= 76 => simd(-2, vec = true) // f64x2 cmp
             case s if s >= 214 && s <= 219 => simd(-2, vec = true) // i64x2 cmp
             case 77 => simd(0, vec = true) // v128.not
@@ -791,8 +794,11 @@ final class WasmModule private (bytes: Array[Byte]) {
             case 195 | 196 => simd(-1) // i64x2.all_true/bitmask
             case 203 | 204 | 205 => simd(-1, vec = true) // i64x2 shifts
             case 206 | 209 | 213 => simd(-2, vec = true) // i64x2 add/sub/mul
+            case 224 | 225 | 227 => simd(0, vec = true) // f32x4 abs/neg/sqrt
+            case s if s >= 228 && s <= 235 => simd(-2, vec = true) // f32x4 arith
             case 236 | 237 | 239 => simd(0, vec = true) // f64x2 abs/neg/sqrt
             case s if s >= 240 && s <= 247 => simd(-2, vec = true) // f64x2 arith
+            case s if s >= 248 && s <= 251 => simd(0, vec = true) // i32x4<->f32x4 cvt
             case 252 | 253 => simd(0, vec = true) // i32x4.trunc_sat_f64x2_{s,u}_zero
             case 254 | 255 => simd(0, vec = true) // f64x2.convert_low_i32x4_{s,u}
             case other => throw new WasmParseException(

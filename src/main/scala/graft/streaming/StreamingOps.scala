@@ -850,7 +850,7 @@ object StreamingOps {
         // Labels strictly decrease on merge, so chains are acyclic and
         // hop count is bounded by the number of committed batches.
         var trace = touched.select(col("key"), col("cur")).localCheckpoint()
-        var moved = true
+        var moved = fBuckets.nonEmpty // no forwards anywhere: zero jobs
         var hops = 0
         while (moved && hops < 1000) {
           hops += 1

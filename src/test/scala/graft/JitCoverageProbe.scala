@@ -46,5 +46,8 @@ object JitCoverageProbe {
     report("PowWasm (vendored)", PowWasm.bytes)
     report("EchoWasm", EchoWasm.bytes)
     report("SatWasm", SatWasm.bytes)
+    // SimdWasm's v128 function interprets BY DESIGN (usesSimd) — 3/4
+    // compiled is this guest's full frontier, not residue
+    report("SimdWasm", SimdWasm.bytes)
   }
 }

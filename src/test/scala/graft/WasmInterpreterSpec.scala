@@ -410,11 +410,11 @@ class WasmInterpreterSpec extends AnyFunSuite {
       module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, simd)))
     }
     assert(e.getMessage.contains("shuffle"), e.getMessage)
-    val f32x4 = b(0xFD, 0xE4, 0x01, 0x0B) // f32x4.add (228): named reject
+    val f32Round = b(0xFD, 103, 0x0B) // f32x4.ceil: still a named reject
     val e1b = intercept[WasmModule.WasmParseException] {
-      module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, f32x4)))
+      module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, f32Round)))
     }
-    assert(e1b.getMessage.contains("f32x4"), e1b.getMessage)
+    assert(e1b.getMessage.contains("ceil"), e1b.getMessage)
     // 0xFC 8 = memory.init needs passive segments — named rejection
     val mi = b(0x41, 0, 0x41, 0, 0x41, 0, 0xFC, 8, 0x00, 0x00, 0x0B)
     val e2 = intercept[WasmModule.WasmParseException] {
@@ -581,5 +581,51 @@ class WasmInterpreterSpec extends AnyFunSuite {
     for (a <- Seq(1.7, -2.9, 1e12))
       assert(run1(Seq(F64), Seq(I64), conv)(dbits(a))
         === Some((a * 2).toInt.toLong + 12L), s"a=$a")
+  }
+
+  test("SIMD f32x4 (r19): splat/extract/replace/compares/abs/neg/sqrt/" +
+    "add/sub/mul/div/min/max and the i32x4<->f32x4 conversions agree " +
+    "with scalar float arithmetic lane-for-lane") {
+    val F32 = 0x7D
+    def fb(v: Float): Long =
+      java.lang.Float.floatToRawIntBits(v).toLong & 0xFFFFFFFFL
+    def fv(l: Long): Float = java.lang.Float.intBitsToFloat(l.toInt)
+    // f0(a, b) = lane0(sqrt(|splat(a)|) * splat(b)) + lane3(splat(a) /
+    //            replace_lane3(splat(b), 2.0f)) — f32 result
+    val body =
+      (b(0x20, 0) ++ fd(19)) ++ fd(224) ++ fd(227) ++  // sqrt(|splat(a)|)
+      (b(0x20, 1) ++ fd(19)) ++ fd(230) ++             // * splat(b)
+      fd(31) ++ b(0) ++                                 // lane 0
+      ((b(0x20, 0) ++ fd(19)) ++
+        (b(0x20, 1) ++ fd(19)) ++
+        (b(0x43) ++ Seq[Byte](0, 0, 0, 0x40)) ++        // 2.0f
+        fd(32) ++ b(3) ++                               // replace lane 3
+        fd(231) ++                                      // div
+        fd(31) ++ b(3)) ++                              // lane 3
+      b(0x92, 0x0B)                                     // f32.add
+    for ((a, bv) <- Seq((4.0f, 3.0f), (-9.0f, 0.5f), (2.25f, -1.5f))) {
+      val got = run1(Seq(F32, F32), Seq(F32), body)(fb(a), fb(bv)).map(fv)
+      val want = (math.sqrt(math.abs(a).toDouble).toFloat * bv) + (a / 2.0f)
+      assert(got === Some(want), s"($a, $bv): $got != $want")
+    }
+    // compares + min/max + conversions: f1(x) =
+    //   bitmask-free check via i32x4 lanes of (splat(x) < splat(1.5f))
+    //   + trunc_sat lane0 of splat(x * 4)  (scalar pre-mul)
+    val conv =
+      ((b(0x20, 0) ++ fd(19)) ++
+        (b(0x43) ++ Seq[Byte](0, 0, 0xC0.toByte, 0x3F)) ++ fd(19) ++ // 1.5f
+        fd(65) ++                                       // f32x4.eq? no: 65=eq
+        fd(27) ++ b(1)) ++                              // i32 lane 1 (mask)
+      ((b(0x20, 0) ++ fd(19)) ++
+        (b(0x43) ++ Seq[Byte](0, 0, 0x80.toByte, 0x40)) ++ fd(19) ++ // 4.0f
+        fd(230) ++                                      // mul
+        fd(248) ++                                      // trunc_sat_s
+        fd(27) ++ b(2)) ++                              // lane 2
+      b(0x6A, 0x0B)                                     // i32.add
+    for (x <- Seq(1.5f, -2.75f, 7.1f)) {
+      val eqMask = if (x == 1.5f) 0xFFFFFFFFL else 0L
+      val want = (eqMask + (x * 4.0f).toInt.toLong) & 0xFFFFFFFFL
+      assert(run1(Seq(F32), Seq(I32), conv)(fb(x)) === Some(want), s"x=$x")
+    }
   }
 }
