@@ -375,7 +375,7 @@ final class WasmInstance(val module: WasmModule) {
         case 0x503 => // select over v128 operands: [a.lo a.hi b.lo b.hi c]
           sp -= 3
           if (st(sp + 2) == 0) { st(sp - 2) = st(sp); st(sp - 1) = st(sp + 1) }
-        case other => sp = slowPath(other, argM(i), sp)
+        case other => sp = slowPath(other, argM(i), argL(i), sp)
       }
       i += 1
     }
@@ -385,7 +385,7 @@ final class WasmInstance(val module: WasmModule) {
     * huge-method bytecode limit and actually compiles to native code —
     * one method over ~8000 bytecodes would silently fall back to the
     * JVM's bytecode interpreter and cost ~50x. Returns the new sp. */
-  private def slowPath(op: Int, m: Int, sp0: Int): Int = {
+  private def slowPath(op: Int, m: Int, l: Long, sp0: Int): Int = {
     var sp = sp0
     (op: @annotation.switch) match {
       case 0x2A => stack(sp - 1) = bb.getInt(checkAddr(stack(sp - 1), m, 4)).toLong & M32
@@ -626,6 +626,125 @@ final class WasmInstance(val module: WasmModule) {
       case 0x300 => // v128.load
         val a = checkAddr(stack(sp - 1), m, 16)
         stack(sp - 1) = bb.getLong(a); stack(sp) = bb.getLong(a + 8); sp += 1
+      case op if op >= 0x301 && op <= 0x306 => // load 8x8/16x4/32x2_{s,u}
+        val a = checkAddr(stack(sp - 1), m, 8)
+        val w = bb.getLong(a)
+        @inline def ext(shift: Int, bits: Int, signed: Boolean): Long = {
+          val v = (w >>> shift) & ((1L << bits) - 1)
+          if (signed) (v << (64 - bits)) >> (64 - bits) else v
+        }
+        val (lo, hi) = op match {
+          case 0x301 | 0x302 => // 8 bytes → 8×i16 lanes
+            val s0 = op == 0x301
+            def p(k: Int) = ext(8 * k, 8, s0) & 0xFFFFL
+            (p(0) | (p(1) << 16) | (p(2) << 32) | (p(3) << 48),
+              p(4) | (p(5) << 16) | (p(6) << 32) | (p(7) << 48))
+          case 0x303 | 0x304 => // 4×i16 → 4×i32
+            val s0 = op == 0x303
+            def p(k: Int) = ext(16 * k, 16, s0) & M32
+            (p(0) | (p(1) << 32), p(2) | (p(3) << 32))
+          case _ => // 2×i32 → 2×i64
+            val s0 = op == 0x305
+            (ext(0, 32, s0), ext(32, 32, s0))
+        }
+        stack(sp - 1) = lo; stack(sp) = hi; sp += 1
+      case op if op >= 0x307 && op <= 0x30A => // load{8,16,32,64}_splat
+        op match {
+          case 0x307 =>
+            val a = checkAddr(stack(sp - 1), m, 1)
+            val v = (mem(a) & 0xFFL) * 0x0101010101010101L
+            stack(sp - 1) = v; stack(sp) = v
+          case 0x308 =>
+            val a = checkAddr(stack(sp - 1), m, 2)
+            val v = (bb.getShort(a) & 0xFFFFL) * 0x0001000100010001L
+            stack(sp - 1) = v; stack(sp) = v
+          case 0x309 =>
+            val a = checkAddr(stack(sp - 1), m, 4)
+            val x = bb.getInt(a).toLong & M32
+            val v = x | (x << 32)
+            stack(sp - 1) = v; stack(sp) = v
+          case _ =>
+            val a = checkAddr(stack(sp - 1), m, 8)
+            val v = bb.getLong(a)
+            stack(sp - 1) = v; stack(sp) = v
+        }
+        sp += 1
+      case 0x35C => // v128.load32_zero
+        val a = checkAddr(stack(sp - 1), m, 4)
+        stack(sp - 1) = bb.getInt(a).toLong & M32; stack(sp) = 0L; sp += 1
+      case 0x35D => // v128.load64_zero
+        val a = checkAddr(stack(sp - 1), m, 8)
+        stack(sp - 1) = bb.getLong(a); stack(sp) = 0L; sp += 1
+      case op if op >= 0x354 && op <= 0x357 => // load{8,16,32,64}_lane
+        // stack: [vec.lo vec.hi addr]; l = lane; result replaces the lane
+        sp -= 1
+        val lane = l.toInt
+        op match {
+          case 0x354 =>
+            val a = checkAddr(stack(sp), m, 1)
+            val s = sp - 2 + (lane >> 3)
+            val sh = 8 * (lane & 7)
+            stack(s) = (stack(s) & ~(0xFFL << sh)) | ((mem(a) & 0xFFL) << sh)
+          case 0x355 =>
+            val a = checkAddr(stack(sp), m, 2)
+            val s = sp - 2 + (lane >> 2)
+            val sh = 16 * (lane & 3)
+            stack(s) = (stack(s) & ~(0xFFFFL << sh)) |
+              ((bb.getShort(a) & 0xFFFFL) << sh)
+          case 0x356 =>
+            val a = checkAddr(stack(sp), m, 4)
+            val s = sp - 2 + (lane >> 1)
+            val sh = 32 * (lane & 1)
+            stack(s) = (stack(s) & ~(M32 << sh)) |
+              ((bb.getInt(a).toLong & M32) << sh)
+          case _ =>
+            val a = checkAddr(stack(sp), m, 8)
+            stack(sp - 2 + (lane & 1)) = bb.getLong(a)
+        }
+      case op if op >= 0x358 && op <= 0x35B => // store{8,16,32,64}_lane
+        // stack: [addr vec.lo vec.hi]; l = lane
+        sp -= 3
+        val lane = l.toInt
+        op match {
+          case 0x358 =>
+            val a = checkAddr(stack(sp), m, 1)
+            mem(a) = ((stack(sp + 1 + (lane >> 3)) >>> (8 * (lane & 7))) & 0xFF).toByte
+          case 0x359 =>
+            val a = checkAddr(stack(sp), m, 2)
+            bb.putShort(a,
+              ((stack(sp + 1 + (lane >> 2)) >>> (16 * (lane & 3))) & 0xFFFF).toShort)
+          case 0x35A =>
+            val a = checkAddr(stack(sp), m, 4)
+            bb.putInt(a,
+              ((stack(sp + 1 + (lane >> 1)) >>> (32 * (lane & 1))) & M32).toInt)
+          case _ =>
+            val a = checkAddr(stack(sp), m, 8)
+            bb.putLong(a, stack(sp + 1 + (lane & 1)))
+        }
+      case op if op == 0x367 || op == 0x368 || op == 0x369 || op == 0x36A => // f32x4 round
+        @inline def f(v: Long) = java.lang.Float.intBitsToFloat(v.toInt)
+        @inline def lb(v: Float) =
+          java.lang.Float.floatToRawIntBits(v).toLong & M32
+        @inline def rd(v: Float): Float = op match {
+          case 0x367 => math.ceil(v.toDouble).toFloat
+          case 0x368 => math.floor(v.toDouble).toFloat
+          case 0x369 => truncD(v.toDouble).toFloat
+          case _ => math.rint(v.toDouble).toFloat
+        }
+        @inline def lanes(w: Long): Long = lb(rd(f(w))) | (lb(rd(f(w >>> 32))) << 32)
+        stack(sp - 2) = lanes(stack(sp - 2))
+        stack(sp - 1) = lanes(stack(sp - 1))
+      case op if op == 0x374 || op == 0x375 || op == 0x37A || op == 0x394 => // f64x2 round
+        @inline def rd(v: Double): Double = op match {
+          case 0x374 => math.ceil(v)
+          case 0x375 => math.floor(v)
+          case 0x37A => truncD(v)
+          case _ => math.rint(v)
+        }
+        @inline def one(w: Long): Long = java.lang.Double.doubleToRawLongBits(
+          rd(java.lang.Double.longBitsToDouble(w)))
+        stack(sp - 2) = one(stack(sp - 2))
+        stack(sp - 1) = one(stack(sp - 1))
       case 0x30B => // v128.store
         sp -= 3
         val a = checkAddr(stack(sp), m, 16)

@@ -17,8 +17,9 @@ package graft.functions
   * 0xFC extensions every modern toolchain assumes (saturating
   * float-to-int truncation 0xFC 0-7, memory.copy 0xFC 10, memory.fill
   * 0xFC 11) + the 0xFD v128 core subset a vectorized numeric kernel
-  * needs (load/store/const/splat/lane, i32x4/i64x2/f32x4/f64x2
-  * arithmetic + compares, v128 bitwise/bitselect, sat-trunc/convert;
+  * needs (load/store/const/splat/lane incl. the splat/extending/zero/
+  * per-lane memory forms, i32x4/i64x2/f32x4/f64x2 arithmetic +
+  * compares + round ops, v128 bitwise/bitselect, sat-trunc/convert;
   * v128 values are
   * TWO adjacent Long slots — see the slot model in decodeBody). The
   * reference artifact itself uses none of the r18/r19 additions
@@ -26,8 +27,8 @@ package graft.functions
   * exist so `LANGUAGE WASM AS '<any>.wasm'` accepts guests built
   * outside the artifact's exact recipe. Still outside scope (named
   * rejection classes): threads/atomics, reference types, multi-value,
-  * memory.init/data.drop, the i8x16/i16x8 SIMD lane families, and the
-  * vector round ops (ceil/floor/trunc/nearest).
+  * memory.init/data.drop, and the i8x16/i16x8 SIMD lane families
+  * (incl. shuffle/swizzle).
   * Unknown opcodes fail at LOAD time, not invoke time, so an incompatible
   * module is rejected at `CREATE FUNCTION`, matching the reference factory
   * (wasmedge_factory/src/lib.rs:111-132).
@@ -81,12 +82,11 @@ object WasmModule {
     * arithmetic, bitwise, compares, sat-trunc/convert) IS supported
     * since r19. */
   def simdClass(sub: Int): String = sub match {
-    case s if s >= 1 && s <= 10 => s"SIMD partial/lane load-store (0xFD $s)"
     case 13 | 14 => s"i8x16 shuffle/swizzle (0xFD $sub)"
-    case 103 | 104 | 105 | 106 => s"f32x4 ceil/floor/trunc/nearest (0xFD $sub)"
-    case 116 | 117 | 122 | 148 => s"f64x2 ceil/floor/trunc/nearest (0xFD $sub)"
     case s if (s >= 15 && s <= 16) || (s >= 21 && s <= 26) ||
-      (s >= 35 && s <= 54) || (s >= 96 && s <= 159) =>
+      (s >= 35 && s <= 54) || (s >= 96 && s <= 159 && s != 103 &&
+        s != 104 && s != 105 && s != 106 && s != 116 && s != 117 &&
+        s != 122 && s != 148) =>
       s"i8x16/i16x8 lane family (0xFD $s)"
     case other => s"SIMD extension (0xFD $other)"
   }
@@ -770,7 +770,19 @@ final class WasmModule private (bytes: Array[Byte]) {
           }
           sub match {
             case 0 => simd(1, mem = true, vec = true) // v128.load
+            case s if s >= 1 && s <= 10 => // load 8x8/16x4/32x2_{s,u},
+              simd(1, mem = true, vec = true) // load{8,16,32,64}_splat
             case 11 => simd(-3, mem = true) // v128.store
+            case 92 | 93 => simd(1, mem = true, vec = true) // load{32,64}_zero
+            case s if s >= 84 && s <= 87 => // load{8,16,32,64}_lane:
+              // memarg THEN lane byte; pops vec+addr, pushes vec
+              val off = { u32(); u32() }
+              val lane = u8()
+              emit(0x300 | s, lane.toLong, off, -1); pushVec()
+            case s if s >= 88 && s <= 91 => // store{8,16,32,64}_lane
+              val off = { u32(); u32() }
+              val lane = u8()
+              emit(0x300 | s, lane.toLong, off, -3)
             case 12 => // v128.const: 16 LE bytes → two i64 pushes
               val lo = readF64Bits(); val hi = readF64Bits()
               emit(0x42, lo, 0, 1); emit(0x42, hi, 0, 1); pushVec()
@@ -794,6 +806,8 @@ final class WasmModule private (bytes: Array[Byte]) {
             case 195 | 196 => simd(-1) // i64x2.all_true/bitmask
             case 203 | 204 | 205 => simd(-1, vec = true) // i64x2 shifts
             case 206 | 209 | 213 => simd(-2, vec = true) // i64x2 add/sub/mul
+            case 103 | 104 | 105 | 106 => simd(0, vec = true) // f32x4 round
+            case 116 | 117 | 122 | 148 => simd(0, vec = true) // f64x2 round
             case 224 | 225 | 227 => simd(0, vec = true) // f32x4 abs/neg/sqrt
             case s if s >= 228 && s <= 235 => simd(-2, vec = true) // f32x4 arith
             case 236 | 237 | 239 => simd(0, vec = true) // f64x2 abs/neg/sqrt

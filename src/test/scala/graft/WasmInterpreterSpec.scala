@@ -400,8 +400,9 @@ class WasmInterpreterSpec extends AnyFunSuite {
 
   test("an artifact using a STILL-unsupported instruction class fails at " +
     "LOAD time with the class NAMED — CREATE-statement surface, not a " +
-    "bare hex byte (r18: if/else and sat-trunc/bulk-memory moved INSIDE " +
-    "the surface; SIMD, memory.init, typed select remain outside)") {
+    "bare hex byte (r19: the SIMD v128 core and typed select moved " +
+    "INSIDE the surface; i8x16/i16x8 lanes, shuffle, memory.init, " +
+    "reference types remain outside)") {
     // 0xFD SIMD: the v128 core is INSIDE the surface since r19; the
     // i8x16/i16x8/f32x4 lane families remain named rejections
     val simd = b(0xFD, 13, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
@@ -410,11 +411,11 @@ class WasmInterpreterSpec extends AnyFunSuite {
       module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, simd)))
     }
     assert(e.getMessage.contains("shuffle"), e.getMessage)
-    val f32Round = b(0xFD, 103, 0x0B) // f32x4.ceil: still a named reject
+    val i8splat = b(0x41, 1, 0xFD, 15, 0x1A, 0x1A, 0x41, 1, 0x0B) // i8x16.splat
     val e1b = intercept[WasmModule.WasmParseException] {
-      module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, f32Round)))
+      module(Seq((Seq.empty[Int], Seq(I32))), Seq((0, Nil, i8splat)))
     }
-    assert(e1b.getMessage.contains("ceil"), e1b.getMessage)
+    assert(e1b.getMessage.contains("i8x16"), e1b.getMessage)
     // 0xFC 8 = memory.init needs passive segments — named rejection
     val mi = b(0x41, 0, 0x41, 0, 0x41, 0, 0xFC, 8, 0x00, 0x00, 0x0B)
     val e2 = intercept[WasmModule.WasmParseException] {
@@ -627,5 +628,74 @@ class WasmInterpreterSpec extends AnyFunSuite {
       val want = (eqMask + (x * 4.0f).toInt.toLong) & 0xFFFFFFFFL
       assert(run1(Seq(F32), Seq(I32), conv)(fb(x)) === Some(want), s"x=$x")
     }
+  }
+
+  test("SIMD memory shapes (r19): load_splat / extending loads / " +
+    "load_zero / load_lane / store_lane and the vector round ops agree " +
+    "with scalar arithmetic") {
+    // f0(): seed memory bytes 0..15 = 1..16, then:
+    //  a = i64x2 lane1 of load8x8_s @0           (bytes 5..8 sign-ext 16-bit)
+    //  b = lane0 of load16_splat @2              (0x0403 repeated)
+    //  c = lane1 of load64_zero @0               (must be 0)
+    //  d = store8_lane(lane 9) of load8_splat @4 → read back byte @40
+    val seed: Seq[Byte] = {
+      val s = Seq.newBuilder[Byte]
+      for (k <- 0 until 16)
+        s ++= (b(0x41) ++ sleb(k)) ++ (b(0x41) ++ sleb(k + 1)) ++ b(0x3A, 0x00, 0x00)
+      s.result()
+    }
+    val body = seed ++
+      // a: load8x8_s @0 → i16 lanes [1..8]; lane 5 (hi word idx) via
+      // i32x4.extract of the packed half: use i64x2.extract lane1
+      (b(0x41, 0) ++ fd(1) ++ b(0x00, 0x00) ++ fd(29) ++ b(1)) ++
+      // b: load16_splat @2 → lanes 0x0403; i32x4.extract lane 2
+      (b(0x41, 2) ++ fd(8) ++ b(0x00, 0x00) ++ fd(27) ++ b(2) ++ b(0xAC)) ++
+      b(0x7C) ++
+      // c: load64_zero @0 lane1 = 0
+      (b(0x41, 0) ++ fd(93) ++ b(0x00, 0x00) ++ fd(29) ++ b(1)) ++
+      b(0x7C) ++
+      // d: store8_lane lane 9 of load8_splat @4 at addr 40, read back
+      (b(0x41, 40) ++
+        (b(0x41, 4) ++ fd(7) ++ b(0x00, 0x00)) ++
+        fd(88) ++ b(0x00, 0x00, 9) ++
+        b(0x41, 40, 0x2D, 0x00, 0x00) ++ b(0xAC)) ++
+      b(0x7C, 0x0B)
+    // bytes 1..8 → i16 lanes [1..8]; i64 lane1 = lanes 5-8 packed:
+    val aWant = 5L | (6L << 16) | (7L << 32) | (8L << 48)
+    val bWant = 0x04030403L // each 32-bit lane holds TWO 16-bit copies
+    val dWant = 5L // byte @4 is 5; splat stores 5 everywhere
+    assert(run1(Seq.empty, Seq(I64), body, memPages = 1)()
+      === Some(aWant + bWant + 0L + dWant))
+    // extending load signedness: byte 0x80 at addr 0 → load8x8_s lane0
+    // = -128 (as 16-bit), _u = 128
+    val sgn =
+      (b(0x41, 0, 0x41) ++ sleb(0x80) ++ b(0x3A, 0x00, 0x00)) ++
+      (b(0x41, 0) ++ fd(1) ++ b(0x00, 0x00) ++ fd(29) ++ b(0) ++
+        b(0x42) ++ sleb(0xFFFF) ++ b(0x83)) ++ // & 0xFFFF: lane0 16 bits
+      (b(0x41, 0) ++ fd(2) ++ b(0x00, 0x00) ++ fd(29) ++ b(0) ++
+        b(0x42) ++ sleb(0xFFFF) ++ b(0x83)) ++
+      b(0x7C, 0x0B)
+    assert(run1(Seq.empty, Seq(I64), sgn, memPages = 1)()
+      === Some((0xFF80L + 0x0080L)))
+    // vector rounds: f64x2 lanes of nearest(2.5, 3.5) = (2, 4) —
+    // banker's, exactly the scalar 0x9E semantics
+    val rnd =
+      (cf64(2.5) ++ fd(20)) ++ cf64(3.5) ++ fd(34) ++ b(1) ++ // [2.5, 3.5]
+      fd(148) ++                                              // f64x2.nearest
+      b(0x21, 0) ++                                           // v128 local 0
+      (b(0x20, 0) ++ fd(33) ++ b(0) ++ b(0xB0)) ++            // lane0 → i64
+      (b(0x20, 0) ++ fd(33) ++ b(1) ++ b(0xB0)) ++
+      b(0x7C, 0x0B)
+    assert(run1(Seq.empty, Seq(I64), rnd, locals = Seq(V128), memPages = 1)()
+      === Some(6L)) // 2 + 4
+    // f32x4.floor on [-1.5f lanes]
+    val fl =
+      (b(0x43) ++ Seq[Byte](0, 0, 0xC0.toByte, 0xBF.toByte)) ++ fd(19) ++ // -1.5f
+      fd(104) ++                                              // f32x4.floor
+      fd(31) ++ b(2) ++                                       // lane 2
+      b(0x0B)
+    val got = run1(Seq.empty, Seq(0x7D), fl, memPages = 1)()
+    assert(got.map(v => java.lang.Float.intBitsToFloat(v.toInt))
+      === Some(-2.0f))
   }
 }
