@@ -624,6 +624,10 @@ final class WasmModule private (bytes: Array[Byte]) {
           }
           if (dead && blocks.length < deadDepth) dead = false
           if (!dead && blk.entryHeight >= 0) height = blk.entryHeight + blk.arity
+          // a block/if with v128 result merges a 2-slot value here: mark
+          // it in vecAt, or a following drop/untyped select would emit
+          // the 1-slot form and desync the 2-slot v128 stack
+          if (!dead && blk.arity == 2) pushVec()
           if (height > maxH) maxH = height
         // DEAD branches decode as nops (compactNops strips them): they can
         // never execute, and keeping them with their never-fixed-up argL=0

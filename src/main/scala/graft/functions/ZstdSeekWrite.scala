@@ -75,9 +75,17 @@ object ZstdSeekWrite {
     while (i < n) {
       val r = runAt(i)
       if (r >= RleMin) {
-        blockHeader(out, i + r >= n, 1, r)
-        out.write(content(i))
-        i += r
+        // cap each RLE block at RawMax: RFC 8878 bounds Block_Size by
+        // min(window, 128 KiB) and the 3-byte block header holds only
+        // 21 size bits — a longer run is emitted as multiple RLE blocks
+        var left = r
+        while (left > 0) {
+          val chunk = math.min(left, RawMax)
+          blockHeader(out, i + chunk >= n, 1, chunk)
+          out.write(content(i))
+          i += chunk
+          left -= chunk
+        }
       } else {
         // raw block: extend past short runs until a long run or the cap
         val start = i

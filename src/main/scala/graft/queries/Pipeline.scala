@@ -273,12 +273,18 @@ object Pipeline {
                   THEN 1 ELSE 0 END AS is_survivor
       FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id
       ORDER BY d.doc_id""")) { (spark, dir) =>
-      val docs = Tables.loadSpread(spark, dir, "documents")
-      val pairs = DedupOps.simhashPairs(docs, "doc_id", "text",
-        maxHamming = 3, maxBucket = 1000)
-      val cc = DedupOps.connectedComponents(pairs)
+      // r20: pairs + CC labels come from the SharedStages materialized
+      // tables (identical by construction — the ≤3 filter of the ≤8
+      // capture IS a ≤3 generation, and labels are the CC over exactly
+      // those pairs). The standalone fixpoint rebuild cost ~5.5 s per
+      // bench pass for a result the process had already computed; the
+      // oracle anchor is unchanged (same SQL text, hash must match).
+      // Plain load (no spread): the assembly join has no per-row work.
+      val docs = Tables.load(spark, dir, "documents")
+      val cc = SharedStages.labels(spark, dir)
+        .select(col("doc_id"), col("cluster_id").as("lbl"))
       docs.select(col("doc_id"))
-        .join(cc.select(col("n").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .join(cc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
           when(coalesce(col("lbl"), col("doc_id")) === col("doc_id"), 1)
@@ -308,13 +314,14 @@ object Pipeline {
                AS BIGINT) AS tokens_dropped
       FROM cl GROUP BY cluster_id
       ORDER BY survivor_id""")) { (spark, dir) =>
+      // r20: shared materialized pairs+labels (see p29) — the rewrite
+      // keeps its per-row tokenCount, so the scan stays spread
       val docs = Tables.loadSpread(spark, dir, "documents")
-      val pairs = DedupOps.simhashPairs(docs, "doc_id", "text",
-        maxHamming = 3, maxBucket = 1000)
-      val cc = DedupOps.connectedComponents(pairs)
+      val cc = SharedStages.labels(spark, dir)
+        .select(col("doc_id"), col("cluster_id").as("lbl"))
       docs
         .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
-        .join(cc.select(col("n").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .join(cc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("lbl"), col("doc_id")).as("cluster_id"), col("n_tokens"))
         .groupBy(col("cluster_id"))

@@ -151,8 +151,10 @@ object Pipeline12 {
       FROM j""")) { (spark, dir) =>
       import graft.ops.DedupOps
       val docs = Tables.loadSpread(spark, dir, "documents")
-      val pred = DedupOps.simhashPairs(docs, "doc_id", "text",
-          maxHamming = 3, maxBucket = 1000)
+      // r20: the prediction side is the SharedStages materialized pair
+      // table (identical by construction); only the Jaccard truth side
+      // still pays its own inverted-index pass
+      val pred = SharedStages.spairs(spark, dir)
         .select(col("a"), col("b"))
       val truth = DedupOps.jaccardPairs(docs, "doc_id", "text",
           minJaccard = 0.8, maxDf = 1000)
