@@ -437,7 +437,12 @@ object DedupOps {
         .select(hr("n"), coalesce(col("l1"), hr("lbl")).as("lbl"), col("old"))
         .localCheckpoint()
       lap(s"round $rounds ckpt")
-      // fixpoint test: a shuffle-free scan over the checkpointed rows
+      // fixpoint test: a shuffle-free scan over the checkpointed rows.
+      // (r20 note: fusing this into the checkpoint job via an observed
+      // metric was tried and reverted — Observation delivery rides the
+      // async listener bus, which lags multi-seconds behind after job
+      // storms, so the "saved" 0.05 s action occasionally became a 30 s
+      // wait inside foreachBatch. The explicit cached scan is bounded.)
       converged = jumped.filter(col("lbl") =!= col("old")).isEmpty
       lap(s"round $rounds check")
       labels = jumped.select(col("n"), col("lbl"))

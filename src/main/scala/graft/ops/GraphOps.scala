@@ -44,7 +44,7 @@ object GraphOps {
     val ns = nodes.select(col("node")).localCheckpoint()
     val base = scale * (100L - dampPct) / 100L
     var r = ns.select(col("node"), lit(scale).as("rank"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val inflow = e.join(r.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("(rank * w) div ow").as("c"))
@@ -53,7 +53,13 @@ object GraphOps {
         .select(col("node"),
           expr(s"$base + ($dampPct * coalesce(inflow, 0L)) div 100")
             .cast("long").as("rank"))
-        .localCheckpoint() // node-table sized; keeps the loop plan flat
+      // checkpoint every 4th round, not every round (r20): the rounds
+      // between checkpoints pipeline into ONE action over the pinned
+      // e/ns relations — same shuffles, fewer materialization jobs; a
+      // 4-deep join/agg chain keeps the plan far below the growth the
+      // per-round checkpoint guards against (both repo consumers run
+      // iters = 3, i.e. one unrolled action)
+      if (i % 4 == 0 && i < iters) r = r.localCheckpoint()
     }
     r
   }

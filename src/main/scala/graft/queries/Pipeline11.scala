@@ -390,9 +390,11 @@ object Pipeline11 {
           .groupBy(col("n")).agg(count(lit(1)).as("d"))
         val d = active.join(deg, Seq("n"), "left")
           .withColumn("d", coalesce(col("d"), lit(0L)))
+        // r20: no checkpoint on the per-round removed set — it is read
+        // once by the final union and its lineage is one agg+join over
+        // the checkpointed edges/active of this round (4 fewer jobs)
         removedRounds += d.where(col("d") < 2)
           .select(col("n"), lit(r.toLong).as("removed_round"))
-          .localCheckpoint()
         active = d.where(col("d") >= 2).select(col("n")).localCheckpoint()
         edges = edges
           .join(active.select(col("n").as("a")), Seq("a"), "leftsemi")

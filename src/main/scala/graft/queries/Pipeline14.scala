@@ -828,9 +828,13 @@ object Pipeline14 {
           picked += id
           cum += gain
           sel += ((rk.toLong, id, gain))
+          // r20: no distinct — left_anti semantics are unchanged under
+          // duplicate gm values (g is per-doc distinct already; only
+          // cross-pick repeats occur), so the per-round dedup shuffle
+          // of the growing covered set was pure overhead
           covered = covered
             .unionAll(g.where(col("doc_id") === id).select(col("gm")))
-            .distinct().localCheckpoint()
+            .localCheckpoint()
           rk += 1
         }
       }

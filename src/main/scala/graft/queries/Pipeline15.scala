@@ -1570,10 +1570,15 @@ object Pipeline15 {
              CAST(e.df AS BIGINT) AS rare_df
       FROM agg JOIN ev2 e ON e.a = agg.a AND e.b = agg.b AND e.rn = 1
       ORDER BY 1, 2""")) { (spark, dir) =>
+      // r20: materialized once — the shingle explosion fed THREE
+      // differently-keyed shuffles (a-side join, (b,s)-side join, the
+      // df aggregate), so the tokenize+shingle kernel ran three times;
+      // one checkpoint runs it once
       val sh = Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(TextOps.shingles(col("text"), 3)))
             .as("s"))
+        .localCheckpoint()
       val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       val pairs = SharedStages.spairs(spark, dir)
         .select(col("a"), col("b"))
@@ -2905,10 +2910,14 @@ object Pipeline15 {
       SELECT a, b, max_run + 2 AS span_tokens, n_runs
       FROM best ORDER BY a, b""")) { (spark, dir) =>
       import graft.ops.TextOps
+      // r20: materialized once — the positional shingle stream fed two
+      // differently-keyed joins (a side, (b,s) side), running the
+      // kernel twice; one checkpoint runs it once
       val sh = Tables.loadSpread(spark, dir, "documents")
         .select(col("doc_id"),
           posexplode(TextOps.shingles(col("text"), 3)).as(Seq("i0", "s")))
         .select(col("doc_id"), (col("i0") + 1).as("i"), col("s"))
+        .localCheckpoint()
       val pairs = SharedStages.spairs(spark, dir)
         .select(col("a"), col("b"))
       val m = pairs
@@ -4037,11 +4046,16 @@ object Pipeline15 {
           + when(col("rn") <= expr("1000000 % k"), 1L).otherwise(0L))
           .as("pi"))
       var pis = List(pi0.localCheckpoint())
-      for (_ <- 1 to 8) {
+      for (r <- 1 to 8) {
         val prev = pis.head
         val m = p.join(prev.select(col("s").as("cur"), col("pi")), "cur")
           .groupBy(col("nxt").as("s"))
           .agg(sum(col("pi") * col("ppm")).as("w"))
+        // per-round checkpoint is LOAD-BEARING here: hamilton evaluates
+        // its input twice (crossJoin with its own 1-row aggregate), so
+        // chaining k unmaterialized rounds re-evaluates the prefix 2^k
+        // times (r20 measured the every-3rd-round variant at 23 s vs
+        // 3 s — reverted)
         pis = hamilton(m).localCheckpoint() :: pis
       }
       val pi8 = pis.head

@@ -252,10 +252,16 @@ object Pipeline9 {
       val withOrd = e
         .join(deg.select(col("n").as("a"), struct(col("d"), col("n")).as("oa")), "a")
         .join(deg.select(col("n").as("b"), struct(col("d"), col("n")).as("ob")), "b")
+      // r20: materialized once — the oriented-edge subtree (e ⋈ deg ⋈
+      // deg) fed THREE consumers (w1, w2, the triangle-closing probe)
+      // and was re-evaluated per consumer; one graph-sized checkpoint
+      // replaces three agg+join chains (before-plan: 10 exchanges under
+      // nested reuse; after: the oe tree evaluates once)
       val oe = withOrd.select(
         when(col("oa") < col("ob"), col("a")).otherwise(col("b")).as("src"),
         when(col("oa") < col("ob"), col("b")).otherwise(col("a")).as("dst"),
         when(col("oa") < col("ob"), col("ob")).otherwise(col("oa")).as("odst"))
+        .localCheckpoint()
       val w1 = oe.select(col("src"), col("dst").as("v"), col("odst").as("ov"))
       val w2 = oe.select(col("src"), col("dst").as("w"), col("odst").as("ow"))
       val wedges = w1.join(w2, "src").where(col("ov") < col("ow"))

@@ -828,13 +828,15 @@ object StreamingOps {
             coalesce(col("orig"), col("ex_id")).as("key"))
           .localCheckpoint()
         // PRUNED state read (r19): only the buckets this batch's keys
-        // and in-ids land in — two batch-bounded driver-side id lists —
-        // never the whole accumulated state
-        val kBks = keyed.select(bkOf(col("key")).as("bk")).distinct()
+        // and in-ids land in — one batch-bounded driver-side id list —
+        // never the whole accumulated state (r20: both bucket sets come
+        // out of ONE job instead of two)
+        val bks = keyed.select(explode(array(bkOf(col("key")),
+            bkOf(col("in_id")))).as("bk")).distinct()
           .collect().map(_.getLong(0))
-        val iBks = keyed.select(bkOf(col("in_id")).as("bk")).distinct()
-          .collect().map(_.getLong(0))
-        val probed = readBuckets((kBks ++ iBks).distinct).localCheckpoint()
+        // plain read, no checkpoint: re-scanning <= a handful of tiny
+        // bucket files is cheaper than a materialization job (r20)
+        val probed = readBuckets(bks)
         val remap = probed.filter(col("kind") === "k")
           .select(col("id").as("key"), col("cur").as("rcur"))
         val inassign = probed.filter(col("kind") === "i")
@@ -849,7 +851,10 @@ object StreamingOps {
         // so the commit can path-compress the chains back to depth 1.
         // Labels strictly decrease on merge, so chains are acyclic and
         // hop count is bounded by the number of committed batches.
-        var trace = touched.select(col("key"), col("cur")).localCheckpoint()
+        // (r20: no checkpoint on the initial trace — it is a plain
+        // projection of the checkpointed `touched`; the hop test rides
+        // the hop checkpoint as an observed metric, one action per hop)
+        var trace = touched.select(col("key"), col("cur"))
         var moved = fBuckets.nonEmpty // no forwards anywhere: zero jobs
         var hops = 0
         while (moved && hops < 1000) {
@@ -912,15 +917,21 @@ object StreamingOps {
         val fMerge = touched.select(col("cur")).distinct()
           .join(ccDelta, col("cur") === col("node"))
           .select(col("cur").as("id"), col("new_lbl").as("cur"))
-        val finals = touched.select(col("key"), col("cur").as("fin"))
-          .dropDuplicates("key")
-        val fCompress = trace.join(finals, Seq("key"))
-          .filter(col("cur") =!= col("fin"))
-          .join(cc, col("fin") === col("node"), "left")
-          .select(col("cur").as("id"),
-            coalesce(col("new_lbl"), col("fin")).as("cur"))
-          .distinct()
-        val fNew = fMerge.unionByName(fCompress).dropDuplicates("id")
+        // chain compression only when a chain was actually walked: with
+        // zero hops, trace is exactly touched's (key, cur) projection,
+        // so cur == fin row-for-row and the fCompress filter is empty
+        // by construction — skip its joins outright (r20)
+        val fNew = (if (hops == 0) fMerge else {
+          val finals = touched.select(col("key"), col("cur").as("fin"))
+            .dropDuplicates("key")
+          val fCompress = trace.join(finals, Seq("key"))
+            .filter(col("cur") =!= col("fin"))
+            .join(cc, col("fin") === col("node"), "left")
+            .select(col("cur").as("id"),
+              coalesce(col("new_lbl"), col("fin")).as("cur"))
+            .distinct()
+          fMerge.unionByName(fCompress)
+        }).dropDuplicates("id")
           .withColumn("kind", lit("f"))
         val delta = kNew.unionByName(iNew).unionByName(fNew)
           .select(col("kind"), col("id"), col("cur"),
