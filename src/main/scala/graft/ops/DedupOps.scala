@@ -424,6 +424,10 @@ object DedupOps {
       // second hook halves the round count — and each round is a fixed
       // Spark job/codegen overhead that dwarfs the data at any fixture
       // size, while at 100 TB both hooks are the same bounded shuffles.
+      // (r20 note: checkpointing h2 — the jump reads it through two
+      // differently-keyed exchanges — was measured at parity with the
+      // re-evaluation it avoids (3.17 vs 3.09 s best-of-6 on the sf0.1
+      // graph), so the extra materialization job is not kept)
       val h2 = hook(hook(labels.select(col("n"), col("lbl"),
         col("lbl").as("old"))))
       // jump: lbl := lbl(lbl), Shiloach–Vishkin pointer halving — keeps

@@ -584,6 +584,32 @@ class WasmInterpreterSpec extends AnyFunSuite {
         === Some((a * 2).toInt.toLong + 12L), s"a=$a")
   }
 
+  test("SIMD v128 block-result DROP (r20 ADVICE fix): a block/if whose " +
+    "result type is v128 marks the merged 2-slot value at end, so a " +
+    "following untyped drop pops both slots instead of desyncing") {
+    def cv128(lo: Long, hi: Long): Seq[Byte] =
+      fd(12) ++ (0 until 8).map(k => ((lo >> (8 * k)) & 0xFF).toByte) ++
+        (0 until 8).map(k => ((hi >> (8 * k)) & 0xFF).toByte)
+    // f(c) -> i64: i64.const 5; block(result v128){ v128.const } end;
+    // drop; i64.const 37; add — a 1-slot drop would leave half the
+    // vector on the stack and return garbage
+    val body =
+      b(0x42, 5) ++
+      (b(0x02, V128) ++ cv128(7, 9) ++ b(0x0B)) ++
+      b(0x1A) ++
+      b(0x42, 37) ++ b(0x7C, 0x0B)
+    assert(run1(Seq(I32), Seq(I64), body)(0L) === Some(42L))
+    // same through an if/else merge carrying v128
+    val bodyIf =
+      b(0x42, 5) ++
+      (b(0x20, 0) ++ b(0x04, V128) ++ cv128(1, 2) ++ b(0x05) ++
+        cv128(3, 4) ++ b(0x0B)) ++
+      b(0x1A) ++
+      b(0x42, 37) ++ b(0x7C, 0x0B)
+    assert(run1(Seq(I32), Seq(I64), bodyIf)(1L) === Some(42L))
+    assert(run1(Seq(I32), Seq(I64), bodyIf)(0L) === Some(42L))
+  }
+
   test("SIMD f32x4 (r19): splat/extract/replace/compares/abs/neg/sqrt/" +
     "add/sub/mul/div/min/max and the i32x4<->f32x4 conversions agree " +
     "with scalar float arithmetic lane-for-lane") {

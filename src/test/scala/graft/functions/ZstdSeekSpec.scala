@@ -273,4 +273,31 @@ class ZstdSeekSpec extends AnyFunSuite {
     // run of exactly RleMin becomes RLE
     assert(frameSize(("~" * ZstdSeekWrite.RleMin).getBytes) === 6 + 4)
   }
+
+  test("WRITER caps RLE blocks at RawMax (r20 ADVICE fix): a run longer " +
+    "than 64 KiB splits into multiple RLE blocks — RFC 8878 bounds " +
+    "Block_Size by min(window, 128 KiB) — and the frame still decodes " +
+    "through zstd-jni AND the repo reader") {
+    val run = ZstdSeekWrite.RawMax * 2 + 12345 // 3 RLE blocks
+    val content = ("head" + "~" * run + "tail").getBytes("UTF-8")
+    val blob = ZstdSeekWrite.buildData(Array(content))
+    // frame algebra: 9 header (magic+FHD+4-byte FCS at this size)
+    // + raw(3+4) + 3 RLE blocks (4 each) + raw(3+4)
+    val e = ZstdDecode.seekTableData(blob)
+    assert(e.getStruct(0, 4).getLong(1).toInt === 9 + 7 + 3 * 4 + 7)
+    // repo reader round-trip (checksum-verified random access)
+    val got = ZstdDecode.seekExtractData(blob, 0)
+    assert(got != null && got.sameElements(content),
+      "repo reader must reproduce the capped-RLE frame")
+    // independent decoder: zstd-jni streaming read of the data region
+    val zin = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    zin.setContinuous(true)
+    val all = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var r = zin.read(buf)
+    while (r >= 0) { all.write(buf, 0, r); r = zin.read(buf) }
+    assert(all.toByteArray.sameElements(content),
+      "zstd-jni must reproduce the capped-RLE frame")
+  }
 }
