@@ -111,6 +111,58 @@ object Bench {
       val idle = d(3) + (if (d.length > 4) d(4) else 0L) // idle + iowait
       (d(7), total - idle, total)
     }
+    // r21 (VERDICT r20 #4): the one-time SharedStages materializations
+    // (pair pass + CC labels + corpus bands) are charged EXPLICITLY as
+    // their own bench lines BEFORE the passes, because best-of-N minima
+    // erase whatever pass-1 consumer paid them. Additions only: every
+    // existing key keeps its methodology; the total now transparently
+    // includes the shared cost. Skipped under SPARK_GRAFT_ONLY so
+    // family-restricted growth-curve runs keep their old shape.
+    // The builds' observe()d skew-cap metric (dropped_oversized inside
+    // simhashPairs) is harvested via a QueryExecutionListener — the
+    // no-silent-caps guard the r20 reroute made invisible — and polled
+    // for AFTER timing (the listener bus is async; the wait is untimed).
+    val sharedTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val sharedDrops =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    if (only.isEmpty) {
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          try qe.observedMetrics.foreach { case (mname, row) =>
+            if (mname == "graft_simhash_buckets")
+              sharedDrops.add(mname ->
+                String.valueOf(row.get(row.fieldIndex("dropped_oversized"))))
+          } catch { case _: Throwable => () }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      try spark.listenerManager.register(listener)
+      catch { case _: Throwable => () }
+      def timeShared(name: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        try f catch { case _: Throwable => failed += name }
+        sharedTimes(name) = (System.nanoTime() - t0) / 1e9
+      }
+      // key names carry no '_' so the benchq short-id truncation keeps
+      // them whole
+      timeShared("sharedstages")(queries.SharedStages.warmBase(spark, sfDir))
+      timeShared("sharedcorpus")(queries.SharedStages.warmCorpus(spark, sfDir))
+      // both builds run one simhashPairs write each; bus delivery is
+      // FIFO, so drops arrive in build order — poll briefly (untimed)
+      val deadline = System.currentTimeMillis() + 5000
+      while (sharedDrops.size < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val drops = sharedDrops.toArray(Array.empty[(String, String)])
+      Seq("sharedstages", "sharedcorpus").zipWithIndex.foreach {
+        case (k, i) => if (drops.length > i)
+          observed(k) = s"""{"dropped_oversized":${drops(i)._2}}"""
+      }
+      try spark.listenerManager.unregister(listener)
+      catch { case _: Throwable => () }
+    }
     val stealPerPass = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     val passes = Seq.fill(nPasses) {
       val before = cpuTicks()
@@ -120,7 +172,7 @@ object Bench {
     }
     val results = ordered.map { case (name, _) =>
       name -> passes.map(_(name)).min
-    }
+    } ++ sharedTimes.toSeq
     // per-pass wall totals in the summary line: pass1 ≫ pass2 means JIT
     // warmth (expected); pass totals drifting TOGETHER across rounds with
     // unchanged code is host contention (the r14 drift adjudication —
@@ -158,10 +210,14 @@ object Bench {
       // p227/p216 cluster) is attributable from committed artifacts
       // alone — pass1 ≫ pass2 on an entry = JIT/warmup; all passes
       // elevated together vs the prior round = host contention
-      val perPass = ordered.map { case (k, _) =>
+      val perPass = (ordered.map { case (k, _) =>
         "\"" + k.takeWhile(_ != '_') + "\":" +
           passes.map(p => s3(p(k))).mkString("[", ",", "]")
-      }.mkString("{", ",", "}")
+      } ++ sharedTimes.toSeq.map { case (k, v) =>
+        // the shared builds run exactly once per process (memoized), so
+        // their pass split is a single sample by construction
+        "\"" + k + "\":[" + s3(v) + "]"
+      }).mkString("{", ",", "}")
       val stealJson = stealPerPass.map { case (st, busy, tot) =>
         val pct = if (tot > 0) st.toDouble * 100.0 / tot else -1.0
         s"""{"steal_ticks":$st,"busy_ticks":$busy,"total_ticks":$tot,"steal_pct":${s3(pct)}}"""

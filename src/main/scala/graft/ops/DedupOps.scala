@@ -288,6 +288,16 @@ object DedupOps {
       .agg(min(col("hamming")).as("hamming"))
   }
 
+  /** RECALL CONTRACT (ADVICE r20): the fixed 4×16-bit band split
+    * guarantees full recall only for `maxHamming` ≤ 3 (pigeonhole: ≤ 3
+    * flipped bits cannot touch all 4 bands). Callers passing a wider
+    * threshold (SharedStages' ≤ 8 capture) get a best-effort CANDIDATE
+    * set for hamming 4..8 — pairs whose every band differs are missed.
+    * That is exactly what the existing curve/dendrogram consumers
+    * (p196, p227) define as their semantics (banded capture, shared
+    * with the oracle's identical CTE), but a new caller wanting
+    * guaranteed recall above 3 must band differently.
+    */
   def simhashPairs(docs: DataFrame, id: String, text: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sh = simhash64(docs, id, text)
@@ -351,16 +361,91 @@ object DedupOps {
                           maxIter: Int = 25, loopPartitions: Int = 8): DataFrame =
     connectedComponentsWithRounds(pairs, a, b, maxIter, loopPartitions)._1
 
+  /** Edge-count ceiling for the batch-local CC path (guide §8 "decide
+    * with small rows", r21): a pair graph with at most this many edges
+    * is labeled in ONE bounded job (fetch the edges, min-label
+    * union-find on the driver, return a LocalRelation) instead of the
+    * multi-round distributed fixpoint, whose per-round cost at fixture
+    * scale is pure stage/scheduling overhead (~0.7-1.2 s/round measured
+    * r20) over near-empty exchanges. The fetch is the proof: the local
+    * path is taken only after `limit(max+1)` actually returned ≤ max
+    * rows, so driver memory is bounded by construction (~50 MB at the
+    * default 1M edges). Larger graphs fall through to the distributed
+    * Shiloach–Vishkin loop unchanged — at 100 TB the near-dup pair
+    * graph exceeds any driver bound and ONLY the distributed path runs;
+    * the env knob lets a fleet deployment lower the ceiling (or 0 to
+    * disable the local path outright).
+    */
+  private[graft] val ccLocalMaxEdges: Int =
+    sys.env.get("SPARK_GRAFT_CC_LOCAL_MAX").flatMap(_.toIntOption)
+      .getOrElse(1000000)
+
+  /** Driver-side min-label union-find over a fetched edge list —
+    * identical output contract to the distributed fixpoint: one row per
+    * distinct endpoint, labeled with its component's minimum node id.
+    * Path-compressed finds; roots merge toward the smaller id, so the
+    * root IS the component min throughout.
+    */
+  private def localMinLabel(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+      // path compression back down the chain
+      var y = x0
+      while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+      x
+    }
+    edges.foreach { case (u, v) =>
+      parent.putIfAbsent(u, u)
+      parent.putIfAbsent(v, v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val out = Seq.newBuilder[(Long, Long)]
+    parent.keySet().forEach(n => out += ((n, find(n))))
+    // deterministic row order: the HashMap iterates in hash order, which
+    // could differ across JVMs; downstream consumers are order-
+    // insensitive (joins/aggregates) but a sorted LocalRelation keeps
+    // materialized outputs (SharedStages labels files) bit-stable
+    out.result().sortBy(_._1)
+  }
+
   /** [[connectedComponents]] plus the number of rounds it took to
     * converge — exposed so tests can assert the O(log diameter) bound.
     * Throws if `maxIter` rounds pass without convergence (an unconverged
     * labeling silently under-merges clusters; failing loudly wins).
+    * `localMaxEdges` gates the batch-local small-graph path (0 rounds
+    * reported); tests of the distributed loop pass 0 to force it.
     */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, a: String, b: String, maxIter: Int,
-      loopPartitions: Int = 8): (DataFrame, Int) = {
+      loopPartitions: Int = 8,
+      localMaxEdges: Int = ccLocalMaxEdges): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
+    if (localMaxEdges > 0) {
+      // bounded probe: CollectLimit scans incrementally and never
+      // returns more than max+1 rows, so both the job and the driver
+      // allocation are capped whatever the true graph size is. When the
+      // graph IS small (every fixture-scale consumer: the contracted
+      // per-batch graphs of p162/p163, p227's lifted 5-cut graph, the
+      // SharedStages label builds), this single job replaces the whole
+      // fixpoint — init + N×(checkpoint + convergence scan) jobs whose
+      // cost was measured (r20 CcProbe) to be per-stage overhead, not
+      // data. A graph over the cap pays one partial scan and runs the
+      // unchanged distributed loop.
+      val probe = edges.limit(localMaxEdges + 1).collect()
+      if (probe.length <= localMaxEdges) {
+        import spark.implicits._
+        val arr = probe.map(r => (r.getLong(0), r.getLong(1)))
+        val labels = localMinLabel(arr).toDF("n", "lbl")
+        return (labels, 0)
+      }
+    }
     // symmetrized + deduped once, reused every round. MATERIALIZED as a
     // checkpoint rather than persist()ed: a cached plan would embed the
     // whole upstream pipeline (as InMemoryRelation → nested adaptive
@@ -530,9 +615,23 @@ object DedupOps {
 
   def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
                           id: String, text: String,
-                          maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val hits = incrementalPairs(existing, incoming, id, text,
-        maxHamming, maxBucket)
+                          maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    incrementalNearDupsPreBanded(corpusBands(existing, id, text, maxBucket),
+      incoming, id, text, maxHamming)
+
+  /** [[incrementalNearDups]] against a pre-built (materialized) corpus
+    * band table from [[corpusBands]] — the r21 reroute for p122/p152:
+    * the standing corpus's banding is a shared materialized table
+    * (SharedStages), so an ingest verdict pays only the |batch| ×
+    * bucket-width probe join, never a fresh corpus scan + band pass.
+    * Row-identical to the self-building form by construction (the band
+    * table rows are the same; only where they come from changes).
+    */
+  def incrementalNearDupsPreBanded(exCapped: DataFrame, incoming: DataFrame,
+                                   id: String, text: String,
+                                   maxHamming: Int = 3): DataFrame = {
+    val hits = incrementalPairsPreBanded(exCapped, incoming, id, text,
+        maxHamming)
       .groupBy(col("in_id"))
       .agg(count(lit(1)).as("n_dups"), min(col("hamming")).as("min_hamming"))
     incoming.select(col(id).as("in_id"))

@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 /** Iterative graph operators over edge lists — the same
   * loop discipline as [[DedupOps.connectedComponents]] and
   * [[ClusterOps.kmeansLloyd]]: every round is a bounded shuffle keyed
-  * on the edge endpoints, each round's result is `localCheckpoint`ed so
-  * the plan does not grow with iterations, and ALL arithmetic is
+  * on the edge endpoints, the loop's plan depth stays bounded by
+  * checkpointing every 4th round (r20: a linear chain of 3 unrolled
+  * rounds is a 6-join plan — one action instead of three
+  * materialization jobs; per-round checkpointing is only load-bearing
+  * when a round reads its input more than once), and ALL arithmetic is
   * integer (scaled ranks, floor division), so any engine replays the
   * fixpoint bit-for-bit.
   */

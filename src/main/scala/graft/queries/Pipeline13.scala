@@ -78,11 +78,15 @@ object Pipeline13 {
     Q("p122_incremental_dedup", Some(incrementalDedupOracle)) { (spark, dir) =>
       import graft.ops.DedupOps
       val docs = Tables.loadSpread(spark, dir, "documents")
-      DedupOps.incrementalNearDups(
-          existing = docs.filter(col("doc_id") % 3 =!= 0),
+      // r21: probe the SHARED materialized corpus band table (identical
+      // rows: same corpus filter, same maxBucket=1000 cap) instead of
+      // re-scanning + re-banding the corpus per execution — the scale
+      // comment below was already the design intent; now the code does it
+      DedupOps.incrementalNearDupsPreBanded(
+          SharedStages.corpusBands(spark, dir),
           incoming = docs.filter(col("doc_id") % 3 === 0),
           id = "doc_id", text = "text",
-          maxHamming = 3, maxBucket = 1000)
+          maxHamming = 3)
         .select(col("doc_id"), col("n_dups"),
           col("min_hamming").cast("long").as("min_hamming"), col("is_dup"))
         .orderBy(col("doc_id"))

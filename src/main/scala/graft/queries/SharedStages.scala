@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * (dedup rewrite, survivor pick, leakage-safe split, source ranking)
   * derives from.
   *
-  * The standalone entries (p09, p29, p42, p68) deliberately rebuild the
-  * fixpoint so each remains an independent oracle anchor; the DAG
-  * entries (p75, p101) go through HERE instead, so pair generation and
-  * the CC fixpoint run at most once per (fixture dir) per process and
-  * every later consumer pays only a parquet scan. That is the
+  * p09 is the one remaining standalone anchor that deliberately
+  * rebuilds the banded pair pass per execution (plus the independent
+  * DuckDB oracle recomputation every consumer is checked against); the
+  * DAG entries (p75, p101) and — since r20 — p29, p42, p63, p68 and
+  * p119 go through HERE instead, so pair generation and the CC
+  * fixpoint run at most once per (fixture dir) per process and every
+  * later consumer pays only a parquet scan. That is the
   * production contract at 100 TB: the pair graph is a shared
   * intermediate table, not a per-query recomputation — on a cluster
   * these are bucketed tables on a shared store, and a second consumer
@@ -115,6 +117,20 @@ object SharedStages {
         .write.mode("overwrite").parquet(s"$b/bands")
       b
     })
+
+  /** Force the shared pair/label materialization — the bench calls this
+    * ONCE per run, timed, so the one-time build cost best-of-N minima
+    * would otherwise erase is charged transparently as its own line
+    * (VERDICT r20 #4). No-op when already built (memoized).
+    */
+  def warmBase(spark: SparkSession, dir: String): Unit = {
+    base(spark, dir); ()
+  }
+
+  /** [[warmBase]] for the standing-corpus tables (pairs/labels/bands). */
+  def warmCorpus(spark: SparkSession, dir: String): Unit = {
+    corpusBase(spark, dir); ()
+  }
 
   /** Standing-corpus CC labels as raw (n, lbl). */
   def corpusLabels(spark: SparkSession, dir: String): DataFrame =

@@ -184,8 +184,12 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // jumping must land well under that
     val pairs = ((1L until 16L).map(i => (i, i + 1)) ++
       Seq((100L, 101L), (101L, 102L), (100L, 102L))).toDF("a", "b")
+    // localMaxEdges = 0 forces the DISTRIBUTED fixpoint: this lane pins
+    // the pointer-jumping round bound, which the r21 small-graph local
+    // path (tested separately below) would bypass
     val (labels, rounds) =
-      DedupOps.connectedComponentsWithRounds(pairs, "a", "b", maxIter = 25)
+      DedupOps.connectedComponentsWithRounds(pairs, "a", "b", maxIter = 25,
+        localMaxEdges = 0)
     val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 16L).forall(m(_) == 1L), "path collapses to min id 1")
     assert((100L to 102L).forall(m(_) == 100L), "triangle keeps its own min")
@@ -197,6 +201,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(DedupOps.connectedComponents(empty).count() == 0L)
+  }
+
+  test("batch-local CC path (r21) is row-identical to the distributed " +
+    "fixpoint on a mixed random graph and respects the edge gate") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: chains, a star, cliques and
+    // singleton-free cross edges over a sparse id space — enough
+    // structure to catch a wrong union order or a missing endpoint
+    val rnd = new scala.util.Random(42)
+    val edges = (
+      (0 until 200).map(i => (i.toLong * 7, i.toLong * 7 + 7)) ++   // long chain
+      (0 until 50).map(i => (5000L, 5000L + rnd.nextInt(400) + 1)) ++ // star
+      (0 until 300).map(_ => { val a = rnd.nextInt(1000).toLong + 9000
+        (a, rnd.nextInt(1000).toLong + 9000) })                      // random
+    ).toDF("a", "b")
+    val (local, r0) = DedupOps.connectedComponentsWithRounds(
+      edges, "a", "b", maxIter = 25, localMaxEdges = 10000)
+    assert(r0 == 0, "gate must take the local path under the cap")
+    val (dist, rD) = DedupOps.connectedComponentsWithRounds(
+      edges, "a", "b", maxIter = 25, localMaxEdges = 0)
+    assert(rD > 0, "localMaxEdges = 0 must force the distributed loop")
+    assert(local.except(dist).isEmpty && dist.except(local).isEmpty,
+      "local union-find labels must equal the distributed fixpoint")
+    // a cap below the edge count must fall through to the distributed
+    // path (the fetch IS the proof: > max rows came back)
+    val (_, rF) = DedupOps.connectedComponentsWithRounds(
+      edges, "a", "b", maxIter = 25, localMaxEdges = 10)
+    assert(rF > 0, "graphs over the cap must run distributed")
   }
 
   test("quality/langId/fingerprint are deterministic and sane") {
