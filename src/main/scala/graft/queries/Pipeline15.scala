@@ -3088,8 +3088,15 @@ object Pipeline15 {
           Portable.h60(concat_ws("|", col("k").cast("string"),
             col("cents").cast("string"), col("st"))).as(hn),
           col("k"))
-      val ha = hashed(a, "h_a")
-      val hb = hashed(b, "h_b")
+      // r21: ha/hb each feed TWO consumers (the bucket digest agg and
+      // the repair scan) and hb additionally nests a's scan — inlined,
+      // the orders table was scanned 12× with the md5 row hash
+      // recomputed per scan (plans/r21/p222_*_before.txt). One
+      // materialization each = 2 scans total; production-shaped too:
+      // the row-hash table IS the Merkle leaf level a replica stores,
+      // computed once per sync round, not per probe.
+      val ha = hashed(a, "h_a").localCheckpoint()
+      val hb = hashed(b, "h_b").localCheckpoint()
       val bad = ha.groupBy(col("bucket"))
         .agg(expr("bit_xor(h_a)").as("dig_a"))
         .join(hb.groupBy(col("bucket"))
